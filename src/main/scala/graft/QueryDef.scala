@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine capability: a Spark pipeline over the testdata
+  * tables plus (when SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Oracle-parity rules (see SURVEY.md §5 / the driver contract):
+  *  - column names must match exactly between `fn` output and `oracle`;
+  *  - double aggregates are computed in DECIMAL (exact) and cast to DOUBLE
+  *    at the end, so Spark's parallel partial aggregation and DuckDB's
+  *    sequential sum produce bit-identical values;
+  *  - every query is deterministically ordered (explicit ORDER BY with a
+  *    unique tiebreaker) on both sides;
+  *  - integer-ish outputs are BIGINT on both sides (DuckDB sum(int) is
+  *    HUGEINT and Spark row_number is INT — both get explicit casts).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  /** Full inventory, SURVEY.md §2 coverage + north-star extensions. */
+  def all: Seq[QueryDef] =
+    relational.RelationalQueries.defs ++
+      events.EventQueries.defs ++
+      ops.TextQueries.defs ++
+      ops.DedupQueries.defs ++
+      ops.SimilarityQueries.defs
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,214 @@
+package graft.events
+
+import graft.QueryDef
+import graft.relational.{Sql, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence / event-stream operators over the `events` table. These carry
+  * the reference's order-sensitive chat semantics (SURVEY.md §2.4 J1–J3,
+  * §2.5 A1/A2, §2.6 L1) onto oracle-checkable data: lag, consecutive-pair
+  * interaction graphs, first-per-key, sessionization.
+  *
+  * Ordering contract: `ts_ns` (raw nanos, see Tables.events) + `event_id`
+  * tiebreak — bit-identical to DuckDB's `ORDER BY ts, event_id`. Outputs
+  * only expose floor-to-second values so precision never diverges.
+  *
+  * Scale notes: all windows partition by `user_id` (high cardinality)
+  * except the global interaction sequence, whose 100 TB variant partitions
+  * by conversation/file key exactly like the chat engine (graft.chat).
+  */
+object EventQueries {
+  import Sql._
+
+  private def q(name: String, oracle: String, doc: String = "")(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), doc)
+
+  private val wUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+
+  val q10_window_lag: QueryDef = q(
+    "q10_window_lag",
+    """SELECT event_id, user_id, prev_type, gap_s FROM (
+      |  SELECT event_id, user_id,
+      |    lag(event_type) OVER w AS prev_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      |WHERE prev_type IS NOT NULL
+      |ORDER BY event_id""".stripMargin,
+    "lag() per user (J1 analog): previous event type + gap seconds") { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("prev_type", lag("event_type", 1).over(wUser))
+      .withColumn("gap_s", col("ts_sec") - lag("ts_sec", 1).over(wUser))
+      .filter(col("prev_type").isNotNull)
+      .select("event_id", "user_id", "prev_type", "gap_s")
+      .orderBy("event_id")
+  }
+
+  val q11_interaction_graph: QueryDef = q(
+    "q11_interaction_graph",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT LEAST(prev, user_id) AS source, GREATEST(prev, user_id) AS target,
+      |  COUNT(*) AS weight
+      |FROM seq
+      |WHERE prev IS NOT NULL AND prev <> user_id
+      |GROUP BY 1, 2
+      |ORDER BY source, target""".stripMargin,
+    "Reference flagship (J1+J2+A2): consecutive distinct actors → canonical " +
+      "undirected weighted edges. Global sequence here; per-file at scale.") {
+    (s, d) =>
+      val w = Window.orderBy("ts_ns", "event_id")
+      Tables.events(s, d)
+        .select("user_id", "ts_ns", "event_id")
+        .withColumn("prev", lag("user_id", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(
+          least(col("prev"), col("user_id")).as("source"),
+          greatest(col("prev"), col("user_id")).as("target"))
+        .groupBy("source", "target")
+        .agg(count(lit(1)).as("weight"))
+        .orderBy("source", "target")
+  }
+
+  val q12_distinct_users: QueryDef = q(
+    "q12_distinct_users",
+    """SELECT DISTINCT user_id FROM events ORDER BY user_id""",
+    "Distinct node set (A1 analog)") { (s, d) =>
+    Tables.events(s, d).select("user_id").distinct().orderBy("user_id")
+  }
+
+  val q15_case_agg: QueryDef = q(
+    "q15_case_agg",
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin,
+    "Conditional aggregation (pivot-style CASE inside agg)") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", dec2(col("value")))
+          .otherwise(lit(0).cast(dec2t))).cast(DoubleType).as("purchase_value"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q19_first_event: QueryDef = q(
+    "q19_first_event",
+    """SELECT user_id, event_type AS first_type FROM (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin,
+    "First-per-key by event order (J3 analog: first matched sender)") { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(wUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_type"))
+      .orderBy("user_id")
+  }
+
+  val q20_sessionize: QueryDef = q(
+    "q20_sessionize",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin,
+    "Gaps-and-islands sessionization: 30-min inactivity starts a session") {
+    (s, d) =>
+      val prevSec = lag("ts_sec", 1).over(wUser)
+      Tables.events(s, d)
+        .withColumn("is_new",
+          when(prevSec.isNull || col("ts_sec") - prevSec > 1800, lit(1)).otherwise(lit(0)))
+        .groupBy("user_id")
+        .agg(sum("is_new").cast(LongType).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+  }
+
+  val q22_daily_type_counts: QueryDef = q(
+    "q22_daily_type_counts",
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin,
+    "Time-bucketed counts (tumbling daily window, batch form); day emitted " +
+      "as ISO string so both engines hash identically") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
+  val q23_regex_extract: QueryDef = q(
+    "q23_regex_extract",
+    """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |FROM events
+      |WHERE regexp_matches(props, '"k": (\d+)')
+      |ORDER BY event_id""".stripMargin,
+    "Regex group extraction from semi-structured payload (F3/P5 analog)") {
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("props").rlike("\"k\": (\\d+)"))
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k"))
+        .orderBy("event_id")
+  }
+
+  /** The reference's exact sender-normalization chain (P1–P4,
+    * backend/main.py:294-310 in /root/reference) applied to synthesized
+    * chat-shaped lines, so the parse dialect itself is oracle-checked:
+    * split-on-"] ", text-before-first-colon, strip ~ both ends, remove
+    * every U+0020, trim.
+    */
+  val q24_chat_parse: QueryDef = q(
+    "q24_chat_parse",
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    '[7.10.2023, 19:43:25] ~ user ' || CAST(user_id AS VARCHAR) || ' ~: did ' || event_type AS line
+      |  FROM events)
+      |SELECT event_id,
+      |  trim(regexp_replace(regexp_replace(string_split(string_split(line, '] ')[2], ':')[1], '^~+|~+$', '', 'g'), ' ', '', 'g')) AS sender,
+      |  strftime(CAST(strptime(regexp_extract(line, '^\[([^,\]]+)', 1), '%d.%m.%Y') AS DATE), '%Y-%m-%d') AS msg_date
+      |FROM lines
+      |ORDER BY event_id""".stripMargin,
+    "P1–P4 parse chain parity: sender normalization + d.M.yyyy date parse") {
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("line",
+          concat(lit("[7.10.2023, 19:43:25] ~ user "), col("user_id").cast(StringType),
+            lit(" ~: did "), col("event_type")))
+        .select(
+          col("event_id"),
+          trim(regexp_replace(
+            regexp_replace(
+              element_at(split(element_at(split(col("line"), "\\] ", 2), 2), ":"), 1),
+              "^~+|~+$", ""),
+            " ", "")).as("sender"),
+          date_format(to_date(regexp_extract(col("line"), "^\\[([^,\\]]+)", 1), "d.M.yyyy"),
+            "yyyy-MM-dd").as("msg_date"))
+        .orderBy("event_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
+    q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
+    q24_chat_parse)
+}

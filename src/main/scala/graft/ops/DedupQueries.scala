@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.relational.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family (north-star): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All hashing is md5/hex-based so the DuckDB oracle computes the
+  * *identical* signatures — no engine-specific hash functions.
+  *
+  * Scale design:
+  *  - shingling is a per-doc generate+window pass (no shuffle across docs);
+  *  - candidate generation joins on (band, bucket) — the classic LSH
+  *    band-join that keeps the pair space linear-ish instead of O(n²);
+  *  - the exact-Jaccard verify joins only same-language buckets (blocking).
+  */
+object DedupQueries {
+
+  /** word 3-gram shingles, distinct per doc. Positions come from posexplode
+    * (stable within the split array), shingles via lead() over doc order.
+    * Empty tokens are kept — both engines split identically, so parity
+    * beats cosmetic cleanliness.
+    */
+  private[ops] def shingles(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    tok
+      .withColumn("sh",
+        concat(col("w"), lit(" "), lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select("doc_id", "lang", "sh")
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[shingles]] as a CTE prefix. */
+  private val shinglesSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, sh FROM (
+      |    SELECT doc_id, lang,
+      |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+      |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)) t
+      |  WHERE sh IS NOT NULL)""".stripMargin
+
+  private def q(name: String, oracle: String, doc: String = "")(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), doc)
+
+  val q28_dedup_exact: QueryDef = q(
+    "q28_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin,
+    "Exact dedup: hash-groupBy on content, keep lowest id (map-side combine)") {
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          md5(col("text")).as("text_hash"))
+        .select("keep_id", "n_copies", "text_hash")
+        .orderBy("keep_id")
+  }
+
+  val q29_ngram_jaccard: QueryDef = q(
+    "q29_ngram_jaccard",
+    shinglesSql +
+      """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "n-gram Jaccard near-dup: shingle-set overlap within language blocks") {
+    (s, d) =>
+      val sh = shingles(Tables.documents(s, d))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("sh"))
+      val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      val pairs = a
+        .join(b, col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+          col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+  }
+
+  /** 8 portable min-hashes (md5-keyed) + 2 LSH band buckets per doc. */
+  val q30_minhash_sig: QueryDef = q(
+    "q30_minhash_sig",
+    shinglesSql +
+      """,
+        |sigs AS (
+        |  SELECT doc_id,
+        |    min(md5('0' || sh)) AS s0, min(md5('1' || sh)) AS s1,
+        |    min(md5('2' || sh)) AS s2, min(md5('3' || sh)) AS s3,
+        |    min(md5('4' || sh)) AS s4, min(md5('5' || sh)) AS s5,
+        |    min(md5('6' || sh)) AS s6, min(md5('7' || sh)) AS s7
+        |  FROM sh GROUP BY doc_id)
+        |SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7,
+        |  md5(s0 || s1 || s2 || s3) AS band0, md5(s4 || s5 || s6 || s7) AS band1
+        |FROM sigs
+        |ORDER BY doc_id""".stripMargin,
+    "MinHash signatures + LSH band buckets (shingle→minhash→band)") { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    val sigCols = (0 until 8).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
+    sh.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .withColumn("band0", md5(concat(col("s0"), col("s1"), col("s2"), col("s3"))))
+      .withColumn("band1", md5(concat(col("s4"), col("s5"), col("s6"), col("s7"))))
+      .orderBy("doc_id")
+  }
+
+  /** LSH candidate pairs: docs sharing any single minhash (8 bands × 1 row
+    * — recall-heavy banding, right for a near-dup *candidate* stage).
+    */
+  val q37_minhash_pairs: QueryDef = q(
+    "q37_minhash_pairs",
+    shinglesSql +
+      """,
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "LSH band-join candidate generation (linear-ish pair space at scale)") {
+    (s, d) =>
+      val sh = shingles(Tables.documents(s, d))
+      val hs = sh
+        .select(col("doc_id"), explode(array((0 until 8).map(i => lit(i.toString)): _*)).as("band"),
+          col("sh"))
+        .groupBy("doc_id", "band")
+        .agg(min(md5(concat(col("band"), col("sh")))).as("bucket"))
+      val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+      a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+  }
+
+  /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:
+    * hex → bigint via conv/strtol-equivalents on both engines).
+    */
+  val q31_simhash: QueryDef = q(
+    "q31_simhash",
+    """WITH tokw AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      |  FROM tokw WHERE w <> ''),
+      |votes AS (
+      |  SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS vote
+      |  FROM h CROSS JOIN generate_series(0, 59) AS t(j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+    "SimHash: per-bit majority vote over word hashes → 60-bit fingerprint") {
+    (s, d) =>
+      val tokw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .distinct()
+      val h = tokw.select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("hv"))
+      h.select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
+        .select(col("doc_id"), col("j"),
+          expr("(shiftright(hv, j) & 1) * 2 - 1").as("delta"))
+        .groupBy("doc_id", "j")
+        .agg(sum("delta").as("vote"))
+        .select(col("doc_id"),
+          when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(lit(0L)).as("bit"))
+        .groupBy("doc_id")
+        .agg(sum("bit").cast(LongType).as("simhash"))
+        .orderBy("doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
+    q31_simhash)
+}

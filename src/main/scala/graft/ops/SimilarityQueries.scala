@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.relational.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (north-star ANN family).
+  *
+  * Numeric parity design: dot products and norms are sums of DECIMAL(30,12)
+  * values. Each product is computed in IEEE double (bit-identical on both
+  * engines) then cast to decimal — a binary double is never exactly on a
+  * decimal half-boundary at scale 12, so the cast agrees — and decimal sums
+  * are order-independent. Final cosine = double division/sqrt, again
+  * bit-deterministic. So Spark's partial aggregation and DuckDB's
+  * sequential sum produce identical doubles.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * computes per-partition top-k before the global top-k (window over q_id
+  * after AQE-coalesced shuffle). The LSH path buckets by sign-random
+  * projections so candidate sets shrink ~2^planes-fold.
+  */
+object SimilarityQueries {
+
+  // precision 28 so acc+v promotes to (29,12) — scale preserved — before
+  // being cast (exactly) back to the accumulator type. A precision-38
+  // accumulator would promote to scale 11 and round on every addition.
+  private val decP = DecimalType(28, 12)
+  private val decAcc = DecimalType(28, 12)
+
+  /** Σ aggregate of an array of doubles, bridged through decimal. The merge
+    * result is cast back to the accumulator type (Spark's decimal-add
+    * promotion would otherwise drop to scale 11 at precision 38).
+    */
+  private def decDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(decP)),
+      lit(new java.math.BigDecimal(0)).cast(decAcc),
+      (acc, v) => (acc + v).cast(decAcc)).cast(DoubleType)
+
+  private def decNorm(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(decP)),
+      lit(new java.math.BigDecimal(0)).cast(decAcc),
+      (acc, v) => (acc + v).cast(decAcc)).cast(DoubleType)
+
+  val q32_knn_cosine: QueryDef = QueryDef(
+    "q32_knn_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", decNorm(col("embedding")))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          decDot(col("q_emb"), col("embedding")) / sqrt(col("q_nrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "vec_id", "rnk", "cosine")
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |qx AS (SELECT vec_id AS q_id, i, x FROM ex WHERE vec_id < 5),
+      |dots AS (
+      |  SELECT qx.q_id, ex.vec_id,
+      |    CAST(SUM(CAST(qx.x * ex.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM qx JOIN ex ON qx.i = ex.i AND ex.vec_id <> qx.q_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT q_id, dots.vec_id, dot / sqrt(nq.nrm * nv.nrm) AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nv ON nv.vec_id = dots.vec_id)
+      |SELECT q_id, vec_id, rnk, cosine FROM (
+      |  SELECT q_id, vec_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cos) t
+      |WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin),
+    "Brute-force cosine top-k (ANN baseline): broadcast queries × all vectors")
+
+  /** Sign-random-projection LSH buckets. Hyperplane component (p, i) is
+    * ±1 derived from one md5 bit — deterministic, shared with any oracle.
+    * Bucket = 8-bit signature of 8 hyperplane sign tests; ANN search then
+    * only compares vectors within a bucket (≈256× fewer pairs at scale).
+    */
+  val q33_ann_lsh_buckets: QueryDef = QueryDef(
+    "q33_ann_lsh_buckets",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      // (p, i) -> ±1: bit 0 of md5("p:i")
+      val dims = 64
+      val planes = 8
+      val comp = (p: Int) => {
+        // array<double> of ±1 for plane p, built as a literal (64 values)
+        val arr = (0 until dims).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$i".getBytes("UTF-8"))
+          if ((hex(15) & 1) == 1) 1.0 else -1.0
+        }
+        array(arr.map(lit): _*)
+      }
+      val bucketBits = (0 until planes).map { p =>
+        (when(decDot(col("embedding"), comp(p)) > 0, 1).otherwise(0) * (1 << p))
+      }.reduce(_ + _)
+      e.select(col("vec_id"), bucketBits.cast(LongType).as("bucket"))
+        .orderBy("vec_id")
+    },
+    None,
+    "Sign-random-projection LSH bucketing for ANN (scale path; rows-only check)")
+
+  def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets)
+}

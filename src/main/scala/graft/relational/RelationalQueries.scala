@@ -1,0 +1,330 @@
+package graft.relational
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Generic relational layer (SURVEY.md §2.2–§2.6 mapped onto the TESTDATA
+  * star schema): scans with pushdown, equi/semi/anti joins (broadcast where
+  * the build side is a dim), hash aggregation, windows, rollup, set ops,
+  * top-k. Every query has a DuckDB oracle.
+  *
+  * Scale notes (100 TB design stance):
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key — at scale
+  *    these tables would be co-bucketed by orderkey so the shuffle is free;
+  *  - dim joins (part, nation, region, filtered customer) are broadcast;
+  *  - aggregations are partial+final hash aggs (map-side combine built in);
+  *  - windows partition by a high-cardinality key (custkey/user) — never a
+  *    global unpartitioned window except where semantics demand it.
+  */
+object RelationalQueries {
+  import Sql._
+  import Tables._
+
+  private def q(name: String, oracle: String, doc: String = "")(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), doc)
+
+  val q01_pricing_summary: QueryDef = q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "TPC-H Q1-style pricing summary: scan → filter → hash agg (A2 analog)") {
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-31 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumDec2(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q02_filter_pushdown: QueryDef = q(
+    "q02_filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      |  AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "Range filter + projection; both reach the parquet scan (F5/P6 analog)") {
+    (s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate").between(
+            lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+            lit(java.sql.Timestamp.valueOf("1996-12-31 00:00:00"))) &&
+            col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q03_join_agg: QueryDef = q(
+    "q03_join_agg",
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "3-way join + agg; customer dim broadcast, fact join shuffles on orderkey") {
+    (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  val q04_exists_semi: QueryDef = q(
+    "q04_exists_semi",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    "EXISTS → left_semi join (F10/J4 analog)") { (s, d) =>
+    orders(s, d)
+      .join(
+        lineitem(s, d).filter(col("l_quantity") >= 48).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q05_region_revenue: QueryDef = q(
+    "q05_region_revenue",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name IN ('ASIA', 'EUROPE')
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin,
+    "TPC-H Q5-style 6-way join: dims broadcast, facts shuffle once on orderkey") {
+    (s, d) =>
+      val nr = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+      lineitem(s, d)
+        .join(
+          orders(s, d).filter(
+            col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy("n_name")
+  }
+
+  val q06_filter_agg: QueryDef = q(
+    "q06_filter_agg",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24""".stripMargin,
+    "TPC-H Q6: pure scan-filter-agg, fully pushed down, single codegen stage") {
+    (s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+            col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+  }
+
+  val q07_anti_join: QueryDef = q(
+    "q07_anti_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_no_order
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin,
+    "NOT EXISTS → left_anti (F8/S10 analog: delete/duplicate-check rewrite)") {
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "P").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_no_order"))
+        .orderBy("c_mktsegment")
+  }
+
+  val q08_topk_orders: QueryDef = q(
+    "q08_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin,
+    "Global top-k (L4 analog) → TakeOrderedAndProject, no full sort") { (s, d) =>
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q09_window_rank: QueryDef = q(
+    "q09_window_rank",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin,
+    "Per-key top-N via row_number window (L1 analog)") { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q14_setops: QueryDef = q(
+    "q14_setops",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY custkey""".stripMargin,
+    "Set difference (EXCEPT DISTINCT)") { (s, d) =>
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  val q16_having: QueryDef = q(
+    "q16_having",
+    """SELECT p_brand, COUNT(*) AS n_parts
+      |FROM part
+      |GROUP BY p_brand
+      |HAVING COUNT(*) > 80
+      |ORDER BY p_brand""".stripMargin,
+    "Group-agg + HAVING post-filter") { (s, d) =>
+    part(s, d)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+      .filter(col("n_parts") > 80)
+      .orderBy("p_brand")
+  }
+
+  val q17_scalar_subquery: QueryDef = q(
+    "q17_scalar_subquery",
+    """SELECT p_brand, COUNT(*) AS n_premium
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin,
+    "Scalar-subquery threshold (broadcast single-row cross join in Spark)") {
+    (s, d) =>
+      val p = part(s, d)
+      val avgPrice = p.agg(
+        (sum(dec2(col("p_retailprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_premium"))
+        .orderBy("p_brand")
+  }
+
+  val q18_rollup: QueryDef = q(
+    "q18_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "Hierarchical rollup (grouping sets)") { (s, d) =>
+    // Dataset-API rollup + orderBy on a grouping column trips Spark's
+    // ambiguous-attribute check (Expand aliases the grouping attrs); the
+    // SQL path resolves cleanly, so register the join as a view.
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name")
+      .createOrReplaceTempView("rollup_src")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM rollup_src
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q21_broadcast_join: QueryDef = q(
+    "q21_broadcast_join",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 10
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin,
+    "Fact ⋈ filtered dim: explicit broadcast keeps the fact side shuffle-free") {
+    (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sumDec2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+  }
+
+  val q35_point_lookup: QueryDef = q(
+    "q35_point_lookup",
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_custkey = 777""".stripMargin,
+    "Point lookup by key (S8 analog) — pushed-down equality scan") { (s, d) =>
+    customer(s, d)
+      .filter(col("c_custkey") === 777)
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
+    q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
+    q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
+    q21_broadcast_join, q35_point_lookup)
+}

@@ -1,0 +1,55 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * All reads are plain parquet scans so Catalyst pushes filters and prunes
+  * columns into the scan (`PushedFilters`/`ReadSchema` in explain).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain long
+    * (legacy flag, set in Sessions.configure) and derive:
+    *   - `ts_ns`  — raw nanos, the exact ordering key (matches DuckDB's
+    *     nanosecond timestamp order bit-for-bit);
+    *   - `ts_sec` — floor-to-second epoch, used for any *output* so both
+    *     engines agree regardless of sub-second precision;
+    *   - `ts`     — micros-truncated TimestampType for humans/windows.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_sec", col("ts_ns") / lit(1000000000L) cast LongType)
+      .withColumn("ts", timestamp_micros((col("ts_ns") / lit(1000L)).cast(LongType)))
+  }
+}
+
+/** Decimal-bridged arithmetic shared by Spark queries and their DuckDB
+  * oracles: compute in exact DECIMAL, emit DOUBLE. A binary double is never
+  * exactly on a decimal rounding half-boundary at scale 2 (that would need a
+  * 10^-3 component), so double→decimal casts agree across engines.
+  */
+object Sql {
+  val dec2t: DecimalType = DecimalType(18, 2)
+  def dec2(c: Column): Column = c.cast(dec2t)
+  /** sum(decimal(x)) as double — deterministic across partitionings. */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def one: Column = lit(1).cast(dec2t)
+}
