@@ -1,0 +1,106 @@
+package graft.chat
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.LocalDate
+
+/** The reference's flagship query (SURVEY.md §3.1): chat file → weighted
+  * undirected interaction graph.
+  *
+  * Semantics preserved exactly (each is golden-tested):
+  *  - F5 date range filters only when BOTH bounds are present
+  *    (backend/main.py:274-275,305-307 — one-sided bound = no filter);
+  *  - L1 limit counts *accepted* messages (post-filter), and the lag source
+  *    is the limited sequence (message limit+1 contributes no edge);
+  *  - J1 lag runs AFTER all filters, so dropped lines bridge gaps
+  *    (`previous_sender` semantics, backend/main.py:305-319);
+  *  - J2 canonical pair via least/greatest — UTF8 binary comparison ==
+  *    Python's code-point sort for the full unicode range;
+  *  - no self-loops, runs of one sender collapse.
+  *
+  * Scale: every window partitions by `file` — parallelism scales with the
+  * number of chat files; a single file is one task (matches the inherently
+  * sequential reference semantics). Two shuffles total: one hash partition
+  * by file (reused by all three windows), one for the edge aggregation.
+  */
+object Network {
+
+  final case class Graph(nodes: DataFrame, links: DataFrame)
+
+  /** msgs: output of ChatParser.analyzeDialect. */
+  def analyze(
+      msgs: DataFrame,
+      startDate: Option[LocalDate] = None,
+      endDate: Option[LocalDate] = None,
+      limit: Option[Int] = None): Graph = {
+
+    val wFile = Window.partitionBy("file").orderBy("line_no")
+
+    // F5: both-or-nothing date range (inclusive)
+    val ranged = (startDate, endDate) match {
+      case (Some(s), Some(e)) =>
+        msgs.filter(col("message_date").between(
+          lit(java.sql.Date.valueOf(s)), lit(java.sql.Date.valueOf(e))))
+      case _ => msgs
+    }
+
+    // L1: first `limit` accepted messages per file (0/absent = unlimited)
+    val limited = limit.filter(_ > 0) match {
+      case Some(n) =>
+        ranged.withColumn("_rn", row_number().over(wFile)).filter(col("_rn") <= n).drop("_rn")
+      case None => ranged
+    }
+
+    // J1 after all filters; J2 canonicalization; A2 weight agg
+    val edges = limited
+      .withColumn("prev", lag("sender", 1).over(wFile))
+      .filter(col("prev").isNotNull && col("prev") =!= col("sender"))
+      .select(
+        least(col("prev"), col("sender")).as("source"),
+        greatest(col("prev"), col("sender")).as("target"))
+      .groupBy("source", "target")
+      .agg(count(lit(1)).cast(LongType).as("weight"))
+
+    // A1: distinct accepted senders
+    val nodes = limited.select(col("sender").as("id")).distinct()
+
+    Graph(nodes, edges)
+  }
+
+  /** One-call façade mirroring GET /analyze/network/{filename}. */
+  def analyzeFile(
+      spark: SparkSession,
+      path: String,
+      startDate: Option[LocalDate] = None,
+      endDate: Option[LocalDate] = None,
+      limit: Option[Int] = None): Graph =
+    analyze(ChatParser.analyzeDialect(ChatLines.read(spark, path)), startDate, endDate, limit)
+
+  /** JSON shape of backend/main.py:328-338:
+    * {"nodes":[{"id":..}],"links":[{"source","target","weight"}]}.
+    * The reference's node order is Python set order (nondeterministic);
+    * we emit both lists sorted — a documented, deterministic refinement.
+    */
+  def toJson(g: Graph): String = {
+    val nodes = g.nodes.orderBy("id").collect()
+      .map(r => s"""{"id": ${jsonStr(r.getString(0))}}""")
+    val links = g.links.orderBy("source", "target").collect()
+      .map(r =>
+        s"""{"source": ${jsonStr(r.getString(0))}, "target": ${jsonStr(r.getString(1))}, "weight": ${r.getLong(2)}}""")
+    s"""{"nodes": [${nodes.mkString(", ")}], "links": [${links.mkString(", ")}]}"""
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

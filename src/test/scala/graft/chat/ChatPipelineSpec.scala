@@ -1,0 +1,101 @@
+package graft.chat
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** Golden-output parity tests for the chat pipeline (SURVEY.md §5.1):
+  * every semantic branch of the reference's analyze loop
+  * (backend/main.py:281-325) and upload loop (366-378) on one fixture.
+  */
+class ChatPipelineSpec extends SparkSpec {
+
+  private lazy val lines = ChatLines.read(spark, fixture("chat/fixture1.txt"))
+  private lazy val msgs = ChatParser.analyzeDialect(lines).cache()
+
+  private def linksOf(g: Network.Graph): Seq[(String, String, Long)] =
+    g.links.orderBy("source", "target").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+  private def nodesOf(g: Network.Graph): Seq[String] =
+    g.nodes.orderBy("id").collect().map(_.getString(0)).toSeq
+
+  test("line numbers are stable and 0-based per file") {
+    val nums = lines.orderBy("line_no").select("line_no").collect().map(_.getLong(0)).toSeq
+    assert(nums == (0L until 10L))
+  }
+
+  test("analyze dialect: filters + normalization (F1,F2,F4,F6,P1-P4)") {
+    val got = msgs.orderBy("line_no")
+      .select("sender", "message_date").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSeq
+    assert(got == Seq(
+      "🦋" -> "2023-10-07",
+      "DanaCohen" -> "2023-10-07", // "~ Dana Cohen " → strip ~, drop spaces
+      "Bob" -> "2023-10-07",
+      "Bob" -> "2023-10-07",
+      // media-omitted Hebrew line skipped; 32.13.2023 invalid date skipped
+      "Zed" -> "2022-01-01",
+      "Carol" -> "2023-10-08",
+      // plain non-bracket line skipped
+      "🦋" -> "2023-10-09"))
+  }
+
+  test("network, no filters: runs collapse, no self-loops, canonical pairs") {
+    val g = Network.analyze(msgs)
+    assert(nodesOf(g) == Seq("Bob", "Carol", "DanaCohen", "Zed", "🦋"))
+    assert(linksOf(g) == Seq(
+      ("Bob", "DanaCohen", 1L), ("Bob", "Zed", 1L), ("Carol", "Zed", 1L),
+      ("Carol", "🦋", 1L), ("DanaCohen", "🦋", 1L)))
+  }
+
+  test("network: date-filtered rows bridge the lag (J1 gap semantics)") {
+    val g = Network.analyze(msgs,
+      Some(LocalDate.parse("2023-10-07")), Some(LocalDate.parse("2023-10-09")))
+    // Zed (2022) drops out; Bob→Carol bridges the gap; Zed not a node
+    assert(nodesOf(g) == Seq("Bob", "Carol", "DanaCohen", "🦋"))
+    assert(linksOf(g) == Seq(
+      ("Bob", "Carol", 1L), ("Bob", "DanaCohen", 1L),
+      ("Carol", "🦋", 1L), ("DanaCohen", "🦋", 1L)))
+  }
+
+  test("network: one-sided date bound applies no filter (F5 both-or-nothing)") {
+    val g = Network.analyze(msgs, startDate = Some(LocalDate.parse("2023-10-07")))
+    assert(nodesOf(g).size == 5) // Zed still present
+  }
+
+  test("network: limit counts accepted messages; limit+1 contributes nothing (L1)") {
+    val g = Network.analyze(msgs, limit = Some(3))
+    assert(nodesOf(g) == Seq("Bob", "DanaCohen", "🦋"))
+    assert(linksOf(g) == Seq(("Bob", "DanaCohen", 1L), ("DanaCohen", "🦋", 1L)))
+    // limit 0 = unlimited
+    assert(nodesOf(Network.analyze(msgs, limit = Some(0))).size == 5)
+  }
+
+  test("upload dialect: raw senders, group-name exclusion (F3,F7,J3,P5)") {
+    val up = ChatParser.uploadDialect(lines)
+    val rows = up.orderBy("date_time").collect()
+    assert(rows.forall(_.getAs[String]("group_name") == "~🦋"))
+    val senders = up.select("sender").collect().map(_.getString(0)).toSet
+    // raw (unnormalized): includes spaces and ~; excludes the group name;
+    // includes media-omitted and invalid-date lines (no F1/F4 here)
+    assert(senders == Set("~ Dana Cohen ", "Bob", "Eve", "Carol", "Zed"))
+    assert(up.count() == 7) // first matched line dropped; later ~🦋 line dropped
+  }
+
+  test("word frequency: count-desc with word tiebreak (A5/L4)") {
+    val top = WordFrequency.top(msgs.filter(col("message_date") >= lit("2023-01-01")), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("again", 2L), ("hey", 2L), ("back", 1L)))
+  }
+
+  test("graph JSON matches the reference response shape") {
+    val g = Network.analyze(msgs, limit = Some(3))
+    val json = Network.toJson(g)
+    assert(json ==
+      """{"nodes": [{"id": "Bob"}, {"id": "DanaCohen"}, {"id": "🦋"}], """ +
+      """"links": [{"source": "Bob", "target": "DanaCohen", "weight": 1}, """ +
+      """{"source": "DanaCohen", "target": "🦋", "weight": 1}]}""")
+  }
+}

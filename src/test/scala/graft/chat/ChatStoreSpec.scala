@@ -1,0 +1,53 @@
+package graft.chat
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class ChatStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store").resolve("t").toString
+
+  test("uploadChat writes the 4-column whatsapp_messages table (S5)") {
+    val dir = tmp()
+    val n = ChatStore.uploadChat(spark, fixture("chat/fixture1.txt"), dir)
+    assert(n == 7)
+    val t = spark.read.parquet(dir)
+    assert(t.columns.toSeq == Seq("group_name", "date_time", "sender", "message"))
+    assert(t.filter(col("sender") === "Bob").count() == 2)
+  }
+
+  test("register/update/delete/list users (S7-S11, F8)") {
+    import spark.implicits._
+    val dir = tmp()
+    val u1 = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io")).toDF("name", "email")
+    assert(ChatStore.registerUsers(spark, u1, dir) == 2)
+    // duplicate email rejected (F8 anti-join)
+    val u2 = Seq(("Ada2", "ada@x.io"), ("Cy", "cy@x.io")).toDF("name", "email")
+    assert(ChatStore.registerUsers(spark, u2, dir) == 1)
+    assert(ChatStore.listUsers(spark, dir).count() == 3)
+
+    val id = ChatStore.findByEmail(spark, dir, "bo@x.io")
+      .select("user_id").collect().head.getString(0)
+    ChatStore.updateUser(spark, dir, id, Map("name" -> "Bobby"))
+    assert(ChatStore.findByEmail(spark, dir, "bo@x.io")
+      .select("name").collect().head.getString(0) == "Bobby")
+
+    ChatStore.deleteUser(spark, dir, id)
+    assert(ChatStore.listUsers(spark, dir).count() == 2)
+    assert(ChatStore.findByEmail(spark, dir, "bo@x.io").isEmpty)
+  }
+
+  test("saveResearchConfig stamps created_at (S6/P8)") {
+    import spark.implicits._
+    val dir = tmp()
+    val cfg = Seq(("study1", "desc", "2023-10-07", "2023-10-09", 50))
+      .toDF("name", "description", "start_date", "end_date", "message_limit")
+    ChatStore.saveResearchConfig(cfg, dir)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 1)
+    assert(got.filter(col("created_at").isNotNull).count() == 1)
+  }
+}
