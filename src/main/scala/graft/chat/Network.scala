@@ -70,6 +70,21 @@ object Network {
     Graph(nodes, edges)
   }
 
+  /** F9/F10 (client post-processing done engine-side): case-insensitive
+    * substring filter over node ids, links kept only when BOTH endpoints
+    * survive — two left_semi joins (frontend/src/pages/Form.jsx:159-171).
+    * P10: √weight link width is the render-side scalar, exposed here too.
+    */
+  def filterGraph(g: Graph, query: String): Graph = {
+    val keep = g.nodes.filter(lower(col("id")).contains(query.toLowerCase))
+    val links = g.links
+      .join(keep.select(col("id").as("source")), Seq("source"), "left_semi")
+      .join(keep.select(col("id").as("target")), Seq("target"), "left_semi")
+      .withColumn("width", sqrt(col("weight")))
+      .select("source", "target", "weight", "width")
+    Graph(keep, links)
+  }
+
   /** One-call façade mirroring GET /analyze/network/{filename}. */
   def analyzeFile(
       spark: SparkSession,

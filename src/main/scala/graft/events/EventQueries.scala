@@ -207,8 +207,47 @@ object EventQueries {
         .orderBy("event_id")
   }
 
+  /** F9/F10/P10/P11 over the interaction graph: substring-filter nodes,
+    * keep links whose BOTH endpoints survive (left_semi ×2), √weight width.
+    */
+  val q39_graph_filter: QueryDef = q(
+    "q39_graph_filter",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |links AS (
+      |  SELECT LEAST(prev, user_id) AS source, GREATEST(prev, user_id) AS target,
+      |    COUNT(*) AS weight
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id GROUP BY 1, 2),
+      |keep AS (
+      |  SELECT DISTINCT user_id AS id FROM events
+      |  WHERE contains(lower(CAST(user_id AS VARCHAR)), '1'))
+      |SELECT source, target, weight, sqrt(weight) AS width
+      |FROM links
+      |WHERE EXISTS (SELECT 1 FROM keep WHERE id = source)
+      |  AND EXISTS (SELECT 1 FROM keep WHERE id = target)
+      |ORDER BY source, target""".stripMargin,
+    "Graph node/link filter (F9/F10) + render scalars (P10/P11)") { (s, d) =>
+    val w = Window.orderBy("ts_ns", "event_id")
+    val links = Tables.events(s, d)
+      .select("user_id", "ts_ns", "event_id")
+      .withColumn("prev", lag("user_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(least(col("prev"), col("user_id")).as("source"),
+        greatest(col("prev"), col("user_id")).as("target"))
+      .groupBy("source", "target")
+      .agg(count(lit(1)).as("weight"))
+    val keep = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+      .filter(lower(col("id").cast(StringType)).contains("1"))
+    links
+      .join(keep.select(col("id").as("source")), Seq("source"), "left_semi")
+      .join(keep.select(col("id").as("target")), Seq("target"), "left_semi")
+      .withColumn("width", sqrt(col("weight")))
+      .orderBy("source", "target")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
-    q24_chat_parse)
+    q24_chat_parse, q39_graph_filter)
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Production deduplication operators (DataFrame → DataFrame), designed
+  * for the 100 TB path:
+  *
+  *  - shingling is pure array expressions (`transform`/`sequence`) — zero
+  *    shuffle, no explode blow-up in the signature stage;
+  *  - minhash signatures are computed per-row with `xxhash64` (codegen'd,
+  *    64-bit) — one narrow pass;
+  *  - the only shuffles are the LSH band self-join (on (band, bucket) —
+  *    the classic linear-ish candidate generation) and the final distinct;
+  *  - exact dedup is a single hash aggregation with map-side combine.
+  *
+  * The md5-based variants in [[DedupQueries]] exist for cross-engine
+  * oracle parity; these are the fast ones.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns: keeps the row with the minimal
+    * tie-breaker per key (deterministic, unlike dropDuplicates).
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tieBreaker)).as(tieBreaker))
+    df.join(keep, keyCols :+ tieBreaker, "left_semi")
+  }
+
+  /** Word n-gram shingle array (distinct), computed without explode. */
+  def shingleArray(textCol: Column, n: Int = 3): Column = {
+    val toks = split(textCol, "\\s+")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** k minhash values per row: sig[k] = min over shingles of
+    * xxhash64(k, shingle). Pure per-row expression — no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingles, s => xxhash64(k, s))))
+
+  /** LSH candidate pairs: ids sharing any band bucket. bands × rowsPerBand
+    * must equal numHashes. Returns (id_a, id_b) with id_a < id_b.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingleArray(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs (the precision stage
+    * after LSH recall): joins shingle sets back and computes
+    * |A∩B| / |A∪B| with array ops — no token explosion.
+    */
+  def jaccardVerify(
+      df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), shingleSize).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** End-to-end near-dup: LSH candidates → exact Jaccard filter. */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    jaccardVerify(df,
+      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
+      idCol, textCol, threshold, shingleSize)
+
+  /** 64-bit SimHash fingerprint per row, as a pure per-row expression:
+    * per-bit majority vote over xxhash64 of distinct tokens. SQL-expr form
+    * because `shiftleft` with a *column* shift amount has no Scala
+    * functions-API binding.
+    */
+  def simhash64(textColName: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    transform(sequence(0, 63), j ->
+       |      aggregate(
+       |        transform(array_distinct(split($textColName, '\\\\s+')), t -> xxhash64(t)),
+       |        0, (acc, h) -> acc + CASE WHEN (h >> j) & 1L = 1L THEN 1 ELSE -1 END)),
+       |    sequence(0, 63),
+       |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
+       |  0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

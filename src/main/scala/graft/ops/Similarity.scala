@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Production similarity search over an embedding column
+  * (`array<float>`/`array<double>`), designed for scale:
+  *
+  *  - '''bruteForceTopK''' — broadcast the (small) query set, one pass over
+  *    the corpus computing dots in fast double math, per-partition top-k
+  *    via window after an AQE-coalesced shuffle on q_id. Exact; the
+  *    baseline every ANN variant is measured against.
+  *  - '''annBuckets / annTopK''' — sign-random-projection LSH: p
+  *    deterministic ±1 hyperplanes (seeded hash bits, no RNG state to
+  *    ship), bucket = p-bit signature, candidates only within the query's
+  *    bucket (2^p-fold pair reduction; probe neighboring buckets for
+  *    recall if needed).
+  *
+  * Double (not decimal) arithmetic here: these are the fast operators;
+  * bit-exact cross-engine parity lives in [[SimilarityQueries]].
+  */
+object Similarity {
+
+  /** dot(a, b) in double math (sequential, deterministic per row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
+    * rows (excluding identical ids).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("nrm", sqrt(norm2(col("emb"))))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+    c.join(broadcast(q), col("id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "rnk", "cosine")
+  }
+
+  /** Deterministic ±1 hyperplane p (dim components), seeded by md5 bits. */
+  private[ops] def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Adds an LSH `bucket` column: p-bit sign signature. */
+  def annBuckets(df: DataFrame, embCol: String, planes: Int = 8): DataFrame = {
+    val dim = df.select(size(col(embCol))).first().getInt(0)
+    val bits = (0 until planes).map { p =>
+      val hp = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(col(embCol), hp) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bits)
+  }
+
+  /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    val c = annBuckets(corpus, embCol, planes)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
+      .withColumn("nrm", sqrt(norm2(col("emb"))))
+    val q = annBuckets(queries, embCol, planes)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("bucket"))
+      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "rnk", "cosine")
+  }
+}

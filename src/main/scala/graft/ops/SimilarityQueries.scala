@@ -119,5 +119,48 @@ object SimilarityQueries {
     None,
     "Sign-random-projection LSH bucketing for ANN (scale path; rows-only check)")
 
-  def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets)
+  /** Embedding-cosine near-dup pairs (dedup family member): label-blocked
+    * candidate space (the scale path swaps the block key for LSH buckets),
+    * decimal-bridged cosine, bounded to vec_id<500 so the oracle-exact
+    * (interpreted-lambda) arithmetic stays cheap at bench scale — the
+    * production operator with fast double math is ops.Similarity.
+    */
+  val q38_embedding_neardup: QueryDef = QueryDef(
+    "q38_embedding_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .withColumn("nrm", decNorm(col("embedding")))
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          decDot(col("emb_a"), col("emb_b")) / sqrt(col("nrm_a") * col("nrm_b")))
+        .filter(col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings WHERE vec_id < 500),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot / sqrt(na.nrm * nb.nrm) AS cosine
+      |FROM dots
+      |JOIN norms na ON na.vec_id = id_a
+      |JOIN norms nb ON nb.vec_id = id_b
+      |WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin),
+    "Embedding-cosine near-dup (blocked pair space + threshold)")
+
+  def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
+    q38_embedding_neardup)
 }

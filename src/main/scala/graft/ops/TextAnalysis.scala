@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reusable text-analysis column functions (north-star text ops). All are
+  * built-in expression compositions — codegen-friendly, no UDFs, usable in
+  * any pipeline position (including pushdown-friendly filters).
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
+
+  /** BPE-ish subword regex tokenizer (GPT-2-style pattern, simplified):
+    * word fragments, numbers, punctuation runs — the usual pre-tokenizer
+    * for LLM token estimation.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast(LongType)
+
+  /** Stopword-count-based language guess (en/de/es/fr heuristic). */
+  def languageGuess(text: Column): Column = {
+    def cnt(pat: String) = size(regexp_extract_all(text, lit(pat), lit(0)))
+    val (en, de, es, fr) =
+      (cnt("\\b(the|and|of)\\b"), cnt("\\b(der|und|das)\\b"),
+        cnt("\\b(el|la|los)\\b"), cnt("\\b(le|et|les)\\b"))
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** 0–3 quality score: length window, stopword presence, punct ratio. */
+  def qualityScore(text: Column): Column = {
+    val nTokens = tokenCount(text)
+    val nPunct = size(regexp_extract_all(text, lit("[.,!?]"), lit(0))).cast(LongType)
+    (when(length(text).between(50, 10000), 1).otherwise(0)
+      + when(text.like("% the %"), 1).otherwise(0)
+      + when(nPunct * 10 <= nTokens, 1).otherwise(0)).cast(LongType)
+  }
+
+  /** Rolling-hash document fingerprint: min xxhash64 over sliding char
+    * n-grams (winnowing-style), as a pure array expression.
+    */
+  def fingerprint(text: Column, n: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      j => xxhash64(text.substr(j, lit(n)))))
+}

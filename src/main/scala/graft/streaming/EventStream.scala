@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the events shape (SURVEY.md §2.7's
+  * "natural extension": the reference has no streaming, but its stateful
+  * line loop is exactly the mapGroupsWithState pattern).
+  */
+object EventStream {
+
+  final case class Evt(user_id: Long, ts_sec: Long)
+  final case class SessionState(lastTs: Long, nSessions: Long)
+  final case class SessionCount(user_id: Long, n_sessions: Long)
+
+  /** Tumbling event-time window counts with a watermark — the streaming
+    * form of q22_daily_type_counts. Works on a stream (late data beyond
+    * 1 day dropped) and on a batch frame (watermark is a no-op).
+    */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Stateful sessionization via flatMapGroupsWithState — the custom-state
+    * escape hatch (per-user running session count, 30-min default gap).
+    * Update-mode output: one refreshed count per user per batch.
+    */
+  def sessionCounts(events: Dataset[Evt], gapSec: Long = 1800): Dataset[SessionCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, evts, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          evts.toSeq.sortBy(_.ts_sec).foreach { e =>
+            st =
+              if (st.lastTs == Long.MinValue || e.ts_sec - st.lastTs > gapSec)
+                SessionState(e.ts_sec, st.nSessions + 1)
+              else SessionState(e.ts_sec, st.nSessions)
+          }
+          state.update(st)
+          Iterator.single(SessionCount(uid, st.nSessions))
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical content") {
+    val kept = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 4L)) // 3 deduped against 0
+  }
+
+  test("minhash LSH finds the near-dup pair and Jaccard verifies it") {
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)))
+    assert(nd.contains((0L, 3L))) // exact dup also caught
+    assert(!nd.exists { case (a, b) => a == 2L || b == 2L }) // unrelated doc clean
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val sh = docs.withColumn("sh", Dedup.simhash64("text"))
+      .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    val near = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val far = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(near < far, s"near=$near far=$far")
+    // hammingDistance column matches JVM bitCount
+    val hd = docs.filter($"doc_id" === 1L)
+      .withColumn("sh", Dedup.simhash64("text"))
+      .select(Dedup.hammingDistance($"sh", lit(sh(0L)))).first().getInt(0)
+    assert(hd == near)
+  }
+
+  test("brute-force cosine topK is exact and ANN agrees within its bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.8f, 0.2f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(top == Seq((1L, 1), (4L, 2))) // nearest by cosine
+    val ann = Similarity.annTopK(vecs, q, "vec_id", "embedding", k = 2, planes = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(ann.subsetOf(Set(1L, 4L, 2L))) // candidates only from q's bucket
+  }
+
+  test("text analysis column functions") {
+    val r = docs.select(
+      TextAnalysis.tokenCount($"text").as("nt"),
+      TextAnalysis.bpeishTokenCount($"text").as("nb"),
+      TextAnalysis.languageGuess($"text").as("lg"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .filter($"nt" === 12).first()
+    assert(r.getAs[Long]("nb") >= 12)
+    assert(r.getAs[String]("lg") == "en")
+    assert(r.getAs[Long]("q") >= 2)
+    // fingerprint deterministic across evaluations
+    val fps = docs.select(TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    val fps2 = docs.select(TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps == fps2)
+    assert(fps(0) == fps(3)) // identical docs → identical fingerprint
+  }
+
+  test("multimodal: media table schema, stub decode, frame sampling, resize") {
+    implicit val s = spark
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "content", "meta"))
+    assert(media.schema("content").dataType.typeName == "binary")
+
+    val decoded = Multimodal.decodeStub(media)
+    val d = decoded.collect().map(m => m.media_id -> m).toMap
+    assert(d(0L).checksum == d(3L).checksum) // deterministic fake decode
+    assert(d(0L).checksum != d(2L).checksum)
+    assert(d(0L).width > 0 && d(0L).height > 0)
+
+    val frames = Multimodal.frameSample(media, stride = 16)
+    assert(frames.filter($"media_id" === 0L).count() ==
+      (docs.filter($"doc_id" === 0L).select(length($"text")).first().getInt(0) / 16))
+
+    val resized = Multimodal.resizeStub(media, targetBytes = 8)
+    assert(resized.select(max($"meta.n_bytes")).first().getLong(0) <= 8)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  test("chat stream builds the graph incrementally across file arrivals") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val log = Files.createTempDirectory("graft_stream_log").resolve("edges").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val q = ChatStream.incrementalGraph(spark, in, log, ckpt)
+    try {
+      Files.writeString(java.nio.file.Path.of(in, "a.txt"),
+        "[7.10.2023, 10:00:00] Ann: hi\n[7.10.2023, 10:01:00] Ben: yo\n")
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(in, "b.txt"),
+        "[8.10.2023, 10:00:00] Ben: more\n[8.10.2023, 10:01:00] Ann: yes\n[8.10.2023, 10:02:00] Ben: ok\n")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val links = ChatStream.currentLinks(spark, log)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // batch 1: Ann→Ben (1); batch 2: Ben→Ann→Ben (2) — merged weight 3
+    assert(links == Seq(("Ann", "Ben", 3L)))
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[EventStream.Evt]
+    val out = EventStream.sessionCounts(ms.toDS(), gapSec = 100)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      ms.addData(EventStream.Evt(1L, 1000), EventStream.Evt(1L, 1050))
+      q.processAllAvailable()
+      // gap > 100s → second session; state survived the batch boundary
+      ms.addData(EventStream.Evt(1L, 2000), EventStream.Evt(2L, 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sessions").groupBy("user_id")
+      .agg(max("n_sessions").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("daily windowed counts with watermark (streaming form of q22)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val df = ms.toDS().toDF("ts", "event_type")
+    val q = EventStream.dailyTypeCounts(df)
+      .writeStream.format("memory").queryName("daily").outputMode("update").start()
+    try {
+      ms.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("daily")
+      .select(col("day.start").cast("date").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01", "click", 2L), ("2024-01-02", "view", 1L)))
+  }
+}
