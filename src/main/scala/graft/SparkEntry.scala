@@ -19,6 +19,7 @@ object SparkEntry {
   private def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    org.apache.spark.sql.GraftRegistrar.register(spark)
     spark
   }
 

@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Public extension point (`spark.sql.extensions=graft.functions.GraftExtensions`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`): registers
+  * the engine's native expressions so `expr("graft_dot(a, b)")` / SQL can
+  * use them. This is the documented injection API — no internal
+  * FunctionRegistry access.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+  }
+}

@@ -23,10 +23,19 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot(a, b) in double math (sequential, deterministic per row). */
+  /** dot(a, b) in double math (sequential, deterministic per row) —
+    * interpreted-lambda fallback; prefer [[fastDot]] where the graft_dot
+    * native expression is registered.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Codegen'd native dot product (graft.functions.DotProductF). Requires
+    * registration: GraftExtensions at build time or GraftRegistrar.register
+    * on a live session (SparkEntry does this automatically).
+    */
+  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 

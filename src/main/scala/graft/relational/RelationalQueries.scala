@@ -322,9 +322,39 @@ object RelationalQueries {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
+  val q40_intersect_unionall: QueryDef = q(
+    "q40_intersect_unionall",
+    """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+      |p AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+      |SELECT (SELECT COUNT(*) FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM p) i) AS n_intersect,
+      |       (SELECT COUNT(*) FROM (SELECT custkey FROM f UNION ALL SELECT custkey FROM p) u) AS n_union_all""".stripMargin,
+    "Set ops: INTERSECT (distinct) + UNION ALL cardinalities") { (s, d) =>
+    val o = orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+    f.intersect(p).agg(count(lit(1)).as("n_intersect"))
+      .crossJoin(f.unionAll(p).agg(count(lit(1)).as("n_union_all")))
+  }
+
+  /** HLL sketch distinct (SURVEY §2.7 scale path for A1) — implementation-
+    * specific estimates, so rows-only check; exact count alongside shows
+    * the estimate lands near truth.
+    */
+  val q41_approx_distinct: QueryDef = QueryDef(
+    "q41_approx_distinct",
+    (s, d) => Tables.t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type"),
+    None,
+    "approx_count_distinct (HyperLogLog++) vs exact, per event type")
+
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
-    q21_broadcast_join, q35_point_lookup)
+    q21_broadcast_join, q35_point_lookup, q40_intersect_unionall,
+    q41_approx_distinct)
 }

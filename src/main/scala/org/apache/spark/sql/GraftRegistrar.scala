@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions on an already-created session.
+  * `SparkSessionExtensions` (see graft.functions.GraftExtensions) is the
+  * front door, but it only applies at session construction — the driver
+  * hands us a plain session, so this package-private-access shim (the same
+  * pattern Spark's own test utilities use) covers that path. Idempotent:
+  * re-registration just overwrites.
+  */
+object GraftRegistrar {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+  }
+}

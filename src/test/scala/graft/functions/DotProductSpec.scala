@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered(): Unit =
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+
+  test("graft_dot matches the lambda formulation exactly (float arrays)") {
+    registered()
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val got = df.select(
+      Similarity.fastDot($"a", $"b").as("fast"),
+      Similarity.dot($"a", $"b").as("slow")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(got(0).getDouble(0) == 32.0)
+  }
+
+  test("graft_dot null-safe and usable from SQL after registration") {
+    registered()
+    val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(df.selectExpr("graft_dot(a, b)").first().isNullAt(0))
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .first().getDouble(0) == 11.0)
+  }
+
+  test("graft_dot survives whole-stage codegen over parquet float vectors") {
+    registered()
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = e.limit(50)
+      .select(
+        Similarity.fastDot($"embedding", $"embedding").as("fast"),
+        Similarity.dot($"embedding", $"embedding").as("slow"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+}
