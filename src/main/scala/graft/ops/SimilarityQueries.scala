@@ -110,8 +110,11 @@ object SimilarityQueries {
         }
         array(arr.map(lit): _*)
       }
+      // rows-only query (no oracle): free to use the native codegen'd
+      // graft_dot instead of the decimal-bridged lambda
       val bucketBits = (0 until planes).map { p =>
-        (when(decDot(col("embedding"), comp(p)) > 0, 1).otherwise(0) * (1 << p))
+        (when(call_function("graft_dot", col("embedding"), comp(p)) > 0, 1)
+          .otherwise(0) * (1 << p))
       }.reduce(_ + _)
       e.select(col("vec_id"), bucketBits.cast(LongType).as("bucket"))
         .orderBy("vec_id")
