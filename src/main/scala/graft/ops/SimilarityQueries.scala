@@ -46,18 +46,35 @@ object SimilarityQueries {
       lit(new java.math.BigDecimal(0)).cast(decAcc),
       (acc, v) => (acc + v).cast(decAcc)).cast(DoubleType)
 
+  /** Exploded (vec_id, i, x) view with x in double — feeds codegen'd
+    * decimal-sum HashAggregates (the same plan shape as the oracle), which
+    * measured much faster than per-row interpreted decimal lambdas.
+    */
+  private def exploded(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+
+  private def normsOf(ex: org.apache.spark.sql.DataFrame) =
+    ex.groupBy("vec_id")
+      .agg(sum((col("x") * col("x")).cast(decP)).cast(DoubleType).as("nrm"))
+
   val q32_knn_cosine: QueryDef = QueryDef(
     "q32_knn_cosine",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", decNorm(col("embedding")))
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
+      val ex = exploded(Tables.embeddings(s, d))
+      val norms = normsOf(ex)
+      val qx = ex.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+      val dots = ex.join(broadcast(qx), Seq("i"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-      e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine",
-          decDot(col("q_emb"), col("embedding")) / sqrt(col("q_nrm") * col("nrm")))
+      dots
+        .join(broadcast(norms.select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))), Seq("q_id"))
+        .join(broadcast(norms), Seq("vec_id"))
+        .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
         .withColumn("rnk", row_number().over(w).cast(LongType))
         .filter(col("rnk") <= 5)
         .select("q_id", "vec_id", "rnk", "cosine")
@@ -132,14 +149,21 @@ object SimilarityQueries {
     "q38_embedding_neardup",
     (s, d) => {
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
-        .withColumn("nrm", decNorm(col("embedding")))
-      val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("cosine",
-          decDot(col("emb_a"), col("emb_b")) / sqrt(col("nrm_a") * col("nrm_b")))
+      val ex = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("x", col("x").cast(DoubleType))
+      val norms = normsOf(ex.select("vec_id", "i", "x"))
+      val b = ex.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("i").as("i_b"), col("x").as("xb"))
+      val dots = ex
+        .join(b, col("i") === col("i_b") && col("label") === col("label_b") &&
+          col("vec_id") < col("id_b"))
+        .groupBy(col("vec_id").as("id_a"), col("id_b"))
+        .agg(sum((col("x") * col("xb")).cast(decP)).cast(DoubleType).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
+        .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
+        .withColumn("cosine", col("dot") / sqrt(col("nrm_a") * col("nrm_b")))
         .filter(col("cosine") >= 0.35)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink façade beyond parquet (engine completeness: the reference's
+  * only inputs are text files and row stores, but a drop-in engine needs
+  * the standard batch formats). Thin by design — DataSource V2 does the
+  * work; these pin the engine's defaults:
+  *
+  *  - CSV: header on, explicit schema preferred (schema inference is a
+  *    full extra pass at 100 TB — callers must opt in);
+  *  - JSON: lines mode (splittable), PERMISSIVE with corrupt-record column;
+  *  - JDBC: batched writes (the fix for the reference's 1-row-per-round-trip
+  *    insert, backend/main.py:384) — caller supplies url/table/props.
+  */
+object Io {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 10000): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+}

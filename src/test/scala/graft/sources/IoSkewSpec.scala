@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class IoSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv and json-lines round-trip with explicit schemas") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+
+    val csvDir = Files.createTempDirectory("graft_io").resolve("c").toString
+    Io.writeCsv(df, csvDir)
+    val backCsv = Io.readCsv(spark, csvDir, schema)
+    assert(backCsv.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+
+    val jsonDir = Files.createTempDirectory("graft_io").resolve("j").toString
+    Io.writeJsonLines(df, jsonDir)
+    val backJson = Io.readJsonLines(spark, jsonDir, schema).select("id", "name", "v")
+    assert(backJson.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("permissive json keeps corrupt records in _corrupt") {
+    val dir = Files.createTempDirectory("graft_io").resolve("bad").toString
+    Files.createDirectories(java.nio.file.Path.of(dir))
+    Files.writeString(java.nio.file.Path.of(dir, "x.json"),
+      """{"id": 1, "name": "ok"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt", StringType)))
+    // Spark disallows querying only the corrupt column off raw json — pull
+    // full rows and assert in memory
+    val rows = Io.readJsonLines(spark, dir, schema).collect()
+    assert(rows.length == 2)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt"))) == 1)
+  }
+
+  test("salted join equals plain join; heavy hitters found") {
+    // skewed big side: key 1 dominates
+    val big = spark.range(0, 10000)
+      .select(when($"id" % 10 === 0, lit(1L)).otherwise($"id" % 100).as("k"),
+        $"id".as("payload"))
+    val small = Seq((1L, "hot"), (2L, "cold"), (7L, "mild")).toDF("k", "tag")
+
+    val plain = big.join(small, Seq("k")).groupBy("k", "tag")
+      .agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8).groupBy("k", "tag")
+      .agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    assert(salted.orderBy("k").collect().map(_.toSeq).toSeq ==
+      plain.orderBy("k").collect().map(_.toSeq).toSeq)
+
+    val hh = Skew.heavyHitters(big, "k", 1).collect().head
+    assert(hh.getLong(0) == 1L) // the hot key surfaces first
+  }
+}
