@@ -76,11 +76,26 @@ object ChatStore {
     if (new java.io.File(tableDir).exists()) spark.read.parquet(tableDir)
     else spark.emptyDataFrame
 
+  /** Copy-on-write table rewrite: stage the new version beside the table,
+    * then swap directories. Distributed end to end (no driver collect) —
+    * the lakehouse-table pattern these point ops compile to at scale.
+    */
   private def overwrite(df: DataFrame, tableDir: String): Unit = {
-    // materialize before truncating the source we read from
-    val rows = df.collectAsList()
-    val spark = df.sparkSession
-    val out = spark.createDataFrame(rows, df.schema)
-    out.write.mode(SaveMode.Overwrite).parquet(tableDir)
+    val stage = tableDir + ".staging"
+    val old = tableDir + ".old"
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    val fs = java.nio.file.Paths.get(tableDir)
+    val oldP = java.nio.file.Paths.get(old)
+    deleteRecursive(oldP)
+    java.nio.file.Files.move(fs, oldP)
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage), fs)
+    deleteRecursive(oldP)
   }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
 }

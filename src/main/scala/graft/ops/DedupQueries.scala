@@ -151,11 +151,15 @@ object DedupQueries {
     "LSH band-join candidate generation (linear-ish pair space at scale)") {
     (s, d) =>
       val sh = shingles(Tables.documents(s, d))
-      val hs = sh
-        .select(col("doc_id"), explode(array((0 until 8).map(i => lit(i.toString)): _*)).as("band"),
-          col("sh"))
-        .groupBy("doc_id", "band")
-        .agg(min(md5(concat(col("band"), col("sh")))).as("bucket"))
+      // one groupBy with 8 partial-agg mins (shuffles |shingles| rows), then
+      // stack-unpivot to (band, bucket) — identical result to exploding 8×
+      // before the shuffle at an 8th of the shuffle volume
+      val sigCols = (0 until 8).map(i =>
+        min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
+      val hs = sh.groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"), expr(
+          "stack(8, '0', s0, '1', s1, '2', s2, '3', s3, '4', s4, '5', s5, '6', s6, '7', s7) AS (band, bucket)"))
       val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
       a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&

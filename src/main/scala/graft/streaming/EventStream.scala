@@ -24,6 +24,14 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: first occurrence per key wins; state pruned by
+    * the watermark (keys older than the delay are forgotten — bounded
+    * state, the streaming form of ops.Dedup.exact).
+    */
+  def dedupeStream(events: DataFrame, keyCol: String, tsCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay).dropDuplicates(keyCol, tsCol)
+
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch (per-user running session count, 30-min default gap).
     * Update-mode output: one refreshed count per user per batch.

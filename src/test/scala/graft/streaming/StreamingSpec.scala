@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("streaming dedup: first occurrence per key wins across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = ms.toDS().toDF("k", "ts")
+    val q = EventStream.dedupeStream(df, "k", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      ms.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), // dup
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
   test("daily windowed counts with watermark (streaming form of q22)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
