@@ -246,8 +246,56 @@ object EventQueries {
       .orderBy("source", "target")
   }
 
+  /** As-of join (ops.AsOf): each purchase matched to the user's latest
+    * prior-or-equal click. Oracle uses DuckDB's native ASOF JOIN — a
+    * strong differential check of the composite implementation.
+    */
+  val q42_asof_join: QueryDef = q(
+    "q42_asof_join",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin,
+    "As-of join (operator Spark lacks): union + running-last window, 1 shuffle") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ns", "ts_sec")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"), col("user_id"),
+          col("ts_ns"), col("ts_sec").as("c_sec"))
+      graft.ops.AsOf.joinAsOf(purchases, clicks, "user_id", "ts_ns", "ts_ns",
+          Seq("c_event_id", "c_sec"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_c_event_id").as("click_id"),
+          (col("ts_sec") - col("asof_c_sec")).as("gap_s"))
+        .orderBy("event_id")
+  }
+
+  /** Interval join (ops.RangeJoin): same-user event pairs within 60 s.
+    * Oracle is the plain inequality join (DuckDB IEJoin); Spark side uses
+    * the bucketized equi-join rewrite.
+    */
+  val q43_interval_join: QueryDef = q(
+    "q43_interval_join",
+    """SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS gap_s
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) > CAST(floor(epoch(a.ts)) AS BIGINT)
+      |  AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 60
+      |ORDER BY id_a, id_b""".stripMargin,
+    "Interval join via bucketized equi-join (no nested-loop)") { (s, d) =>
+    graft.ops.RangeJoin.timeWindowPairs(
+        Tables.events(s, d).select("user_id", "ts_sec", "event_id"),
+        "user_id", "ts_sec", "event_id", windowSec = 60)
+      .select("id_a", "id_b", "gap_s")
+      .orderBy("id_a", "id_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
-    q24_chat_parse, q39_graph_filter)
+    q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join)
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark SQL lacks (DuckDB/kdb
+  * have it natively; Pandas calls it merge_asof). Preference order from
+  * the build brief applies: this is case (a), *composed from existing
+  * ops* — a tagged union + running `last(_, ignoreNulls)` window — because
+  * built-ins express it exactly, with ONE shuffle on the key and no
+  * nested-loop/range scan:
+  *
+  *   left  (k, ts, …)  ─┐ union, sorted by (ts, side)   window: carry the
+  *   right (k, ts, …)  ─┘ within each key partition  →  last right row seen
+  *
+  * At equal timestamps the right row sorts first, so `right.ts <= left.ts`
+  * matches are inclusive — the standard as-of convention.
+  */
+object AsOf {
+
+  /** For each left row, attach the latest right row (its `rightPick`
+    * columns, prefixed) with `right.tsCol <= left.tsCol` on the same key.
+    * Left rows with no prior right row are dropped (inner as-of).
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPick: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r2 = right.select(
+      col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct(rightPick.map(col): _*).as("_rv"))
+    val l2 = left.select(
+      col(key).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
+      lit(null).cast(r2.schema("_rv").dataType).as("_rv"),
+      struct(leftCols.map(col): _*).as("_lv"))
+    val r3 = r2.withColumn("_lv", lit(null).cast(l2.schema("_lv").dataType))
+    val w = Window.partitionBy("_k").orderBy("_ts", "_side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r3)
+      .withColumn("_m", last("_rv", ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_m").isNotNull)
+      .select(
+        leftCols.map(c => col(s"_lv.$c").as(c)) ++
+          rightPick.map(c => col(s"_m.$c").as(prefix + c)): _*)
+  }
+}
