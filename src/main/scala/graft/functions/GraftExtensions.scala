@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -13,10 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftRegistrar {
   def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-    registry.registerFunction(
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+    // experimental.extraOptimizations is the public post-creation hook for
+    // optimizer rules (extensions only apply at builder time)
+    if (!classic.experimental.extraOptimizations.contains(graft.functions.RewriteDotProduct))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.functions.RewriteDotProduct
   }
 }

@@ -90,6 +90,18 @@ class ChatPipelineSpec extends SparkSpec {
     assert(top == Seq(("again", 2L), ("hey", 2L), ("back", 1L)))
   }
 
+  test("multi-file corpus: windows partition by file — no cross-file edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_multi")
+    java.nio.file.Files.writeString(dir.resolve("g1.txt"),
+      "[7.10.2023, 10:00:00] Ann: a\n[7.10.2023, 10:01:00] Ben: b\n")
+    java.nio.file.Files.writeString(dir.resolve("g2.txt"),
+      "[7.10.2023, 10:02:00] Cat: c\n[7.10.2023, 10:03:00] Dan: d\n")
+    val g = Network.analyzeFile(spark, dir.toString)
+    assert(nodesOf(g) == Seq("Ann", "Ben", "Cat", "Dan"))
+    // last sender of g1 (Ben) must NOT link to first of g2 (Cat)
+    assert(linksOf(g) == Seq(("Ann", "Ben", 1L), ("Cat", "Dan", 1L)))
+  }
+
   test("graph JSON matches the reference response shape") {
     val g = Network.analyze(msgs, limit = Some(3))
     val json = Network.toJson(g)

@@ -33,6 +33,19 @@ class DotProductSpec extends SparkSpec {
       .first().getDouble(0) == 11.0)
   }
 
+  test("optimizer rule rewrites the lambda dot-product to DotProductF") {
+    // parquet-backed input so constant folding can't collapse the plan
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lambdaForm = e.select(Similarity.dot($"embedding", $"embedding").as("d"))
+    val optimized = lambdaForm.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rule did not fire:\n$optimized")
+    // and the rewritten plan computes the same values as the native form
+    val a = lambdaForm.limit(20).collect().map(_.getDouble(0)).toSeq
+    val b = e.select(Similarity.fastDot($"embedding", $"embedding").as("d"))
+      .limit(20).collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
   test("graft_dot survives whole-stage codegen over parquet float vectors") {
     registered()
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
