@@ -34,6 +34,14 @@ object Io {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Hive-style partitioned parquet layout: scans with a filter on the
+    * partition column prune whole directories (zero IO for excluded
+    * partitions — `PartitionFilters` in the scan). The right layout for
+    * date/tenant/language-sliced 100 TB datasets.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 10000): Unit =
     df.write.mode(SaveMode.Append)
