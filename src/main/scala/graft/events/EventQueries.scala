@@ -294,8 +294,32 @@ object EventQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The SAME as-of semantics through the custom physical operator
+    * (plans.AsOfJoinExec, merge pass over co-partitioned sorted runs) —
+    * shares q42's oracle, so the native operator is DuckDB-checked too.
+    */
+  val q44_asof_native: QueryDef = q(
+    "q44_asof_native",
+    q42_asof_join.oracle.get,
+    "Native as-of join operator (LogicalPlan+Strategy+Exec) vs DuckDB ASOF") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ns", "ts_sec")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"), col("user_id"),
+          col("ts_ns"), col("ts_sec").as("c_sec"))
+      graft.ops.AsOf.joinAsOfNative(purchases, clicks, "user_id", "ts_ns", "ts_ns",
+          Seq("c_event_id", "c_sec"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_c_event_id").as("click_id"),
+          (col("ts_sec") - col("asof_c_sec")).as("gap_s"))
+        .orderBy("event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
-    q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join)
+    q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
+    q44_asof_native)
 }

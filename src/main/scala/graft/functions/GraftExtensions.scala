@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,8 +1,12 @@
 package graft.ops
 
+import graft.plans.AsOfJoinPlan
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** As-of (point-in-time) join — an operator Spark SQL lacks (DuckDB/kdb
   * have it natively; Pandas calls it merge_asof). Preference order from
@@ -44,5 +48,35 @@ object AsOf {
       .select(
         leftCols.map(c => col(s"_lv.$c").as(c)) ++
           rightPick.map(c => col(s"_m.$c").as(prefix + c)): _*)
+  }
+
+  /** Same semantics through the custom physical operator
+    * (plans.AsOfJoinPlan/Exec — build-brief case (c)): one merge pass over
+    * co-partitioned sorted runs instead of union+window, i.e. no window
+    * state and ~half the sort volume. Long-typed key/ts only; requires
+    * GraftRegistrar.register (or GraftExtensions) so the planner strategy
+    * is installed.
+    */
+  def joinAsOfNative(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPick: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    // alias-project the right side so its attribute ids are disjoint from
+    // the left's — when both sides derive from one DataFrame (self as-of),
+    // shared ids would make column pruning/sort placement resolve our
+    // stored right-side attributes against the left child
+    val rPlan = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val attrs = Seq(attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTs), attr(rPlan, rightTs))
+    require(attrs.forall(_.dataType == LongType),
+      s"native as-of join requires LongType key/ts, got ${attrs.map(_.dataType)}")
+    org.apache.spark.sql.GraftRegistrar.ofRows(left.sparkSession,
+      AsOfJoinPlan.create(lPlan, rPlan, attrs(0), attrs(1), attrs(2), attrs(3),
+        rightPick.map(attr(rPlan, _)), prefix))
   }
 }

@@ -18,10 +18,20 @@ object GraftRegistrar {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1)))
-    // experimental.extraOptimizations is the public post-creation hook for
-    // optimizer rules (extensions only apply at builder time)
+    // experimental.* are the public post-creation hooks for optimizer
+    // rules and planner strategies (extensions only apply at builder time)
     if (!classic.experimental.extraOptimizations.contains(graft.functions.RewriteDotProduct))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ graft.functions.RewriteDotProduct
+    if (!classic.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
+
+  /** DataFrame from a hand-built logical plan (Dataset.ofRows is
+    * private[sql]; this shim is the sanctioned-pattern bridge for
+    * libraries constructing plans directly).
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
