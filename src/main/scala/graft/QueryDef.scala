@@ -25,6 +25,7 @@ object Registry {
   /** Full inventory, SURVEY.md §2 coverage + north-star extensions. */
   def all: Seq[QueryDef] =
     relational.RelationalQueries.defs ++
+      relational.AdvancedQueries.defs ++
       events.EventQueries.defs ++
       ops.TextQueries.defs ++
       ops.DedupQueries.defs ++

@@ -1,0 +1,151 @@
+package graft.relational
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of generic relational coverage: discrete percentiles,
+  * scalar string/date batteries, null semantics, correlated scalar
+  * subqueries (decorrelation exercise), explicit window frames. Same
+  * parity rules as everywhere: decimal-bridged double aggregation,
+  * BIGINT-normalized ints, deterministic ordering.
+  */
+object AdvancedQueries {
+  import Sql._
+  import Tables._
+
+  private def q(name: String, oracle: String, doc: String = "")(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle), doc)
+
+  /** Discrete (lower) median — portable definition via row_number, no
+    * interpolation ulp-drift between engines.
+    */
+  val q45_median_disc: QueryDef = q(
+    "q45_median_disc",
+    """SELECT l_returnflag, l_quantity AS median_qty FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem) t
+      |WHERE rn = CAST((cnt + 1) / 2 AS BIGINT)
+      |ORDER BY l_returnflag""".stripMargin,
+    "Discrete median per group (portable percentile without interpolation)") {
+    (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      lineitem(s, d)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        .filter(col("rn") === ((col("cnt") + 1) / 2).cast(LongType))
+        .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
+        .orderBy("l_returnflag")
+  }
+
+  val q46_string_funcs: QueryDef = q(
+    "q46_string_funcs",
+    """SELECT doc_id,
+      |  upper(substring(text, 1, 12)) AS head_up,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
+      |  CAST(levenshtein(substring(text, 1, 8), 'the quic') AS BIGINT) AS lev,
+      |  reverse(substring(text, 1, 10)) AS rev10,
+      |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    "Scalar string battery: case, substring, replace, levenshtein, pad") {
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head_up"),
+          length(regexp_replace(col("text"), " ", "")).cast(LongType).as("n_nospace"),
+          levenshtein(substring(col("text"), 1, 8), lit("the quic")).cast(LongType).as("lev"),
+          reverse(substring(col("text"), 1, 10)).as("rev10"),
+          lpad(col("doc_id").cast(StringType), 6, "0").as("id_pad"))
+        .orderBy("doc_id")
+  }
+
+  val q47_datetime_funcs: QueryDef = q(
+    "q47_datetime_funcs",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin,
+    "Datetime battery: part extraction + truncation (ISO-string output)") {
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey")
+  }
+
+  val q48_null_semantics: QueryDef = q(
+    "q48_null_semantics",
+    """SELECT event_id,
+      |  coalesce(nullif(event_type, 'error'), 'ERR') AS et,
+      |  CASE WHEN value > 100 THEN value END AS big_val,
+      |  coalesce(CASE WHEN value > 100 THEN value END, -1.0) AS big_or_neg
+      |FROM events
+      |ORDER BY event_id""".stripMargin,
+    "Null semantics: nullif/coalesce/partial CASE — 3-valued logic parity") {
+    (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("et"),
+          when(col("value") > 100, col("value")).as("big_val"),
+          coalesce(when(col("value") > 100, col("value")), lit(-1.0)).as("big_or_neg"))
+        .orderBy("event_id")
+  }
+
+  /** TPC-H Q17 pattern: correlated scalar aggregate subquery — exercises
+    * Catalyst's decorrelation (rewritten to an aggregate + join, no
+    * per-row subquery execution). Spark side runs the same SQL text.
+    */
+  val q49_correlated_agg: QueryDef = {
+    val sql =
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+    q("q49_correlated_agg", sql,
+      "Correlated scalar subquery (decorrelated by Catalyst)") { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sql)
+    }
+  }
+
+  val q50_running_sum: QueryDef = q(
+    "q50_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "Explicit window frame: per-customer running total (decimal-exact)") {
+    (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
+    q49_correlated_agg, q50_running_sum)
+}
