@@ -75,6 +75,28 @@ object Similarity {
     df.withColumn("bucket", bits)
   }
 
+  /** Embedding-cosine near-dup pairs at scale: candidates only within an
+    * LSH bucket (2^planes-fold pair reduction vs all-pairs), then exact
+    * cosine threshold. The dedup-family member for embedding columns;
+    * recall can be raised by unioning runs with different plane seeds.
+    */
+  def annNearDupPairs(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val b = annBuckets(df, embCol, planes)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
+      .withColumn("nrm", sqrt(norm2(col("emb"))))
+    val x = b.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val y = b.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    x.join(y, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", fastDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,

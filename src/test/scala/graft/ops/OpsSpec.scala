@@ -57,6 +57,12 @@ class OpsSpec extends SparkSpec {
     val ann = Similarity.annTopK(vecs, q, "vec_id", "embedding", k = 2, planes = 4)
       .collect().map(_.getLong(1)).toSet
     assert(ann.subsetOf(Set(1L, 4L, 2L))) // candidates only from q's bucket
+
+    org.apache.spark.sql.GraftRegistrar.register(spark) // fastDot for pairs
+    val pairs = Similarity.annNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // the two nearly-identical vectors
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // opposite vector excluded
   }
 
   test("text analysis column functions") {
