@@ -75,6 +75,9 @@ object AsOf {
       attr(lPlan, leftTs), attr(rPlan, rightTs))
     require(attrs.forall(_.dataType == LongType),
       s"native as-of join requires LongType key/ts, got ${attrs.map(_.dataType)}")
+    // self-register (idempotent): the planner strategy must be installed on
+    // THIS session or the custom node has no physical plan
+    org.apache.spark.sql.GraftRegistrar.register(left.sparkSession)
     org.apache.spark.sql.GraftRegistrar.ofRows(left.sparkSession,
       AsOfJoinPlan.create(lPlan, rPlan, attrs(0), attrs(1), attrs(2), attrs(3),
         rightPick.map(attr(rPlan, _)), prefix))

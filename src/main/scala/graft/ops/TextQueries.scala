@@ -159,7 +159,30 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** Multimodal frame-sampling plumbing as an oracle-checked query: fixed-
+    * stride payload slices with per-frame content hashes — the exact shape
+    * ops.Multimodal.frameSample produces for video-kind binaries, exercised
+    * here on text payloads so DuckDB can verify it.
+    */
+  val q51_frame_meta: QueryDef = q(
+    "q51_frame_meta",
+    """SELECT doc_id, CAST((j - 1) / 32 AS BIGINT) AS frame_no,
+      |  md5(substring(text, j, 32)) AS frame_hash
+      |FROM documents
+      |CROSS JOIN generate_series(1, 8192) AS t(j)
+      |WHERE j <= length(text) AND (j - 1) % 32 = 0
+      |ORDER BY doc_id, frame_no""".stripMargin,
+    "Frame sampling metadata (multimodal plumbing, stride-32 slices)") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
+      .filter(length(col("frame")) > 0)
+      .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
+        md5(col("frame")).as("frame_hash"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
-    q36_doc_fingerprint, q34_binary_meta)
+    q36_doc_fingerprint, q34_binary_meta, q51_frame_meta)
 }
