@@ -84,6 +84,43 @@ class NetworkPropertySpec extends SparkSpec {
     Gen.choose(5, 40).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(4 -> validLine, 1 -> junkLine)))
 
+  // --- upload-dialect simulator (backend/main.py:363-378 transcription) ---
+  private val uploadRe = java.util.regex.Pattern.compile(
+    "^\\[([^\\]]+)\\]\\s*([^:]+):\\s*(.+)")
+  private def simulateUpload(lines: Seq[String]): (Option[String], Seq[String]) = {
+    var group: Option[String] = None
+    val senders = scala.collection.mutable.ArrayBuffer[String]()
+    for (line <- lines) {
+      val m = uploadRe.matcher(line)
+      if (m.find() && m.start() == 0) {
+        val sender = m.group(2)
+        if (group.isEmpty) group = Some(sender) // first match defines & is dropped
+        else if (sender != group.get) senders += sender
+      }
+    }
+    (group, senders.toSeq)
+  }
+
+  test("upload dialect == reference simulator (group-name state machine)") {
+    val params = Gen.Parameters.default
+    for (seed <- 100 until 106) {
+      val lines = chatGen(params, Seed(seed.toLong)).get
+      val dir = Files.createTempDirectory("graft_prop_up")
+      val f = dir.resolve("c.txt")
+      Files.writeString(f, lines.mkString("", "\n", "\n"))
+      val up = ChatParser.uploadDialect(ChatLines.read(spark, f.toString))
+      val rows = up.orderBy("date_time", "sender").collect()
+      val (wantGroup, wantSenders) = simulateUpload(lines)
+      wantGroup match {
+        case None => assert(rows.isEmpty)
+        case Some(g) =>
+          assert(rows.forall(_.getAs[String]("group_name") == g), s"seed=$seed")
+          assert(rows.map(_.getAs[String]("sender")).sorted.toSeq ==
+            wantSenders.sorted, s"seed=$seed\n${lines.mkString("\n")}")
+      }
+    }
+  }
+
   test("Spark graph == reference simulator on random chats (all branches)") {
     val params = Gen.Parameters.default
     for (seed <- 0 until 8) {
