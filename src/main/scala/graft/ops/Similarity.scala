@@ -97,6 +97,85 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
+    * DataFrame-native Lloyd iterations. Deterministic: init = first k
+    * vectors by id, ties in assignment broken by centroid id. Each
+    * iteration is one broadcast-join assignment pass + one element-wise
+    * mean (posexplode + two hash aggs) — no driver-side math over the
+    * corpus, so training scales with executor count.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val c0 = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("_init_id"), col(embCol).as("centroid"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy("_init_id")).cast(LongType) - 1)
+    var centroids = c0.select(col("centroid_id"),
+      transform(col("centroid"), x => x.cast(DoubleType)).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToNearest(corpus, centroids, idCol, embCol)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(embCol)).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i")
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
+        .select(col("centroid_id"),
+          transform(col("parts"), p => p.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per row (squared L2 via dot products; ties by
+    * centroid id). Centroids are broadcast — one pass, no shuffle of the
+    * corpus.
+    */
+  def assignToNearest(
+      corpus: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val withNorm = centroids.withColumn("c_nrm", norm2(col("centroid")))
+    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("centroid_id"))
+    corpus.crossJoin(broadcast(withNorm))
+      // |v|² is constant per row — rank by |c|² − 2·v·c
+      .withColumn("dist2", col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "dist2", "centroid", "c_nrm")
+  }
+
+  /** IVF ANN top-k: search only the `nprobe` nearest inverted lists of
+    * each query — candidate set shrinks ~k/nprobe-fold vs brute force.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nLists: Int = 16, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, idCol, embCol, nLists, iters)
+    val listed = assignToNearest(corpus, cents, idCol, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
+      .withColumn("nrm", sqrt(norm2(col("emb"))))
+    // nprobe nearest lists per query
+    val withNorm = cents.withColumn("c_nrm", norm2(col("centroid")))
+    val wq = Window.partitionBy("q_id").orderBy(col("dist2"), col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(withNorm))
+      .withColumn("dist2", col("c_nrm") - lit(2.0) * fastDot(col("q_emb"), col("centroid")))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"))
+      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+    val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+    listed.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("cosine", fastDot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "rnk", "cosine")
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,

@@ -65,6 +65,34 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // opposite vector excluded
   }
 
+  test("IVF: clustered vectors land in one list; probe-1 search finds true neighbors") {
+    // three well-separated clusters around axis directions
+    def jig(i: Int): Float = (i % 3) * 0.01f
+    val vecs = (0 until 30).map { i =>
+      val c = i / 10 // cluster
+      val base = Array.fill(4)(0.0f)
+      base(c) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    val assigned = Similarity.assignToNearest(vecs, cents, "vec_id", "embedding")
+    // every vector of a cluster maps to the same list
+    val lists = assigned.collect()
+      .map(r => (r.getAs[Long]("vec_id") / 10, r.getAs[Long]("centroid_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    assert(lists.values.forall(_.size == 1), s"clusters split across lists: $lists")
+
+    val q = vecs.filter($"vec_id" === 0L)
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nLists = 3, nprobe = 1, iters = 4)
+      .collect().map(_.getLong(1)).toSet
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivf == brute, s"ivf=$ivf brute=$brute") // neighbors are in-cluster
+  }
+
   test("text analysis column functions") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("nt"),
