@@ -24,27 +24,10 @@ import org.apache.spark.sql.types._
   */
 object SimilarityQueries {
 
-  // precision 28 so acc+v promotes to (29,12) — scale preserved — before
-  // being cast (exactly) back to the accumulator type. A precision-38
-  // accumulator would promote to scale 11 and round on every addition.
+  // scale-12 products: a double is never exactly on a decimal half-
+  // boundary at this scale, so both engines cast identically, and decimal
+  // sums are order-independent across partitionings
   private val decP = DecimalType(28, 12)
-  private val decAcc = DecimalType(28, 12)
-
-  /** Σ aggregate of an array of doubles, bridged through decimal. The merge
-    * result is cast back to the accumulator type (Spark's decimal-add
-    * promotion would otherwise drop to scale 11 at precision 38).
-    */
-  private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(decP)),
-      lit(new java.math.BigDecimal(0)).cast(decAcc),
-      (acc, v) => (acc + v).cast(decAcc)).cast(DoubleType)
-
-  private def decNorm(a: Column): Column =
-    aggregate(
-      transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(decP)),
-      lit(new java.math.BigDecimal(0)).cast(decAcc),
-      (acc, v) => (acc + v).cast(decAcc)).cast(DoubleType)
 
   /** Exploded (vec_id, i, x) view with x in double — feeds codegen'd
     * decimal-sum HashAggregates (the same plan shape as the oracle), which
