@@ -60,12 +60,12 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY source, target""".stripMargin,
     "Reference flagship (J1+J2+A2): consecutive distinct actors → canonical " +
-      "undirected weighted edges. Global sequence here; per-file at scale.") {
+      "undirected weighted edges. Global sequence via the range-partitioned " +
+      "lag (ops.GlobalLag) — no single-task window at any scale.") {
     (s, d) =>
-      val w = Window.orderBy("ts_ns", "event_id")
-      Tables.events(s, d)
-        .select("user_id", "ts_ns", "event_id")
-        .withColumn("prev", lag("user_id", 1).over(w))
+      graft.ops.GlobalLag.withLag(
+          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
+          Seq("ts_ns", "event_id"), "user_id", "prev")
         .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
         .select(
           least(col("prev"), col("user_id")).as("source"),
@@ -228,10 +228,9 @@ object EventQueries {
       |  AND EXISTS (SELECT 1 FROM keep WHERE id = target)
       |ORDER BY source, target""".stripMargin,
     "Graph node/link filter (F9/F10) + render scalars (P10/P11)") { (s, d) =>
-    val w = Window.orderBy("ts_ns", "event_id")
-    val links = Tables.events(s, d)
-      .select("user_id", "ts_ns", "event_id")
-      .withColumn("prev", lag("user_id", 1).over(w))
+    val links = graft.ops.GlobalLag.withLag(
+        Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
+        Seq("ts_ns", "event_id"), "user_id", "prev")
       .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
       .select(least(col("prev"), col("user_id")).as("source"),
         greatest(col("prev"), col("user_id")).as("target"))
