@@ -23,8 +23,11 @@ object ChatStore {
   def uploadChat(spark: SparkSession, chatPath: String, tableDir: String): Long = {
     val rows = ChatParser.uploadDialect(ChatLines.read(spark, chatPath))
       .select("group_name", "date_time", "sender", "message")
+    // count THIS batch (the reference's inserted_rows counter), not the
+    // cumulative table after append
+    val inserted = rows.count()
     rows.write.mode(SaveMode.Append).parquet(tableDir)
-    spark.read.parquet(tableDir).count()
+    inserted
   }
 
   /** S6: research-config insert with a server-side created_at stamp. */
@@ -38,8 +41,11 @@ object ChatStore {
     */
   def registerUsers(spark: SparkSession, newUsers: DataFrame, tableDir: String): Long = {
     val existing = currentOrEmpty(spark, tableDir)
-    val fresh = (if (existing.isEmpty) newUsers
-                 else newUsers.join(broadcast(existing.select("email")), Seq("email"), "left_anti"))
+    // F8 also holds within a batch: one row per email (reference inserts
+    // one at a time, so a duplicate in the same batch would be rejected)
+    val batch = newUsers.dropDuplicates("email")
+    val fresh = (if (existing.isEmpty) batch
+                 else batch.join(broadcast(existing.select("email")), Seq("email"), "left_anti"))
       .withColumn("user_id", expr("uuid()"))
     fresh.write.mode(SaveMode.Append).parquet(tableDir)
     fresh.count()
@@ -57,7 +63,11 @@ object ChatStore {
     val cur = spark.read.parquet(tableDir)
     val updated = cur.columns.foldLeft(cur) { (df, c) =>
       fields.get(c) match {
-        case Some(v) => df.withColumn(c, when(col("user_id") === userId, lit(v)).otherwise(col(c)))
+        case Some(v) =>
+          // keep the column's type: a bare string literal would coerce the
+          // whole column (and the rewritten table) to StringType
+          val typed = lit(v).cast(cur.schema(c).dataType)
+          df.withColumn(c, when(col("user_id") === userId, typed).otherwise(col(c)))
         case None => df
       }
     }

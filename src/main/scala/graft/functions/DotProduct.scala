@@ -35,17 +35,24 @@ case class DotProductF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null semantics MUST match the lambda formulation the optimizer rule
+  // rewrites (aggregate(zip_with(a,b,*),0,+)): unequal lengths or any null
+  // element → null result (zip_with pads with null, null poisons the sum)
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -62,12 +69,17 @@ case class DotProductF(left: Expression, right: Expression)
       val getX = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($getX) * ($getY);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ($getX) * ($getY);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -40,7 +40,10 @@ object AsOf {
       lit(null).cast(r2.schema("_rv").dataType).as("_rv"),
       struct(leftCols.map(col): _*).as("_lv"))
     val r3 = r2.withColumn("_lv", lit(null).cast(l2.schema("_lv").dataType))
-    val w = Window.partitionBy("_k").orderBy("_ts", "_side")
+    // _rv as final tiebreak: among right rows sharing (key, ts) the
+    // greatest pick tuple wins deterministically (the native operator
+    // sorts the same way) instead of a partition-layout-dependent pick
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r3)
       .withColumn("_m", last("_rv", ignoreNulls = true).over(w))

@@ -26,10 +26,14 @@ object GlobalLag {
       out: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    // persisted for the two passes (tails, then lag); MEMORY_AND_DISK so
+    // big inputs spill instead of evicting. Spark's ContextCleaner
+    // auto-unpersists once the plan is unreachable on the driver, so
+    // repeated calls do not accumulate pinned storage.
     val sorted = df
       .repartitionByRange(n, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vIdx = sorted.schema.fieldIndex(valueCol)
 
     // pass 1: last value of each non-empty partition (tiny)

@@ -83,6 +83,7 @@ object Similarity {
   def annNearDupPairs(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
       planes: Int = 8): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(df.sparkSession) // fastDot
     val b = annBuckets(df, embCol, planes)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
       .withColumn("nrm", sqrt(norm2(col("emb"))))

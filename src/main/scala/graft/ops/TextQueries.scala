@@ -125,7 +125,7 @@ object TextQueries {
     "q36_doc_fingerprint",
     """SELECT doc_id, min(md5(substring(text, j, 8))) AS fingerprint
       |FROM documents
-      |CROSS JOIN generate_series(1, 8192) AS t(j)
+      |CROSS JOIN generate_series(1, 65536) AS t(j)
       |WHERE j <= greatest(length(text) - 7, 1)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin,
@@ -166,16 +166,19 @@ object TextQueries {
     */
   val q51_frame_meta: QueryDef = q(
     "q51_frame_meta",
-    """SELECT doc_id, CAST((j - 1) / 32 AS BIGINT) AS frame_no,
+    """SELECT doc_id, CAST(floor((j - 1) / 32) AS BIGINT) AS frame_no,
       |  md5(substring(text, j, 32)) AS frame_hash
       |FROM documents
-      |CROSS JOIN generate_series(1, 8192) AS t(j)
+      |CROSS JOIN generate_series(1, 65536) AS t(j)
       |WHERE j <= length(text) AND (j - 1) % 32 = 0
       |ORDER BY doc_id, frame_no""".stripMargin,
-    "Frame sampling metadata (multimodal plumbing, stride-32 slices)") { (s, d) =>
+    "Frame sampling metadata (multimodal plumbing, stride-32 slices; " +
+      "oracle bound: docs ≤ 64 KiB)") { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        posexplode(split(col("text"), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
+        // (?s): '.' must cross newlines or the chunking stalls at the
+        // first block containing one
+        posexplode(split(col("text"), "(?s)(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
       .filter(length(col("frame")) > 0)
       .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
         md5(col("frame")).as("frame_hash"))

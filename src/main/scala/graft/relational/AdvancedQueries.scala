@@ -30,7 +30,7 @@ object AdvancedQueries {
       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
       |  FROM lineitem) t
-      |WHERE rn = CAST((cnt + 1) / 2 AS BIGINT)
+      |WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
       |ORDER BY l_returnflag""".stripMargin,
     "Discrete median per group (portable percentile without interpolation)") {
     (s, d) =>
@@ -39,7 +39,10 @@ object AdvancedQueries {
       lineitem(s, d)
         .withColumn("rn", row_number().over(w).cast(LongType))
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        .filter(col("rn") === ((col("cnt") + 1) / 2).cast(LongType))
+        // floor() explicitly on both sides: DuckDB's BIGINT cast rounds
+        // ties-to-even on the double 3.5 while Spark's cast truncates —
+        // groups with count ≡ 2 (mod 4) would pick different rows
+        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast(LongType))
         .select(col("l_returnflag"), col("l_quantity").as("median_qty"))
         .orderBy("l_returnflag")
   }

@@ -17,6 +17,9 @@ class ChatStoreSpec extends SparkSpec {
     val t = spark.read.parquet(dir)
     assert(t.columns.toSeq == Seq("group_name", "date_time", "sender", "message"))
     assert(t.filter(col("sender") === "Bob").count() == 2)
+    // A3: the return value is THIS batch's insert count, not cumulative
+    assert(ChatStore.uploadChat(spark, fixture("chat/fixture1.txt"), dir) == 7)
+    assert(spark.read.parquet(dir).count() == 14)
   }
 
   test("register/update/delete/list users (S7-S11, F8)") {
@@ -24,6 +27,10 @@ class ChatStoreSpec extends SparkSpec {
     val dir = tmp()
     val u1 = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io")).toDF("name", "email")
     assert(ChatStore.registerUsers(spark, u1, dir) == 2)
+    // duplicate email WITHIN a batch also collapses to one row (F8)
+    val dupDir = tmp()
+    val dupBatch = Seq(("A", "dup@x.io"), ("B", "dup@x.io")).toDF("name", "email")
+    assert(ChatStore.registerUsers(spark, dupBatch, dupDir) == 1)
     // duplicate email rejected (F8 anti-join)
     val u2 = Seq(("Ada2", "ada@x.io"), ("Cy", "cy@x.io")).toDF("name", "email")
     assert(ChatStore.registerUsers(spark, u2, dir) == 1)

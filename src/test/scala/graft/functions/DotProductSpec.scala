@@ -33,6 +33,26 @@ class DotProductSpec extends SparkSpec {
       .first().getDouble(0) == 11.0)
   }
 
+  test("graft_dot matches lambda null semantics: length mismatch / null element → null") {
+    registered()
+    // parquet-backed so neither constant folding nor the local path hides codegen
+    val dir = java.nio.file.Files.createTempDirectory("graft_dot").resolve("t").toString
+    Seq(
+      (1L, Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f)), // lengths differ
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)), // null elem
+      (3L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)) // clean
+    ).toDF("id", "a", "b").write.parquet(dir)
+    val t = spark.read.parquet(dir)
+    val both = t.select($"id", Similarity.dot($"a", $"b").as("lam"),
+        Similarity.fastDot($"a", $"b").as("nat"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2))).sortBy(_._1)
+    both.foreach { case (id, lamNull, natNull, _) =>
+      assert(lamNull == natNull, s"row $id: lambda null=$lamNull native null=$natNull")
+    }
+    assert(both(2)._4 == 11.0)
+  }
+
   test("optimizer rule rewrites the lambda dot-product to DotProductF") {
     // parquet-backed input so constant folding can't collapse the plan
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
