@@ -34,6 +34,22 @@ object Io {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Whole-file binary ingest — the multimodal boundary: one row per file
+    * with (path, modificationTime, length, content: binary). Feed the
+    * result through ops.Multimodal for decode/feature plumbing. Splittable
+    * across files (not within one), so partition-parallel over a corpus.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Hive-style partitioned parquet layout: scans with a filter on the
     * partition column prune whole directories (zero IO for excluded
     * partitions — `PartitionFilters` in the scan). The right layout for

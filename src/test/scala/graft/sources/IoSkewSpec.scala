@@ -29,6 +29,34 @@ class IoSkewSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("orc round-trip preserves data") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val dir = Files.createTempDirectory("graft_io").resolve("o").toString
+    Io.writeOrc(df, dir)
+    assert(Io.readOrc(spark, dir).orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("binaryFile ingest feeds the multimodal pipeline") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("img1.bin"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(dir.resolve("img2.bin"), Array[Byte](9, 8, 7))
+    Files.writeString(dir.resolve("skip.txt"), "not matched by glob")
+    val files = Io.readBinaryFiles(spark, dir.toString, glob = "*.bin")
+    assert(files.count() == 2)
+    assert(files.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val lens = files.select("length").collect().map(_.getLong(0)).toSet
+    assert(lens == Set(5L, 3L))
+    // straight into the stubbed decode plumbing
+    implicit val s = spark
+    val media = files
+      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("path"))
+        .cast("long").as("media_id"), lit("image").as("kind"), col("content"))
+    val decoded = graft.ops.Multimodal.decodeStub(media).collect()
+    assert(decoded.length == 2 && decoded.forall(_.width > 0))
+  }
+
   test("permissive json keeps corrupt records in _corrupt") {
     val dir = Files.createTempDirectory("graft_io").resolve("bad").toString
     Files.createDirectories(java.nio.file.Path.of(dir))
