@@ -102,6 +102,17 @@ class ChatPipelineSpec extends SparkSpec {
     assert(linksOf(g) == Seq(("Ann", "Ben", 1L), ("Cat", "Dan", 1L)))
   }
 
+  test("graph JSON escapes quotes, backslashes, and control characters") {
+    import spark.implicits._
+    val nodes = Seq("a\"b", "c\\d", "e\tf").toDF("id")
+    val links = Seq(("a\"b", "c\\d", 1L)).toDF("source", "target", "weight")
+    val json = Network.toJson(Network.Graph(nodes, links))
+    assert(json.contains("\"a\\\"b\"") && json.contains("\"c\\\\d\"") &&
+      json.contains("\"e\\tf\""))
+    // stays machine-parseable
+    assert(json.startsWith("{\"nodes\": [") && json.endsWith("]}"))
+  }
+
   test("graph JSON matches the reference response shape") {
     val g = Network.analyze(msgs, limit = Some(3))
     val json = Network.toJson(g)

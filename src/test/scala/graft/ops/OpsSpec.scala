@@ -113,6 +113,14 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == fps(3)) // identical docs → identical fingerprint
   }
 
+  test("bpe-ish tokenizer splits contractions, numbers, and punctuation runs") {
+    val toks = Seq(("it's 42 degrees... really?!"))
+      .toDF("text")
+      .select(TextAnalysis.bpeishTokens($"text").as("t"))
+      .first().getSeq[String](0)
+    assert(toks == Seq("it", "'s", " 42", " degrees", "...", " really", "?!"))
+  }
+
   test("multimodal: media table schema, stub decode, frame sampling, resize") {
     implicit val s = spark
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
