@@ -1,20 +1,33 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalable lag over a GLOBAL order.
   *
   * `Window.orderBy(...)` with no partitionBy collapses the whole dataset
   * into ONE task — correct, but a non-starter at 100 TB. The scalable
-  * shape of the same semantics:
+  * shape of the same semantics, kept entirely on the DataFrame layer so
+  * every stage is whole-stage-codegen'd Tungsten (no RDD round trip):
   *
-  *   1. `repartitionByRange` on the order columns — partitions are
-  *      globally ordered ranges (one sampling pass + one shuffle);
-  *   2. sort within each partition, lag locally with a carried value;
+  *   1. `repartitionByRange` on the order columns — partitions become
+  *      globally ordered ranges (one sampling pass + one shuffle) — and
+  *      stamp each row with its range-partition id;
+  *   2. lag within each range partition via
+  *      `Window.partitionBy(pid).orderBy(orderCols)`;
   *   3. patch partition boundaries: the first row of partition i needs the
-  *      last value of partition i−1 — per-partition tails are a
-  *      #partitions-sized collect, broadcast back.
+  *      last value of the nearest earlier non-empty partition. Per-partition
+  *      tails are a #partitions-sized aggregate (`max_by` over the order
+  *      key), shifted by one with a tiny single-task window, and broadcast
+  *      back as a join on pid.
+  *
+  * The pid window costs one extra hash shuffle versus the range exchange
+  * alone (Catalyst cannot know pid is constant per partition), but both
+  * exchanges move each row exactly once and everything in between stays in
+  * codegen — far cheaper than the previous `mapPartitionsWithIndex` +
+  * `createDataFrame` implementation, which deserialized every row out of
+  * Tungsten and ran two extra jobs (see BASELINE.md round-2 numbers).
   *
   * Determinism requires the order columns to be a total order (add a
   * unique tiebreaker). Used by the interaction-graph queries; the chat
@@ -22,48 +35,49 @@ import org.apache.spark.sql.functions._
   */
 object GlobalLag {
 
+  private val PID = "__graft_pid"
+  private val TAIL = "__graft_tail"
+  private val SEED = "__graft_seed"
+  private val RN = "__graft_rn"
+
   def withLag(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
-    // persisted for the two passes (tails, then lag); MEMORY_AND_DISK so
-    // big inputs spill instead of evicting. Spark's ContextCleaner
-    // auto-unpersists once the plan is unreachable on the driver, so
-    // repeated calls do not accumulate pinned storage.
-    val sorted = df
-      .repartitionByRange(n, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+    val orderKey = orderCols.map(col)
+
+    // Persisted because BOTH the seeds aggregate and the main window read
+    // it and pids MUST come from one materialization: RangePartitioner
+    // samples with an rdd-id-derived seed, so two independent executions
+    // could draw different boundaries and the seed join would patch the
+    // wrong rows. (Exchange reuse usually dedupes the two subtrees anyway;
+    // the cache makes that a guarantee, not an optimizer courtesy.)
+    // MEMORY_AND_DISK ≈ one shuffle-sized materialization of the pruned
+    // input; Spark's ContextCleaner auto-unpersists once unreachable.
+    val ranged = df
+      .repartitionByRange(n, orderKey: _*)
+      .withColumn(PID, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
 
-    // pass 1: last value of each non-empty partition (tiny)
-    val tails = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var last: Any = null
-      var has = false
-      while (it.hasNext) { last = it.next().get(vIdx); has = true }
-      if (has) Iterator.single((i, last)) else Iterator.empty
-    }.collect().toMap
+    // Last value of each non-empty range partition: `max_by` over the
+    // ascending order key (struct comparison is field-wise, matching the
+    // sort order). 32-ish rows — the single-task lag window over them is
+    // free, and the result broadcasts. Rows of an EMPTY partition never
+    // join (no row carries its pid), so lag over the non-empty pids in
+    // order yields exactly "tail of the nearest earlier non-empty
+    // partition".
+    val seeds = ranged
+      .groupBy(col(PID))
+      .agg(max_by(col(valueCol), struct(orderKey: _*)).as(TAIL))
+      .withColumn(SEED, lag(TAIL, 1).over(Window.orderBy(PID)))
+      .select(col(PID), col(SEED))
 
-    // prev-for-partition i = tail of the nearest earlier non-empty partition
-    val numParts = sorted.rdd.getNumPartitions
-    var carried: Any = null
-    val prevFor = (0 until numParts).map { i =>
-      val p = i -> carried
-      if (tails.contains(i)) carried = tails(i)
-      p
-    }.toMap
-    val bc = spark.sparkContext.broadcast(prevFor)
-
-    // pass 2: local lag with the patched seed
-    val outSchema = sorted.schema.add(out, sorted.schema(vIdx).dataType, nullable = true)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var prev: Any = bc.value.getOrElse(i, null)
-      it.map { r =>
-        val o = Row.fromSeq(r.toSeq :+ prev)
-        prev = r.get(vIdx)
-        o
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(PID).orderBy(orderKey: _*)
+    ranged
+      .join(broadcast(seeds), Seq(PID), "left")
+      .withColumn(RN, row_number().over(w))
+      .withColumn(out,
+        when(col(RN) === 1, col(SEED)).otherwise(lag(valueCol, 1).over(w)))
+      .drop(PID, SEED, RN)
   }
 }

@@ -22,8 +22,24 @@ class GlobalLagSpec extends SparkSpec {
 
     assert(viaGlobal == viaWindow)
     assert(viaGlobal.size == 1000)
-    // the scalable plan runs over many partitions, not one
-    assert(GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev")
-      .rdd.getNumPartitions > 1)
+
+    // The scalable plan runs over many partitions, not one. AQE rightly
+    // coalesces 1000 rows into a single post-shuffle partition, so pin
+    // coalescing off to observe the plan shape that holds at scale.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      assert(GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev")
+        .rdd.getNumPartitions > 1)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+
+    // And it stays on the DataFrame layer: every window in the main path
+    // partitions by the range-partition id (the only global window is the
+    // #partitions-sized seeds frame — constant-size, never the data).
+    val plan = GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__graft_pid"),
+      s"expected pid-partitioned window in:\n$plan")
   }
 }
