@@ -90,37 +90,58 @@ object SimilarityQueries {
     "Brute-force cosine top-k (ANN baseline): broadcast queries × all vectors")
 
   /** Sign-random-projection LSH buckets. Hyperplane component (p, i) is
-    * ±1 derived from one md5 bit — deterministic, shared with any oracle.
-    * Bucket = 8-bit signature of 8 hyperplane sign tests; ANN search then
-    * only compares vectors within a bucket (≈256× fewer pairs at scale).
+    * ±1 derived from one md5 bit (bit 0 of the digest's last byte for
+    * "p:i") — deterministic and engine-portable, so the oracle rebuilds
+    * the identical planes from DuckDB's md5. Bucket = 8-bit signature of
+    * 8 hyperplane sign tests; ANN search then only compares vectors
+    * within a bucket (≈256× fewer pairs at scale).
+    *
+    * Parity: each projection is the q32 decimal bridge (double product →
+    * DECIMAL(28,12) → order-independent sum → double), so the `> 0` sign
+    * test is bit-identical in both engines. The production ANN operator
+    * (ops.Similarity) uses the fast codegen'd `graft_dot` instead — here
+    * exactness against the oracle wins.
     */
   val q33_ann_lsh_buckets: QueryDef = QueryDef(
     "q33_ann_lsh_buckets",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-      // (p, i) -> ±1: bit 0 of md5("p:i")
       val dims = 64
       val planes = 8
-      val comp = (p: Int) => {
-        // array<double> of ±1 for plane p, built as a literal (64 values)
-        val arr = (0 until dims).map { i =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$i".getBytes("UTF-8"))
-          if ((hex(15) & 1) == 1) 1.0 else -1.0
-        }
-        array(arr.map(lit): _*)
+      val comps = for { p <- 0 until planes; i <- 0 until dims } yield {
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p:$i".getBytes("UTF-8"))
+        (p, i, if ((dig(15) & 1) == 1) 1.0 else -1.0)
       }
-      // rows-only query (no oracle): free to use the native codegen'd
-      // graft_dot instead of the decimal-bridged lambda
-      val bucketBits = (0 until planes).map { p =>
-        (when(call_function("graft_dot", col("embedding"), comp(p)) > 0, 1)
-          .otherwise(0) * (1 << p))
-      }.reduce(_ + _)
-      e.select(col("vec_id"), bucketBits.cast(LongType).as("bucket"))
+      import s.implicits._
+      val planesDf = comps.toDF("p", "i", "c")
+      exploded(Tables.embeddings(s, d))
+        .join(broadcast(planesDf), Seq("i"))
+        .groupBy("vec_id", "p")
+        .agg(sum((col("x") * col("c")).cast(decP)).cast(DoubleType).as("dot"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") > 0, expr("shiftleft(1, p)")).otherwise(lit(0)))
+          .cast(LongType).as("bucket"))
         .orderBy("vec_id")
     },
-    None,
-    "Sign-random-projection LSH bucketing for ANN (scale path; rows-only check)")
+    Some("""WITH planes AS (
+      |  SELECT p, i,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 32, 1)
+      |           IN ('1','3','5','7','9','b','d','f')
+      |         THEN 1.0 ELSE -1.0 END AS c
+      |  FROM generate_series(0, 7) t1(p), generate_series(0, 63) t2(i)),
+      |ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT vec_id, p, CAST(SUM(CAST(x * c AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM ex JOIN planes USING (i)
+      |  GROUP BY 1, 2)
+      |SELECT vec_id,
+      |  CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "Sign-random-projection LSH bucketing for ANN (scale path; md5-derived " +
+      "planes shared with the DuckDB oracle)")
 
   /** Embedding-cosine near-dup pairs (dedup family member): label-blocked
     * candidate space (the scale path swaps the block key for LSH buckets),

@@ -336,20 +336,29 @@ object RelationalQueries {
       .crossJoin(f.unionAll(p).agg(count(lit(1)).as("n_union_all")))
   }
 
-  /** HLL sketch distinct (SURVEY §2.7 scale path for A1) — implementation-
-    * specific estimates, so rows-only check; exact count alongside shows
-    * the estimate lands near truth.
+  /** HLL sketch distinct (SURVEY §2.7 scale path for A1). The raw estimate
+    * is implementation-specific, so the oracled columns are the exact
+    * count plus a PROPERTY of the estimate — |approx−exact| ≤ 5%·exact
+    * (the default rsd) emitted as 1/0, which DuckDB asserts as literal 1.
+    * If Spark's HLL++ ever drifts past its accuracy contract, parity
+    * fails — a real differential check without demanding sketch equality.
     */
   val q41_approx_distinct: QueryDef = QueryDef(
     "q41_approx_distinct",
     (s, d) => Tables.t(s, d, "events")
       .groupBy("event_type")
       .agg(
-        approx_count_distinct("user_id").as("approx_users"),
+        approx_count_distinct("user_id").as("approx"),
         countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("approx") - col("exact_users")) <= col("exact_users") * 0.05,
+          1L).otherwise(0L).as("hll_within_5pct"))
       .orderBy("event_type"),
-    None,
-    "approx_count_distinct (HyperLogLog++) vs exact, per event type")
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS hll_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "approx_count_distinct (HyperLogLog++) vs exact, per event type; " +
+      "estimate checked against its accuracy bound")
 
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
