@@ -87,6 +87,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Direct n-gram Jaccard pairs via a shingle self-join, with a
+    * document-frequency cap as the skew guard: a shingle occurring in f
+    * docs contributes f² join rows, so one hot boilerplate shingle makes
+    * the uncapped join quadratic at scale. Shingles above `maxDocFreq`
+    * carry no discriminative signal and are dropped from the Jaccard
+    * universe (both from intersections and set sizes — the capped operator
+    * is Jaccard over the capped shingle space, a well-defined semantics
+    * rather than a lossy approximation of the uncapped one). For corpora
+    * where no shingle exceeds the cap the result is identical to uncapped.
+    *
+    * Prefer [[nearDuplicates]] (LSH candidates → array verify) when a
+    * minhash pass is acceptable; this operator is the exact-recall path.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, maxDocFreq: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol).as("id"), shingleArray(col(textCol), shingleSize).as("shs"))
+      .select(col("id"), explode(col("shs")).as("sh"))
+    // one shuffle on sh; the self-join below reuses the same key
+    val capped = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = capped.select(col("id").as("id_a"), col("sh"))
+    val b = capped.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** End-to-end near-dup: LSH candidates → exact Jaccard filter. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8,

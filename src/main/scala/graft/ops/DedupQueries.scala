@@ -70,14 +70,29 @@ object DedupQueries {
         .orderBy("keep_id")
   }
 
+  /** Skew guard for the shingle self-join: a shingle occurring in f docs of
+    * a language block contributes f² join rows, so one hot boilerplate
+    * shingle ("terms of service …") is quadratic at scale. Shingles above
+    * this document frequency carry no discriminative signal and are dropped
+    * from the Jaccard universe — in BOTH engines, so parity is structural.
+    * 64 is >4× sf0.1's observed max (14), so small-SF results are identical
+    * to the uncapped operator while the plan stays linear-ish at 100×.
+    */
+  private val MaxShingleDocFreq = 64
+
   val q29_ngram_jaccard: QueryDef = q(
     "q29_ngram_jaccard",
     shinglesSql +
-      """,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      s""",
+        |shc AS (
+        |  SELECT doc_id, lang, sh FROM (
+        |    SELECT doc_id, lang, sh, COUNT(*) OVER (PARTITION BY lang, sh) AS df
+        |    FROM sh) t
+        |  WHERE df <= $MaxShingleDocFreq),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
@@ -86,9 +101,14 @@ object DedupQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
-    "n-gram Jaccard near-dup: shingle-set overlap within language blocks") {
+    "n-gram Jaccard near-dup: shingle-set overlap within language blocks, " +
+      "hot-shingle capped") {
     (s, d) =>
       val sh = shingles(Tables.documents(s, d))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("lang", "sh")))
+        .filter(col("df") <= MaxShingleDocFreq)
+        .drop("df")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("sh"))
       val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))

@@ -39,19 +39,26 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Codegen'd squared norm; same registration requirement as [[fastDot]]. */
+  private def fastNorm2(a: Column): Column = fastDot(a, a)
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
-    * rows (excluding identical ids).
+    * rows (excluding identical ids). Self-registers the graft extensions so
+    * the dot products run through the codegen'd native expression even on a
+    * session built without GraftExtensions (the interpreted lambda path is
+    * ~10× slower — measured, see BASELINE.md).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("nrm", sqrt(norm2(col("emb"))))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
-      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+      .withColumn("q_nrm", sqrt(fastNorm2(col("q_emb"))))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
     c.join(broadcast(q), col("id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cosine", fastDot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "id", "rnk", "cosine")
@@ -65,12 +72,17 @@ object Similarity {
       if ((h(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** Adds an LSH `bucket` column: p-bit sign signature. */
-  def annBuckets(df: DataFrame, embCol: String, planes: Int = 8): DataFrame = {
-    val dim = df.select(size(col(embCol))).first().getInt(0)
+  /** Adds an LSH `bucket` column: p-bit sign signature. `dim` is the
+    * embedding dimensionality, taken as a parameter — probing it with a
+    * `first()` would cost one extra Spark job per call just to learn a
+    * constant the caller already knows.
+    */
+  def annBuckets(df: DataFrame, embCol: String, dim: Int,
+      planes: Int = 8): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(df.sparkSession)
     val bits = (0 until planes).map { p =>
       val hp = array(hyperplane(p, dim).map(lit): _*)
-      when(dot(col(embCol), hp) > 0, 1L << p).otherwise(0L)
+      when(fastDot(col(embCol), hp) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     df.withColumn("bucket", bits)
   }
@@ -82,11 +94,11 @@ object Similarity {
     */
   def annNearDupPairs(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      planes: Int = 8): DataFrame = {
+      dim: Int, planes: Int = 8): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(df.sparkSession) // fastDot
-    val b = annBuckets(df, embCol, planes)
+    val b = annBuckets(df, embCol, dim, planes)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
-      .withColumn("nrm", sqrt(norm2(col("emb"))))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
     val x = b.select(col("id").as("id_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val y = b.select(col("id").as("id_b"), col("emb").as("emb_b"),
@@ -136,7 +148,8 @@ object Similarity {
   def assignToNearest(
       corpus: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String): DataFrame = {
-    val withNorm = centroids.withColumn("c_nrm", norm2(col("centroid")))
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val withNorm = centroids.withColumn("c_nrm", fastNorm2(col("centroid")))
     val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("centroid_id"))
     corpus.crossJoin(broadcast(withNorm))
       // |v|² is constant per row — rank by |c|² − 2·v·c
@@ -156,9 +169,9 @@ object Similarity {
     val cents = ivfCentroids(corpus, idCol, embCol, nLists, iters)
     val listed = assignToNearest(corpus, cents, idCol, embCol)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
-      .withColumn("nrm", sqrt(norm2(col("emb"))))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
     // nprobe nearest lists per query
-    val withNorm = cents.withColumn("c_nrm", norm2(col("centroid")))
+    val withNorm = cents.withColumn("c_nrm", fastNorm2(col("centroid")))
     val wq = Window.partitionBy("q_id").orderBy(col("dist2"), col("centroid_id"))
     val probes = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -167,7 +180,7 @@ object Similarity {
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("centroid_id"))
-      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+      .withColumn("q_nrm", sqrt(fastNorm2(col("q_emb"))))
     val wr = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
     listed.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("id") =!= col("q_id"))
@@ -177,20 +190,23 @@ object Similarity {
       .select("q_id", "id", "rnk", "cosine")
   }
 
-  /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
+  /** ANN top-k: exact cosine ranking restricted to the query's bucket.
+    * Self-registers the graft extensions (see [[bruteForceTopK]]).
+    */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, planes: Int = 8): DataFrame = {
-    val c = annBuckets(corpus, embCol, planes)
+      k: Int, dim: Int, planes: Int = 8): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val c = annBuckets(corpus, embCol, dim, planes)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
-      .withColumn("nrm", sqrt(norm2(col("emb"))))
-    val q = annBuckets(queries, embCol, planes)
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
+    val q = annBuckets(queries, embCol, dim, planes)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"), col("bucket"))
-      .withColumn("q_nrm", sqrt(norm2(col("q_emb"))))
+      .withColumn("q_nrm", sqrt(fastNorm2(col("q_emb"))))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("q_id"))
-      .withColumn("cosine", dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("cosine", fastDot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("q_id", "id", "rnk", "cosine")

@@ -28,6 +28,28 @@ class OpsSpec extends SparkSpec {
     assert(!nd.exists { case (a, b) => a == 2L || b == 2L }) // unrelated doc clean
   }
 
+  test("ngram Jaccard pairs: hot-shingle cap prunes boilerplate-only pairs") {
+    // 20 docs sharing ONE boilerplate shingle + unique content each, plus a
+    // genuine near-dup pair (0 and 100). Uncapped, the boilerplate shingle
+    // alone contributes 20*19/2 = 190 candidate pairs; capped, it is
+    // dropped and only the real near-dup survives.
+    val boiler = "terms of service apply"
+    val skewed = ((0 until 20).map { i =>
+      (i.toLong, s"$boiler unique content number $i with extra words ${i * 7} ${i * 13}")
+    } :+ (100L, "unique content number 0 with extra words 0 0 trailing")).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+      threshold = 0.0, maxDocFreq = Int.MaxValue)
+    val capped = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+      threshold = 0.0, maxDocFreq = 10)
+    val un = uncapped.count()
+    val cp = capped.count()
+    assert(un >= 190, s"uncapped should include all boilerplate pairs, got $un")
+    assert(cp < un / 4, s"cap should prune the quadratic pair space: $cp vs $un")
+    // the genuine near-dup pair is built from sub-cap shingles and survives
+    assert(capped.filter($"id_a" === 0L && $"id_b" === 100L).count() == 1)
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = docs.withColumn("sh", Dedup.simhash64("text"))
       .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -54,15 +76,33 @@ class OpsSpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
     assert(top == Seq((1L, 1), (4L, 2))) // nearest by cosine
-    val ann = Similarity.annTopK(vecs, q, "vec_id", "embedding", k = 2, planes = 4)
+    val ann = Similarity.annTopK(vecs, q, "vec_id", "embedding", k = 2, dim = 4, planes = 4)
       .collect().map(_.getLong(1)).toSet
     assert(ann.subsetOf(Set(1L, 4L, 2L))) // candidates only from q's bucket
 
-    org.apache.spark.sql.GraftRegistrar.register(spark) // fastDot for pairs
-    val pairs = Similarity.annNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.97)
+    val pairs = Similarity.annNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.97, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L))) // the two nearly-identical vectors
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // opposite vector excluded
+  }
+
+  test("ANN paths run the native dot product, not the interpreted lambda") {
+    // A session that never loaded GraftExtensions: the operators must
+    // self-register, or the ~10x-slower ArrayAggregate lambda path runs.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 1),
+        Similarity.annTopK(vecs, q, "vec_id", "embedding", k = 1, dim = 4),
+        Similarity.annNearDupPairs(vecs, "vec_id", "embedding", 0.5, dim = 4))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_dot"), s"native dot missing from plan:\n$plan")
+      assert(!plan.contains("aggregate("),
+        s"interpreted ArrayAggregate survived optimization:\n$plan")
+    }
   }
 
   test("IVF: clustered vectors land in one list; probe-1 search finds true neighbors") {
