@@ -135,6 +135,81 @@ object Dedup {
       minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
       idCol, textCol, threshold, shingleSize)
 
+  /** Connected components over an undirected pair list — the cluster-
+    * resolution stage a dedup pipeline needs after candidate pairs: every
+    * node's label converges to the MINIMUM id in its component, so
+    * `(id, label)` is directly the `(doc_id, canonical_id)` keep/drop map.
+    *
+    * Pure DataFrame joins (no GraphX): each round takes the min label over
+    * self + neighbors, then pointer-jumps (label := label(label)), which
+    * roughly halves path lengths — O(log D) rounds for diameter D instead
+    * of O(D) for plain propagation. The loop is driver-side but each
+    * iteration is fully distributed (two hash joins + two hash aggs), and
+    * convergence is detected with a limit-1 existence probe, not a full
+    * count.
+    *
+    * Every iterate is `localCheckpoint`ed: the round's self-join references
+    * its input twice, so without lineage truncation the logical plan grows
+    * ~3× per round and plan ANALYSIS kills the driver long before any data
+    * does. Checkpointed blocks are freed by the ContextCleaner once the
+    * previous iterate becomes unreachable.
+    *
+    * Output: (`node`, `label`) for every node appearing in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges
+      .select(col("src").as("node"), col("src").as("label"))
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      val nbr = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("nlabel"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("node").as("lnode"), col("label").as("llabel")),
+          col("x.label") === col("lnode"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("llabel"), col("x.label")).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels = jumped
+      done = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup resolution end to end: candidate pairs → components →
+    * one canonical (minimum) id per cluster. Every row of `df` gets a
+    * `canonical_id` (its own id when unpaired) and an `is_keep` flag
+    * (1 for the cluster representative, 0 for rows to drop).
+    */
+  def canonicalize(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("label"), col(idCol)))
+      .withColumn("is_keep",
+        when(col("canonical_id") === col(idCol), 1L).otherwise(0L))
+      .drop("label")
+  }
+
   /** 64-bit SimHash fingerprint per row, as a pure per-row expression:
     * per-bit majority vote over xxhash64 of distinct tokens. SQL-expr form
     * because `shiftleft` with a *column* shift amount has no Scala

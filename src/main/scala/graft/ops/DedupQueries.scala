@@ -169,24 +169,68 @@ object DedupQueries {
         |FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "LSH band-join candidate generation (linear-ish pair space at scale)") {
-    (s, d) =>
-      val sh = shingles(Tables.documents(s, d))
-      // one groupBy with 8 partial-agg mins (shuffles |shingles| rows), then
-      // stack-unpivot to (band, bucket) — identical result to exploding 8×
-      // before the shuffle at an 8th of the shuffle volume
-      val sigCols = (0 until 8).map(i =>
-        min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
-      val hs = sh.groupBy("doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select(col("doc_id"), expr(
-          "stack(8, '0', s0, '1', s1, '2', s2, '3', s3, '4', s4, '5', s5, '6', s6, '7', s7) AS (band, bucket)"))
-      val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-      val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
-      a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .orderBy("id_a", "id_b")
+    (s, d) => bandCandidates(s, d).orderBy("id_a", "id_b")
+  }
+
+  /** q37's candidate pairs, unordered — shared by q37 and the component
+    * resolution query (q52).
+    */
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    // one groupBy with 8 partial-agg mins (shuffles |shingles| rows), then
+    // stack-unpivot to (band, bucket) — identical result to exploding 8×
+    // before the shuffle at an 8th of the shuffle volume
+    val sigCols = (0 until 8).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
+    val hs = sh.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), expr(
+        "stack(8, '0', s0, '1', s1, '2', s2, '3', s3, '4', s4, '5', s5, '6', s6, '7', s7) AS (band, bucket)"))
+    val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** The dedup pipeline's missing last mile: candidate pairs → connected
+    * components → a canonical keep/drop set. Components via iterative
+    * min-label propagation ([[Dedup.connectedComponents]]); the oracle
+    * computes the same fixpoint with a recursive CTE over the identical
+    * candidate pairs (md5 banding is engine-portable).
+    */
+  val q52_neardup_components: QueryDef = q(
+    "q52_neardup_components",
+    "WITH RECURSIVE " + shinglesSql.stripPrefix("WITH ") +
+      """,
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS a, id_b AS b FROM cand
+        |      UNION SELECT id_b, id_a FROM cand),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM r GROUP BY a)
+        |SELECT d.doc_id,
+        |  COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN COALESCE(c.canonical_id, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_keep
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "Near-dup cluster resolution: LSH pairs → connected components → " +
+      "canonical keep/drop set") { (s, d) =>
+    Dedup.canonicalize(
+        Tables.documents(s, d).select("doc_id"), "doc_id", bandCandidates(s, d))
+      .select("doc_id", "canonical_id", "is_keep")
+      .orderBy("doc_id")
   }
 
   /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:
@@ -232,5 +276,5 @@ object DedupQueries {
 
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
-    q31_simhash)
+    q31_simhash, q52_neardup_components)
 }

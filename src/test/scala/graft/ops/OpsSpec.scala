@@ -50,6 +50,26 @@ class OpsSpec extends SparkSpec {
     assert(capped.filter($"id_a" === 0L && $"id_b" === 100L).count() == 1)
   }
 
+  test("connected components resolve chains, stars, and unpaired docs") {
+    // chain 1-2-3-4-9 (diameter 4, exercises >1 iteration), pair 5-6,
+    // and 7 unpaired (absent from pairs entirely)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+
+    val docs = (1L to 9L).toDF("doc_id")
+    val resolved = Dedup.canonicalize(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val canon = resolved.map(t => t._1 -> t._2).toMap
+    assert(canon(7L) == 7L) // unpaired doc is its own canonical
+    assert(canon(8L) == 8L)
+    assert(resolved.filter(_._3 == 1L).map(_._1).sorted.toSeq ==
+      Seq(1L, 5L, 7L, 8L)) // one keeper per cluster + all unpaired
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = docs.withColumn("sh", Dedup.simhash64("text"))
       .select("doc_id", "sh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
