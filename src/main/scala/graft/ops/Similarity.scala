@@ -159,18 +159,14 @@ object Similarity {
       .drop("_rn", "dist2", "centroid", "c_nrm")
   }
 
-  /** IVF ANN top-k: search only the `nprobe` nearest inverted lists of
-    * each query — candidate set shrinks ~k/nprobe-fold vs brute force.
+  /** Probe-and-rank core shared by the in-memory and persisted-index IVF
+    * paths: pick each query's `nprobe` nearest centroids (broadcast — the
+    * centroid table is tiny), then exact cosine rank only within those
+    * inverted lists.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, nLists: Int = 16, nprobe: Int = 2, iters: Int = 5): DataFrame = {
-    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    val cents = ivfCentroids(corpus, idCol, embCol, nLists, iters)
-    val listed = assignToNearest(corpus, cents, idCol, embCol)
-      .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
-      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
-    // nprobe nearest lists per query
+  private def searchLists(
+      listed: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
     val withNorm = cents.withColumn("c_nrm", fastNorm2(col("centroid")))
     val wq = Window.partitionBy("q_id").orderBy(col("dist2"), col("centroid_id"))
     val probes = queries
@@ -188,6 +184,56 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select("q_id", "id", "rnk", "cosine")
+  }
+
+  /** IVF ANN top-k, in-memory: trains the quantizer and searches in one
+    * plan. For repeated querying build the index once with
+    * [[buildIvfIndex]] and hit it with [[searchIvf]] — a real index must
+    * not pay Lloyd iterations per query.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nLists: Int = 16, nprobe: Int = 2, iters: Int = 5): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, idCol, embCol, nLists, iters)
+    val listed = assignToNearest(corpus, cents, idCol, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
+    searchLists(listed, cents, queries, idCol, embCol, k, nprobe)
+  }
+
+  /** Builds and persists an IVF index under `dir`: `centroids` (the
+    * trained quantizer) and `lists` (corpus rows + precomputed norms,
+    * partitioned by `centroid_id` so a search's broadcast probe join
+    * dynamically prunes unprobed list partitions at the file level).
+    * Training cost is paid here, once.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, embCol: String, dir: String,
+      nLists: Int = 16, iters: Int = 5): Unit = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, idCol, embCol, nLists, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val reread = corpus.sparkSession.read.parquet(s"$dir/centroids")
+    assignToNearest(corpus, reread, idCol, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("centroid_id"))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
+  }
+
+  /** Searches a persisted IVF index: reads `centroids` + `lists` written by
+    * [[buildIvfIndex]] and runs the probe-and-rank pass only — zero Lloyd
+    * iterations, zero corpus scans beyond the probed lists.
+    */
+  def searchIvf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val listed = spark.read.parquet(s"$dir/lists")
+      .withColumn("centroid_id", col("centroid_id").cast(LongType))
+    searchLists(listed, cents, queries, idCol, embCol, k, nprobe)
   }
 
   /** ANN top-k: exact cosine ranking restricted to the query's bucket.

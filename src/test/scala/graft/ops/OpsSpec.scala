@@ -153,6 +153,42 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute, s"ivf=$ivf brute=$brute") // neighbors are in-cluster
   }
 
+  test("persisted IVF index: search runs zero training work") {
+    def jig(i: Int): Float = (i % 3) * 0.01f
+    val vecs = (0 until 30).map { i =>
+      val c = i / 10
+      val base = Array.fill(4)(0.0f)
+      base(c) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", dir, nLists = 3, iters = 4)
+    val fromIndex = Similarity.searchIvf(spark, dir, q, "vec_id", "embedding",
+      k = 3, nprobe = 1)
+    val inMemory = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      k = 3, nLists = 3, nprobe = 1, iters = 4)
+    assert(fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      inMemory.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+
+    // training leaves a posexplode (element-wise centroid mean) in the plan;
+    // a real index search must not contain it, and must read the index files
+    val plan = fromIndex.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"), s"Lloyd work in search plan:\n$plan")
+    assert(fromIndex.queryExecution.sparkPlan.toString.contains("lists"),
+      "search does not scan the persisted lists")
+
+    // job-count: the search action itself should need only a handful of
+    // jobs (scan+broadcast+rank), nowhere near one per Lloyd iteration
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Similarity.searchIvf(spark, dir, q, "vec_id", "embedding", k = 3, nprobe = 1)
+      .collect()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // 4 Lloyd iterations alone cost ~15 jobs; search stays under 10
+    assert(after - before <= 10, s"search ran ${after - before} jobs")
+  }
+
   test("text analysis column functions") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("nt"),
