@@ -36,6 +36,31 @@ object ChatStore {
       .withColumn("created_at", current_timestamp())
       .write.mode(SaveMode.Append).parquet(tableDir)
 
+  /** The known research-form fields the reference projects out of the
+    * client's free dict (backend/main.py:407-414).
+    */
+  private val FormFields =
+    Seq("name", "description", "start_date", "end_date", "message_limit")
+
+  /** S6, dynamic payloads (SURVEY §1.5; reference backend/main.py:397-422):
+    * `/save-form` accepts a free dict, so fields arrive with whatever JSON
+    * type and keys the client sent. Model: the payload is a
+    * `map<string,string>` column; the known fields are projected to
+    * columns (absent → null, `message_limit` keeps the client's raw
+    * string form — the reference stores whatever type arrived), and the
+    * complete payload survives in an `extras` map column so arbitrary
+    * client fields are never dropped by the fixed parquet schema.
+    */
+  def saveResearchForm(payloads: DataFrame, tableDir: String,
+      payloadCol: String = "payload"): Unit = {
+    val projected = FormFields.foldLeft(payloads) { (df, k) =>
+      df.withColumn(k, element_at(col(payloadCol), lit(k)))
+    }
+    saveResearchConfig(
+      projected.withColumn("extras", col(payloadCol)).drop(payloadCol),
+      tableDir)
+  }
+
   /** S7: user insert with generated uuid ids; F8: reject rows whose email
     * already exists (left_anti against the current table).
     */
@@ -44,23 +69,28 @@ object ChatStore {
     // F8 also holds within a batch: one row per email (reference inserts
     // one at a time, so a duplicate in the same batch would be rejected)
     val batch = newUsers.dropDuplicates("email")
-    val fresh = (if (existing.isEmpty) batch
-                 else batch.join(broadcast(existing.select("email")), Seq("email"), "left_anti"))
-      .withColumn("user_id", expr("uuid()"))
-    fresh.write.mode(SaveMode.Append).parquet(tableDir)
-    fresh.count()
+    val accepted = (if (existing.isEmpty) batch
+                    else batch.join(broadcast(existing.select("email")), Seq("email"), "left_anti"))
+      .localCheckpoint(true)
+    // count from the materialized batch BEFORE generating uuids: counting a
+    // lazy plan after the write would re-run the anti-join (a second job)
+    // and draw fresh non-deterministic uuids on the way
+    val inserted = accepted.count()
+    accepted.withColumn("user_id", expr("uuid()"))
+      .write.mode(SaveMode.Append).parquet(tableDir)
+    inserted
   }
 
   /** S8: point lookup. */
   def findByEmail(spark: SparkSession, tableDir: String, email: String): DataFrame =
-    spark.read.parquet(tableDir).filter(col("email") === email).limit(1)
+    readTable(spark, tableDir).filter(col("email") === email).limit(1)
 
   /** S9: point update — non-null new fields win (coalesce merge), the rest
     * of the table passes through. Rewrites the table (copy-on-write).
     */
   def updateUser(spark: SparkSession, tableDir: String, userId: String,
       fields: Map[String, String]): Unit = {
-    val cur = spark.read.parquet(tableDir)
+    val cur = readTable(spark, tableDir)
     val updated = cur.columns.foldLeft(cur) { (df, c) =>
       fields.get(c) match {
         case Some(v) =>
@@ -76,36 +106,79 @@ object ChatStore {
 
   /** S10: point delete (anti-join rewrite). */
   def deleteUser(spark: SparkSession, tableDir: String, userId: String): Unit =
-    overwrite(spark.read.parquet(tableDir).filter(col("user_id") =!= userId), tableDir)
+    overwrite(readTable(spark, tableDir).filter(col("user_id") =!= userId), tableDir)
 
   /** S11: capped scan with projection. */
   def listUsers(spark: SparkSession, tableDir: String, n: Int = 100): DataFrame =
-    spark.read.parquet(tableDir).select("user_id", "name", "email").limit(n)
+    readTable(spark, tableDir).select("user_id", "name", "email").limit(n)
 
-  private def currentOrEmpty(spark: SparkSession, tableDir: String): DataFrame =
-    if (new java.io.File(tableDir).exists()) spark.read.parquet(tableDir)
+  /** All path handling goes through the Hadoop FileSystem API — a 100 TB
+    * table lives on HDFS/S3/GCS, where `java.io.File`/`java.nio` paths
+    * simply do not resolve. `FileSystem.get(uri, conf)` picks the scheme's
+    * implementation (local fs included, so tests run unchanged).
+    */
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** Reads a table, first repairing any interrupted copy-on-write swap —
+    * `spark.read.parquet` resolves the path eagerly, so a mid-swap table
+    * would otherwise fail analysis before [[overwrite]]'s own recovery ran.
+    */
+  private def readTable(spark: SparkSession, tableDir: String): DataFrame = {
+    recover(spark, tableDir)
+    spark.read.parquet(tableDir)
+  }
+
+  private def currentOrEmpty(spark: SparkSession, tableDir: String): DataFrame = {
+    recover(spark, tableDir)
+    if (fs(spark, tableDir).exists(hPath(tableDir))) spark.read.parquet(tableDir)
     else spark.emptyDataFrame
+  }
+
+  /** Repairs a table left mid-swap by a crashed [[overwrite]]. The swap
+    * sequence is stage-complete → table→.old → .staging→table → drop .old,
+    * so on recovery:
+    *  - table present: any leftover .staging/.old is from an uncommitted
+    *    or fully-committed rewrite — the table is authoritative, drop them;
+    *  - table absent + .staging present: the crash hit between the two
+    *    moves; .staging holds the complete new version — roll forward;
+    *  - table absent + only .old present: roll back to the old version.
+    */
+  private def recover(spark: SparkSession, tableDir: String): Unit = {
+    val f = fs(spark, tableDir)
+    val (table, stage, old) =
+      (hPath(tableDir), hPath(tableDir + ".staging"), hPath(tableDir + ".old"))
+    if (f.exists(table)) {
+      if (f.exists(stage)) f.delete(stage, true)
+      if (f.exists(old)) f.delete(old, true)
+    } else if (f.exists(stage)) {
+      f.rename(stage, table)
+      if (f.exists(old)) f.delete(old, true)
+    } else if (f.exists(old)) {
+      f.rename(old, table)
+    }
+  }
 
   /** Copy-on-write table rewrite: stage the new version beside the table,
     * then swap directories. Distributed end to end (no driver collect) —
-    * the lakehouse-table pattern these point ops compile to at scale.
+    * the lakehouse-table pattern these point ops compile to at scale. The
+    * swap has a crash window between the two renames (no directory-pair
+    * atomicity on any real fs); [[recover]] rolls an interrupted swap
+    * forward on the next read or write.
     */
   private def overwrite(df: DataFrame, tableDir: String): Unit = {
-    val stage = tableDir + ".staging"
-    val old = tableDir + ".old"
-    df.write.mode(SaveMode.Overwrite).parquet(stage)
-    val fs = java.nio.file.Paths.get(tableDir)
-    val oldP = java.nio.file.Paths.get(old)
-    deleteRecursive(oldP)
-    java.nio.file.Files.move(fs, oldP)
-    java.nio.file.Files.move(java.nio.file.Paths.get(stage), fs)
-    deleteRecursive(oldP)
+    val spark = df.sparkSession
+    recover(spark, tableDir)
+    val f = fs(spark, tableDir)
+    val (table, stage, old) =
+      (hPath(tableDir), hPath(tableDir + ".staging"), hPath(tableDir + ".old"))
+    df.write.mode(SaveMode.Overwrite).parquet(tableDir + ".staging")
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(table)) f.rename(table, old)
+    f.rename(stage, table)
+    f.delete(old, true)
   }
-
-  private def deleteRecursive(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
 }

@@ -57,4 +57,55 @@ class ChatStoreSpec extends SparkSpec {
     assert(got.count() == 1)
     assert(got.filter(col("created_at").isNotNull).count() == 1)
   }
+
+  test("saveResearchForm keeps the client's free dict (S6 dynamic, SURVEY §1.5)") {
+    import spark.implicits._
+    val dir = tmp()
+    // message_limit arrives as a STRING (the reference stores whatever JSON
+    // type the client sent), plus a field the form never declared
+    val payload = Seq(Map(
+      "name" -> "study2", "message_limit" -> "50",
+      "custom_flag" -> "yes")).toDF("payload")
+    ChatStore.saveResearchForm(payload, dir)
+    val got = spark.read.parquet(dir)
+    assert(got.columns.toSet ==
+      Set("name", "description", "start_date", "end_date", "message_limit",
+        "extras", "created_at"))
+    val r = got.collect().head
+    assert(r.getAs[String]("name") == "study2")
+    assert(r.getAs[String]("message_limit") == "50") // raw string preserved
+    assert(r.getAs[String]("description") == null) // absent key -> null
+    val extras = r.getAs[Map[String, String]]("extras")
+    assert(extras("custom_flag") == "yes") // undeclared field survives
+    // heterogeneous second payload appends into the same schema
+    ChatStore.saveResearchForm(
+      Seq(Map("message_limit" -> "none", "other" -> "1")).toDF("payload"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("interrupted copy-on-write swap recovers on next access") {
+    import spark.implicits._
+    val dir = tmp()
+    val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io")).toDF("name", "email")
+    ChatStore.registerUsers(spark, u, dir)
+
+    // simulate a crash between the two renames: table moved aside to .old,
+    // .staging holds a complete new version (here: the table minus Bo)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    spark.read.parquet(dir).filter(col("email") =!= "bo@x.io")
+      .write.parquet(dir + ".staging")
+    fs.rename(p(dir), p(dir + ".old"))
+    assert(!fs.exists(p(dir)))
+
+    // next read rolls the swap forward to the staged version
+    assert(ChatStore.listUsers(spark, dir).count() == 1)
+    assert(!fs.exists(p(dir + ".staging")) && !fs.exists(p(dir + ".old")))
+
+    // crash BEFORE any rename (stale .staging beside a live table): the
+    // table is authoritative and the leftover is dropped
+    spark.read.parquet(dir).limit(0).write.parquet(dir + ".staging")
+    assert(ChatStore.listUsers(spark, dir).count() == 1)
+    assert(!fs.exists(p(dir + ".staging")))
+  }
 }
