@@ -79,6 +79,11 @@ object ChatParser {
   def uploadDialect(lines: DataFrame): DataFrame = {
     val wFile = Window.partitionBy("file").orderBy("line_no")
     lines
+      // the reference strips each line BEFORE matching (main.py:366
+      // line.strip()): leading whitespace must not defeat the ^\[ anchor,
+      // and captured groups come from the stripped line. (?U)\s matches
+      // unicode whitespace like Python's str.strip().
+      .withColumn("value", regexp_replace(col("value"), "(?U)^\\s+|\\s+$", ""))
       .filter(col("value").rlike(MessagePattern))
       .withColumn("date_time", regexp_extract(col("value"), MessagePattern, 1))
       .withColumn("sender", regexp_extract(col("value"), MessagePattern, 2))

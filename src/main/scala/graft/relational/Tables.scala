@@ -36,8 +36,11 @@ object Tables {
     val raw = t(s, d, "events")
     raw
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_sec", col("ts_ns") / lit(1000000000L) cast LongType)
-      .withColumn("ts", timestamp_micros((col("ts_ns") / lit(1000L)).cast(LongType)))
+      // `div` = exact integer division: `/` is double math, and double(ts_ns)
+      // loses up to ~128 ns near 2^60, enough to truncate a near-boundary
+      // nanosecond into the wrong second vs DuckDB's exact floor(epoch(ts))
+      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }
 

@@ -58,9 +58,17 @@ object Io {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** `columnTypes` feeds `createTableColumnTypes` — without it Spark maps
+    * StringType to the dialect's unbounded text type (CLOB on Derby, TEXT
+    * on MySQL), which many dialects refuse to compare/index; pass explicit
+    * VARCHAR widths for key columns.
+    */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      props: java.util.Properties, batchSize: Int = 10000): Unit =
-    df.write.mode(SaveMode.Append)
+      props: java.util.Properties, batchSize: Int = 10000,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Append)
       .option("batchsize", batchSize.toString)
-      .jdbc(url, table, props)
+    columnTypes.foreach(ct => w.option("createTableColumnTypes", ct))
+    w.jdbc(url, table, props)
+  }
 }

@@ -24,12 +24,17 @@ object ChatStream {
     spark.readStream.text(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val lines = ChatLines.withLineNumbers(
             batch.withColumn("file", input_file_name()))
           val g = Network.analyze(ChatParser.analyzeDialect(lines))
-          g.links.write.mode(SaveMode.Append).parquet(edgeLogDir)
+          // foreachBatch is at-least-once: a batch retried after a crash
+          // between write and checkpoint commit must not double-count.
+          // Writing each batch to its batchId-keyed partition with
+          // Overwrite makes the retry rewrite the same data in place.
+          g.links.write.mode(SaveMode.Overwrite)
+            .parquet(s"$edgeLogDir/batch=$batchId")
         }
       }
       .start()

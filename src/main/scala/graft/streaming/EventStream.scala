@@ -24,13 +24,17 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
-  /** Streaming exact dedup: first occurrence per key wins; state pruned by
+  /** Streaming exact dedup: first occurrence per KEY wins; state pruned by
     * the watermark (keys older than the delay are forgotten — bounded
     * state, the streaming form of ops.Dedup.exact).
+    * `dropDuplicatesWithinWatermark` dedups on the key alone — plain
+    * `dropDuplicates(key, ts)` would treat the same key at two timestamps
+    * as distinct, which is row-dedup, not the key-dedup this mirrors.
     */
   def dedupeStream(events: DataFrame, keyCol: String, tsCol: String,
       watermarkDelay: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay).dropDuplicates(keyCol, tsCol)
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch (per-user running session count, 30-min default gap).

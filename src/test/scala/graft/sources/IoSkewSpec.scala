@@ -74,6 +74,26 @@ class IoSkewSpec extends SparkSpec {
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt"))) == 1)
   }
 
+  test("JDBC round trip against embedded Derby (S5 batched-insert shape)") {
+    // the reference's one concrete external sink is a row store written one
+    // INSERT per row (backend/main.py:380-395); writeJdbc is the batched
+    // fix. Embedded Derby (on Spark's own classpath) stands in for MySQL.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    val rows = Seq((1L, "Ann", "hi"), (2L, "Ben", "yo"), (3L, "Ann", "ok"))
+      .toDF("id", "sender", "message")
+    Io.writeJdbc(rows, url, "messages", props, batchSize = 2,
+      columnTypes = Some("sender VARCHAR(64), message VARCHAR(1024)"))
+    // append again — SaveMode.Append must add, not replace
+    Io.writeJdbc(rows.filter($"id" === 1L), url, "messages", props)
+
+    val back = spark.read.jdbc(url, "messages", props)
+    assert(back.count() == 4)
+    assert(back.filter($"sender" === "Ann").count() == 3)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("ID", "MESSAGE", "SENDER") ||
+      back.schema.fieldNames.sorted.toSeq == Seq("id", "message", "sender"))
+  }
+
   test("salted join equals plain join; heavy hitters found") {
     // skewed big side: key 1 dominates
     val big = spark.range(0, 10000)

@@ -60,10 +60,13 @@ class StreamingSpec extends SparkSpec {
       ms.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       q.processAllAvailable()
       ms.addData(
-        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), // dup
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), // exact dup
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00")), // same KEY, new ts
         (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
       q.processAllAvailable()
     } finally q.stop()
+    // key-dedup (like ops.Dedup.exact), not row-dedup: the same key at a
+    // later timestamp is still a duplicate
     assert(spark.table("dedup").count() == 2)
   }
 
