@@ -159,13 +159,13 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
+    // no distinct: duplicate edges cannot change a min-aggregate, and the
+    // dedup shuffle over the (biggest) edge frame would be pure cost
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
       .localCheckpoint(true)
     var labels = edges
-      .select(col("src").as("node"), col("src").as("label"))
-      .distinct()
+      .groupBy(col("src").as("node")).agg(min("src").as("label"))
       .localCheckpoint(true)
     var i = 0
     var done = false
@@ -173,21 +173,21 @@ object Dedup {
       val nbr = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("label"))
         .groupBy("node").agg(min("label").as("nlabel"))
-      val stepped = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(nbr, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("lbl"))
+      // pointer jump + carry the old label so convergence is a flag scan
+      // over the checkpointed frame, not another join job
       val jumped = stepped.as("x")
-        .join(stepped.select(col("node").as("lnode"), col("label").as("llabel")),
-          col("x.label") === col("lnode"), "left")
+        .join(stepped.select(col("node").as("lnode"), col("lbl").as("llbl")),
+          col("x.lbl") === col("lnode"), "left")
         .select(col("x.node").as("node"),
-          coalesce(col("llabel"), col("x.label")).as("label"))
+          coalesce(col("llbl"), col("x.lbl")).as("label"),
+          (coalesce(col("llbl"), col("x.lbl")) =!= col("x.old")).as("_changed"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
-      labels = jumped
-      done = changed == 0
+      done = jumped.filter(col("_changed")).limit(1).count() == 0
+      labels = jumped.drop("_changed")
       i += 1
     }
     labels
