@@ -164,8 +164,11 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
+    // init fuses round 1's neighbor-min into the same aggregation the
+    // node list needs anyway: label0 = min(self, direct neighbors)
     var labels = edges
-      .groupBy(col("src").as("node")).agg(min("src").as("label"))
+      .groupBy(col("src").as("node")).agg(min("dst").as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
       .localCheckpoint(true)
     var i = 0
     var done = false
