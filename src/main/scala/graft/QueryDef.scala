@@ -29,7 +29,8 @@ object Registry {
       events.EventQueries.defs ++
       ops.TextQueries.defs ++
       ops.DedupQueries.defs ++
-      ops.SimilarityQueries.defs
+      ops.SimilarityQueries.defs ++
+      ops.SamplingQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

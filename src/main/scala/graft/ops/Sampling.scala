@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines. RNG-based sampling (`df.sample`) draws differently per run,
+  * partitioning, and engine; at 100 TB a training corpus needs splits that
+  * are '''stable''': re-running the pipeline, adding executors, or
+  * switching engines must never move a document across the train/val/test
+  * boundary. Hash-based assignment gives exactly that — the split is a
+  * pure function of the key.
+  *
+  * md5 (not xxhash64) so the assignment is engine-portable: the DuckDB
+  * oracle reproduces it bit-for-bit (see [[SamplingQueries]]).
+  */
+object Sampling {
+
+  /** Uniform-ish value in [0, 1): first 8 md5 hex digits of the key's
+    * string form, as an integer over 2^32. Pure per-row codegen'd
+    * expression — no shuffle, no state.
+    */
+  def unitHash(key: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+
+  /** Adds a `split` column: "train" / "val" / "test" with the given
+    * fractions (test gets the remainder). Deterministic per key.
+    */
+  def stableSplit(df: DataFrame, keyCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val u = unitHash(col(keyCol))
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
+  /** Keeps a deterministic `fraction` of rows by key — the stable form of
+    * `df.sample(fraction)`.
+    */
+  def stableSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(unitHash(col(keyCol)) < fraction)
+}

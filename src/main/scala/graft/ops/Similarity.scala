@@ -236,6 +236,47 @@ object Similarity {
     searchLists(listed, cents, queries, idCol, embCol, k, nprobe)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — 4× (vs
+    * float32) / 8× (vs float64) memory reduction for ANN candidate stages,
+    * with exact re-ranking left to the full-precision vectors. Output:
+    * (`idCol`, `scale`, `q`: array<tinyint>) with
+    * q[i] = floor(x[i]/scale·127 + 0.5) (explicit floor-of-shifted, NOT
+    * round(): half-even vs half-up rounding differs between engines, floor
+    * is identical everywhere — so the quantization is reproducible
+    * cross-engine, see q54's oracle).
+    *
+    * Shape: posexplode → per-vector scale via window → quantize → ordered
+    * re-assembly; the groupBy reuses the window's exchange, and every
+    * stage is codegen'd (the array-lambda form would be interpreted).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol)
+    df.select(col(idCol), posexplode(col(embCol)).as(Seq("i", "x")))
+      .withColumn("scale", max(abs(col("x").cast(DoubleType))).over(w))
+      .withColumn("qv",
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(col("x").cast(DoubleType) / col("scale") * 127.0 + 0.5)
+            .cast(LongType)))
+      .groupBy(idCol, "scale")
+      .agg(array_sort(collect_list(struct(col("i"), col("qv")))).as("parts"))
+      .select(col(idCol), col("scale"),
+        transform(col("parts"), p => p.getField("qv").cast(ByteType)).as("q"))
+  }
+
+  /** ANN quality harness: per-query recall@k of `approx` against `exact`
+    * (both in the (q_id, id, rnk) shape the top-k operators emit). Every
+    * query keeps a row — a query whose approximate candidates all miss
+    * scores 0.0, not silence.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rnk") <= k).select("q_id", "id")
+    val a = approx.filter(col("rnk") <= k).select("q_id", "id")
+      .withColumn("_hit", lit(1))
+    e.join(a, Seq("q_id", "id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / k).as("recall"))
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket.
     * Self-registers the graft extensions (see [[bruteForceTopK]]).
     */

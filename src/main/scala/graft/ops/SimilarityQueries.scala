@@ -192,6 +192,39 @@ object SimilarityQueries {
       |ORDER BY id_a, id_b""".stripMargin),
     "Embedding-cosine near-dup (blocked pair space + threshold)")
 
+  /** Int8 scalar quantization ([[Similarity.quantizeInt8]]), checked by
+    * digest: per-vector scale plus sum/min/max of the quantized values.
+    * The operator's explicit floor-of-shifted rounding (not `round()`,
+    * whose half-even vs half-up tie-breaking differs between engines) is
+    * what makes this reproducible enough to oracle at all.
+    */
+  val q54_embedding_quantize: QueryDef = QueryDef(
+    "q54_embedding_quantize",
+    (s, d) => {
+      val qz = Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      qz.select(col("vec_id"), col("scale"), explode(col("q")).as("qv"))
+        .groupBy("vec_id", "scale")
+        .agg(
+          sum(col("qv").cast(LongType)).as("q_sum"),
+          min(col("qv").cast(LongType)).as("q_min"),
+          max(col("qv").cast(LongType)).as("q_max"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id),
+      |qq AS (
+      |  SELECT vec_id, scale,
+      |    CAST(FLOOR(x / scale * 127.0 + 0.5) AS BIGINT) AS qv
+      |  FROM ex JOIN sc USING (vec_id))
+      |SELECT vec_id, scale, CAST(SUM(qv) AS BIGINT) AS q_sum,
+      |  MIN(qv) AS q_min, MAX(qv) AS q_max
+      |FROM qq GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin),
+    "Symmetric int8 embedding quantization (4x memory for ANN candidate " +
+      "stages), digest-checked against identical floor-rounding in DuckDB")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
-    q38_embedding_neardup)
+    q38_embedding_neardup, q54_embedding_quantize)
 }

@@ -189,6 +189,55 @@ class OpsSpec extends SparkSpec {
     assert(after - before <= 10, s"search ran ${after - before} jobs")
   }
 
+  test("stable split/sample are deterministic and partition-invariant") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val s1 = Sampling.stableSplit(docs, "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // roughly 80/10/10, and exactly reproducible
+    assert(s1("train") > 700 && s1("train") < 900, s"skewed split: $s1")
+    val s2 = Sampling.stableSplit(docs.repartition(7), "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2) // repartitioning must not move any row across splits
+
+    val kept = Sampling.stableSample(docs, "doc_id", 0.25)
+    assert(kept.count() == Sampling.stableSample(docs, "doc_id", 0.25).count())
+    // a sample at a higher fraction contains the lower-fraction sample
+    val k25 = kept.collect().map(_.getLong(0)).toSet
+    val k50 = Sampling.stableSample(docs, "doc_id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(k25.subsetOf(k50))
+  }
+
+  test("int8 quantization round-trips within 1/127 of scale; recall@k harness") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array(0.1f, 0.2f, -0.3f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    assert(qz(0L)._1 == 1.0 && qz(0L)._2 == Seq[Byte](127, -63, 32, 0))
+    // dequantized error bounded by half a quantization step
+    val (s1, q1) = qz(1L)
+    val orig = Seq(0.1f, 0.2f, -0.3f, 0.4f)
+    q1.zip(orig).foreach { case (q, x) =>
+      assert(math.abs(q * s1 / 127.0 - x) <= s1 / 127.0 / 2 + 1e-7) }
+
+    // recall@k: IVF probe-1 on well-separated clusters is exact → recall 1.0
+    def jig(i: Int): Float = (i % 3) * 0.01f
+    val cvecs = (0 until 30).map { i =>
+      val c = i / 10
+      val base = Array.fill(4)(0.0f)
+      base(c) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+    val q = cvecs.filter($"vec_id" === 0L)
+    val exact = Similarity.bruteForceTopK(cvecs, q, "vec_id", "embedding", 3)
+    val approx = Similarity.ivfTopK(cvecs, q, "vec_id", "embedding",
+      k = 3, nLists = 3, nprobe = 1, iters = 4)
+    val rec = Similarity.recallAtK(exact, approx, 3).collect()
+    assert(rec.length == 1 && rec.head.getDouble(1) == 1.0)
+  }
+
   test("text analysis column functions") {
     val r = docs.select(
       TextAnalysis.tokenCount($"text").as("nt"),
