@@ -46,25 +46,72 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingles, s => xxhash64(k, s))))
 
-  /** LSH candidate pairs: ids sharing any band bucket. bands × rowsPerBand
-    * must equal numHashes. Returns (id_a, id_b) with id_a < id_b.
-    */
-  def minhashCandidates(
+  /** (id, band, bucket) LSH assignment: one row per (row, band). */
+  private def bandedBuckets(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = df.select(
       col(idCol).as("id"),
       minhashSignature(shingleArray(col(textCol), shingleSize), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** LSH candidate pairs: ids sharing any band bucket. bands × rowsPerBand
+    * must equal numHashes. Returns (id_a, id_b) with id_a < id_b.
+    *
+    * `maxBucketSize` is the skew guard: a bucket holding f rows emits f²
+    * pairs, and a dedup corpus at scale is FULL of large near-identical
+    * clusters — one 10⁵-doc boilerplate cluster would be 10¹⁰ pairs per
+    * band. Buckets above the cap are dropped from PAIR OUTPUT (their
+    * membership is overwhelming evidence of duplication, not a reason to
+    * enumerate the clique); use [[minhashStarEdges]] +
+    * [[connectedComponents]] when you need those clusters resolved — the
+    * star form carries the identical connectivity in O(f) edges. The drop
+    * volume is observable via the `graft.lsh.bucket_cap.*` metric
+    * (`rows_over_cap`) on the query's ObservationListener.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+      .withColumn("_bs", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .observe(s"graft.lsh.bucket_cap.${obsId.incrementAndGet()}",
+        sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)).as("rows_over_cap"))
+      .filter(col("_bs") <= maxBucketSize)
+      .drop("_bs")
     val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Star-form LSH edges for component resolution: every row in a bucket
+    * is connected to the bucket's MINIMUM id instead of to every other row.
+    * Connected components over these edges are identical to components over
+    * the full clique pairs (within a bucket everything reaches the min, so
+    * transitive reachability is unchanged), but a bucket of f rows costs
+    * O(f) edges instead of O(f²) — no cap needed, no skew exposure. This is
+    * the scale path for cluster resolution; [[minhashCandidates]] (capped)
+    * is for when the pairs themselves are the product.
+    */
+  def minhashStarEdges(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+      .withColumn("_root", min(col("id")).over(Window.partitionBy("band", "bucket")))
+      .filter(col("id") =!= col("_root"))
+      .select(col("_root").as("id_a"), col("id").as("id_b"))
       .distinct()
   }
 
@@ -130,9 +177,11 @@ object Dedup {
   /** End-to-end near-dup: LSH candidates → exact Jaccard filter. */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = 64): DataFrame =
     jaccardVerify(df,
-      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
+      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize,
+        maxBucketSize),
       idCol, textCol, threshold, shingleSize)
 
   /** Connected components over an undirected pair list — the cluster-
@@ -148,28 +197,40 @@ object Dedup {
     * convergence is detected with a limit-1 existence probe, not a full
     * count.
     *
-    * Every iterate is `localCheckpoint`ed: the round's self-join references
+    * Every iterate is checkpointed: the round's self-join references
     * its input twice, so without lineage truncation the logical plan grows
     * ~3× per round and plan ANALYSIS kills the driver long before any data
-    * does. Checkpointed blocks are freed by the ContextCleaner once the
-    * previous iterate becomes unreachable.
+    * does. When the session has a reliable checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`), iterates use fault-tolerant
+    * `checkpoint()` — `localCheckpoint` blocks die with their executor, so
+    * on a long-running cluster job losing one executor mid-iteration would
+    * otherwise fail the whole fixpoint unrecoverably. Without a checkpoint
+    * dir (tests, local mode) it falls back to `localCheckpoint`, whose
+    * blocks the ContextCleaner frees once the previous iterate becomes
+    * unreachable.
+    *
+    * Exiting via `maxIters` without convergence logs a warning and returns
+    * the (possibly non-minimal) labels — callers that need certainty should
+    * raise `maxIters`; pointer jumping converges in O(log diameter) rounds,
+    * so the default 25 covers diameters far beyond any dedup graph.
     *
     * Output: (`node`, `label`) for every node appearing in `pairs`.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // no distinct: duplicate edges cannot change a min-aggregate, and the
     // dedup shuffle over the (biggest) edge frame would be pure cost
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true)
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     // init fuses round 1's neighbor-min into the same aggregation the
     // node list needs anyway: label0 = min(self, direct neighbors)
-    var labels = edges
+    var labels = ckpt(edges
       .groupBy(col("src").as("node")).agg(min("dst").as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("label"))
-      .localCheckpoint(true)
+      .select(col("node"), least(col("node"), col("m")).as("label")))
     var i = 0
     var done = false
     while (!done && i < maxIters) {
@@ -182,17 +243,20 @@ object Dedup {
           least(col("old"), coalesce(col("nlabel"), col("old"))).as("lbl"))
       // pointer jump + carry the old label so convergence is a flag scan
       // over the checkpointed frame, not another join job
-      val jumped = stepped.as("x")
+      val jumped = ckpt(stepped.as("x")
         .join(stepped.select(col("node").as("lnode"), col("lbl").as("llbl")),
           col("x.lbl") === col("lnode"), "left")
         .select(col("x.node").as("node"),
           coalesce(col("llbl"), col("x.lbl")).as("label"),
-          (coalesce(col("llbl"), col("x.lbl")) =!= col("x.old")).as("_changed"))
-        .localCheckpoint(true)
+          (coalesce(col("llbl"), col("x.lbl")) =!= col("x.old")).as("_changed")))
       done = jumped.filter(col("_changed")).limit(1).count() == 0
       labels = jumped.drop("_changed")
       i += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at maxIters=$maxIters without converging; " +
+          "labels may be non-minimal — raise maxIters")
     labels
   }
 

@@ -154,38 +154,65 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Bucket-size cap for the LSH band join's PAIR output: a bucket of f
+    * docs emits f² pairs, and a real dedup corpus is full of huge
+    * near-identical clusters — exactly what the [[MaxShingleDocFreq]] guard
+    * fixes for shingles. Applied in BOTH engines (windowed count ≤ cap), so
+    * parity is structural. 64 is ~3× sf0.1's observed max bucket (22), so
+    * small-SF results are identical to uncapped while the pair space stays
+    * linear-ish at 100×. Component resolution (q52) does NOT need the cap:
+    * it uses star edges, O(f) per bucket by construction.
+    */
+  private val MaxBandBucketSize = 64
+
   /** LSH candidate pairs: docs sharing any single minhash (8 bands × 1 row
     * — recall-heavy banding, right for a near-dup *candidate* stage).
+    * Hot buckets above [[MaxBandBucketSize]] are dropped in both engines.
     */
   val q37_minhash_pairs: QueryDef = q(
     "q37_minhash_pairs",
     shinglesSql +
-      """,
+      s""",
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
         |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
-        |  GROUP BY doc_id, band)
+        |  GROUP BY doc_id, band),
+        |hsc AS (
+        |  SELECT doc_id, band, bucket FROM (
+        |    SELECT doc_id, band, bucket,
+        |      COUNT(*) OVER (PARTITION BY band, bucket) AS bs
+        |    FROM hs) t
+        |  WHERE bs <= $MaxBandBucketSize)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |FROM hsc a JOIN hsc b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
-    "LSH band-join candidate generation (linear-ish pair space at scale)") {
+    "LSH band-join candidate generation (bucket-capped: linear pair space " +
+      "even on boilerplate-heavy corpora)") {
     (s, d) => bandCandidates(s, d).orderBy("id_a", "id_b")
   }
 
-  /** q37's candidate pairs, unordered — shared by q37 and the component
-    * resolution query (q52).
+  /** (doc_id, band, bucket) minhash-band assignment shared by q37 and q52:
+    * one groupBy with 8 partial-agg mins (shuffles |shingles| rows), then
+    * stack-unpivot to (band, bucket) — identical result to exploding 8×
+    * before the shuffle at an 8th of the shuffle volume.
     */
-  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+  private def bandedBuckets(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(Tables.documents(s, d))
-    // one groupBy with 8 partial-agg mins (shuffles |shingles| rows), then
-    // stack-unpivot to (band, bucket) — identical result to exploding 8×
-    // before the shuffle at an 8th of the shuffle volume
     val sigCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
-    val hs = sh.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"), expr(
         "stack(8, '0', s0, '1', s1, '2', s2, '3', s3, '4', s4, '5', s5, '6', s6, '7', s7) AS (band, bucket)"))
+  }
+
+  /** q37's candidate pairs: band equi-join with the hot-bucket cap. */
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+    val hs = bandedBuckets(s, d)
+      .withColumn("_bs",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("_bs") <= MaxBandBucketSize)
+      .drop("_bs")
     val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
@@ -194,11 +221,30 @@ object DedupQueries {
       .distinct()
   }
 
-  /** The dedup pipeline's missing last mile: candidate pairs → connected
+  /** q52's edge list: star edges (doc → bucket-min) instead of clique
+    * pairs. Identical connected components — within a bucket every doc
+    * reaches the min, so transitive reachability matches the full pair
+    * graph — at O(f) edges per bucket instead of O(f²), which removes the
+    * dedup family's last quadratic skew exposure (big near-dup clusters
+    * are the NORM in the data this resolves). No cap: connectivity must
+    * not be dropped, and star edges make dropping unnecessary.
+    */
+  private def starEdges(s: SparkSession, d: String): DataFrame =
+    bandedBuckets(s, d)
+      .withColumn("_root",
+        min(col("doc_id")).over(Window.partitionBy("band", "bucket")))
+      .filter(col("doc_id") =!= col("_root"))
+      .select(col("_root").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+
+  /** The dedup pipeline's missing last mile: LSH buckets → connected
     * components → a canonical keep/drop set. Components via iterative
-    * min-label propagation ([[Dedup.connectedComponents]]); the oracle
-    * computes the same fixpoint with a recursive CTE over the identical
-    * candidate pairs (md5 banding is engine-portable).
+    * min-label propagation ([[Dedup.connectedComponents]]) over STAR edges
+    * ([[starEdges]] — O(f) per bucket, no clique enumeration); the oracle
+    * computes the same fixpoint with a recursive CTE over the full
+    * uncapped candidate-pair graph (md5 banding is engine-portable), which
+    * has the same components by construction — so the check also pins the
+    * star-edge equivalence.
     */
   val q52_neardup_components: QueryDef = q(
     "q52_neardup_components",
@@ -225,10 +271,10 @@ object DedupQueries {
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_keep
         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
-    "Near-dup cluster resolution: LSH pairs → connected components → " +
+    "Near-dup cluster resolution: LSH star edges → connected components → " +
       "canonical keep/drop set") { (s, d) =>
     Dedup.canonicalize(
-        Tables.documents(s, d).select("doc_id"), "doc_id", bandCandidates(s, d))
+        Tables.documents(s, d).select("doc_id"), "doc_id", starEdges(s, d))
       .select("doc_id", "canonical_id", "is_keep")
       .orderBy("doc_id")
   }

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object GlobalLag {
 
+  /** shuffle.partitions can be non-numeric on AQE-managed platforms that
+    * accept "auto" — fall back to the cluster's default parallelism
+    * rather than throwing on a config this operator only uses as a hint.
+    */
+  private[ops] def parsePartitions(raw: String, fallback: Int): Int =
+    math.max(scala.util.Try(raw.toInt).getOrElse(fallback), 1)
+
   private val PID = "__graft_pid"
   private val TAIL = "__graft_tail"
   private val SEED = "__graft_seed"
@@ -43,7 +50,9 @@ object GlobalLag {
   def withLag(df: DataFrame, orderCols: Seq[String], valueCol: String,
       out: String): DataFrame = {
     val spark = df.sparkSession
-    val n = math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    val n = parsePartitions(
+      spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.sparkContext.defaultParallelism)
     val orderKey = orderCols.map(col)
 
     // Persisted because BOTH the seeds aggregate and the main window read

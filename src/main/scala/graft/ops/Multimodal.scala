@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star): image/audio/video as opaque
-  * `binary` columns with a typed metadata struct. The actual codec work is
-  * STUBBED (no image/audio libraries in this container) behind
-  * deterministic fakes — everything Spark-side is real and tested: schema,
-  * batch iteration shape, partition-parallel decode, frame sampling.
+  * `binary` columns with a typed metadata struct. IMAGE decode is REAL
+  * (JDK `javax.imageio.ImageIO` — PNG/JPEG/BMP/GIF ship in the JRE, no
+  * external dependency); audio/video codec work is STUBBED (no such
+  * libraries in this container) behind deterministic fakes — everything
+  * Spark-side is real and tested: schema, batch iteration shape,
+  * partition-parallel decode, frame sampling.
   *
   * The decode runs via `mapPartitions` over an iterator of rows — the
   * Scala analog of `mapInPandas` batch UDFs: per-partition setup cost is
-  * amortized (a real codec would be initialized once per partition, not
-  * per row), and partition-level parallelism is preserved.
+  * amortized (codec configuration happens once per partition, not per
+  * row), and partition-level parallelism is preserved.
   */
 object Multimodal {
 
@@ -42,24 +44,61 @@ object Multimodal {
       media_id: Long, kind: String, width: Int, height: Int,
       n_channels: Int, checksum: Long)
 
-  /** STUB decode: a real implementation would call an image/audio codec
-    * here (per-partition init, batch decode). The fake derives
-    * deterministic "dimensions" from the first bytes and a checksum from
-    * the whole payload, so tests pin the plumbing end-to-end.
+  private def checksumOf(b: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < b.length) { sum = sum * 31 + (b(i) & 0xff); i += 1 }
+    sum
+  }
+
+  /** Deterministic fake for kinds without an in-container codec (audio/
+    * video): "dimensions" derived from the first bytes, checksum from the
+    * whole payload — so tests pin the plumbing end to end.
+    */
+  private def stubRow(id: Long, kind: String, b: Array[Byte]): DecodedMedia = {
+    val w = if (b.isEmpty) 0 else (b(0) & 0x7f) + 1
+    val h = if (b.length < 2) 0 else (b(1) & 0x7f) + 1
+    DecodedMedia(id, kind, w, h, n_channels = 3, checksum = checksumOf(b))
+  }
+
+  /** Media decode: REAL for `kind = "image"` — `ImageIO` reads PNG/JPEG/
+    * BMP/GIF out of the JDK, yielding true width/height and raster band
+    * count (an undecodable or empty payload reports 0×0×0 rather than
+    * failing the batch — at corpus scale some byte streams are always
+    * corrupt). Other kinds (audio/video) fall back to the deterministic
+    * stub ([[stubRow]]) until a real codec is available. Per-partition
+    * init configures ImageIO once (in-memory streams, no temp-file cache).
+    */
+  def decode(df: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    df.select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // once per partition: decode through heap buffers, never temp files
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, kind, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          if (kind == "image") {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+              catch { case _: java.io.IOException => null }
+            if (img == null) DecodedMedia(id, kind, 0, 0, 0, checksumOf(b))
+            else DecodedMedia(id, kind, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, checksumOf(b))
+          } else stubRow(id, kind, b)
+        }
+      }
+  }
+
+  /** Stub-only decode (every kind faked) — kept for pipelines that need
+    * deterministic dimensions from arbitrary payloads, e.g. plumbing tests
+    * where the binary column holds text rather than an encoded image.
     */
   def decodeStub(df: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     df.select("media_id", "kind", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // >>> real codec init would go here, once per partition <<<
         rows.map { case (id, kind, bytes) =>
-          val b = if (bytes == null) Array.emptyByteArray else bytes
-          val w = if (b.isEmpty) 0 else (b(0) & 0x7f) + 1
-          val h = if (b.length < 2) 0 else (b(1) & 0x7f) + 1
-          var sum = 0L
-          var i = 0
-          while (i < b.length) { sum = sum * 31 + (b(i) & 0xff); i += 1 }
-          DecodedMedia(id, kind, w, h, n_channels = 3, checksum = sum)
+          stubRow(id, kind, if (bytes == null) Array.emptyByteArray else bytes)
         }
       }
   }

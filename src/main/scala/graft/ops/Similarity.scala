@@ -266,7 +266,10 @@ object Similarity {
   /** ANN quality harness: per-query recall@k of `approx` against `exact`
     * (both in the (q_id, id, rnk) shape the top-k operators emit). Every
     * query keeps a row — a query whose approximate candidates all miss
-    * scores 0.0, not silence.
+    * scores 0.0, not silence. The denominator is the number of exact
+    * results actually available (≤ k): dividing by a constant k would
+    * understate recall whenever the corpus has fewer than k neighbors for
+    * a query, making 1.0 unreachable on small corpora.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val e = exact.filter(col("rnk") <= k).select("q_id", "id")
@@ -274,7 +277,8 @@ object Similarity {
       .withColumn("_hit", lit(1))
     e.join(a, Seq("q_id", "id"), "left")
       .groupBy("q_id")
-      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / k).as("recall"))
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) /
+        least(lit(k.toLong), count(lit(1))).cast(DoubleType)).as("recall"))
   }
 
   /** ANN top-k: exact cosine ranking restricted to the query's bucket.

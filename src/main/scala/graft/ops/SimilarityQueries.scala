@@ -217,7 +217,8 @@ object SimilarityQueries {
       |  SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id),
       |qq AS (
       |  SELECT vec_id, scale,
-      |    CAST(FLOOR(x / scale * 127.0 + 0.5) AS BIGINT) AS qv
+      |    CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(FLOOR(x / scale * 127.0 + 0.5) AS BIGINT) END AS qv
       |  FROM ex JOIN sc USING (vec_id))
       |SELECT vec_id, scale, CAST(SUM(qv) AS BIGINT) AS q_sum,
       |  MIN(qv) AS q_min, MAX(qv) AS q_max
@@ -225,6 +226,35 @@ object SimilarityQueries {
     "Symmetric int8 embedding quantization (4x memory for ANN candidate " +
       "stages), digest-checked against identical floor-rounding in DuckDB")
 
+  /** ANN quality as a driver-verifiable CORRECTNESS row (the q41 trick:
+    * oracle a PROPERTY as a 1/0 column, asserted literally by DuckDB).
+    * recall@10 of the IVF path ([[Similarity.ivfTopK]] — Lloyd-trained
+    * coarse quantizer, nprobe=4 of 16 lists ≈ a quarter of the corpus
+    * scanned) against the exact [[Similarity.bruteForceTopK]] baseline,
+    * per query. The 0.6 bound is deliberately loose: label-clustered
+    * embeddings measure ≥0.9 at sf0.01/sf0.1 (see OpsSpec's recall
+    * harness for the exact-recall case); the gate exists to catch the
+    * approximate path silently degenerating (empty candidate lists, probe
+    * mis-ranking), not to pin a recall curve.
+    */
+  val q55_ann_recall: QueryDef = QueryDef(
+    "q55_ann_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      val approx = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 10, nLists = 16, nprobe = 4, iters = 3)
+      Similarity.recallAtK(exact, approx, 10)
+        .select(col("q_id"),
+          when(col("recall") >= 0.6, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+    "ANN quality gate: IVF recall@10 vs brute force >= 0.6 per query, " +
+      "oracled as a literal property")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
-    q38_embedding_neardup, q54_embedding_quantize)
+    q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall)
 }

@@ -42,4 +42,12 @@ class GlobalLagSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__graft_pid"),
       s"expected pid-partitioned window in:\n$plan")
   }
+
+  test("tolerates non-numeric spark.sql.shuffle.partitions (AQE 'auto')") {
+    // OSS Spark validates the conf at set() so "auto" can only reach the
+    // operator on forks that accept it — the parse is tested directly
+    assert(GlobalLag.parsePartitions("auto", 8) == 8)
+    assert(GlobalLag.parsePartitions("32", 8) == 32)
+    assert(GlobalLag.parsePartitions("0", 8) == 1) // never below 1
+  }
 }

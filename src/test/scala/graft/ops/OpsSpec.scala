@@ -50,6 +50,39 @@ class OpsSpec extends SparkSpec {
     assert(capped.filter($"id_a" === 0L && $"id_b" === 100L).count() == 1)
   }
 
+  test("LSH bucket cap bounds pair fan-out; star edges keep full connectivity") {
+    // one 200-doc exact-duplicate cluster (every band → one hot bucket)
+    // plus a small genuine near-dup pair outside it
+    val cluster = (0 until 200).map(i => (i.toLong, "identical boilerplate text repeated across the corpus many times"))
+    val skewed = (cluster ++ Seq(
+      (500L, "a genuinely small pair of similar documents about spark engines"),
+      (501L, "a genuinely small pair of similar documents about spark engines today")
+    )).toDF("doc_id", "text")
+
+    // uncapped: the hot bucket alone is 200*199/2 = 19900 pairs
+    val uncapped = Dedup.minhashCandidates(skewed, "doc_id", "text",
+      maxBucketSize = Int.MaxValue).count()
+    assert(uncapped >= 19900L, s"expected the quadratic blow-up, got $uncapped")
+
+    // capped: the hot bucket is dropped from pair output; the small pair survives
+    val capped = Dedup.minhashCandidates(skewed, "doc_id", "text", maxBucketSize = 64)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((500L, 501L)))
+    assert(cappedPairs.size < 100, s"cap did not prune the hot bucket: ${cappedPairs.size}")
+
+    // star edges: LINEAR in cluster size (199 edges for the 200-doc cluster,
+    // 1 for the pair — modulo cross-band duplicates removed by distinct)
+    val star = Dedup.minhashStarEdges(skewed, "doc_id", "text")
+    val starCount = star.count()
+    assert(starCount <= 200L + 2L, s"star edges not linear: $starCount")
+
+    // and components over star edges resolve the full cluster
+    val labels = Dedup.connectedComponents(star, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 200L).forall(labels(_) == 0L))
+    assert(labels(501L) == 500L)
+  }
+
   test("connected components resolve chains, stars, and unpaired docs") {
     // chain 1-2-3-4-9 (diameter 4, exercises >1 iteration), pair 5-6,
     // and 7 unpaired (absent from pairs entirely)
@@ -210,12 +243,14 @@ class OpsSpec extends SparkSpec {
   test("int8 quantization round-trips within 1/127 of scale; recall@k harness") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
-      (1L, Array(0.1f, 0.2f, -0.3f, 0.4f))
+      (1L, Array(0.1f, 0.2f, -0.3f, 0.4f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // all-zero: scale 0 must not divide
     ).toDF("vec_id", "embedding")
     val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(1), r.getSeq[Byte](2))).toMap
     assert(qz(0L)._1 == 1.0 && qz(0L)._2 == Seq[Byte](127, -63, 32, 0))
+    assert(qz(2L)._1 == 0.0 && qz(2L)._2 == Seq[Byte](0, 0, 0, 0))
     // dequantized error bounded by half a quantization step
     val (s1, q1) = qz(1L)
     val orig = Seq(0.1f, 0.2f, -0.3f, 0.4f)
@@ -236,6 +271,15 @@ class OpsSpec extends SparkSpec {
       k = 3, nLists = 3, nprobe = 1, iters = 4)
     val rec = Similarity.recallAtK(exact, approx, 3).collect()
     assert(rec.length == 1 && rec.head.getDouble(1) == 1.0)
+
+    // |exact| < k: a 3-vector corpus has only 2 neighbors per query, so a
+    // perfect approximation must still reach recall 1.0 (denominator is
+    // the available exact count, not the constant k)
+    val tiny = cvecs.filter($"vec_id" < 3)
+    val tinyExact = Similarity.bruteForceTopK(tiny, q, "vec_id", "embedding", 10)
+    val recTiny = Similarity.recallAtK(tinyExact, tinyExact, 10).collect()
+    assert(recTiny.length == 1 && recTiny.head.getDouble(1) == 1.0,
+      s"recall should be 1.0 when approx == exact and |exact| < k: ${recTiny.toSeq}")
   }
 
   test("text analysis column functions") {
@@ -264,6 +308,31 @@ class OpsSpec extends SparkSpec {
       .select(TextAnalysis.bpeishTokens($"text").as("t"))
       .first().getSeq[String](0)
     assert(toks == Seq("it", "'s", " 42", " degrees", "...", " really", "?!"))
+  }
+
+  test("multimodal: real ImageIO decode reports true dimensions and bands") {
+    implicit val s = spark
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      img.setRGB(0, 0, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rgb = png(17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gray = png(5, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val media = Seq(
+      (0L, "image", rgb),
+      (1L, "image", gray),
+      (2L, "image", Array[Byte](1, 2, 3)), // corrupt: must not fail the batch
+      (3L, "video", rgb) // non-image kind stays on the stub path
+    ).toDF("media_id", "kind", "content")
+    val d = Multimodal.decode(media).collect().map(m => m.media_id -> m).toMap
+    assert(d(0L).width == 17 && d(0L).height == 9 && d(0L).n_channels == 3)
+    assert(d(1L).width == 5 && d(1L).height == 7 && d(1L).n_channels == 1)
+    assert(d(2L).width == 0 && d(2L).height == 0 && d(2L).n_channels == 0)
+    assert(d(3L).width > 0) // stub dimensions, not ImageIO's
+    assert(d(0L).checksum != d(1L).checksum)
   }
 
   test("multimodal: media table schema, stub decode, frame sampling, resize") {
