@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * Point mutations are expressed as the standard lakehouse rewrites:
   * upsert = anti-join old ∪ new, delete = anti-join — both shuffle-free
   * when the key side is broadcast.
+  *
+  * Durability: rewrites commit via directory rename-swap on filesystems
+  * where single-dir rename is atomic (local, HDFS) and via an atomic
+  * version-pointer object everywhere else (S3/GCS-style stores, where a
+  * directory rename is a non-atomic copy) — see [[overwrite]].
   */
 object ChatStore {
 
@@ -26,7 +31,7 @@ object ChatStore {
     // count THIS batch (the reference's inserted_rows counter), not the
     // cumulative table after append
     val inserted = rows.count()
-    rows.write.mode(SaveMode.Append).parquet(tableDir)
+    rows.write.mode(SaveMode.Append).parquet(dataDir(spark, tableDir))
     inserted
   }
 
@@ -34,7 +39,8 @@ object ChatStore {
   def saveResearchConfig(config: DataFrame, tableDir: String): Unit =
     config
       .withColumn("created_at", current_timestamp())
-      .write.mode(SaveMode.Append).parquet(tableDir)
+      .write.mode(SaveMode.Append)
+      .parquet(dataDir(config.sparkSession, tableDir))
 
   /** The known research-form fields the reference projects out of the
     * client's free dict (backend/main.py:407-414).
@@ -77,7 +83,7 @@ object ChatStore {
     // and draw fresh non-deterministic uuids on the way
     val inserted = accepted.count()
     accepted.withColumn("user_id", expr("uuid()"))
-      .write.mode(SaveMode.Append).parquet(tableDir)
+      .write.mode(SaveMode.Append).parquet(dataDir(spark, tableDir))
     inserted
   }
 
@@ -123,24 +129,92 @@ object ChatStore {
 
   private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
 
-  /** Reads a table, first repairing any interrupted copy-on-write swap —
+  /** Filesystems whose single-directory rename is atomic. Everywhere else
+    * (s3a, gs, wasb, abfs, oss, …) a directory "rename" is a per-object
+    * copy+delete: a crash mid-rename leaves a PARTIAL directory that looks
+    * present, which would make the rename-swap protocol silently serve (and
+    * then "repair" by deleting the only complete copies of) half a table.
+    * Those schemes use the version-pointer protocol instead — no directory
+    * rename anywhere on the commit path.
+    */
+  private val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Test hook: forces the version-pointer protocol on filesystems whose
+    * rename IS atomic, so the object-store path is exercised end-to-end by
+    * local specs. Never set in production code.
+    */
+  private[chat] var forceVersionedProtocol = false
+
+  private def pointer(tableDir: String) = hPath(tableDir + ".current")
+  private def versionDir(tableDir: String, v: Long) = s"$tableDir.v$v"
+
+  /** A table is versioned if its pointer file exists (it was committed via
+    * the pointer protocol before — the protocol is sticky per table) or the
+    * filesystem cannot rename directories atomically.
+    */
+  private def useVersioned(f: org.apache.hadoop.fs.FileSystem, tableDir: String): Boolean =
+    forceVersionedProtocol || f.exists(pointer(tableDir)) ||
+      !AtomicRenameSchemes.contains(Option(f.getUri.getScheme).getOrElse("file"))
+
+  /** Current committed version, if the pointer file exists. */
+  private def currentVersion(
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String): Option[Long] = {
+    val p = pointer(tableDir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Commit = overwrite one small pointer object. A single-object PUT is
+    * atomic on every target filesystem (object stores included), which is
+    * exactly the property directory rename lacks there.
+    */
+  private def writePointer(
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String, v: Long): Unit = {
+    val out = f.create(pointer(tableDir), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Physical directory currently holding the table's data: the pointed-to
+    * version dir for versioned tables, the table dir itself otherwise
+    * (including versioned-protocol tables that have only ever been appended
+    * to — the pointer appears at their first copy-on-write rewrite).
+    */
+  private def dataDir(spark: SparkSession, tableDir: String): String =
+    currentVersion(fs(spark, tableDir), tableDir)
+      .map(versionDir(tableDir, _)).getOrElse(tableDir)
+
+  /** Reads a table, first repairing any interrupted rename-swap —
     * `spark.read.parquet` resolves the path eagerly, so a mid-swap table
     * would otherwise fail analysis before [[overwrite]]'s own recovery ran.
+    * Versioned tables need no repair: an uncommitted rewrite is just an
+    * orphan version dir the pointer never mentions.
     */
   private def readTable(spark: SparkSession, tableDir: String): DataFrame = {
-    recover(spark, tableDir)
-    spark.read.parquet(tableDir)
+    if (!useVersioned(fs(spark, tableDir), tableDir)) recover(spark, tableDir)
+    spark.read.parquet(dataDir(spark, tableDir))
   }
 
   private def currentOrEmpty(spark: SparkSession, tableDir: String): DataFrame = {
-    recover(spark, tableDir)
-    if (fs(spark, tableDir).exists(hPath(tableDir))) spark.read.parquet(tableDir)
+    val f = fs(spark, tableDir)
+    if (!useVersioned(f, tableDir)) recover(spark, tableDir)
+    val d = dataDir(spark, tableDir)
+    if (f.exists(hPath(d))) spark.read.parquet(d)
     else spark.emptyDataFrame
   }
 
-  /** Repairs a table left mid-swap by a crashed [[overwrite]]. The swap
-    * sequence is stage-complete → table→.old → .staging→table → drop .old,
-    * so on recovery:
+  /** Repairs a table left mid-swap by a crashed [[overwrite]] — the
+    * RENAME-SWAP protocol only, so "table dir exists" implies "table dir is
+    * complete" (renames are atomic on the filesystems this protocol runs
+    * on); versioned tables never enter here. The swap sequence is
+    * stage-complete → table→.old → .staging→table → drop .old, so on
+    * recovery:
     *  - table present: any leftover .staging/.old is from an uncommitted
     *    or fully-committed rewrite — the table is authoritative, drop them;
     *  - table absent + .staging present: the crash hit between the two
@@ -162,23 +236,55 @@ object ChatStore {
     }
   }
 
-  /** Copy-on-write table rewrite: stage the new version beside the table,
-    * then swap directories. Distributed end to end (no driver collect) —
-    * the lakehouse-table pattern these point ops compile to at scale. The
-    * swap has a crash window between the two renames (no directory-pair
-    * atomicity on any real fs); [[recover]] rolls an interrupted swap
-    * forward on the next read or write.
+  /** Copy-on-write table rewrite, protocol chosen per filesystem:
+    *
+    *  - **Atomic-rename fs** (local, HDFS): stage the new version beside the
+    *    table, then swap directories. The swap has a crash window between
+    *    the two renames (no directory-PAIR atomicity anywhere); [[recover]]
+    *    rolls an interrupted swap forward on the next read or write. Sound
+    *    because each single rename is atomic on these filesystems.
+    *  - **Object stores** (s3a, gs, …): directory rename is a non-atomic
+    *    per-object copy, so the swap protocol would be unsound — a crash
+    *    mid-rename leaves a partial-but-present table dir. Instead each
+    *    rewrite goes to a fresh `<table>.v<N>` directory and commits by
+    *    overwriting the small `<table>.current` pointer object — a
+    *    single-object PUT, atomic on every store. This is the same
+    *    commit shape lakehouse table formats use (data immutable, one
+    *    tiny mutable pointer). Crash before the pointer write leaves an
+    *    orphan version dir the next rewrite clobbers; readers always see
+    *    the last committed version. The immediately previous version is
+    *    retained one rewrite as a grace copy for in-flight readers
+    *    (single-writer assumed, as in the reference).
+    *
+    * Distributed end to end (no driver collect) — the lakehouse-table
+    * pattern these point ops compile to at scale.
     */
   private def overwrite(df: DataFrame, tableDir: String): Unit = {
     val spark = df.sparkSession
-    recover(spark, tableDir)
     val f = fs(spark, tableDir)
-    val (table, stage, old) =
-      (hPath(tableDir), hPath(tableDir + ".staging"), hPath(tableDir + ".old"))
-    df.write.mode(SaveMode.Overwrite).parquet(tableDir + ".staging")
-    if (f.exists(old)) f.delete(old, true)
-    if (f.exists(table)) f.rename(table, old)
-    f.rename(stage, table)
-    f.delete(old, true)
+    if (useVersioned(f, tableDir)) {
+      val cur = currentVersion(f, tableDir)
+      val next = cur.getOrElse(0L) + 1
+      // materializes the plan fully (reading the CURRENT data dir) before
+      // any commit or cleanup below touches the filesystem
+      df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, next))
+      writePointer(f, tableDir, next)
+      // GC: the pre-versioned append dir (its content now lives in v<next>)
+      // and all versions older than the grace copy v<next-1>
+      if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
+      (1L until next - 1).foreach { v =>
+        val d = hPath(versionDir(tableDir, v))
+        if (f.exists(d)) f.delete(d, true)
+      }
+    } else {
+      recover(spark, tableDir)
+      val (table, stage, old) =
+        (hPath(tableDir), hPath(tableDir + ".staging"), hPath(tableDir + ".old"))
+      df.write.mode(SaveMode.Overwrite).parquet(tableDir + ".staging")
+      if (f.exists(old)) f.delete(old, true)
+      if (f.exists(table)) f.rename(table, old)
+      f.rename(stage, table)
+      f.delete(old, true)
+    }
   }
 }

@@ -338,10 +338,15 @@ object RelationalQueries {
 
   /** HLL sketch distinct (SURVEY §2.7 scale path for A1). The raw estimate
     * is implementation-specific, so the oracled columns are the exact
-    * count plus a PROPERTY of the estimate — |approx−exact| ≤ 5%·exact
-    * (the default rsd) emitted as 1/0, which DuckDB asserts as literal 1.
-    * If Spark's HLL++ ever drifts past its accuracy contract, parity
-    * fails — a real differential check without demanding sketch equality.
+    * count plus a PROPERTY of the estimate — |approx−exact| ≤ 15%·exact
+    * emitted as 1/0, which DuckDB asserts as literal 1. The default rsd
+    * 0.05 is a standard DEVIATION, not a bound: a tail estimate can
+    * legitimately exceed 1 rsd with no product bug (sparse-mode HLL is
+    * exact at small cardinalities, which would mask it at sf0.1 and bite
+    * at larger SF), so the gate sits at 3×rsd — ~99.7% coverage under the
+    * estimator's normal error model. If Spark's HLL++ ever drifts past
+    * that, parity fails — a real differential check without demanding
+    * sketch equality.
     */
   val q41_approx_distinct: QueryDef = QueryDef(
     "q41_approx_distinct",
@@ -351,11 +356,11 @@ object RelationalQueries {
         approx_count_distinct("user_id").as("approx"),
         countDistinct("user_id").as("exact_users"))
       .select(col("event_type"), col("exact_users"),
-        when(abs(col("approx") - col("exact_users")) <= col("exact_users") * 0.05,
-          1L).otherwise(0L).as("hll_within_5pct"))
+        when(abs(col("approx") - col("exact_users")) <= col("exact_users") * 0.15,
+          1L).otherwise(0L).as("hll_within_tol"))
       .orderBy("event_type"),
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-      |  CAST(1 AS BIGINT) AS hll_within_5pct
+      |  CAST(1 AS BIGINT) AS hll_within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "approx_count_distinct (HyperLogLog++) vs exact, per event type; " +
       "estimate checked against its accuracy bound")

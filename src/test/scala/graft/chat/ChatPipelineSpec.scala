@@ -102,6 +102,46 @@ class ChatPipelineSpec extends SparkSpec {
     assert(linksOf(g) == Seq(("Ann", "Ben", 1L), ("Cat", "Dan", 1L)))
   }
 
+  test("decodeReplace matches CPython maximal-subpart semantics case by case") {
+    def d(bs: Int*) = ChatLines.decodeReplace(bs.map(_.toByte).toArray)
+    assert(d(0xe2, 0x82, 0xac) == "€")
+    assert(d(0xff) == "�") // invalid starter
+    assert(d(0xc0, 0xaf) == "��") // overlong starter + lone continuation
+    assert(d(0x80) == "�") // lone continuation
+    assert(d(0xe2, 0x82) == "�") // truncated 3-byte: ONE maximal subpart
+    assert(d(0xe0, 0x80) == "��") // E0 second byte must be A0-BF
+    assert(d(0xf0, 0x80) == "��") // F0 second byte must be 90-BF
+    assert(d(0xed, 0xa0, 0x80) == "���") // surrogate rejected at byte 2
+    assert(d(0xf4, 0x90, 0x80, 0x80) == "����") // above U+10FFFF
+    assert(d(0xf0, 0x9f, 0xa6, 0x8b) == "🦋")
+    assert(d(0xf0, 0x9f, 0xa6) == "�") // truncated 4-byte: ONE subpart
+    assert(d('a', 0xc3) == "a�") // truncated 2-byte at EOF
+  }
+
+  test("readExact: CPython errors=replace + universal newlines, stable line_no (S2)") {
+    // golden verified against CPython: open(p, encoding='utf-8',
+    // errors='replace') iterated line by line on these exact bytes
+    val bytes =
+      "one ".getBytes("UTF-8") ++ Array(0xe2, 0x82, 0xac).map(_.toByte) ++
+      " ok\r\nbad ".getBytes("UTF-8") ++ Array(0xff, 0xc0, 0xaf).map(_.toByte) ++
+      " mid\rtrunc ".getBytes("UTF-8") ++ Array(0xe2, 0x82).map(_.toByte) ++
+      " end\nlone".getBytes("UTF-8") ++ Array(0x80.toByte) ++
+      "\nsurr ".getBytes("UTF-8") ++ Array(0xed, 0xa0, 0x80).map(_.toByte) ++
+      "!\nlast no newline ".getBytes("UTF-8") ++ Array(0xf0, 0x9f, 0xa6).map(_.toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact")
+    java.nio.file.Files.write(dir.resolve("m.txt"), bytes)
+    val got = ChatLines.readExact(spark, dir.toString)
+      .orderBy("line_no").select("line_no", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      0L -> "one € ok",
+      1L -> "bad ��� mid",
+      2L -> "trunc � end",
+      3L -> "lone�",
+      4L -> "surr ���!",
+      5L -> "last no newline �"))
+  }
+
   test("graph JSON escapes quotes, backslashes, and control characters") {
     import spark.implicits._
     val nodes = Seq("a\"b", "c\\d", "e\tf").toDF("id")

@@ -108,4 +108,50 @@ class ChatStoreSpec extends SparkSpec {
     assert(ChatStore.listUsers(spark, dir).count() == 1)
     assert(!fs.exists(p(dir + ".staging")))
   }
+
+  test("version-pointer protocol: rewrites commit without any directory rename") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      // appends before any rewrite land in the plain dir (no pointer yet)
+      assert(ChatStore.registerUsers(spark, u, dir) == 3)
+      assert(fs.exists(p(dir)) && !fs.exists(p(dir + ".current")))
+
+      // first rewrite: data goes to .v1, commit is the pointer object, the
+      // legacy append dir is absorbed; no .staging/.old ever appears
+      val id = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, id)
+      assert(fs.exists(p(dir + ".current")) && fs.exists(p(dir + ".v1")))
+      assert(!fs.exists(p(dir)) && !fs.exists(p(dir + ".staging")) && !fs.exists(p(dir + ".old")))
+      assert(ChatStore.listUsers(spark, dir).count() == 2)
+
+      // appends after a rewrite follow the pointer into the version dir
+      assert(ChatStore.registerUsers(spark,
+        Seq(("Di", "di@x.io")).toDF("name", "email"), dir) == 1)
+      assert(ChatStore.listUsers(spark, dir).count() == 3)
+
+      // an ORPHAN staged version (crash before the pointer flip) is
+      // invisible to readers and clobbered by the next rewrite
+      spark.read.parquet(dir + ".v1").limit(0).write.parquet(dir + ".v2")
+      assert(ChatStore.listUsers(spark, dir).count() == 3) // still v1
+
+      val id2 = ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, id2, Map("name" -> "Ada2"))
+      assert(ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("name").collect().head.getString(0) == "Ada2")
+      assert(fs.exists(p(dir + ".v2")) && fs.exists(p(dir + ".v1"))) // v1 = grace copy
+
+      // third rewrite GCs v1, keeps v2 as the new grace copy
+      ChatStore.deleteUser(spark, dir, id2)
+      assert(!fs.exists(p(dir + ".v1")) && fs.exists(p(dir + ".v2")) && fs.exists(p(dir + ".v3")))
+      assert(ChatStore.listUsers(spark, dir).count() == 2)
+    } finally ChatStore.forceVersionedProtocol = false
+  }
 }
