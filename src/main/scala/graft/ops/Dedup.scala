@@ -115,6 +115,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup — the shape a standing 100 TB corpus actually
+    * needs: flag documents in a NEW `batch` whose LSH band bucket collides
+    * with any document already in `corpus`, without ever pairing the
+    * corpus against itself. The join is batch-buckets ⋉ corpus-buckets
+    * (left_semi, so corpus rows are never materialized into the output),
+    * and the corpus side is exactly the precomputable part: at scale its
+    * (band, bucket) table is persisted once, bucket-partitioned, and each
+    * ingest batch — typically orders of magnitude smaller — probes it,
+    * ideally as a broadcast of the BATCH side's buckets. Returns
+    * (`id`, `is_dup` 1/0) for every batch row.
+    */
+  def dedupAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val corpusBuckets = bandedBuckets(corpus, idCol, textCol, numHashes, bands, shingleSize)
+      .select("band", "bucket")
+    val flagged = bandedBuckets(batch, idCol, textCol, numHashes, bands, shingleSize)
+      .join(corpusBuckets, Seq("band", "bucket"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("_dup", lit(1L))
+    batch.select(col(idCol).as("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_dup"), lit(0L)).as("is_dup"))
+  }
+
   /** Exact Jaccard verification of candidate pairs (the precision stage
     * after LSH recall): joins shingle sets back and computes
     * |A∩B| / |A∪B| with array ops — no token explosion.

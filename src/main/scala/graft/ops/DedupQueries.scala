@@ -320,7 +320,48 @@ object DedupQueries {
         .orderBy("doc_id")
   }
 
+  /** Incremental dedup (the [[Dedup.dedupAgainst]] shape, md5-banded for
+    * oracle portability): the corpus is doc_id % 5 ≠ 0, the "new ingest
+    * batch" is doc_id % 5 = 0, and each batch doc is flagged when any of
+    * its band buckets collides with a corpus bucket. Corpus×corpus pairs
+    * are never formed — the probe is a semi-join of batch buckets against
+    * corpus buckets, which is the O(|batch|) per-ingest cost a standing
+    * 100 TB corpus demands (re-running q37/q52 over corpus+batch would be
+    * O(|corpus|) every ingest).
+    */
+  val q58_incremental_dedup: QueryDef = q(
+    "q58_incremental_dedup",
+    shinglesSql +
+      """,
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM hs a JOIN hs c ON a.band = c.band AND a.bucket = c.bucket
+        |  WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "Incremental dedup: new-batch docs probed against standing-corpus LSH " +
+      "buckets via semi-join (no corpus self-pairing)") { (s, d) =>
+    val bb = bandedBuckets(s, d)
+    val corpusBuckets = bb.filter(col("doc_id") % 5 =!= 0).select("band", "bucket")
+    val flagged = bb.filter(col("doc_id") % 5 === 0)
+      .join(corpusBuckets, Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("_dup", lit(1L))
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select("doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_dup"), lit(0L)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
-    q31_simhash, q52_neardup_components)
+    q31_simhash, q52_neardup_components, q58_incremental_dedup)
 }

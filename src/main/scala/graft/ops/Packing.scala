@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for training-batch construction (north-star): assign
+  * documents to fixed-capacity token bins so short documents share a
+  * context window instead of wasting it on padding — the standard
+  * corpus-preparation step between tokenization and batching.
+  *
+  * Scale design: packing is a sequential decision process, so a globally
+  * optimal packing cannot be distributed. The standard corpus-scale choice
+  * is greedy NEXT-FIT per partition — zero coordination, zero extra
+  * shuffle beyond one deterministic range exchange, and a guaranteed
+  * ≥ 50% fill for every closed bin (next-fit closes a bin only when the
+  * incoming document would overflow it, so closed bin + following doc
+  * > capacity). Bin ids are globally unique by construction:
+  * `partitionId * 2^40 + localBin`.
+  */
+object Packing {
+
+  /** Greedy next-fit packing of (`idCol`, `tokenCol`) rows into bins of at
+    * most `maxTokens` tokens. Documents longer than `maxTokens` get a
+    * single-doc bin of their own (they must be chunked upstream — see
+    * `Multimodal.frameSample` for the chunking shape). Deterministic: rows
+    * are range-partitioned and sorted by `idCol`, so the same input always
+    * packs identically regardless of source partitioning.
+    *
+    * Output: (`idCol`, `tokenCol`, `bin_id`).
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))
+      .as[(Long, Long)]
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var acc = 0L
+        var open = false
+        it.map { case (id, nTok) =>
+          val t = math.max(nTok, 0L)
+          if (open && acc + t > maxTokens) { bin += 1; acc = 0L }
+          acc += t
+          open = true
+          (id, nTok, pid * (1L << 40) + bin)
+        }
+      }
+      .toDF(idCol, tokenCol, "bin_id")
+  }
+
+  /** Per-bin audit frame: token total, document count, and whether the bin
+    * respects capacity (oversize single-doc bins are legal by contract).
+    */
+  def binAudit(packed: DataFrame, tokenCol: String, maxTokens: Long): DataFrame =
+    packed.groupBy("bin_id")
+      .agg(sum(tokenCol).as("bin_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("within_cap",
+        (col("bin_tokens") <= maxTokens || col("n_docs") === 1).cast(LongType))
+}

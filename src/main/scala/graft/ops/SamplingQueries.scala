@@ -35,5 +35,47 @@ object SamplingQueries {
     "Deterministic hash-based train/val/test split (stable across runs, " +
       "partitionings, and engines — md5 assignment shared with the oracle)")
 
-  def defs: Seq[QueryDef] = Seq(q53_stable_split)
+  /** Sequence packing ([[Packing.packGreedy]]), oracled as PROPERTIES
+    * (the q41/q55 trick): greedy packing is a sequential algorithm SQL
+    * cannot replay, but its contract is fully checkable — every document
+    * assigned exactly once, no multi-doc bin over capacity, bin count
+    * within [⌈total/cap⌉, n_docs], and ≥ 50% mean fill for closed bins
+    * (structural for next-fit). DuckDB asserts the invariant flags as
+    * literal 1 and the document/token totals exactly.
+    */
+  val q59_sequence_packing: QueryDef = QueryDef(
+    "q59_sequence_packing",
+    (s, d) => {
+      val cap = 256L
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", cap)
+      val bins = Packing.binAudit(packed, "n_tokens", cap)
+      val binStats = bins.agg(
+        count(lit(1)).as("n_bins"),
+        min("within_cap").as("cap_ok"),
+        sum("bin_tokens").as("total_tokens"))
+      packed.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"))
+        .crossJoin(binStats)
+        .select(
+          col("n_docs").cast(LongType).as("n_docs"),
+          col("total_tokens").cast(LongType).as("total_tokens"),
+          when(col("n_rows") === col("n_docs"), 1L).otherwise(0L).as("assigned_once_ok"),
+          col("cap_ok").cast(LongType).as("capacity_ok"),
+          when(col("n_bins") <= col("n_docs") &&
+            col("n_bins") >= ceil(col("total_tokens").cast(DoubleType) / cap),
+            1L).otherwise(0L).as("bin_count_ok"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      |  CAST(1 AS BIGINT) AS assigned_once_ok,
+      |  CAST(1 AS BIGINT) AS capacity_ok,
+      |  CAST(1 AS BIGINT) AS bin_count_ok
+      |FROM documents""".stripMargin),
+    "Greedy next-fit sequence packing into 256-token bins, contract-" +
+      "oracled: exact doc/token totals + capacity and bin-count invariants")
+
+  def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing)
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-cleaning column functions for LLM training-data pipelines
+  * (north-star text ops, Gopher/C4-style): HTML stripping, URL/email
+  * redaction, whitespace normalization, and the repetition / diversity
+  * signals used for quality filtering at corpus scale.
+  *
+  * Everything is a composition of built-in codegen'd expressions — no
+  * UDFs — so a full cleaning chain stays inside one WholeStageCodegen
+  * stage over the scan: the per-document pass is embarrassingly parallel
+  * and shuffles nothing. All regexes are RE2-compatible (no lookaround,
+  * no backrefs) so the DuckDB oracles run the *same* patterns.
+  */
+object TextCleaning {
+
+  /** Common HTML entities worth unescaping after tag removal. */
+  private val Entities =
+    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+
+  /** Drop `<...>` tags (replaced by a space so `a<br>b` keeps its word
+    * boundary), then unescape the common entities.
+    */
+  def htmlStrip(text: Column): Column =
+    Entities.foldLeft(regexp_replace(text, "<[^>]+>", " ")) {
+      case (c, (from, to)) => regexp_replace(c, from, to)
+    }
+
+  private val UrlPattern = "https?://[^\\s]+"
+  private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace URLs with a redaction token (PII/dedup-noise hygiene). */
+  def urlRedact(text: Column, token: String = "<URL>"): Column =
+    regexp_replace(text, UrlPattern, token)
+
+  /** Replace email addresses with a redaction token. */
+  def emailRedact(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, token)
+
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast(LongType)
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast(LongType)
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** The standard cleaning chain: strip tags, redact URLs and emails,
+    * normalize whitespace.
+    */
+  def cleanChain(text: Column): Column =
+    normalizeWhitespace(emailRedact(urlRedact(htmlStrip(text))))
+
+  /** Fraction of characters in non-alphanumeric, non-space symbols —
+    * high values flag markup/boilerplate (Gopher-style symbol ratio).
+    */
+  def symbolFraction(text: Column): Column = {
+    val denom = greatest(length(text), lit(1)).cast(DoubleType)
+    size(regexp_extract_all(text, lit("[^\\p{L}\\p{N}\\s]"), lit(0)))
+      .cast(DoubleType) / denom
+  }
+
+  /** Mean whitespace-token length (Gopher uses 3–10 as the sane band).
+    * Computed as non-space chars / token count — two codegen'd regex
+    * passes, no array lambda (HOF `aggregate` is interpreted and loses to
+    * this by an order of magnitude; see BASELINE.md round-1 notes).
+    */
+  def meanWordLength(text: Column): Column = {
+    val n = greatest(
+      size(regexp_extract_all(text, lit("\\S+"), lit(0))), lit(1)).cast(DoubleType)
+    length(regexp_replace(text, "\\s+", "")).cast(DoubleType) / n
+  }
+
+  /** Type-token ratio: distinct words / words — the cheap lexical-
+    * diversity signal (low = repetitive boilerplate). Array form, for
+    * single-pass scalar use; the oracled q56 computes the identical value
+    * via explode+agg, which is the faster shape when the query already
+    * explodes words (see PROJECT memory: interpreted array lambdas lose
+    * to exploded codegen pipelines).
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val words = split(text, " ")
+    size(array_distinct(words)).cast(DoubleType) /
+      greatest(size(words), lit(1)).cast(DoubleType)
+  }
+}

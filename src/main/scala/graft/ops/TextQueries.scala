@@ -185,7 +185,137 @@ object TextQueries {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Gopher-style repetition/diversity quality signals, per doc: word
+    * count, type-token ratio, and top-bigram dominance. Fractions are
+    * emitted as floor(x·10⁶) BIGINT ("ppm") in BOTH engines — one IEEE
+    * division then an explicit floor, so the hash compare never depends
+    * on double serialization formats. The bigram counting is the exploded
+    * lead-window shape (codegen'd) that shares its doc_id shuffle between
+    * the word and bigram aggregates.
+    */
+  val q56_repetition_metrics: QueryDef = q(
+    "q56_repetition_metrics",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+      |  FROM tok),
+      |bc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg WHERE bg IS NOT NULL
+      |  GROUP BY doc_id, bg),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bc GROUP BY doc_id),
+      |wd AS (
+      |  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+      |  FROM tok GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+      |  CAST(FLOOR(CAST(w.n_distinct AS DOUBLE) * 1000000.0 / w.n_words) AS BIGINT) AS distinct_ppm,
+      |  CAST(COALESCE(t.top_c, 0) AS BIGINT) AS top_bigram_cnt,
+      |  CAST(FLOOR(CAST(COALESCE(t.top_c, 0) AS DOUBLE) * 1000000.0
+      |       / GREATEST(COALESCE(t.n_bg, 0), 1)) AS BIGINT) AS top_bigram_ppm
+      |FROM wd w LEFT JOIN top t ON w.doc_id = t.doc_id
+      |ORDER BY w.doc_id""".stripMargin,
+    "Repetition/diversity quality signals: type-token ratio + top-bigram " +
+      "dominance (Gopher-style), ppm-quantized for engine-exact parity") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+    val bc = tok
+      .withColumn("bg", concat(col("w"), lit(" "), lead("w", 1).over(win)))
+      .filter(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val top = bc.groupBy("doc_id")
+      .agg(max("c").as("top_c"), sum("c").as("n_bg"))
+    val wd = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct("w").as("n_distinct"))
+    wd.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words").cast(LongType).as("n_words"),
+        floor(col("n_distinct").cast(DoubleType) * 1000000.0 / col("n_words"))
+          .cast(LongType).as("distinct_ppm"),
+        coalesce(col("top_c"), lit(0L)).cast(LongType).as("top_bigram_cnt"),
+        floor(coalesce(col("top_c"), lit(0L)).cast(DoubleType) * 1000000.0 /
+          greatest(coalesce(col("n_bg"), lit(0L)), lit(1L)))
+          .cast(LongType).as("top_bigram_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus-cleaning chain (ops.TextCleaning), oracle-checked with the
+    * redaction actually FIRING: the synthetic corpus contains no markup or
+    * URLs, so both engines first build the same adversarial payload from
+    * each row (tags + a per-doc URL + a per-doc email + an entity), then
+    * clean it. The hash compare covers the cleaned STRING itself, pinning
+    * tag-strip, entity unescape, URL/email redaction, and whitespace
+    * normalization byte-for-byte across engines, plus the Gopher
+    * mean-word-length and symbol-ratio signals (ppm-quantized).
+    */
+  val q57_clean_redact: QueryDef = q(
+    "q57_clean_redact",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    '<p>Begin</p> ' || substring(text, 1, 40) ||
+      |    ' see https://ex.am/p?q=' || CAST(doc_id AS VARCHAR) ||
+      |    ' &amp; mail u' || CAST(doc_id AS VARCHAR) || '@ex.com <br/> end' AS raw
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+      |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', ''''), '&nbsp;', ' ') AS s
+      |  FROM raw),
+      |redacted AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+      |  FROM stripped),
+      |cleaned AS (
+      |  SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS cleaned
+      |  FROM redacted)
+      |SELECT c.doc_id, c.cleaned,
+      |  CAST(length(regexp_extract_all(r.raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+      |  CAST(length(regexp_extract_all(r.raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(FLOOR(CAST(length(regexp_replace(c.cleaned, '\s', '', 'g')) AS DOUBLE)
+      |    * 1000000.0
+      |    / GREATEST(length(regexp_extract_all(c.cleaned, '\S+')), 1)) AS BIGINT)
+      |    AS mean_wl_ppm,
+      |  CAST(FLOOR(CAST(length(regexp_extract_all(c.cleaned, '[^\p{L}\p{N}\s]')) AS DOUBLE)
+      |    * 1000000.0 / GREATEST(length(c.cleaned), 1)) AS BIGINT) AS symbol_ppm
+      |FROM cleaned c JOIN raw r ON c.doc_id = r.doc_id
+      |ORDER BY c.doc_id""".stripMargin,
+    "Corpus cleaning chain (HTML strip, entity unescape, URL/email " +
+      "redaction, whitespace normalize) + mean-word-length and symbol-" +
+      "ratio signals; adversarial input built per-row in both engines") { (s, d) =>
+    val raw = concat(
+      lit("<p>Begin</p> "), substring(col("text"), 1, 40),
+      lit(" see https://ex.am/p?q="), col("doc_id").cast(StringType),
+      lit(" &amp; mail u"), col("doc_id").cast(StringType),
+      lit("@ex.com <br/> end"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextCleaning.cleanChain(raw).as("cleaned"),
+        TextCleaning.urlCount(raw).as("n_urls"),
+        TextCleaning.emailCount(raw).as("n_emails"))
+      .select(
+        col("doc_id"), col("cleaned"), col("n_urls"), col("n_emails"),
+        floor(TextCleaning.meanWordLength(col("cleaned")) * 1000000.0)
+          .cast(LongType).as("mean_wl_ppm"),
+        floor(TextCleaning.symbolFraction(col("cleaned")) * 1000000.0)
+          .cast(LongType).as("symbol_ppm"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
-    q36_doc_fingerprint, q34_binary_meta, q51_frame_meta)
+    q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
+    q56_repetition_metrics, q57_clean_redact)
 }

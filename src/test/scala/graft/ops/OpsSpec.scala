@@ -335,6 +335,64 @@ class OpsSpec extends SparkSpec {
     assert(d(0L).checksum != d(1L).checksum)
   }
 
+  test("text cleaning: tag strip, entity unescape, redaction, normalization") {
+    val rows = Seq(
+      (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
+      (1L, "mail me at jo.doe+x@ex-a.co.uk  or\tnot &amp; see &lt;tag&gt;"),
+      (2L, "plain text stays put")
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextCleaning.cleanChain($"text").as("c"),
+        TextCleaning.urlCount($"text").as("u"), TextCleaning.emailCount($"text").as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == (("Hello world visit <URL> now", 1L, 0L)))
+    assert(got(1L) == (("mail me at <EMAIL> or not & see <tag>", 0L, 1L)))
+    assert(got(2L) == (("plain text stays put", 0L, 0L)))
+
+    // quality signals on crafted extremes
+    val sig = Seq((0L, "a a a a a a"), (1L, "one two three four five six"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextCleaning.typeTokenRatio($"text").as("ttr"),
+        TextCleaning.meanWordLength($"text").as("mwl"),
+        TextCleaning.symbolFraction($"text").as("sf"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sig(0L)._1 == 1.0 / 6.0 && sig(0L)._2 == 1.0 && sig(0L)._3 == 0.0)
+    assert(sig(1L)._1 == 1.0)
+  }
+
+  test("incremental dedup probes batch buckets against the corpus only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (11L, "fresh new document that matches nothing in the standing corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainst(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 0L))
+  }
+
+  test("greedy packing: capacity, single-assignment, fill, determinism") {
+    val docs = (0L until 100L).map(i => (i, 10L + (i % 7) * 30L)).toDF("doc_id", "n_tokens")
+    val cap = 128L
+    val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", cap)
+    // every doc exactly once
+    assert(packed.count() == 100L && packed.select("doc_id").distinct().count() == 100L)
+    val audit = Packing.binAudit(packed, "n_tokens", cap).collect()
+    assert(audit.forall(_.getAs[Long]("within_cap") == 1L))
+    // oversize doc gets its own bin rather than being dropped
+    val over = Seq((0L, 500L), (1L, 20L), (2L, 20L)).toDF("doc_id", "n_tokens")
+    val po = Packing.packGreedy(over, "doc_id", "n_tokens", cap)
+    val oa = Packing.binAudit(po, "n_tokens", cap).collect()
+    assert(po.count() == 3 && oa.forall(_.getAs[Long]("within_cap") == 1L))
+    // deterministic under different source partitioning
+    val a = packed.collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Packing.packGreedy(docs.repartition(7), "doc_id", "n_tokens", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("multimodal: media table schema, stub decode, frame sampling, resize") {
     implicit val s = spark
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
