@@ -46,8 +46,12 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingles, s => xxhash64(k, s))))
 
-  /** (id, band, bucket) LSH assignment: one row per (row, band). */
-  private def bandedBuckets(
+  /** (id, band, bucket) LSH assignment: one row per (row, band). Pure
+    * per-row expressions (signature + posexplode, no aggregation), so it
+    * is also legal on a STREAMING frame — see
+    * `graft.streaming.CorpusStream.flagNearDups`.
+    */
+  private[graft] def bandedBuckets(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

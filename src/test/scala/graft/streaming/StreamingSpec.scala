@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("streaming incremental dedup: batches probe the static corpus index") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val index = CorpusStream.corpusBuckets(corpus, "doc_id", "text")
+
+    val ms = MemoryStream[(Long, String)]
+    val newDocs = ms.toDS().toDF("doc_id", "text")
+    val q = CorpusStream.flagNearDups(newDocs, index, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardups").outputMode("update").start()
+    try {
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (11L, "fresh new document that matches nothing in the standing corpus at all"))
+      q.processAllAvailable()
+      // a later batch still sees the same static index
+      ms.addData(
+        (12L, "completely different corpus content about distributed query engines"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("neardups").groupBy("id")
+      .agg(max("n_hits").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && hits(10L) > 0L) // dup of corpus doc 1
+    assert(hits.contains(12L) && hits(12L) > 0L) // dup of corpus doc 2
+    assert(!hits.contains(11L)) // novel doc emits nothing
+  }
+
   test("daily windowed counts with watermark (streaming form of q22)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
