@@ -33,12 +33,17 @@ object TextCleaning {
   private val UrlPattern = "https?://[^\\s]+"
   private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Replace URLs with a redaction token (PII/dedup-noise hygiene). */
-  def urlRedact(text: Column, token: String = "<URL>"): Column =
+  /** Replace URLs with a redaction token (PII/dedup-noise hygiene).
+    * The default token is bracketed, NOT angle-bracketed: `<URL>` would be
+    * eaten by [[htmlStrip]] on a second pass, and re-cleaning already-
+    * cleaned text is routine in multi-stage pipelines — [[cleanChain]] is
+    * idempotent by construction (property-tested).
+    */
+  def urlRedact(text: Column, token: String = "[URL]"): Column =
     regexp_replace(text, UrlPattern, token)
 
   /** Replace email addresses with a redaction token. */
-  def emailRedact(text: Column, token: String = "<EMAIL>"): Column =
+  def emailRedact(text: Column, token: String = "[EMAIL]"): Column =
     regexp_replace(text, EmailPattern, token)
 
   def urlCount(text: Column): Column =
@@ -52,7 +57,12 @@ object TextCleaning {
     trim(regexp_replace(text, "\\s+", " "))
 
   /** The standard cleaning chain: strip tags, redact URLs and emails,
-    * normalize whitespace.
+    * normalize whitespace. Idempotent on its own output — the bracketed
+    * redaction tokens survive a re-run — EXCEPT when the input carries
+    * entity-encoded tags (`&lt;b&gt;`): unescape mints a literal tag that
+    * a second pass strips. That is the cost of strip-before-unescape,
+    * chosen because the reverse order would delete user text that merely
+    * *mentions* markup on the first pass.
     */
   def cleanChain(text: Column): Column =
     normalizeWhitespace(emailRedact(urlRedact(htmlStrip(text))))

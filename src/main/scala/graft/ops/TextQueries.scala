@@ -273,8 +273,8 @@ object TextQueries {
       |redacted AS (
       |  SELECT doc_id,
       |    regexp_replace(
-      |      regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g'),
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+      |      regexp_replace(s, 'https?://[^\s]+', '[URL]', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS s
       |  FROM stripped),
       |cleaned AS (
       |  SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS cleaned

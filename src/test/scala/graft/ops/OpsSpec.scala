@@ -344,9 +344,20 @@ class OpsSpec extends SparkSpec {
     val got = rows.select($"doc_id", TextCleaning.cleanChain($"text").as("c"),
         TextCleaning.urlCount($"text").as("u"), TextCleaning.emailCount($"text").as("e"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got(0L) == (("Hello world visit <URL> now", 1L, 0L)))
-    assert(got(1L) == (("mail me at <EMAIL> or not & see <tag>", 0L, 1L)))
+    assert(got(0L) == (("Hello world visit [URL] now", 1L, 0L)))
+    assert(got(1L) == (("mail me at [EMAIL] or not & see <tag>", 0L, 1L)))
     assert(got(2L) == (("plain text stays put", 0L, 0L)))
+
+    // idempotence: re-cleaning cleaned text is a no-op (multi-stage
+    // pipelines re-run hygiene passes; the redaction tokens must survive).
+    // Known exception: entity-ENCODED tags (&lt;tag&gt;, doc 1) unescape
+    // into literal tags that a second pass strips — the price of the
+    // strip-then-unescape order, which never deletes user text on pass one.
+    val scope = rows.filter($"doc_id" =!= 1L)
+    val once = scope.select($"doc_id", TextCleaning.cleanChain($"text").as("text"))
+    val twice = once.select($"doc_id", TextCleaning.cleanChain($"text").as("text"))
+    assert(once.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq)
 
     // quality signals on crafted extremes
     val sig = Seq((0L, "a a a a a a"), (1L, "one two three four five six"))

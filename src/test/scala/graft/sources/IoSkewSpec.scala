@@ -94,6 +94,41 @@ class IoSkewSpec extends SparkSpec {
       back.schema.fieldNames.sorted.toSeq == Seq("id", "message", "sender"))
   }
 
+  test("compaction collapses a fragmented table and preserves its rows") {
+    val dir = Files.createTempDirectory("graft_compact").resolve("t").toString
+    val df = (0L until 1000L).toDF("id").withColumn("v", $"id" * 2)
+    df.repartition(20).write.parquet(dir)
+    val (before, after) = Io.compact(spark, dir, targetRows = 500)
+    assert(before == 20 && after == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    assert(back.agg(sum($"v")).first().getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("clustered write yields disjoint per-file key ranges (min/max pruning)") {
+    val dir = Files.createTempDirectory("graft_cluster").resolve("t").toString
+    // shuffle the input so clustering has to do real work
+    val df = scala.util.Random.shuffle((0L until 1000L).toList).toDF("id")
+      .withColumn("payload", md5($"id".cast("string")))
+    Io.writeClustered(df, dir, Seq("id"), numFiles = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"id"), max($"id")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // non-overlapping: every file covers its own slice of the key space,
+    // so parquet footer min/max lets a point/range scan skip whole files
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 1000L)
+  }
+
   test("salted join equals plain join; heavy hitters found") {
     // skewed big side: key 1 dominates
     val big = spark.range(0, 10000)
