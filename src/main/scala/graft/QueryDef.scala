@@ -30,7 +30,8 @@ object Registry {
       ops.TextQueries.defs ++
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
-      ops.SamplingQueries.defs
+      ops.SamplingQueries.defs ++
+      ops.FeaturizeQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

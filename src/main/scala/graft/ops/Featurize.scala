@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text featurization (north-star): hashing-trick term frequency and
+  * TF-IDF — the bridge from the `documents` table to the vector ops in
+  * [[Similarity]] (a corpus with no precomputed embeddings still gets
+  * dedup/ANN via these).
+  *
+  * Representation: SPARSE AS ROWS — (id, bucket, weight) — not a dense
+  * array column. At 100 TB the exploded form is the scalable one: it
+  * shuffles only non-zeros, aggregates with plain hash aggregation,
+  * cosine against it is a (bucket)-keyed join + sum of products, and
+  * every step stays in whole-stage codegen (no array lambdas — see
+  * BASELINE.md round-1 notes on interpreted HOFs).
+  *
+  * Bucket hashing is md5-based (first 8 hex chars → int64 → mod), NOT
+  * xxhash/murmur: portable, so the DuckDB oracle replays the identical
+  * assignment (q60).
+  */
+object Featurize {
+
+  /** Portable term→bucket hash in [0, numFeatures). */
+  def termBucket(term: org.apache.spark.sql.Column, numFeatures: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast(LongType), lit(numFeatures.toLong))
+
+  /** Hashing-trick TF: one row per (doc, bucket) with the term count.
+    * Tokenization is whitespace split with empties dropped.
+    */
+  def hashingTf(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 1024): DataFrame =
+    df.select(col(idCol).as("id"), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), termBucket(col("w"), numFeatures).as("bucket"))
+      .groupBy("id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus TF-IDF over the [[hashingTf]] rows: weight = tf · idf with the
+    * standard smoothed idf = ln((N+1)/(df+1)) + 1. The document-frequency
+    * side is one extra aggregation + a broadcast-sized (numFeatures-row)
+    * join — corpus-scale cost is the same single shuffle hashingTf already
+    * pays.
+    */
+  def tfIdf(tf: DataFrame, nDocs: Long): DataFrame = {
+    val df = tf.groupBy("bucket").agg(countDistinct("id").as("df"))
+    tf.join(broadcast(df), Seq("bucket"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) + 1.0) / (col("df").cast(DoubleType) + 1.0)) + 1.0)
+      .select(col("id"), col("bucket"), col("tf"),
+        (col("tf").cast(DoubleType) * col("idf")).as("tfidf"))
+  }
+
+  /** Sparse cosine top-k over (id, bucket, weight) rows: bucket-keyed join
+    * of query rows against corpus rows, sum of products, normalize by the
+    * precomputed L2 norms. Only co-occurring buckets join — the sparse
+    * analog of [[Similarity.bruteForceTopK]], linear in shared non-zeros.
+    */
+  def sparseCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def norms(v: DataFrame) = v.groupBy("id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val c = corpus.select(col("id").as("c_id"), col("bucket"), col("w").as("c_w"))
+    val q = queries.select(col("id").as("q_id"), col("bucket"), col("w").as("q_w"))
+    val dots = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("q_w") * col("c_w")).as("dot"))
+    val scored = dots
+      .join(norms(queries).select(col("id").as("q_id"), col("nrm").as("q_n")), Seq("q_id"))
+      .join(norms(corpus).select(col("id").as("c_id"), col("nrm").as("c_n")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("dot") / (col("q_n") * col("c_n"))).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
+      .filter(col("rnk") <= k)
+  }
+}

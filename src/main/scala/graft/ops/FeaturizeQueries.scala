@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.relational.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-parity query for the featurization family ([[Featurize]]):
+  * hashing-trick TF and a TF-IDF digest, replayed exactly in DuckDB via
+  * the md5 bucket hash. The idf digest uses RATIONAL math — floor(10⁶·N/df)
+  * — instead of ln(): a single integer-derived division + floor is
+  * engine-exact, while libm `log` is not guaranteed correctly rounded
+  * across implementations (the production [[Featurize.tfIdf]] keeps the
+  * standard smoothed-ln weighting; this digest pins everything AROUND the
+  * ln — tokenization, bucketing, tf, df, N — which is where engine drift
+  * actually lives).
+  */
+object FeaturizeQueries {
+
+  val q60_hashing_tfidf: QueryDef = QueryDef(
+    "q60_hashing_tfidf",
+    (s, d) => {
+      val nFeat = 1024
+      val tf = Featurize.hashingTf(Tables.documents(s, d), "doc_id", "text", nFeat)
+      val dfreq = tf.groupBy("bucket").agg(countDistinct("id").as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val perDoc = tf
+        .withColumn("mx", max("tf").over(Window.partitionBy("id")))
+        .groupBy("id")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum("tf").cast(LongType).as("tf_sum"),
+          min(when(col("tf") === col("mx"), col("bucket"))).as("top_bucket"))
+      val digest = tf.join(broadcast(dfreq), Seq("bucket"))
+        .crossJoin(broadcast(nDocs))
+        .groupBy("id")
+        .agg(sum(col("tf") *
+          floor(col("n_docs").cast(DoubleType) * 1000000.0 / col("df")))
+          .cast(LongType).as("tfidf_digest"))
+      perDoc.join(digest, Seq("id"))
+        .select(col("id").as("doc_id"), col("n_buckets"), col("tf_sum"),
+          col("top_bucket"), col("tfidf_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket,
+      |    COUNT(*) AS tf
+      |  FROM tok GROUP BY doc_id, bucket),
+      |dfreq AS (SELECT bucket, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY bucket),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |mx AS (
+      |  SELECT doc_id, bucket, tf, MAX(tf) OVER (PARTITION BY doc_id) AS m
+      |  FROM tf),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(tf) AS BIGINT) AS tf_sum,
+      |    MIN(CASE WHEN tf = m THEN bucket END) AS top_bucket
+      |  FROM mx GROUP BY doc_id),
+      |dig AS (
+      |  SELECT t.doc_id,
+      |    CAST(SUM(t.tf * FLOOR(CAST(n.n_docs AS DOUBLE) * 1000000.0 / f.df)) AS BIGINT)
+      |      AS tfidf_digest
+      |  FROM tf t JOIN dfreq f ON t.bucket = f.bucket CROSS JOIN n
+      |  GROUP BY t.doc_id)
+      |SELECT p.doc_id, p.n_buckets, p.tf_sum, p.top_bucket, g.tfidf_digest
+      |FROM per_doc p JOIN dig g ON p.doc_id = g.doc_id
+      |ORDER BY p.doc_id""".stripMargin),
+    "Hashing-trick TF + rational TF-IDF digest (sparse-as-rows featurizer, " +
+      "md5 buckets replayed in DuckDB)")
+
+  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf)
+}

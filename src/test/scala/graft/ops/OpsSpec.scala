@@ -404,6 +404,30 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("featurizer: hashing TF, tf-idf weighting, sparse cosine finds the dup") {
+    val corpus = Seq(
+      (0L, "spark engines shuffle data across partitions for joins"),
+      (1L, "spark engines shuffle data across partitions for joins"), // dup of 0
+      (2L, "completely unrelated cooking recipe with butter and flour"),
+      (3L, "partitions and joins appear here too but differently arranged words")
+    ).toDF("doc_id", "text")
+    val tf = Featurize.hashingTf(corpus, "doc_id", "text", numFeatures = 256)
+    // tf rows are per (doc, bucket) with positive counts
+    assert(tf.filter($"tf" <= 0).count() == 0)
+    val weighted = Featurize.tfIdf(tf, nDocs = 4)
+      .select($"id", $"bucket", $"tfidf".as("w"))
+    // idf downweights corpus-wide buckets; every weight stays positive here
+    assert(weighted.filter($"w" <= 0).count() == 0)
+    val top = Featurize.sparseCosineTopK(weighted, weighted, k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("cosine"))).toMap
+    // exact duplicates find each other with cosine 1 (identical sparse vecs)
+    assert(top(0L)._1 == 1L && math.abs(top(0L)._2 - 1.0) < 1e-12)
+    assert(top(1L)._1 == 0L)
+    // the recipe doc must not rank a spark doc at cosine ~1
+    assert(top(2L)._2 < 0.5)
+  }
+
   test("multimodal: media table schema, stub decode, frame sampling, resize") {
     implicit val s = spark
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
