@@ -118,6 +118,28 @@ object ChatStore {
   def listUsers(spark: SparkSession, tableDir: String, n: Int = 100): DataFrame =
     readTable(spark, tableDir).select("user_id", "name", "email").limit(n)
 
+  /** S4 (table form): drop a table and every artifact either commit
+    * protocol may have left — the data dir, rename-swap leftovers
+    * (.staging/.old), the version pointer, and all version dirs. Without
+    * this, deleting just the data dir of a versioned table would leave a
+    * live pointer resurrecting stale versions on the next access.
+    */
+  def dropTable(spark: SparkSession, tableDir: String): Unit = {
+    val f = fs(spark, tableDir)
+    val parent = hPath(tableDir).getParent
+    val name = hPath(tableDir).getName
+    if (f.exists(parent)) {
+      f.listStatus(parent).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val isVersion = n.startsWith(name + ".v") &&
+          n.drop(name.length + 2).forall(_.isDigit)
+        if (n == name || isVersion ||
+          n == name + ".current" || n == name + ".staging" || n == name + ".old")
+          f.delete(p, true)
+      }
+    }
+  }
+
   /** All path handling goes through the Hadoop FileSystem API — a 100 TB
     * table lives on HDFS/S3/GCS, where `java.io.File`/`java.nio` paths
     * simply do not resolve. `FileSystem.get(uri, conf)` picks the scheme's

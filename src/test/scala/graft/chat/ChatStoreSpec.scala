@@ -152,6 +152,16 @@ class ChatStoreSpec extends SparkSpec {
       ChatStore.deleteUser(spark, dir, id2)
       assert(!fs.exists(p(dir + ".v1")) && fs.exists(p(dir + ".v2")) && fs.exists(p(dir + ".v3")))
       assert(ChatStore.listUsers(spark, dir).count() == 2)
+
+      // drop removes the pointer and every version — nothing left to
+      // resurrect stale data from
+      ChatStore.dropTable(spark, dir)
+      for (suffix <- Seq("", ".current", ".v1", ".v2", ".v3", ".staging", ".old"))
+        assert(!fs.exists(p(dir + suffix)), s"leftover: $suffix")
+      // a fresh table under the same path starts clean
+      assert(ChatStore.registerUsers(spark,
+        Seq(("New", "new@x.io")).toDF("name", "email"), dir) == 1)
+      assert(ChatStore.listUsers(spark, dir).count() == 1)
     } finally ChatStore.forceVersionedProtocol = false
   }
 }
