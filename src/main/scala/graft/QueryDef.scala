@@ -31,7 +31,8 @@ object Registry {
       ops.DedupQueries.defs ++
       ops.SimilarityQueries.defs ++
       ops.SamplingQueries.defs ++
-      ops.FeaturizeQueries.defs
+      ops.FeaturizeQueries.defs ++
+      ops.CurationQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

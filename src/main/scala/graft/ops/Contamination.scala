@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Train/eval contamination detection (north-star): flag evaluation
+  * documents whose word n-grams collide with the training corpus — the
+  * standard decontamination check run before any benchmark number is
+  * trusted (13-gram overlap is the published GPT-3-era convention).
+  *
+  * Scale shape: n-grams are a posexplode + (n−1) lead()s over one
+  * per-doc window — a single narrow pass, no cross-doc shuffle until the
+  * gram join itself. The join is eval-grams against DISTINCT train-grams:
+  * the train side collapses before the shuffle (distinct grams ≪ gram
+  * instances on a deduped corpus), and only colliding grams flow to the
+  * final per-doc aggregation. At 100 TB the distinct-train-gram table is
+  * the persistable artifact (like the LSH bucket index), rebuilt only
+  * when the training corpus changes.
+  */
+object Contamination {
+
+  /** (id, gram) word n-grams; grams shorter than `n` never emit (the
+    * concat null-propagates through missing leads).
+    */
+  private[ops] def wordGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "n-gram size must be at least 2")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+    val win = Window.partitionBy("id").orderBy("i")
+    val parts = col("w") +: (1 until n).flatMap(k =>
+      Seq(lit(" "), lead("w", k).over(win)))
+    tok.select(col("id"), concat(parts: _*).as("gram"))
+      .filter(col("gram").isNotNull)
+  }
+
+  /** Per-eval-doc contamination report: total grams, colliding grams, and
+    * the collision fraction as floor(10⁶·hit/total) ("ppm"). Every eval
+    * doc keeps a row — zero-gram docs (shorter than n words) report 0/0/0
+    * rather than disappearing.
+    */
+  def ngramOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    val trainGrams = wordGrams(train, idCol, textCol, n)
+      .select("gram").distinct()
+    val evalGrams = wordGrams(eval, idCol, textCol, n)
+    val hits = evalGrams
+      .join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val totals = evalGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    eval.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        floor(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) * 1000000.0 /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)))
+          .cast(LongType).as("hit_ppm"))
+  }
+}

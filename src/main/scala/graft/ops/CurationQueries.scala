@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.relational.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation queries: benchmark decontamination ([[Contamination]])
+  * and deterministic mixture reweighting ([[Sampling.stratifiedSample]]).
+  */
+object CurationQueries {
+
+  /** The 12 chained `lead`s of the 13-gram window, as DuckDB SQL. */
+  private val GramExpr =
+    "w" + (1 to 12).map(k => s" || ' ' || lead(w, $k) OVER win").mkString
+
+  /** Train/eval 13-gram contamination (GPT-3-era decontamination
+    * convention): train = doc_id % 5 ≠ 0, eval = % 5 = 0 (the q58 split).
+    * Eval grams are probed against the DISTINCT train-gram set; every
+    * eval doc reports (n_grams, n_hit, hit_ppm), zeros included.
+    */
+  val q61_contamination: QueryDef = QueryDef(
+    "q61_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlap(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, $GramExpr AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |eg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL AND doc_id % 5 = 0),
+      |tg AS (SELECT DISTINCT gram FROM g WHERE gram IS NOT NULL AND doc_id % 5 <> 0),
+      |hit AS (
+      |  SELECT eg.doc_id, COUNT(*) AS n_hit
+      |  FROM eg JOIN tg ON eg.gram = tg.gram GROUP BY eg.doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(FLOOR(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) * 1000000.0
+      |    / GREATEST(COALESCE(t.n_grams, 0), 1)) AS BIGINT) AS hit_ppm
+      |FROM documents d
+      |LEFT JOIN tot t ON d.doc_id = t.doc_id
+      |LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 5 = 0
+      |ORDER BY d.doc_id""".stripMargin),
+    "Benchmark decontamination: eval 13-grams probed against the distinct " +
+      "train-gram set (persistable at scale), per-doc collision report")
+
+  private val MixWeights = Seq(
+    "en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.05)
+
+  /** Deterministic mixture reweighting: per-language keep fractions via
+    * the md5 unit hash, so the sampled corpus is identical across runs,
+    * partitionings, and engines. Oracled by replaying the exact
+    * hash-vs-threshold comparison in DuckDB and comparing the per-stratum
+    * survivor counts AND the survivor id digest (sum of kept doc_ids).
+    */
+  val q62_stratified_mix: QueryDef = QueryDef(
+    "q62_stratified_mix",
+    (s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          MixWeights.toMap)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"),
+          sum("doc_id").cast(LongType).as("id_digest"))
+        .orderBy("lang")
+    },
+    Some {
+      val unitHash =
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+      val caseExpr = "CASE " + MixWeights.map { case (k, f) =>
+        s"WHEN lang = '$k' THEN $f" }.mkString(" ") + " ELSE 1.0 END"
+      s"""WITH kept AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE $unitHash < $caseExpr)
+        |SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_digest
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "Deterministic per-language mixture reweighting (stable stratified " +
+      "sampling), survivor counts + id digest hash-compared")
+
+  def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix)
+}

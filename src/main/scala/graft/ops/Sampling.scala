@@ -42,4 +42,20 @@ object Sampling {
     */
   def stableSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(unitHash(col(keyCol)) < fraction)
+
+  /** Deterministic stratified sampling: a per-stratum keep fraction — the
+    * mixture-reweighting step of corpus construction (downsample
+    * boilerplate-heavy sources, keep all of the rare high-quality ones).
+    * Same stability contract as [[stableSample]]: assignment is a pure
+    * function of (key, stratum weight), so re-runs, repartitioning, and
+    * engine swaps keep the identical rows. Strata absent from `weights`
+    * keep `defaultFrac`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], defaultFrac: Double = 1.0): DataFrame = {
+    val frac = weights.foldLeft(lit(defaultFrac)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(unitHash(col(keyCol)) < frac)
+  }
 }

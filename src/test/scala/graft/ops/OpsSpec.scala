@@ -428,6 +428,40 @@ class OpsSpec extends SparkSpec {
     assert(top(2L)._2 < 0.5)
   }
 
+  test("contamination: eval docs sharing 13-grams with train are flagged") {
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val train = Seq(
+      (1L, s"$base and some training tail content here"),
+      (2L, "totally separate training text with no overlap whatsoever in it at all okay")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"prefix words then $base closing words"), // contains the train 13-gram
+      (11L, "clean evaluation document nothing shared with the training corpus in any way shape or form"),
+      (12L, "short doc") // < 13 words: zero grams, must still report
+    ).toDF("doc_id", "text")
+    val got = Contamination.ngramOverlap(train, eval, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L)._2 >= 1L, s"expected a hit: $got")
+    assert(got(11L)._2 == 0L && got(11L)._1 > 0L)
+    assert(got(12L) == ((0L, 0L)))
+  }
+
+  test("stratified sampling keeps per-stratum fractions deterministically") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep" else "thin"))
+      .toDF("doc_id", "lang")
+    val sampled = Sampling.stratifiedSample(rows, "doc_id", "lang",
+      Map("keep" -> 1.0, "thin" -> 0.1))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("keep") == 1000L) // fraction 1.0 keeps everything
+    assert(byLang("thin") > 50L && byLang("thin") < 200L) // ~10% of 1000
+    // deterministic: same rows survive under a different partitioning
+    val again = Sampling.stratifiedSample(rows.repartition(13), "doc_id", "lang",
+      Map("keep" -> 1.0, "thin" -> 0.1))
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("multimodal: media table schema, stub decode, frame sampling, resize") {
     implicit val s = spark
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
