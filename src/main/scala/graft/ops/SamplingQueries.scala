@@ -54,7 +54,11 @@ object SamplingQueries {
       val binStats = bins.agg(
         count(lit(1)).as("n_bins"),
         min("within_cap").as("cap_ok"),
-        sum("bin_tokens").as("total_tokens"))
+        sum("bin_tokens").as("total_tokens"),
+        max("bin_tokens").as("max_bin"))
+      // volume lower bound divides by max(cap, heaviest bin): an oversize
+      // single-doc bin legally exceeds cap, so plain total/cap would
+      // over-demand bins on corpora containing docs longer than the cap
       packed.agg(
           count(lit(1)).as("n_rows"),
           countDistinct("doc_id").as("n_docs"))
@@ -65,7 +69,8 @@ object SamplingQueries {
           when(col("n_rows") === col("n_docs"), 1L).otherwise(0L).as("assigned_once_ok"),
           col("cap_ok").cast(LongType).as("capacity_ok"),
           when(col("n_bins") <= col("n_docs") &&
-            col("n_bins") >= ceil(col("total_tokens").cast(DoubleType) / cap),
+            col("n_bins") >= ceil(col("total_tokens").cast(DoubleType) /
+              greatest(lit(cap), col("max_bin"))),
             1L).otherwise(0L).as("bin_count_ok"))
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
