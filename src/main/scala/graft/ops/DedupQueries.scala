@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  /** word 3-gram shingles, distinct per doc. Positions come from posexplode
-    * (stable within the split array), shingles via lead() over doc order.
-    * Empty tokens are kept — both engines split identically, so parity
-    * beats cosmetic cleanliness.
+  /** word 3-gram shingles WITH duplicates — one row per position. The
+    * cheap form: the posexplode + lead window is the only shuffle.
+    * Consumers that need per-doc set semantics (Jaccard) use [[shingles]];
+    * duplicate-insensitive consumers (minhash banding: `min(md5(...))`
+    * cannot change under duplicates) take this and skip the distinct's
+    * full extra shuffle of the largest frame in the dedup family.
     */
-  private[ops] def shingles(docs: DataFrame): DataFrame = {
+  private[ops] def shinglesRaw(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), col("lang"),
       posexplode(split(col("text"), " ")).as(Seq("i", "w")))
     val w = Window.partitionBy("doc_id").orderBy("i")
@@ -33,8 +35,15 @@ object DedupQueries {
         concat(col("w"), lit(" "), lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)))
       .filter(col("sh").isNotNull)
       .select("doc_id", "lang", "sh")
-      .distinct()
   }
+
+  /** word 3-gram shingles, distinct per doc. Positions come from posexplode
+    * (stable within the split array), shingles via lead() over doc order.
+    * Empty tokens are kept — both engines split identically, so parity
+    * beats cosmetic cleanliness.
+    */
+  private[ops] def shingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).distinct()
 
   /** DuckDB mirror of [[shingles]] as a CTE prefix. */
   private val shinglesSql =
@@ -144,7 +153,9 @@ object DedupQueries {
         |FROM sigs
         |ORDER BY doc_id""".stripMargin,
     "MinHash signatures + LSH band buckets (shingle→minhash→band)") { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
+    // raw shingles: min() is duplicate-insensitive, so the distinct's
+    // extra shuffle would buy nothing (oracle keeps DISTINCT — same mins)
+    val sh = shinglesRaw(Tables.documents(s, d))
     val sigCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
     sh.groupBy("doc_id")
@@ -197,7 +208,8 @@ object DedupQueries {
     * before the shuffle at an 8th of the shuffle volume.
     */
   private def bandedBuckets(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+    // raw shingles: duplicate-insensitive min, no distinct shuffle
+    val sh = shinglesRaw(Tables.documents(s, d))
     val sigCols = (0 until 8).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
     sh.groupBy("doc_id")
