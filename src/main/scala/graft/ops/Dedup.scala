@@ -40,18 +40,25 @@ object Dedup {
   }
 
   /** k minhash values per row: sig[k] = min over shingles of
-    * xxhash64(k, shingle). Pure per-row expression — no shuffle.
+    * xxhash64(k, shingle). Pure per-row expression — no shuffle — but the
+    * array lambdas are INTERPRETED (Catalyst HOFs do not codegen), so this
+    * form is for per-row signature columns and small streaming
+    * micro-batches; bulk banding goes through [[bandedBuckets]], the
+    * exploded codegen'd pipeline (~20× faster at corpus scale; measured —
+    * see BASELINE.md round-1 notes and the round-3 rewrite).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingles, s => xxhash64(k, s))))
 
-  /** (id, band, bucket) LSH assignment: one row per (row, band). Pure
-    * per-row expressions (signature + posexplode, no aggregation), so it
-    * is also legal on a STREAMING frame — see
-    * `graft.streaming.CorpusStream.flagNearDups`.
+  /** Stream-legal (id, band, bucket) LSH assignment: one row per
+    * (row, band), pure per-row expressions (no window, no aggregation) —
+    * the ONLY form Structured Streaming accepts mid-stream; see
+    * `graft.streaming.CorpusStream.flagNearDups`. Interpreted HOFs inside:
+    * fine for micro-batches, wrong for bulk corpora — use
+    * [[bandedBuckets]] there.
     */
-  private[graft] def bandedBuckets(
+  private[graft] def bandedBucketsPerRow(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -62,6 +69,60 @@ object Dedup {
     sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+  }
+
+  /** (id, band, bucket) LSH assignment for BATCH corpora: the exploded
+    * codegen'd pipeline — posexplode tokens, lead-window shingles, one
+    * wide aggregation with `numHashes` partial min(xxhash64)s, bucket per
+    * band from its signature slice, stack-unpivot to rows. Equivalent
+    * bucketing to [[bandedBucketsPerRow]] (identical per-k minima over the
+    * identical shingle set; bucket VALUES differ — they hash the slice
+    * differently — but collision structure, which is all LSH uses, is the
+    * same). Measured ~20× faster than the per-row HOF form at sf0.1
+    * because every step stays in whole-stage codegen; the token shuffle it
+    * adds is linear and map-side-combined.
+    */
+  /** Exploded (id, sh) shingle rows WITH positional duplicates — the
+    * codegen'd shingle pipeline every bulk operator builds on: posexplode
+    * tokens, one lead-window pass for the n-gram, short docs contributing
+    * their whole text as the single shingle ([[shingleArray]] parity).
+    * Duplicate-sensitive consumers (Jaccard) must dedup downstream
+    * (`collect_set` / `.distinct()`); min-hashing consumers must not.
+    */
+  private[graft] def shingleRows(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val nToks = size(split(col("_t"), "\\s+"))
+    val tok = base.filter(nToks >= shingleSize)
+      .select(col("id"), posexplode(split(col("_t"), "\\s+")).as(Seq("i", "w")))
+    val win = Window.partitionBy("id").orderBy("i")
+    val parts = col("w") +: (1 until shingleSize).flatMap(k =>
+      Seq(lit(" "), lead("w", k).over(win)))
+    val shLong = tok.select(col("id"), concat(parts: _*).as("sh"))
+      .filter(col("sh").isNotNull)
+    val shShort = base.filter(nToks < shingleSize)
+      .select(col("id"), concat_ws(" ", split(col("_t"), "\\s+")).as("sh"))
+    shLong.union(shShort)
+  }
+
+  private[graft] def bandedBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
+    // duplicates left in: min() is duplicate-insensitive, distinct would
+    // be a wasted shuffle of the biggest frame
+    val sigCols = (0 until numHashes).map(k =>
+      min(xxhash64(lit(k), col("sh"))).as(s"s$k"))
+    val sig = sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bucketCols = (0 until bands).map(b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"s$i")): _*).as(s"b$b"))
+    val stackExpr = s"stack($bands, " +
+      (0 until bands).map(b => s"$b, b$b").mkString(", ") + ") AS (band, bucket)"
+    sig.select(col("id") +: bucketCols: _*)
+      .select(col("id"), expr(stackExpr))
   }
 
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
@@ -146,12 +207,21 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate pairs (the precision stage
     * after LSH recall): joins shingle sets back and computes
-    * |A∩B| / |A∪B| with array ops — no token explosion.
+    * |A∩B| / |A∪B| with array ops. Shingle sets are built by the codegen'd
+    * exploded pipeline + `collect_set` (which dedups), and ONLY for docs
+    * that actually appear in a candidate pair (semi-join first) — at scale
+    * the candidate id set is far smaller than the corpus, so set
+    * construction cost follows the candidates, not the corpus.
     */
   def jaccardVerify(
       df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), shingleSize).as("sh"))
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val needed = df.join(candIds, df(idCol) === candIds("id"), "left_semi")
+    val sh = shingleRows(needed, idCol, textCol, shingleSize)
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -180,9 +250,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 3, maxDocFreq: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df
-      .select(col(idCol).as("id"), shingleArray(col(textCol), shingleSize).as("shs"))
-      .select(col("id"), explode(col("shs")).as("sh"))
+    // codegen'd shingle rows, deduped to set semantics (Jaccard needs sets)
+    val sh = shingleRows(df, idCol, textCol, shingleSize).distinct()
     // one shuffle on sh; the self-join below reuses the same key
     val capped = sh
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))

@@ -28,21 +28,28 @@ import org.apache.spark.sql.functions._
 object CorpusStream {
 
   /** Corpus-side bucket table for [[flagNearDups]] — compute once on the
-    * static corpus, persist, re-read. (band, bucket) rows only.
+    * static corpus, persist, re-read. (band, bucket) rows only. Built with
+    * the per-row bucket form so its values match what the stream side
+    * computes (the batch pipeline hashes band slices differently); the
+    * corpus pass is one-off and offline, where the per-row form's
+    * interpreted-HOF cost is paid once, not per ingest.
     */
   def corpusBuckets(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
-    Dedup.bandedBuckets(corpus, idCol, textCol, numHashes, bands, shingleSize)
+    Dedup.bandedBucketsPerRow(corpus, idCol, textCol, numHashes, bands, shingleSize)
       .select("band", "bucket")
 
   /** Streaming probe: emits (`id`, `n_hits`) for newly ingested docs whose
     * band buckets collide with the corpus (update mode; non-colliding docs
-    * emit nothing).
+    * emit nothing). The stream side MUST use the per-row bucket form —
+    * windows and pre-aggregations are illegal mid-stream — so the static
+    * index must be built with the same form (see [[corpusBuckets]]):
+    * bucket values differ between the per-row and batch pipelines.
     */
   def flagNearDups(newDocs: DataFrame, corpusBuckets: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
-    Dedup.bandedBuckets(newDocs, idCol, textCol, numHashes, bands, shingleSize)
+    Dedup.bandedBucketsPerRow(newDocs, idCol, textCol, numHashes, bands, shingleSize)
       .join(corpusBuckets, Seq("band", "bucket"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
