@@ -394,4 +394,26 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Bulk SimHash over a corpus: identical fingerprints to [[simhash64]]
+    * (same distinct-token hashing, same vote>0 bit rule — spec-asserted
+    * equal), but computed as an exploded codegen pipeline: one token
+    * explode, 64 conditional-sum partials in a single wide hash
+    * aggregation, bits recombined with literal shifts. The per-row
+    * [[simhash64]] expression walks interpreted array lambdas (64 × tokens
+    * per row) — fine for a few rows, wrong for a corpus; this is the form
+    * bulk pipelines should call.
+    */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), "\\s+"))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1L") === 1L, 1).otherwise(-1)).as(s"v$j"))
+    val agg = h.groupBy("id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+    agg.select(col("id"), bits.reduce(_ + _).as("simhash"))
+  }
 }

@@ -45,10 +45,26 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: min xxhash64 over sliding char
-    * n-grams (winnowing-style), as a pure array expression.
+    * n-grams (winnowing-style), as a pure array expression. The array
+    * lambda is INTERPRETED — fine inline over a few rows; bulk corpora
+    * should use [[fingerprintFrame]] (same values, codegen'd).
     */
   def fingerprint(text: Column, n: Int = 8): Column =
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       j => xxhash64(text.substr(j, lit(n)))))
+
+  /** Bulk form of [[fingerprint]]: explode the sliding positions, hash,
+    * min-aggregate per doc — every step whole-stage-codegen'd, map-side
+    * combined, and identical values to the column form (spec-asserted).
+    */
+  def fingerprintFrame(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    df.select(col(idCol).as("id"),
+        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("j"),
+        col(textCol).as("_t"))
+      .select(col("id"), xxhash64(col("_t").substr(col("j"), lit(n))).as("h"))
+      .groupBy("id")
+      .agg(min("h").as("fingerprint"))
+  }
 }

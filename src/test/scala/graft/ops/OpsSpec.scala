@@ -310,6 +310,25 @@ class OpsSpec extends SparkSpec {
     assert(toks == Seq("it", "'s", " 42", " degrees", "...", " really", "?!"))
   }
 
+  test("bulk codegen forms equal their per-row expression twins") {
+    // the per-row HOF forms are the reference semantics; the exploded
+    // frame forms are the corpus-scale implementations — they must agree
+    val sample = docs.union(Seq((100L, "x"), (101L, "")).toDF("doc_id", "text"))
+    val perRowSim = sample.select($"doc_id",
+      Dedup.simhash64("text").as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bulkSim = Dedup.simhashFrame(sample, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRowSim == bulkSim)
+
+    val perRowFp = sample.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fingerprint")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bulkFp = TextAnalysis.fingerprintFrame(sample, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRowFp == bulkFp)
+  }
+
   test("multimodal: real ImageIO decode reports true dimensions and bands") {
     implicit val s = spark
     def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
