@@ -77,7 +77,12 @@ class StreamingSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
       (2L, "completely different corpus content about distributed query engines")
     ).toDF("doc_id", "text")
-    val index = CorpusStream.corpusBuckets(corpus, "doc_id", "text")
+    // the restart story: the index is computed once, PERSISTED, and each
+    // (re)started stream reads it back rather than recomputing the corpus
+    val indexDir = Files.createTempDirectory("graft_lsh_index").resolve("idx").toString
+    CorpusStream.corpusBuckets(corpus, "doc_id", "text")
+      .write.parquet(indexDir)
+    val index = spark.read.parquet(indexDir)
 
     val ms = MemoryStream[(Long, String)]
     val newDocs = ms.toDS().toDF("doc_id", "text")
