@@ -292,11 +292,15 @@ object ChatStore {
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, next))
       writePointer(f, tableDir, next)
       // GC: the pre-versioned append dir (its content now lives in v<next>)
-      // and all versions older than the grace copy v<next-1>
+      // and versions older than the grace copy v<next-1> — walking DOWN
+      // from next-2 until the first miss, so a long-lived table pays O(1)
+      // exists() probes per rewrite (prior GCs already removed the tail;
+      // the walk only extends past one step after a crash left extras)
       if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
-      (1L until next - 1).foreach { v =>
-        val d = hPath(versionDir(tableDir, v))
-        if (f.exists(d)) f.delete(d, true)
+      var v = next - 2
+      while (v >= 1 && f.exists(hPath(versionDir(tableDir, v)))) {
+        f.delete(hPath(versionDir(tableDir, v)), true)
+        v -= 1
       }
     } else {
       recover(spark, tableDir)

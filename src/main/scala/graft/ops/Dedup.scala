@@ -130,15 +130,17 @@ object Dedup {
   /** LSH candidate pairs: ids sharing any band bucket. bands × rowsPerBand
     * must equal numHashes. Returns (id_a, id_b) with id_a < id_b.
     *
-    * `maxBucketSize` is the skew guard: a bucket holding f rows emits f²
-    * pairs, and a dedup corpus at scale is FULL of large near-identical
-    * clusters — one 10⁵-doc boilerplate cluster would be 10¹⁰ pairs per
-    * band. Buckets above the cap are dropped from PAIR OUTPUT (their
-    * membership is overwhelming evidence of duplication, not a reason to
-    * enumerate the clique); use [[minhashStarEdges]] +
-    * [[connectedComponents]] when you need those clusters resolved — the
-    * star form carries the identical connectivity in O(f) edges. The drop
-    * volume is observable via the `graft.lsh.bucket_cap.*` metric
+    * `maxBucketSize` is the skew guard: a bucket holding f rows would emit
+    * f² clique pairs, and a dedup corpus at scale is FULL of large
+    * near-identical clusters — one 10⁵-doc boilerplate cluster would be
+    * 10¹⁰ pairs per band. Buckets at or under the cap emit their full
+    * clique; buckets ABOVE the cap degrade to STAR pairs (each member
+    * paired with the bucket's minimum id) — O(f) pairs that still flag
+    * every member as a duplicate of the cluster representative, so no
+    * document is silently lost, while the pair space stays linear in the
+    * worst case. Downstream [[jaccardVerify]] and [[canonicalize]] consume
+    * star pairs exactly as well as clique pairs. The degraded-row volume
+    * is observable via the `graft.lsh.bucket_cap.*` metric
     * (`rows_over_cap`) on the query's ObservationListener.
     */
   def minhashCandidates(
@@ -146,18 +148,22 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bw = Window.partitionBy("band", "bucket")
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
-      .withColumn("_bs", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .withColumn("_bs", count(lit(1)).over(bw))
+      .withColumn("_root", min(col("id")).over(bw))
       .observe(s"graft.lsh.bucket_cap.${obsId.incrementAndGet()}",
         sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)).as("rows_over_cap"))
-      .filter(col("_bs") <= maxBucketSize)
-      .drop("_bs")
-    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
-    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-        col("id_a") < col("id_b"))
+    val small = banded.filter(col("_bs") <= maxBucketSize)
+    val a = small.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = small.select(col("id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+    val clique = a.join(b,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val star = banded.filter(col("_bs") > maxBucketSize && col("id") =!= col("_root"))
+      .select(col("_root").as("id_a"), col("id").as("id_b"))
+    clique.union(star).distinct()
   }
 
   /** Star-form LSH edges for component resolution: every row in a bucket
@@ -317,7 +323,18 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    // reliable checkpoint files are reclaimed by the ContextCleaner ONLY
+    // under this flag (default false) — without it every invocation leaks
+    // the edge frame plus one labels frame per round to the checkpoint dir
+    if (reliable && !sc.getConf.getBoolean(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "connectedComponents is using reliable checkpoints but " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints is false: " +
+          "iterate checkpoint files will accumulate in " +
+          sc.getCheckpointDir.get + " until cleaned externally")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // no distinct: duplicate edges cannot change a min-aggregate, and the
@@ -414,6 +431,13 @@ object Dedup {
     val agg = h.groupBy("id").agg(votes.head, votes.tail: _*)
     val bits = (0 until 64).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-    agg.select(col("id"), bits.reduce(_ + _).as("simhash"))
+    // left join back to the input ids: explode() emits nothing for NULL
+    // text, but a doc must never VANISH from the bulk output. The fill is
+    // 0L because that is what the per-row twin computes for null text (its
+    // CASE treats the all-null vote array as "no bit set") — twin parity
+    // over every input is spec-asserted.
+    df.select(col(idCol).as("id"))
+      .join(agg.select(col("id"), bits.reduce(_ + _).as("simhash")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 }

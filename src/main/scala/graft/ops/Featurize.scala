@@ -56,13 +56,17 @@ object Featurize {
     * of query rows against corpus rows, sum of products, normalize by the
     * precomputed L2 norms. Only co-occurring buckets join — the sparse
     * analog of [[Similarity.bruteForceTopK]], linear in shared non-zeros.
+    * `weightCol` names the weight column, so the family composes directly:
+    * `sparseCosineTopK(tfIdf(tf, n), tfIdf(tf, n), k, weightCol = "tfidf")`
+    * or `weightCol = "tf"` over raw [[hashingTf]] output.
     */
-  def sparseCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def sparseCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      weightCol: String = "w"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def norms(v: DataFrame) = v.groupBy("id")
-      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val c = corpus.select(col("id").as("c_id"), col("bucket"), col("w").as("c_w"))
-    val q = queries.select(col("id").as("q_id"), col("bucket"), col("w").as("q_w"))
+      .agg(sqrt(sum(col(weightCol) * col(weightCol))).as("nrm"))
+    val c = corpus.select(col("id").as("c_id"), col("bucket"), col(weightCol).as("c_w"))
+    val q = queries.select(col("id").as("q_id"), col("bucket"), col(weightCol).as("q_w"))
     val dots = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .groupBy("q_id", "c_id")

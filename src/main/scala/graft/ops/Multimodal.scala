@@ -78,9 +78,13 @@ object Multimodal {
         rows.map { case (id, kind, bytes) =>
           val b = if (bytes == null) Array.emptyByteArray else bytes
           if (kind == "image") {
+            // NonFatal, not just IOException: the JDK image readers throw
+            // runtime exceptions (AIOOBE, NegativeArraySize, IAE) on
+            // malformed payloads, and at corpus scale malformed payloads
+            // are a certainty — one bad row must not fail the batch
             val img =
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) DecodedMedia(id, kind, 0, 0, 0, checksumOf(b))
             else DecodedMedia(id, kind, img.getWidth, img.getHeight,
               img.getRaster.getNumBands, checksumOf(b))

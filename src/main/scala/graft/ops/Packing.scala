@@ -23,20 +23,27 @@ object Packing {
   /** Greedy next-fit packing of (`idCol`, `tokenCol`) rows into bins of at
     * most `maxTokens` tokens. Documents longer than `maxTokens` get a
     * single-doc bin of their own (they must be chunked upstream — see
-    * `Multimodal.frameSample` for the chunking shape). Deterministic: rows
-    * are range-partitioned and sorted by `idCol`, so the same input always
-    * packs identically regardless of source partitioning.
+    * `Multimodal.frameSample` for the chunking shape).
+    *
+    * Deterministic for a fixed `numPartitions`: rows are HASH-partitioned
+    * by `idCol` (a pure function of the key — range partitioning would
+    * sample, and sampled boundaries shift with the source layout) and
+    * sorted within partitions, so the same input packs identically
+    * regardless of how it arrives. `numPartitions = 0` uses the session's
+    * `spark.sql.shuffle.partitions`; pin it explicitly when bin
+    * assignments must be stable across differently-configured sessions.
     *
     * Output: (`idCol`, `tokenCol`, `bin_id`).
     */
   def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
-      maxTokens: Long): DataFrame = {
+      maxTokens: Long, numPartitions: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))
+    val typed = df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))
       .as[(Long, Long)]
-      .repartitionByRange(col(idCol))
+    (if (numPartitions > 0) typed.repartition(numPartitions, col(idCol))
+     else typed.repartition(col(idCol)))
       .sortWithinPartitions(idCol)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong

@@ -60,11 +60,14 @@ object TextAnalysis {
     */
   def fingerprintFrame(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
-    df.select(col(idCol).as("id"),
+    val agg = df.select(col(idCol).as("id"),
         explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1)))).as("j"),
         col(textCol).as("_t"))
       .select(col("id"), xxhash64(col("_t").substr(col("j"), lit(n))).as("h"))
       .groupBy("id")
       .agg(min("h").as("fingerprint"))
+    // NULL text explodes to nothing; the per-row twin yields null — keep
+    // the doc with a null fingerprint rather than dropping it
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
   }
 }

@@ -62,28 +62,55 @@ object Io {
     * readable: streaming sinks and point-mutation rewrites accrete many
     * small files, and every one costs a scan task plus a metadata round
     * trip (catastrophic on object stores). Rewrites the table at
-    * `targetRows` rows per file via an exact range repartition and swaps it
-    * in via a staging dir. Row-count-based sizing (not bytes) keeps the
-    * operation deterministic and cheap to plan — callers translate a byte
-    * target via avg row width. Returns (files_before, files_after).
+    * `targetRows` rows per file via an exact repartition, then swaps it in
+    * with the rename protocol: table→.old, .compacting→table, drop .old —
+    * the live table is never deleted before its replacement is in place,
+    * and [[recoverCompact]] (run automatically at the next compact) rolls
+    * an interrupted swap forward or back. Like every rename-swap, this is
+    * sound where single-directory rename is atomic (local/HDFS); tables on
+    * object stores should live behind `graft.chat.ChatStore`'s
+    * version-pointer protocol instead. Row-count-based sizing (not bytes)
+    * keeps the operation deterministic and cheap to plan — callers
+    * translate a byte target via avg row width. Returns
+    * (files_before, files_after).
     */
   def compact(spark: SparkSession, path: String, targetRows: Long): (Int, Int) = {
-    def parquetFiles(p: String): Int = {
-      val fs = new org.apache.hadoop.fs.Path(p)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .count(s => s.getPath.getName.endsWith(".parquet"))
-    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def parquetFiles(dir: String): Int =
+      fs.listStatus(p(dir)).count(_.getPath.getName.endsWith(".parquet"))
+    recoverCompact(spark, path)
     val before = parquetFiles(path)
     val df = spark.read.parquet(path)
     val n = math.max(1, math.ceil(df.count().toDouble / targetRows).toInt)
-    val staged = path + ".compacting"
-    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(staged)
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path + ".compacting")
+    fs.rename(p(path), p(path + ".old"))
+    fs.rename(p(path + ".compacting"), p(path))
+    fs.delete(p(path + ".old"), true)
+    (before, parquetFiles(path))
+  }
+
+  /** Repairs a table left mid-swap by a crashed [[compact]]: with the
+    * table present, leftovers are an uncommitted attempt (drop them); with
+    * it absent, `.compacting` is complete by construction (the table is
+    * only moved aside after the staged write succeeds) — roll forward, or
+    * roll back to `.old` if only that remains.
+    */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path))
-    (before, parquetFiles(path))
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val (table, stage, old) = (p(path), p(path + ".compacting"), p(path + ".old"))
+    if (fs.exists(table)) {
+      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(stage)) {
+      fs.rename(stage, table)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      fs.rename(old, table)
+    }
   }
 
   /** Clustered (sorted) parquet layout: range-partition on `clusterCols`,

@@ -64,11 +64,16 @@ class OpsSpec extends SparkSpec {
       maxBucketSize = Int.MaxValue).count()
     assert(uncapped >= 19900L, s"expected the quadratic blow-up, got $uncapped")
 
-    // capped: the hot bucket is dropped from pair output; the small pair survives
+    // capped: the hot bucket degrades to STAR pairs — every cluster member
+    // still flagged (as a dup of the bucket min), but O(f) pairs, not f²;
+    // the small genuine pair survives as a clique pair
     val capped = Dedup.minhashCandidates(skewed, "doc_id", "text", maxBucketSize = 64)
     val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedPairs.contains((500L, 501L)))
-    assert(cappedPairs.size < 100, s"cap did not prune the hot bucket: ${cappedPairs.size}")
+    assert(cappedPairs.size <= 202L, s"cap did not linearize the hot bucket: ${cappedPairs.size}")
+    // no document silently lost: every cluster member appears in a pair
+    val flagged = cappedPairs.flatMap(p => Seq(p._1, p._2))
+    assert((0L until 200L).forall(flagged.contains), "cap dropped cluster members")
 
     // star edges: LINEAR in cluster size (199 edges for the 200-doc cluster,
     // 1 for the pair — modulo cross-band duplicates removed by distinct)
@@ -313,20 +318,24 @@ class OpsSpec extends SparkSpec {
   test("bulk codegen forms equal their per-row expression twins") {
     // the per-row HOF forms are the reference semantics; the exploded
     // frame forms are the corpus-scale implementations — they must agree
-    val sample = docs.union(Seq((100L, "x"), (101L, "")).toDF("doc_id", "text"))
-    val perRowSim = sample.select($"doc_id",
-      Dedup.simhash64("text").as("simhash")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bulkSim = Dedup.simhashFrame(sample, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null text must not make docs VANISH from the bulk outputs, and the
+    // values must match whatever the per-row twins compute for it
+    val sample = docs.union(Seq((100L, "x"), (101L, ""),
+      (102L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val perRowSim = asMap(sample.select($"doc_id",
+      Dedup.simhash64("text").as("simhash")).collect())
+    val bulkSim = asMap(Dedup.simhashFrame(sample, "doc_id", "text").collect())
     assert(perRowSim == bulkSim)
+    assert(bulkSim.contains(102L)) // null-text doc present, not dropped
 
-    val perRowFp = sample.select($"doc_id",
-      TextAnalysis.fingerprint($"text").as("fingerprint")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bulkFp = TextAnalysis.fingerprintFrame(sample, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRowFp = asMap(sample.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fingerprint")).collect())
+    val bulkFp = asMap(TextAnalysis.fingerprintFrame(sample, "doc_id", "text").collect())
     assert(perRowFp == bulkFp)
+    assert(bulkFp.contains(102L))
   }
 
   test("multimodal: real ImageIO decode reports true dimensions and bands") {
@@ -434,10 +443,10 @@ class OpsSpec extends SparkSpec {
     // tf rows are per (doc, bucket) with positive counts
     assert(tf.filter($"tf" <= 0).count() == 0)
     val weighted = Featurize.tfIdf(tf, nDocs = 4)
-      .select($"id", $"bucket", $"tfidf".as("w"))
     // idf downweights corpus-wide buckets; every weight stays positive here
-    assert(weighted.filter($"w" <= 0).count() == 0)
-    val top = Featurize.sparseCosineTopK(weighted, weighted, k = 1)
+    assert(weighted.filter($"tfidf" <= 0).count() == 0)
+    // the family composes directly: tfIdf output feeds the cosine by name
+    val top = Featurize.sparseCosineTopK(weighted, weighted, k = 1, weightCol = "tfidf")
       .collect().map(r => r.getAs[Long]("q_id") ->
         (r.getAs[Long]("c_id"), r.getAs[Double]("cosine"))).toMap
     // exact duplicates find each other with cosine 1 (identical sparse vecs)

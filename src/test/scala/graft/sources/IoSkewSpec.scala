@@ -105,6 +105,28 @@ class IoSkewSpec extends SparkSpec {
     assert(back.agg(sum($"v")).first().getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("interrupted compaction swap recovers without losing the table") {
+    val dir = Files.createTempDirectory("graft_compact_rec").resolve("t").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    (0L until 100L).toDF("id").repartition(5).write.parquet(dir)
+
+    // crash between the two renames: table moved aside, staged copy complete
+    spark.read.parquet(dir).repartition(1).write.parquet(dir + ".compacting")
+    fs.rename(p(dir), p(dir + ".old"))
+    assert(!fs.exists(p(dir)))
+    Io.recoverCompact(spark, dir)
+    assert(spark.read.parquet(dir).count() == 100L)
+    assert(!fs.exists(p(dir + ".compacting")) && !fs.exists(p(dir + ".old")))
+
+    // crash BEFORE any rename: live table wins, stale staging dropped
+    spark.read.parquet(dir).limit(10).write.parquet(dir + ".compacting")
+    val (before, after) = Io.compact(spark, dir, targetRows = 50)
+    assert(spark.read.parquet(dir).count() == 100L) // stale staging did NOT win
+    assert(before == 1 && after == 2)
+    assert(!fs.exists(p(dir + ".compacting")) && !fs.exists(p(dir + ".old")))
+  }
+
   test("clustered write yields disjoint per-file key ranges (min/max pruning)") {
     val dir = Files.createTempDirectory("graft_cluster").resolve("t").toString
     // shuffle the input so clustering has to do real work
