@@ -71,8 +71,10 @@ object Io {
     * object stores should live behind `graft.chat.ChatStore`'s
     * version-pointer protocol instead. Row-count-based sizing (not bytes)
     * keeps the operation deterministic and cheap to plan — callers
-    * translate a byte target via avg row width. Returns
-    * (files_before, files_after).
+    * translate a byte target via avg row width. Flat table dirs only —
+    * compact each leaf directory of a hive-partitioned layout separately
+    * (per-partition compaction is also the right granularity at scale:
+    * only touched partitions rewrite). Returns (files_before, files_after).
     */
   def compact(spark: SparkSession, path: String, targetRows: Long): (Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(path)
