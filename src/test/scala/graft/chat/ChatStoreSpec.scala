@@ -153,10 +153,19 @@ class ChatStoreSpec extends SparkSpec {
       assert(!fs.exists(p(dir + ".v1")) && fs.exists(p(dir + ".v2")) && fs.exists(p(dir + ".v3")))
       assert(ChatStore.listUsers(spark, dir).count() == 2)
 
+      // crash-leftover GC: resurrect v1 (as if an old GC died mid-delete);
+      // the next rewrite's downward walk removes BOTH stale versions
+      spark.read.parquet(dir + ".v3").limit(0).write.parquet(dir + ".v1")
+      val id3 = ChatStore.listUsers(spark, dir).select("user_id")
+        .collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, id3, Map("name" -> "Renamed"))
+      assert(fs.exists(p(dir + ".v4")) && fs.exists(p(dir + ".v3"))) // grace
+      assert(!fs.exists(p(dir + ".v2")) && !fs.exists(p(dir + ".v1")))
+
       // drop removes the pointer and every version — nothing left to
       // resurrect stale data from
       ChatStore.dropTable(spark, dir)
-      for (suffix <- Seq("", ".current", ".v1", ".v2", ".v3", ".staging", ".old"))
+      for (suffix <- Seq("", ".current", ".v1", ".v2", ".v3", ".v4", ".staging", ".old"))
         assert(!fs.exists(p(dir + suffix)), s"leftover: $suffix")
       // a fresh table under the same path starts clean
       assert(ChatStore.registerUsers(spark,
