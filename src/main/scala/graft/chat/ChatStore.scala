@@ -292,15 +292,18 @@ object ChatStore {
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, next))
       writePointer(f, tableDir, next)
       // GC: the pre-versioned append dir (its content now lives in v<next>)
-      // and versions older than the grace copy v<next-1> — walking DOWN
-      // from next-2 until the first miss, so a long-lived table pays O(1)
-      // exists() probes per rewrite (prior GCs already removed the tail;
-      // the walk only extends past one step after a crash left extras)
+      // and every version older than the grace copy v<next-1>. One parent
+      // LIST finds them all — O(1) RPCs per rewrite regardless of version
+      // history, and no crash pattern can strand a version below a gap
+      // (an exists()-walk that stops at the first miss would).
       if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
-      var v = next - 2
-      while (v >= 1 && f.exists(hPath(versionDir(tableDir, v)))) {
-        f.delete(hPath(versionDir(tableDir, v)), true)
-        v -= 1
+      val name = hPath(tableDir).getName
+      val parent = hPath(tableDir).getParent
+      f.listStatus(parent).map(_.getPath).foreach { p =>
+        val suffix = p.getName.stripPrefix(name + ".v")
+        if (p.getName.startsWith(name + ".v") && suffix.forall(_.isDigit) &&
+          suffix.nonEmpty && suffix.toLong < next - 1)
+          f.delete(p, true)
       }
     } else {
       recover(spark, tableDir)

@@ -42,8 +42,15 @@ object Packing {
     import spark.implicits._
     val typed = df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))
       .as[(Long, Long)]
-    (if (numPartitions > 0) typed.repartition(numPartitions, col(idCol))
-     else typed.repartition(col(idCol)))
+    // ALWAYS pin an explicit partition count: a count-less repartition is
+    // coalescible by AQE, whose merge decisions follow shuffle byte stats
+    // that vary with source layout/compression — partition ids (and with
+    // them bin_id) would drift between otherwise identical runs
+    val n = if (numPartitions > 0) numPartitions
+            else GlobalLag.parsePartitions(
+              spark.conf.get("spark.sql.shuffle.partitions"),
+              spark.sparkContext.defaultParallelism)
+    typed.repartition(n, col(idCol))
       .sortWithinPartitions(idCol)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong

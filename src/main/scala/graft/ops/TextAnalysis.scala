@@ -66,8 +66,12 @@ object TextAnalysis {
       .select(col("id"), xxhash64(col("_t").substr(col("j"), lit(n))).as("h"))
       .groupBy("id")
       .agg(min("h").as("fingerprint"))
-    // NULL text explodes to nothing; the per-row twin yields null — keep
-    // the doc with a null fingerprint rather than dropping it
+    // Join back to the input ids so no doc can ever vanish from the bulk
+    // output. (Unlike simhashFrame, null text does NOT currently drop
+    // here: greatest(null, 1) keeps one sliding position whose null
+    // substring hashes to the xxhash64 seed — in BOTH forms, so they
+    // agree; the join is structural insurance should that expression
+    // change.)
     df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
   }
 }

@@ -87,8 +87,16 @@ object Io {
     val df = spark.read.parquet(path)
     val n = math.max(1, math.ceil(df.count().toDouble / targetRows).toInt)
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path + ".compacting")
-    fs.rename(p(path), p(path + ".old"))
-    fs.rename(p(path + ".compacting"), p(path))
+    // Hadoop rename reports most failures by RETURNING FALSE — proceeding
+    // past one would either no-op while reporting success or delete the
+    // only rollback copy. Throw instead: every abort point leaves a state
+    // recoverCompact repairs (the live or staged copy always survives).
+    def mustRename(from: String, to: String): Unit =
+      if (!fs.rename(p(from), p(to)))
+        throw new java.io.IOException(
+          s"compact: rename $from -> $to failed; table recoverable via recoverCompact")
+    mustRename(path, path + ".old")
+    mustRename(path + ".compacting", path)
     fs.delete(p(path + ".old"), true)
     (before, parquetFiles(path))
   }
