@@ -64,6 +64,31 @@ class AuthSpec extends SparkSpec {
     assert(Auth.decodeToken("a.b.c", "k", now).isEmpty)
   }
 
+  test("register -> login -> protected flow against the user table (P9 e2e)") {
+    // the reference's /register + /login + /protected sequence
+    // (backend/main.py:129-158, 85-90) as library calls over ChatStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_auth").resolve("users").toString
+    val secret = "unit-test-secret"
+    val signup = Seq(("Ada", "ada@x.io", "correct horse")).toDF("name", "email", "password")
+    assert(ChatStore.registerUsers(spark,
+      Auth.withHashedPasswords(signup, "password", iters), dir) == 1)
+
+    // login: fetch by email, check password, mint a token with user_id
+    val row = ChatStore.findByEmail(spark, dir, "ada@x.io").collect().head
+    val stored = row.getAs[String]("password")
+    assert(stored != "correct horse" && stored.startsWith("$pbkdf2-sha256$"))
+    assert(Auth.checkPassword("correct horse", stored))
+    assert(!Auth.checkPassword("wrong horse", stored))
+    val uid = row.getAs[String]("user_id")
+    val now = 1700000000L
+    val token = Auth.createAccessToken(Map("user_id" -> uid), secret, 30, now)
+
+    // protected route: token resolves back to the registered user
+    assert(Auth.currentUser(token, secret, now).contains(uid))
+    assert(Auth.currentUser(token, "other-secret", now).isEmpty)
+  }
+
   test("batch registration: hashes are per-row salted and all verify (S7+P9)") {
     import spark.implicits._
     val users = Seq(("Ada", "ada@x.io", "pw-a"), ("Bo", "bo@x.io", "pw-b"),
