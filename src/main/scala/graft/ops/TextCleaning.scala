@@ -52,6 +52,35 @@ object TextCleaning {
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast(LongType)
 
+  // International (+prefix) or separator-formed US-style numbers. Both
+  // RE2-safe (no lookaround); deliberately conservative — bare digit runs
+  // are NOT matched, because corpus text is full of quantities and years
+  // that a greedy phone pattern would destroy.
+  private val PhonePattern =
+    "\\+\\d{7,15}|\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Replace phone numbers with a redaction token. */
+  def phoneRedact(text: Column, token: String = "[PHONE]"): Column =
+    regexp_replace(text, PhonePattern, token)
+
+  /** Replace IPv4 addresses with a redaction token. */
+  def ipRedact(text: Column, token: String = "[IP]"): Column =
+    regexp_replace(text, Ipv4Pattern, token)
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast(LongType)
+
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast(LongType)
+
+  /** Full PII redaction pass: URLs, emails, phones, IPv4s. IP before
+    * phone: an IPv4's dotted groups could otherwise partially match the
+    * US-style phone alternative.
+    */
+  def redactPii(text: Column): Column =
+    phoneRedact(ipRedact(emailRedact(urlRedact(text))))
+
   /** Collapse whitespace runs to single spaces and trim. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))

@@ -387,6 +387,17 @@ class OpsSpec extends SparkSpec {
     assert(once.orderBy("doc_id").collect().toSeq ==
       twice.orderBy("doc_id").collect().toSeq)
 
+    // PII pass: phones and IPs redacted, quantities and years untouched
+    val pii = Seq(
+      (0L, "call +14155550123 or 212-555-0187 from 10.0.0.1 today"),
+      (1L, "in 1987 we sold 12345 units for 1.5 million at 3.14 margin")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextCleaning.redactPii($"text").as("r"),
+        TextCleaning.phoneCount($"text").as("np"), TextCleaning.ipCount($"text").as("ni"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(pii(0L) == (("call [PHONE] or [PHONE] from [IP] today", 2L, 1L)))
+    assert(pii(1L) == (("in 1987 we sold 12345 units for 1.5 million at 3.14 margin", 0L, 0L)))
+
     // quality signals on crafted extremes
     val sig = Seq((0L, "a a a a a a"), (1L, "one two three four five six"))
       .toDF("doc_id", "text")
