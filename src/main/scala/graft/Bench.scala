@@ -35,10 +35,24 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that reads this line captures only the LAST ~2000 bytes
+    // of output, and sbt appends a "[success] Total time" line after us —
+    // a full-precision 62-query map (~2.6 KB) gets its head truncated and
+    // the line becomes unparseable (that is exactly what nulled the r3
+    // bench artifact). Render at 3 decimals (sub-millisecond digits are
+    // noise at these magnitudes anyway) and drop to 2 if the query set
+    // ever grows the line past the safe budget.
+    def fmt(dp: Int, v: Double): String = // Locale.ROOT: "0.297", never "0,297"
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def render(dp: Int): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line3 = render(3)
+    println(if (line3.length <= 1850) line3 else render(2))
     spark.stop()
   }
 }
