@@ -56,9 +56,15 @@ object Auth {
   /** Modular-crypt-style self-describing hash:
     * `$pbkdf2-sha256$<iters>$<b64url salt>$<b64url dk>`.
     */
-  def hashPassword(password: String, iterations: Int = DefaultIterations): String = {
+  def hashPassword(password: String, iterations: Int = DefaultIterations): String =
+    hashPassword(password, iterations, new SecureRandom())
+
+  /** Overload threading an explicit RNG so batch paths can construct one
+    * SecureRandom per partition instead of one per row.
+    */
+  def hashPassword(password: String, iterations: Int, rng: SecureRandom): String = {
     val salt = new Array[Byte](SaltBytes)
-    new SecureRandom().nextBytes(salt)
+    rng.nextBytes(salt)
     s"$$pbkdf2-sha256$$$iterations$$${b64e(salt)}$$${b64e(pbkdf2(password, salt, iterations))}"
   }
 
@@ -147,8 +153,9 @@ object Auth {
     import org.apache.spark.sql.{Encoders, Row}
     val idx = df.schema.fieldIndex(passwordCol)
     df.mapPartitions { it =>
+      val rng = new SecureRandom() // one RNG per partition, not per row
       it.map { r =>
-        Row.fromSeq(r.toSeq.updated(idx, hashPassword(r.getString(idx), iterations)))
+        Row.fromSeq(r.toSeq.updated(idx, hashPassword(r.getString(idx), iterations, rng)))
       }
     }(Encoders.row(df.schema))
   }

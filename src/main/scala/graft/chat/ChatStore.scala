@@ -178,29 +178,89 @@ object ChatStore {
     forceVersionedProtocol || f.exists(pointer(tableDir)) ||
       !AtomicRenameSchemes.contains(Option(f.getUri.getScheme).getOrElse("file"))
 
-  /** Current committed version, if the pointer file exists. */
+  private def readPointerOnce(
+      f: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Option[Long] =
+    scala.util.Try {
+      val in = f.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }.toOption
+
+  /** Highest on-disk `<table>.v<N>` directory — the recovery target when
+    * the pointer object is unreadable. Prefers versions carrying the
+    * committer's `_SUCCESS` marker (a version without it is a partial
+    * write); if no marked version exists (marker generation disabled),
+    * falls back to the highest dir present. May resurface an orphan
+    * version whose pointer commit never happened — acceptable for a
+    * RECOVERY path whose alternative is failing every read of the table.
+    */
+  private def highestVersionDir(
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String): Option[Long] = {
+    val name = hPath(tableDir).getName
+    val parent = hPath(tableDir).getParent
+    val versions = scala.util.Try(f.listStatus(parent)).toOption
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter { p =>
+        val suffix = p.getName.stripPrefix(name + ".v")
+        p.getName.startsWith(name + ".v") && suffix.nonEmpty && suffix.forall(_.isDigit)
+      }
+    def v(p: org.apache.hadoop.fs.Path) = p.getName.stripPrefix(name + ".v").toLong
+    val complete = versions.filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    (if (complete.nonEmpty) complete else versions).map(v).sorted.lastOption
+  }
+
+  /** Current committed version, if the pointer file exists.
+    *
+    * Defensive against a torn pointer: on stores where [[writePointer]]
+    * cannot rename atomically the commit is truncate-then-write, so a
+    * concurrent reader can observe an empty/partial object (so can a
+    * pointer file copied over from another store mid-flight). An
+    * unparseable read is retried once — the write window is microseconds —
+    * and then falls back to the highest complete version directory rather
+    * than throwing `NumberFormatException` into every subsequent read.
+    */
   private def currentVersion(
       f: org.apache.hadoop.fs.FileSystem, tableDir: String): Option[Long] = {
     val p = pointer(tableDir)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+    else readPointerOnce(f, p)
+      .orElse { Thread.sleep(50); readPointerOnce(f, p) }
+      .orElse(highestVersionDir(f, tableDir))
   }
 
-  /** Commit = overwrite one small pointer object. A single-object PUT is
-    * atomic on every target filesystem (object stores included), which is
-    * exactly the property directory rename lacks there.
+  /** Commit = publish one small pointer object. On atomic-rename
+    * filesystems (local, HDFS) the pointer is written to a temp file and
+    * renamed over the destination — readers see old-or-new, never a
+    * truncated in-between. Object stores get a direct single-object PUT,
+    * which is atomic there (and where rename would be copy+delete).
     */
   private def writePointer(
       f: org.apache.hadoop.fs.FileSystem, tableDir: String, v: Long): Unit = {
-    val out = f.create(pointer(tableDir), true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dst = pointer(tableDir)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (AtomicRenameSchemes.contains(scheme)) {
+      val tmp = hPath(tableDir + s".current.tmp")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      // FileContext.rename(OVERWRITE) is the atomic replace primitive on
+      // these schemes (plain FileSystem.rename refuses an existing dest)
+      try org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding for this scheme: fall back to
+          // delete+rename (non-atomic, but rename-failure-checked)
+          f.delete(dst, false)
+          if (!f.rename(tmp, dst))
+            throw new java.io.IOException(s"pointer commit failed: $tmp -> $dst")
+      }
+    } else {
+      val out = f.create(dst, true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** Physical directory currently holding the table's data: the pointed-to

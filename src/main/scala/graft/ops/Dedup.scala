@@ -278,7 +278,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** End-to-end near-dup: LSH candidates → exact Jaccard filter. */
+  /** End-to-end near-dup: LSH candidates → exact Jaccard filter.
+    *
+    * Inherits [[minhashCandidates]]'s `maxBucketSize` star degradation,
+    * which changes RECALL for over-cap buckets: only member-vs-bucket-min
+    * pairs reach the Jaccard verify there, so an intra-cluster pair whose
+    * similarity to the bucket root falls below `threshold` is not emitted
+    * even if the pair itself clears it (every member still surfaces in at
+    * least one pair when it matches the root, so no document is silently
+    * lost from dup FLAGGING — what degrades is pair completeness). Pass
+    * `maxBucketSize = Int.MaxValue` to restore exact uncapped behavior
+    * when the corpus is known skew-free; the over-cap row volume is
+    * observable via the `graft.lsh.bucket_cap.*` metric on an
+    * ObservationListener.
+    */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,

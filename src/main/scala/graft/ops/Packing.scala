@@ -33,11 +33,21 @@ object Packing {
     * `spark.sql.shuffle.partitions`; pin it explicitly when bin
     * assignments must be stable across differently-configured sessions.
     *
-    * Output: (`idCol`, `tokenCol`, `bin_id`).
+    * Output contract: EXACTLY (`idCol`, `tokenCol`, `bin_id`) — every
+    * other input column is dropped (join back on `idCol` to recover them).
+    * Both columns must already be integral (byte/short/int/long): a silent
+    * cast of, say, a string doc id would null out non-numeric values and
+    * surface only as an opaque decode error rows later.
     */
   def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
       maxTokens: Long, numPartitions: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    Seq(idCol, tokenCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"packGreedy: column '$c' must be an integral type, got ${dt.simpleString} " +
+          "(hash or zipWithIndex non-numeric ids upstream)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val typed = df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))

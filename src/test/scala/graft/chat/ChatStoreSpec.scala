@@ -173,4 +173,41 @@ class ChatStoreSpec extends SparkSpec {
       assert(ChatStore.listUsers(spark, dir).count() == 1)
     } finally ChatStore.forceVersionedProtocol = false
   }
+
+  test("torn/corrupt version pointer: reads recover via the highest complete version") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io")).toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 2)
+      val id = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, id) // -> .v1 + pointer
+      // local-fs pointer commits go through temp+rename: no tmp leftover
+      assert(!fs.exists(p(dir + ".current.tmp")))
+
+      // simulate a reader catching the pointer mid-truncate (or a partial
+      // object-store copy): empty file, then garbage — both unparseable
+      for (junk <- Seq("", "not-a-number\n")) {
+        val out = fs.create(p(dir + ".current"), true)
+        try out.write(junk.getBytes("UTF-8")) finally out.close()
+        // read must NOT throw NumberFormatException; falls back to .v1
+        assert(ChatStore.listUsers(spark, dir).count() == 1)
+      }
+
+      // the next rewrite re-derives the version from the fallback and
+      // repairs the pointer on its commit
+      val id2 = ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, id2, Map("name" -> "Ada2"))
+      assert(fs.exists(p(dir + ".v2")))
+      assert(ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("name").collect().head.getString(0) == "Ada2")
+      // pointer is healthy again: corrupting nothing, plain read works
+      assert(ChatStore.listUsers(spark, dir).count() == 1)
+    } finally ChatStore.forceVersionedProtocol = false
+  }
 }

@@ -88,6 +88,19 @@ class OpsSpec extends SparkSpec {
     assert(labels(501L) == 500L)
   }
 
+  test("nearDuplicates: maxBucketSize=Int.MaxValue restores exact pair recall") {
+    // 10 exact-duplicate docs: capped at 4, over-cap buckets degrade to
+    // star pairs (vs root only); uncapped emits the full 45-pair clique.
+    val cluster = (0 until 10).map(i =>
+      (i.toLong, "same text body for every document in this tiny cluster")).toDF("doc_id", "text")
+    val exactPairs = Dedup.nearDuplicates(cluster, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = Int.MaxValue).count()
+    val starPairs = Dedup.nearDuplicates(cluster, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 4).count()
+    assert(exactPairs == 45L, s"uncapped should emit the full clique, got $exactPairs")
+    assert(starPairs == 9L, s"capped should emit star pairs only, got $starPairs")
+  }
+
   test("connected components resolve chains, stars, and unpaired docs") {
     // chain 1-2-3-4-9 (diameter 4, exercises >1 iteration), pair 5-6,
     // and 7 unpaired (absent from pairs entirely)

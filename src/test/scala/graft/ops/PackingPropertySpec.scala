@@ -58,4 +58,17 @@ class PackingPropertySpec extends SparkSpec {
         s"seed $seedNo: packing not partition-invariant")
     }
   }
+
+  test("packGreedy rejects non-integral id/token columns up front") {
+    val strId = Seq(("doc-a", 10L), ("doc-b", 20L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packGreedy(strId, "doc_id", "n_tokens", 128L)
+    }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("integral"),
+      s"unhelpful message: ${e.getMessage}")
+    val dblTok = Seq((1L, 10.5), (2L, 20.0)).toDF("doc_id", "n_tokens")
+    assert(intercept[IllegalArgumentException] {
+      Packing.packGreedy(dblTok, "doc_id", "n_tokens", 128L)
+    }.getMessage.contains("n_tokens"))
+  }
 }
