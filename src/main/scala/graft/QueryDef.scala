@@ -32,7 +32,8 @@ object Registry {
       ops.SimilarityQueries.defs ++
       ops.SamplingQueries.defs ++
       ops.FeaturizeQueries.defs ++
-      ops.CurationQueries.defs
+      ops.CurationQueries.defs ++
+      ops.MultimodalQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -107,6 +107,132 @@ object Multimodal {
       }
   }
 
+  // --- real codecs (pure JDK: javax.imageio + javax.sound.sampled) ---
+
+  /** Deterministic tiny PNG: TYPE_INT_RGB raster with pixels derived from
+    * `seed` — the synthesis side of encode→decode round-trip tests and the
+    * q63 property oracle (real ImageIO encode, real ImageIO decode, only
+    * the EXPECTED dimensions computed arithmetically).
+    */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((seed * 31 + y) * 31 + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic RIFF/WAVE, 16-bit PCM little-endian: the audio analog
+    * of [[pngBytes]]. Header laid out by hand (44 bytes) so the bytes are
+    * identical across JVMs.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames * channels) {
+      b.putShort(((seed * 773 + i * 131) & 0xffff).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  final case class DecodedAudio(
+      media_id: Long, sample_rate: Long, n_channels: Long, n_frames: Long)
+
+  /** REAL audio metadata decode for RIFF/WAVE payloads —
+    * `javax.sound.sampled.AudioSystem` ships a WAV reader in the JRE's
+    * java.desktop module, no external codec needed. Same mapPartitions
+    * batch shape as [[decode]]; a malformed payload reports zeros rather
+    * than failing the batch (NonFatal: the SPI readers throw unchecked
+    * exceptions on fuzzed bytes just like ImageIO).
+    */
+  def decodeAudio(df: DataFrame)(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            try {
+              val f = in.getFormat
+              DecodedAudio(id, f.getSampleRate.toLong, f.getChannels.toLong,
+                in.getFrameLength)
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => DecodedAudio(id, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize for `kind = "image"`: ImageIO decode → bilinear
+    * Graphics2D scale to `targetW`×`targetH` → PNG re-encode. Non-image
+    * kinds and undecodable payloads pass through byte-identical (resize of
+    * a corrupt image must not invent content or fail the batch — flag
+    * them via [[decode]]'s 0×0 dimensions instead). Metadata recomputed
+    * for every row. Replaces [[resizeStub]] for image pipelines.
+    */
+  def resizeImage(df: DataFrame, targetW: Int, targetH: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import spark.implicits._
+    val resized = df.select("media_id", "kind", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        rows.map { case (id, kind, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val out =
+            if (kind != "image") b
+            else {
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) b
+              else {
+                val dst = new java.awt.image.BufferedImage(
+                  targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, targetW, targetH, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
+            }
+          (id, kind, out)
+        }
+      }
+      .toDF("media_id", "kind", "content")
+    resized.withColumn("meta", struct(
+      octet_length(col("content")).cast(LongType).as("n_bytes"),
+      sha2(col("content"), 256).as("content_hash")))
+  }
+
   /** "Frame sampling" for video-kind payloads: every strideBytes-th slice
     * as its own row (real impl: keyframe extraction). Pure exprs.
     */

@@ -376,6 +376,42 @@ class OpsSpec extends SparkSpec {
     assert(d(0L).checksum != d(1L).checksum)
   }
 
+  test("multimodal: real image resize re-encodes at target dims; non-image passes through") {
+    implicit val s = spark
+    val media = Seq(
+      (0L, "image", Multimodal.pngBytes(13, 7, seed = 42L)),
+      (1L, "image", Array[Byte](9, 9, 9)), // undecodable: byte-identical out
+      (2L, "audio", Array[Byte](1, 2, 3, 4))
+    ).toDF("media_id", "kind", "content")
+    val out = Multimodal.resizeImage(media, 5, 4)
+    assert(out.columns.toSeq == Seq("media_id", "kind", "content", "meta"))
+    val rows = out.select("media_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // the resized payload decodes to exactly the target raster
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rows(0L)))
+    assert(back.getWidth == 5 && back.getHeight == 4 &&
+      back.getRaster.getNumBands == 3)
+    assert(rows(1L).toSeq == Seq[Byte](9, 9, 9)) // corrupt image untouched
+    assert(rows(2L).toSeq == Seq[Byte](1, 2, 3, 4)) // non-image untouched
+    // meta reflects the NEW content
+    val meta = out.filter($"media_id" === 0L)
+      .select($"meta.n_bytes").collect().head.getLong(0)
+    assert(meta == rows(0L).length.toLong)
+  }
+
+  test("multimodal: real WAV decode recovers format; fuzzed bytes report zeros") {
+    implicit val s = spark
+    val media = Seq(
+      (0L, "audio", Multimodal.wavBytes(12000, 2, 164, seed = 7L)),
+      (1L, "audio", Multimodal.wavBytes(8000, 1, 64, seed = 8L)),
+      (2L, "audio", Array[Byte](82, 73, 70, 70, 0, 0)) // truncated RIFF
+    ).toDF("media_id", "kind", "content")
+    val d = Multimodal.decodeAudio(media).collect().map(a => a.media_id -> a).toMap
+    assert(d(0L).sample_rate == 12000L && d(0L).n_channels == 2L && d(0L).n_frames == 164L)
+    assert(d(1L).sample_rate == 8000L && d(1L).n_channels == 1L && d(1L).n_frames == 64L)
+    assert(d(2L).sample_rate == 0L && d(2L).n_channels == 0L && d(2L).n_frames == 0L)
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
