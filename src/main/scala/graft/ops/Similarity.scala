@@ -87,24 +87,56 @@ object Similarity {
     df.withColumn("bucket", bits)
   }
 
+  private val nearDupObsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Embedding-cosine near-dup pairs at scale: candidates only within an
     * LSH bucket (2^planes-fold pair reduction vs all-pairs), then exact
     * cosine threshold. The dedup-family member for embedding columns;
     * recall can be raised by unioning runs with different plane seeds.
+    *
+    * `maxBucketSize` is the same skew guard [[Dedup.minhashCandidates]]
+    * carries: a near-dup embedding corpus is FULL of identical vectors
+    * (exact-duplicate documents embed identically), and one bucket of f
+    * rows would emit f² candidate pairs. Buckets over the cap degrade to
+    * STAR pairs (each member vs the bucket's minimum id) — every member
+    * still surfaces against the cluster representative at O(f) cost, but
+    * intra-cluster pairs not involving the root are not emitted. Pass
+    * `Int.MaxValue` to restore exact pair enumeration; over-cap row
+    * volume is observable via the `graft.ann.bucket_cap.*` metric.
     */
   def annNearDupPairs(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      dim: Int, planes: Int = 8): DataFrame = {
+      dim: Int, planes: Int = 8, maxBucketSize: Int = 256): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(df.sparkSession) // fastDot
+    val bw = Window.partitionBy("bucket")
     val b = annBuckets(df, embCol, dim, planes)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
       .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
-    val x = b.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      .withColumn("_bs", count(lit(1)).over(bw))
+      .withColumn("_root", min(col("id")).over(bw))
+      .observe(s"graft.ann.bucket_cap.${nearDupObsId.incrementAndGet()}",
+        sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)).as("rows_over_cap"))
+    val small = b.filter(col("_bs") <= maxBucketSize)
+    val x = small.select(col("id").as("id_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("bucket"))
-    val y = b.select(col("id").as("id_b"), col("emb").as("emb_b"),
-      col("nrm").as("nrm_b"), col("bucket"))
-    x.join(y, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val y = small.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket").as("bucket_b"))
+    val clique = x.join(y,
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("emb_a"), col("nrm_a"),
+        col("id_b"), col("emb_b"), col("nrm_b"))
+    // over-cap buckets: pair every member with the bucket root only —
+    // O(f) rows; the root join is a self-equi-join on (bucket, _root)
+    val roots = b.filter(col("id") === col("_root"))
+      .select(col("bucket").as("bucket_r"), col("id").as("id_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val star = b.filter(col("_bs") > maxBucketSize && col("id") =!= col("_root"))
+      .select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"))
+      .join(roots, col("bucket") === col("bucket_r"))
+      .select(col("id_a"), col("emb_a"), col("nrm_a"),
+        col("id_b"), col("emb_b"), col("nrm_b"))
+    clique.union(star)
       .withColumn("cosine", fastDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

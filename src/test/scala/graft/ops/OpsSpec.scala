@@ -157,6 +157,28 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // opposite vector excluded
   }
 
+  test("ANN near-dup bucket cap linearizes identical-embedding clusters") {
+    // 120 identical embeddings (one hot bucket) + a separate genuine pair:
+    // the skew shape an embedding near-dup corpus always contains
+    val cluster = (0 until 120).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val vecs = (cluster ++ Seq(
+      (500L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (501L, Array(0.0f, 0.99f, 0.14f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val uncapped = Similarity.annNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 4, maxBucketSize = Int.MaxValue).count()
+    assert(uncapped >= 120L * 119 / 2, s"expected the quadratic clique, got $uncapped")
+    val capped = Similarity.annNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 4, maxBucketSize = 32)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size <= 121L, s"cap did not linearize the hot bucket: ${pairs.size}")
+    // every cluster member still flagged against the representative
+    val flagged = pairs.flatMap(p => Seq(p._1, p._2))
+    assert((0L until 120L).forall(flagged.contains), "cap dropped cluster members")
+    // the small genuine pair is untouched by the cap
+    assert(pairs.contains((500L, 501L)))
+  }
+
   test("ANN paths run the native dot product, not the interpreted lambda") {
     // A session that never loaded GraftExtensions: the operators must
     // self-register, or the ~10x-slower ArrayAggregate lambda path runs.
