@@ -148,7 +148,65 @@ object AdvancedQueries {
         .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** PIVOT: long→wide reshaping, the `groupBy().pivot()` relational
+    * operator. The value list is pinned explicitly — an unpinned pivot
+    * runs a distinct-collect job over the corpus just to discover column
+    * names, which at 100 TB is a full extra scan (and nondeterministic
+    * schema); pipelines should always pin. Counts are exact BIGINTs, so
+    * no decimal bridging is needed; absent combinations coalesce to 0 to
+    * match the oracle's FILTER counts.
+    */
+  val q65_pivot_events: QueryDef = q(
+    "q65_pivot_events",
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin,
+    "Pivot (long->wide): per-user event-type count matrix, pinned value list") {
+    (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).cast(LongType).as(t)): _*)
+        .orderBy("user_id")
+  }
+
+  /** CUBE: all 2^n grouping sets (rollup covers only the hierarchy
+    * prefixes — q18). Same Expand-based single-pass plan in Spark; the
+    * decimal bridge keeps the double sums bit-identical to DuckDB's.
+    */
+  val q66_cube_qty: QueryDef = q(
+    "q66_cube_qty",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "Cube over (returnflag, linestatus): all four grouping sets in one pass") {
+    (s, d) =>
+      // SQL path for the same reason as q18: Dataset-API cube + orderBy on
+      // a grouping column trips the ambiguous-attribute check post-Expand
+      lineitem(s, d).select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("cube_src")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n_lines
+          |FROM cube_src
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
-    q49_correlated_agg, q50_running_sum)
+    q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty)
 }
