@@ -91,5 +91,38 @@ object CurationQueries {
     "Deterministic per-language mixture reweighting (stable stratified " +
       "sampling), survivor counts + id digest hash-compared")
 
-  def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix)
+  /** Sliding token-window chunking as a CORRECTNESS row: every window's
+    * text is md5-hashed on both sides, so parity proves window counts,
+    * boundaries, overlap, and short-tail handling are all identical.
+    * maxTokens=64, overlap=16 → stride=48.
+    */
+  val q67_token_chunks: QueryDef = QueryDef(
+    "q67_token_chunks",
+    (s, d) =>
+      Packing.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_no"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_no"),
+    Some("""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    1 + CASE WHEN n > 64
+      |      THEN CAST(ceil((n - 64) / 48.0) AS BIGINT) ELSE 0 END AS nc
+      |  FROM t),
+      |e AS (
+      |  SELECT doc_id, toks, n, unnest(range(0, nc)) AS k FROM c)
+      |SELECT doc_id, k AS chunk_no,
+      |  md5(array_to_string(list_slice(toks, k * 48 + 1, k * 48 + 64), ' ')) AS chunk_md5,
+      |  least(64, n - k * 48) AS n_tokens
+      |FROM e
+      |ORDER BY doc_id, chunk_no""".stripMargin),
+    "Token-window chunking (64/16 overlap) — the upstream step packGreedy's " +
+      "oversize-doc contract requires")
+
+  def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
+    q67_token_chunks)
 }

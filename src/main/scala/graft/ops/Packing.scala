@@ -20,6 +20,39 @@ import org.apache.spark.sql.types._
   */
 object Packing {
 
+  /** Sliding token-window chunking — the upstream step [[packGreedy]]'s
+    * contract demands for documents longer than the bin capacity: split
+    * each document's whitespace tokens into windows of `maxTokens` with
+    * `overlap` tokens shared between consecutive windows (overlap
+    * preserves cross-boundary context for training). Pure per-row array
+    * expressions (sequence + slice — codegen'd, no shuffle, no UDF), so
+    * chunking is a free map stage at any corpus size.
+    *
+    * Window count: 1 + ceil(max(0, n - maxTokens) / stride) with
+    * stride = maxTokens - overlap; every token is covered, the last
+    * window may be short. Output: (idCol, chunk_no, chunk_text, n_tokens).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = lit(1) +
+      when(n > maxTokens, ceil((n - maxTokens).cast(DoubleType) / stride).cast(IntegerType))
+        .otherwise(lit(0))
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"), n.as("_n"))
+      .select(col(idCol), col("_n"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_no"), col("_toks"))
+      .select(col(idCol),
+        col("chunk_no").cast(LongType).as("chunk_no"),
+        concat_ws(" ", slice(col("_toks"), col("chunk_no") * stride + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        least(lit(maxTokens), col("_n") - col("chunk_no") * stride)
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** Greedy next-fit packing of (`idCol`, `tokenCol`) rows into bins of at
     * most `maxTokens` tokens. Documents longer than `maxTokens` get a
     * single-doc bin of their own (they must be chunked upstream — see

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -57,6 +58,31 @@ class PackingPropertySpec extends SparkSpec {
       assert(again.toSeq == packed.map(p => (p._1, p._3)).sortBy(_._1).toSeq,
         s"seed $seedNo: packing not partition-invariant")
     }
+  }
+
+  test("chunkByTokens: windows cover every token with the declared overlap") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = Packing.chunkByTokens(df, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    // stride 3: [w1..w4] [w4..w7] [w7..w10] — boundaries shared once
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(c => (c._3, c._4)).toSeq
+    assert(d1 == Seq(("w1 w2 w3 w4", 4L), ("w4 w5 w6 w7", 4L), ("w7 w8 w9 w10", 4L)))
+    // consecutive windows share exactly `overlap` tokens
+    for (Seq((a, _), (b, _)) <- d1.sliding(2))
+      assert(a.split(" ").takeRight(1).toSeq == b.split(" ").take(1).toSeq)
+    // short doc: one window, true length
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+
+    // chunk output feeds packGreedy directly (the oversize-doc contract):
+    // no chunk exceeds the bin capacity it was cut for
+    val packed = Packing.packGreedy(
+      Packing.chunkByTokens(df, "doc_id", "text", maxTokens = 4)
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_no")),
+      "cid", "n_tokens", maxTokens = 4L)
+    assert(packed.groupBy("bin_id").agg(sum("n_tokens").as("s"))
+      .filter(col("s") > 4L).count() == 0)
   }
 
   test("packGreedy rejects non-integral id/token columns up front") {
