@@ -59,21 +59,41 @@ object Featurize {
     * `weightCol` names the weight column, so the family composes directly:
     * `sparseCosineTopK(tfIdf(tf, n), tfIdf(tf, n), k, weightCol = "tfidf")`
     * or `weightCol = "tf"` over raw [[hashingTf]] output.
+    *
+    * `maxBucketDf` is the inverted-index skew guard: a feature present in
+    * f corpus docs joins every query row carrying it against all f — a
+    * stopword-class bucket makes the join quadratic for all-pairs use.
+    * Buckets whose corpus document frequency exceeds the cap are dropped
+    * from BOTH sides and from the norms, so the capped result is exact
+    * cosine over the capped feature subspace (ubiquitous features carry
+    * ~zero idf weight anyway — this is why tf-idf pipelines can cap
+    * aggressively). Default leaves behavior exact/uncapped.
     */
   def sparseCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      weightCol: String = "w"): DataFrame = {
+      weightCol: String = "w", maxBucketDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (cIn, qIn) =
+      if (maxBucketDf == Int.MaxValue) (corpus, queries)
+      else {
+        // the hot set is tiny (ubiquitous features) -> broadcast anti-join
+        val hot = broadcast(corpus.groupBy("bucket")
+          .agg(count_distinct(col("id")).as("_df"))
+          .filter(col("_df") > maxBucketDf)
+          .select("bucket"))
+        (corpus.join(hot, Seq("bucket"), "left_anti"),
+          queries.join(hot, Seq("bucket"), "left_anti"))
+      }
     def norms(v: DataFrame) = v.groupBy("id")
       .agg(sqrt(sum(col(weightCol) * col(weightCol))).as("nrm"))
-    val c = corpus.select(col("id").as("c_id"), col("bucket"), col(weightCol).as("c_w"))
-    val q = queries.select(col("id").as("q_id"), col("bucket"), col(weightCol).as("q_w"))
+    val c = cIn.select(col("id").as("c_id"), col("bucket"), col(weightCol).as("c_w"))
+    val q = qIn.select(col("id").as("q_id"), col("bucket"), col(weightCol).as("q_w"))
     val dots = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .groupBy("q_id", "c_id")
       .agg(sum(col("q_w") * col("c_w")).as("dot"))
     val scored = dots
-      .join(norms(queries).select(col("id").as("q_id"), col("nrm").as("q_n")), Seq("q_id"))
-      .join(norms(corpus).select(col("id").as("c_id"), col("nrm").as("c_n")), Seq("c_id"))
+      .join(norms(qIn).select(col("id").as("q_id"), col("nrm").as("q_n")), Seq("q_id"))
+      .join(norms(cIn).select(col("id").as("c_id"), col("nrm").as("c_n")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         (col("dot") / (col("q_n") * col("c_n"))).as("cosine"))
     scored

@@ -538,6 +538,41 @@ class OpsSpec extends SparkSpec {
     assert(top(2L)._2 < 0.5)
   }
 
+  test("sparse cosine df cap drops stopword-class buckets from both sides") {
+    // every doc shares the token "the" (one ubiquitous bucket); pairs are
+    // otherwise disjoint except docs 0/1 which share real content
+    val corpus = Seq(
+      (0L, "the quantum chromodynamics lattice simulation"),
+      (1L, "the quantum chromodynamics lattice computation"),
+      (2L, "the buttered croissant breakfast pastry recipe"),
+      (3L, "the volcanic basalt geology survey report")
+    ).toDF("doc_id", "text")
+    val tf = Featurize.hashingTf(corpus, "doc_id", "text", numFeatures = 4096)
+    // cap at df=3: the "the" bucket (df=4) is pruned, content buckets stay
+    val capped = Featurize.sparseCosineTopK(tf, tf, k = 1, weightCol = "tf",
+      maxBucketDf = 3)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("cosine"))).toMap
+    // the real pair still finds itself on content features
+    assert(capped(0L)._1 == 1L && capped(0L)._2 > 0.5)
+    // docs related ONLY through the ubiquitous bucket no longer co-occur:
+    // doc 2's entry (if any) must carry zero-ish similarity, not a
+    // stopword-inflated score
+    assert(!capped.contains(2L) || capped(2L)._2 < 1e-12)
+    // capped output equals running uncapped on manually pruned input —
+    // the cap is exact cosine over the capped feature subspace
+    val hot = tf.groupBy("bucket").count().filter($"count" > 3).select("bucket")
+    val pruned = tf.join(hot, Seq("bucket"), "left_anti")
+    val manual = Featurize.sparseCosineTopK(pruned, pruned, k = 1, weightCol = "tf")
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        math.round(r.getAs[Double]("cosine") * 1e9))).toSet
+    val auto = Featurize.sparseCosineTopK(tf, tf, k = 1, weightCol = "tf",
+      maxBucketDf = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        math.round(r.getAs[Double]("cosine") * 1e9))).toSet
+    assert(auto == manual)
+  }
+
   test("contamination: eval docs sharing 13-grams with train are flagged") {
     val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
     val train = Seq(
