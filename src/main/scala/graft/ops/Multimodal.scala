@@ -233,6 +233,46 @@ object Multimodal {
       sha2(col("content"), 256).as("content_hash")))
   }
 
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image feature extraction: per-channel intensity sums read from
+    * the decoded raster (the canonical first feature a vision pipeline
+    * computes — means/histograms derive from these). Same
+    * partition-parallel batch shape as [[decode]]; undecodable payloads
+    * report 0×0 with zero sums. Exact: PNG truecolor is lossless, so the
+    * sums are reproducible bit-for-bit from the encoded pixels.
+    */
+  def imageFeatures(df: DataFrame)(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageFeatures(id, 0, 0, 0L, 0L, 0L)
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(id, img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+  }
+
   /** "Frame sampling" for video-kind payloads: every strideBytes-th slice
     * as its own row (real impl: keyframe extraction). Pure exprs.
     */

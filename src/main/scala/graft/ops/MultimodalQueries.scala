@@ -85,5 +85,51 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec)
+  /** Real raster feature extraction, exactly oracled: the synthetic PNG's
+    * pixel (x,y) is ((id·31+y)·31+x) mod 2²⁴ by construction, PNG is
+    * lossless, and [[Multimodal.imageFeatures]] reads the pixels back with
+    * `getRGB` — so DuckDB can replay the per-channel mean arithmetic over
+    * the same (w×h) grid and the hash pins every decoded pixel sum.
+    * Means are floor-ppm (integer division on both sides — no doubles).
+    */
+  val q68_image_features: QueryDef = q(
+    "q68_image_features",
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h FROM documents),
+      |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM dims),
+      |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+      |v AS (SELECT doc_id, w, h,
+      |  ((doc_id * 31 + y) * 31 + x) % 16777216 AS v FROM px)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST((1000000 * sum(v // 65536)) // (w * h) AS BIGINT) AS mean_r_ppm,
+      |  CAST((1000000 * sum((v // 256) % 256)) // (w * h) AS BIGINT) AS mean_g_ppm,
+      |  CAST((1000000 * sum(v % 256)) // (w * h) AS BIGINT) AS mean_b_ppm
+      |FROM v
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin,
+    "Multimodal feature extraction: real raster channel sums from decoded " +
+      "PNG pixels; oracle replays the pixel formula arithmetically") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          (id, "image",
+            Multimodal.pngBytes((1 + id % 13).toInt, (1 + id % 7).toInt, id))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.imageFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        expr("(1000000 * sum_r) div (width * height)").as("mean_r_ppm"),
+        expr("(1000000 * sum_g) div (width * height)").as("mean_g_ppm"),
+        expr("(1000000 * sum_b) div (width * height)").as("mean_b_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
+    q68_image_features)
 }

@@ -421,6 +421,24 @@ class OpsSpec extends SparkSpec {
     assert(meta == rows(0L).length.toLong)
   }
 
+  test("multimodal: raster feature extraction sums the exact decoded pixels") {
+    implicit val s = spark
+    // 2x1 image with hand-set pixels: (0xFF8040, 0x010203)
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040); img.setRGB(1, 0, 0x010203)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (0L, "image", bos.toByteArray),
+      (1L, "image", Array[Byte](3, 1, 4)) // undecodable
+    ).toDF("media_id", "kind", "content")
+    val f = Multimodal.imageFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(0L).width == 2 && f(0L).height == 1)
+    assert(f(0L).sum_r == 0xff + 0x01 && f(0L).sum_g == 0x80 + 0x02 &&
+      f(0L).sum_b == 0x40 + 0x03)
+    assert(f(1L) == Multimodal.ImageFeatures(1L, 0, 0, 0L, 0L, 0L))
+  }
+
   test("multimodal: real WAV decode recovers format; fuzzed bytes report zeros") {
     implicit val s = spark
     val media = Seq(
