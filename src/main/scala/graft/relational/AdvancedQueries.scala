@@ -206,7 +206,33 @@ object AdvancedQueries {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** The rank-distribution window trio (ntile / percent_rank / cume_dist)
+    * over one shared window — one exchange serves all three. The two
+    * ratio functions emit floor-ppm BIGINTs: each is a single IEEE
+    * division of small exact integers, so flooring after scaling is
+    * engine-exact (the BASELINE parity rule for fractional outputs).
+    */
+  val q69_rank_family: QueryDef = q(
+    "q69_rank_family",
+    """SELECT event_type, event_id,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+      |  CAST(floor(1000000 * percent_rank() OVER w) AS BIGINT) AS pct_ppm,
+      |  CAST(floor(1000000 * cume_dist() OVER w) AS BIGINT) AS cume_ppm
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin,
+    "ntile/percent_rank/cume_dist sharing one window exchange") { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    events(s, d)
+      .select(col("event_type"), col("event_id"),
+        ntile(4).over(w).cast(LongType).as("tile"),
+        floor(lit(1000000) * percent_rank().over(w)).cast(LongType).as("pct_ppm"),
+        floor(lit(1000000) * cume_dist().over(w)).cast(LongType).as("cume_ppm"))
+      .orderBy("event_type", "event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
-    q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty)
+    q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
+    q69_rank_family)
 }
