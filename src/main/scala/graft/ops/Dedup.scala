@@ -453,4 +453,58 @@ object Dedup {
       .join(agg.select(col("id"), bits.reduce(_ + _).as("simhash")), Seq("id"), "left")
       .select(col("id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
+
+  /** Corpus-level segment dedup (the CCNet/RefinedWeb "line dedup" pass,
+    * generalized to fixed token windows for corpora without newline
+    * structure): split each document into non-overlapping `width`-token
+    * segments, drop every segment whose exact content appears in more than
+    * `maxDocFreq` documents — except in the keeper document (lowest id),
+    * which retains its copy — and reassemble the surviving segments in
+    * order. Returns (`id`, `n_segments`, `n_kept`, `text_dedup`).
+    *
+    * Scale shape (the reason this isn't a groupBy over all segments +
+    * rebuild): the doc-frequency aggregation keeps ONLY over-cap hashes,
+    * so the correction join's build side is the duplicated-segment set —
+    * typically a tiny fraction of the corpus (boilerplate), which AQE can
+    * broadcast. Everything else is map-side: segmenting is
+    * explode(sequence)+slice (no shuffle), and the rebuild groups by doc
+    * id, the key the segment rows are already laid out by. A hot
+    * boilerplate hash lands on one reducer in the agg but joins back as a
+    * single build row — no pair blow-up. Segments are matched by md5, not
+    * content, so the shuffle carries 32 hex chars instead of segment text.
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16, maxDocFreq: Int = 1): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val base = df
+      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("_toks"))
+      .withColumn("_nseg", expr(s"(size(_toks) + ${width - 1}) div $width"))
+    val segs = base
+      .select(col("id"), col("_toks"),
+        explode(sequence(lit(0), (col("_nseg") - 1).cast(IntegerType))).as("_i"))
+      .select(col("id"), col("_i").cast(LongType).as("seg_no"),
+        concat_ws(" ", slice(col("_toks"), col("_i") * width + 1, lit(width))).as("seg"))
+      .withColumn("_h", md5(col("seg")))
+    val overCap = segs
+      .groupBy("_h")
+      .agg(countDistinct(col("id")).as("_df"), min(col("id")).as("_keeper"))
+      .filter(col("_df") > maxDocFreq)
+      .select("_h", "_keeper")
+    val kept = segs
+      .join(overCap, Seq("_h"), "left")
+      .filter(col("_keeper").isNull || col("id") === col("_keeper"))
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+            p => p.getField("seg")), " ").as("text_dedup"))
+    base.select(col("id"), col("_nseg").cast(LongType).as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -373,7 +373,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Segment-level corpus dedup ([[Dedup.segmentDedup]], the CCNet-style
+    * "line dedup" pass over 4-token windows — at this width ~11% of
+    * segment instances at sf0.01 are cross-doc duplicates, so the drop
+    * path is genuinely exercised). Keep-first semantics: the lowest doc_id
+    * retains its copy. The oracle replays the identical windowing, md5
+    * doc-frequency, keeper rule, and in-order reassembly in DuckDB; the
+    * rebuilt text is compared by md5.
+    */
+  val q70_line_dedup: QueryDef = q(
+    "q70_line_dedup",
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST((len(string_split(text, ' ')) + 3) // 4 AS BIGINT) AS nseg
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_no,
+      |    array_to_string(toks[u.i*4+1 : u.i*4+4], ' ') AS seg
+      |  FROM b, unnest(range(0, nseg)) AS u(i)),
+      |h AS (SELECT doc_id, seg_no, seg, md5(seg) AS hh FROM seg),
+      |over_cap AS (
+      |  SELECT hh, min(doc_id) AS keeper FROM h
+      |  GROUP BY hh HAVING count(DISTINCT doc_id) > 1),
+      |kept AS (
+      |  SELECT s.doc_id, s.seg_no, s.seg
+      |  FROM h s LEFT JOIN over_cap o ON s.hh = o.hh
+      |  WHERE o.hh IS NULL OR s.doc_id = o.keeper),
+      |r AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY seg_no) AS txt
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id AS id, b.nseg AS n_segments,
+      |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      |  md5(coalesce(r.txt, '')) AS text_md5
+      |FROM b LEFT JOIN r USING (doc_id)
+      |ORDER BY id""".stripMargin,
+    "Corpus segment (line) dedup: keep-first over 4-token windows") { (s, d) =>
+    Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+        width = 4, maxDocFreq = 1)
+      .select(col("id"), col("n_segments"), col("n_kept"),
+        md5(col("text_dedup")).as("text_md5"))
+      .orderBy("id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
-    q31_simhash, q52_neardup_components, q58_incremental_dedup)
+    q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup)
 }

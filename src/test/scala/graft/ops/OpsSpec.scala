@@ -644,4 +644,23 @@ class OpsSpec extends SparkSpec {
     val resized = Multimodal.resizeStub(media, targetBytes = 8)
     assert(resized.select(max($"meta.n_bytes")).first().getLong(0) <= 8)
   }
+
+  test("segmentDedup: keep-first line dedup over token windows") {
+    val in = Seq(
+      (0L, "a b c d"), // keeper of both "a b" and "c d"
+      (1L, "a b x y"), // loses "a b", keeps unique "x y"
+      (2L, "c d c d"), // loses BOTH copies (keeper is doc 0)
+      (3L, "z")        // short doc, one partial segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(in, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((2L, 2L, "a b c d")))
+    assert(out(1L) == ((2L, 1L, "x y")))
+    assert(out(2L) == ((2L, 0L, "")))
+    assert(out(3L) == ((1L, 1L, "z")))
+    // maxDocFreq=2 tolerates the 2-doc duplicates entirely
+    val lax = Dedup.segmentDedup(in, "doc_id", "text", width = 2, maxDocFreq = 2)
+    assert(lax.filter($"n_kept" =!= $"n_segments").count() == 0)
+  }
 }
