@@ -36,6 +36,23 @@ object EventStream {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream inner join with event-time bounds (the attribution
+    * shape: each click pairs with same-user impressions from the
+    * preceding `windowSec`). Watermarks on BOTH inputs plus the two-sided
+    * time-range predicate are what make this safe on an unbounded stream:
+    * they bound how long either side's rows are retained in join state,
+    * so state is O(watermark × input rate), not O(stream). Expects
+    * `impressions(imp_user, imp_ts, ...)` and
+    * `clicks(click_user, click_ts, ...)`; append-mode output.
+    */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+      windowSec: Long = 3600, watermarkDelay: String = "1 hour"): DataFrame =
+    impressions.withWatermark("imp_ts", watermarkDelay)
+      .join(clicks.withWatermark("click_ts", watermarkDelay),
+        expr(s"""imp_user = click_user
+          AND click_ts >= imp_ts
+          AND click_ts <= imp_ts + interval $windowSec seconds"""))
+
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch (per-user running session count, 30-min default gap).
     * Update-mode output: one refreshed count per user per batch.

@@ -106,6 +106,31 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.contains(11L)) // novel doc emits nothing
   }
 
+  test("stream-stream interval join pairs clicks with in-window impressions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStream.attributeClicks(
+      imps.toDS().toDF("imp_user", "imp_ts"),
+      clks.toDS().toDF("click_user", "click_ts"),
+      windowSec = 3600)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      clks.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")), // in window
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")), // too late
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))) // no impression
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attrib").select("imp_user").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
   test("daily windowed counts with watermark (streaming form of q22)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
