@@ -140,6 +140,57 @@ object Io {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Morton (z-order) interleave of pre-normalized bucket columns: each
+    * input must already be a LONG in [0, 2^bits); bit j of column k lands
+    * at position j*n+k. Disjoint bit positions make the sum an OR, so the
+    * whole code is one codegen'd arithmetic expression — no UDF. */
+  private[sources] def mortonInterleave(
+      norm: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val n = norm.size
+    require(n >= 2, "z-order needs at least 2 columns")
+    require(bits * n <= 63, s"bits*cols must fit a long, got $bits*$n")
+    val terms = for {
+      j <- 0 until bits
+      (c, k) <- norm.zipWithIndex
+    } yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + k)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-order clustered write: multi-column data skipping, where
+    * [[writeClustered]]'s lexicographic range layout only localizes its
+    * FIRST key. Each numeric cluster column is min/max-scaled (one cheap
+    * stats pass) to a `bits`-bit bucket, buckets are Morton-interleaved,
+    * and the table is range-laid-out by the z-value — so every output
+    * file covers a small hyper-rectangle of the key space and per-file
+    * parquet min/max footers prune scans on ANY clustered column, not
+    * just the leading one. Linear scaling keeps the map side pure
+    * codegen; heavily skewed columns would want rank buckets instead
+    * (ntile) at the cost of an extra sort — callers can pre-rank and
+    * still use this entry point.
+    */
+  def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggCols = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).first()
+    val top = (1L << bits) - 1
+    val norm = clusterCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      if (hi == lo) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))
+          .cast("long")))
+    }
+    df.withColumn("_z", mortonInterleave(norm, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** `columnTypes` feeds `createTableColumnTypes` — without it Spark maps
     * StringType to the dialect's unbounded text type (CLOB on Derby, TEXT
     * on MySQL), which many dialects refuse to compare/index; pass explicit
