@@ -130,6 +130,37 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling through the production [[Multimodal.frameSample]]
+    * path: documents text as a video-kind binary payload, sliced into
+    * 32-byte frames. The payload is ASCII, so DuckDB replays the same
+    * windows over the string form and md5-pins every frame's content —
+    * frame count, order, and the dropped trailing partial all match the
+    * operator's floor(len/stride) contract.
+    */
+  val q71_frame_sample: QueryDef = q(
+    "q71_frame_sample",
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(greatest(length(text) // 32, 1) AS INT) AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_no,
+      |    substr(text, CAST(u.i*32+1 AS INT), 32) AS frame
+      |  FROM b, unnest(range(0, nf)) AS u(i))
+      |SELECT media_id, frame_no,
+      |  CAST(length(frame) AS BIGINT) AS n_bytes, md5(frame) AS frame_md5
+      |FROM f
+      |ORDER BY media_id, frame_no""".stripMargin,
+    "Frame sampling: stride-byte slices of a video-kind payload") { (s, d) =>
+    val media = Multimodal.asMediaTable(
+      Tables.documents(s, d), "doc_id", "text", "video")
+    Multimodal.frameSample(media, stride = 32)
+      .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
+        octet_length(col("frame")).cast(LongType).as("n_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
-    q68_image_features)
+    q68_image_features, q71_frame_sample)
 }
