@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,5 +58,27 @@ object Sampling {
       when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
     df.filter(unitHash(col(keyCol)) < frac)
+  }
+
+  /** Deterministic global pre-training shuffle, the 100 TB way: instead
+    * of one global ORDER BY over the corpus (a full-cluster range sort),
+    * each row hashes to one of `numShards` shards and is ordered inside
+    * its shard by the same seeded hash. One hash-partition shuffle +
+    * shard-local sorts; shards stream out in any order and readers
+    * concatenate them. The order is a pure function of (seed, key):
+    * re-runs, repartitionings, and engines agree row for row — change
+    * `seed` to get an independent permutation per epoch. Returns
+    * (`id`, `shard`, `pos`) with pos 0-based within shard.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(concat(lit(seed), lit(":"), col(keyCol).cast(StringType)))
+    val shard = pmod(
+      conv(substring(h, 1, 8), 16, 10).cast(LongType), lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col("id"))
+    df.select(col(keyCol).as("id"), h.as("_h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .select("id", "shard", "pos")
   }
 }

@@ -82,5 +82,31 @@ object SamplingQueries {
     "Greedy next-fit sequence packing into 256-token bins, contract-" +
       "oracled: exact doc/token totals + capacity and bin-count invariants")
 
-  def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing)
+  /** Deterministic epoch shuffle ([[Sampling.shuffleShards]]): the oracle
+    * rebuilds the identical seeded-md5 shard assignment and within-shard
+    * order, so a full hash match proves the permutation is a pure
+    * function of (seed, key) — the property that makes the shuffle
+    * reproducible across runs, partitionings, and engines.
+    */
+  val q72_shuffle_shards: QueryDef = QueryDef(
+    "q72_shuffle_shards",
+    (s, d) =>
+      Sampling.shuffleShards(Tables.documents(s, d), "doc_id", "ep1", 8)
+        .orderBy("shard", "pos"),
+    Some("""WITH h AS (
+      |  SELECT doc_id AS id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hh
+      |  FROM documents),
+      |s AS (
+      |  SELECT id, hh,
+      |    CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS shard
+      |  FROM h)
+      |SELECT id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, id) - 1 AS BIGINT) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin),
+    "Deterministic sharded pre-training shuffle (seeded md5 permutation, " +
+      "no global sort)")
+
+  def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
+    q72_shuffle_shards)
 }

@@ -663,4 +663,23 @@ class OpsSpec extends SparkSpec {
     val lax = Dedup.segmentDedup(in, "doc_id", "text", width = 2, maxDocFreq = 2)
     assert(lax.filter($"n_kept" =!= $"n_segments").count() == 0)
   }
+
+  test("shuffleShards: a deterministic partition-invariant permutation") {
+    val ids = spark.range(0, 100).toDF("doc_id")
+    val a = Sampling.shuffleShards(ids, "doc_id", "ep1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every id exactly once; shards in range; positions contiguous per shard
+    assert(a.map(_._1).sorted.toSeq == (0L until 100L))
+    assert(a.forall(t => t._2 >= 0 && t._2 < 4))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+    // invariant under input partitioning, changed by the seed
+    val b = Sampling.shuffleShards(ids.repartition(7), "doc_id", "ep1", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet == b.toSet)
+    val c = Sampling.shuffleShards(ids, "doc_id", "ep2", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet != c.toSet)
+  }
 }
