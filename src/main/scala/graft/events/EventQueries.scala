@@ -316,9 +316,44 @@ object EventQueries {
         .orderBy("event_id")
   }
 
+  /** Triangle census of the interaction graph ([[graft.ops.Graph]]
+    * degree-oriented count). The oracle counts with the plain a<b
+    * orientation — the count is orientation-invariant, so the two plans
+    * must agree exactly; hash parity here certifies the whole
+    * canonicalize→degree→orient→wedge→close pipeline.
+    */
+  val q73_triangles: QueryDef = q(
+    "q73_triangles",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |n AS (SELECT count(DISTINCT v) AS n_nodes
+      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)),
+      |m AS (SELECT count(*) AS n_edges FROM e),
+      |t AS (SELECT count(*) AS n_triangles
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles
+      |FROM n, m, t""".stripMargin,
+    "Exact triangle count over the interaction graph, degree-oriented") {
+    (s, d) =>
+      val edges = graft.ops.GlobalLag.withLag(
+          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
+          Seq("ts_ns", "event_id"), "user_id", "prev")
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("source"), col("user_id").as("target"))
+      graft.ops.Graph.triangleStats(edges, "source", "target")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
-    q44_asof_native)
+    q44_asof_native, q73_triangles)
 }
