@@ -351,9 +351,45 @@ object EventQueries {
       graft.ops.Graph.triangleStats(edges, "source", "target")
   }
 
+  /** PageRank over the interaction graph, property-oracled (the
+    * q41/q55/q59 trick for sequential/approximate algorithms SQL cannot
+    * replay): Spark computes the invariant flags — total probability mass
+    * conserved to 1e-9 and strict positivity, both structural for a
+    * correct power iteration on a graph with no isolated nodes — plus the
+    * exact node-count anchor; the oracle pins the anchor and asserts the
+    * flags as literal 1s.
+    */
+  val q74_pagerank: QueryDef = q(
+    "q74_pagerank",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |n AS (SELECT count(DISTINCT v) AS n_nodes
+      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(1 AS BIGINT) AS sum_ok,
+      |  CAST(1 AS BIGINT) AS positive_ok
+      |FROM n""".stripMargin,
+    "PageRank (10 damped power iterations), mass-conservation oracled") {
+    (s, d) =>
+      val edges = graft.ops.GlobalLag.withLag(
+          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
+          Seq("ts_ns", "event_id"), "user_id", "prev")
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("source"), col("user_id").as("target"))
+      graft.ops.Graph.pageRank(edges, "source", "target", iters = 10)
+        .agg(count(lit(1)).as("_n"), sum("rank").as("_s"), min("rank").as("_m"))
+        .select(col("_n").cast(LongType).as("n_nodes"),
+          when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
+          when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
-    q44_asof_native, q73_triangles)
+    q44_asof_native, q73_triangles, q74_pagerank)
 }

@@ -75,4 +75,54 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** PageRank over the undirected edge list (each edge walks both ways),
+    * `iters` synchronous power iterations with damping `d`:
+    * r' = (1-d)/n + d·Σ_in r/outdeg. Returns (`v`, `rank`), Σrank ≈ 1.
+    *
+    * Every iteration is one shuffle join (contributions) + one hash agg
+    * (sum per target) over the edge list — the degree table and directed
+    * edges are built once and persisted, and each iteration's rank frame
+    * is persisted and the previous one dropped, so the lineage (and the
+    * plan Catalyst must optimize) stays O(1) deep instead of growing by
+    * two joins per iteration. Isolated-node-free by construction (every
+    * node in an edge list has degree ≥ 1), so no dangling-mass term.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 20, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Checkpoint (not just persist) every generation: persisting caches
+    // the DATA but the logical plan still nests two joins per iteration,
+    // and the exponentially growing tree OOMs the driver long before the
+    // executors feel anything. Same protocol as Dedup.connectedComponents:
+    // reliable checkpoints when a dir is configured, executor-local
+    // otherwise.
+    val sc = edges.sparkSession.sparkContext
+    def ckpt(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    // (s, t, outdeg) in one frame: joining degree once here means the
+    // per-iteration step is a single join + agg, not two joins
+    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("outdeg"))
+    val directed = ckpt(
+      e.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+        .join(deg, Seq("s")))
+    val n = directed.select(col("s")).distinct().count()
+    val base = (1.0 - damping) / n
+    var ranks = ckpt(directed.select(col("s").as("v")).distinct()
+      .select(col("v"), lit(1.0 / n).as("rank")))
+    for (_ <- 0 until iters) {
+      val next = ckpt(directed
+        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("v")
+        .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank")))
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
 }

@@ -24,4 +24,24 @@ class GraphSpec extends SparkSpec {
     val rs = Graph.triangleStats(star, "s", "t").first()
     assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) == ((6L, 5L, 0L)))
   }
+
+  test("pageRank matches closed forms on symmetric and path graphs") {
+    // K3: full symmetry → 1/3 each, any damping
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    Graph.pageRank(k3, "s", "t", iters = 30).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9, r)
+    }
+    // path 1-2-3 with d=0.85: solving the stationary equations gives
+    // r2 = (1+2d)/(3(1+d)), r1 = r3 = (1-r2)/2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    // bipartite path: error contracts by exactly d per iteration
+    // (0.85^120 ≈ 3e-9), so 120 rounds are needed for the 1e-6 bar
+    val got = Graph.pageRank(path, "s", "t", iters = 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r2 = (1 + 2 * 0.85) / (3 * (1 + 0.85))
+    assert(math.abs(got(2L) - r2) < 1e-6)
+    assert(math.abs(got(1L) - (1 - r2) / 2) < 1e-6)
+    assert(math.abs(got(3L) - (1 - r2) / 2) < 1e-6)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
 }
