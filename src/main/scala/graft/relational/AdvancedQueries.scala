@@ -231,8 +231,36 @@ object AdvancedQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** The quantile SKETCH path (q45 is the exact one), property-oracled
+    * like q41's HLL: a single-pass mergeable approx_percentile at
+    * accuracy 1000 carries a ≤ 1/1000 relative-rank guarantee, so Spark
+    * computes the estimate's TRUE rank against the same frame and emits
+    * whether it landed within twice the documented bound; the oracle pins
+    * the row-count anchor and asserts the flag as a literal 1. This is
+    * the quantile a 100 TB pipeline actually runs — one pass, partial
+    * aggregation, no global sort — with its accuracy contract now a
+    * CORRECTNESS row instead of a doc claim.
+    */
+  val q75_approx_quantile: QueryDef = q(
+    "q75_approx_quantile",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS rank_ok
+      |FROM lineitem""".stripMargin,
+    "approx_percentile median sketch, rank-error-bound oracled") { (s, d) =>
+    val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val est = li.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000)).as("est"),
+      count(lit(1)).as("n"))
+    li.crossJoin(est)
+      .agg(first(col("n")).as("n"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("rank"))
+      .select(col("n").cast(LongType).as("n"),
+        when(abs(col("rank").cast(DoubleType) / col("n") - 0.5) <= 0.002, 1L)
+          .otherwise(0L).as("rank_ok"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
-    q69_rank_family)
+    q69_rank_family, q75_approx_quantile)
 }
