@@ -51,15 +51,17 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // Tiered degradation: 3dp → 2dp → 1dp. The 2dp 75-query line is
-    // ~1.9 KB — one more query would push past the window once the
-    // "[info] " prefix and sbt's trailing "[success] Total time" line
-    // (~70 bytes together) are charged against the same 2000-byte tail.
+    // Tiered degradation: 3dp → 2dp → 1dp. Budgets charge the "[info] "
+    // prefix and sbt's trailing "[success] Total time" line (~70 bytes
+    // together) against the same 2000-byte tail window: 1930 is the 2dp
+    // ceiling, and past it the 1dp tier keeps the line parseable at any
+    // plausible query count (~23 bytes/entry) at the cost of resolution
+    // on sub-0.1 s queries.
     val line3 = render(3)
     val line2 = render(2)
     println(
       if (line3.length <= 1850) line3
-      else if (line2.length <= 1900) line2
+      else if (line2.length <= 1930) line2
       else render(1))
     spark.stop()
   }

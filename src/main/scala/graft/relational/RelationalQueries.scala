@@ -365,10 +365,38 @@ object RelationalQueries {
     "approx_count_distinct (HyperLogLog++) vs exact, per event type; " +
       "estimate checked against its accuracy bound")
 
+  /** The salted join ([[graft.ops.Skew.saltedJoin]]) against the PLAIN
+    * join as oracle: salting only redistributes rows (scatter the big
+    * side over (key, salt), replicate the small side once per salt), so
+    * any hash mismatch here means the skew path changed semantics. The
+    * random salt never reaches the output — the aggregate is
+    * salt-invariant by construction, which is what makes an exact oracle
+    * possible for a randomized physical rewrite.
+    */
+  val q76_salted_join: QueryDef = q(
+    "q76_salted_join",
+    """SELECT o.o_orderpriority AS priority,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin,
+    "Salted skew join vs plain-join oracle (semantics-preservation gate)") {
+    (s, d) =>
+      val big = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val small = orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(big, small, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("priority")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
     q21_broadcast_join, q35_point_lookup, q40_intersect_unionall,
-    q41_approx_distinct)
+    q41_approx_distinct, q76_salted_join)
 }
