@@ -51,18 +51,35 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    // Tiered degradation: 3dp → 2dp → 1dp. Budgets charge the "[info] "
-    // prefix and sbt's trailing "[success] Total time" line (~70 bytes
-    // together) against the same 2000-byte tail window: 1930 is the 2dp
-    // ceiling, and past it the 1dp tier keeps the line parseable at any
-    // plausible query count (~23 bytes/entry) at the cost of resolution
-    // on sub-0.1 s queries.
+    // Tiered degradation: 3dp → 2dp → 1dp → slowest-only. Budgets charge
+    // the "[info] " prefix and sbt's trailing "[success] Total time" line
+    // (~70 bytes together) against the same 2000-byte tail window, so
+    // 1930 is the ceiling for every tier. 1dp entries run ~27 bytes
+    // (avg 19-char name + quotes/colon/comma + 3-4 value chars), which
+    // overflows around ~80 queries — the last tier then keeps only the
+    // SLOWEST entries that fit plus a "dropped" count, because an
+    // oversized line head-truncates in the tail capture into an
+    // unparseable artifact (the round-3 failure this tiering prevents).
+    def renderSlowest(dp: Int, budget: Int): String = {
+      val byTime = results.toSeq.sortBy(-_._2)
+      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      var len = 120 // fixed JSON scaffolding + total/sf/dropped fields
+      for ((k, v) <- byTime if len + k.length + dp + 8 <= budget) {
+        kept += (k -> v); len += k.length + dp + 8
+      }
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"dropped":${results.size - kept.size},"sf":"$sfDir"}"""
+    }
     val line3 = render(3)
     val line2 = render(2)
+    val line1 = render(1)
     println(
       if (line3.length <= 1850) line3
       else if (line2.length <= 1930) line2
-      else render(1))
+      else if (line1.length <= 1930) line1
+      else renderSlowest(1, 1800))
     spark.stop()
   }
 }

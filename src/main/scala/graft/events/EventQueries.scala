@@ -29,6 +29,28 @@ object EventQueries {
 
   private val wUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
 
+  /** Consecutive distinct-actor pairs from the global event sequence —
+    * the interaction-graph kernel shared by q11/q39/q73/q74 (one row per
+    * adjacent pair, raw direction). The ordering contract (`ts_ns` +
+    * `event_id` tiebreak) lives HERE and nowhere else, so a change to it
+    * cannot silently break oracle parity for only some graph queries.
+    */
+  private def consecutivePairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.GlobalLag.withLag(
+        Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
+        Seq("ts_ns", "event_id"), "user_id", "prev")
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(col("prev").as("source"), col("user_id").as("target"))
+
+  /** Canonical undirected weighted edges over [[consecutivePairs]]. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val p = consecutivePairs(s, d)
+    p.select(least(col("source"), col("target")).as("source"),
+        greatest(col("source"), col("target")).as("target"))
+      .groupBy("source", "target")
+      .agg(count(lit(1)).as("weight"))
+  }
+
   val q10_window_lag: QueryDef = q(
     "q10_window_lag",
     """SELECT event_id, user_id, prev_type, gap_s FROM (
@@ -62,17 +84,7 @@ object EventQueries {
     "Reference flagship (J1+J2+A2): consecutive distinct actors → canonical " +
       "undirected weighted edges. Global sequence via the range-partitioned " +
       "lag (ops.GlobalLag) — no single-task window at any scale.") {
-    (s, d) =>
-      graft.ops.GlobalLag.withLag(
-          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
-          Seq("ts_ns", "event_id"), "user_id", "prev")
-        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-        .select(
-          least(col("prev"), col("user_id")).as("source"),
-          greatest(col("prev"), col("user_id")).as("target"))
-        .groupBy("source", "target")
-        .agg(count(lit(1)).as("weight"))
-        .orderBy("source", "target")
+    (s, d) => weightedEdges(s, d).orderBy("source", "target")
   }
 
   val q12_distinct_users: QueryDef = q(
@@ -228,14 +240,7 @@ object EventQueries {
       |  AND EXISTS (SELECT 1 FROM keep WHERE id = target)
       |ORDER BY source, target""".stripMargin,
     "Graph node/link filter (F9/F10) + render scalars (P10/P11)") { (s, d) =>
-    val links = graft.ops.GlobalLag.withLag(
-        Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
-        Seq("ts_ns", "event_id"), "user_id", "prev")
-      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-      .select(least(col("prev"), col("user_id")).as("source"),
-        greatest(col("prev"), col("user_id")).as("target"))
-      .groupBy("source", "target")
-      .agg(count(lit(1)).as("weight"))
+    val links = weightedEdges(s, d)
     val keep = Tables.events(s, d).select(col("user_id").as("id")).distinct()
       .filter(lower(col("id").cast(StringType)).contains("1"))
     links
@@ -343,12 +348,7 @@ object EventQueries {
       |FROM n, m, t""".stripMargin,
     "Exact triangle count over the interaction graph, degree-oriented") {
     (s, d) =>
-      val edges = graft.ops.GlobalLag.withLag(
-          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
-          Seq("ts_ns", "event_id"), "user_id", "prev")
-        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-        .select(col("prev").as("source"), col("user_id").as("target"))
-      graft.ops.Graph.triangleStats(edges, "source", "target")
+      graft.ops.Graph.triangleStats(consecutivePairs(s, d), "source", "target")
   }
 
   /** PageRank over the interaction graph, property-oracled (the
@@ -375,12 +375,8 @@ object EventQueries {
       |FROM n""".stripMargin,
     "PageRank (10 damped power iterations), mass-conservation oracled") {
     (s, d) =>
-      val edges = graft.ops.GlobalLag.withLag(
-          Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
-          Seq("ts_ns", "event_id"), "user_id", "prev")
-        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-        .select(col("prev").as("source"), col("user_id").as("target"))
-      graft.ops.Graph.pageRank(edges, "source", "target", iters = 10)
+      graft.ops.Graph.pageRank(consecutivePairs(s, d), "source", "target",
+          iters = 10)
         .agg(count(lit(1)).as("_n"), sum("rank").as("_s"), min("rank").as("_m"))
         .select(col("_n").cast(LongType).as("n_nodes"),
           when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),

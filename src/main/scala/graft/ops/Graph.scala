@@ -103,17 +103,20 @@ object Graph {
       else df.localCheckpoint(true)
     val e = canonicalEdges(edges, srcCol, dstCol)
     // (s, t, outdeg) in one frame: joining degree once here means the
-    // per-iteration step is a single join + agg, not two joins
-    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
-      .groupBy("s").agg(count(lit(1)).as("outdeg"))
+    // per-iteration step is a single join + agg, not two joins. The
+    // degree frame IS the node table (one row per node), so node count
+    // and rank init read it directly — no distinct re-shuffles of the
+    // 2m-row directed list.
+    val deg = ckpt(
+      e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+        .groupBy("s").agg(count(lit(1)).as("outdeg")))
     val directed = ckpt(
       e.select(col("a").as("s"), col("b").as("t"))
         .unionAll(e.select(col("b").as("s"), col("a").as("t")))
         .join(deg, Seq("s")))
-    val n = directed.select(col("s")).distinct().count()
+    val n = deg.count()
     val base = (1.0 - damping) / n
-    var ranks = ckpt(directed.select(col("s").as("v")).distinct()
-      .select(col("v"), lit(1.0 / n).as("rank")))
+    var ranks = ckpt(deg.select(col("s").as("v"), lit(1.0 / n).as("rank")))
     for (_ <- 0 until iters) {
       val next = ckpt(directed
         .join(ranks.withColumnRenamed("v", "s"), Seq("s"))

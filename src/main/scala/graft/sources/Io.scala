@@ -178,7 +178,13 @@ object Io {
     val stats = df.agg(aggCols.head, aggCols.tail: _*).first()
     val top = (1L << bits) - 1
     val norm = clusterCols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      // null stats = empty input or an all-null column: degrade to a
+      // constant bucket (writeClustered's behavior) instead of NPEing;
+      // row-level nulls inside a non-degenerate column also land in
+      // bucket 0 via greatest(0, null) below
+      val (lo, hi) =
+        if (stats.isNullAt(2 * i)) (0.0, 0.0)
+        else (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
       if (hi == lo) lit(0L)
       else least(lit(top), greatest(lit(0L),
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))
