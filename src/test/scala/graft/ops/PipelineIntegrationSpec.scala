@@ -83,4 +83,34 @@ class PipelineIntegrationSpec extends SparkSpec {
     // the funnel only ever narrows, and monotonically
     assert(Seq(n0, n2, n3, n4).zip(Seq(n2, n3, n4, n5)).forall { case (a, b) => b <= a })
   }
+
+  test("round-4 tail stages compose: segment dedup then epoch shuffle") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n0 = raw.count()
+
+    // corpus-level line dedup BEFORE doc-level near-dedup, the CCNet
+    // order: boilerplate segments must not glue unrelated docs together
+    val segDeduped = Dedup.segmentDedup(raw, "doc_id", "text", width = 4)
+    assert(segDeduped.count() == n0) // doc set preserved, content trimmed
+    assert(segDeduped.filter($"n_kept" > $"n_segments").count() == 0)
+    val trimmed = segDeduped.filter($"n_kept" > 0)
+      .select($"id".as("doc_id"), $"text_dedup".as("text"))
+
+    // exact dedup still composes on the rebuilt text
+    val exact = Dedup.exact(trimmed, Seq("text"), "doc_id")
+    assert(exact.count() <= trimmed.count())
+
+    // deterministic epoch shuffle is a permutation of whatever survived
+    val shuffled = Sampling.shuffleShards(exact, "doc_id", "ep0", 4)
+    assert(shuffled.count() == exact.count())
+    assert(shuffled.select("id").distinct().count() == exact.count())
+    // epoch 2 is a different permutation of the same ids
+    val ep2 = Sampling.shuffleShards(exact, "doc_id", "ep1", 4)
+    assert(ep2.select("id").distinct().count() == exact.count())
+    val order1 = shuffled.orderBy("shard", "pos").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val order2 = ep2.orderBy("shard", "pos").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(order1.toSet == order2.toSet && order1 != order2)
+  }
 }
