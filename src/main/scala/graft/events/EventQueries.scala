@@ -383,9 +383,51 @@ object EventQueries {
           when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
   }
 
+  /** Daily-grid resampling with forward fill — the gap-filling shape of
+    * time-series analytics, run through the NATIVE as-of operator
+    * (plans.AsOfJoinExec) rather than the composite: each (user, day)
+    * grid point picks the user's last event value at or before end of
+    * day. Right side is pre-aggregated to one row per (user, second) so
+    * the as-of match is unique in both engines; the filled value is
+    * emitted floor-ppm. Inner as-of semantics: days before a user's
+    * first event produce no row — identical in DuckDB's ASOF JOIN.
+    */
+  val q77_resample: QueryDef = q(
+    "q77_resample",
+    """WITH b AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+      |  FROM events),
+      |r AS (SELECT user_id, ts_sec, max(value) AS v FROM b GROUP BY 1, 2),
+      |lim AS (SELECT min(ts_sec) // 86400 AS d0, max(ts_sec) // 86400 AS d1 FROM b),
+      |grid AS (
+      |  SELECT u.user_id, CAST(g.d AS BIGINT) AS day,
+      |    CAST(g.d * 86400 + 86399 AS BIGINT) AS gts
+      |  FROM (SELECT DISTINCT user_id FROM b) u, lim,
+      |    unnest(range(d0, d1 + 1)) AS g(d))
+      |SELECT grid.user_id, grid.day,
+      |  CAST(floor(1000000 * r.v) AS BIGINT) AS value_ppm
+      |FROM grid ASOF JOIN r
+      |  ON grid.user_id = r.user_id AND grid.gts >= r.ts_sec
+      |ORDER BY grid.user_id, grid.day""".stripMargin,
+    "Daily resample + forward fill via the native as-of operator") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts_sec"), col("value"))
+    val r = ev.groupBy(col("user_id"), col("ts_sec")).agg(max("value").as("v"))
+    val lim = ev.agg(
+      expr("min(ts_sec) div 86400").as("d0"),
+      expr("max(ts_sec) div 86400").as("d1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(lim)
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("user_id"), col("day"), (col("day") * 86400 + 86399).as("gts"))
+    graft.ops.AsOf.joinAsOfNative(grid, r, "user_id", "gts", "ts_sec", Seq("v"))
+      .select(col("user_id"), col("day"),
+        floor(lit(1000000) * col("asof_v")).cast(LongType).as("value_ppm"))
+      .orderBy("user_id", "day")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
-    q44_asof_native, q73_triangles, q74_pagerank)
+    q44_asof_native, q73_triangles, q74_pagerank, q77_resample)
 }
