@@ -425,9 +425,75 @@ object EventQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Hopping (sliding) time windows through Spark's native `window()`
+    * generator — every event lands in 4 overlapping 1-hour windows that
+    * hop by 15 min. The oracle replays the identical assignment
+    * arithmetically (k ∈ 0..3, start = (ts div 900 − k)·900, keep
+    * windows that still contain the event), so window boundaries, the
+    * per-window membership, and the counts must all agree exactly.
+    * Epoch-second window starts keep the comparison integer-only.
+    */
+  val q78_hopping_window: QueryDef = q(
+    "q78_hopping_window",
+    """WITH b AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT ((ts_sec // 900) - k.k) * 900 AS win_start, event_type
+      |  FROM b, (SELECT unnest(range(0, 4)) AS k) k
+      |  WHERE ts_sec < ((ts_sec // 900) - k.k) * 900 + 3600)
+      |SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+      |  COUNT(*) AS n
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin,
+    "Hopping windows (1 h / 15 min) via the native window() generator") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+  }
+
+  /** Spark's NATIVE session_window generator (q20 is the manual
+    * gaps-and-islands form). Boundary semantics differ: session_window
+    * ends a session at lastEvent + gap EXCLUSIVE (an event exactly
+    * 1800 s later starts a new session), while q20's manual rule uses
+    * `gap > 1800`. The oracle replays the native rule (`>= 1800` on
+    * floor seconds) rather than reusing q20's, and Spark sessionizes the
+    * floor-second timestamp so both engines see the identical instants.
+    */
+  val q79_session_window: QueryDef = q(
+    "q79_session_window",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin,
+    "Native session_window vs a boundary-aligned gaps-and-islands oracle") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts_sec").cast(TimestampType), "30 minutes"))
+        .agg(count(lit(1)).as("n_in_session"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+          sum("n_in_session").as("n_events"))
+        .orderBy("user_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
-    q44_asof_native, q73_triangles, q74_pagerank, q77_resample)
+    q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
+    q78_hopping_window, q79_session_window)
 }
