@@ -490,10 +490,44 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** Per-group top-k through the typed-Aggregator UDAF
+    * ([[graft.functions.TopKAggregator]]) instead of a window: the
+    * aggregator's partials carry at most k pairs, so the shuffle moves
+    * k rows per (partition, group) rather than every row. The oracle is
+    * the full row_number window — the two must agree exactly, which
+    * pins the aggregator's reduce/merge/tie-break semantics.
+    */
+  val q80_topk_agg: QueryDef = q(
+    "q80_topk_agg",
+    """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id,
+      |  CAST(floor(1000000 * value) AS BIGINT) AS value_ppm
+      |FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 5
+      |ORDER BY event_type, rank""".stripMargin,
+    "Per-group top-k via a typed Aggregator UDAF (bounded partials)") {
+    (s, d) =>
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(graft.functions.TopKAggregator(5).toColumn.name("topk"))
+        .toDF("event_type", "topk")
+        .select(col("event_type"),
+          posexplode(col("topk.items")).as(Seq("i", "p")))
+        .select(col("event_type"), (col("i") + 1).cast(LongType).as("rank"),
+          col("p._2").as("event_id"),
+          floor(lit(1000000) * col("p._1")).cast(LongType).as("value_ppm"))
+        .orderBy("event_type", "rank")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
-    q78_hopping_window, q79_session_window)
+    q78_hopping_window, q79_session_window, q80_topk_agg)
 }
