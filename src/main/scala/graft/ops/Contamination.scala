@@ -45,7 +45,41 @@ object Contamination {
       textCol: String, n: Int = 13): DataFrame = {
     val trainGrams = wordGrams(train, idCol, textCol, n)
       .select("gram").distinct()
+    report(eval, wordGrams(eval, idCol, textCol, n), trainGrams, idCol)
+  }
+
+  /** The Bloom-prefiltered form of [[ngramOverlap]] — the 100 TB shape
+    * when the training corpus is the huge side: build a Bloom filter
+    * over the (small) EVAL gram set, broadcast it in the task closure,
+    * and map-side-prune train grams before the distinct + semi-join, so
+    * the train side shuffles only grams that MIGHT collide instead of
+    * the whole corpus' gram set. Bloom filters have no false negatives,
+    * so the report is bit-identical to [[ngramOverlap]]'s — false
+    * positives only cost shuffle bytes, bounded by `fpp`. The probe is
+    * a Scala UDF (no public might_contain expression); it runs in the
+    * map stage the scan already pays for, which is the point — the
+    * expensive thing at scale is the shuffle it prevents, not the call
+    * overhead it adds.
+    */
+  def ngramOverlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
     val evalGrams = wordGrams(eval, idCol, textCol, n)
+    val distinctEval = evalGrams.select("gram").distinct()
+    val expected = math.max(distinctEval.count(), 1L)
+    val bf = distinctEval.stat.bloomFilter("gram", expected, fpp)
+    val mightHit = udf((g: String) => bf.mightContainString(g))
+    val prunedTrainGrams = wordGrams(train, idCol, textCol, n)
+      .filter(mightHit(col("gram")))
+      .select("gram").distinct()
+    report(eval, evalGrams, prunedTrainGrams, idCol)
+  }
+
+  /** Per-doc contamination report shared by the exact and Bloom paths:
+    * any train-gram superset of (train ∩ eval) produces the identical
+    * result, because the semi-join re-checks exact equality.
+    */
+  private def report(eval: DataFrame, evalGrams: DataFrame,
+      trainGrams: DataFrame, idCol: String): DataFrame = {
     val hits = evalGrams
       .join(trainGrams, Seq("gram"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))

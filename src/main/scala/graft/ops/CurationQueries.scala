@@ -123,6 +123,27 @@ object CurationQueries {
     "Token-window chunking (64/16 overlap) — the upstream step packGreedy's " +
       "oversize-doc contract requires")
 
+  /** The Bloom-prefiltered decontamination path
+    * ([[Contamination.ngramOverlapBloom]]) under q61's EXACT oracle: no
+    * false negatives means the prefilter must not change a single row
+    * or count — hash parity here proves the scale optimization is
+    * semantics-free, the same way q76 gates the salted join and q44
+    * shares q42's oracle.
+    */
+  val q81_contamination_bloom: QueryDef = QueryDef(
+    "q81_contamination_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlapBloom(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    q61_contamination.oracle,
+    "Bloom-prefiltered decontamination — bit-identical to the exact path")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
-    q67_token_chunks)
+    q67_token_chunks, q81_contamination_bloom)
 }

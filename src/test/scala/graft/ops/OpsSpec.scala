@@ -664,6 +664,24 @@ class OpsSpec extends SparkSpec {
     assert(lax.filter($"n_kept" =!= $"n_segments").count() == 0)
   }
 
+  test("bloom-prefiltered contamination is bit-identical to the exact path") {
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 tail"), // contains a train 8-gram
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8"),      // clean
+      (12L, "short")                          // fewer tokens than n
+    ).toDF("doc_id", "text")
+    val exact = Contamination.ngramOverlap(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bloom = Contamination.ngramOverlapBloom(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._3 > 0)) // the hit path is actually exercised
+    assert(exact.exists(t => t._1 == 12L && t._2 == 0L)) // short doc kept as 0/0
+  }
+
   test("shuffleShards: a deterministic partition-invariant permutation") {
     val ids = spark.range(0, 100).toDF("doc_id")
     val a = Sampling.shuffleShards(ids, "doc_id", "ep1", 4)
