@@ -393,10 +393,38 @@ object RelationalQueries {
         .orderBy("priority")
   }
 
+  /** Equi-width histogram over a data-derived range — two passes (min/max
+    * then a broadcast scalar join + hash agg), never a sort. The bucket
+    * expression is spelled IDENTICALLY in both engines —
+    * ((v−lo)·20)/(hi−lo), left-associated — so IEEE doubles make the
+    * assignment bit-equal; width_bucket() is deliberately avoided because
+    * the two engines' internal rounding differs at bucket boundaries.
+    */
+  val q82_histogram: QueryDef = q(
+    "q82_histogram",
+    """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+      |lim AS (SELECT min(v) AS lo, max(v) AS hi FROM s)
+      |SELECT CAST(least(19, CAST(floor((v - lo) * 20 / (hi - lo)) AS BIGINT)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM s, lim
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin,
+    "Equi-width histogram (20 buckets), bit-equal bucket arithmetic") {
+    (s, d) =>
+      val v = lineitem(s, d).select(col("l_extendedprice").cast(DoubleType).as("v"))
+      val lim = v.agg(min("v").as("lo"), max("v").as("hi"))
+      v.crossJoin(lim)
+        .select(least(lit(19L),
+          floor((col("v") - col("lo")) * 20 / (col("hi") - col("lo")))
+            .cast(LongType)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
     q21_broadcast_join, q35_point_lookup, q40_intersect_unionall,
-    q41_approx_distinct, q76_salted_join)
+    q41_approx_distinct, q76_salted_join, q82_histogram)
 }
