@@ -72,11 +72,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"dropped":${results.size - kept.size},"sf":"$sfDir"}"""
     }
+    val full = render(3)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), render(3) + "\n")
+      java.nio.file.Paths.get("bench_full.json"), full + "\n")
     catch { case _: Throwable => } // best-effort sidecar, never fail the run
-    val lines = Seq(render(3), render(2), render(1))
-    println(lines.find(_.length <= 1900).getOrElse(renderSlowest(1, 1800)))
+    println(
+      Iterator(full, render(2), render(1)).find(_.length <= 1900)
+        .getOrElse(renderSlowest(1, 1800)))
     spark.stop()
   }
 }

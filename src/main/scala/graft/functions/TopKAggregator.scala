@@ -32,8 +32,17 @@ final case class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
   require(k > 0, s"k must be positive, got $k")
 
+  // NaN sorts GREATEST (SQL DESC semantics, matching the row_number
+  // oracle) and compares equal to itself — plain > / == would make
+  // `better` non-total on NaN and the kept set partition-dependent
+  private def gtVal(x: Double, y: Double): Boolean = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if (xn || yn) xn && !yn else x > y
+  }
+
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    gtVal(a._1, b._1) || (!gtVal(b._1, a._1) && a._2 < b._2)
 
   override def zero: TopKBuf = TopKBuf(Seq.empty)
 

@@ -64,9 +64,15 @@ object Contamination {
   def ngramOverlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
     val evalGrams = wordGrams(eval, idCol, textCol, n)
+    // persist: the distinct gram set feeds two driver jobs (count, then
+    // the bloom build) — without it the posexplode + (n−1)-lead window
+    // pipeline runs twice
     val distinctEval = evalGrams.select("gram").distinct()
-    val expected = math.max(distinctEval.count(), 1L)
-    val bf = distinctEval.stat.bloomFilter("gram", expected, fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf =
+      try distinctEval.stat.bloomFilter("gram",
+        math.max(distinctEval.count(), 1L), fpp)
+      finally distinctEval.unpersist(blocking = false)
     val mightHit = udf((g: String) => bf.mightContainString(g))
     val prunedTrainGrams = wordGrams(train, idCol, textCol, n)
       .filter(mightHit(col("gram")))

@@ -25,4 +25,13 @@ class TopKAggregatorSpec extends SparkSpec {
     // merge path must agree with the single-partition path exactly
     (2 to 7).foreach { p => assert(topIds(data, 3, p) == got, s"parts=$p") }
   }
+
+  test("top-k aggregator: NaN sorts greatest and stays partition-invariant") {
+    val data = Seq(
+      ("a", Double.NaN, 1L), ("a", 9.0, 2L), ("a", Double.NaN, 3L),
+      ("a", 5.0, 4L), ("a", 7.0, 5L))
+    // NaN greatest (SQL DESC order), NaN ties by id: 1, 3, then 9.0@2
+    val want = Seq(1L, 3L, 2L)
+    (1 to 7).foreach { p => assert(topIds(data, 3, p)("a") == want, s"parts=$p") }
+  }
 }
