@@ -55,27 +55,35 @@ object Contamination {
     * the train side shuffles only grams that MIGHT collide instead of
     * the whole corpus' gram set. Bloom filters have no false negatives,
     * so the report is bit-identical to [[ngramOverlap]]'s — false
-    * positives only cost shuffle bytes, bounded by `fpp`. The probe is
-    * a Scala UDF (no public might_contain expression); it runs in the
-    * map stage the scan already pays for, which is the point — the
-    * expensive thing at scale is the shuffle it prevents, not the call
-    * overhead it adds.
+    * positives only cost shuffle bytes, bounded by `fpp`.
+    *
+    * The filter is keyed on `xxhash64(gram)` — both the build and the
+    * probe hash through the codegen'd built-in — and the probe itself is
+    * the native [[graft.functions.BloomMightContainLong]] expression:
+    * one primitive `mightContainLong` call per train gram inside
+    * WholeStageCodegen, no UDF boxing in the innermost loop of the scale
+    * path. Hashing first cannot introduce false negatives (equal grams
+    * hash equal); collisions only add false positives, which the exact
+    * semi-join in [[report]] re-checks anyway.
     */
   def ngramOverlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
     val evalGrams = wordGrams(eval, idCol, textCol, n)
-    // persist: the distinct gram set feeds two driver jobs (count, then
+    // persist: the distinct hash set feeds two driver jobs (count, then
     // the bloom build) — without it the posexplode + (n−1)-lead window
     // pipeline runs twice
-    val distinctEval = evalGrams.select("gram").distinct()
+    val distinctEval = evalGrams.select(xxhash64(col("gram")).as("gh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf =
-      try distinctEval.stat.bloomFilter("gram",
+      try distinctEval.stat.bloomFilter("gh",
         math.max(distinctEval.count(), 1L), fpp)
       finally distinctEval.unpersist(blocking = false)
-    val mightHit = udf((g: String) => bf.mightContainString(g))
+    import org.apache.spark.sql.GraftRegistrar
+    val mightHit = GraftRegistrar.column(
+      graft.functions.BloomMightContainLong(
+        GraftRegistrar.expression(xxhash64(col("gram"))), bf))
     val prunedTrainGrams = wordGrams(train, idCol, textCol, n)
-      .filter(mightHit(col("gram")))
+      .filter(mightHit)
       .select("gram").distinct()
     report(eval, evalGrams, prunedTrainGrams, idCol)
   }

@@ -89,55 +89,74 @@ object Graph {
     * node in an edge list has degree ≥ 1), so no dangling-mass term.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 20, damping: Double = 0.85): DataFrame = {
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // Checkpoint (not just persist) every generation: persisting caches
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    // Checkpoint (not just persist) inside the loop: persisting caches
     // the DATA but the logical plan still nests two joins per iteration,
     // and the exponentially growing tree OOMs the driver long before the
     // executors feel anything. Same protocol as Dedup.connectedComponents:
     // reliable checkpoints when a dir is configured, executor-local
-    // otherwise.
+    // otherwise. Every eager checkpoint is a full job barrier, so the
+    // total barrier count is the cost model for the setup + loop below:
+    // 1 setup barrier + ceil(iters/ckptEvery) loop barriers (iters=10,
+    // ckptEvery=4 → 4 barriers total; the every-generation variant ran
+    // ~2.5× slower at local[32] purely on barrier overhead, and the
+    // round-4 shape paid 7 barriers plus a double upstream compute).
     val sc = edges.sparkSession.sparkContext
     def ckpt(df: DataFrame): DataFrame =
       if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // The canonical edge list is read twice during setup (degrees, then
+    // the directed list) — persist it so the upstream pipeline that
+    // produced the edges (often a full lag-over-events pass) runs ONCE.
     val e = canonicalEdges(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (s, t, outdeg) in one frame: joining degree once here means the
     // per-iteration step is a single join + agg, not two joins. The
     // degree frame IS the node table (one row per node), so node count
     // and rank init read it directly — no distinct re-shuffles of the
-    // 2m-row directed list.
-    val deg = ckpt(
-      e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
-        .groupBy("s").agg(count(lit(1)).as("outdeg")))
+    // 2m-row directed list. deg needs only a persist (its lineage is
+    // fixed-depth); the ONE setup checkpoint goes on the loop-invariant
+    // directed list, truncating everything upstream in a single barrier.
+    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = ckpt(
       e.select(col("a").as("s"), col("b").as("t"))
         .unionAll(e.select(col("b").as("s"), col("a").as("t")))
         .join(deg, Seq("s")))
+    e.unpersist(blocking = false) // directed is materialized; e is done
     val n = deg.count()
     val base = (1.0 - damping) / n
-    var ranks = ckpt(deg.select(col("s").as("v"), lit(1.0 / n).as("rank")))
-    // Checkpoint every 3rd generation, not every one: the rank lineage is
-    // a single-reference CHAIN (each next reads the previous exactly
-    // once), so between checkpoints the plan deepens linearly — 3 levels
-    // is nothing — while each eager checkpoint is a full job barrier.
-    // This trades 2/3 of the barriers for a bounded-depth plan; the
-    // every-generation variant measured ~2.5× slower at local[32] purely
-    // on barrier overhead.
-    var lastCkpt = ranks
+    // Rank init reads the persisted deg directly — fixed-depth lineage,
+    // no checkpoint barrier needed.
+    var ranks = deg.select(col("s").as("v"), lit(1.0 / n).as("rank"))
+    // Depth-triggered checkpoint cadence: the rank lineage is a
+    // single-reference CHAIN (each next reads the previous exactly once),
+    // so between checkpoints the plan deepens linearly — `ckptEvery`
+    // levels of one-join-one-agg nesting is cheap for Catalyst — while
+    // each eager checkpoint is a full job barrier. Checkpoint when the
+    // un-truncated depth reaches the threshold, and always on the final
+    // iteration so callers get a materialized O(1)-lineage frame.
+    var lastCkpt: DataFrame = null
+    var depth = 0
     for (i <- 1 to iters) {
       val step = directed
         .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
-      if (i % 3 == 0 || i == iters) {
+      depth += 1
+      if (depth >= ckptEvery || i == iters) {
         val next = ckpt(step)
-        lastCkpt.unpersist(blocking = false)
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
         lastCkpt = next
         ranks = next
+        depth = 0
       } else ranks = step
     }
+    deg.unpersist(blocking = false)
     ranks
   }
 }

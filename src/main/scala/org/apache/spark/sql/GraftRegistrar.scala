@@ -34,4 +34,18 @@ object GraftRegistrar {
     */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column from a raw Catalyst expression — the bridge expressions that
+    * carry non-Column state (e.g. a Bloom filter object) need, since they
+    * cannot route through `call_function`.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse bridge: the Catalyst expression behind a Column, for wrapping
+    * built-in columns (e.g. `xxhash64(...)`) as children of hand-built
+    * expressions.
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
