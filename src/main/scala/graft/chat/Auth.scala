@@ -68,9 +68,13 @@ object Auth {
     s"$$pbkdf2-sha256$$$iterations$$${b64e(salt)}$$${b64e(pbkdf2(password, salt, iterations))}"
   }
 
-  /** Constant-time verify against a [[hashPassword]] string; malformed
-    * stored values verify false rather than throwing (a corrupt row must
-    * not 500 the login path).
+  /** Constant-time verify against a [[hashPassword]] string — or against
+    * the reference system's own bcrypt hashes: `$2a$`/`$2b$`/`$2y$`
+    * strings (what passlib wrote to the reference's `users` table,
+    * backend/main.py:62-66) dispatch to [[Bcrypt.check]], so a migrated
+    * deployment verifies its existing rows unchanged. Malformed stored
+    * values verify false rather than throwing (a corrupt row must not 500
+    * the login path).
     */
   def checkPassword(password: String, stored: String): Boolean =
     stored.split('$') match {
@@ -80,6 +84,7 @@ object Auth {
           s <- scala.util.Try(b64d(salt))
           d <- scala.util.Try(b64d(dk))
         } yield MessageDigest.isEqual(pbkdf2(password, s, i), d)).getOrElse(false)
+      case a if a.length > 1 && a(1).startsWith("2") => Bcrypt.check(password, stored)
       case _ => false
     }
 
