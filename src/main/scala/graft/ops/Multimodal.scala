@@ -7,10 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (north-star): image/audio/video as opaque
   * `binary` columns with a typed metadata struct. IMAGE decode is REAL
   * (JDK `javax.imageio.ImageIO` — PNG/JPEG/BMP/GIF ship in the JRE, no
-  * external dependency); audio/video codec work is STUBBED (no such
-  * libraries in this container) behind deterministic fakes — everything
-  * Spark-side is real and tested: schema, batch iteration shape,
-  * partition-parallel decode, frame sampling.
+  * external dependency), AUDIO decode is REAL for RIFF/WAVE
+  * (`javax.sound.sampled.AudioSystem`), and VIDEO decode is REAL for the
+  * one multi-frame container the JRE ships a codec for — animated GIF
+  * ([[decodeVideoFrames]]: frame count, per-frame dimensions, sampled
+  * per-frame raster features). Containers the JRE cannot decode
+  * (MP4/H.264 etc.) still fall back to the deterministic stub, clearly
+  * marked — everything Spark-side is real and tested either way: schema,
+  * batch iteration shape, partition-parallel decode, frame sampling.
   *
   * The decode runs via `mapPartitions` over an iterator of rows — the
   * Scala analog of `mapInPandas` batch UDFs: per-partition setup cost is
@@ -65,9 +69,12 @@ object Multimodal {
     * BMP/GIF out of the JDK, yielding true width/height and raster band
     * count (an undecodable or empty payload reports 0×0×0 rather than
     * failing the batch — at corpus scale some byte streams are always
-    * corrupt). Other kinds (audio/video) fall back to the deterministic
-    * stub ([[stubRow]]) until a real codec is available. Per-partition
-    * init configures ImageIO once (in-memory streams, no temp-file cache).
+    * corrupt). Other kinds fall back to the deterministic stub
+    * ([[stubRow]]) in THIS single-row-shaped API — the real audio and
+    * video paths are [[decodeAudio]] (RIFF/WAVE) and [[decodeVideoFrames]]
+    * (animated GIF, one row per frame), whose output shapes differ.
+    * Per-partition init configures ImageIO once (in-memory streams, no
+    * temp-file cache).
     */
   def decode(df: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
@@ -269,6 +276,113 @@ object Multimodal {
             }
             ImageFeatures(id, img.getWidth, img.getHeight, sr, sg, sb)
           }
+        }
+      }
+  }
+
+  /** Deterministic animated GIF: `nFrames` indexed-color frames whose
+    * pixel (f, x, y) carries palette index
+    * `(((seed·31 + f)·31 + y)·31 + x) mod 256` over the fixed palette
+    * `i → (r=i, g=2i mod 256, b=255−i)`. GIF stores palettes losslessly
+    * (≤256 colors), so the decode side recovers every pixel exactly —
+    * the video analog of [[pngBytes]] and the synthesis half of the
+    * q83 closed-form oracle.
+    *
+    * Dimensions must be ≥ 8: the JDK's GIF *writer* emits corrupt LZW
+    * data for tiny rasters (empirically, width < 8 loses rows past y=0 —
+    * probed across palette sizes on JDK 17), and this synthesizer's whole
+    * point is byte-exact round trips.
+    */
+  def gifBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(width >= 8 && height >= 8,
+      s"JDK GIF writer corrupts rasters below 8x8 (got ${width}x$height)")
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate[Byte](256)(i => i.toByte),
+      Array.tabulate[Byte](256)(i => ((i * 2) % 256).toByte),
+      Array.tabulate[Byte](256)(i => (255 - i).toByte))
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0,
+              ((((seed * 31 + f) * 31 + y) * 31 + x) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  final case class DecodedFrame(
+      media_id: Long, frame_no: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL multi-frame video decode for containers the JRE has a codec
+    * for (animated GIF): one output row per sampled frame — frame index,
+    * stored dimensions, per-channel intensity sums — via the format's
+    * ImageIO reader in multi-image mode. `frameStride` keeps every k-th
+    * frame (keyframe-sampling shape; 1 = all frames). Frames are read as
+    * STORED (GIF delta frames surface as their sub-rectangle; compositing
+    * across disposal methods is a render concern, not a feature-extract
+    * one). Undecodable payloads contribute zero rows rather than failing
+    * the batch — same corpus-scale posture as [[decode]].
+    */
+  def decodeVideoFrames(df: DataFrame, frameStride: Int = 1)
+      (implicit spark: SparkSession): Dataset[DecodedFrame] = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              (0 until n by frameStride).map { f =>
+                val img = r.read(f)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val v = img.getRGB(x, y)
+                    sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                DecodedFrame(id, f, img.getWidth, img.getHeight, sr, sg, sb)
+              }
+            } finally r.dispose()
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[DecodedFrame]
         }
       }
   }

@@ -452,6 +452,31 @@ class OpsSpec extends SparkSpec {
     assert(d(2L).sample_rate == 0L && d(2L).n_channels == 0L && d(2L).n_frames == 0L)
   }
 
+  test("multimodal: multi-frame GIF decode recovers every sampled frame's pixels") {
+    implicit val s = spark
+    val media = Seq(
+      (0L, "video", Multimodal.gifBytes(9, 8, 5, seed = 3L)),
+      (1L, "video", Multimodal.gifBytes(8, 8, 1, seed = 4L)),
+      (2L, "video", Array[Byte](71, 73, 70, 56, 57)) // truncated GIF header
+    ).toDF("media_id", "kind", "content")
+    // stride 2 over 5 frames -> frames 0, 2, 4; single frame -> frame 0
+    val d = Multimodal.decodeVideoFrames(media, frameStride = 2).collect()
+      .groupBy(_.media_id)
+    assert(d(0L).map(_.frame_no).sorted.toSeq == Seq(0, 2, 4))
+    assert(d(0L).forall(f => f.width == 9 && f.height == 8))
+    assert(!d.contains(2L), "undecodable payload must yield zero rows")
+    // channel sums replay the palette closed form: idx = (((3*31+f)*31+y)*31+x)%256
+    for (f <- d(0L)) {
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val i = (((3L * 31 + f.frame_no) * 31 + y) * 31 + x) % 256
+        er += i; eg += (i * 2) % 256; eb += 255 - i
+      }
+      assert((f.sum_r, f.sum_g, f.sum_b) == ((er, eg, eb)), s"frame ${f.frame_no}")
+    }
+    assert(d(1L).map(_.frame_no).toSeq == Seq(0))
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
