@@ -64,8 +64,11 @@ object Bench {
       val byTime = results.toSeq.sortBy(-_._2)
       val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       var len = 120 // fixed JSON scaffolding + total/sf/dropped fields
-      for ((k, v) <- byTime if len + k.length + dp + 8 <= budget) {
-        kept += (k -> v); len += k.length + dp + 8
+      // size each entry by its ACTUAL rendered length ("key":value plus a
+      // comma) — a fixed per-entry estimate undercounts values >= 1000 s
+      for ((k, v) <- byTime) {
+        val entryLen = k.length + 3 + fmt(dp, v).length + 1
+        if (len + entryLen <= budget) { kept += (k -> v); len += entryLen }
       }
       val qs = kept.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
@@ -76,8 +79,11 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full + "\n")
     catch { case _: Throwable => } // best-effort sidecar, never fail the run
+    // thunks, not values: coarser tiers render only when the finer one
+    // overflows the budget (a varargs Iterator evaluates eagerly)
     println(
-      Iterator(full, render(2), render(1)).find(_.length <= 1900)
+      Iterator(() => full, () => render(2), () => render(1)).map(_())
+        .find(_.length <= 1900)
         .getOrElse(renderSlowest(1, 1800)))
     spark.stop()
   }

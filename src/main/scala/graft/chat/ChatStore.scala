@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object ChatStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** S5: ingest a chat file through the upload dialect into
     * `whatsapp_messages(group_name, date_time, sender, message)`.
     * Returns the inserted-row count (A3).
@@ -134,7 +136,8 @@ object ChatStore {
         val isVersion = n.startsWith(name + ".v") &&
           n.drop(name.length + 2).forall(_.isDigit)
         if (n == name || isVersion ||
-          n == name + ".current" || n == name + ".staging" || n == name + ".old")
+          n == name + ".current" || n == name + ".staging" || n == name + ".old" ||
+          n.startsWith(name + ".current.tmp"))
           f.delete(p, true)
       }
     }
@@ -178,15 +181,27 @@ object ChatStore {
     forceVersionedProtocol || f.exists(pointer(tableDir)) ||
       !AtomicRenameSchemes.contains(Option(f.getUri.getScheme).getOrElse("file"))
 
+  /** One pointer read attempt. Failure modes are deliberately distinct:
+    * an UNPARSEABLE read (empty/garbage — the torn-write window) returns
+    * None so the caller can retry/fall back; a genuine IO error (transient
+    * store outage, permission failure) PROPAGATES — treating it as "no
+    * pointer" would silently serve whatever stale version the recovery
+    * scan finds. A pointer deleted between the caller's exists() and our
+    * open() (concurrent dropTable) is the one IO case that legitimately
+    * means "no pointer", so FileNotFound maps to None.
+    */
   private def readPointerOnce(
-      f: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Option[Long] =
-    scala.util.Try {
-      val in = f.open(p)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }.toOption
+      f: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val text =
+      try {
+        val in = f.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    text.flatMap(t => scala.util.Try(t.trim.toLong).toOption)
+  }
 
   /** Highest on-disk `<table>.v<N>` directory — the recovery target when
     * the pointer object is unreadable. Prefers versions carrying the
@@ -227,7 +242,14 @@ object ChatStore {
     if (!f.exists(p)) None
     else readPointerOnce(f, p)
       .orElse { Thread.sleep(50); readPointerOnce(f, p) }
-      .orElse(highestVersionDir(f, tableDir))
+      .orElse {
+        val recovered = highestVersionDir(f, tableDir)
+        // the recovery path may resurface an orphaned never-committed
+        // version — make every use of it visible in the logs
+        log.warn(s"pointer $p unparseable after retry; recovering from " +
+          s"highest version dir (${recovered.fold("none found")(v => s"v$v")})")
+        recovered
+      }
   }
 
   /** Commit = publish one small pointer object. On atomic-rename
@@ -242,7 +264,11 @@ object ChatStore {
     val dst = pointer(tableDir)
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
     if (AtomicRenameSchemes.contains(scheme)) {
-      val tmp = hPath(tableDir + s".current.tmp")
+      // unique tmp per committer: a FIXED tmp name lets two concurrent
+      // commits clobber each other between write and rename (publishing
+      // the loser's version under the winner's name); crash-orphaned tmps
+      // are swept by dropTable's `.current.tmp` prefix rule
+      val tmp = hPath(tableDir + s".current.tmp.${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
       // FileContext.rename(OVERWRITE) is the atomic replace primitive on

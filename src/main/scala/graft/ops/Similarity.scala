@@ -100,13 +100,16 @@ object Similarity {
     * rows would emit f² candidate pairs. Buckets over the cap degrade to
     * STAR pairs (each member vs the bucket's minimum id) — every member
     * still surfaces against the cluster representative at O(f) cost, but
-    * intra-cluster pairs not involving the root are not emitted. Pass
-    * `Int.MaxValue` to restore exact pair enumeration; over-cap row
-    * volume is observable via the `graft.ann.bucket_cap.*` metric.
+    * intra-cluster pairs not involving the root are not emitted. The cap
+    * is OPT-IN (default uncapped = exact pair enumeration, matching
+    * [[Featurize.sparseCosineTopK]]'s uncapped default) so enabling the
+    * scale guard is a visible recall decision at the call site, never a
+    * silent one; over-cap row volume is observable via the
+    * `graft.ann.bucket_cap.*` metric.
     */
   def annNearDupPairs(
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
-      dim: Int, planes: Int = 8, maxBucketSize: Int = 256): DataFrame = {
+      dim: Int, planes: Int = 8, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(df.sparkSession) // fastDot
     val bw = Window.partitionBy("bucket")
     val b = annBuckets(df, embCol, dim, planes)
