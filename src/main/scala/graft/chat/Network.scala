@@ -108,6 +108,33 @@ object Network {
     s"""{"nodes": [${nodes.mkString(", ")}], "links": [${links.mkString(", ")}]}"""
   }
 
+  /** Distributed graph sink: `toJson` mirrors the reference's HTTP response
+    * (S12) and must collect; at 100× graph scale that collect is the one
+    * driver-side OOM in the API, so large results exit through files
+    * instead. Layout: `dir/nodes` + `dir/links` as parquet (sorted within
+    * partitions for stable diffing), plus `dir/nodes_json` / `dir/links_json`
+    * JSON-lines when `jsonLines = true` — one object per line in the same
+    * shape as `toJson`'s entries, written by executors, never the driver.
+    */
+  def writeGraph(g: Graph, dir: String, jsonLines: Boolean = false): Unit = {
+    g.nodes.sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+    g.links.sortWithinPartitions("source", "target")
+      .write.mode("overwrite").parquet(s"$dir/links")
+    if (jsonLines) {
+      g.nodes.sortWithinPartitions("id")
+        .write.mode("overwrite").json(s"$dir/nodes_json")
+      g.links.sortWithinPartitions("source", "target")
+        .write.mode("overwrite").json(s"$dir/links_json")
+    }
+  }
+
+  /** Round-trip companion of [[writeGraph]]. */
+  def readGraph(spark: SparkSession, dir: String): Graph =
+    Graph(
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/links"))
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

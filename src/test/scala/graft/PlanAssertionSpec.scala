@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural plan pins (VERDICT round 4 #7): every "verified via explain"
+  * claim in COVERAGE.md becomes an assertion here, so a refactor cannot
+  * silently regress a plan shape that the docs promise. Each test is one
+  * claim; the assertion text names the claim it pins.
+  *
+  * These run against sf0.001 so scans are real parquet scans (pushdown is
+  * only observable on a file source) and AQE sees realistic stats.
+  */
+class PlanAssertionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Post-EnsureRequirements physical plan — sparkPlan has no Exchange
+    * nodes yet; with AQE on, executedPlan prints the initial plan, which
+    * is the static shape these tests pin.
+    */
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  private def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q02: filters reach the parquet scan (PushedFilters non-empty)") {
+    val plan = physical(run("q02_filter_pushdown"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters: [")).toSeq
+    assert(pushed.nonEmpty, s"no PushedFilters in plan:\n$plan")
+    assert(pushed.exists(l => !l.contains("PushedFilters: []")),
+      s"PushedFilters empty — scan-level pushdown regressed:\n$plan")
+  }
+
+  test("q06: aggregation input is pruned AND filtered at the scan") {
+    val plan = physical(run("q06_filter_agg"))
+    assert(plan.contains("PushedFilters: ["), s"no pushdown in plan:\n$plan")
+    // column pruning: the lineitem scan must not read all 16 columns
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("l_comment"),
+      s"scan reads unused l_comment — pruning regressed:\n$scanLine")
+  }
+
+  test("q21: the dimension side of the join is broadcast") {
+    val plan = physical(run("q21_broadcast_join"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q21's small-dim join is not broadcast:\n$plan")
+  }
+
+  test("GlobalLag: one range exchange + one pid hash exchange; seeds broadcast") {
+    val ev = relational.Tables.events(spark, sf)
+      .select("user_id", "ts_ns", "event_id")
+    val plan = physical(
+      ops.GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev"))
+    // the data path: exactly one range repartition of the input. The
+    // persisted ranged frame prints its build plan once per consuming
+    // subtree, so dedupe occurrences by plan_id — one id = one exchange,
+    // materialized once.
+    val rangeIds = raw"Exchange rangepartitioning.*plan_id=(\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(rangeIds.size == 1,
+      s"expected exactly one range exchange, got $rangeIds:\n$plan")
+    // ... and the windows run partitioned by the stamped pid (the extra
+    // hash exchange documented in GlobalLag's scaladoc), never globally
+    assert(plan.contains("hashpartitioning(__graft_pid"),
+      s"pid-partitioned window exchange missing:\n$plan")
+    assert(countOf(plan, "Exchange SinglePartition") <= 1,
+      s"only the #partitions-sized seeds frame may single-task:\n$plan")
+    // the boundary-seed patch joins via broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"seeds join is not broadcast:\n$plan")
+  }
+
+  test("q69: one Window node hosts all three rank functions (one exchange serves them)") {
+    val plan = physical(run("q69_rank_family"))
+    val windowNodes = plan.linesIterator.count(l =>
+      l.contains("Window ") && !l.contains("WindowGroupLimit"))
+    assert(windowNodes == 1,
+      s"expected the ntile/percent_rank/cume_dist trio in ONE Window node, got $windowNodes:\n$plan")
+    assert(countOf(plan, "hashpartitioning(event_type") == 1,
+      s"expected exactly one event_type window exchange:\n$plan")
+  }
+
+  test("IVF search on a persisted index: probe join broadcasts the probes") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(4)(0.0f); base(i / 10) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding", dir, nLists = 3, iters = 2)
+    val search = ops.Similarity.searchIvf(
+      spark, dir, vecs.limit(2), "vec_id", "embedding", k = 3, nprobe = 1)
+    val plan = physical(search)
+    // lists side stays put; the tiny probe set is the broadcast build side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index search shuffles the lists — must stay a broadcast probe:\n$plan")
+  }
+}

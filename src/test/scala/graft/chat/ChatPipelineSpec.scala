@@ -161,4 +161,19 @@ class ChatPipelineSpec extends SparkSpec {
       """"links": [{"source": "Bob", "target": "DanaCohen", "weight": 1}, """ +
       """{"source": "DanaCohen", "target": "🦋", "weight": 1}]}""")
   }
+
+  test("writeGraph/readGraph round-trips the graph through files (no collect)") {
+    val g = Network.analyze(msgs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Network.writeGraph(g, dir, jsonLines = true)
+    val back = Network.readGraph(spark, dir)
+    assert(nodesOf(back) == nodesOf(g))
+    assert(linksOf(back) == linksOf(g))
+    // JSON-lines sidecar holds the same link rows in toJson's field shape
+    val jl = spark.read.json(s"$dir/links_json")
+      .orderBy("source", "target")
+      .select("source", "target", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(jl == linksOf(g))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Skew-guard proofs on a deliberately pathological corpus (VERDICT round 4
+  * #3): one boilerplate cluster orders of magnitude larger than the cap,
+  * one celebrity graph node. The claims pinned here are the 100 TB safety
+  * claims in the scaladocs:
+  *
+  *   - an over-cap LSH bucket emits O(f) star pairs, never O(f²) cliques;
+  *   - the degradation is OBSERVABLE (`rows_over_cap` metric fires);
+  *   - no cluster member is silently lost (all reach the representative);
+  *   - degree-oriented triangle counting stays exact under a celebrity
+  *     node whose naive wedge space would be ~degree² = 10⁸.
+  */
+class SkewScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Collect `rows_over_cap` observations whose metric name starts with
+    * `prefix`, registered around one action. observe() metrics arrive on
+    * the async listener bus, so the read polls with a deadline.
+    */
+  private def observedOverCap(prefix: String)(action: => Unit): Long = {
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(prefix)) seen.put(name, row.getLong(0))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      seen.values().toArray(Array.empty[java.lang.Long]).map(_.longValue).sum
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  // 2000 members of one boilerplate cluster (identical text — the worst
+  // case: every band maps the whole cluster into ONE bucket) + 300
+  // distinct documents.
+  private val clusterSize = 2000
+  private lazy val pathological = (
+    (0 until clusterSize).map(i =>
+      (i.toLong, "subscribe to our newsletter for updates terms privacy all rights reserved")) ++
+    // every word carries i: no shared shingles between distinct docs, so
+    // none of their LSH bands can legitimately collide
+    (0 until 300).map(i =>
+      (10000L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+  ).toDF("doc_id", "text")
+
+  test("minhashCandidates: over-cap cluster degrades to linear star pairs and fires the metric") {
+    var pairs: Array[(Long, Long)] = Array.empty
+    val overCap = observedOverCap("graft.lsh.bucket_cap.") {
+      pairs = Dedup.minhashCandidates(
+          pathological, "doc_id", "text", numHashes = 32, bands = 8, maxBucketSize = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // observable degradation: every cluster row sat in an over-cap bucket
+    assert(overCap >= clusterSize,
+      s"rows_over_cap must fire for the boilerplate cluster, got $overCap")
+    // linear, not quadratic: the cluster contributes ≤ (f-1) star pairs
+    // per band (deduped to f-1 when buckets coincide); uncapped it would
+    // be f(f-1)/2 ≈ 2,000,000 pairs
+    assert(pairs.length < 8 * clusterSize,
+      s"pair space must stay O(f), got ${pairs.length}")
+    // no member silently lost: every cluster doc appears in some pair
+    // with the representative (min id = 0)
+    val flagged = pairs.collect { case (a, b) if a == 0L => b }.toSet
+    assert((1L until clusterSize.toLong).forall(flagged),
+      "star degradation must still flag every member against the representative")
+    // distinct docs must not be dragged into the cluster
+    assert(!pairs.exists { case (a, b) => a < 10000L ^ b < 10000L },
+      "no candidate pair may span the cluster and the distinct docs")
+  }
+
+  test("minhashStarEdges: components over star edges equal components over cliques, at O(f) cost") {
+    val edges = Dedup.minhashStarEdges(
+      pathological, "doc_id", "text", numHashes = 32, bands = 8)
+    val n = edges.count()
+    assert(n == clusterSize - 1, s"star edges must be exactly f-1, got $n")
+  }
+
+  test("annNearDupPairs: opt-in cap degrades an embedding boilerplate cluster to star pairs") {
+    // 1500 near-identical embeddings (same LSH sign pattern) + 200 spread
+    val dim = 8
+    val cluster = (0 until 1500).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => 1.0f + (i % 7) * 1e-4f + d * 0.01f))
+    }
+    val rest = (0 until 200).map { i =>
+      (10000L + i, Array.tabulate(dim)(d => if (d == i % dim) -1.0f else ((i * 31 + d * 17) % 13 - 6) * 0.3f))
+    }
+    val vecs = (cluster ++ rest).toDF("vec_id", "embedding")
+    var nPairs = 0L
+    val overCap = observedOverCap("graft.ann.bucket_cap.") {
+      nPairs = Similarity.annNearDupPairs(
+          vecs, "vec_id", "embedding", threshold = 0.99, dim = dim,
+          maxBucketSize = 64)
+        .count()
+    }
+    assert(overCap >= 1500, s"ann cap metric must fire, got $overCap")
+    assert(nPairs < 4 * 1500, s"ann pair space must stay O(f), got $nPairs")
+    assert(nPairs >= 1499, "every cluster member must surface against the representative")
+  }
+
+  test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
+    val leaves = 10000
+    val star = (1 to leaves).map(i => (0L, i.toLong))
+    // 50 triangles THROUGH the celebrity: leaf pairs (2k-1, 2k) connected
+    val through = (1 to 50).map(k => ((2 * k - 1).toLong, (2 * k).toLong))
+    // 30 triangles fully outside the star
+    val outside = (1 to 30).flatMap { k =>
+      val base = 100000L + k * 10
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }
+    val edges = (star ++ through ++ outside).toDF("src", "dst")
+    val row = Graph.triangleStats(edges, "src", "dst").collect().head
+    assert(row.getAs[Long]("n_triangles") == 80L,
+      s"expected 50 celebrity + 30 outside triangles, got ${row.getAs[Long]("n_triangles")}")
+    assert(row.getAs[Long]("n_edges") == (leaves + 50 + 90).toLong)
+  }
+}
