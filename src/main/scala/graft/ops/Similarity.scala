@@ -337,4 +337,20 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "id", "rnk", "cosine")
   }
+
+  /** SemDeDup-shaped semantic dedup, scale path: connected components over
+    * [[annNearDupPairs]] (sign-LSH blocked, optional bucket cap), each
+    * component keeping its minimum id. Returns (`idCol`, `canonical_id`,
+    * `is_keep`) for every input row — q52's text-components shape, in
+    * embedding space. Recall inherits the ANN pair stage: pairs whose
+    * vectors land in different sign buckets are not seen (raise `planes`
+    * fidelity or pre-normalize embeddings to tighten); the exact-pair
+    * semantics gate is the q86 oracle query.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, embCol: String, threshold: Double,
+      dim: Int, planes: Int = 8, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.canonicalize(
+      df.select(idCol), idCol,
+      annNearDupPairs(df, idCol, embCol, threshold, dim, planes, maxBucketSize))
 }

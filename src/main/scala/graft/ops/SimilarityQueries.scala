@@ -149,29 +149,33 @@ object SimilarityQueries {
     * (interpreted-lambda) arithmetic stays cheap at bench scale — the
     * production operator with fast double math is ops.Similarity.
     */
+  /** q38/q86 shared core: exact decimal-bridged cosine pairs ≥ 0.35 over
+    * the label-blocked candidate space, vec_id < 500.
+    */
+  private def exactCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+    val ex = e.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+    val norms = normsOf(ex.select("vec_id", "i", "x"))
+    val b = ex.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("i").as("i_b"), col("x").as("xb"))
+    val dots = ex
+      .join(b, col("i") === col("i_b") && col("label") === col("label_b") &&
+        col("vec_id") < col("id_b"))
+      .groupBy(col("vec_id").as("id_a"), col("id_b"))
+      .agg(sum((col("x") * col("xb")).cast(decP)).cast(DoubleType).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
+      .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
+      .withColumn("cosine", col("dot") / sqrt(col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= 0.35)
+      .select("id_a", "id_b", "cosine")
+  }
+
   val q38_embedding_neardup: QueryDef = QueryDef(
     "q38_embedding_neardup",
-    (s, d) => {
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
-      val ex = e.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-        .withColumn("x", col("x").cast(DoubleType))
-      val norms = normsOf(ex.select("vec_id", "i", "x"))
-      val b = ex.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-        col("i").as("i_b"), col("x").as("xb"))
-      val dots = ex
-        .join(b, col("i") === col("i_b") && col("label") === col("label_b") &&
-          col("vec_id") < col("id_b"))
-        .groupBy(col("vec_id").as("id_a"), col("id_b"))
-        .agg(sum((col("x") * col("xb")).cast(decP)).cast(DoubleType).as("dot"))
-      dots
-        .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
-        .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
-        .withColumn("cosine", col("dot") / sqrt(col("nrm_a") * col("nrm_b")))
-        .filter(col("cosine") >= 0.35)
-        .select("id_a", "id_b", "cosine")
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => exactCosinePairs(s, d).orderBy("id_a", "id_b"),
     Some("""WITH ex AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS x
@@ -255,6 +259,57 @@ object SimilarityQueries {
     "ANN quality gate: IVF recall@10 vs brute force >= 0.6 per query, " +
       "oracled as a literal property")
 
+  /** SemDeDup-shaped semantic dedup: connected components over the exact
+    * cosine near-dup pairs (q38's shared core), each component keeping its
+    * minimum id — the embedding-space analogue of q52's text components.
+    * The production scale path is [[Similarity.semanticDedup]] (LSH
+    * buckets + capped pair space); this query pins the SEMANTICS with the
+    * oracle's recursive-CTE fixpoint over the identical pair graph.
+    */
+  val q86_semantic_dedup: QueryDef = QueryDef(
+    "q86_semantic_dedup",
+    (s, d) =>
+      Dedup.canonicalize(
+          Tables.embeddings(s, d).filter(col("vec_id") < 500).select("vec_id"),
+          "vec_id", exactCosinePairs(s, d))
+        .select("vec_id", "canonical_id", "is_keep")
+        .orderBy("vec_id"),
+    Some("""WITH RECURSIVE ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings WHERE vec_id < 500),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT id_a, id_b FROM dots
+      |  JOIN norms na ON na.vec_id = id_a
+      |  JOIN norms nb ON nb.vec_id = id_b
+      |  WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.35),
+      |e AS (SELECT id_a AS a, id_b AS b FROM cand
+      |      UNION SELECT id_b, id_a FROM cand),
+      |r(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS canonical_id FROM r GROUP BY a)
+      |SELECT v.vec_id,
+      |  COALESCE(c.canonical_id, v.vec_id) AS canonical_id,
+      |  CAST(CASE WHEN COALESCE(c.canonical_id, v.vec_id) = v.vec_id
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_keep
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 500) v
+      |LEFT JOIN comp c ON c.vec_id = v.vec_id
+      |ORDER BY v.vec_id""".stripMargin),
+    "Semantic dedup: components over embedding-cosine near-dup pairs, " +
+      "min-id keeper per cluster (SemDeDup shape)")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
-    q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall)
+    q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
+    q86_semantic_dedup)
 }

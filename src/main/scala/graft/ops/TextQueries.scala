@@ -314,8 +314,52 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** [[LanguageModel]] self-scoring over the corpus: build the bigram LM
+    * from `documents`, score every document's mean conditional probability
+    * under it — the KenLM-shaped quality filter (low score = improbable
+    * word transitions = low quality). Parity per the q38 decimal rules:
+    * per-bigram p is one IEEE division, the sum is DECIMAL(28,12), only
+    * the final mean is floored to ppm.
+    */
+  val q85_lm_quality: QueryDef = q(
+    "q85_lm_quality",
+    """WITH toks AS (
+      |  SELECT doc_id, i, w FROM (
+      |    SELECT doc_id,
+      |      generate_subscripts(string_split(text, ' '), 1) AS i,
+      |      unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE w <> ''),
+      |bg AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |lm AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
+      |scored AS (
+      |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CAST(lm.p AS DECIMAL(28,12))) AS s
+      |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(floor(1000000 * (CAST(s AS DOUBLE) / n_bigrams)) AS BIGINT) AS avg_p_ppm
+      |FROM scored ORDER BY doc_id""".stripMargin,
+    "Bigram-LM quality scoring (KenLM-shaped filter): corpus-trained " +
+      "conditional-probability model, mean per-doc transition probability") {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
+      LanguageModel.scoreAvgCondProb(docs, "doc_id", "text", lm)
+        .orderBy("doc_id")
+  }
+
+  /** Empty-token parity note: DuckDB's string_split keeps empty fragments
+    * exactly like Spark's split, but both sides filter them anyway so the
+    * LM never contains separator artifacts (see
+    * [[LanguageModel.bigramRows]]).
+    */
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
-    q56_repetition_metrics, q57_clean_redact)
+    q56_repetition_metrics, q57_clean_redact, q85_lm_quality)
 }

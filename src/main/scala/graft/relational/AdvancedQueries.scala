@@ -259,8 +259,54 @@ object AdvancedQueries {
           .otherwise(0L).as("rank_ok"))
   }
 
+  /** Count-min-sketch heavy hitters — the third mergeable-sketch gate
+    * (q41 HLL cardinality, q75 approx-quantile, this one frequency). The
+    * sketch is built by Spark's one-pass mergeable `count_min_sketch`
+    * aggregate (fixed seed → deterministic); each candidate key's estimate
+    * is then checked against the CMS guarantee: exact ≤ estimate ≤
+    * exact + ⌈ε·N⌉. The oracle pins exact counts and the bound flag as a
+    * literal 1, so any estimate outside its proven envelope hash-fails.
+    *
+    * Scale shape: the sketch is O(1/ε·ln(1/δ)) bytes regardless of input
+    * size and merges associatively (one map-side pass, no shuffle of
+    * rows). The single-row collect is the AGGREGATE (the sketch itself),
+    * never data; probing happens over the candidate-key frame — already a
+    * grouped aggregate, #distinct-keys rows — via a broadcast of the
+    * sketch. The probe UDF runs once per CANDIDATE (8 event types), not
+    * per row, so nothing here is a hot path.
+    */
+  val q84_cms_heavy_hitters: QueryDef = q(
+    "q84_cms_heavy_hitters",
+    """SELECT event_type, COUNT(*) AS exact_n,
+      |  CAST(1 AS BIGINT) AS cms_within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "Count-min-sketch frequency estimates vs exact counts, checked " +
+      "against the epsilon-N overestimate-only guarantee") { (s, d) =>
+    val ev = events(s, d).select("event_type")
+    val eps = 0.001
+    val sketchBytes = ev.agg(
+        expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val bc = s.sparkContext.broadcast(sketchBytes)
+    val probe = udf { (key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bc.value))
+        .estimateCount(key)
+    }
+    val n = ev.count()
+    val slack = math.ceil(eps * n).toLong
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("_est", probe(col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        when(col("_est") >= col("exact_n") &&
+            col("_est") <= col("exact_n") + slack, 1L)
+          .otherwise(0L).as("cms_within_bound"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
-    q69_rank_family, q75_approx_quantile)
+    q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters)
 }
