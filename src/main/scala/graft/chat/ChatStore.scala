@@ -298,6 +298,42 @@ object ChatStore {
     currentVersion(fs(spark, tableDir), tableDir)
       .map(versionDir(tableDir, _)).getOrElse(tableDir)
 
+  /** Time travel: all COMPLETE versions of a versioned table, ascending,
+    * with the currently-committed one flagged. Versions are never deleted
+    * by commits (only [[dropTable]] removes them), so any row here is
+    * readable via [[readVersion]] — the audit/debug/rollback affordance a
+    * versioned store owes its operators.
+    */
+  def versions(spark: SparkSession, tableDir: String): Seq[(Long, Boolean)] = {
+    val f = fs(spark, tableDir)
+    val name = hPath(tableDir).getName
+    val parent = hPath(tableDir).getParent
+    val cur = currentVersion(f, tableDir)
+    scala.util.Try(f.listStatus(parent)).toOption
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter { p =>
+        val suffix = p.getName.stripPrefix(name + ".v")
+        p.getName.startsWith(name + ".v") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit) &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .map(p => p.getName.stripPrefix(name + ".v").toLong)
+      .sorted.toSeq
+      .map(v => (v, cur.contains(v)))
+  }
+
+  /** Time travel: read one specific committed version, bypassing the
+    * pointer. Fails fast on a version that does not exist or never
+    * completed (no `_SUCCESS`) instead of returning a partial frame.
+    */
+  def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val f = fs(spark, tableDir)
+    val dir = versionDir(tableDir, version)
+    require(f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")),
+      s"version $version of $tableDir does not exist or was never committed")
+    spark.read.parquet(dir)
+  }
+
   /** Reads a table, first repairing any interrupted rename-swap —
     * `spark.read.parquet` resolves the path eagerly, so a mid-swap table
     * would otherwise fail analysis before [[overwrite]]'s own recovery ran.

@@ -507,4 +507,36 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** SymSpell-shaped fuzzy vocabulary pairs: all distinct word pairs at
+    * edit distance ≤ 1, found via DELETION-NEIGHBORHOOD blocking instead
+    * of an all-pairs scan. Every word emits itself plus its 1-character
+    * deletions; two words are within one insert/delete/substitute iff
+    * their neighborhoods intersect, so the candidate space is a hash join
+    * on the variant key — |vocab|·(len+1) rows, never |vocab|² — with a
+    * cheap `levenshtein` verify on candidates only. Skew note: a variant
+    * shared by f words emits f² candidates; for natural-language vocab f
+    * stays tiny (the worst key is the empty-string variant shared by all
+    * 1-char words, f ≤ alphabet size), so no cap is needed — unlike LSH
+    * buckets, this blocking key cannot aggregate unboundedly.
+    */
+  def editDistance1Pairs(words: DataFrame, wordCol: String): DataFrame = {
+    val w = words.select(col(wordCol).as("w"))
+      .filter(col("w") =!= "").distinct()
+    // array_union dedups variants (deleting either duplicate letter of
+    // "letter" yields the same string) — mirrors the oracle's DISTINCT
+    val vars = w.select(col("w"), explode(array_union(
+        array(col("w")),
+        transform(sequence(lit(1), length(col("w"))),
+          i => concat(
+            col("w").substr(lit(1), i - 1),
+            col("w").substr(i + 1, length(col("w")))))))
+      .as("v"))
+    vars.select(col("w").as("w1"), col("v"))
+      .join(vars.select(col("w").as("w2"), col("v")), Seq("v"))
+      .filter(col("w1") < col("w2"))
+      .select("w1", "w2").distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .withColumn("dist", levenshtein(col("w1"), col("w2")).cast(LongType))
+  }
 }

@@ -416,7 +416,38 @@ object DedupQueries {
       .orderBy("id")
   }
 
+  /** [[Dedup.editDistance1Pairs]] over the corpus vocabulary: SymSpell
+    * deletion-neighborhood blocking (|V|·(len+1) candidate space, never
+    * |V|²), levenshtein-verified. The oracle rebuilds the identical
+    * neighborhoods with generate_series + substr, so the blocking
+    * completeness property (distance ≤ 1 ⟺ neighborhoods intersect) is
+    * pinned structurally, not assumed.
+    */
+  val q88_fuzzy_names: QueryDef = q(
+    "q88_fuzzy_names",
+    """WITH words AS (SELECT DISTINCT c_name AS w FROM customer),
+      |vars AS (
+      |  SELECT DISTINCT w, v FROM (
+      |    SELECT w, w AS v FROM words
+      |    UNION ALL
+      |    SELECT w, substr(w, 1, i - 1) || substr(w, i + 1, length(w)) AS v
+      |    FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+      |          FROM words) g) u),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS w1, b.w AS w2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w)
+      |SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(w1, w2) <= 1
+      |ORDER BY w1, w2""".stripMargin,
+    "Fuzzy entity matching: edit-distance-1 name pairs via SymSpell " +
+      "deletion-neighborhood blocking (never an all-pairs scan)") { (s, d) =>
+    Dedup.editDistance1Pairs(
+        Tables.t(s, d, "customer").select("c_name"), "c_name")
+      .orderBy("w1", "w2")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
-    q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup)
+    q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
+    q88_fuzzy_names)
 }

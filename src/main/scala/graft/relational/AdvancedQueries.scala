@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -305,8 +305,109 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Mergeable-sketch cardinality the way an incremental 100 TB pipeline
+    * maintains it: one Apache DataSketches HLL per shard (here: per event
+    * type), kept small and UNIONED — never recounting raw rows — with the
+    * union's estimate gated against the exact global distinct. lgK=14 →
+    * rsd ≈ 0.8%; the 5% envelope leaves ~6σ, and the estimate is
+    * deterministic (fixed lgK, same library both runs), so the flag is
+    * parity-stable. Complements q41 (HLL++ single-pass) by exercising
+    * sketch MERGE, the property that makes per-partition maintenance
+    * possible.
+    */
+  val q87_hll_union: QueryDef = q(
+    "q87_hll_union",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS union_within_tol
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '_all', COUNT(DISTINCT user_id), CAST(1 AS BIGINT) FROM events
+      |ORDER BY event_type""".stripMargin,
+    "Per-shard HLL sketches unioned to a global cardinality estimate, " +
+      "gated against exact distinct (mergeable-sketch maintenance path)") {
+    (s, d) =>
+      val ev = events(s, d).select("event_type", "user_id")
+      def within(est: Column, exact: Column): Column =
+        when(abs(est - exact) <= exact * 0.05, 1L).otherwise(0L)
+      val per = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          countDistinct("user_id").as("exact_users"))
+      val typed = per.select(col("event_type"), col("exact_users"),
+        within(hll_sketch_estimate(col("sk")), col("exact_users"))
+          .as("union_within_tol"))
+      val allRow = per.agg(hll_union_agg(col("sk")).as("sku"))
+        .crossJoin(ev.agg(countDistinct("user_id").as("exact_users")))
+        .select(lit("_all").as("event_type"), col("exact_users"),
+          within(hll_sketch_estimate(col("sku")), col("exact_users"))
+            .as("union_within_tol"))
+      typed.unionAll(allRow).orderBy("event_type")
+  }
+
+  /** GROUPING SETS with explicit grouping() flags — the generalized form
+    * of q18 rollup / q66 cube. The SQL text is shared verbatim with the
+    * oracle (temp view named like the DuckDB table), so the two engines
+    * parse the identical query.
+    */
+  val q89_grouping_sets: QueryDef = q(
+    "q89_grouping_sets",
+    AdvancedSqlTexts.groupingSets,
+    "GROUPING SETS aggregation with grouping flags (shared SQL text)") {
+    (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(AdvancedSqlTexts.groupingSets)
+  }
+
+  /** Time-range windowed aggregate: per-user moving sum/count over a
+    * 1-hour RANGE frame. Value-based frames are the streaming-adjacent
+    * window shape (peers at the same key are one frame, however the rows
+    * are partitioned), and the frame is anchored on integer seconds
+    * (`ts_sec` here, `floor(epoch(ts))` in the oracle) because the two
+    * engines do not preserve identical sub-microsecond timestamp
+    * precision (the parquet nanos survive in Spark's raw int64 but are
+    * truncated by the oracle's TIMESTAMP — same rule as q20).
+    */
+  val q90_range_window: QueryDef = q(
+    "q90_range_window",
+    """SELECT event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w AS DOUBLE) AS mov_sum,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+      |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |      FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin,
+    "1-hour RANGE-frame moving sum per user (value-based window frame)") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3600L, 0L)
+      events(s, d).select(col("event_id"),
+          sum(col("value").cast(DecimalType(28, 12))).over(w)
+            .cast(DoubleType).as("mov_sum"),
+          count(lit(1)).over(w).cast(LongType).as("n_win"))
+        .orderBy("event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
-    q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters)
+    q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
+    q87_hll_union, q89_grouping_sets, q90_range_window)
+}
+
+/** SQL texts shared verbatim between the Spark side (over temp views named
+  * like the oracle tables) and the DuckDB oracle — both engines parse the
+  * same string, so the queries cannot drift apart.
+  */
+object AdvancedSqlTexts {
+  val groupingSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY g_rf, g_ls,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 }

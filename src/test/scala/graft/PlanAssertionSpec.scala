@@ -51,8 +51,13 @@ class PlanAssertionSpec extends SparkSpec {
   }
 
   test("GlobalLag: one range exchange + one pid hash exchange; seeds broadcast") {
+    // the trivially-true filter makes this input plan UNIQUE: without it,
+    // Spark's CacheManager can substitute a cache-matching subtree from
+    // another suite's GlobalLag run (suites share the session), and the
+    // two consumers then print two different cached range exchanges
     val ev = relational.Tables.events(spark, sf)
       .select("user_id", "ts_ns", "event_id")
+      .filter(col("event_id") % lit(1000003L) > lit(-1L))
     val plan = physical(
       ops.GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev"))
     // the data path: exactly one range repartition of the input. The

@@ -174,6 +174,37 @@ class ChatStoreSpec extends SparkSpec {
     } finally ChatStore.forceVersionedProtocol = false
   }
 
+  test("time travel: versions() lists committed versions, readVersion reads any of them") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 3)
+      // two rewrites → two committed versions
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, idBo)
+      val idCy = ChatStore.findByEmail(spark, dir, "cy@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, idCy)
+
+      val vs = ChatStore.versions(spark, dir)
+      assert(vs.map(_._1) == Seq(1L, 2L))
+      assert(vs.filter(_._2).map(_._1) == Seq(2L), s"current flag wrong: $vs")
+      // each version is a full readable snapshot
+      assert(ChatStore.readVersion(spark, dir, 1L).count() == 2)
+      assert(ChatStore.readVersion(spark, dir, 2L).count() == 1)
+      // the live read still follows the pointer
+      assert(ChatStore.listUsers(spark, dir).count() == 1)
+      // nonexistent / never-committed versions fail fast
+      intercept[IllegalArgumentException] {
+        ChatStore.readVersion(spark, dir, 9L)
+      }
+    } finally ChatStore.forceVersionedProtocol = false
+  }
+
   test("torn/corrupt version pointer: reads recover via the highest complete version") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
