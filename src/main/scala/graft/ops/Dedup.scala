@@ -532,8 +532,18 @@ object Dedup {
             col("w").substr(lit(1), i - 1),
             col("w").substr(i + 1, length(col("w")))))))
       .as("v"))
-    vars.select(col("w").as("w1"), col("v"))
-      .join(vars.select(col("w").as("w2"), col("v")), Seq("v"))
+    // the vast majority of variants are unique to one word and can never
+    // produce a pair — drop them BEFORE the self-join (the count window
+    // shuffles by v, which the join then reuses), and persist the small
+    // survivor set so the two join branches don't re-explode the vocab
+    val shared = vars
+      .withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("v")))
+      .filter(col("_n") > 1)
+      .drop("_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shared.select(col("w").as("w1"), col("v"))
+      .join(shared.select(col("w").as("w2"), col("v")), Seq("v"))
       .filter(col("w1") < col("w2"))
       .select("w1", "w2").distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
