@@ -89,6 +89,28 @@ class PlanAssertionSpec extends SparkSpec {
       s"expected exactly one event_type window exchange:\n$plan")
   }
 
+  test("partition-pruned layout: a dim-filtered join prunes fact partitions dynamically") {
+    import spark.implicits._
+    // the layout Io.writePartitioned produces: fact partitioned by the
+    // join key's attribute — the 100 TB read-path contract is that a
+    // selective dim filter prunes fact PARTITIONS at planning/runtime
+    // (DPP), not post-scan
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    relational.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .write.partitionBy("event_type").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a real source (a local Seq folds its filter into
+    // the LocalTableScan, leaving DPP no selective predicate to detect)
+    Seq(("click", 1L), ("view", 2L)).toDF("event_type", "dim_id")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim.filter($"dim_id" === 1L), Seq("event_type"))
+    val plan = physical(joined)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the fact scan:\n$plan")
+  }
+
   test("IVF search on a persisted index: probe join broadcasts the probes") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
