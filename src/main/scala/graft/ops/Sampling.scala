@@ -81,4 +81,21 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast(LongType) - 1)
       .select("id", "shard", "pos")
   }
+
+  /** Deterministic exact-k cap per stratum — "at most k documents per
+    * domain", the hard-cap companion of [[stratifiedSample]]'s
+    * proportional keep. Rank = hash order (uniform, key-deterministic)
+    * with the key itself as tiebreaker, so the kept set is a uniform
+    * k-subset that is identical across runs, partitionings, and engines.
+    * One hash-partition window per stratum; at 100 TB the window input is
+    * the stratum, never the global frame.
+    */
+  def groupCap(df: DataFrame, keyCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(unitHash(col(keyCol)), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

@@ -107,6 +107,33 @@ object SamplingQueries {
     "Deterministic sharded pre-training shuffle (seeded md5 permutation, " +
       "no global sort)")
 
+  /** [[Sampling.groupCap]]: deterministic "at most k docs per language" —
+    * the hard-cap companion of q62's proportional reweighting. The oracle
+    * replays the identical md5 rank-and-cap, and the per-stratum id
+    * digest pins the EXACT kept subset, not just its size.
+    */
+  val q91_group_cap: QueryDef = QueryDef(
+    "q91_group_cap",
+    (s, d) => {
+      Sampling.groupCap(Tables.documents(s, d), "doc_id", "lang", k = 25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"),
+          sum("doc_id").cast(LongType).as("id_digest"))
+        .orderBy("lang")
+    },
+    Some("""WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_digest
+      |FROM ranked WHERE rk <= 25
+      |GROUP BY lang ORDER BY lang""".stripMargin),
+    "Deterministic exact-k cap per stratum (uniform hash-ranked k-subset, " +
+      "engine-identical kept set)")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
-    q72_shuffle_shards)
+    q72_shuffle_shards, q91_group_cap)
 }

@@ -280,6 +280,24 @@ class OpsSpec extends SparkSpec {
     assert(k25.subsetOf(k50))
   }
 
+  test("groupCap keeps exactly k per stratum, deterministically") {
+    val docs = spark.range(0, 900)
+      .toDF("doc_id")
+      .withColumn("src", (col("doc_id") % 3).cast("string"))
+    val capped = Sampling.groupCap(docs, "doc_id", "src", k = 40)
+    val byStratum = capped.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.values.forall(_ == 40L), s"cap not exact: $byStratum")
+    // a stratum smaller than k keeps everything
+    val tiny = Sampling.groupCap(docs.filter(col("doc_id") < 10), "doc_id", "src", k = 40)
+    assert(tiny.count() == 10)
+    // partition-invariant kept set
+    val a = capped.collect().map(_.getLong(0)).toSet
+    val b = Sampling.groupCap(docs.repartition(13), "doc_id", "src", k = 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("int8 quantization round-trips within 1/127 of scale; recall@k harness") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
