@@ -549,4 +549,48 @@ object Dedup {
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast(LongType))
   }
+
+  /** Exact-substring repetition detection (the Lee-et-al "dedup training
+    * data" shape, window approximation): every `w`-token sliding window is
+    * hashed; windows whose hash occurs more than once ANYWHERE in the
+    * corpus mark their positions as repeated. Returns one row per doc:
+    * (`idCol`, `n_windows`, `n_repeated`) — the repeated-window count is
+    * the span a substring-deduper would cut. Two shuffles total: the
+    * per-doc position window (lead chain, codegen'd) and the global
+    * window-hash frequency aggregate (map-side combined); the join back
+    * is a semi-join reusing the hash shuffle. At 100 TB the frequency
+    * table is the big frame — it is one 16-byte hash + count per DISTINCT
+    * window, and windows repeat heavily (that is the point), so it is far
+    * smaller than the corpus.
+    */
+  def repeatedWindows(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      filter(split(col(textCol), " "), t => t =!= "").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val tok = base.select(col(idCol), col("_n"),
+      posexplode(col("_toks")).as(Seq("_p", "_t")))
+    val ww = Window.partitionBy(idCol).orderBy("_p")
+    val parts = col("_t") +: (1 until w).map(k => lead("_t", k).over(ww))
+    // window text and the validity probe MUST be computed in the same
+    // select, BEFORE filtering: a filter in between would re-evaluate the
+    // lead chain over the already-truncated frame, silently shortening
+    // every window that overlaps the dropped tail
+    val wins = tok
+      .select(col(idCol), concat_ws(" ", parts: _*).as("_wtxt"),
+        lead("_t", w - 1).over(ww).as("_last"))
+      .filter(col("_last").isNotNull)
+      .select(col(idCol), md5(col("_wtxt")).as("_h"))
+    val rep = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_h")
+    val counts = wins.join(rep, Seq("_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_repeated"))
+    base.select(col(idCol),
+        greatest(col("_n") - (w - 1), lit(0)).cast(LongType).as("n_windows"))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
 }

@@ -446,8 +446,45 @@ object DedupQueries {
       .orderBy("w1", "w2")
   }
 
+  /** [[Dedup.repeatedWindows]] — substring-level exact-repetition
+    * detection (the "dedup training data" window approximation):
+    * 8-token sliding windows hashed corpus-wide, positions whose window
+    * recurs anywhere counted per doc. Complements q70 (line-level) at
+    * sub-line granularity. The oracle slices the identical filtered token
+    * lists, so window boundaries, the empty-token rule, and the global
+    * frequency threshold are all pinned.
+    */
+  val q92_repeated_windows: QueryDef = q(
+    "q92_repeated_windows",
+    """WITH tok2 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+      |  FROM tok2),
+      |wins AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+      |  FROM pos),
+      |rep AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+      |cnt AS (
+      |  SELECT doc_id, COUNT(*) AS n_repeated
+      |  FROM wins JOIN rep USING (h) GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_windows,
+      |  COALESCE(c.n_repeated, 0) AS n_repeated
+      |FROM tok2 t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin,
+    "Substring-level exact-repetition detection: 8-token windows hashed " +
+      "corpus-wide, repeated positions counted per doc") { (s, d) =>
+    Dedup.repeatedWindows(Tables.documents(s, d), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
-    q88_fuzzy_names)
+    q88_fuzzy_names, q92_repeated_windows)
 }

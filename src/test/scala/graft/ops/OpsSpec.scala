@@ -280,6 +280,23 @@ class OpsSpec extends SparkSpec {
     assert(k25.subsetOf(k50))
   }
 
+  test("repeatedWindows counts full-length tail windows (lead-after-filter regression)") {
+    import spark.implicits._
+    // the shared 8-token suffix is each doc's LAST window — the position
+    // a filter-then-lead plan silently truncates
+    val tail = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha beta $tail"),
+      (2L, s"gamma delta epsilon $tail"),
+      (3L, "unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedWindows(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 1L), s"doc1: ${got(1L)}") // 10 toks → 3 windows, last repeated
+    assert(got(2L) == (4L, 1L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (1L, 0L), s"doc3: ${got(3L)}")
+  }
+
   test("groupCap keeps exactly k per stratum, deterministically") {
     val docs = spark.range(0, 900)
       .toDF("doc_id")
