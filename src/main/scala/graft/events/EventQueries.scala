@@ -524,10 +524,41 @@ object EventQueries {
         .orderBy("event_type", "rank")
   }
 
+
+  /** Schema-driven JSON extraction over the semi-structured `props`
+    * column — `from_json` with an explicit schema (codegen'd Jackson
+    * parse, the scale path for semi-structured columns; q23 is the
+    * regex-extraction fallback for non-JSON text). Malformed/absent keys
+    * become NULL and are filtered, matching the oracle's json_extract.
+    */
+  val q93_json_extract: QueryDef = q(
+    "q93_json_extract",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |WHERE k IS NOT NULL AND k % 2 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "Schema-based JSON field extraction (from_json) + grouped aggregation") {
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", LongType))))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull && col("k") % 2 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast(LongType).as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
-    q78_hopping_window, q79_session_window, q80_topk_agg)
+    q78_hopping_window, q79_session_window, q80_topk_agg,
+    q93_json_extract)
 }
