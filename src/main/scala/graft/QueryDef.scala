@@ -33,7 +33,8 @@ object Registry {
       ops.SamplingQueries.defs ++
       ops.FeaturizeQueries.defs ++
       ops.CurationQueries.defs ++
-      ops.MultimodalQueries.defs
+      ops.MultimodalQueries.defs ++
+      streaming.StreamQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Oracle-checked stream/batch parity: the driver's DuckDB oracle cannot
+  * run a stream, but it can pin the END STATE of one — Structured
+  * Streaming's contract is that a complete-mode aggregation over a
+  * bounded input converges to exactly the batch result, so the streaming
+  * execution can share the BATCH query's oracle verbatim. These entries
+  * run a real streaming query inside `fn` (file-source micro-batches →
+  * memory sink, processAllAvailable, stop) and return the final table;
+  * any divergence between the micro-batch execution path and the batch
+  * plan hash-fails against the oracle.
+  */
+object StreamQueries {
+
+  /** The events table as a STREAM with the same column contract as
+    * `relational.Tables.events` (raw int64 nanos + derived micros ts).
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file source streams DIRECTORIES; the testdata table is a single
+    // parquet file, so stage a symlink to it under a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_q94_src")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** q22's tumbling daily counts, executed as an actual micro-batch
+    * stream ([[EventStream.dailyTypeCounts]], complete mode) and checked
+    * against q22's batch SQL oracle.
+    */
+  val q94_stream_batch_parity: QueryDef = QueryDef(
+    "q94_stream_batch_parity",
+    (s, d) => {
+      val counts = EventStream.dailyTypeCounts(eventsStream(s, d))
+      val sink = "graft_q94_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q94_ckpt").toString
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n").cast(LongType).as("n"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin),
+    "Stream/batch parity: q22's daily counts executed as a real " +
+      "micro-batch stream (complete mode, memory sink), same oracle")
+
+  def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity)
+}
