@@ -80,6 +80,24 @@ object ScaleProbe {
     probeDocs("docs", "1x", base, nBase)
     probeDocs("docs", s"${mult}x+cluster", big, nBig)
 
+    // q92: repeated-window detection on the same corpora — the boilerplate
+    // cluster makes its windows corpus-frequency ~inject, the worst case
+    // for the frequency aggregate
+    val (r92a, t92a) = time(ops.Dedup.repeatedWindows(base, "doc_id", "text")
+      .agg(sum("n_repeated")).collect().head.getLong(0))
+    emit("q92_repeated_windows", "1x", nBase, t92a, r92a)
+    val (r92b, t92b) = time(ops.Dedup.repeatedWindows(big, "doc_id", "text")
+      .agg(sum("n_repeated")).collect().head.getLong(0))
+    emit("q92_repeated_windows", s"${mult}x+cluster", nBig, t92b, r92b)
+
+    // q88: fuzzy matching on a name table with one pathological variant
+    // bucket (all `inject` cluster "names" are near-identical strings)
+    val names = spark.range(inject).select(
+      concat(lit("User#"), lpad((col("id") % (inject / 10)).cast("string"), 9, "0"))
+        .as("name"))
+    val (r88, t88) = time(ops.Dedup.editDistance1Pairs(names, "name").count())
+    emit("q88_fuzzy_names", "dense-dup names", inject, t88, r88)
+
     // celebrity graph: the events interaction edges + one node of degree
     // `inject` (edges to the lowest user ids). Degree orientation keeps
     // the wedge join bounded; the probe pins both the time and the count.
