@@ -240,6 +240,57 @@ object Multimodal {
       sha2(col("content"), 256).as("content_hash")))
   }
 
+  final case class ImageDHash(
+      media_id: Long, width: Int, height: Int, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual difference hash (dHash) from REAL decoded pixels — the
+    * standard cheap image near-dup fingerprint: nearest-neighbor
+    * downsample to a 9×8 grid (src pixel (x·w div 9, y·h div 8) — floor
+    * scaling, chosen over interpolation precisely because it is exact
+    * integer arithmetic an oracle can replay), integer ITU luma
+    * (299r+587g+114b)/1000, then bit(x,y) = gray(x+1,y) > gray(x,y).
+    * The 64 bits are split hi/lo (rows 0-3 / 4-7, 32 bits each) so both
+    * halves stay inside a signed BIGINT on every engine. Near-dup pairs
+    * come from [[Dedup.hammingDistance]] over the halves, bucketed the
+    * simhash way.
+    */
+  def imageDHash(df: DataFrame)(implicit spark: SparkSession): Dataset[ImageDHash] = {
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) ImageDHash(id, 0, 0, 0L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = Array.tabulate(8, 9) { (y, x) =>
+              val v = img.getRGB(x * w / 9, y * h / 8)
+              (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+                (v & 0xff) * 114) / 1000
+            }
+            var (hi, lo) = (0L, 0L)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(y)(x + 1) > gray(y)(x)) {
+                  if (y < 4) hi |= 1L << (y * 8 + x)
+                  else lo |= 1L << ((y - 4) * 8 + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageDHash(id, w, h, hi, lo)
+          }
+        }
+      }
+  }
+
   final case class ImageFeatures(
       media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)

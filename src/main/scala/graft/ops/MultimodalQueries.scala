@@ -213,6 +213,60 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** [[Multimodal.imageDHash]] through the real PNG encode→decode path:
+    * every doc becomes a deterministic w×h PNG ([[Multimodal.pngBytes]]'s
+    * pixel formula), the operator hashes REAL decoded pixels, and the
+    * oracle replays the nearest-neighbor grid, integer luma, and bit
+    * packing arithmetically — so a single wrong pixel, scale index, or
+    * bit position hash-fails.
+    */
+  val q95_image_dhash: QueryDef = q(
+    "q95_image_dhash",
+    """WITH dims AS (
+      |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
+      |grid AS (
+      |  SELECT doc_id, w, h, y, x,
+      |    ((doc_id * 31 + ((y * h) // 8)) * 31 + ((x * w) // 9)) % 16777216 AS v
+      |  FROM dims,
+      |    (SELECT unnest(range(0, 8)) AS y) ys,
+      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |gray AS (
+      |  SELECT doc_id, w, h, y, x,
+      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |  FROM grid),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, a.h, a.y, a.x,
+      |    CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
+      |  FROM gray a
+      |  JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(SUM(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |  CAST(SUM(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+      |FROM bits
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin,
+    "Perceptual image hash (dHash) from real decoded PNG pixels; oracle " +
+      "replays the NN grid + luma + bit packing arithmetically") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          (id, "image",
+            Multimodal.pngBytes((9 + id % 8).toInt, (8 + id % 5).toInt, id))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.imageDHash(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("dhash_hi"), col("dhash_lo"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
-    q68_image_features, q71_frame_sample, q83_video_codec)
+    q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash)
 }

@@ -474,6 +474,36 @@ class OpsSpec extends SparkSpec {
     assert(f(1L) == Multimodal.ImageFeatures(1L, 0, 0, 0L, 0L, 0L))
   }
 
+  test("multimodal: dHash is identical under uniform brightness shift, differs across images") {
+    implicit val s = spark
+    def png(f: (Int, Int) => Int, w: Int = 18, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // slope chosen so no cell reaches 255 even shifted — a clamped pair
+    // would zero a difference bit and break the shift-invariance claim
+    def gradient(shift: Int)(x: Int, y: Int): Int = {
+      val g = math.min(255, x * 6 + y * 3 + shift); (g << 16) | (g << 8) | g
+    }
+    val media = Seq(
+      (0L, "image", png(gradient(0))),
+      (1L, "image", png(gradient(10))),          // brightness-shifted copy
+      (2L, "image", png((x, y) => (x * 7919 + y * 104729) % 0xffffff)),
+      (3L, "image", Array[Byte](9, 9))           // undecodable
+    ).toDF("media_id", "kind", "content")
+    val h = Multimodal.imageDHash(media).collect().map(x => x.media_id -> x).toMap
+    // dHash depends on gradient DIRECTION, not absolute level: the
+    // uniformly shifted copy hashes identically (the near-dup property)
+    assert(h(0L).dhash_hi == h(1L).dhash_hi && h(0L).dhash_lo == h(1L).dhash_lo)
+    // a structurally different image hashes differently
+    assert((h(0L).dhash_hi, h(0L).dhash_lo) != (h(2L).dhash_hi, h(2L).dhash_lo))
+    // monotone-increasing gradient rows → every difference bit set
+    assert(h(0L).dhash_hi == 0xffffffffL && h(0L).dhash_lo == 0xffffffffL)
+    assert(h(3L) == Multimodal.ImageDHash(3L, 0, 0, 0L, 0L))
+  }
+
   test("multimodal: real WAV decode recovers format; fuzzed bytes report zeros") {
     implicit val s = spark
     val media = Seq(
