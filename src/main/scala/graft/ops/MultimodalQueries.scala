@@ -267,6 +267,71 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Image dedup end to end: dHash from real decoded pixels → canonical
+    * keep set per hash group (min media_id keeps). The corpus is
+    * engineered so every `doc_id % 100` shares one image — 100 perceptual
+    * groups of ~5 — and the oracle replays hash + grouping, so a single
+    * wrong pixel or group boundary flips a keep flag and hash-fails.
+    */
+  val q96_image_neardup: QueryDef = q(
+    "q96_image_neardup",
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 100 AS img,
+      |    9 + (doc_id % 100) % 8 AS w, 8 + (doc_id % 100) % 5 AS h
+      |  FROM documents),
+      |grid AS (
+      |  SELECT doc_id, w, h, y, x,
+      |    ((img * 31 + ((y * h) // 8)) * 31 + ((x * w) // 9)) % 16777216 AS v
+      |  FROM dims,
+      |    (SELECT unnest(range(0, 8)) AS y) ys,
+      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |gray AS (
+      |  SELECT doc_id, w, h, y, x,
+      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |  FROM grid),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, a.h, a.y, a.x,
+      |    CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
+      |  FROM gray a
+      |  JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(SUM(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id, w, h)
+      |SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY w, h, hi, lo) AS canonical_id,
+      |  CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY w, h, hi, lo)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_keep
+      |FROM hashes
+      |ORDER BY doc_id""".stripMargin,
+    "Image dedup end-to-end: perceptual hash groups to a canonical keep " +
+      "set; oracle replays hash arithmetic and grouping") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val img = id % 100
+          (id, "image",
+            Multimodal.pngBytes((9 + img % 8).toInt, (8 + img % 5).toInt, img))
+        }
+      }.toDF("media_id", "kind", "content")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("width", "height", "dhash_hi", "dhash_lo")
+    Multimodal.imageDHash(media).toDF()
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        col("dhash_hi"), col("dhash_lo"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+          .as("is_keep"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
-    q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash)
+    q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
+    q96_image_neardup)
 }
