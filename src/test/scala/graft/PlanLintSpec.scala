@@ -1,0 +1,67 @@
+package graft
+
+/** Registry-wide plan lint: structural rules every query's physical plan
+  * must satisfy, checked for ALL registry entries (the flagship-only pins
+  * live in PlanAssertionSpec). Plans are built, never executed, so the
+  * whole sweep is cheap. Rules:
+  *
+  *   1. no `CartesianProduct` — an unconditional cross join of data-sized
+  *      inputs cannot survive any scale-up;
+  *   2. `BroadcastNestedLoopJoin` only where a query INTENDS a broadcast
+  *      cross join of a provably tiny side (each allowance is listed with
+  *      its reason — an unlisted occurrence fails the sweep).
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** queryName -> why a broadcast nested-loop join is the DESIGNED plan.
+    * Every entry is a broadcast of a SINGLE-ROW (or k-row constant-size)
+    * aggregate attached to a data frame — the canonical scalar-attachment
+    * shape; none broadcasts anything that grows with the input.
+    */
+  private val allowedBnlj: Map[String, String] = Map(
+    "q55_ann_recall" -> "centroid table (k rows) broadcast for IVF assignment (crossJoin)",
+    "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
+    "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",
+    "q59_sequence_packing" -> "one-row bin-capacity stats attached before packing audit",
+    "q60_hashing_tfidf" -> "one-row corpus doc count (idf denominator) broadcast",
+    "q73_triangles" -> "three one-row aggregates (nodes/edges/triangles) cross-joined into the stat row",
+    "q75_approx_quantile" -> "one-row quantile estimate joined back for its true-rank check",
+    "q77_resample" -> "one-row date-range limits attached to build the spine",
+    "q82_histogram" -> "one-row min/max bounds attached for bucket arithmetic",
+    "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union"
+  )
+
+  // one plan-build pass shared by every rule (some fns do real work —
+  // q94 runs an actual stream — so build each query exactly once)
+  private lazy val plans: Seq[(String, String)] = Registry.all.map { q =>
+    q.name -> q.fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("no query plan contains an unconditional CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("BroadcastNestedLoopJoin appears only where the design calls for it") {
+    val offenders = plans.collect {
+      case (name, plan)
+          if plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj.contains(name) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop joins in: ${offenders.mkString(", ")} — " +
+        "either fix the plan or add an allowance WITH its reason")
+    // self-maintenance: an allowance whose query no longer produces a
+    // BNLJ is stale documentation — prune it
+    val actual = plans.collect {
+      case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
+    }.toSet
+    val stale = allowedBnlj.keySet -- actual
+    assert(stale.isEmpty, s"stale BNLJ allowances (plan no longer has one): ${stale.mkString(", ")}")
+  }
+}
