@@ -593,4 +593,35 @@ object Dedup {
       .select(col(idCol), col("n_windows"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
+
+  /** Containment pairs — one-sided Jaccard: shared / min(|A|, |B|) over
+    * distinct shingle sets. Near-1 containment with LOW symmetric Jaccard
+    * is the wrapper case (one doc embeds another plus boilerplate), which
+    * symmetric near-dup misses entirely. Same plan shape and skew guard
+    * as [[ngramJaccardPairs]]: shingle self-join keyed on the shingle,
+    * document-frequency cap pruning non-discriminative hot shingles.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int = 3, maxDocFreq: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol, shingleSize).distinct()
+    val capped = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = capped.select(col("id").as("id_a"), col("sh"))
+    val b = capped.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        col("shared").cast(DoubleType) / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
 }

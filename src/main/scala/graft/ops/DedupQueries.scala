@@ -483,8 +483,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** [[Dedup.containmentPairs]] — one-sided Jaccard (shared / min set
+    * size): the wrapper detector symmetric near-dup misses (a doc that
+    * embeds another plus boilerplate has high containment, low Jaccard).
+    * Same hot-shingle cap as q29; the oracle replays set sizes, shared
+    * counts, and the min-denominator ratio, ppm-floored for engine-exact
+    * comparison.
+    */
+  val q97_containment: QueryDef = q(
+    "q97_containment",
+    shinglesSql +
+      s""",
+        |shc AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+        |    FROM (SELECT DISTINCT doc_id, sh FROM sh) d) t
+        |  WHERE df <= $MaxShingleDocFreq),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(floor(1000000 * CAST(shared AS DOUBLE) / least(sa.n, sb.n)) AS BIGINT) AS cont_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "Containment (one-sided Jaccard) pairs: near-subset/wrapper " +
+      "detection, hot-shingle capped") { (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        floor(lit(1000000) * col("containment")).cast(LongType).as("cont_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
-    q88_fuzzy_names, q92_repeated_windows)
+    q88_fuzzy_names, q92_repeated_windows, q97_containment)
 }
