@@ -72,6 +72,34 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs (uncapped) equals brute-force one-sided Jaccard") {
+    def shingles(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(2, 15)
+      docs <- Gen.listOfN(n, Gen.choose(1, 12).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf("p", "q", "r", "s")).map(_.mkString(" "))))
+    } yield docs
+    for (seedNo <- 0 until 8) {
+      val docs = genDocs(Gen.Parameters.default, Seed(500L + seedNo))
+        .getOrElse(Nil).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        shared = (sa intersect sb).size if shared > 0
+        c = shared.toDouble / math.min(sa.size, sb.size) if c >= 0.5
+      } yield (ia, ib, c)).toSet
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.5, maxDocFreq = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"seed=$seedNo missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("LM scores are bounded and perfect self-transitions score exactly 1e6 ppm") {
     val docs = (0 until 30).map(i => (i.toLong, s"w$i w$i w$i w$i")).toDF("doc_id", "text")
     val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
