@@ -383,6 +383,55 @@ object EventQueries {
           when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
   }
 
+  /** [[graft.ops.Graph.personalizedPageRank]] over the interaction graph,
+    * seeds = the 5 lowest user ids present. Property-oracled like q74,
+    * with three invariants a wrong implementation breaks: total mass
+    * exactly conserved (= 1), every seed keeps at least its restart floor
+    * (1-d)/|seeds|, and the seed set holds MORE mass than under uniform
+    * PageRank (the personalization actually personalizes — computed by
+    * running both variants in the same query).
+    */
+  val q98_personalized_pagerank: QueryDef = q(
+    "q98_personalized_pagerank",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |n AS (SELECT count(DISTINCT v) AS n_nodes
+      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(1 AS BIGINT) AS sum_ok,
+      |  CAST(1 AS BIGINT) AS seed_floor_ok,
+      |  CAST(1 AS BIGINT) AS concentrates_ok
+      |FROM n""".stripMargin,
+    "Personalized PageRank (seeded restarts), property-oracled: mass " +
+      "conservation, seed floor, and concentration vs uniform PageRank") {
+    (s, d) =>
+      val edges = consecutivePairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = edges.select(col("source").as("v"))
+        .unionAll(edges.select(col("target").as("v"))).distinct()
+      val seeds = nodes.orderBy("v").limit(5).select(col("v").as("seed"))
+      val ppr = graft.ops.Graph.personalizedPageRank(
+        edges, "source", "target", seeds, iters = 10)
+      val pr = graft.ops.Graph.pageRank(edges, "source", "target", iters = 10)
+      val seedSet = seeds.select(col("seed").as("v"))
+      val pprSeeds = ppr.join(seedSet, Seq("v"), "left_semi")
+        .agg(sum("rank").as("ppr_seed_mass"), min("rank").as("ppr_seed_min"))
+      val prSeeds = pr.join(seedSet, Seq("v"), "left_semi")
+        .agg(sum("rank").as("pr_seed_mass"))
+      ppr.agg(count(lit(1)).as("_n"), sum("rank").as("_s"))
+        .crossJoin(pprSeeds).crossJoin(prSeeds)
+        .select(col("_n").cast(LongType).as("n_nodes"),
+          when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
+          when(col("ppr_seed_min") >= lit(0.15 / 5) - lit(1e-12), 1L)
+            .otherwise(0L).as("seed_floor_ok"),
+          when(col("ppr_seed_mass") > col("pr_seed_mass"), 1L)
+            .otherwise(0L).as("concentrates_ok"))
+  }
+
   /** Daily-grid resampling with forward fill — the gap-filling shape of
     * time-series analytics, run through the NATIVE as-of operator
     * (plans.AsOfJoinExec) rather than the composite: each (user, day)
@@ -560,5 +609,5 @@ object EventQueries {
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
     q78_hopping_window, q79_session_window, q80_topk_agg,
-    q93_json_extract)
+    q93_json_extract, q98_personalized_pagerank)
 }

@@ -159,4 +159,71 @@ object Graph {
     deg.unpersist(blocking = false)
     ranks
   }
+
+  /** Personalized PageRank: random walks restart at `seeds` (uniformly)
+    * instead of everywhere — the relevance-to-a-query-set primitive.
+    * r' = (1-d)·p + d·Σ_in r/outdeg with p uniform over the seed nodes
+    * (seeds absent from the graph are ignored); r0 = p. Undirected input
+    * (each edge walks both ways) means no dangling nodes, so total mass
+    * is exactly 1 at every iteration. Same O(1)-lineage loop and barrier
+    * cadence as [[pageRank]]: one shuffle join + one hash agg per
+    * iteration, checkpoint every `ckptEvery` generations.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    val sc = edges.sparkSession.sparkContext
+    def ckpt(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = canonicalEdges(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = ckpt(
+      e.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+        .join(deg, Seq("s")))
+    e.unpersist(blocking = false)
+    // restart vector: uniform over the seeds that exist in the graph
+    val seedCol = seeds.columns.head
+    val inGraph = deg.select(col("s"))
+      .join(seeds.select(col(seedCol).as("s")).distinct(), Seq("s"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = inGraph.count()
+    require(nSeeds > 0, "no seed node exists in the graph")
+    val restart = deg.select(col("s").as("v"))
+      .join(inGraph.select(col("s").as("v"), lit(1.0 / nSeeds).as("p")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("p"), lit(0.0)).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = restart.select(col("v"), col("p").as("rank"))
+    var lastCkpt: DataFrame = null
+    var depth = 0
+    for (i <- 1 to iters) {
+      val contrib = directed
+        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("v")
+        .agg(sum(col("c")).as("inMass"))
+      val step = restart.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * coalesce(col("inMass"), lit(0.0))).as("rank"))
+      depth += 1
+      if (depth >= ckptEvery || i == iters) {
+        val next = ckpt(step)
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = next
+        ranks = next
+        depth = 0
+      } else ranks = step
+    }
+    deg.unpersist(blocking = false)
+    inGraph.unpersist(blocking = false)
+    restart.unpersist(blocking = false)
+    ranks
+  }
 }

@@ -44,4 +44,26 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(3L) - (1 - r2) / 2) < 1e-6)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  test("personalizedPageRank matches the K3 closed form; unreachable components get zero") {
+    val d = 0.85
+    // K3 seeded at node 1 (+ a disconnected edge 10-11): with r2 = r3 = x
+    // and r1 = y, the stationary equations give y = (1-d)(2-d)/(2-d-d²),
+    // x = d·y/(2-d); the disconnected component never receives mass
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.personalizedPageRank(g, "s", "t", seeds, iters = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val y = (1 - d) * (2 - d) / (2 - d - d * d)
+    val x = d * y / (2 - d)
+    assert(math.abs(got(1L) - y) < 1e-6, s"seed rank ${got(1L)} vs $y")
+    assert(math.abs(got(2L) - x) < 1e-6 && math.abs(got(3L) - x) < 1e-6)
+    assert(got(10L) == 0.0 && got(11L) == 0.0,
+      "mass must not reach a component with no seed")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // seeds absent from the graph are rejected, not silently ignored
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, "s", "t", Seq(99L).toDF("seed"), iters = 2)
+    }
+  }
 }
