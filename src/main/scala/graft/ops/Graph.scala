@@ -188,18 +188,23 @@ object Graph {
         .unionAll(e.select(col("b").as("s"), col("a").as("t")))
         .join(deg, Seq("s")))
     e.unpersist(blocking = false)
-    // restart vector: uniform over the seeds that exist in the graph
+    // restart vector: uniform over the seeds that exist in the graph.
+    // The restart term is nonzero ONLY on the seed rows, and in an
+    // undirected graph every node receives a contribution row each
+    // iteration — so the per-iteration restart application is a BROADCAST
+    // join of the (tiny) seed frame onto the contribution aggregate,
+    // never a shuffle of the node table.
     val seedCol = seeds.columns.head
-    val inGraph = deg.select(col("s"))
+    val seedP = deg.select(col("s"))
       .join(seeds.select(col(seedCol).as("s")).distinct(), Seq("s"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSeeds = inGraph.count()
+    val nSeeds = seedP.count()
     require(nSeeds > 0, "no seed node exists in the graph")
-    val restart = deg.select(col("s").as("v"))
-      .join(inGraph.select(col("s").as("v"), lit(1.0 / nSeeds).as("p")), Seq("v"), "left")
-      .select(col("v"), coalesce(col("p"), lit(0.0)).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = restart.select(col("v"), col("p").as("rank"))
+    val seedFrame = broadcast(
+      seedP.select(col("s").as("v"), lit(1.0 / nSeeds).as("p")))
+    var ranks = deg.select(col("s").as("v"))
+      .join(seedFrame, Seq("v"), "left")
+      .select(col("v"), coalesce(col("p"), lit(0.0)).as("rank"))
     var lastCkpt: DataFrame = null
     var depth = 0
     for (i <- 1 to iters) {
@@ -208,10 +213,10 @@ object Graph {
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
         .agg(sum(col("c")).as("inMass"))
-      val step = restart.join(contrib, Seq("v"), "left")
+      val step = contrib.join(seedFrame, Seq("v"), "left")
         .select(col("v"),
-          (lit(1.0 - damping) * col("p") +
-            lit(damping) * coalesce(col("inMass"), lit(0.0))).as("rank"))
+          (lit(1.0 - damping) * coalesce(col("p"), lit(0.0)) +
+            lit(damping) * col("inMass")).as("rank"))
       depth += 1
       if (depth >= ckptEvery || i == iters) {
         val next = ckpt(step)
@@ -222,8 +227,7 @@ object Graph {
       } else ranks = step
     }
     deg.unpersist(blocking = false)
-    inGraph.unpersist(blocking = false)
-    restart.unpersist(blocking = false)
+    seedP.unpersist(blocking = false)
     ranks
   }
 }
