@@ -440,6 +440,37 @@ object EventQueries {
             .otherwise(0L).as("concentrates_ok"))
   }
 
+  /** [[graft.ops.Graph.pageRankWeighted]] over the WEIGHTED interaction
+    * graph — the faithful centrality for the reference's flagship output
+    * (its links carry interaction counts). Property-oracled like q74
+    * (mass conservation + positivity + node-count anchor); the weighting
+    * arithmetic itself is pinned by GraphSpec's weighted-path closed
+    * form.
+    */
+  val q99_weighted_pagerank: QueryDef = q(
+    "q99_weighted_pagerank",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |n AS (SELECT count(DISTINCT v) AS n_nodes
+      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(1 AS BIGINT) AS sum_ok,
+      |  CAST(1 AS BIGINT) AS positive_ok
+      |FROM n""".stripMargin,
+    "Weighted PageRank over the interaction graph (contributions split " +
+      "by interaction count), mass-conservation oracled") { (s, d) =>
+    graft.ops.Graph.pageRankWeighted(
+        weightedEdges(s, d), "source", "target", "weight", iters = 10)
+      .agg(count(lit(1)).as("_n"), sum("rank").as("_s"), min("rank").as("_m"))
+      .select(col("_n").cast(LongType).as("n_nodes"),
+        when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
+        when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
+  }
+
   /** Daily-grid resampling with forward fill — the gap-filling shape of
     * time-series analytics, run through the NATIVE as-of operator
     * (plans.AsOfJoinExec) rather than the composite: each (user, day)
@@ -617,5 +648,5 @@ object EventQueries {
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
     q78_hopping_window, q79_session_window, q80_topk_agg,
-    q93_json_extract, q98_personalized_pagerank)
+    q93_json_extract, q98_personalized_pagerank, q99_weighted_pagerank)
 }

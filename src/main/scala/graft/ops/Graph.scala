@@ -230,4 +230,61 @@ object Graph {
     seedP.unpersist(blocking = false)
     ranks
   }
+
+  /** Weighted PageRank: contributions split proportionally to edge
+    * weight — r' = (1-d)/n + d·Σ_in r·w/strength(src), with strength =
+    * Σ incident weights. The faithful centrality for the engine's
+    * flagship interaction graph, whose edges carry interaction counts.
+    * Same O(1)-lineage loop and barrier cadence as [[pageRank]] (which
+    * is this with all weights 1).
+    */
+  def pageRankWeighted(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
+    val sc = edges.sparkSession.sparkContext
+    def ckpt(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    // canonicalize KEEPING weights: parallel canonical pairs merge by sum
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0)
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val strength = e.select(col("a").as("s"), col("w"))
+      .unionAll(e.select(col("b").as("s"), col("w")))
+      .groupBy("s").agg(sum("w").as("strength"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = ckpt(
+      e.select(col("a").as("s"), col("b").as("t"), col("w"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("t"), col("w")))
+        .join(strength, Seq("s")))
+    e.unpersist(blocking = false)
+    val n = strength.count()
+    val base = (1.0 - damping) / n
+    var ranks = strength.select(col("s").as("v"), lit(1.0 / n).as("rank"))
+    var lastCkpt: DataFrame = null
+    var depth = 0
+    for (i <- 1 to iters) {
+      val step = directed
+        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("t").as("v"), (col("rank") * col("w") / col("strength")).as("c"))
+        .groupBy("v")
+        .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
+      depth += 1
+      if (depth >= ckptEvery || i == iters) {
+        val next = ckpt(step)
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = next
+        ranks = next
+        depth = 0
+      } else ranks = step
+    }
+    strength.unpersist(blocking = false)
+    ranks
+  }
 }

@@ -45,6 +45,25 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRankWeighted matches the weighted-path closed form; all-1 weights equal pageRank") {
+    val d = 0.85
+    // path 1-(w=1)-2-(w=3)-3: node 2's mass splits 1/4 vs 3/4; its own
+    // rank matches the unweighted path (both ends send everything to it)
+    val wpath = Seq((1L, 2L, 1.0), (2L, 3L, 3.0)).toDF("s", "t", "w")
+    val got = Graph.pageRankWeighted(wpath, "s", "t", "w", iters = 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r2 = (1 + 2 * d) / (3 * (1 + d))
+    assert(math.abs(got(2L) - r2) < 1e-6)
+    assert(math.abs(got(1L) - ((1 - d) / 3 + d * r2 / 4)) < 1e-6)
+    assert(math.abs(got(3L) - ((1 - d) / 3 + 3 * d * r2 / 4)) < 1e-6)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // degenerate check: unit weights reproduce the unweighted operator
+    val k3w = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0)).toDF("s", "t", "w")
+    Graph.pageRankWeighted(k3w, "s", "t", "w", iters = 30).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9, r)
+    }
+  }
+
   test("personalizedPageRank matches the K3 closed form; unreachable components get zero") {
     val d = 0.85
     // K3 seeded at node 1 (+ a disconnected edge 10-11): with r2 = r3 = x
