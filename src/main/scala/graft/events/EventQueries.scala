@@ -29,27 +29,49 @@ object EventQueries {
 
   private val wUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
 
-  /** Consecutive distinct-actor pairs from the global event sequence —
-    * the interaction-graph kernel shared by q11/q39/q73/q74 (one row per
-    * adjacent pair, raw direction). The ordering contract (`ts_ns` +
-    * `event_id` tiebreak) lives HERE and nowhere else, so a change to it
-    * cannot silently break oracle parity for only some graph queries.
+  /** Canonical undirected weighted interaction edges, built ONCE per
+    * (session, dir) and checkpointed — [[graft.ops.Graph.fromEvents]]
+    * owns the kernel (and the `ts_ns` + `event_id` ordering contract)
+    * since round 7, so q11/q73/q74/q98/q99 share a single GlobalLag
+    * corpus scan instead of each paying their own.
     */
-  private def consecutivePairs(s: SparkSession, d: String): DataFrame =
-    graft.ops.GlobalLag.withLag(
-        Tables.events(s, d).select("user_id", "ts_ns", "event_id"),
-        Seq("ts_ns", "event_id"), "user_id", "prev")
-      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-      .select(col("prev").as("source"), col("user_id").as("target"))
+  private def weightedEdges(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.fromEvents(s, d)
 
-  /** Canonical undirected weighted edges over [[consecutivePairs]]. */
-  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
-    val p = consecutivePairs(s, d)
-    p.select(least(col("source"), col("target")).as("source"),
-        greatest(col("source"), col("target")).as("target"))
-      .groupBy("source", "target")
-      .agg(count(lit(1)).as("weight"))
-  }
+  /** DuckDB mirror of [[weightedEdges]] as a CTE prefix: the interaction
+    * graph (canonical undirected pairs + interaction-count weight) from
+    * the lag-over-global-order sequence.
+    */
+  private val edgesSql =
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |we AS (
+      |  SELECT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b,
+      |    count(*) AS weight
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled power-iteration CTE chain `i1..i{iters}` for the PageRank
+    * oracles (the q77 floor-ppm pattern extended to an iterative
+    * algorithm): each generation is the EXACT SQL transliteration of one
+    * Spark iteration — same expression tree (`base + d · Σ contrib`),
+    * same IEEE double ops — so per-node ranks agree to far below the ppm
+    * floor. `g` must provide (s, t, outdeg) [unweighted: contrib =
+    * pr/outdeg] or (s, t, w, strength) [weighted: contrib =
+    * pr·w/strength]; `prm` provides the double constants. All arithmetic
+    * is forced to DOUBLE — DuckDB would otherwise read `0.85` as
+    * DECIMAL(3,2) and compute exact-decimal intermediates that drift
+    * from Spark's binary doubles.
+    */
+  private def prIterSql(iters: Int, contrib: String,
+      restart: String = "(SELECT base FROM prm)"): String =
+    (1 to iters).map { k =>
+      s"""i$k AS (
+         |  SELECT g.t AS v,
+         |    $restart + (SELECT dmp FROM prm) * sum($contrib) AS pr
+         |  FROM g JOIN i${k - 1} r ON r.v = g.s GROUP BY g.t)""".stripMargin
+    }.mkString(",\n")
 
   val q10_window_lag: QueryDef = q(
     "q10_window_lag",
@@ -348,127 +370,143 @@ object EventQueries {
       |FROM n, m, t""".stripMargin,
     "Exact triangle count over the interaction graph, degree-oriented") {
     (s, d) =>
-      graft.ops.Graph.triangleStats(consecutivePairs(s, d), "source", "target")
+      graft.ops.Graph.triangleStats(weightedEdges(s, d), "source", "target")
   }
 
-  /** PageRank over the interaction graph, property-oracled (the
-    * q41/q55/q59 trick for sequential/approximate algorithms SQL cannot
-    * replay): Spark computes the invariant flags — total probability mass
-    * conserved to 1e-9 and strict positivity, both structural for a
-    * correct power iteration on a graph with no isolated nodes — plus the
-    * exact node-count anchor; the oracle pins the anchor and asserts the
-    * flags as literal 1s.
+  /** PageRank over the interaction graph, VALUE-LEVEL oracled (upgraded
+    * from the pre-round-7 mass-conservation property oracle): DuckDB
+    * replays all 10 damped power iterations as unrolled CTE generations
+    * ([[prIterSql]]) and the gate hash-compares per-node
+    * `floor(10⁶·rank)` — the q77 floor-ppm pattern. Double parity: both
+    * engines run the identical expression tree per generation; the only
+    * divergence source is summation ORDER inside one generation's
+    * hash agg, a ~1-ulp effect (~10⁻¹¹ on the ppm scale), far below the
+    * floor. GraphSpec's closed-form pins (K3/path) remain the unit-level
+    * anchor.
     */
   val q74_pagerank: QueryDef = q(
     "q74_pagerank",
-    """WITH seq AS (
-      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
-      |  FROM events),
-      |e AS (
-      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
-      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
-      |n AS (SELECT count(DISTINCT v) AS n_nodes
-      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
-      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
-      |  CAST(1 AS BIGINT) AS sum_ok,
-      |  CAST(1 AS BIGINT) AS positive_ok
-      |FROM n""".stripMargin,
-    "PageRank (10 damped power iterations), mass-conservation oracled") {
+    edgesSql +
+      s""",
+        |deg AS (
+        |  SELECT s, count(*) AS outdeg
+        |  FROM (SELECT a AS s FROM we UNION ALL SELECT b AS s FROM we)
+        |  GROUP BY s),
+        |g AS (
+        |  SELECT dir.s, dir.t, deg.outdeg
+        |  FROM (SELECT a AS s, b AS t FROM we
+        |        UNION ALL SELECT b AS s, a AS t FROM we) dir
+        |  JOIN deg ON deg.s = dir.s),
+        |prm AS (
+        |  SELECT CAST(0.85 AS DOUBLE) AS dmp,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS base,
+        |    CAST(1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r0
+        |  FROM deg),
+        |i0 AS (SELECT s AS v, (SELECT r0 FROM prm) AS pr FROM deg),
+        |${prIterSql(10, "r.pr / g.outdeg")}
+        |SELECT v AS user_id, CAST(floor(1000000 * pr) AS BIGINT) AS rank_ppm
+        |FROM i10 ORDER BY user_id""".stripMargin,
+    "PageRank (10 damped power iterations), per-node floor-ppm oracled " +
+      "against a DuckDB unrolled power-iteration CTE chain") {
     (s, d) =>
-      graft.ops.Graph.pageRank(consecutivePairs(s, d), "source", "target",
+      graft.ops.Graph.pageRank(weightedEdges(s, d), "source", "target",
           iters = 10)
-        .agg(count(lit(1)).as("_n"), sum("rank").as("_s"), min("rank").as("_m"))
-        .select(col("_n").cast(LongType).as("n_nodes"),
-          when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
-          when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
+        .select(col("v").as("user_id"),
+          floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
+        .orderBy("user_id")
   }
 
   /** [[graft.ops.Graph.personalizedPageRank]] over the interaction graph,
-    * seeds = the 5 lowest user ids present. Property-oracled like q74,
-    * with three invariants a wrong implementation breaks: total mass
-    * exactly conserved (= 1), every seed keeps at least its restart floor
-    * (1-d)/|seeds|, and the seed set holds MORE mass than its DEGREE
-    * SHARE deg(S)/2m — the d→1 stationary limit of uniform PageRank, i.e.
-    * the concentration uniform ranking cannot produce. (An earlier form
-    * ran uniform PageRank in the same query for the comparison; the
-    * degree-share baseline tests the same personalization property
-    * without paying a second full graph setup + iteration loop.)
+    * seeds = the 5 lowest user ids present. VALUE-LEVEL oracled like q74
+    * (upgraded from the pre-round-7 mass/floor/concentration property
+    * oracle): the restart term `(1-d)·p(v)` is nonzero only on seed rows,
+    * so each unrolled DuckDB generation adds the seed CASE where the
+    * uniform chain adds the constant base. GraphSpec keeps the
+    * invariant-level pins (mass conservation, seed floor, concentration)
+    * as unit tests.
     */
   val q98_personalized_pagerank: QueryDef = q(
     "q98_personalized_pagerank",
-    """WITH seq AS (
-      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
-      |  FROM events),
-      |e AS (
-      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
-      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
-      |n AS (SELECT count(DISTINCT v) AS n_nodes
-      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
-      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
-      |  CAST(1 AS BIGINT) AS sum_ok,
-      |  CAST(1 AS BIGINT) AS seed_floor_ok,
-      |  CAST(1 AS BIGINT) AS concentrates_ok
-      |FROM n""".stripMargin,
-    "Personalized PageRank (seeded restarts), property-oracled: mass " +
-      "conservation, seed floor, and concentration vs uniform PageRank") {
+    edgesSql +
+      s""",
+        |deg AS (
+        |  SELECT s, count(*) AS outdeg
+        |  FROM (SELECT a AS s FROM we UNION ALL SELECT b AS s FROM we)
+        |  GROUP BY s),
+        |g AS (
+        |  SELECT dir.s, dir.t, deg.outdeg
+        |  FROM (SELECT a AS s, b AS t FROM we
+        |        UNION ALL SELECT b AS s, a AS t FROM we) dir
+        |  JOIN deg ON deg.s = dir.s),
+        |seeds AS (SELECT s AS v FROM deg ORDER BY s LIMIT 5),
+        |prm AS (
+        |  SELECT CAST(0.85 AS DOUBLE) AS dmp,
+        |    CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE) AS restart,
+        |    CAST(1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sp
+        |  FROM seeds),
+        |i0 AS (
+        |  SELECT deg.s AS v,
+        |    CASE WHEN deg.s IN (SELECT v FROM seeds)
+        |      THEN (SELECT sp FROM prm) ELSE CAST(0 AS DOUBLE) END AS pr
+        |  FROM deg),
+        |${prIterSql(10, "r.pr / g.outdeg",
+          restart = "(SELECT restart FROM prm) * " +
+            "(CASE WHEN g.t IN (SELECT v FROM seeds) " +
+            "THEN (SELECT sp FROM prm) ELSE CAST(0 AS DOUBLE) END)")}
+        |SELECT v AS user_id, CAST(floor(1000000 * pr) AS BIGINT) AS rank_ppm
+        |FROM i10 ORDER BY user_id""".stripMargin,
+    "Personalized PageRank (seeded restarts), per-node floor-ppm oracled " +
+      "against a DuckDB unrolled power-iteration CTE chain") {
     (s, d) =>
-      val edges = consecutivePairs(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = weightedEdges(s, d)
       val nodes = edges.select(col("source").as("v"))
         .unionAll(edges.select(col("target").as("v"))).distinct()
       val seeds = nodes.orderBy("v").limit(5).select(col("v").as("seed"))
-      val ppr = graft.ops.Graph.personalizedPageRank(
-        edges, "source", "target", seeds, iters = 10)
-      val seedSet = seeds.select(col("seed").as("v"))
-      val pprSeeds = ppr.join(seedSet, Seq("v"), "left_semi")
-        .agg(sum("rank").as("ppr_seed_mass"), min("rank").as("ppr_seed_min"))
-      // degree share of the seed set over the canonical undirected edges:
-      // deg(S) / 2m, the mass uniform ranking would concentrate there
-      val canon = graft.ops.Graph.canonicalEdges(edges, "source", "target")
-      val degShare = graft.ops.Graph.degrees(canon)
-        .join(seedSet, Seq("v"), "left_semi")
-        .agg(sum("deg").cast(DoubleType).as("seed_deg"))
-        .crossJoin(canon.agg((count(lit(1)) * 2).cast(DoubleType).as("two_m")))
-        .select((col("seed_deg") / col("two_m")).as("degree_share"))
-      ppr.agg(count(lit(1)).as("_n"), sum("rank").as("_s"))
-        .crossJoin(pprSeeds).crossJoin(degShare)
-        .select(col("_n").cast(LongType).as("n_nodes"),
-          when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
-          when(col("ppr_seed_min") >= lit(0.15 / 5) - lit(1e-12), 1L)
-            .otherwise(0L).as("seed_floor_ok"),
-          when(col("ppr_seed_mass") > col("degree_share"), 1L)
-            .otherwise(0L).as("concentrates_ok"))
+      graft.ops.Graph.personalizedPageRank(
+          edges, "source", "target", seeds, iters = 10)
+        .select(col("v").as("user_id"),
+          floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
+        .orderBy("user_id")
   }
 
   /** [[graft.ops.Graph.pageRankWeighted]] over the WEIGHTED interaction
     * graph — the faithful centrality for the reference's flagship output
-    * (its links carry interaction counts). Property-oracled like q74
-    * (mass conservation + positivity + node-count anchor); the weighting
-    * arithmetic itself is pinned by GraphSpec's weighted-path closed
-    * form.
+    * (its links carry interaction counts). VALUE-LEVEL oracled like q74
+    * (upgraded from the pre-round-7 property oracle): contributions split
+    * `r·w/strength`; strength sums integer-valued doubles, so it is EXACT
+    * and order-independent, leaving the same sub-ppm divergence budget as
+    * the uniform chain.
     */
   val q99_weighted_pagerank: QueryDef = q(
     "q99_weighted_pagerank",
-    """WITH seq AS (
-      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
-      |  FROM events),
-      |e AS (
-      |  SELECT DISTINCT LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
-      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
-      |n AS (SELECT count(DISTINCT v) AS n_nodes
-      |      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e))
-      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
-      |  CAST(1 AS BIGINT) AS sum_ok,
-      |  CAST(1 AS BIGINT) AS positive_ok
-      |FROM n""".stripMargin,
+    edgesSql +
+      s""",
+        |wd AS (SELECT a, b, CAST(weight AS DOUBLE) AS w FROM we),
+        |st AS (
+        |  SELECT s, sum(w) AS strength
+        |  FROM (SELECT a AS s, w FROM wd UNION ALL SELECT b AS s, w FROM wd)
+        |  GROUP BY s),
+        |g AS (
+        |  SELECT dir.s, dir.t, dir.w, st.strength
+        |  FROM (SELECT a AS s, b AS t, w FROM wd
+        |        UNION ALL SELECT b AS s, a AS t, w FROM wd) dir
+        |  JOIN st ON st.s = dir.s),
+        |prm AS (
+        |  SELECT CAST(0.85 AS DOUBLE) AS dmp,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS base,
+        |    CAST(1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r0
+        |  FROM st),
+        |i0 AS (SELECT s AS v, (SELECT r0 FROM prm) AS pr FROM st),
+        |${prIterSql(10, "r.pr * g.w / g.strength")}
+        |SELECT v AS user_id, CAST(floor(1000000 * pr) AS BIGINT) AS rank_ppm
+        |FROM i10 ORDER BY user_id""".stripMargin,
     "Weighted PageRank over the interaction graph (contributions split " +
-      "by interaction count), mass-conservation oracled") { (s, d) =>
+      "by interaction count), per-node floor-ppm oracled") { (s, d) =>
     graft.ops.Graph.pageRankWeighted(
         weightedEdges(s, d), "source", "target", "weight", iters = 10)
-      .agg(count(lit(1)).as("_n"), sum("rank").as("_s"), min("rank").as("_m"))
-      .select(col("_n").cast(LongType).as("n_nodes"),
-        when(abs(col("_s") - 1.0) < 1e-9, 1L).otherwise(0L).as("sum_ok"),
-        when(col("_m") > 0.0, 1L).otherwise(0L).as("positive_ok"))
+      .select(col("v").as("user_id"),
+        floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
+      .orderBy("user_id")
   }
 
   /** Daily-grid resampling with forward fill — the gap-filling shape of

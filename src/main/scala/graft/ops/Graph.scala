@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph metrics over undirected edge lists (the interaction-graph shape
@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
   * replay (the DuckDB oracle) agree with the degree-oriented plan.
   */
 object Graph {
+
+  /** Shared interaction-graph build: canonical undirected weighted edges
+    * `(source, target, weight)` (source < target, weight = consecutive-
+    * interaction count) from the events table's global sequence — the
+    * graph the reference's flagship pipeline emits
+    * (backend/network_analysis.py nodes/links). Built ONCE per
+    * (SparkContext, dir), eagerly checkpointed, and cached, so however
+    * many centrality queries consume it (q11/q73/q74/q98/q99) the
+    * GlobalLag corpus scan runs a single time — at 100 TB that scan IS
+    * the dominant cost, and the pre-round-7 shape paid it three times
+    * for the PageRank trio alone. The ordering contract (`ts_ns` +
+    * `event_id` tiebreak) lives HERE and nowhere else, so a change to it
+    * cannot silently break oracle parity for only some graph queries.
+    *
+    * The checkpoint (reliable when a dir is configured, executor-local
+    * otherwise) both materializes the frame and truncates its lineage to
+    * an O(1) scan — consumers' plans never re-optimize the lag pipeline,
+    * and the cached frame's opaque RDD scan cannot be substituted into
+    * unrelated queries' plans by the CacheManager. The cache holds one
+    * edge frame per dataset dir (bounded); [[clearEventsCache]] drops it.
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def fromEvents(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir, _ => {
+      val ev = graft.relational.Tables.events(s, dir)
+        .select("user_id", "ts_ns", "event_id")
+      val pairs = GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev")
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("source"), col("user_id").as("target"))
+      val w = pairs.select(
+          least(col("source"), col("target")).as("source"),
+          greatest(col("source"), col("target")).as("target"))
+        .groupBy("source", "target").agg(count(lit(1)).as("weight"))
+      if (s.sparkContext.getCheckpointDir.isDefined) w.checkpoint(true)
+      else w.localCheckpoint(true)
+    })
+
+  private[graft] def clearEventsCache(): Unit = edgeCache.clear()
 
   /** Canonical distinct undirected edges: (a, b) with a < b, no loops. */
   def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
@@ -76,6 +116,53 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Shared power-iteration loop for the three PageRank variants:
+    * O(1)-lineage via depth-triggered eager checkpoints (cost model in
+    * [[pageRank]]'s body comments), optional L1 convergence early-exit.
+    * `tol = 0` disables the check and runs exactly `iters` iterations —
+    * the ORACLE-PARITY mode: the DuckDB oracles unroll exactly `iters`
+    * CTE generations, so the query entries must not stop early. With
+    * `tol > 0` the L1 delta vs the previous CHECKPOINT generation is
+    * measured at each barrier — one tiny join+agg of two
+    * already-materialized node frames, deliberately a synchronous agg
+    * rather than `observe()` (collected-metrics arrive on the async
+    * listener bus; a convergence decision needs the value NOW). Checking
+    * per-generation rather than per-iteration keeps the barrier count
+    * unchanged when converged=false; with `ckptEvery = 1` it degenerates
+    * to the textbook per-iteration check. Returns (ranks, iterationsRun).
+    */
+  private def iterate(init: DataFrame, iters: Int, ckptEvery: Int,
+      tol: Double, ckpt: DataFrame => DataFrame)(
+      step: DataFrame => DataFrame): (DataFrame, Int) = {
+    var ranks = init
+    var genRef = init // ranks at the last barrier: the delta reference
+    var lastCkpt: DataFrame = null
+    var depth = 0
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val next = step(ranks)
+      depth += 1
+      if (depth >= ckptEvery || i == iters) {
+        val mat = ckpt(next)
+        if (tol > 0) {
+          val l1 = mat
+            .join(genRef.select(col("v"), col("rank").as("_prev")), Seq("v"))
+            .agg(sum(abs(col("rank") - col("_prev"))).as("l1"))
+            .head.getDouble(0)
+          if (l1 < tol) converged = true
+        }
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = mat
+        genRef = mat
+        ranks = mat
+        depth = 0
+      } else ranks = next
+    }
+    (ranks, i)
+  }
+
   /** PageRank over the undirected edge list (each edge walks both ways),
     * `iters` synchronous power iterations with damping `d`:
     * r' = (1-d)/n + d·Σ_in r/outdeg. Returns (`v`, `rank`), Σrank ≈ 1.
@@ -89,7 +176,16 @@ object Graph {
     * node in an edge list has degree ≥ 1), so no dangling-mass term.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, iters, damping, ckptEvery, tol)._1
+
+  /** [[pageRank]] plus the iteration count actually run — the observable
+    * the convergence spec pins (early exit on a symmetric graph).
+    */
+  private[graft] def pageRankRun(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     // Checkpoint (not just persist) inside the loop: persisting caches
@@ -130,34 +226,24 @@ object Graph {
     val n = deg.count()
     val base = (1.0 - damping) / n
     // Rank init reads the persisted deg directly — fixed-depth lineage,
-    // no checkpoint barrier needed.
-    var ranks = deg.select(col("s").as("v"), lit(1.0 / n).as("rank"))
-    // Depth-triggered checkpoint cadence: the rank lineage is a
-    // single-reference CHAIN (each next reads the previous exactly once),
-    // so between checkpoints the plan deepens linearly — `ckptEvery`
-    // levels of one-join-one-agg nesting is cheap for Catalyst — while
-    // each eager checkpoint is a full job barrier. Checkpoint when the
-    // un-truncated depth reaches the threshold, and always on the final
-    // iteration so callers get a materialized O(1)-lineage frame.
-    var lastCkpt: DataFrame = null
-    var depth = 0
-    for (i <- 1 to iters) {
-      val step = directed
-        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+    // no checkpoint barrier needed. Depth-triggered checkpoint cadence
+    // (see [[iterate]]): the rank lineage is a single-reference CHAIN
+    // (each next reads the previous exactly once), so between checkpoints
+    // the plan deepens linearly — `ckptEvery` levels of one-join-one-agg
+    // nesting is cheap for Catalyst — while each eager checkpoint is a
+    // full job barrier. Checkpoint when the un-truncated depth reaches
+    // the threshold, and always on the final iteration so callers get a
+    // materialized O(1)-lineage frame.
+    val init = deg.select(col("s").as("v"), lit(1.0 / n).as("rank"))
+    val (ranks, ran) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
+      directed
+        .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
-      depth += 1
-      if (depth >= ckptEvery || i == iters) {
-        val next = ckpt(step)
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = next
-        ranks = next
-        depth = 0
-      } else ranks = step
     }
     deg.unpersist(blocking = false)
-    ranks
+    (ranks, ran)
   }
 
   /** Personalized PageRank: random walks restart at `seeds` (uniformly)
@@ -171,7 +257,8 @@ object Graph {
     */
   def personalizedPageRank(
       edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
-      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     val sc = edges.sparkSession.sparkContext
@@ -202,29 +289,19 @@ object Graph {
     require(nSeeds > 0, "no seed node exists in the graph")
     val seedFrame = broadcast(
       seedP.select(col("s").as("v"), lit(1.0 / nSeeds).as("p")))
-    var ranks = deg.select(col("s").as("v"))
+    val init = deg.select(col("s").as("v"))
       .join(seedFrame, Seq("v"), "left")
       .select(col("v"), coalesce(col("p"), lit(0.0)).as("rank"))
-    var lastCkpt: DataFrame = null
-    var depth = 0
-    for (i <- 1 to iters) {
+    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
       val contrib = directed
-        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+        .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
         .agg(sum(col("c")).as("inMass"))
-      val step = contrib.join(seedFrame, Seq("v"), "left")
+      contrib.join(seedFrame, Seq("v"), "left")
         .select(col("v"),
           (lit(1.0 - damping) * coalesce(col("p"), lit(0.0)) +
             lit(damping) * col("inMass")).as("rank"))
-      depth += 1
-      if (depth >= ckptEvery || i == iters) {
-        val next = ckpt(step)
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = next
-        ranks = next
-        depth = 0
-      } else ranks = step
     }
     deg.unpersist(blocking = false)
     seedP.unpersist(blocking = false)
@@ -240,7 +317,8 @@ object Graph {
     */
   def pageRankWeighted(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4): DataFrame = {
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
     val sc = edges.sparkSession.sparkContext
@@ -266,23 +344,13 @@ object Graph {
     e.unpersist(blocking = false)
     val n = strength.count()
     val base = (1.0 - damping) / n
-    var ranks = strength.select(col("s").as("v"), lit(1.0 / n).as("rank"))
-    var lastCkpt: DataFrame = null
-    var depth = 0
-    for (i <- 1 to iters) {
-      val step = directed
-        .join(ranks.withColumnRenamed("v", "s"), Seq("s"))
+    val init = strength.select(col("s").as("v"), lit(1.0 / n).as("rank"))
+    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
+      directed
+        .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") * col("w") / col("strength")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
-      depth += 1
-      if (depth >= ckptEvery || i == iters) {
-        val next = ckpt(step)
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = next
-        ranks = next
-        depth = 0
-      } else ranks = step
     }
     strength.unpersist(blocking = false)
     ranks

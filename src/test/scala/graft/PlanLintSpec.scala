@@ -30,8 +30,7 @@ class PlanLintSpec extends SparkSpec {
     "q75_approx_quantile" -> "one-row quantile estimate joined back for its true-rank check",
     "q77_resample" -> "one-row date-range limits attached to build the spine",
     "q82_histogram" -> "one-row min/max bounds attached for bucket arithmetic",
-    "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union",
-    "q98_personalized_pagerank" -> "three one-row mass aggregates (total/seed-PPR/seed-PR) cross-joined into the property row"
+    "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —

@@ -45,6 +45,49 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("fromEvents: canonical weighted edges, cached per (session, dir)") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val e1 = Graph.fromEvents(spark, d)
+    val e2 = Graph.fromEvents(spark, d)
+    // the SAME materialized instance — the GlobalLag corpus scan behind
+    // the interaction graph runs once however many queries consume it
+    assert(e1 eq e2)
+    assert(e1.columns.toSeq == Seq("source", "target", "weight"))
+    assert(e1.filter(col("source") >= col("target")).count() == 0,
+      "edges must be canonical (source < target, no loops)")
+    assert(e1.filter(col("weight") < 1).count() == 0)
+  }
+
+  test("pageRank tol early-exit: K3 stops after one converged generation, same result") {
+    // K3 is AT the stationary distribution from the very first iteration
+    // (full symmetry: init 1/3 each maps to 1/3 each), so with
+    // ckptEvery = 1 the L1 delta at the first barrier is already ~0 and
+    // the loop must stop at iteration 1 of the requested 30.
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    val (ranks, ran) = Graph.pageRankRun(k3, "s", "t",
+      iters = 30, ckptEvery = 1, tol = 1e-9)
+    assert(ran < 30, s"expected early exit, ran all $ran iterations")
+    ranks.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9, r)
+    }
+    // tol = 0 (the oracle-parity default) must run every iteration
+    val (_, ranAll) = Graph.pageRankRun(k3, "s", "t",
+      iters = 5, ckptEvery = 1, tol = 0.0)
+    assert(ranAll == 5)
+    // on a graph that is NOT yet converged the early exit must still
+    // produce the same ranks as the full run once tol is tight
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val full = Graph.pageRank(path, "s", "t", iters = 120)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val early = Graph.pageRank(path, "s", "t", iters = 500, ckptEvery = 4,
+        tol = 1e-12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    full.keys.foreach { k =>
+      assert(math.abs(full(k) - early(k)) < 1e-9, s"node $k diverged")
+    }
+  }
+
   test("pageRankWeighted matches the weighted-path closed form; all-1 weights equal pageRank") {
     val d = 0.85
     // path 1-(w=1)-2-(w=3)-3: node 2's mass splits 1/4 vs 3/4; its own
