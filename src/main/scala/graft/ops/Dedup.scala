@@ -542,12 +542,20 @@ object Dedup {
       .filter(col("_n") > 1)
       .drop("_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shared.select(col("w").as("w1"), col("v"))
+    val pairs = shared.select(col("w").as("w1"), col("v"))
       .join(shared.select(col("w").as("w2"), col("v")), Seq("v"))
       .filter(col("w1") < col("w2"))
       .select("w1", "w2").distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
       .withColumn("dist", levenshtein(col("w1"), col("w2")).cast(LongType))
+    // Eagerly materialize the (tiny: near-duplicate word pairs) result so
+    // `shared` can be unpersisted before returning instead of leaking its
+    // cached blocks for the session lifetime (round-5 ADVICE, closed r7).
+    val sc = words.sparkSession.sparkContext
+    val out = if (sc.getCheckpointDir.isDefined) pairs.checkpoint(true)
+              else pairs.localCheckpoint(true)
+    shared.unpersist(blocking = false)
+    out
   }
 
   /** Exact-substring repetition detection (the Lee-et-al "dedup training

@@ -492,13 +492,36 @@ object DedupQueries {
     */
   val q97_containment: QueryDef = q(
     "q97_containment",
-    shinglesSql +
-      s""",
-        |shc AS (
-        |  SELECT doc_id, sh FROM (
-        |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-        |    FROM (SELECT DISTINCT doc_id, sh FROM sh) d) t
-        |  WHERE df <= $MaxShingleDocFreq),
+    // Self-contained shingle CTE replaying Dedup.shingleRows EXACTLY —
+    // `\s+` regex split (not the single-space split of shinglesSql) and
+    // the short-doc whole-text fallback — so oracle parity is structural
+    // on ANY corpus, not an accident of single-spaced ≥3-token testdata
+    // (round-5 ADVICE finding, closed round 7). Both engines keep regex
+    // splits' edge empties identically; `array_to_string(…, ' ')` mirrors
+    // the engine's concat_ws re-join for <3-token docs.
+    s"""WITH tokc AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i,
+       |    unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3),
+       |shl AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+       |    FROM tokc WINDOW win AS (PARTITION BY doc_id ORDER BY i)) t
+       |  WHERE sh IS NOT NULL),
+       |shs AS (
+       |  SELECT doc_id, array_to_string(regexp_split_to_array(text, '\\s+'), ' ') AS sh
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\\s+')) < 3),
+       |sh97 AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, sh FROM shl UNION ALL SELECT doc_id, sh FROM shs) u),
+       |shc AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+       |    FROM sh97 d) t
+       |  WHERE df <= $MaxShingleDocFreq),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared

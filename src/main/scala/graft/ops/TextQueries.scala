@@ -319,7 +319,12 @@ object TextQueries {
     * under it — the KenLM-shaped quality filter (low score = improbable
     * word transitions = low quality). Parity per the q38 decimal rules:
     * per-bigram p is one IEEE division, the sum is DECIMAL(28,12), only
-    * the final mean is floored to ppm.
+    * the final mean is floored to ppm. The oracle joins LEFT + coalesce-0
+    * exactly like [[LanguageModel.scoreAvgCondProb]] — under self-scoring
+    * every bigram is in the LM so INNER would coincide, but the join
+    * shape must match the ENGINE's semantics (unseen transitions stay in
+    * the denominator at probability 0), not the corpus accident
+    * (round-5 ADVICE finding, closed round 7).
     */
   val q85_lm_quality: QueryDef = q(
     "q85_lm_quality",
@@ -338,8 +343,8 @@ object TextQueries {
       |lm AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
       |scored AS (
       |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-      |    SUM(CAST(lm.p AS DECIMAL(28,12))) AS s
-      |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      |    SUM(CAST(COALESCE(lm.p, CAST(0 AS DOUBLE)) AS DECIMAL(28,12))) AS s
+      |  FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
       |  GROUP BY 1)
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
       |  CAST(floor(1000000 * (CAST(s AS DOUBLE) / n_bigrams)) AS BIGINT) AS avg_p_ppm

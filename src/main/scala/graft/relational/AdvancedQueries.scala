@@ -284,8 +284,14 @@ object AdvancedQueries {
       "against the epsilon-N overestimate-only guarantee") { (s, d) =>
     val ev = events(s, d).select("event_type")
     val eps = 0.001
+    // δ = 10⁻⁵ per probe; the gate asserts the ε·N envelope for EVERY
+    // candidate key (8 event types), so the failure probability of the
+    // whole row set union-bounds to 8·δ = 8×10⁻⁵ — a testdata reshuffle
+    // cannot realistically flip the gate without a code bug (round-5
+    // ADVICE: the old 0.99 confidence left ~8% whole-query flake odds).
+    // Cost: depth = ⌈ln(1/δ)⌉ ≈ 12 rows instead of 5 — still O(1) bytes.
     val sketchBytes = ev.agg(
-        expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+        expr("count_min_sketch(event_type, 0.001d, 0.99999d, 42)").as("sk"))
       .head.getAs[Array[Byte]](0)
     val bc = s.sparkContext.broadcast(sketchBytes)
     val probe = udf { (key: String) =>

@@ -19,8 +19,11 @@ object StreamQueries {
 
   /** The events table as a STREAM with the same column contract as
     * `relational.Tables.events` (raw int64 nanos + derived micros ts).
+    * Returns the stream plus the staging dir so the caller can delete it
+    * once the stream is stopped.
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(
+      s: SparkSession, d: String): (DataFrame, java.nio.file.Path) = {
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema
     // the file source streams DIRECTORIES; the testdata table is a single
@@ -28,35 +31,53 @@ object StreamQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft_q94_src")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    s.readStream.schema(schema)
+    val df = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    (df, dir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** q22's tumbling daily counts, executed as an actual micro-batch
     * stream ([[EventStream.dailyTypeCounts]], complete mode) and checked
-    * against q22's batch SQL oracle.
+    * against q22's batch SQL oracle. Every per-invocation resource — the
+    * staged source dir, the stream checkpoint dir, the memory-sink temp
+    * view — is torn down before returning (round-5 ADVICE leak, closed
+    * r7): the result is eagerly localCheckpoint'ed OFF the memory sink
+    * first, so dropping the view cannot invalidate the returned frame.
     */
   val q94_stream_batch_parity: QueryDef = QueryDef(
     "q94_stream_batch_parity",
     (s, d) => {
-      val counts = EventStream.dailyTypeCounts(eventsStream(s, d))
+      val (stream, srcDir) = eventsStream(s, d)
+      val counts = EventStream.dailyTypeCounts(stream)
       val sink = "graft_q94_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q94_ckpt").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q94_ckpt")
       val q = counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
-      s.table(sink)
+      val res = s.table(sink)
         .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n").cast(LongType).as("n"))
         .orderBy("day", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      res
     },
     Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
       |FROM events
