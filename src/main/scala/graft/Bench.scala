@@ -23,6 +23,18 @@ object Bench {
     // minimum of N runs is the standard contention-robust estimator for
     // deterministic workloads.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Run-condition stamps for the bench_full.json sidecar (round-6
+    // VERDICT task: three consecutive rounds committed records where
+    // "contention vs regression" could only be inferred, not read).
+    // loadavg is sampled BEFORE the workload (what else the box was
+    // doing) and after (sanity); ts anchors the run against the
+    // test-suite/driver schedule.
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val tsStart = java.time.Instant.now().toString
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL reps compete for the minimum: a fast-failing rep
       // must not report its failure duration as the query's time. All
@@ -76,8 +88,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"dropped":${results.size - kept.size},"sf":"$sfDir"}"""
     }
     val full = render(3)
+    // Sidecar gets the full map PLUS the run-condition stamps; the
+    // printed line keeps the driver's schema (and its byte budget).
+    val sidecar = full.dropRight(1) +
+      s""","reps":$reps,"loadavg_start":${fmt(2, loadStart)}""" +
+      s""","loadavg_end":${fmt(2, loadavg())},"ts":"$tsStart"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), full + "\n")
+      java.nio.file.Paths.get("bench_full.json"), sidecar + "\n")
     catch { case _: Throwable => } // best-effort sidecar, never fail the run
     // thunks, not values: coarser tiers render only when the finer one
     // overflows the budget (a varargs Iterator evaluates eagerly)
