@@ -213,6 +213,61 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Second real video container (round-5 verdict item 6): MJPEG-in-AVI.
+    * Every doc becomes a RIFF AVI ([[Multimodal.aviMjpegBytes]]) whose
+    * 1+id%4 frames are solid-gray JPEGs at level (id·31+f) mod 256 —
+    * the one raster family JPEG reproduces exactly (see aviMjpegBytes
+    * doc), so the oracle replays frame count, dimensions, and channel
+    * sums (w·h·v) in closed form while the engine runs the REAL
+    * RIFF-walk + ImageIO JPEG decode with stride-2 sampling. A corrupt
+    * container (non-RIFF bytes) must contribute zero rows, which the
+    * engine-side union with one deliberately-truncated payload pins.
+    */
+  val q100_avi_mjpeg: QueryDef = q(
+    "q100_avi_mjpeg",
+    """WITH dims AS (
+      |  SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 6 AS h,
+      |    1 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims
+      |       WHERE doc_id <> 0),
+      |sampled AS (SELECT * FROM fr WHERE f % 2 = 0)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h * ((doc_id * 31 + f) % 256) AS BIGINT) AS sum_r,
+      |  CAST(w * h * ((doc_id * 31 + f) % 256) AS BIGINT) AS sum_g,
+      |  CAST(w * h * ((doc_id * 31 + f) % 256) AS BIGINT) AS sum_b
+      |FROM sampled
+      |ORDER BY doc_id, frame_no""".stripMargin,
+    "MJPEG-in-AVI video codec: real RIFF AVI synthesis -> structural " +
+      "RIFF walk -> real ImageIO JPEG decode, stride-2 sampling; " +
+      "solid-gray frames make the JPEG round-trip exact so the oracle " +
+      "is closed-form") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val bytes = Multimodal.aviMjpegBytes(
+            (16 + id % 9).toInt, (12 + id % 6).toInt, (1 + id % 4).toInt, id)
+          // corrupt-tolerance pin: doc 0's payload is truncated mid-movi
+          // and must decode to ZERO rows — the oracle excludes doc 0, so
+          // a parser that "recovers" a frame from the torn container (or
+          // throws and kills the batch) hash-fails on row count
+          (id, "video",
+            if (id == 0L) bytes.take(bytes.length / 3) else bytes)
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.decodeAviMjpegFrames(media, frameStride = 2).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("frame_no").cast(LongType).as("frame_no"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   /** [[Multimodal.imageDHash]] through the real PNG encode→decode path:
     * every doc becomes a deterministic w×h PNG ([[Multimodal.pngBytes]]'s
     * pixel formula), the operator hashes REAL decoded pixels, and the
@@ -333,5 +388,5 @@ object MultimodalQueries {
 
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
-    q96_image_neardup)
+    q96_image_neardup, q100_avi_mjpeg)
 }

@@ -542,6 +542,36 @@ class OpsSpec extends SparkSpec {
     assert(d(1L).map(_.frame_no).toSeq == Seq(0))
   }
 
+  test("multimodal: MJPEG-in-AVI decode recovers exact solid-gray frames") {
+    implicit val s = spark
+    val good = Multimodal.aviMjpegBytes(20, 14, 5, seed = 11L)
+    val media = Seq(
+      (0L, "video", good),
+      (1L, "video", Multimodal.aviMjpegBytes(16, 12, 1, seed = 300L)),
+      (2L, "video", good.take(good.length / 3)), // torn mid-container
+      (3L, "video", Array[Byte](82, 73, 70, 70, 8, 0, 0, 0)) // bare RIFF
+    ).toDF("media_id", "kind", "content")
+    // structural walk recovers one JPEG payload per frame
+    assert(Multimodal.aviFrameChunks(good).length == 5)
+    assert(Multimodal.aviFrameChunks(Array.emptyByteArray).isEmpty)
+    val d = Multimodal.decodeAviMjpegFrames(media, frameStride = 2).collect()
+      .groupBy(_.media_id)
+    assert(d(0L).map(_.frame_no).sorted.toSeq == Seq(0, 2, 4))
+    assert(d(0L).forall(f => f.width == 20 && f.height == 14))
+    // solid gray at quality 1.0 is JPEG-exact: sums = w*h*((seed*31+f)%256)
+    for (f <- d(0L)) {
+      val v = (11L * 31 + f.frame_no) % 256
+      val exp = 20L * 14L * v
+      assert((f.sum_r, f.sum_g, f.sum_b) == ((exp, exp, exp)),
+        s"frame ${f.frame_no}")
+    }
+    // seed past 256 exercises the mod: v = (300·31 + 0) mod 256 = 84
+    assert(d(1L).map(_.frame_no).toSeq == Seq(0))
+    assert(d(1L).head.sum_r == 16L * 12L * ((300L * 31) % 256))
+    assert(!d.contains(2L), "torn container must yield zero rows")
+    assert(!d.contains(3L), "frameless RIFF must yield zero rows")
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
