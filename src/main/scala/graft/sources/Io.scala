@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
 
 /** Source/sink façade beyond parquet (engine completeness: the reference's
   * only inputs are text files and row stores, but a drop-in engine needs
@@ -204,10 +205,53 @@ object Io {
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 10000,
-      columnTypes: Option[String] = None): Unit = {
+      columnTypes: Option[String] = None,
+      isolationLevel: String = "READ_UNCOMMITTED",
+      truncate: Boolean = false): Unit = {
+    // Dialect-aware batching knobs (round-5 verdict item 7). The
+    // reference's MySQL ingest commits ONE row per execute
+    // (backend/main.py:380-387); the batched writer with an explicit
+    // per-task isolation level is the scale-correct shape for any
+    // row-store dialect: `batchsize` bounds round trips,
+    // `isolationLevel` picks the weakest level the store supports for
+    // append-only bulk loads (READ_UNCOMMITTED where available — MySQL
+    // and Derby both take it), `truncate` reuses the dialect's table
+    // DDL on overwrite instead of DROP+CREATE losing indexes.
     val w = df.write.mode(SaveMode.Append)
       .option("batchsize", batchSize.toString)
+      .option("isolationLevel", isolationLevel)
+      .option("truncate", truncate.toString)
     columnTypes.foreach(ct => w.option("createTableColumnTypes", ct))
     w.jdbc(url, table, props)
   }
+
+  /** Document-store sink, Mongo `insert_one` shaped (reference
+    * backend/main.py:397-422 inserts free-form dicts into
+    * `research_user` with a server-assigned id and `created_at`): each
+    * row's `docCol` MAP becomes one JSON-lines document stamped with a
+    * generated `_id` (uuid) and server timestamp — the document-store
+    * wire shape, append-only. Heterogeneous keys per document are the
+    * point: the map serializes only the keys each document HAS.
+    */
+  def writeDocuments(df: DataFrame, docCol: String, path: String): Unit =
+    df.select(
+        expr("uuid()").as("_id"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+          .as("created_at"),
+        to_json(col(docCol)).as("doc"))
+      .write.mode(SaveMode.Append).json(path)
+
+  /** Schema-on-read over [[writeDocuments]] output: recovers `(_id,
+    * created_at, doc)` with the document back as a MAP — the read half of
+    * the Mongo-collection round trip.
+    */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("_id", StringType),
+        StructField("created_at", StringType),
+        StructField("doc", StringType))))
+      .json(path)
+      .select(col("_id"), col("created_at"),
+        from_json(col("doc"), MapType(StringType, StringType)).as("doc"))
 }
