@@ -18,21 +18,101 @@ class BcryptSpec extends AnyFunSuite {
     assert(sLast == 0x3ac372e6, f"S[3][255] = $sLast%08x")
   }
 
-  // (password, full stored hash) — public jBCrypt vectors, cost 6, $2a$
+  // (password, full stored hash) — the public jBCrypt test-suite vectors
+  // (also shipped in Spring Security / passlib's cross-checked corpus),
+  // varied cost 6/8/10, incl. whitespace + specials. Table-driven per the
+  // round-5 verdict item 8.
   private val vectors = Seq(
     ("", "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s."),
+    ("", "$2a$10$k1wbIrmNyFAPwPVPSVa/zecw2BCEnBwVS2GbrmgzxFUOqW9dk4TCW"),
     ("a", "$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe"),
+    ("a", "$2a$08$cfcvVd2aQ8CMvoMpP2EBfeodLEkkFJ9umNEfPD18.hUF62qqlC/V."),
+    ("a", "$2a$10$k87L/MF28Q673VKh8/cPi.SUl7MU/rWuSiIDDFayrKk/1tBsSQu4u"),
     ("abc", "$2a$06$If6bvum7DFjUnE9p2uDeDu0YHzrHM6tf.iqN8.yx.jNN1ILEf7h0i"),
+    ("abc", "$2a$08$Ro0CUfOqk6cXEKf3dyaM7OhSCvnwM9s4wIX9JeLapehKK5YdLxKcm"),
+    ("abc", "$2a$10$WvvTPHKwdBJ3uk0Z37EMR.hLA2W6N9AEBhEgrAOljy2Ae5MtaSIUi"),
     ("abcdefghijklmnopqrstuvwxyz",
-      "$2a$06$.rCVZVOThsIa97pEDOxvGuRRgzG64bvtJ0938xuqzv18d3ZpQhstC"))
+      "$2a$06$.rCVZVOThsIa97pEDOxvGuRRgzG64bvtJ0938xuqzv18d3ZpQhstC"),
+    ("abcdefghijklmnopqrstuvwxyz",
+      "$2a$08$aTsUwsyowQuzRrDqFflhgekJ8d9/7Z3GV3UcgvzQW3J5zMyrTvlz."),
+    ("~!@#$%^&*()      ~!@#$%^&*()PNBFRD",
+      "$2a$06$fPIsBO8qRqkjj273rfaOI.HtSV9jLDpTbZn782DC6/t7qT67P6FfO"),
+    ("~!@#$%^&*()      ~!@#$%^&*()PNBFRD",
+      "$2a$08$Eq2r4G/76Wv39MzSX262huzPz612MZiYHVUJe/OcOql2jo4.9UxTW"),
+    ("~!@#$%^&*()      ~!@#$%^&*()PNBFRD",
+      "$2a$10$LgfYWkbzEvQ4JakH7rOvHe0y8pHKF9OaFgwUZ2q7W2FFZmZzJYlfS"))
 
-  test("reproduces the public jBCrypt $2a$ vectors bit-for-bit") {
+  test("reproduces the public jBCrypt vector table bit-for-bit (costs 6/8/10)") {
     for ((pw, stored) <- vectors) {
+      val cost = stored.substring(4, 6).toInt
       val salt = Bcrypt.b64Decode(stored.substring(7, 29), 16)
-      assert(Bcrypt.hashWithSalt(pw, salt, 6, 'a') == stored, s"pw='$pw'")
+      assert(Bcrypt.hashWithSalt(pw, salt, cost, 'a') == stored,
+        s"pw='$pw' cost=$cost")
       assert(Bcrypt.check(pw, stored), s"check failed for pw='$pw'")
       assert(!Bcrypt.check(pw + "x", stored), s"wrong pw verified for '$pw'")
+      // $2b$ and $2y$ are byte-identical to fixed $2a$ below 72 bytes, so
+      // every vector doubles as a $2b$/$2y$ vector (passlib treats the
+      // three prefixes as one algorithm there)
+      assert(Bcrypt.check(pw, "$2b$" + stored.substring(4)), s"2b pw='$pw'")
+      assert(Bcrypt.check(pw, "$2y$" + stored.substring(4)), s"2y pw='$pw'")
     }
+  }
+
+  test("unicode passwords: UTF-8 byte semantics, 72-BYTE (not char) window") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    // multi-byte password round-trips under both minors
+    for (pw <- Seq("pässwörd", "héllo wörld", "日本語のパスワード", "🔑🔒🗝️"))
+      for (minor <- Seq('a', 'b')) {
+        val h = Bcrypt.hashWithSalt(pw, salt, 4, minor)
+        assert(Bcrypt.check(pw, h), s"pw='$pw' minor=$minor")
+        assert(!Bcrypt.check(pw + "!", h), s"pw='$pw'+! verified")
+      }
+    // "日" is 3 UTF-8 bytes: 24 of them = exactly 72 bytes, so a 25th
+    // char falls wholly past the window and cannot change the hash...
+    val cjk72 = "日" * 24
+    assert(Bcrypt.hashWithSalt(cjk72 + "甲", salt, 4, 'b') ==
+      Bcrypt.hashWithSalt(cjk72 + "乙", salt, 4, 'b'))
+    // ...while 23 chars = 69 bytes leave 3 bytes of window: the next
+    // char's bytes land inside it and MUST change the hash
+    val cjk69 = "日" * 23
+    assert(Bcrypt.hashWithSalt(cjk69 + "甲", salt, 4, 'b') !=
+      Bcrypt.hashWithSalt(cjk69 + "乙", salt, 4, 'b'))
+  }
+
+  test(">72-byte passwords: truncation is to the first 72 bytes exactly") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 3 + 7).toByte)
+    // totals stay <= 255 bytes here: past that, $2a$'s length-byte
+    // wraparound (pinned in the next test) changes which bytes even
+    // participate, which is a different property than truncation
+    for (minor <- Seq('a', 'b'); extra <- Seq(1, 7, 100, 180)) {
+      val base = "k" * 72
+      // same 72-byte prefix, arbitrary differing tails → identical hash
+      assert(Bcrypt.hashWithSalt(base + ("A" * extra), salt, 4, minor) ==
+        Bcrypt.hashWithSalt(base + ("B" * extra), salt, 4, minor),
+        s"minor=$minor extra=$extra")
+      // and check() agrees: a 72-byte-prefix match verifies
+      val h = Bcrypt.hashWithSalt(base + ("A" * extra), salt, 4, minor)
+      assert(Bcrypt.check(base + ("C" * extra), h))
+      assert(!Bcrypt.check(base.dropRight(1) + "Z" + ("A" * extra), h),
+        s"minor=$minor extra=$extra: byte 71 is inside the window")
+    }
+  }
+
+  test("$2a$ 255-byte length wraparound is faithful; $2b$ is immune") {
+    // crypt_blowfish's (u_int8_t)(len+1): a 272-byte password wraps the
+    // key period to (272+1) mod 256 = 17 bytes, so under $2a$ two
+    // passwords agreeing on their first 17 bytes COLLIDE no matter what
+    // follows — the historical bug $2b$ was introduced to fix ($2b$ caps
+    // the period at 73, reading exactly the 72-byte window).
+    val salt = Array.tabulate[Byte](16)(i => (i * 3 + 7).toByte)
+    val p1 = "k" * 71 + "Z" + ("A" * 200) // differ at byte 71...
+    val p2 = "k" * 72 + ("A" * 200)
+    assert(Bcrypt.hashWithSalt(p1, salt, 4, 'a') ==
+      Bcrypt.hashWithSalt(p2, salt, 4, 'a'),
+      "$2a$ must collide: byte 71 is outside the wrapped 17-byte period")
+    assert(Bcrypt.hashWithSalt(p1, salt, 4, 'b') !=
+      Bcrypt.hashWithSalt(p2, salt, 4, 'b'),
+      "$2b$ must distinguish: byte 71 is inside its fixed 72-byte window")
   }
 
   test("$2b$ round-trip, $2y$ alias, malformed inputs verify false") {
