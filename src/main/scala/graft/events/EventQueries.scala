@@ -409,8 +409,10 @@ object EventQueries {
     "PageRank (10 damped power iterations), per-node floor-ppm oracled " +
       "against a DuckDB unrolled power-iteration CTE chain") {
     (s, d) =>
-      graft.ops.Graph.pageRank(weightedEdges(s, d), "source", "target",
-          iters = 10)
+      // shared directed build + single final loop barrier (ckptEvery =
+      // iters: the depth-10 chain is the measured optimum at this scale)
+      graft.ops.Graph.pageRankOnGraph(
+          graft.ops.Graph.fromEventsDirected(s, d), iters = 10, ckptEvery = 10)
         .select(col("v").as("user_id"),
           floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
         .orderBy("user_id")
@@ -458,12 +460,11 @@ object EventQueries {
     "Personalized PageRank (seeded restarts), per-node floor-ppm oracled " +
       "against a DuckDB unrolled power-iteration CTE chain") {
     (s, d) =>
-      val edges = weightedEdges(s, d)
-      val nodes = edges.select(col("source").as("v"))
-        .unionAll(edges.select(col("target").as("v"))).distinct()
-      val seeds = nodes.orderBy("v").limit(5).select(col("v").as("seed"))
-      graft.ops.Graph.personalizedPageRank(
-          edges, "source", "target", seeds, iters = 10)
+      val g = graft.ops.Graph.fromEventsDirected(s, d)
+      // deg IS the node table — no distinct over the edge list needed
+      val seeds = g.deg.orderBy("s").limit(5).select(col("s").as("seed"))
+      graft.ops.Graph.personalizedPageRankOnGraph(
+          g, seeds, iters = 10, ckptEvery = 10)
         .select(col("v").as("user_id"),
           floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
         .orderBy("user_id")
@@ -502,8 +503,9 @@ object EventQueries {
         |FROM i10 ORDER BY user_id""".stripMargin,
     "Weighted PageRank over the interaction graph (contributions split " +
       "by interaction count), per-node floor-ppm oracled") { (s, d) =>
-    graft.ops.Graph.pageRankWeighted(
-        weightedEdges(s, d), "source", "target", "weight", iters = 10)
+    graft.ops.Graph.pageRankWeightedOnGraph(
+        graft.ops.Graph.fromEventsWeightedDirected(s, d),
+        iters = 10, ckptEvery = 10)
       .select(col("v").as("user_id"),
         floor(lit(1000000) * col("rank")).cast(LongType).as("rank_ppm"))
       .orderBy("user_id")

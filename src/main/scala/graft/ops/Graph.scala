@@ -56,7 +56,96 @@ object Graph {
       else w.localCheckpoint(true)
     })
 
-  private[graft] def clearEventsCache(): Unit = edgeCache.clear()
+  /** Degree-annotated directed expansion of a canonical edge list — the
+    * loop-invariant input every PageRank iteration joins against:
+    * `directed` is (s, t, outdeg) checkpointed (both walk directions,
+    * outdeg joined once so each iteration is a single join + agg), `deg`
+    * is the persisted (s, outdeg) node table, `n` the node count.
+    */
+  final case class DirectedGraph(directed: DataFrame, deg: DataFrame, n: Long)
+
+  /** Weighted twin: `directed` is (s, t, w, strength), `strength` the
+    * persisted (s, strength) node table.
+    */
+  final case class WeightedDirectedGraph(
+      directed: DataFrame, strength: DataFrame, n: Long)
+
+  private def ckptFn(df: DataFrame): DataFrame => DataFrame = {
+    // Same protocol as Dedup.connectedComponents: reliable checkpoints
+    // when a dir is configured, executor-local otherwise.
+    val sc = df.sparkSession.sparkContext
+    d => if (sc.getCheckpointDir.isDefined) d.checkpoint(true)
+         else d.localCheckpoint(true)
+  }
+
+  /** One-time PageRank setup over an arbitrary edge frame. The canonical
+    * edge list is read twice (degrees, then the directed list) — persist
+    * it so the upstream pipeline that produced the edges (often a full
+    * lag-over-events pass) runs ONCE; the single setup checkpoint goes on
+    * the loop-invariant directed list, truncating everything upstream in
+    * one barrier. `deg` stays persisted for the caller (it IS the node
+    * table: rank init and node count read it with fixed-depth lineage).
+    */
+  def buildDirected(edges: DataFrame, srcCol: String, dstCol: String): DirectedGraph = {
+    val ckpt = ckptFn(edges)
+    val e = canonicalEdges(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = ckpt(
+      e.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("t")))
+        .join(deg, Seq("s")))
+    e.unpersist(blocking = false) // directed is materialized; e is done
+    DirectedGraph(directed, deg, deg.count())
+  }
+
+  /** [[buildDirected]] keeping weights: parallel canonical pairs merge by
+    * sum; strength = Σ incident weights is the weighted degree.
+    */
+  def buildWeightedDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): WeightedDirectedGraph = {
+    val ckpt = ckptFn(edges)
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("a") =!= col("b") && col("w") > 0)
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val strength = e.select(col("a").as("s"), col("w"))
+      .unionAll(e.select(col("b").as("s"), col("w")))
+      .groupBy("s").agg(sum("w").as("strength"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = ckpt(
+      e.select(col("a").as("s"), col("b").as("t"), col("w"))
+        .unionAll(e.select(col("b").as("s"), col("a").as("t"), col("w")))
+        .join(strength, Seq("s")))
+    e.unpersist(blocking = false)
+    WeightedDirectedGraph(directed, strength, strength.count())
+  }
+
+  // The directed expansions of the events interaction graph, cached like
+  // the edge list itself: the centrality trio (q74/q98/q99) shares not
+  // just the corpus scan but the degree/strength shuffles and the setup
+  // checkpoint barrier — per-query work is ONLY the iteration loop.
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DirectedGraph]()
+  private val wdirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, WeightedDirectedGraph]()
+
+  def fromEventsDirected(s: SparkSession, dir: String): DirectedGraph =
+    dirCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir,
+      _ => buildDirected(fromEvents(s, dir), "source", "target"))
+
+  def fromEventsWeightedDirected(s: SparkSession, dir: String): WeightedDirectedGraph =
+    wdirCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir,
+      _ => buildWeightedDirected(fromEvents(s, dir), "source", "target", "weight"))
+
+  private[graft] def clearEventsCache(): Unit = {
+    edgeCache.clear(); dirCache.clear(); wdirCache.clear()
+  }
 
   /** Canonical distinct undirected edges: (a, b) with a < b, no loops. */
   def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
@@ -186,64 +275,50 @@ object Graph {
   private[graft] def pageRankRun(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
       tol: Double = 0.0): (DataFrame, Int) = {
+    val g = buildDirected(edges, srcCol, dstCol)
+    val out = pageRankOnGraphRun(g, iters, damping, ckptEvery, tol)
+    g.deg.unpersist(blocking = false) // owned build: release the node table
+    out
+  }
+
+  /** The iteration loop over a prebuilt (possibly SHARED — see
+    * [[fromEventsDirected]]) directed graph; does not unpersist `g`.
+    *
+    * Checkpoint (not just persist) inside the loop: persisting caches
+    * the DATA but the logical plan still nests a join + agg per
+    * iteration, and an ever-growing tree costs the driver long before
+    * the executors feel anything. Every eager checkpoint is a full job
+    * barrier, so the total barrier count is the cost model:
+    * ceil(iters/ckptEvery) loop barriers on top of the build's single
+    * setup barrier. The rank lineage is a single-reference CHAIN (each
+    * next reads the previous exactly once), so between checkpoints the
+    * plan deepens LINEARLY — for the oracle entries (iters = 10) the
+    * measured optimum is ckptEvery = iters: one final barrier, Catalyst
+    * comfortably optimizing the 10-deep chain (the every-4th cadence
+    * paid 3 barriers for no win at that depth; every-generation ran
+    * ~2.5× slower purely on barrier overhead). Long runs (iters ≫ 10)
+    * keep a smaller cadence so depth stays bounded.
+    */
+  def pageRankOnGraph(g: DirectedGraph,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame =
+    pageRankOnGraphRun(g, iters, damping, ckptEvery, tol)._1
+
+  private[graft] def pageRankOnGraphRun(g: DirectedGraph,
+      iters: Int, damping: Double, ckptEvery: Int, tol: Double): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
-    // Checkpoint (not just persist) inside the loop: persisting caches
-    // the DATA but the logical plan still nests two joins per iteration,
-    // and the exponentially growing tree OOMs the driver long before the
-    // executors feel anything. Same protocol as Dedup.connectedComponents:
-    // reliable checkpoints when a dir is configured, executor-local
-    // otherwise. Every eager checkpoint is a full job barrier, so the
-    // total barrier count is the cost model for the setup + loop below:
-    // 1 setup barrier + ceil(iters/ckptEvery) loop barriers (iters=10,
-    // ckptEvery=4 → 4 barriers total; the every-generation variant ran
-    // ~2.5× slower at local[32] purely on barrier overhead, and the
-    // round-4 shape paid 7 barriers plus a double upstream compute).
-    val sc = edges.sparkSession.sparkContext
-    def ckpt(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    // The canonical edge list is read twice during setup (degrees, then
-    // the directed list) — persist it so the upstream pipeline that
-    // produced the edges (often a full lag-over-events pass) runs ONCE.
-    val e = canonicalEdges(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (s, t, outdeg) in one frame: joining degree once here means the
-    // per-iteration step is a single join + agg, not two joins. The
-    // degree frame IS the node table (one row per node), so node count
-    // and rank init read it directly — no distinct re-shuffles of the
-    // 2m-row directed list. deg needs only a persist (its lineage is
-    // fixed-depth); the ONE setup checkpoint goes on the loop-invariant
-    // directed list, truncating everything upstream in a single barrier.
-    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
-      .groupBy("s").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = ckpt(
-      e.select(col("a").as("s"), col("b").as("t"))
-        .unionAll(e.select(col("b").as("s"), col("a").as("t")))
-        .join(deg, Seq("s")))
-    e.unpersist(blocking = false) // directed is materialized; e is done
-    val n = deg.count()
-    val base = (1.0 - damping) / n
+    val base = (1.0 - damping) / g.n
     // Rank init reads the persisted deg directly — fixed-depth lineage,
-    // no checkpoint barrier needed. Depth-triggered checkpoint cadence
-    // (see [[iterate]]): the rank lineage is a single-reference CHAIN
-    // (each next reads the previous exactly once), so between checkpoints
-    // the plan deepens linearly — `ckptEvery` levels of one-join-one-agg
-    // nesting is cheap for Catalyst — while each eager checkpoint is a
-    // full job barrier. Checkpoint when the un-truncated depth reaches
-    // the threshold, and always on the final iteration so callers get a
-    // materialized O(1)-lineage frame.
-    val init = deg.select(col("s").as("v"), lit(1.0 / n).as("rank"))
-    val (ranks, ran) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
-      directed
+    // no checkpoint barrier needed.
+    val init = g.deg.select(col("s").as("v"), lit(1.0 / g.n).as("rank"))
+    iterate(init, iters, ckptEvery, tol, ckptFn(g.directed)) { prev =>
+      g.directed
         .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
     }
-    deg.unpersist(blocking = false)
-    (ranks, ran)
   }
 
   /** Personalized PageRank: random walks restart at `seeds` (uniformly)
@@ -259,22 +334,20 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
       iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
       tol: Double = 0.0): DataFrame = {
+    val g = buildDirected(edges, srcCol, dstCol)
+    val out = personalizedPageRankOnGraph(g, seeds, iters, damping, ckptEvery, tol)
+    g.deg.unpersist(blocking = false)
+    out
+  }
+
+  /** [[personalizedPageRank]]'s loop over a prebuilt (possibly shared)
+    * directed graph; does not unpersist `g`.
+    */
+  def personalizedPageRankOnGraph(g: DirectedGraph, seeds: DataFrame,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
-    val sc = edges.sparkSession.sparkContext
-    def ckpt(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    val e = canonicalEdges(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("a").as("s")).unionAll(e.select(col("b").as("s")))
-      .groupBy("s").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = ckpt(
-      e.select(col("a").as("s"), col("b").as("t"))
-        .unionAll(e.select(col("b").as("s"), col("a").as("t")))
-        .join(deg, Seq("s")))
-    e.unpersist(blocking = false)
     // restart vector: uniform over the seeds that exist in the graph.
     // The restart term is nonzero ONLY on the seed rows, and in an
     // undirected graph every node receives a contribution row each
@@ -282,18 +355,18 @@ object Graph {
     // join of the (tiny) seed frame onto the contribution aggregate,
     // never a shuffle of the node table.
     val seedCol = seeds.columns.head
-    val seedP = deg.select(col("s"))
+    val seedP = g.deg.select(col("s"))
       .join(seeds.select(col(seedCol).as("s")).distinct(), Seq("s"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSeeds = seedP.count()
     require(nSeeds > 0, "no seed node exists in the graph")
     val seedFrame = broadcast(
       seedP.select(col("s").as("v"), lit(1.0 / nSeeds).as("p")))
-    val init = deg.select(col("s").as("v"))
+    val init = g.deg.select(col("s").as("v"))
       .join(seedFrame, Seq("v"), "left")
       .select(col("v"), coalesce(col("p"), lit(0.0)).as("rank"))
-    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
-      val contrib = directed
+    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckptFn(g.directed)) { prev =>
+      val contrib = g.directed
         .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("v")
@@ -303,7 +376,6 @@ object Graph {
           (lit(1.0 - damping) * coalesce(col("p"), lit(0.0)) +
             lit(damping) * col("inMass")).as("rank"))
     }
-    deg.unpersist(blocking = false)
     seedP.unpersist(blocking = false)
     ranks
   }
@@ -319,40 +391,29 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
       tol: Double = 0.0): DataFrame = {
+    val g = buildWeightedDirected(edges, srcCol, dstCol, weightCol)
+    val out = pageRankWeightedOnGraph(g, iters, damping, ckptEvery, tol)
+    g.strength.unpersist(blocking = false)
+    out
+  }
+
+  /** [[pageRankWeighted]]'s loop over a prebuilt (possibly shared)
+    * weighted directed graph; does not unpersist `g`.
+    */
+  def pageRankWeightedOnGraph(g: WeightedDirectedGraph,
+      iters: Int = 20, damping: Double = 0.85, ckptEvery: Int = 4,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(ckptEvery >= 1, s"ckptEvery must be >= 1, got $ckptEvery")
-    val sc = edges.sparkSession.sparkContext
-    def ckpt(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    // canonicalize KEEPING weights: parallel canonical pairs merge by sum
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"),
-        col(weightCol).cast("double").as("w"))
-      .filter(col("a") =!= col("b") && col("w") > 0)
-      .groupBy("a", "b").agg(sum("w").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val strength = e.select(col("a").as("s"), col("w"))
-      .unionAll(e.select(col("b").as("s"), col("w")))
-      .groupBy("s").agg(sum("w").as("strength"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = ckpt(
-      e.select(col("a").as("s"), col("b").as("t"), col("w"))
-        .unionAll(e.select(col("b").as("s"), col("a").as("t"), col("w")))
-        .join(strength, Seq("s")))
-    e.unpersist(blocking = false)
-    val n = strength.count()
-    val base = (1.0 - damping) / n
-    val init = strength.select(col("s").as("v"), lit(1.0 / n).as("rank"))
-    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckpt) { prev =>
-      directed
+    val base = (1.0 - damping) / g.n
+    val init = g.strength.select(col("s").as("v"), lit(1.0 / g.n).as("rank"))
+    val (ranks, _) = iterate(init, iters, ckptEvery, tol, ckptFn(g.directed)) { prev =>
+      g.directed
         .join(prev.withColumnRenamed("v", "s"), Seq("s"))
         .select(col("t").as("v"), (col("rank") * col("w") / col("strength")).as("c"))
         .groupBy("v")
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
     }
-    strength.unpersist(blocking = false)
     ranks
   }
 }
