@@ -144,6 +144,52 @@ object CurationQueries {
     q61_contamination.oracle,
     "Bloom-prefiltered decontamination — bit-identical to the exact path")
 
+  /** [[Featurize.importanceDigest]] — DSIR-shaped data selection: score
+    * every document by the ratio of its hashed-unigram likelihood under a
+    * curated-target model (docs with id % 7 = 0, the q61-style split
+    * convention) vs the raw-corpus model, Laplace-smoothed, in pure
+    * rational ppm arithmetic (q60's no-libm-ln convention). The oracle
+    * replays tokenization, md5 buckets, both corpus models, the BIGINT
+    * ratio division, and the keep decision exactly.
+    */
+  val q101_importance_resample: QueryDef = QueryDef(
+    "q101_importance_resample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Featurize.importanceDigest(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket,
+      |    COUNT(*) AS tf
+      |  FROM tok GROUP BY doc_id, bucket),
+      |tft AS (SELECT bucket, SUM(tf) AS ct FROM tf WHERE doc_id % 7 = 0 GROUP BY bucket),
+      |cr AS (SELECT bucket, SUM(tf) AS cr FROM tf GROUP BY bucket),
+      |nr AS (SELECT SUM(tf) AS n FROM tf),
+      |nt AS (SELECT SUM(tf) AS n FROM tf WHERE doc_id % 7 = 0),
+      |ratio AS (
+      |  SELECT cr.bucket,
+      |    (1000000 * (COALESCE(t.ct, 0) + 1) * ((SELECT n FROM nr) + 1024))
+      |      // ((cr.cr + 1) * ((SELECT n FROM nt) + 1024)) AS r_ppm
+      |  FROM cr LEFT JOIN tft t ON t.bucket = cr.bucket),
+      |scored AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(tf.tf * r.r_ppm) AS BIGINT) AS score_ppm
+      |  FROM tf JOIN ratio r ON r.bucket = tf.bucket
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, n_tokens, score_ppm,
+      |  CAST(CASE WHEN score_ppm > 1000000 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin),
+    "DSIR-shaped importance resampling: hashed-unigram target/raw " +
+      "likelihood-ratio scoring in rational ppm space, keep = " +
+      "target-favored docs")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
-    q67_token_chunks, q81_contamination_bloom)
+    q67_token_chunks, q81_contamination_bloom, q101_importance_resample)
 }

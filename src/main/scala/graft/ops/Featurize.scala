@@ -52,6 +52,57 @@ object Featurize {
         (col("tf").cast(DoubleType) * col("idf")).as("tfidf"))
   }
 
+  /** DSIR-shaped importance weighting (the "data selection via importance
+    * resampling" recipe: score every raw document by how much more likely
+    * its hashed bag-of-words features are under a generative model of a
+    * small CURATED corpus than under the raw-corpus model, then keep the
+    * target-like tail). Both models are Laplace-smoothed bucket unigram
+    * distributions over [[hashingTf]] features — two corpus-level hash
+    * aggs + one broadcast of the numFeatures-row ratio table, so the
+    * whole scorer is one pass over the raw corpus at any scale.
+    *
+    * Parity per the q60 convention (see this file's header): the score is
+    * kept in RATIONAL ppm space — per-bucket ratio
+    * r_ppm = ⌊10⁶·p_target/p_raw⌋ via pure BIGINT division, per-doc score
+    * = Σ tf·r_ppm — because libm `ln` is not correctly-rounded across
+    * engines; the log-likelihood ratio ordering is monotone per bucket in
+    * this ratio, and everything that can drift (tokenization, bucketing,
+    * counts, smoothing) is pinned exactly. `keep` = score above the
+    * neutral line 10⁶·n_tokens, i.e. the doc's mean feature ratio favors
+    * the target model. The two corpus token totals are driver-side
+    * scalars (collect of an AGGREGATE, the q84 pattern — never data).
+    * The BIGINT ratio is exact while 10⁶·n_target·n_raw < 2⁶³, i.e.
+    * through ~10⁶-token models per side — the MODEL-size bound, not a
+    * corpus bound (DSIR's target is small by definition, and the raw
+    * model can be built from a fixed-size hash-sample of the corpus);
+    * past it, switch the ratio column to the standard log-space double.
+    */
+  def importanceDigest(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, numFeatures: Int = 1024): DataFrame = {
+    val tfR = hashingTf(raw, idCol, textCol, numFeatures)
+    val tfT = hashingTf(target, idCol, textCol, numFeatures)
+    val nR = tfR.agg(sum("tf")).head.getLong(0)
+    val nT = tfT.agg(sum("tf")).head.getLong(0)
+    val cR = tfR.groupBy("bucket").agg(sum("tf").as("cr"))
+    val cT = tfT.groupBy("bucket").agg(sum("tf").as("ct"))
+    // raw-side buckets only: a doc's buckets are raw-corpus buckets by
+    // construction; smoothing (+1 over numFeatures extra mass) covers
+    // buckets the target corpus never saw
+    val ratio = cR.join(cT, Seq("bucket"), "left")
+      .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("r_ppm", expr(
+        s"(1000000 * (ct + 1) * ${nR + numFeatures}L) div ((cr + 1) * ${nT + numFeatures}L)"))
+      .select("bucket", "r_ppm")
+    tfR.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("id")
+      .agg(
+        sum("tf").cast(LongType).as("n_tokens"),
+        sum(col("tf") * col("r_ppm")).cast(LongType).as("score_ppm"))
+      .select(col("id"), col("n_tokens"), col("score_ppm"),
+        when(col("score_ppm") > col("n_tokens") * 1000000L, 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** Sparse cosine top-k over (id, bucket, weight) rows: bucket-keyed join
     * of query rows against corpus rows, sum of products, normalize by the
     * precomputed L2 norms. Only co-occurring buckets join — the sparse

@@ -192,6 +192,74 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      media_id: Long, channel: Int, n_samples: Long, energy: Long,
+      peak: Long, zero_crossings: Long, n_silent: Long)
+
+  /** REAL per-channel audio feature extraction — the audio analog of
+    * [[imageFeatures]], and the feature family an audio-curation pipeline
+    * filters on: energy (Σ sample², the loudness/duration signal), peak
+    * amplitude (clipping detection), zero-crossing count (the classic
+    * noisiness/voicedness proxy), and a silence count (|s| below
+    * `silenceThreshold` — silence RATIO is this over n_samples). All four
+    * are INTEGER aggregates of the decoded int16 samples, so the oracle
+    * can replay them exactly with no floating-point tolerance at all.
+    *
+    * Decode is the real `javax.sound.sampled` path (frames read off the
+    * AudioInputStream, interleaved 16-bit PCM parsed per the container's
+    * declared endianness), one output row per (payload, channel).
+    * Non-16-bit-PCM or malformed payloads contribute zero rows.
+    */
+  def audioFeatures(df: DataFrame, silenceThreshold: Int = 1000)
+      (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16 ||
+                f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              Seq.empty
+            else {
+              val ch = f.getChannels
+              val data = in.readAllBytes()
+              val frames = data.length / (2 * ch)
+              val energy = new Array[Long](ch)
+              val peak = new Array[Long](ch)
+              val zc = new Array[Long](ch)
+              val silent = new Array[Long](ch)
+              val prev = new Array[Int](ch)
+              var fr = 0
+              while (fr < frames) {
+                var c = 0
+                while (c < ch) {
+                  val o = (fr * ch + c) * 2
+                  val s =
+                    if (f.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort.toInt
+                    else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toInt
+                  energy(c) += s.toLong * s
+                  if (math.abs(s) > peak(c)) peak(c) = math.abs(s)
+                  if (fr > 0 && ((prev(c) < 0) != (s < 0))) zc(c) += 1
+                  if (math.abs(s) < silenceThreshold) silent(c) += 1
+                  prev(c) = s
+                  c += 1
+                }
+                fr += 1
+              }
+              (0 until ch).map(c => AudioFeatures(
+                id, c, frames.toLong, energy(c), peak(c), zc(c), silent(c)))
+            }
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[AudioFeatures]
+        }
+      }
+  }
+
   /** REAL image resize for `kind = "image"`: ImageIO decode → bilinear
     * Graphics2D scale to `targetW`×`targetH` → PNG re-encode. Non-image
     * kinds and undecodable payloads pass through byte-identical (resize of

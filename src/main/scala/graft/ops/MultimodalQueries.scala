@@ -85,6 +85,63 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** [[Multimodal.audioFeatures]] through the real WAV encode→decode
+    * path: per-doc synthetic PCM ([[Multimodal.wavBytes]]'s sample
+    * formula `(id·773 + i·131) mod 2¹⁶` as int16), REAL sample-level
+    * decode, then energy/peak/zero-crossing/silence aggregates — all
+    * INTEGER, so the oracle replays them with zero float tolerance: a
+    * single wrong sample, channel de-interleave slip, or off-by-one in
+    * the crossing window hash-fails.
+    */
+  val q102_audio_features: QueryDef = q(
+    "q102_audio_features",
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 64 + doc_id % 100 AS nf
+      |  FROM documents),
+      |fr AS (SELECT doc_id, ch, unnest(range(0, nf)) AS f FROM dims
+      |       WHERE true),
+      |cs AS (SELECT doc_id, ch, f, unnest(range(0, ch)) AS c FROM fr
+      |       WHERE true),
+      |samp AS (
+      |  SELECT doc_id, c, f,
+      |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      |  FROM (SELECT doc_id, c, f,
+      |          (doc_id * 773 + (f * ch + c) * 131) % 65536 AS v
+      |        FROM cs) t),
+      |w AS (SELECT doc_id, c, f, s,
+      |        lag(s) OVER (PARTITION BY doc_id, c ORDER BY f) AS sp
+      |      FROM samp)
+      |SELECT doc_id, CAST(c AS BIGINT) AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(s * s) AS BIGINT) AS energy,
+      |  CAST(max(abs(s)) AS BIGINT) AS peak,
+      |  CAST(sum(CASE WHEN sp IS NOT NULL AND (sp < 0) <> (s < 0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(sum(CASE WHEN abs(s) < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      |FROM w
+      |GROUP BY doc_id, c
+      |ORDER BY doc_id, channel""".stripMargin,
+    "Audio feature extraction: real WAV decode -> per-channel energy, " +
+      "peak, zero crossings, silence count; all-integer aggregates " +
+      "replayed exactly by the oracle") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, "audio", Multimodal.wavBytes(
+            (8000 + (id % 4) * 2000).toInt, (1 + id % 2).toInt,
+            (64 + id % 100).toInt, id))
+        }
+      }.toDF("media_id", "kind", "content")
+    Multimodal.audioFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("channel").cast(LongType).as("channel"),
+        col("n_samples"), col("energy"), col("peak"),
+        col("zero_crossings"), col("n_silent"))
+      .orderBy("doc_id", "channel")
+  }
+
   /** Real raster feature extraction, exactly oracled: the synthetic PNG's
     * pixel (x,y) is ((id·31+y)·31+x) mod 2²⁴ by construction, PNG is
     * lossless, and [[Multimodal.imageFeatures]] reads the pixels back with
@@ -388,5 +445,5 @@ object MultimodalQueries {
 
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
-    q96_image_neardup, q100_avi_mjpeg)
+    q96_image_neardup, q100_avi_mjpeg, q102_audio_features)
 }

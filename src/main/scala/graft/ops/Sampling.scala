@@ -98,4 +98,51 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Source-level curation — the C4/RefinedWeb-style DOMAIN filter: a
+    * training corpus is policed per SOURCE, not just per document,
+    * because template farms produce sources whose documents are mostly
+    * copies of each other and boilerplate mills produce trivially-short
+    * ones; both get dropped wholesale. One row per source:
+    *
+    *  - `n_docs`, `n_uniq_texts` (exact-dup detection within source),
+    *    `dup_ppm` = ⌊10⁶·(n_docs − n_uniq)/n_docs⌋;
+    *  - `avg_tokens_ppm` = ⌊10⁶·Σtokens/n_docs⌋ (rational, no doubles);
+    *  - `n_cross_dup`: docs whose exact text also appears under ANOTHER
+    *    source — the cross-source leakage diagnostic a per-source deduper
+    *    would miss entirely;
+    *  - `keep`: dup_ppm ≤ maxDupPpm AND avg_tokens_ppm ≥ 10⁶·minAvgTokens.
+    *
+    * Scale shape: two hash aggregations (by source and by text, both
+    * map-side combined) + one semi-join of docs against the multi-source
+    * text set; nothing touches the driver, everything is exact integer
+    * arithmetic so the oracle replays it with zero tolerance.
+    */
+  def sourceCuration(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, maxDupPpm: Long = 300000,
+      minAvgTokens: Long = 5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      col(textCol).as("txt"),
+      TextAnalysis.tokenCount(col(textCol)).as("toks"))
+    val perSource = base.groupBy("src").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("txt").as("n_uniq_texts"),
+      sum("toks").as("_tok_sum"))
+    val multiSourceTexts = base.groupBy("txt")
+      .agg(countDistinct("src").as("_ns"))
+      .filter(col("_ns") > 1)
+      .select("txt")
+    val crossDup = base.join(multiSourceTexts, Seq("txt"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("n_cross_dup"))
+    perSource.join(crossDup, Seq("src"), "left")
+      .select(col("src").as("source"),
+        col("n_docs"), col("n_uniq_texts"),
+        expr("(1000000 * (n_docs - n_uniq_texts)) div n_docs").as("dup_ppm"),
+        expr("(1000000 * _tok_sum) div n_docs").as("avg_tokens_ppm"),
+        coalesce(col("n_cross_dup"), lit(0L)).as("n_cross_dup"))
+      .withColumn("keep",
+        when(col("dup_ppm") <= maxDupPpm &&
+            col("avg_tokens_ppm") >= minAvgTokens * 1000000L, 1L)
+          .otherwise(0L))
+  }
 }

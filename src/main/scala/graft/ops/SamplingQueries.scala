@@ -134,6 +134,50 @@ object SamplingQueries {
     "Deterministic exact-k cap per stratum (uniform hash-ranked k-subset, " +
       "engine-identical kept set)")
 
+  /** [[Sampling.sourceCuration]] — the C4/RefinedWeb-style SOURCE filter:
+    * per-source exact-dup rate, average token length, cross-source
+    * exact-dup leakage, and the wholesale keep decision, all in exact
+    * integer/rational arithmetic the oracle replays verbatim. The first
+    * consumer of the documents table's `source` column.
+    */
+  val q103_source_curation: QueryDef = QueryDef(
+    "q103_source_curation",
+    (s, d) => {
+      Sampling.sourceCuration(Tables.documents(s, d),
+          "doc_id", "text", "source", maxDupPpm = 300000, minAvgTokens = 5)
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+      |  SELECT doc_id, source AS src, text,
+      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |per_src AS (
+      |  SELECT src, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT text) AS n_uniq_texts,
+      |    SUM(toks) AS tok_sum
+      |  FROM base GROUP BY src),
+      |multi AS (
+      |  SELECT text FROM base GROUP BY text
+      |  HAVING COUNT(DISTINCT src) > 1),
+      |xdup AS (
+      |  SELECT src, COUNT(*) AS n_cross_dup
+      |  FROM base WHERE text IN (SELECT text FROM multi)
+      |  GROUP BY src)
+      |SELECT p.src AS source,
+      |  CAST(p.n_docs AS BIGINT) AS n_docs,
+      |  CAST(p.n_uniq_texts AS BIGINT) AS n_uniq_texts,
+      |  (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS dup_ppm,
+      |  (1000000 * p.tok_sum) // p.n_docs AS avg_tokens_ppm,
+      |  CAST(COALESCE(x.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
+      |  CAST(CASE WHEN (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs <= 300000
+      |        AND (1000000 * p.tok_sum) // p.n_docs >= 5000000
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM per_src p LEFT JOIN xdup x ON x.src = p.src
+      |ORDER BY source""".stripMargin),
+    "Source-level curation: per-source dup rate, token length, " +
+      "cross-source leakage, wholesale keep decision (C4/RefinedWeb " +
+      "domain-filter shape)")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
-    q72_shuffle_shards, q91_group_cap)
+    q72_shuffle_shards, q91_group_cap, q103_source_curation)
 }

@@ -167,7 +167,15 @@ object Similarity {
       centroids = assigned
         .select(col("centroid_id"), posexplode(col(embCol)).as(Seq("i", "x")))
         .groupBy("centroid_id", "i")
-        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        // decimal-bridged mean (NOT avg): the coordinate sum is exact and
+        // order-independent, so the trained quantizer is bit-identical
+        // across runs, partitionings, and engines — plain avg() of
+        // doubles drifts with partial-aggregation order, which made the
+        // index nondeterministic run-to-run and blocked a value-level
+        // oracle (q104). The one double division (exact inputs) is
+        // exactly rounded, hence deterministic.
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
         .select(col("centroid_id"),

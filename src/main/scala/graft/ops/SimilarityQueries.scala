@@ -309,7 +309,70 @@ object SimilarityQueries {
     "Semantic dedup: components over embedding-cosine near-dup pairs, " +
       "min-id keeper per cluster (SemDeDup shape)")
 
+  /** One unrolled Lloyd iteration for the q104 oracle: distances off the
+    * previous centroid set (argmin with (dist2, cid) tie order — exactly
+    * [[Similarity.assignToNearest]]'s window), then the decimal-bridged
+    * coordinate mean. Summation-order double drift (~1 ulp) can only
+    * flip an argmin on a genuine distance tie, which the tie order
+    * resolves identically; the means themselves are exact decimals.
+    */
+  private def kmeansIterSql(k: Int): String =
+    s"""d$k AS (
+       |  SELECT dv.id, c.cid,
+       |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+       |  FROM dv JOIN c${k - 1} c ON c.i = dv.i
+       |  GROUP BY dv.id, c.cid),
+       |a$k AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+       |    FROM d$k) t WHERE rn = 1),
+       |c$k AS (
+       |  SELECT a.cid, dv.i,
+       |    CAST(SUM(CAST(dv.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a$k a JOIN dv ON dv.id = a.id
+       |  GROUP BY a.cid, dv.i)""".stripMargin
+
+  /** [[Similarity.ivfCentroids]] VALUE-LEVEL oracled — the k-means
+    * trainer behind the IVF index, verified like the PageRank trio: the
+    * oracle unrolls all 3 Lloyd iterations (assign → decimal-exact mean)
+    * as CTE generations and hash-compares every centroid COORDINATE at
+    * floor-ppm. Previously the trainer was covered only by q55's recall
+    * gate plus unit tests; the decimal-bridged mean (exact,
+    * order-independent) is what makes per-coordinate comparison
+    * possible — and makes the trained quantizer bit-deterministic
+    * across runs and partitionings.
+    */
+  val q104_kmeans_centroids: QueryDef = QueryDef(
+    "q104_kmeans_centroids",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      Similarity.ivfCentroids(emb, "id", "emb", k = 8, iters = 3)
+        .select(col("centroid_id"), posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("centroid_id"), col("dim").cast(LongType).as("dim"),
+          floor(lit(1000000) * col("m")).cast(LongType).as("m_ppm"))
+        .orderBy("centroid_id", "dim")
+    },
+    Some(s"""WITH dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0) r
+      |  JOIN dv ON dv.id = r.id),
+      |${kmeansIterSql(1)},
+      |${kmeansIterSql(2)},
+      |${kmeansIterSql(3)}
+      |SELECT cid AS centroid_id, CAST(i - 1 AS BIGINT) AS dim,
+      |  CAST(floor(1000000 * m) AS BIGINT) AS m_ppm
+      |FROM c3 ORDER BY centroid_id, dim""".stripMargin),
+    "Distributed Lloyd k-means (the IVF quantizer trainer), per-coordinate " +
+      "floor-ppm oracled against 3 unrolled assign+mean CTE generations")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
-    q86_semantic_dedup)
+    q86_semantic_dedup, q104_kmeans_centroids)
 }

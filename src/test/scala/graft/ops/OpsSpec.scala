@@ -572,6 +572,60 @@ class OpsSpec extends SparkSpec {
     assert(!d.contains(3L), "frameless RIFF must yield zero rows")
   }
 
+  test("AVI RIFF walk never throws and never fabricates frames under fuzz") {
+    val good = Multimodal.aviMjpegBytes(16, 12, 3, seed = 5L)
+    val nGood = Multimodal.aviFrameChunks(good).length
+    assert(nGood == 3)
+    val rnd = new scala.util.Random(42)
+    // truncation at every prefix length: parse must return a SUBSET of
+    // the real frames (never invent one) and never throw
+    for (len <- 0 to good.length by 7) {
+      val frames = Multimodal.aviFrameChunks(good.take(len))
+      assert(frames.length <= nGood, s"len=$len fabricated frames")
+    }
+    // random byte corruption: any outcome but an exception is acceptable
+    // (a flipped movi length can legitimately reveal fewer/garbled
+    // chunks) — the invariant is bounded, exception-free parsing
+    for (_ <- 1 to 200) {
+      val b = good.clone()
+      for (_ <- 1 to 5) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val frames = Multimodal.aviFrameChunks(b)
+      assert(frames.length <= 64, "runaway chunk fabrication")
+    }
+    // pure-noise buffers of RIFF-ish and arbitrary shapes
+    for (n <- Seq(0, 1, 7, 8, 11, 12, 100)) {
+      val noise = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      Multimodal.aviFrameChunks(noise) // must not throw
+    }
+  }
+
+  test("audio features: per-channel integer aggregates off real WAV decode") {
+    implicit val s = spark
+    val media = Seq(
+      (0L, "audio", Multimodal.wavBytes(8000, 2, 50, seed = 9L)),
+      (1L, "audio", Array[Byte](82, 73, 70, 70)) // torn RIFF
+    ).toDF("media_id", "kind", "content")
+    val rows = Multimodal.audioFeatures(media).collect()
+      .map(a => (a.media_id, a.channel) -> a).toMap
+    assert(rows.keySet == Set((0L, 0), (0L, 1)), "torn payload yields no rows")
+    // replay the synth formula: sample i = (9*773 + i*131) & 0xffff as int16
+    for (c <- 0 until 2) {
+      var (energy, peak, zc, silent) = (0L, 0L, 0L, 0L)
+      var prev = 0
+      for (f <- 0 until 50) {
+        val v = ((9L * 773 + (f * 2 + c) * 131) & 0xffff).toShort.toInt
+        energy += v.toLong * v
+        peak = math.max(peak, math.abs(v))
+        if (f > 0 && ((prev < 0) != (v < 0))) zc += 1
+        if (math.abs(v) < 1000) silent += 1
+        prev = v
+      }
+      val a = rows((0L, c))
+      assert((a.n_samples, a.energy, a.peak, a.zero_crossings, a.n_silent) ==
+        ((50L, energy, peak, zc, silent)), s"channel $c")
+    }
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
