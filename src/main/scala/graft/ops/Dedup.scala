@@ -602,6 +602,61 @@ object Dedup {
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
 
+  /** The REMOVAL half of [[repeatedWindows]] (the Lee-et-al "deduplicating
+    * training data" transform, not just the diagnostic): every token
+    * covered by ANY corpus-wide repeated `w`-token window is cut, and the
+    * survivors are re-joined single-spaced. One row per input doc:
+    * (`idCol`, `n_tokens`, `n_removed`, `cleaned_md5`) — the md5 pins the
+    * exact reconstructed text without shipping it.
+    *
+    * Tokenization and window hashing are IDENTICAL to [[repeatedWindows]]
+    * (space split, empties dropped, positions over the filtered tokens),
+    * so the pair composes: detect with one, cut with the other. Output
+    * text is token-normalized (single-spaced) by construction — the
+    * standard trade of token-level dedup.
+    *
+    * Scale shape: the cover set explodes exactly `w` rows per repeated
+    * window START (linear, no quadratic blowup however hot the window),
+    * distinct + anti-join both key on (doc, position). Docs shorter than
+    * `w` tokens have no windows and pass through untouched.
+    */
+  def removeRepeatedWindows(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      filter(split(col(textCol), " "), t => t =!= "").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val tok = base.select(col(idCol), posexplode(col("_toks")).as(Seq("_p", "_t")))
+    val ww = Window.partitionBy(idCol).orderBy("_p")
+    val parts = col("_t") +: (1 until w).map(k => lead("_t", k).over(ww))
+    val wins = tok
+      .select(col(idCol), col("_p"),
+        concat_ws(" ", parts: _*).as("_wtxt"),
+        lead("_t", w - 1).over(ww).as("_last"))
+      .filter(col("_last").isNotNull)
+      .select(col(idCol), col("_p"), md5(col("_wtxt")).as("_h"))
+    val rep = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_h")
+    val covered = wins.join(rep, Seq("_h"), "left_semi")
+      .select(col(idCol).as("_cid"),
+        explode(sequence(col("_p"), col("_p") + (w - 1))).as("_idx"))
+      .distinct()
+    val kept = tok.join(covered,
+      col(idCol) === col("_cid") && col("_p") === col("_idx"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nk"),
+        array_sort(collect_list(struct(col("_p"), col("_t")))).as("_ps"))
+      .select(col(idCol), col("_nk"),
+        md5(concat_ws(" ",
+          transform(col("_ps"), x => x.getField("_t")))).as("cleaned_md5"))
+    base.select(col(idCol), col("_n").cast(LongType).as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
   /** Containment pairs — one-sided Jaccard: shared / min(|A|, |B|) over
     * distinct shingle sets. Near-1 containment with LOW symmetric Jaccard
     * is the wrapper case (one doc embeds another plus boilerplate), which

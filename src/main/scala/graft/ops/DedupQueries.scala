@@ -543,8 +543,60 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[Dedup.removeRepeatedWindows]] — q92's detector turned into the
+    * actual Lee-et-al TRANSFORM: cut every token covered by a corpus-wide
+    * repeated 8-token window, emit the reconstruction digest. The oracle
+    * replays tokenization, window hashing, the repeated set, the
+    * w-token cover expansion, and the exact rebuilt text (md5 of the
+    * ordered re-join), so a single off-by-one in the cover interval or a
+    * mis-ordered rebuild hash-fails.
+    */
+  val q106_repeated_removal: QueryDef = q(
+    "q106_repeated_removal",
+    """WITH tokarr AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS t
+      |  FROM tokarr),
+      |win AS (
+      |  SELECT doc_id, p, md5(wtxt) AS h FROM (
+      |    SELECT doc_id, p,
+      |      t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
+      |        || ' ' || lead(t, 3) OVER win || ' ' || lead(t, 4) OVER win
+      |        || ' ' || lead(t, 5) OVER win || ' ' || lead(t, 6) OVER win
+      |        || ' ' || lead(t, 7) OVER win AS wtxt,
+      |      lead(t, 7) OVER win AS lst
+      |    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY p)) x
+      |  WHERE lst IS NOT NULL),
+      |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+      |starts AS (SELECT doc_id, p FROM win WHERE h IN (SELECT h FROM rep)),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p + k AS idx
+      |  FROM starts, unnest(range(0, 8)) AS u(k)),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.p, tok.t
+      |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.p
+      |  WHERE cov.idx IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS nk,
+      |    md5(string_agg(t, ' ' ORDER BY p)) AS cleaned_md5
+      |  FROM kept GROUP BY doc_id),
+      |b AS (SELECT doc_id, len(toks) AS n FROM tokarr)
+      |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+      |  CAST(b.n - COALESCE(a.nk, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+      |FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin,
+    "Substring-level repeated-window REMOVAL (Lee et al. transform): cut " +
+      "covered tokens, digest the rebuilt text") { (s, d) =>
+    Dedup.removeRepeatedWindows(Tables.documents(s, d), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
-    q88_fuzzy_names, q92_repeated_windows, q97_containment)
+    q88_fuzzy_names, q92_repeated_windows, q97_containment,
+    q106_repeated_removal)
 }

@@ -86,5 +86,58 @@ object StreamQueries {
     "Stream/batch parity: q22's daily counts executed as a real " +
       "micro-batch stream (complete mode, memory sink), same oracle")
 
-  def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity)
+  /** q13's word top-10, executed as a streaming COMPLETE-mode
+    * aggregation-with-sort-and-limit — the second stream/batch parity
+    * entry, exercising a different streaming feature than q94's windowed
+    * counts: `orderBy().limit()` is only legal on a stream in complete
+    * mode, where each micro-batch re-emits the full re-ranked result,
+    * and its end state over a bounded input must equal the batch top-k
+    * exactly (same count-desc, word tiebreak). Same per-invocation
+    * resource teardown as q94.
+    */
+  val q105_stream_word_topk: QueryDef = QueryDef(
+    "q105_stream_word_topk",
+    (s, d) => {
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val dir = java.nio.file.Files.createTempDirectory("graft_q105_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+      val words = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(10)
+      val sink = "graft_q105_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q105_ckpt")
+      val q = words.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(col("word"), col("cnt").cast(LongType).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    Some("""SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY cnt DESC, word
+      |LIMIT 10""".stripMargin),
+    "Stream/batch parity #2: q13's word top-10 as a complete-mode " +
+      "streaming sort+limit, same oracle")
+
+  def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity, q105_stream_word_topk)
 }

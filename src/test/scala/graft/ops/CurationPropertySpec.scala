@@ -72,6 +72,46 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("removeRepeatedWindows: brute-force parity on random corpora") {
+    def bruteClean(corpus: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }.toMap
+      val winCount = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, ts) <- toks; win <- ts.sliding(w) if win.length == w)
+        winCount(win.mkString(" ")) = winCount.getOrElse(win.mkString(" "), 0) + 1
+      toks.map { case (id, ts) =>
+        val covered = ts.indices.filter { s =>
+          s + w <= ts.length && winCount(ts.slice(s, s + w).mkString(" ")) > 1
+        }.flatMap(s => s until s + w).toSet
+        val kept = ts.indices.filterNot(covered).map(ts)
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(1, 15)
+      docs <- Gen.listOfN(n, Gen.choose(0, 14).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))))
+    } yield docs
+    for (seedNo <- 0 until 5) {
+      val docs = genDocs(Gen.Parameters.default, Seed(500L + seedNo))
+        .getOrElse(Nil).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = bruteClean(docs, w = 3)
+      val got = Dedup.removeRepeatedWindows(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w = 3)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got.keySet == expected.keySet)
+      for ((id, (n, removed, cleaned)) <- expected) {
+        assert(got(id) == ((n, removed, md5hex(cleaned))),
+          s"seed=$seedNo doc $id: got ${got(id)}, want ($n, $removed, md5('$cleaned'))")
+      }
+    }
+  }
+
   test("containmentPairs (uncapped) equals brute-force one-sided Jaccard") {
     def shingles(t: String): Set[String] = {
       val toks = t.split("\\s+").filter(_.nonEmpty)
