@@ -511,6 +511,66 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Temporal graph evolution — the dimension the static flagship graph
+    * lacks: the interaction graph PER DAY (edges keyed by the receiving
+    * event's day), with per-day distinct-edge, interaction, node, and
+    * NEW-edge counts (an edge is new on its first-ever active day). The
+    * growth-curve/churn analytic a 100 TB social pipeline tracks daily.
+    * Scale shape: one GlobalLag pass (the day column rides along), then
+    * three hash aggs — per (day, edge), per edge (first day), per day —
+    * all map-side combinable; no windows over the full corpus.
+    */
+  val q108_graph_evolution: QueryDef = q(
+    "q108_graph_evolution",
+    """WITH seq AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |p AS (
+      |  SELECT day, LEAST(prev, user_id) AS a, GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |ed AS (SELECT day, a, b, COUNT(*) AS n_inter FROM p GROUP BY 1, 2, 3),
+      |fd AS (SELECT a, b, MIN(day) AS first_day FROM ed GROUP BY a, b),
+      |agg AS (
+      |  SELECT ed.day, COUNT(*) AS n_edges, SUM(ed.n_inter) AS n_interactions,
+      |    SUM(CASE WHEN fd.first_day = ed.day THEN 1 ELSE 0 END) AS n_new_edges
+      |  FROM ed JOIN fd ON fd.a = ed.a AND fd.b = ed.b GROUP BY ed.day),
+      |nd AS (
+      |  SELECT day, COUNT(DISTINCT v) AS n_nodes
+      |  FROM (SELECT day, a AS v FROM p UNION ALL SELECT day, b AS v FROM p) u
+      |  GROUP BY day)
+      |SELECT agg.day, CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(n_interactions AS BIGINT) AS n_interactions,
+      |  CAST(n_new_edges AS BIGINT) AS n_new_edges,
+      |  CAST(n_nodes AS BIGINT) AS n_nodes
+      |FROM agg JOIN nd ON nd.day = agg.day
+      |ORDER BY agg.day""".stripMargin,
+    "Temporal interaction-graph evolution: per-day edges, interactions, " +
+      "nodes, and first-seen (new) edges") { (s, d) =>
+    val pairs = graft.ops.GlobalLag.withLag(
+        Tables.events(s, d).select("user_id", "ts_ns", "event_id", "ts_sec"),
+        Seq("ts_ns", "event_id"), "user_id", "prev")
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(expr("ts_sec div 86400").as("day"),
+        least(col("prev"), col("user_id")).as("a"),
+        greatest(col("prev"), col("user_id")).as("b"))
+    val ed = pairs.groupBy("day", "a", "b").agg(count(lit(1)).as("n_inter"))
+    val fd = ed.groupBy("a", "b").agg(min("day").as("first_day"))
+    val agg = ed.join(fd, Seq("a", "b"))
+      .groupBy("day").agg(
+        count(lit(1)).as("n_edges"),
+        sum("n_inter").as("n_interactions"),
+        sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+          .as("n_new_edges"))
+    val nodes = pairs
+      .select(col("day"), explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("day").agg(countDistinct("v").as("n_nodes"))
+    agg.join(nodes, Seq("day"))
+      .select(col("day"), col("n_edges"), col("n_interactions"),
+        col("n_new_edges"), col("n_nodes"))
+      .orderBy("day")
+  }
+
   /** Daily-grid resampling with forward fill — the gap-filling shape of
     * time-series analytics, run through the NATIVE as-of operator
     * (plans.AsOfJoinExec) rather than the composite: each (user, day)
@@ -688,5 +748,6 @@ object EventQueries {
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
     q78_hopping_window, q79_session_window, q80_topk_agg,
-    q93_json_extract, q98_personalized_pagerank, q99_weighted_pagerank)
+    q93_json_extract, q98_personalized_pagerank, q99_weighted_pagerank,
+    q108_graph_evolution)
 }

@@ -138,6 +138,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic TIFF — [[pngBytes]]'s raster written through the JDK's
+    * TIFF plugin (shipped in javax.imageio since JDK 9, default
+    * uncompressed): a third lossless still-image container, so the codec
+    * family proves the decode path is container-generic rather than
+    * PNG-shaped.
+    */
+  def tiffBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((seed * 31 + y) * 31 + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", out)
+    out.toByteArray
+  }
+
   /** Deterministic RIFF/WAVE, 16-bit PCM little-endian: the audio analog
     * of [[pngBytes]]. Header laid out by hand (44 bytes) so the bytes are
     * identical across JVMs.

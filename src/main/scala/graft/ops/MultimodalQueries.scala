@@ -85,6 +85,52 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Third lossless still-image container ([[Multimodal.tiffBytes]]):
+    * real TIFF encode → the SAME generic ImageIO decode path as PNG
+    * (`imageFeatures` is container-agnostic by construction), channel
+    * sums replayed arithmetically. Doc 0's payload is truncated to 8
+    * bytes — a bare TIFF header stub — and must decode to the all-zero
+    * row, pinning corrupt tolerance in the still-image family too.
+    */
+  val q107_tiff_codec: QueryDef = q(
+    "q107_tiff_codec",
+    """WITH dims AS (
+      |  SELECT doc_id, 6 + doc_id % 10 AS w, 5 + doc_id % 8 AS h FROM documents),
+      |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM dims),
+      |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+      |v AS (SELECT doc_id, w, h,
+      |  ((doc_id * 31 + y) * 31 + x) % 16777216 AS v FROM px)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum(v // 65536) END AS BIGINT) AS sum_r,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum((v // 256) % 256) END AS BIGINT) AS sum_g,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum(v % 256) END AS BIGINT) AS sum_b
+      |FROM v
+      |GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin,
+    "Multimodal TIFF codec: real TIFF encode -> generic ImageIO decode, " +
+      "channel sums replayed; truncated payload pins corrupt tolerance") {
+    (s, d) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map { id =>
+            val b = Multimodal.tiffBytes(
+              (6 + id % 10).toInt, (5 + id % 8).toInt, id)
+            (id, "image", if (id == 0L) b.take(8) else b)
+          }
+        }.toDF("media_id", "kind", "content")
+      Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")
+  }
+
   /** [[Multimodal.audioFeatures]] through the real WAV encode→decode
     * path: per-doc synthetic PCM ([[Multimodal.wavBytes]]'s sample
     * formula `(id·773 + i·131) mod 2¹⁶` as int16), REAL sample-level
@@ -445,5 +491,6 @@ object MultimodalQueries {
 
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
-    q96_image_neardup, q100_avi_mjpeg, q102_audio_features)
+    q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
+    q107_tiff_codec)
 }
