@@ -226,6 +226,31 @@ class OpsSpec extends SparkSpec {
     assert(ivf == brute, s"ivf=$ivf brute=$brute") // neighbors are in-cluster
   }
 
+  test("ivfCentroids: closed-form means on separated clusters, bit-deterministic") {
+    // init = first k by id, so put one point of each cluster first: the
+    // first Lloyd assignment is already perfect and the centroid means
+    // are exact rationals the decimal-bridged mean must reproduce bit-for-bit
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(0f, 2f)), (3L, Array(2f, 0f)), (4L, Array(2f, 2f)),
+      (5L, Array(10f, 12f)), (6L, Array(12f, 10f)), (7L, Array(12f, 12f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r.getSeq[Double](1).toList)
+      .toMap
+    assert(cents == Map(0L -> List(1.0, 1.0), 1L -> List(11.0, 11.0)),
+      s"got $cents")
+    // determinism: an independent training run over a differently
+    // partitioned copy of the same points must produce identical bits
+    val again = Similarity.ivfCentroids(
+        pts.repartition(7), "vec_id", "embedding", k = 2, iters = 3)
+      .collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r.getSeq[Double](1).toList)
+      .toMap
+    assert(again == cents)
+  }
+
   test("persisted IVF index: search runs zero training work") {
     def jig(i: Int): Float = (i % 3) * 0.01f
     val vecs = (0 until 30).map { i =>

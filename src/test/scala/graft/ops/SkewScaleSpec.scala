@@ -109,6 +109,31 @@ class SkewScaleSpec extends SparkSpec {
     assert(nPairs >= 1499, "every cluster member must surface against the representative")
   }
 
+  test("removeRepeatedWindows: cover stays linear under a massively repeated window") {
+    // the pathological case for a substring remover: ONE hot 3-token
+    // window repeated in thousands of docs. The cover expansion is w rows
+    // per repeated START — linear in starts — so doubling the hot mass
+    // must not super-linearly grow the output, and every hot doc must be
+    // cut to the same residue.
+    def corpus(n: Int) = (
+      (0 until n).map(i => (i.toLong, s"head$i one two three tail$i")) ++
+      Seq((900000L, "solo document with no repeats at all here"))
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1000, 2000)) {
+      val out = Dedup.removeRepeatedWindows(corpus(n), "doc_id", "text", w = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // rows stay one-per-doc (linear), and the hot window "one two three"
+      // is cut from every repeated doc; head/tail tokens are covered only
+      // where a repeated window spans them (headN one two / two three
+      // tailN are unique per doc, so exactly tokens 1..3 go)
+      assert(out.size == n + 1)
+      (0 until n).foreach { i =>
+        assert(out(i.toLong) == ((5L, 3L)), s"doc $i: ${out(i.toLong)}")
+      }
+      assert(out(900000L) == ((8L, 0L)), "unique doc must be untouched")
+    }
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
