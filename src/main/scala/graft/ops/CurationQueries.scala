@@ -190,6 +190,74 @@ object CurationQueries {
       "likelihood-ratio scoring in rational ppm space, keep = " +
       "target-favored docs")
 
+  /** Quality-stratified rebalancing — the perplexity-binning pass of a
+    * training-data pipeline: score every doc under the corpus bigram LM
+    * (q85's pipeline), bin by FIXED score thresholds (avg_p ppm div
+    * 100000 — fixed bins, NOT ntile: a global rank window is
+    * scale-illegal), then keep a deterministic hash-ranked cap of 30
+    * docs per bin ([[Sampling.groupCap]], q91's convention) so no
+    * quality band dominates the mixture. Emits per-bin candidate/kept
+    * counts plus the kept-id digest that pins the EXACT kept subset.
+    */
+  val q109_quality_rebalance: QueryDef = QueryDef(
+    "q109_quality_rebalance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
+      val bucketed = LanguageModel
+        .scoreAvgCondProb(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), expr("avg_p_ppm div 100000").as("bucket"))
+      val candidates = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("n_candidates"))
+      val kept = Sampling.groupCap(bucketed, "doc_id", "bucket", k = 30)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").cast(LongType).as("id_digest"))
+      candidates.join(kept, Seq("bucket"))
+        .select(col("bucket"), col("n_candidates"), col("n_kept"),
+          col("id_digest"))
+        .orderBy("bucket")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, i, w FROM (
+      |    SELECT doc_id,
+      |      generate_subscripts(string_split(text, ' '), 1) AS i,
+      |      unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  WHERE w <> ''),
+      |bg AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |lm AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p FROM c2 JOIN c1 USING (w1)),
+      |scored AS (
+      |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CAST(COALESCE(lm.p, CAST(0 AS DOUBLE)) AS DECIMAL(28,12))) AS s
+      |  FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+      |  GROUP BY 1),
+      |bucketed AS (
+      |  SELECT doc_id,
+      |    CAST(floor(1000000 * (CAST(s AS DOUBLE) / n_bigrams)) AS BIGINT) // 100000 AS bucket
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT doc_id, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      doc_id) AS rk
+      |  FROM bucketed),
+      |cand AS (SELECT bucket, COUNT(*) AS n_candidates FROM bucketed GROUP BY bucket),
+      |kept AS (
+      |  SELECT bucket, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_digest
+      |  FROM ranked WHERE rk <= 30 GROUP BY bucket)
+      |SELECT c.bucket, CAST(c.n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(k.n_kept AS BIGINT) AS n_kept, k.id_digest
+      |FROM cand c JOIN kept k ON k.bucket = c.bucket
+      |ORDER BY c.bucket""".stripMargin),
+    "Quality-stratified rebalancing: LM-score fixed bins + deterministic " +
+      "hash-ranked per-bin cap (perplexity-binning mixture control)")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
-    q67_token_chunks, q81_contamination_bloom, q101_importance_resample)
+    q67_token_chunks, q81_contamination_bloom, q101_importance_resample,
+    q109_quality_rebalance)
 }
