@@ -654,19 +654,23 @@ object EventQueries {
   }
 
   /** Spark's NATIVE session_window generator (q20 is the manual
-    * gaps-and-islands form). Boundary semantics differ: session_window
-    * ends a session at lastEvent + gap EXCLUSIVE (an event exactly
-    * 1800 s later starts a new session), while q20's manual rule uses
-    * `gap > 1800`. The oracle replays the native rule (`>= 1800` on
-    * floor seconds) rather than reusing q20's, and Spark sessionizes the
-    * floor-second timestamp so both engines see the identical instants.
+    * gaps-and-islands form). Boundary semantics, VERIFIED at a real
+    * exactly-1800 s gap (sf0.1 user 511): session_window MERGES touching
+    * sessions — a new event extends the session when its start is <= the
+    * current session end (lastEvent + gap), so an event exactly 1800 s
+    * later stays in the SAME session and a new one needs `gap > 1800`.
+    * That makes the native rule identical to q20's manual `> 1800` at
+    * floor-second precision. (The pre-round-7 oracle asserted `>= 1800`
+    * from the "[start, end) is half-open" doc reading; no test corpus had
+    * an exact-boundary gap until sf0.1 falsified it.) Spark sessionizes
+    * the floor-second timestamp so both engines see identical instants.
     */
   val q79_session_window: QueryDef = q(
     "q79_session_window",
     """WITH g AS (
       |  SELECT user_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
