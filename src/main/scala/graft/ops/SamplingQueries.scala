@@ -166,8 +166,8 @@ object SamplingQueries {
       |SELECT p.src AS source,
       |  CAST(p.n_docs AS BIGINT) AS n_docs,
       |  CAST(p.n_uniq_texts AS BIGINT) AS n_uniq_texts,
-      |  (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS dup_ppm,
-      |  (1000000 * p.tok_sum) // p.n_docs AS avg_tokens_ppm,
+      |  CAST((1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS BIGINT) AS dup_ppm,
+      |  CAST((1000000 * p.tok_sum) // p.n_docs AS BIGINT) AS avg_tokens_ppm,
       |  CAST(COALESCE(x.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
       |  CAST(CASE WHEN (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs <= 300000
       |        AND (1000000 * p.tok_sum) // p.n_docs >= 5000000

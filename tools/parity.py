@@ -53,10 +53,15 @@ def main():
         if diffs:
             results[name] = "VALUES_MISMATCH " + "; ".join(diffs[:3])
         else:
-            # warn on dtype drift (driver may be stricter)
+            # dtype drift FAILS: the driver's hasher renders e.g. DuckDB
+            # HUGEINT (from arithmetic on a bare SUM) differently from the
+            # engine's int64 even when every value matches (q103, round 7).
             dt = [f"{c}:{g[c].dtype}!={w[c].dtype}" for c in g.columns
                   if str(g[c].dtype) != str(w[c].dtype)]
-            results[name] = "OK" + (f" (dtypes {';'.join(dt)}, rows={len(g)})" if dt else f" (rows={len(g)})")
+            if dt:
+                results[name] = f"DTYPE_MISMATCH {';'.join(dt)}"
+            else:
+                results[name] = f"OK (rows={len(g)})"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in sorted(results.items()):
         print(f"{k:28s} {v}")
