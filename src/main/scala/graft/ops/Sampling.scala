@@ -99,6 +99,32 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Topic-stratified sampling over the k-means quantizer — the
+    * embedding-space analog of quality-bin rebalancing: train
+    * [[Similarity.ivfCentroids]] (deterministic Lloyd), broadcast-assign
+    * every document to its nearest centroid, then apply [[groupCap]]'s
+    * hash-ranked cap WITHIN each cluster. This is the standard
+    * cluster-balanced corpus-mixture step (cap the dominant topic
+    * clusters so a scrape's boilerplate topic can't swamp the mixture).
+    *
+    * Returns the assignment with a `kept` flag rather than filtering, so
+    * one corpus pass yields both candidate and kept counts downstream.
+    * Scale shape: Lloyd is broadcast-join + hash aggs (see
+    * [[Similarity.ivfCentroids]]); the cap is one window partitioned by
+    * cluster — never a global frame; nothing returns to the driver.
+    */
+  def topicSample(corpus: DataFrame, idCol: String, embCol: String,
+      nClusters: Int, iters: Int, capPerCluster: Int): DataFrame = {
+    require(capPerCluster > 0, s"capPerCluster must be positive, got $capPerCluster")
+    val cents = Similarity.ivfCentroids(corpus, idCol, embCol, nClusters, iters)
+    val assigned = Similarity.assignToNearest(corpus, cents, idCol, embCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy(unitHash(col(idCol)), col(idCol))
+    assigned.withColumn("_rk", row_number().over(w))
+      .withColumn("kept", (col("_rk") <= capPerCluster).cast(LongType))
+      .drop("_rk")
+  }
+
   /** Source-level curation — the C4/RefinedWeb-style DOMAIN filter: a
     * training corpus is policed per SOURCE, not just per document,
     * because template farms produce sources whose documents are mostly

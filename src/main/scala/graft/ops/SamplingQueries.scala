@@ -178,6 +178,68 @@ object SamplingQueries {
       "cross-source leakage, wholesale keep decision (C4/RefinedWeb " +
       "domain-filter shape)")
 
+  /** [[Sampling.topicSample]] — cluster-balanced corpus mixture: q104's
+    * deterministic k-means quantizer composed with q91's hash-ranked cap,
+    * applied per CLUSTER instead of per language. The oracle chains
+    * q104's three unrolled Lloyd CTE generations, one more
+    * assignment generation off the trained centroids (identical
+    * (dist2, cid) argmin), and q91's md5 rank-and-cap — pinning the
+    * EXACT kept subset per topic cluster via id digests.
+    */
+  val q110_topic_sample: QueryDef = QueryDef(
+    "q110_topic_sample",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      Sampling.topicSample(emb, "id", "emb", nClusters = 8, iters = 3,
+          capPerCluster = 25)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum("kept").cast(LongType).as("n_kept"),
+          min(when(col("kept") === 1L, col("id"))).as("first_kept_id"),
+          sum(when(col("kept") === 1L, col("id"))).cast(LongType)
+            .as("kept_id_digest"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0) r
+      |  JOIN dv ON dv.id = r.id),
+      |${SimilarityQueries.kmeansIterSql(1)},
+      |${SimilarityQueries.kmeansIterSql(2)},
+      |${SimilarityQueries.kmeansIterSql(3)},
+      |d4 AS (
+      |  SELECT dv.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+      |  FROM dv JOIN c3 c ON c.i = dv.i
+      |  GROUP BY dv.id, c.cid),
+      |a4 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d4) t WHERE rn = 1),
+      |ranked AS (
+      |  SELECT id, cid,
+      |    row_number() OVER (PARTITION BY cid ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      id) AS rk
+      |  FROM a4)
+      |SELECT cid AS centroid_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(SUM(CASE WHEN rk <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MIN(CASE WHEN rk <= 25 THEN id END) AS first_kept_id,
+      |  CAST(SUM(CASE WHEN rk <= 25 THEN id END) AS BIGINT) AS kept_id_digest
+      |FROM ranked GROUP BY cid ORDER BY centroid_id""".stripMargin),
+    "Topic-stratified sampling: k-means quantizer (q104's trainer) + " +
+      "per-cluster hash-ranked cap (q91's convention), kept set pinned " +
+      "by id digest per cluster")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
-    q72_shuffle_shards, q91_group_cap, q103_source_curation)
+    q72_shuffle_shards, q91_group_cap, q103_source_curation,
+    q110_topic_sample)
 }

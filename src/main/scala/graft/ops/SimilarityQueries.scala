@@ -316,7 +316,7 @@ object SimilarityQueries {
     * flip an argmin on a genuine distance tie, which the tie order
     * resolves identically; the means themselves are exact decimals.
     */
-  private def kmeansIterSql(k: Int): String =
+  private[ops] def kmeansIterSql(k: Int): String =
     s"""d$k AS (
        |  SELECT dv.id, c.cid,
        |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2

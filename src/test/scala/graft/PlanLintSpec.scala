@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowedBnlj: Map[String, String] = Map(
     "q55_ann_recall" -> "centroid table (k rows) broadcast for IVF assignment (crossJoin)",
     "q104_kmeans_centroids" -> "centroid table (k rows) broadcast for Lloyd assignment (crossJoin)",
+    "q110_topic_sample" -> "centroid table (k rows) broadcast for Lloyd + final assignment (crossJoin)",
     "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
     "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",
     "q59_sequence_packing" -> "one-row bin-capacity stats attached before packing audit",

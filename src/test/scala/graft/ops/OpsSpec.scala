@@ -340,6 +340,28 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("topicSample caps each cluster, keeps small clusters whole, partition-invariant") {
+    import spark.implicits._
+    // two well-separated blobs on a 4-d axis pair so 2-means assignment is
+    // unambiguous; blob A 60 docs, blob B 8 docs (below the cap)
+    val docs = (0L until 68L).map { i =>
+      val base = if (i < 60) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i, base.zipWithIndex.map { case (v, d) => v + (i % 5) * 0.01f * (d + 1) })
+    }.toDF("id", "emb")
+    val out = Sampling.topicSample(docs, "id", "emb",
+      nClusters = 2, iters = 2, capPerCluster = 10)
+    val per = out.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum("kept").as("k"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSeq.sorted
+    assert(per == Seq(8L -> 8L, 60L -> 10L), s"got $per")
+    // kept set is a pure function of ids — partition count must not move it
+    val a = out.filter(col("kept") === 1L).select("id").as[Long].collect().toSet
+    val b = Sampling.topicSample(docs.repartition(7), "id", "emb",
+        nClusters = 2, iters = 2, capPerCluster = 10)
+      .filter(col("kept") === 1L).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("int8 quantization round-trips within 1/127 of scale; recall@k harness") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
