@@ -26,6 +26,52 @@ object Featurize {
   def termBucket(term: org.apache.spark.sql.Column, numFeatures: Int): org.apache.spark.sql.Column =
     pmod(conv(substring(md5(term), 1, 8), 16, 10).cast(LongType), lit(numFeatures.toLong))
 
+  /** Host pattern: optional scheme and userinfo stripped, port/path/
+    * query/fragment cut. Public so the DuckDB oracle (q111) interpolates
+    * the IDENTICAL pattern — RE2 and Java regex agree on this
+    * alternation-free prefix match.
+    */
+  val hostPattern: String =
+    "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
+
+  /** Representative two-level public suffixes. Real curation pipelines
+    * ship the full Mozilla public-suffix list; the simplification keeps
+    * the rule oracle-replayable (one regex alternation, no lookup table)
+    * while still collapsing `www.x.co.uk` and `blog.x.co.uk` to the
+    * registrable `x.co.uk` — the property per-domain curation needs.
+    */
+  private val twoLevelSuffixes = Seq(
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in", "co.nz",
+    "co.za")
+
+  /** Registrable-domain pattern over a lowercased host: the last two
+    * host labels, or three when the last two are a known two-level
+    * suffix. At the winning match position only one alternative can
+    * succeed, so Java (leftmost-first) and RE2 (DuckDB) agree. Public
+    * for the same oracle-sharing reason as [[hostPattern]].
+    */
+  val domainPattern: String = {
+    val alts = twoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    s"([^.]+\\.(?:$alts)$$|[^.]+\\.[^.]+$$)"
+  }
+
+  /** Lowercased host of a URL ([[hostPattern]]). Pure regexp —
+    * codegen'd, no UDF. */
+  def hostOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(regexp_extract(url, hostPattern, 1))
+
+  /** Registrable domain of a URL ([[hostOf]] + [[domainPattern]]).
+    * Single-label hosts (`localhost`) fall back to the host itself:
+    * both engines return '' on no match, bridged by the same
+    * nullif/coalesce fallback.
+    */
+  def domainOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = hostOf(url)
+    val reg = regexp_extract(host, domainPattern, 1)
+    coalesce(nullif(reg, lit("")), host)
+  }
+
   /** Hashing-trick TF: one row per (doc, bucket) with the term count.
     * Tokenization is whitespace split with empties dropped.
     */

@@ -171,4 +171,22 @@ object Sampling {
             col("avg_tokens_ppm") >= minAvgTokens * 1000000L, 1L)
           .otherwise(0L))
   }
+
+  /** Per-DOMAIN curation: [[sourceCuration]] keyed on the registrable
+    * domain parsed from a URL column ([[Featurize.domainOf]]) instead of
+    * a pre-labeled source tag. Real web corpora (C4, RefinedWeb) police
+    * quality per registrable domain — `www.x.co.uk` and `blog.x.co.uk`
+    * must land in the SAME bucket — which a raw host or source label
+    * can't give you. The domain parse is a pure codegen'd regexp chain
+    * (no UDF), so the grouping key costs nothing extra at scale; the
+    * aggregation shape (two hash aggs + one semi-join, bounded output:
+    * one row per domain) is inherited unchanged from [[sourceCuration]].
+    */
+  def domainCuration(df: DataFrame, idCol: String, textCol: String,
+      urlCol: String, maxDupPpm: Long = 300000,
+      minAvgTokens: Long = 5): DataFrame =
+    sourceCuration(
+      df.withColumn("_domain", Featurize.domainOf(col(urlCol))),
+      idCol, textCol, "_domain", maxDupPpm, minAvgTokens)
+      .withColumnRenamed("source", "domain")
 }

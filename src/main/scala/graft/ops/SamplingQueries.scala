@@ -239,7 +239,84 @@ object SamplingQueries {
       "per-cluster hash-ranked cap (q91's convention), kept set pinned " +
       "by id digest per cluster")
 
+  /** [[Sampling.domainCuration]] — q103's keep logic re-keyed on the
+    * registrable domain parsed from a URL ([[Featurize.domainOf]]).
+    * The testdata tables carry no URL column, so the entry derives one
+    * deterministically from (doc_id, source) — varying scheme, userinfo,
+    * subdomain depth, port, path/query tail, and TLD (including
+    * two-level public suffixes) so every parse shape is exercised — and
+    * the oracle constructs the IDENTICAL string before replaying the
+    * same host/domain regexes ([[Featurize.hostPattern]] /
+    * [[Featurize.domainPattern]], interpolated verbatim) in DuckDB.
+    */
+  val q111_domain_curation: QueryDef = QueryDef(
+    "q111_domain_curation",
+    (s, d) => {
+      val schemes = array(lit("https://"), lit("http://"), lit(""),
+        lit("https://user@"))
+      val subs = array(lit(""), lit("www."), lit("blog.cdn."))
+      val tlds = array(lit("com"), lit("org"), lit("net"), lit("co.uk"),
+        lit("com.au"))
+      val url = concat(
+        element_at(schemes, (col("doc_id") % 4 + 1).cast(IntegerType)),
+        element_at(subs, (col("doc_id") % 3 + 1).cast(IntegerType)),
+        lit("site-"), col("source"), lit("."),
+        element_at(tlds, (col("doc_id") % 5 + 1).cast(IntegerType)),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(":8080/p/"), col("doc_id").cast(StringType)))
+          .otherwise(concat(lit("/a?q="), col("doc_id").cast(StringType))))
+      Sampling.domainCuration(
+          Tables.documents(s, d).withColumn("url", url),
+          "doc_id", "text", "url", maxDupPpm = 300000, minAvgTokens = 5)
+        .orderBy("domain")
+    },
+    Some(s"""WITH urled AS (
+      |  SELECT doc_id, text,
+      |    ['https://','http://','','https://user@'][CAST(doc_id % 4 AS INT) + 1] ||
+      |    ['','www.','blog.cdn.'][CAST(doc_id % 3 AS INT) + 1] ||
+      |    'site-' || source || '.' ||
+      |    ['com','org','net','co.uk','com.au'][CAST(doc_id % 5 AS INT) + 1] ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ':8080/p/' || CAST(doc_id AS VARCHAR)
+      |         ELSE '/a?q=' || CAST(doc_id AS VARCHAR) END AS url
+      |  FROM documents),
+      |hosted AS (
+      |  SELECT doc_id, text,
+      |    lower(regexp_extract(url, '${Featurize.hostPattern}', 1)) AS host
+      |  FROM urled),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    coalesce(nullif(regexp_extract(host, '${Featurize.domainPattern}', 1), ''),
+      |             host) AS src,
+      |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+      |  FROM hosted),
+      |per_src AS (
+      |  SELECT src, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT text) AS n_uniq_texts,
+      |    SUM(toks) AS tok_sum
+      |  FROM base GROUP BY src),
+      |multi AS (
+      |  SELECT text FROM base GROUP BY text
+      |  HAVING COUNT(DISTINCT src) > 1),
+      |xdup AS (
+      |  SELECT src, COUNT(*) AS n_cross_dup
+      |  FROM base WHERE text IN (SELECT text FROM multi)
+      |  GROUP BY src)
+      |SELECT p.src AS domain,
+      |  CAST(p.n_docs AS BIGINT) AS n_docs,
+      |  CAST(p.n_uniq_texts AS BIGINT) AS n_uniq_texts,
+      |  CAST((1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS BIGINT) AS dup_ppm,
+      |  CAST((1000000 * p.tok_sum) // p.n_docs AS BIGINT) AS avg_tokens_ppm,
+      |  CAST(COALESCE(x.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
+      |  CAST(CASE WHEN (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs <= 300000
+      |        AND (1000000 * p.tok_sum) // p.n_docs >= 5000000
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM per_src p LEFT JOIN xdup x ON x.src = p.src
+      |ORDER BY domain""".stripMargin),
+    "Per-domain curation: registrable-domain parse (simplified public " +
+      "suffix rules, pure regexp chain — no UDF) feeding q103's " +
+      "dup/length/leakage keep decision")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
-    q110_topic_sample)
+    q110_topic_sample, q111_domain_curation)
 }

@@ -362,6 +362,49 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("domainOf: scheme/userinfo/port stripped, public-suffix split, host fallback") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.Example.co.uk:8080/p?q=1", "www.example.co.uk", "example.co.uk"),
+      ("http://user@blog.cdn.site-x.com.au/a", "blog.cdn.site-x.com.au", "site-x.com.au"),
+      ("site-y.org/x", "site-y.org", "site-y.org"), // schemeless
+      ("localhost", "localhost", "localhost"), // single label: host fallback
+      ("https://a.b.c.net", "a.b.c.net", "c.net"), // deep subdomain, 1-level TLD
+      ("HTTPS://X.COM", "x.com", "x.com"), // case folded
+      ("ftp://h.io#f", "h.io", "h.io"), // fragment cut
+      ("https://user:pw@www.site.com:443/", "www.site.com", "site.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Featurize.hostOf(col("url")).as("h"),
+        Featurize.domainOf(col("url")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == cases, s"got ${got.toSeq}")
+  }
+
+  test("domainCuration groups by registrable domain, not raw host") {
+    import spark.implicits._
+    // same registrable domain under three hosts; a second domain whose
+    // text leaks into the first (cross-domain dup)
+    val docs = Seq(
+      (0L, "one two three four five six", "https://www.acme.co.uk/a"),
+      (1L, "one two three four five six", "https://blog.acme.co.uk/b"),
+      (2L, "seven eight nine ten eleven twelve", "acme.co.uk:80/c"),
+      (3L, "one two three four five six", "http://other.com/z"),
+      (4L, "a b c d e f", "http://other.com/y")
+    ).toDF("doc_id", "text", "url")
+    val out = Sampling.domainCuration(docs, "doc_id", "text", "url",
+      maxDupPpm = 300000, minAvgTokens = 5)
+      .orderBy("domain").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("acme.co.uk", "other.com"))
+    val acme = out(0)
+    // 3 docs over 2 distinct texts → dup_ppm = 1000000*1/3 = 333333 → drop
+    assert(acme.getLong(1) == 3L && acme.getLong(2) == 2L)
+    assert(acme.getLong(3) == 333333L && acme.getLong(6) == 0L)
+    // the shared text appears in both domains → 2 leaked docs in acme, 1 in other
+    assert(acme.getLong(5) == 2L)
+    val other = out(1)
+    assert(other.getLong(5) == 1L && other.getLong(6) == 1L)
+  }
+
   test("int8 quantization round-trips within 1/127 of scale; recall@k harness") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
