@@ -13,7 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every query is deterministically ordered (explicit ORDER BY with a
   *    unique tiebreaker) on both sides;
   *  - integer-ish outputs are BIGINT on both sides (DuckDB sum(int) is
-  *    HUGEINT and Spark row_number is INT — both get explicit casts).
+  *    HUGEINT and Spark row_number is INT — both get explicit casts);
+  *  - integer division pairs Spark's `div` (truncate toward zero) with
+  *    DuckDB's `//` (floor). These agree ONLY for non-negative operands
+  *    — true everywhere we divide (epoch seconds ≥ 0, counts, ppm
+  *    numerators) but a silent divergence if pre-1970 timestamps or
+  *    negative aggregates ever reach a div site (see Tables.ts_sec,
+  *    EventQueries day buckets, the ppm digests in Sampling/Featurize).
   */
 final case class QueryDef(
     name: String,

@@ -42,7 +42,7 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def fromEvents(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir, _ => {
+    edgeCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, _ => {
       val ev = graft.relational.Tables.events(s, dir)
         .select("user_id", "ts_ns", "event_id")
       val pairs = GlobalLag.withLag(ev, Seq("ts_ns", "event_id"), "user_id", "prev")
@@ -136,14 +136,26 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[String, WeightedDirectedGraph]()
 
   def fromEventsDirected(s: SparkSession, dir: String): DirectedGraph =
-    dirCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir,
+    dirCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
       _ => buildDirected(fromEvents(s, dir), "source", "target"))
 
   def fromEventsWeightedDirected(s: SparkSession, dir: String): WeightedDirectedGraph =
-    wdirCache.computeIfAbsent(s.sparkContext.hashCode() + "|" + dir,
+    wdirCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
       _ => buildWeightedDirected(fromEvents(s, dir), "source", "target", "weight"))
 
+  // Cache keys use applicationId (unique per SparkContext), never an
+  // identity hashCode: after a context restart a colliding hash could
+  // serve a frame bound to a stopped context. Clearing must unpersist
+  // the MEMORY_AND_DISK node tables (deg/strength) or a long-lived
+  // session leaks their cached blocks; the checkpointed frames reclaim
+  // via the checkpoint dir / RDD GC, not the block manager.
   private[graft] def clearEventsCache(): Unit = {
+    // Try: a frame may belong to an already-stopped context, whose
+    // blocks are gone anyway.
+    dirCache.values.forEach(g =>
+      scala.util.Try(g.deg.unpersist(blocking = false)))
+    wdirCache.values.forEach(g =>
+      scala.util.Try(g.strength.unpersist(blocking = false)))
     edgeCache.clear(); dirCache.clear(); wdirCache.clear()
   }
 
@@ -212,13 +224,16 @@ object Graph {
     * the ORACLE-PARITY mode: the DuckDB oracles unroll exactly `iters`
     * CTE generations, so the query entries must not stop early. With
     * `tol > 0` the L1 delta vs the previous CHECKPOINT generation is
-    * measured at each barrier — one tiny join+agg of two
-    * already-materialized node frames, deliberately a synchronous agg
-    * rather than `observe()` (collected-metrics arrive on the async
-    * listener bus; a convergence decision needs the value NOW). Checking
-    * per-generation rather than per-iteration keeps the barrier count
-    * unchanged when converged=false; with `ckptEvery = 1` it degenerates
-    * to the textbook per-iteration check. Returns (ranks, iterationsRun).
+    * measured at each barrier — one tiny join of two already-materialized
+    * node frames, with the delta computed as a named `Observation`
+    * (`graft_pagerank_l1_i<iter>`): `Observation.get` blocks until the
+    * metric lands, so the convergence decision still gets the value NOW,
+    * while the SAME single action also publishes the delta on the
+    * listener bus — production runs monitor convergence per barrier with
+    * no second job. Checking per-generation rather than per-iteration
+    * keeps the barrier count unchanged when converged=false; with
+    * `ckptEvery = 1` it degenerates to the textbook per-iteration check.
+    * Returns (ranks, iterationsRun).
     */
   private def iterate(init: DataFrame, iters: Int, ckptEvery: Int,
       tol: Double, ckpt: DataFrame => DataFrame)(
@@ -236,10 +251,15 @@ object Graph {
       if (depth >= ckptEvery || i == iters) {
         val mat = ckpt(next)
         if (tol > 0) {
-          val l1 = mat
-            .join(genRef.select(col("v"), col("rank").as("_prev")), Seq("v"))
-            .agg(sum(abs(col("rank") - col("_prev"))).as("l1"))
-            .head.getDouble(0)
+          val obs = org.apache.spark.sql.Observation(s"graft_pagerank_l1_i$i")
+          mat.join(genRef.select(col("v"), col("rank").as("_prev")), Seq("v"))
+            .observe(obs, sum(abs(col("rank") - col("_prev"))).as("l1"))
+            .count()
+          // null only on an empty node frame (degenerate graph): converged
+          val l1 = obs.get("l1") match {
+            case d: java.lang.Double => d.doubleValue()
+            case _ => 0.0
+          }
           if (l1 < tol) converged = true
         }
         if (lastCkpt != null) lastCkpt.unpersist(blocking = false)

@@ -38,7 +38,11 @@ object Tables {
       .withColumnRenamed("ts", "ts_ns")
       // `div` = exact integer division: `/` is double math, and double(ts_ns)
       // loses up to ~128 ns near 2^60, enough to truncate a near-boundary
-      // nanosecond into the wrong second vs DuckDB's exact floor(epoch(ts))
+      // nanosecond into the wrong second vs DuckDB's exact floor(epoch(ts)).
+      // Spark `div` truncates toward zero; DuckDB `//` floors — identical
+      // ONLY because ts_ns ≥ 0 (post-1970 data). Pre-epoch timestamps
+      // would diverge by one at every div site downstream (day buckets,
+      // window starts) — see the QueryDef parity-rules note.
       .withColumn("ts_sec", expr("ts_ns div 1000000000"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }

@@ -65,12 +65,37 @@ class GraphSpec extends SparkSpec {
     // ckptEvery = 1 the L1 delta at the first barrier is already ~0 and
     // the loop must stop at iteration 1 of the requested 30.
     val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
-    val (ranks, ran) = Graph.pageRankRun(k3, "s", "t",
-      iters = 30, ckptEvery = 1, tol = 1e-9)
-    assert(ran < 30, s"expected early exit, ran all $ran iterations")
-    ranks.collect().foreach { r =>
-      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9, r)
+    // the convergence delta must ALSO surface as a named observed metric
+    // on the listener bus (async — poll with a deadline per the shared
+    // SparkSpec conventions)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_pagerank_l1_i"))
+            seen.add(name -> row.getDouble(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    try {
+      val (ranks0, ran) = Graph.pageRankRun(k3, "s", "t",
+        iters = 30, ckptEvery = 1, tol = 1e-9)
+      assert(ran < 30, s"expected early exit, ran all $ran iterations")
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val metrics = seen.toArray(Array.empty[(String, Double)]).toSeq
+      assert(metrics.exists { case (n, v) => n == "graft_pagerank_l1_i1" && v < 1e-9 },
+        s"expected converged first-barrier delta metric, got $metrics")
+      val ranks = ranks0
+      ranks.collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9, r)
+      }
+    } finally spark.listenerManager.unregister(listener)
     // tol = 0 (the oracle-parity default) must run every iteration
     val (_, ranAll) = Graph.pageRankRun(k3, "s", "t",
       iters = 5, ckptEvery = 1, tol = 0.0)
