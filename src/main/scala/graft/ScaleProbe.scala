@@ -90,6 +90,69 @@ object ScaleProbe {
       .agg(sum("n_repeated")).collect().head.getLong(0))
     emit("q92_repeated_windows", s"${mult}x+cluster", nBig, t92b, r92b)
 
+    // q101: DSIR importance scoring with the boilerplate cluster
+    // concentrating corpus token mass in a handful of hash buckets — the
+    // worst case for the two unigram models (one bucket carries ~inject×
+    // its fair share of mass). Both models stay corpus-level hash aggs
+    // and the scorer one broadcast join, so the cost must track corpus
+    // size, not cluster size; output stays one row per doc.
+    def probeDsir(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(ops.Featurize.importanceDigest(
+        docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text").count())
+      emit("q101_importance_resample", scale, n, t, rows)
+    }
+    probeDsir("1x", base, nBase)
+    probeDsir(s"${mult}x+cluster", big, nBig)
+
+    // q106: repeated-window REMOVAL on the replicated corpus — every
+    // window of every doc is corpus-repeated (each doc exists mult times),
+    // the remover's worst case: the cover set explodes w rows per
+    // repeated START for every start. Output must stay one row per doc.
+    val (r106a, t106a) = time(ops.Dedup.removeRepeatedWindows(
+      base, "doc_id", "text").count())
+    emit("q106_repeated_removal", "1x", nBase, t106a, r106a)
+    val (r106b, t106b) = time(ops.Dedup.removeRepeatedWindows(
+      big, "doc_id", "text").count())
+    emit("q106_repeated_removal", s"${mult}x+cluster (all windows hot)", nBig, t106b, r106b)
+
+    // q109: quality-stratified rebalancing where the boilerplate cluster
+    // drops ~all its docs into ONE perplexity bin (identical text → one
+    // LM score) — the pathological stratum. The per-bin cap must hold and
+    // the rank window is per-bin, never global.
+    def probeRebalance(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time {
+        val lm = ops.LanguageModel.bigramLm(docs, "doc_id", "text")
+        val bucketed = ops.LanguageModel
+          .scoreAvgCondProb(docs, "doc_id", "text", lm)
+          .select(col("doc_id"), expr("avg_p_ppm div 100000").as("bucket"))
+        ops.Sampling.groupCap(bucketed, "doc_id", "bucket", k = 30).count()
+      }
+      emit("q109_quality_rebalance", scale, n, t, rows)
+    }
+    probeRebalance("1x", base, nBase)
+    probeRebalance(s"${mult}x+cluster (one hot bin)", big, nBig)
+
+    // q104: k-means training under duplicate mass — the replicated
+    // embedding corpus puts mult× identical vectors on every point; the
+    // decimal-bridged mean must absorb them as weight, with cost linear
+    // in rows and output fixed at k rows.
+    val emb = relational.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).persist()
+    val nEmb = emb.count()
+    val embBig = (0 until mult).map(k =>
+        emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    val nEmbBig = embBig.count()
+    val (r104a, t104a) = time(ops.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", k = 8, iters = 3).count())
+    emit("q104_kmeans", "1x", nEmb, t104a, r104a)
+    val (r104b, t104b) = time(ops.Similarity.ivfCentroids(
+      embBig, "vec_id", "embedding", k = 8, iters = 3).count())
+    emit("q104_kmeans", s"${mult}x duplicate mass", nEmbBig, t104b, r104b)
+
     // q88: fuzzy matching on a name table with one pathological variant
     // bucket (all `inject` cluster "names" are near-identical strings)
     val names = spark.range(inject).select(
@@ -119,6 +182,27 @@ object ScaleProbe {
       ops.Graph.triangleStats(withCeleb, "source", "target").collect().head)
     emit("q73_triangles", "celebrity", tri2.getAs[Long]("n_edges"), tt2,
       tri2.getAs[Long]("n_triangles"))
+
+    // q108: temporal evolution with a celebrity DAY — one day holding a
+    // degree-`inject` star (every edge first-seen that day). Per-day
+    // rollups are hash aggs over the day-edge frame, so the hot day costs
+    // its row count once; output stays one row per day.
+    val dayPairs = ops.GlobalLag.withLag(
+        relational.Tables.events(spark, sfDir)
+          .select("user_id", "ts_ns", "event_id", "ts_sec"),
+        Seq("ts_ns", "event_id"), "user_id", "prev")
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(expr("ts_sec div 86400").as("day"),
+        least(col("prev"), col("user_id")).as("a"),
+        greatest(col("prev"), col("user_id")).as("b"))
+      .persist()
+    val (r108a, t108a) = time(ops.Graph.temporalEvolution(dayPairs).count())
+    emit("q108_graph_evolution", "1x", dayPairs.count(), t108a, r108a)
+    val celebDay = spark.range(inject).select(
+      lit(99999L).as("day"), lit(-1L).as("a"), col("id").as("b"))
+    val withCelebDay = dayPairs.unionAll(celebDay)
+    val (r108b, t108b) = time(ops.Graph.temporalEvolution(withCelebDay).count())
+    emit("q108_graph_evolution", "celebrity day", withCelebDay.count(), t108b, r108b)
 
     spark.stop()
   }

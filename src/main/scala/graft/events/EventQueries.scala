@@ -554,29 +554,9 @@ object EventQueries {
       .select(expr("ts_sec div 86400").as("day"),
         least(col("prev"), col("user_id")).as("a"),
         greatest(col("prev"), col("user_id")).as("b"))
-    // ed is the ONLY consumer of the corpus-sized lag pass, and every
-    // downstream aggregate (first-day, per-day rollup, node counts)
-    // derives from it — persist so the pass runs once (plan audit: the
-    // unpersisted form re-ran it per subtree, 26 exchanges vs 14). Tiny
-    // relative to events (one row per day-edge); ContextCleaner reclaims.
-    val ed = pairs.groupBy("day", "a", "b").agg(count(lit(1)).as("n_inter"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fd = ed.groupBy("a", "b").agg(min("day").as("first_day"))
-    val agg = ed.join(fd, Seq("a", "b"))
-      .groupBy("day").agg(
-        count(lit(1)).as("n_edges"),
-        sum("n_inter").as("n_interactions"),
-        sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
-          .as("n_new_edges"))
-    // node counts from ed, not pairs: ed already holds every (day, edge),
-    // and distinct endpoints per day are the same set
-    val nodes = ed
-      .select(col("day"), explode(array(col("a"), col("b"))).as("v"))
-      .groupBy("day").agg(countDistinct("v").as("n_nodes"))
-    agg.join(nodes, Seq("day"))
-      .select(col("day"), col("n_edges"), col("n_interactions"),
-        col("n_new_edges"), col("n_nodes"))
-      .orderBy("day")
+    // core shared with ScaleProbe's celebrity-day probe; the persist
+    // protocol (day-edge aggregate materialized once) lives there
+    graft.ops.Graph.temporalEvolution(pairs)
   }
 
   /** Daily-grid resampling with forward fill — the gap-filling shape of

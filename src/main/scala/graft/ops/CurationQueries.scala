@@ -203,7 +203,7 @@ object CurationQueries {
     "q109_quality_rebalance",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
+      val lm = CorpusBuilds.documentsBigramLm(s, d) // shared with q85
       val bucketed = LanguageModel
         .scoreAvgCondProb(docs, "doc_id", "text", lm)
         .select(col("doc_id"), expr("avg_p_ppm div 100000").as("bucket"))

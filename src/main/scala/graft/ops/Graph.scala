@@ -176,6 +176,40 @@ object Graph {
   /** Exact triangle count, degree-oriented. One row:
     * (n_nodes, n_edges, n_triangles), all BIGINT.
     */
+  /** Per-day interaction-graph evolution over (day, a, b) interaction
+    * pairs: per-day edge and interaction counts, first-seen (new) edges,
+    * and distinct node counts. Shared by the q108 query entry and
+    * ScaleProbe's celebrity-day probe. The day-edge aggregate is the
+    * ONLY consumer of the (usually corpus-sized) pairs pass and every
+    * downstream aggregate derives from it — persisted so the pass runs
+    * once (plan audit: the unpersisted form re-ran it per subtree, 26
+    * exchanges vs 14). Tiny relative to the pairs (one row per day-edge);
+    * ContextCleaner reclaims. Output is one row per day; every count is
+    * a map-side-combinable hash agg, so a celebrity day (one day holding
+    * a degree-10⁴ node) costs its row count once, never a window or a
+    * pair blowup.
+    */
+  def temporalEvolution(pairs: DataFrame): DataFrame = {
+    val ed = pairs.groupBy("day", "a", "b").agg(count(lit(1)).as("n_inter"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fd = ed.groupBy("a", "b").agg(min("day").as("first_day"))
+    val agg = ed.join(fd, Seq("a", "b"))
+      .groupBy("day").agg(
+        count(lit(1)).as("n_edges"),
+        sum("n_inter").as("n_interactions"),
+        sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+          .as("n_new_edges"))
+    // node counts from ed, not pairs: ed already holds every (day, edge),
+    // and distinct endpoints per day are the same set
+    val nodes = ed
+      .select(col("day"), explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("day").agg(countDistinct("v").as("n_nodes"))
+    agg.join(nodes, Seq("day"))
+      .select(col("day"), col("n_edges"), col("n_interactions"),
+        col("n_new_edges"), col("n_nodes"))
+      .orderBy("day")
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // The canonical edge list feeds four subtrees (degrees, rank join,
     // edge count, closing edges) and the oriented list three — without a

@@ -114,9 +114,14 @@ object Sampling {
     * cluster — never a global frame; nothing returns to the driver.
     */
   def topicSample(corpus: DataFrame, idCol: String, embCol: String,
-      nClusters: Int, iters: Int, capPerCluster: Int): DataFrame = {
+      nClusters: Int, iters: Int, capPerCluster: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(capPerCluster > 0, s"capPerCluster must be positive, got $capPerCluster")
-    val cents = Similarity.ivfCentroids(corpus, idCol, embCol, nClusters, iters)
+    // a pre-trained quantizer (e.g. the shared CorpusBuilds artifact)
+    // skips the Lloyd iterations entirely; determinism makes the two
+    // paths value-identical
+    val cents = centroids.getOrElse(
+      Similarity.ivfCentroids(corpus, idCol, embCol, nClusters, iters))
     val assigned = Similarity.assignToNearest(corpus, cents, idCol, embCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("centroid_id").orderBy(unitHash(col(idCol)), col(idCol))

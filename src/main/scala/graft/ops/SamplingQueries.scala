@@ -192,7 +192,8 @@ object SamplingQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
       Sampling.topicSample(emb, "id", "emb", nClusters = 8, iters = 3,
-          capPerCluster = 25)
+          capPerCluster = 25,
+          centroids = Some(CorpusBuilds.embeddingsCentroids(s, d, 8, 3)))
         .groupBy("centroid_id")
         .agg(count(lit(1)).as("n_candidates"),
           sum("kept").cast(LongType).as("n_kept"),

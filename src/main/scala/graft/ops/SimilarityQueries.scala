@@ -346,9 +346,7 @@ object SimilarityQueries {
   val q104_kmeans_centroids: QueryDef = QueryDef(
     "q104_kmeans_centroids",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id"), col("embedding").as("emb"))
-      Similarity.ivfCentroids(emb, "id", "emb", k = 8, iters = 3)
+      CorpusBuilds.embeddingsCentroids(s, d, k = 8, iters = 3) // shared with q110
         .select(col("centroid_id"), posexplode(col("centroid")).as(Seq("dim", "m")))
         .select(col("centroid_id"), col("dim").cast(LongType).as("dim"),
           floor(lit(1000000) * col("m")).cast(LongType).as("m_ppm"))

@@ -353,7 +353,7 @@ object TextQueries {
       "conditional-probability model, mean per-doc transition probability") {
     (s, d) =>
       val docs = Tables.documents(s, d)
-      val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
+      val lm = CorpusBuilds.documentsBigramLm(s, d) // shared with q109
       LanguageModel.scoreAvgCondProb(docs, "doc_id", "text", lm)
         .orderBy("doc_id")
   }

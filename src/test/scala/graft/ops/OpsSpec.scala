@@ -362,6 +362,18 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("CorpusBuilds: LM and quantizer artifacts cached per (context, dataset, params)") {
+    val d = "/root/testdata/sf0.001"
+    val lm = CorpusBuilds.documentsBigramLm(spark, d)
+    assert(lm eq CorpusBuilds.documentsBigramLm(spark, d),
+      "second LM call must return the cached artifact")
+    val c = CorpusBuilds.embeddingsCentroids(spark, d, 8, 3)
+    assert(c eq CorpusBuilds.embeddingsCentroids(spark, d, 8, 3))
+    assert(!(c eq CorpusBuilds.embeddingsCentroids(spark, d, 4, 3)),
+      "different params must be a different cache entry")
+    assert(c.count() == 8 && CorpusBuilds.embeddingsCentroids(spark, d, 4, 3).count() == 4)
+  }
+
   test("domainOf: scheme/userinfo/port stripped, public-suffix split, host fallback") {
     import spark.implicits._
     val cases = Seq(

@@ -134,6 +134,71 @@ class SkewScaleSpec extends SparkSpec {
     }
   }
 
+  test("importanceDigest: boilerplate cluster concentrating bucket mass stays one row per doc") {
+    // the cluster puts ~87% of corpus token mass into the handful of
+    // buckets its boilerplate words hash to — the pathological case for
+    // the two unigram models. The scorer must stay linear: exactly one
+    // output row per doc, identical docs identically scored, and the
+    // score a pure function of the text (partitioning-invariant).
+    val target = pathological.filter(col("doc_id") % 7 === 0)
+    val out = Featurize.importanceDigest(pathological, target, "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.length == clusterSize + 300, s"one row per doc, got ${rows.length}")
+    val clusterScores = rows.filter(_.getLong(0) < clusterSize)
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(clusterScores.size == 1,
+      s"identical boilerplate docs must score identically, got $clusterScores")
+    val a = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Featurize.importanceDigest(
+        pathological.repartition(13), target.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b, "scores must be partitioning-invariant")
+  }
+
+  test("temporalEvolution: exact per-day counts under a celebrity day") {
+    // a 1000-edge star landing on one day: per-day rollups are hash aggs
+    // over the day-edge frame, so the hot day is just 1000 rows — and
+    // every count on it must still be exact.
+    val ordinary = Seq(
+      (1L, 1L, 2L), (1L, 1L, 2L), (1L, 2L, 3L), // day 1: 2 edges, 3 inter
+      (2L, 1L, 2L), (2L, 3L, 4L) // day 2: (1,2) carried, (3,4) new
+    )
+    val celeb = (0 until 1000).map(i => (3L, -1L, i.toLong))
+    val pairs = (ordinary ++ celeb).toDF("day", "a", "b")
+    val out = Graph.temporalEvolution(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((2L, 3L, 2L, 3L)), s"day 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 1L, 4L)), s"day 2: ${out(2L)}")
+    assert(out(3L) == ((1000L, 1000L, 1000L, 1001L)), s"celebrity day: ${out(3L)}")
+  }
+
+  test("quality rebalance: a bin holding ~all docs is capped per-bin, deterministically") {
+    // 99% of docs share one text → one LM score → ONE perplexity bin;
+    // the hash-ranked cap must hold there while tiny bins keep all their
+    // docs, and the kept set must not move under repartitioning.
+    val corpus = (
+      (0 until 1000).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog")) ++
+      (0 until 10).map(i => (5000L + i, s"rare$i words$i that$i score$i differently$i here$i"))
+    ).toDF("doc_id", "text")
+    def keptOf(docs: org.apache.spark.sql.DataFrame) = {
+      val lm = LanguageModel.bigramLm(docs, "doc_id", "text")
+      val bucketed = LanguageModel.scoreAvgCondProb(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), expr("avg_p_ppm div 100000").as("bucket"))
+      Sampling.groupCap(bucketed, "doc_id", "bucket", k = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    }
+    val kept = keptOf(corpus)
+    val perBin = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perBin.values.forall(_ <= 30), s"cap must hold per bin: $perBin")
+    val hotBin = kept.filter(_._1 < 1000L).map(_._2).distinct
+    assert(hotBin.length == 1, "identical docs must land in one bin")
+    assert(perBin(hotBin.head) == 30, "hot bin must be capped at exactly k")
+    assert(kept.count(_._1 >= 5000L) == 10, "tiny bins keep all their docs")
+    assert(keptOf(corpus.repartition(17)).toSet == kept.toSet,
+      "kept set must be partitioning-invariant")
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
