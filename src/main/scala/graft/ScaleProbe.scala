@@ -108,11 +108,14 @@ object ScaleProbe {
     // window of every doc is corpus-repeated (each doc exists mult times),
     // the remover's worst case: the cover set explodes w rows per
     // repeated START for every start. Output must stay one row per doc.
+    // aggregate n_removed, not count(): the output's final left join is
+    // against a by-id aggregate, so a bare count() lets the optimizer
+    // eliminate the whole cover-join branch and times only the base scan
     val (r106a, t106a) = time(ops.Dedup.removeRepeatedWindows(
-      base, "doc_id", "text").count())
+      base, "doc_id", "text").agg(sum("n_removed")).collect().head.getLong(0))
     emit("q106_repeated_removal", "1x", nBase, t106a, r106a)
     val (r106b, t106b) = time(ops.Dedup.removeRepeatedWindows(
-      big, "doc_id", "text").count())
+      big, "doc_id", "text").agg(sum("n_removed")).collect().head.getLong(0))
     emit("q106_repeated_removal", s"${mult}x+cluster (all windows hot)", nBig, t106b, r106b)
 
     // q109: quality-stratified rebalancing where the boilerplate cluster

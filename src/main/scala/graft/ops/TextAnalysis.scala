@@ -14,12 +14,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
 
-  /** BPE-ish subword regex tokenizer (GPT-2-style pattern, simplified):
-    * word fragments, numbers, punctuation runs — the usual pre-tokenizer
-    * for LLM token estimation.
+  /** GPT-2-style pre-tokenizer pattern, simplified and LOOKAHEAD-FREE so
+    * the DuckDB oracle (q112) replays it verbatim: RE2 has no lookahead,
+    * and both engines use leftmost-first ordered alternation, so the
+    * shared pattern tokenizes identically. Divergence from the original
+    * GPT-2 pattern (whose tail is `\s+(?!\S)`): an interior run of 2+
+    * spaces becomes ONE whitespace token and the following word token
+    * loses its leading space — the token COUNT is identical everywhere,
+    * only boundary strings at multi-space runs differ. Public so the
+    * oracle interpolates the identical pattern.
+    */
+  val bpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword regex tokenizer ([[bpeishPattern]]): word fragments,
+    * numbers, punctuation runs — the usual pre-tokenizer for LLM token
+    * estimation.
     */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(text, lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)"), lit(0))
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast(LongType)
 

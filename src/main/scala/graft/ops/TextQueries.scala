@@ -363,8 +363,52 @@ object TextQueries {
     * LM never contains separator artifacts (see
     * [[LanguageModel.bigramRows]]).
     */
+  /** [[TextAnalysis.bpeishTokens]] — LLM token-count estimation with the
+    * GPT-2-style pre-tokenizer (the lookahead-free [[TextAnalysis.bpeishPattern]],
+    * interpolated into the oracle verbatim): per-doc subword-token count,
+    * word-token count, the chars-per-token "fertility" estimate every
+    * token-budgeted pipeline plans with (rational ppm, no doubles), and
+    * an md5 digest of the exact token sequence so the oracle pins the
+    * tokenization itself, not just its cardinality. One codegen'd scalar
+    * pass, no shuffle until the final sort.
+    */
+  val q112_bpeish_tokens: QueryDef = q(
+    "q112_bpeish_tokens",
+    s"""WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    regexp_extract_all(text, '${TextAnalysis.bpeishPattern.replace("'", "''")}') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(toks) AS BIGINT) AS n_tokens,
+      |  CAST(length(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT)
+      |    AS n_word_tokens,
+      |  CAST(CASE WHEN length(toks) = 0 THEN 0
+      |       ELSE (1000000 * n_chars) // length(toks) END AS BIGINT)
+      |    AS chars_per_token_ppm,
+      |  CAST(('0x' || substr(md5(array_to_string(toks, chr(1))), 1, 8)) AS BIGINT)
+      |    AS token_digest
+      |FROM t ORDER BY doc_id""".stripMargin,
+    "BPE-ish pre-tokenization stats: subword/word token counts, " +
+      "chars-per-token fertility (ppm), exact-token-sequence digest") {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          TextAnalysis.bpeishTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(filter(col("toks"), t => t.rlike("^ ?\\p{L}+$")))
+            .cast(LongType).as("n_word_tokens"),
+          when(size(col("toks")) === 0, 0L)
+            .otherwise(expr("(1000000 * n_chars) div size(toks)"))
+            .cast(LongType).as("chars_per_token_ppm"),
+          conv(substring(md5(concat_ws("\u0001", col("toks"))), 1, 8), 16, 10)
+            .cast(LongType).as("token_digest"))
+        .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
-    q56_repetition_metrics, q57_clean_redact, q85_lm_quality)
+    q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
+    q112_bpeish_tokens)
 }
