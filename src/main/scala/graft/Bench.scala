@@ -96,6 +96,18 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), sidecar + "\n")
     catch { case _: Throwable => } // best-effort sidecar, never fail the run
+    // Run-stamped copy: bench_full.json is the mutable "latest" record
+    // the driver and builder both overwrite (round-7 VERDICT: a
+    // contended driver run clobbered the committed quiet record in the
+    // working tree); the per-run file makes every sample durable so the
+    // record file can churn without losing history.
+    try {
+      val runsDir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      java.nio.file.Files.writeString(
+        runsDir.resolve(s"bench_${tsStart.replace(":", "").replace("-", "")}.json"),
+        sidecar + "\n")
+    } catch { case _: Throwable => }
     // thunks, not values: coarser tiers render only when the finer one
     // overflows the budget (a varargs Iterator evaluates eagerly)
     println(

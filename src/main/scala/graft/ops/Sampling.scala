@@ -177,6 +177,48 @@ object Sampling {
           .otherwise(0L))
   }
 
+  /** Exact integer sqrt of a non-negative BIGINT column: hardware sqrt
+    * plus a two-sided correction, so the result is ⌊√n⌋ EXACTLY in both
+    * engines regardless of double rounding at perfect-square boundaries
+    * (sqrt itself is IEEE-correctly-rounded, but floor of a 1-ulp-high
+    * result would overshoot; the corrections are mutually exclusive).
+    * Oracle-replayable with zero tolerance — see [[temperatureMix]].
+    */
+  def isqrt(n: Column): Column = {
+    val r = floor(sqrt(n.cast(DoubleType))).cast(LongType)
+    r - when(r * r > n, 1L).otherwise(0L) +
+      when((r + 1L) * (r + 1L) <= n, 1L).otherwise(0L)
+  }
+
+  /** Temperature-balanced mixture (the Gopher/Llama source-balancing
+    * recipe at temperature α = 1/2): each stratum's keep target is
+    * k_s = min(n_s, base·⌊√n_s⌋) — sublinear in stratum size, so
+    * dominant strata are tamed while strata with n_s ≤ base² keep
+    * every document. Selection within a stratum is the hash-ranked
+    * deterministic subset ([[groupCap]]'s convention), and [[isqrt]]
+    * keeps the whole rule in exact integer arithmetic — the kept SET is
+    * a pure function of (ids, stratum sizes, base), bit-identical across
+    * runs, partitionings, and engines.
+    *
+    * Returns the input with `cap` and `kept` columns (no filter), so one
+    * pass yields candidate and kept counts downstream. Scale shape: one
+    * hash agg for stratum sizes (bounded rows), broadcast back, one
+    * window partitioned by stratum — never a global frame.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      base: Long): DataFrame = {
+    require(base > 0, s"base must be positive, got $base")
+    val caps = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap", least(col("n_docs"), lit(base) * isqrt(col("n_docs"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(unitHash(col(idCol)), col(idCol))
+    df.join(broadcast(caps), Seq(strataCol))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("kept", (col("_rk") <= col("cap")).cast(LongType))
+      .drop("_rk")
+  }
+
   /** Per-DOMAIN curation: [[sourceCuration]] keyed on the registrable
     * domain parsed from a URL column ([[Featurize.domainOf]]) instead of
     * a pre-labeled source tag. Real web corpora (C4, RefinedWeb) police

@@ -317,7 +317,54 @@ object SamplingQueries {
       "suffix rules, pure regexp chain — no UDF) feeding q103's " +
       "dup/length/leakage keep decision")
 
+  /** [[Sampling.temperatureMix]] — Gopher/Llama-style α = 1/2 source
+    * balancing over the natural language imbalance of the documents
+    * table (en ≈ 2.7× de): keep min(n, 10·⌊√n⌋) docs per language via
+    * the hash-ranked subset. base = 10 exercises BOTH branches at the
+    * graded SFs (en caps; the small languages keep everything when
+    * n ≤ 100). The exact-isqrt correction makes the rule replayable with
+    * zero tolerance — the oracle pins the kept set by id digest.
+    */
+  val q113_temperature_mix: QueryDef = QueryDef(
+    "q113_temperature_mix",
+    (s, d) => {
+      Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+          base = 10)
+        .groupBy("lang")
+        .agg(max("n_docs").cast(LongType).as("n_candidates"),
+          max("cap").cast(LongType).as("cap"),
+          sum("kept").cast(LongType).as("n_kept"),
+          sum(when(col("kept") === 1L, col("doc_id"))).cast(LongType)
+            .as("kept_id_digest"))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |isq AS (
+      |  SELECT lang, n_docs,
+      |    r - CASE WHEN r * r > n_docs THEN 1 ELSE 0 END
+      |      + CASE WHEN (r + 1) * (r + 1) <= n_docs THEN 1 ELSE 0 END AS isq
+      |  FROM (SELECT lang, n_docs,
+      |          CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS r
+      |        FROM counts) t),
+      |caps AS (SELECT lang, n_docs, LEAST(n_docs, 10 * isq) AS cap FROM isq),
+      |ranked AS (
+      |  SELECT d.doc_id, d.lang, c.n_docs, c.cap,
+      |    row_number() OVER (PARTITION BY d.lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      d.doc_id) AS rk
+      |  FROM documents d JOIN caps c USING (lang))
+      |SELECT lang,
+      |  CAST(MAX(n_docs) AS BIGINT) AS n_candidates,
+      |  CAST(MAX(cap) AS BIGINT) AS cap,
+      |  CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= cap THEN doc_id END) AS BIGINT) AS kept_id_digest
+      |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+    "Temperature-balanced mixture (α = 1/2 source balancing): sublinear " +
+      "per-stratum keep target via exact integer sqrt, hash-ranked kept " +
+      "set pinned by digest")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
-    q110_topic_sample, q111_domain_curation)
+    q110_topic_sample, q111_domain_curation, q113_temperature_mix)
 }

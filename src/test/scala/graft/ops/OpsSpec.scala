@@ -392,6 +392,31 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == cases, s"got ${got.toSeq}")
   }
 
+  test("isqrt exact at square boundaries; temperatureMix caps sublinearly, keeps small strata") {
+    import spark.implicits._
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 15L, 16L, 17L, 24L, 25L,
+      26L, 99L, 100L, 101L, (1L << 31) - 1, 1L << 31, 999999999999L)
+    ns.toDF("n").select(col("n"), Sampling.isqrt(col("n")).as("r"))
+      .collect().foreach { row =>
+        val (n, r) = (row.getLong(0), row.getLong(1))
+        assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
+      }
+    // 200-doc stratum: cap 10·⌊√200⌋ = 140; 50-doc stratum: 10·7 = 70 ≥ 50
+    // keeps everything
+    val docs = ((0 until 200).map(i => (i.toLong, "big")) ++
+      (0 until 50).map(i => (1000L + i, "small"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(docs, "doc_id", "lang", base = 10)
+    val per = out.groupBy("lang")
+      .agg(sum("kept").as("k"), max("cap").as("c")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(per("big") == ((140L, 140L)), s"big: ${per("big")}")
+    assert(per("small") == ((50L, 50L)), s"small: ${per("small")}")
+    val a = out.filter(col("kept") === 1L).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(docs.repartition(7), "doc_id", "lang", 10)
+      .filter(col("kept") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "kept set must be partitioning-invariant")
+  }
+
   test("domainCuration groups by registrable domain, not raw host") {
     import spark.implicits._
     // same registrable domain under three hosts; a second domain whose
