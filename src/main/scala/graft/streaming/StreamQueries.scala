@@ -139,5 +139,63 @@ object StreamQueries {
     "Stream/batch parity #2: q13's word top-10 as a complete-mode " +
       "streaming sort+limit, same oracle")
 
-  def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity, q105_stream_word_topk)
+  /** Streaming token-budget accounting — the live ingest monitor every
+    * token-budgeted training pipeline runs: per-language document,
+    * BPE-ish-token ([[graft.ops.TextAnalysis.bpeishTokens]]) and char
+    * totals over a document stream, complete mode. Third stream/batch
+    * parity entry: plain sums (no distinct, no window) are exactly the
+    * aggregations Structured Streaming supports incrementally, so this
+    * is the shape that stays cheap on an unbounded ingest — each
+    * micro-batch updates per-language partials instead of recomputing
+    * (contrast q105, where complete-mode sort+limit re-ranks per batch).
+    * Same per-invocation resource teardown as q94/q105.
+    */
+  val q114_stream_token_budget: QueryDef = QueryDef(
+    "q114_stream_token_budget",
+    (s, d) => {
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val dir = java.nio.file.Files.createTempDirectory("graft_q114_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+      val budget = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextAnalysis.bpeishTokenCount(col("text")))
+            .as("n_tokens"),
+          sum(length(col("text"))).as("n_chars"))
+      val sink = "graft_q114_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q114_ckpt")
+      val q = budget.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(col("lang"), col("n_docs").cast(LongType).as("n_docs"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_chars").cast(LongType).as("n_chars"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    Some(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(regexp_extract_all(text,
+      |    '${graft.ops.TextAnalysis.bpeishPattern.replace("'", "''")}'))) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "Stream/batch parity #3: per-language token-budget accounting " +
+      "(BPE-ish token sums) as an incrementally-aggregated stream, " +
+      "oracled against the batch totals")
+
+  def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
+    q105_stream_word_topk, q114_stream_token_budget)
 }
