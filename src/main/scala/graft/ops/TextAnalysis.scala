@@ -67,6 +67,70 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       j => xxhash64(text.substr(j, lit(n)))))
 
+  /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics,
+    * adapted to the whitespace tokenizer): per-document rule flags plus
+    * the combined keep decision. Unlike q56's signal computation (which
+    * aggregates bigrams across a shuffle), the ENTIRE gate is one
+    * per-row pass — the top-bigram count comes from `array_sort` + a
+    * max-run `aggregate` over the in-row bigram array, so a 100 TB
+    * corpus filters with zero data movement (the higher-order lambdas
+    * are interpreted, not codegen'd, but stay row-local).
+    *
+    * Every rule threshold is an integer cross-multiplication (e.g. mean
+    * word length in [3,10] as `3·n ≤ chars ≤ 10·n`), so the DuckDB
+    * oracle (q115) agrees bit-exactly with no float quantization at all.
+    *
+    * Rules: word count in [50, 100000]; mean word length in [3, 10];
+    * ≥80% words contain a letter; ≥2 stopword hits (the/and/of/to/in);
+    * top bigram ≤20% of bigrams (repetition).
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(
+        col(idCol),
+        size(col("_ws")).cast(LongType).as("n_words"),
+        expr("aggregate(_ws, 0L, (a, x) -> a + length(x))").as("char_sum"),
+        size(filter(col("_ws"), w => w.rlike("\\p{L}")))
+          .cast(LongType).as("n_alpha"),
+        size(filter(col("_ws"), w => w.isin("the", "and", "of", "to", "in")))
+          .cast(LongType).as("n_stop"),
+        // sequence(1, 0) would count DOWN in Spark; guard short docs.
+        when(size(col("_ws")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(_ws) - 1), " +
+              "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
+          .as("_bg"))
+      .withColumn("n_bigrams", size(col("_bg")).cast(LongType))
+      .withColumn("top_bigram_cnt", expr(
+        """aggregate(array_sort(_bg),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (s, x) -> named_struct(
+          |    'prev', x,
+          |    'run', CASE WHEN s.prev IS NOT NULL AND x = s.prev
+          |            THEN s.run + 1 ELSE 1L END,
+          |    'best', GREATEST(s.best,
+          |      CASE WHEN s.prev IS NOT NULL AND x = s.prev
+          |       THEN s.run + 1 ELSE 1L END)),
+          |  s -> s.best)""".stripMargin))
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    val rWords = base("n_words").between(50L, 100000L)
+    val rMean = lit(3L) * base("n_words") <= base("char_sum") &&
+      base("char_sum") <= lit(10L) * base("n_words")
+    val rAlpha = lit(5L) * base("n_alpha") >= lit(4L) * base("n_words")
+    val rStop = base("n_stop") >= 2L
+    val rRep = base("n_bigrams") === 0L ||
+      lit(5L) * base("top_bigram_cnt") <= base("n_bigrams")
+    base.select(
+      col(idCol), col("n_words"), col("char_sum"), col("n_alpha"),
+      col("n_stop"), col("top_bigram_cnt"), col("n_bigrams"),
+      flag(rWords).as("r_words"), flag(rMean).as("r_mean_len"),
+      flag(rAlpha).as("r_alpha"), flag(rStop).as("r_stop"),
+      flag(rRep).as("r_rep"),
+      flag(rWords && rMean && rAlpha && rStop && rRep).as("keep"))
+  }
+
   /** Bulk form of [[fingerprint]]: explode the sliding positions, hash,
     * min-aggregate per doc — every step whole-stage-codegen'd, map-side
     * combined, and identical values to the column form (spec-asserted).

@@ -406,9 +406,63 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** [[TextAnalysis.gopherRules]] as a graded entry: the standard
+    * pre-training quality GATE (Gopher §A1.1 shape) — per-rule flags +
+    * combined keep. Distinct from q26 (a 0-3 score) and q56 (the raw
+    * repetition signals): this is the decision layer, and its engine
+    * side runs shuffle-free (the oracle's window/groupBy CTEs replicate
+    * the semantics, not the plan).
+    */
+  val q115_gopher_rules: QueryDef = q(
+    "q115_gopher_rules",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(length(ws) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_sum,
+      |    CAST(length(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
+      |    CAST(length(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
+      |  FROM t),
+      |tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+      |  FROM tok),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg WHERE bg IS NOT NULL
+      |  GROUP BY doc_id, bg),
+      |top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bc GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_words, b.char_sum, b.n_alpha, b.n_stop,
+      |  CAST(COALESCE(t.top_c, 0) AS BIGINT) AS top_bigram_cnt,
+      |  CAST(COALESCE(t.n_bg, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(CASE WHEN b.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+      |  CAST(CASE WHEN 3 * b.n_words <= b.char_sum AND b.char_sum <= 10 * b.n_words
+      |       THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+      |  CAST(CASE WHEN 5 * b.n_alpha >= 4 * b.n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+      |  CAST(CASE WHEN b.n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |  CAST(CASE WHEN COALESCE(t.n_bg, 0) = 0
+      |        OR 5 * COALESCE(t.top_c, 0) <= COALESCE(t.n_bg, 0)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+      |  CAST(CASE WHEN b.n_words BETWEEN 50 AND 100000
+      |        AND 3 * b.n_words <= b.char_sum AND b.char_sum <= 10 * b.n_words
+      |        AND 5 * b.n_alpha >= 4 * b.n_words
+      |        AND b.n_stop >= 2
+      |        AND (COALESCE(t.n_bg, 0) = 0
+      |          OR 5 * COALESCE(t.top_c, 0) <= COALESCE(t.n_bg, 0))
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+      |ORDER BY b.doc_id""".stripMargin,
+    "Gopher-style quality rule gate: 5 integer-exact rule flags + keep, " +
+      "computed shuffle-free per row (array max-run repetition)") { (s, d) =>
+    TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
-    q112_bpeish_tokens)
+    q112_bpeish_tokens, q115_gopher_rules)
 }

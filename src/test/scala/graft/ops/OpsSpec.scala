@@ -983,6 +983,37 @@ class OpsSpec extends SparkSpec {
     assert(exact.exists(t => t._1 == 12L && t._2 == 0L)) // short doc kept as 0/0
   }
 
+  test("gopherRules: per-rule flags + keep, handcrafted edges") {
+    import spark.implicits._
+    val goodBody = (1 to 10).flatMap(i =>                  // 60 words, varied:
+      Seq("the", "and", s"word$i", "quick", s"extra$i", s"topic$i")
+    ).mkString(" ")                                        // top bigram 10/59 ≤ 20%
+    val repeats = ("spam ham " * 30).trim                              // 60 words, one bigram dominates
+    val docs = Seq(
+      (1L, goodBody),            // passes everything
+      (2L, "tiny doc"),          // r_words fails (2 words)
+      (3L, repeats),             // r_rep fails, r_stop fails
+      (4L, ("a b " * 30).trim)   // mean word length 1 → r_mean_len fails
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val good = out(1L)
+    assert(good.getAs[Long]("n_words") == 60L)
+    assert(good.getAs[Long]("n_stop") >= 2L)
+    assert(good.getAs[Long]("keep") == 1L)
+
+    assert(out(2L).getAs[Long]("r_words") == 0L)
+    assert(out(2L).getAs[Long]("keep") == 0L)
+    // single-bigram doc: "spam ham" repeated — top bigram ("ham spam" 29 or
+    // "spam ham" 30 of 59) is way over 20%
+    assert(out(3L).getAs[Long]("top_bigram_cnt") == 30L)
+    assert(out(3L).getAs[Long]("n_bigrams") == 59L)
+    assert(out(3L).getAs[Long]("r_rep") == 0L)
+    assert(out(4L).getAs[Long]("r_mean_len") == 0L)
+    assert(out(4L).getAs[Long]("char_sum") == 60L)
+  }
+
   test("shuffleShards: a deterministic partition-invariant permutation") {
     val ids = spark.range(0, 100).toDF("doc_id")
     val a = Sampling.shuffleShards(ids, "doc_id", "ep1", 4)
