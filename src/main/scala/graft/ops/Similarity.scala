@@ -184,6 +184,49 @@ object Similarity {
     centroids
   }
 
+  /** Product quantization codes: the embedding is split into `m`
+    * contiguous subspaces, each quantized by its own `k`-centroid
+    * deterministic Lloyd trainer ([[ivfCentroids]] on the sliced
+    * corpus — decimal-bridged means, so the codebooks are bit-identical
+    * across runs and engines), and each row is coded by its nearest
+    * centroid per subspace. PQ is the standard memory-compression layer
+    * under large-scale ANN (m·log2(k) bits per vector instead of 4·dim
+    * bytes).
+    *
+    * Assignment is ONE broadcast crossJoin against the m·k tagged
+    * centroids followed by a partial-aggregable `min(struct(dist2, cid))`
+    * argmin per (row, subspace): map-side combine collapses the ×(m·k)
+    * expansion before the exchange, so the shuffle carries one combined
+    * row per id — cheaper at corpus scale than [[assignToNearest]]'s
+    * row_number window, which exchanges the expanded rows.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int = 2, k: Int = 4, iters: Int = 2): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    // 1-row scalar probe for the static dimension (like DSIR's totals)
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = (0 until m).map { j =>
+      ivfCentroids(
+        corpus.select(col(idCol), slice(col(embCol), j * sub + 1, sub).as("_sub")),
+        idCol, "_sub", k, iters)
+        .withColumn("sub", lit(j))
+    }.reduce(_ unionByName _)
+    val withNorm = cents.withColumn("c_nrm", fastNorm2(col("centroid")))
+    val expanded = corpus
+      .crossJoin(broadcast(withNorm))
+      .withColumn("dist2",
+        col("c_nrm") - lit(2.0) * fastDot(
+          slice(col(embCol), col("sub") * sub + lit(1), lit(sub)),
+          col("centroid")))
+    val aggs = (0 until m).map { j =>
+      min(when(col("sub") === j, struct(col("dist2"), col("centroid_id"))))
+        .getField("centroid_id").as(s"code_$j")
+    }
+    expanded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Nearest centroid per row (squared L2 via dot products; ties by
     * centroid id). Centroids are broadcast — one pass, no shuffle of the
     * corpus.

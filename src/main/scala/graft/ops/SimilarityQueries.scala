@@ -370,7 +370,75 @@ object SimilarityQueries {
     "Distributed Lloyd k-means (the IVF quantizer trainer), per-coordinate " +
       "floor-ppm oracled against 3 unrolled assign+mean CTE generations")
 
+  /** One unrolled Lloyd generation for subspace `p` of the q116 PQ
+    * oracle — [[kmeansIterSql]] parameterized over per-subspace CTE
+    * names (`dv0`/`dv1` hold the rebased coordinate slices).
+    */
+  private def pqIterSql(p: Int, t: Int): String =
+    s"""d${p}_$t AS (
+       |  SELECT dv.id, c.cid,
+       |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+       |  FROM dv$p dv JOIN c${p}_${t - 1} c ON c.i = dv.i
+       |  GROUP BY dv.id, c.cid),
+       |a${p}_$t AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+       |    FROM d${p}_$t) t WHERE rn = 1),
+       |c${p}_$t AS (
+       |  SELECT a.cid, dv.i,
+       |    CAST(SUM(CAST(dv.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a${p}_$t a JOIN dv$p dv ON dv.id = a.id
+       |  GROUP BY a.cid, dv.i)""".stripMargin
+
+  /** [[Similarity.pqCodes]]: product quantization (2 subspaces × 4
+    * centroids over the 64-dim embeddings, 2 Lloyd iterations each).
+    * The oracle unrolls BOTH subspace trainers q104-style and takes the
+    * generation-3 assignment as the final code — argmin ties resolve by
+    * (dist2, cid) on both engines, and the codebooks themselves are
+    * decimal-exact, so the integer codes compare bit-exactly.
+    */
+  val q116_pq_codes: QueryDef = QueryDef(
+    "q116_pq_codes",
+    (s, d) => {
+      Similarity.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 2, k = 4, iters = 2)
+        .select(col("vec_id"), col("code_0").cast(LongType).as("code_0"),
+          col("code_1").cast(LongType).as("code_1"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |dv0 AS (SELECT id, i, x FROM dv WHERE i <= 32),
+      |dv1 AS (SELECT id, i - 32 AS i, x FROM dv WHERE i > 32),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 4),
+      |rn0 AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0),
+      |c0_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM rn0 r JOIN dv0 dv ON dv.id = r.id),
+      |c1_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM rn0 r JOIN dv1 dv ON dv.id = r.id),
+      |${pqIterSql(0, 1)},
+      |${pqIterSql(0, 2)},
+      |${pqIterSql(0, 3)},
+      |${pqIterSql(1, 1)},
+      |${pqIterSql(1, 2)},
+      |${pqIterSql(1, 3)}
+      |SELECT e.vec_id,
+      |  CAST(a0.cid AS BIGINT) AS code_0,
+      |  CAST(a1.cid AS BIGINT) AS code_1
+      |FROM embeddings e
+      |JOIN a0_3 a0 ON a0.id = e.vec_id
+      |JOIN a1_3 a1 ON a1.id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin),
+    "Product quantization codes: per-subspace deterministic Lloyd " +
+      "codebooks + one broadcast-join argmin pass (min-struct, map-side " +
+      "combined), integer codes oracled via unrolled per-subspace CTEs")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
-    q86_semantic_dedup, q104_kmeans_centroids)
+    q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes)
 }

@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpec {
     // CorpusBuilds checkpoint: its plan is now an opaque scan of the
     // trained artifact (the Lloyd crossJoins run once inside the build)
     "q110_topic_sample" -> "centroid table (k rows) broadcast for the assignment crossJoin (trainer itself is the shared checkpointed artifact)",
+    "q116_pq_codes" -> "m·k-row (8) tagged codebook broadcast for the PQ assignment crossJoin",
     "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
     "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",
     "q59_sequence_packing" -> "one-row bin-capacity stats attached before packing audit",

@@ -251,6 +251,36 @@ class OpsSpec extends SparkSpec {
     assert(again == cents)
   }
 
+  test("pqCodes: subspace-independent codes, closed-form on separated clusters") {
+    // 4-dim vectors, m=2 → two 2-dim subspaces. Subspace clusters are
+    // chosen independently: dims 1-2 cluster around (0,0)/(10,10) while
+    // dims 3-4 cluster the OTHER way for some rows, so the per-subspace
+    // codes must disagree — a whole-vector quantizer could not produce
+    // this code table.
+    val pts = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(0f, 2f, 10f, 12f)),   // sub0 near cluster A, sub1 near B
+      (3L, Array(10f, 12f, 0f, 2f)),   // sub0 near B, sub1 near A
+      (4L, Array(2f, 2f, 2f, 2f)), (5L, Array(12f, 12f, 12f, 12f))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(pts, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1"))).toMap
+    // init ids 0/1 seed codebooks [A,B] in both subspaces
+    assert(codes(0L) == (0L, 0L) && codes(4L) == (0L, 0L))
+    assert(codes(1L) == (1L, 1L) && codes(5L) == (1L, 1L))
+    assert(codes(2L) == (0L, 1L), s"got ${codes(2L)}")
+    assert(codes(3L) == (1L, 0L), s"got ${codes(3L)}")
+    // deterministic across partitionings
+    val again = Similarity.pqCodes(pts.repartition(5), "vec_id", "embedding",
+        m = 2, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1"))).toMap
+    assert(again == codes)
+  }
+
   test("persisted IVF index: search runs zero training work") {
     def jig(i: Int): Float = (i % 3) * 0.01f
     val vecs = (0 until 30).map { i =>
