@@ -29,6 +29,25 @@ object Dedup {
     df.join(keep, keyCols :+ tieBreaker, "left_semi")
   }
 
+  /** URL dedup: canonicalize ([[Featurize.canonicalizeUrl]]) and keep the
+    * min-id row per canonical page. Per-doc audit output — every input row
+    * appears with its canonical key, the group keeper, and its own keep
+    * flag — so the caller can either filter `is_keep = 1` or join losers
+    * to their keeper. The group pass is a hash aggregate (map-side
+    * combined) plus a key-co-partitioned join back: two exchanges on the
+    * canonical key at any scale, no windows.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.select(col(idCol),
+      Featurize.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val keepers = canon.groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keeper_id"))
+    canon.join(keepers, Seq("canonical_url"))
+      .select(col(idCol), col("canonical_url"),
+        col("keeper_id").cast(LongType),
+        when(col(idCol) === col("keeper_id"), 1L).otherwise(0L).as("is_keep"))
+  }
+
   /** Word n-gram shingle array (distinct), computed without explode. */
   def shingleArray(textCol: Column, n: Int = 3): Column = {
     val toks = split(textCol, "\\s+")

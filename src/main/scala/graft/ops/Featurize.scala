@@ -72,6 +72,33 @@ object Featurize {
     coalesce(nullif(reg, lit("")), host)
   }
 
+  /** Canonical page identity of a URL — the key web-corpus dedup uses
+    * before any content hashing (crawls see the same page under scheme,
+    * case, `www.`, default-port, tracking-param, fragment, and
+    * trailing-slash variants). Rules, in order: drop the scheme and
+    * userinfo; lowercase the host and strip a leading `www.`; drop the
+    * fragment; strip an explicit default port (`:80`/`:443` — any other
+    * port is a different origin and is kept); strip one trailing slash
+    * from the path; drop `utm_*` query params (prefix-exact via
+    * substr — LIKE's `_` wildcard would over-match) keeping the rest.
+    *
+    * Pure regexp/array-expression chain — no UDF — with every pattern
+    * lookahead-free so Java and RE2 (DuckDB, q117's oracle) agree.
+    */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_replace(hostOf(url), "^www\\.", "")
+    val rest = regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noPort = regexp_replace(noFrag, "^:(?:80|443)(/|\\?|$)", "$1")
+    val query = regexp_extract(noPort, "\\?(.*)$", 1)
+    val path = regexp_replace(regexp_replace(noPort, "\\?.*$", ""), "/$", "")
+    val keptQ = array_join(
+      filter(split(query, "&"), p => substring(p, 1, 4) =!= "utm_"), "&")
+    concat(host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+  }
+
   /** Hashing-trick TF: one row per (doc, bucket) with the term count.
     * Tokenization is whitespace split with empties dropped.
     */

@@ -317,6 +317,89 @@ object SamplingQueries {
       "suffix rules, pure regexp chain — no UDF) feeding q103's " +
       "dup/length/leakage keep decision")
 
+  /** [[Dedup.urlDedup]] over [[Featurize.canonicalizeUrl]]: the
+    * URL-identity dedup every web corpus runs before content hashing.
+    * URLs are synthesized q111-style — deterministic variants of the
+    * same canonical page (scheme/host case, `www.`, explicit default
+    * ports, `utm_*` params, fragments, trailing slashes) around a page
+    * key of `doc_id div 3`, with `:8080` and `?id=` variants that must
+    * NOT collapse (different origin / different meaningful query) — so
+    * the canonicalizer is exercised in both directions.
+    */
+  val q117_url_canonical_dedup: QueryDef = QueryDef(
+    "q117_url_canonical_dedup",
+    (s, d) => {
+      val page = expr("doc_id div 3").cast(StringType)
+      val schemes = array(lit("https://"), lit("http://"), lit("HTTPS://"),
+        lit("HTTP://"))
+      val wwws = array(lit("www."), lit(""), lit(""))
+      val ports = array(lit(""), lit(":443"), lit(":80"), lit(":8080"))
+      val queries = array(lit(""), lit("?utm_source=feed"),
+        lit("?utm_campaign=x&utm_medium=y"),
+        concat(lit("?id="), page), concat(lit("?utm_source=a&id="), page))
+      val url = concat(
+        element_at(schemes, (col("doc_id") % 4 + 1).cast(IntegerType)),
+        element_at(wwws, (col("doc_id") % 3 + 1).cast(IntegerType)),
+        when(col("doc_id") % 2 === 0, "Site-").otherwise("site-"),
+        col("source"), lit(".com"),
+        element_at(ports, (col("doc_id") % 4 + 1).cast(IntegerType)),
+        lit("/p/"), page,
+        when(col("doc_id") % 2 === 1, "/").otherwise(""),
+        element_at(queries, (col("doc_id") % 5 + 1).cast(IntegerType)),
+        when(col("doc_id") % 2 === 0, "#sec").otherwise(""))
+      Dedup.urlDedup(
+          Tables.documents(s, d).withColumn("url", url), "doc_id", "url")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH urled AS (
+      |  SELECT doc_id,
+      |    ['https://','http://','HTTPS://','HTTP://'][CAST(doc_id % 4 AS INT) + 1] ||
+      |    ['www.','',''][CAST(doc_id % 3 AS INT) + 1] ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Site-' ELSE 'site-' END ||
+      |    source || '.com' ||
+      |    ['',':443',':80',':8080'][CAST(doc_id % 4 AS INT) + 1] ||
+      |    '/p/' || CAST(doc_id // 3 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+      |    ['','?utm_source=feed','?utm_campaign=x&utm_medium=y',
+      |     '?id=' || CAST(doc_id // 3 AS VARCHAR),
+      |     '?utm_source=a&id=' || CAST(doc_id // 3 AS VARCHAR)][CAST(doc_id % 5 AS INT) + 1] ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |hosted AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(regexp_extract(url, '${Featurize.hostPattern}', 1)),
+      |      '^www\\.', '') AS host,
+      |    regexp_extract(url,
+      |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+(.*)${"$"}', 1) AS rest
+      |  FROM urled),
+      |np AS (
+      |  SELECT doc_id, host,
+      |    regexp_replace(regexp_replace(rest, '#.*${"$"}', ''),
+      |      '^:(?:80|443)(/|\\?|${"$"})', '\\1') AS r
+      |  FROM hosted),
+      |pq AS (
+      |  SELECT doc_id, host,
+      |    regexp_replace(regexp_replace(r, '\\?.*${"$"}', ''), '/${"$"}', '') AS path,
+      |    regexp_extract(r, '\\?(.*)${"$"}', 1) AS q
+      |  FROM np),
+      |canon AS (
+      |  SELECT doc_id,
+      |    host || path || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canonical_url
+      |  FROM (SELECT doc_id, host, path,
+      |    COALESCE(array_to_string(list_filter(string_split(q, '&'),
+      |      x -> substr(x, 1, 4) <> 'utm_'), '&'), '') AS kq
+      |  FROM pq)),
+      |grp AS (SELECT canonical_url, MIN(doc_id) AS keeper_id
+      |  FROM canon GROUP BY canonical_url)
+      |SELECT c.doc_id, c.canonical_url,
+      |  CAST(g.keeper_id AS BIGINT) AS keeper_id,
+      |  CAST(CASE WHEN c.doc_id = g.keeper_id THEN 1 ELSE 0 END AS BIGINT) AS is_keep
+      |FROM canon c JOIN grp g ON c.canonical_url = g.canonical_url
+      |ORDER BY c.doc_id""".stripMargin),
+    "URL canonicalization dedup: scheme/www/case/default-port/utm/" +
+      "fragment/trailing-slash normalization (pure regexp chain), " +
+      "min-id keeper per canonical page, per-doc audit output")
+
   /** [[Sampling.temperatureMix]] — Gopher/Llama-style α = 1/2 source
     * balancing over the natural language imbalance of the documents
     * table (en ≈ 2.7× de): keep min(n, 10·⌊√n⌋) docs per language via
@@ -366,5 +449,6 @@ object SamplingQueries {
 
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
-    q110_topic_sample, q111_domain_curation, q113_temperature_mix)
+    q110_topic_sample, q111_domain_curation, q113_temperature_mix,
+    q117_url_canonical_dedup)
 }

@@ -1013,6 +1013,35 @@ class OpsSpec extends SparkSpec {
     assert(exact.exists(t => t._1 == 12L && t._2 == 0L)) // short doc kept as 0/0
   }
 
+  test("canonicalizeUrl: variants collapse, distinct origins/queries do not") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://www.Example.com/a/b",   // scheme+www+case
+      "HTTP://example.com:80/a/b/",    // default port + trailing slash
+      "example.com/a/b#frag",          // schemeless + fragment
+      "https://example.com/a/b?utm_source=x&utm_medium=y", // tracking only
+      "https://example.com:8080/a/b",  // NON-default port: different origin
+      "https://example.com/a/b?id=7",  // meaningful param survives
+      "https://example.com/a/b?utm_source=x&id=7" // utm stripped, id kept
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val canon = urls.select($"id", Featurize.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(0L) == "example.com/a/b")
+    assert(canon(1L) == "example.com/a/b")
+    assert(canon(2L) == "example.com/a/b")
+    assert(canon(3L) == "example.com/a/b")
+    assert(canon(4L) == "example.com:8080/a/b")
+    assert(canon(5L) == "example.com/a/b?id=7")
+    assert(canon(6L) == "example.com/a/b?id=7")
+    // urlDedup keeps the min id of the collapsed group, flags the rest
+    val out = Dedup.urlDedup(urls, "id", "url")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (0L, 1L))
+    assert((1L to 3L).forall(i => out(i) == (0L, 0L)))
+    assert(out(4L) == (4L, 1L) && out(5L) == (5L, 1L))
+    assert(out(6L) == (5L, 0L))
+  }
+
   test("gopherRules: per-rule flags + keep, handcrafted edges") {
     import spark.implicits._
     val goodBody = (1 to 10).flatMap(i =>                  // 60 words, varied:
