@@ -67,6 +67,33 @@ object TextAnalysis {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       j => xxhash64(text.substr(j, lit(n)))))
 
+  /** The counting step of BPE vocabulary induction (Sennrich et al.
+    * 2016): frequency-weighted adjacent symbol-pair counts, ranked. The
+    * corpus is touched ONCE (the word-frequency hash aggregate, map-side
+    * combined); the pair stage then runs over the DISTINCT-WORD table —
+    * vocabulary-sized, not corpus-sized — which is what makes tokenizer
+    * training feasible at 100 TB: a trillion tokens collapse to a few
+    * million (word, freq) rows before any per-character work happens.
+    * Symbols here are characters (merge iteration 0); iterating merges
+    * would re-run this over a re-segmented vocab table.
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val wf = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf
+      .select(col("f"),
+        // sequence(1, 0) would count down; single-char words have no pairs
+        explode(when(length(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))).as("pair"))
+      .groupBy("pair").agg(sum("f").cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics,
     * adapted to the whitespace tokenizer): per-document rule flags plus
     * the combined keep decision. Unlike q56's signal computation (which

@@ -460,9 +460,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** [[TextAnalysis.bpePairCounts]]: the symbol-pair counting step of
+    * BPE tokenizer training. Complements q112 (which APPLIES a fixed
+    * pre-tokenizer): this is the op that TRAINS one. The top-20 gate is
+    * deterministic — ties break on the pair string.
+    */
+  val q118_bpe_pair_counts: QueryDef = q(
+    "q118_bpe_pair_counts",
+    """WITH wf AS (
+      |  SELECT w, COUNT(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY w),
+      |pr AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+      |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i FROM wf) t)
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+      |FROM pr GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 20""".stripMargin,
+    "BPE vocab induction, merge step 0: frequency-weighted adjacent " +
+      "char-pair counts over the distinct-word table (corpus touched " +
+      "once; pair stage is vocabulary-sized)") { (s, d) =>
+    TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
-    q112_bpeish_tokens, q115_gopher_rules)
+    q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts)
 }

@@ -1013,6 +1013,21 @@ class OpsSpec extends SparkSpec {
     assert(exact.exists(t => t._1 == 12L && t._2 == 0L)) // short doc kept as 0/0
   }
 
+  test("bpePairCounts: frequency-weighted pairs, single-char words inert") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "low a")          // 'a' has no pairs
+    ).toDF("doc_id", "text")
+    // word freqs: low=3, lower=1, a=1
+    // pairs: lo=3+1, ow=3+1, we=1, er=1
+    val out = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toMap == Map("lo" -> 4L, "ow" -> 4L, "we" -> 1L, "er" -> 1L))
+    // rank order: count desc, pair asc
+    assert(out.map(_._1).toSeq == Seq("lo", "ow", "er", "we"))
+  }
+
   test("canonicalizeUrl: variants collapse, distinct origins/queries do not") {
     import spark.implicits._
     val urls = Seq(
