@@ -203,17 +203,39 @@ object Similarity {
   def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
       m: Int = 2, k: Int = 4, iters: Int = 2): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    // 1-row scalar probe for the static dimension (like DSIR's totals)
+    val sub = subDim(corpus, embCol, m)
+    val withNorm = pqCodebooks(corpus, idCol, embCol, m, k, iters)
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    pqAssign(corpus, idCol, embCol, withNorm, sub, m)
+  }
+
+  /** 1-row scalar probe for the static embedding dimension (like DSIR's
+    * totals), divided into `m` equal subspaces.
+    */
+  private def subDim(corpus: DataFrame, embCol: String, m: Int): Int = {
     val dim = corpus.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val sub = dim / m
-    val cents = (0 until m).map { j =>
+    dim / m
+  }
+
+  /** Tagged union of the per-subspace PQ codebooks:
+    * (sub, centroid_id, centroid), m·k rows, each trained by the
+    * deterministic Lloyd pass over its slice of the corpus.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    val sub = subDim(corpus, embCol, m)
+    (0 until m).map { j =>
       ivfCentroids(
         corpus.select(col(idCol), slice(col(embCol), j * sub + 1, sub).as("_sub")),
         idCol, "_sub", k, iters)
         .withColumn("sub", lit(j))
     }.reduce(_ unionByName _)
-    val withNorm = cents.withColumn("c_nrm", fastNorm2(col("centroid")))
+  }
+
+  /** The PQ assignment pass (see [[pqCodes]] doc for the plan shape). */
+  private def pqAssign(corpus: DataFrame, idCol: String, embCol: String,
+      withNorm: DataFrame, sub: Int, m: Int): DataFrame = {
     val expanded = corpus
       .crossJoin(broadcast(withNorm))
       .withColumn("dist2",
@@ -225,6 +247,74 @@ object Similarity {
         .getField("centroid_id").as(s"code_$j")
     }
     expanded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search: queries keep their full
+    * vectors, the corpus is represented ONLY by its PQ codes. Per query
+    * the m·k subspace distance table `pd(sub, cid) = |c|² − 2·q_sub·c`
+    * is precomputed (the per-query |q_sub|² terms are rank-constant and
+    * dropped), broadcast, and each coded corpus row is scored by m table
+    * lookups + an add — never touching the original embeddings. This is
+    * the memory shape that lets a 100 TB corpus serve ANN from RAM:
+    * m·log2(k) bits per vector instead of 4·dim bytes, with exact
+    * re-ranking left to a final fetch of the top candidates.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 2, kCent: Int = 16,
+      iters: Int = 2): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val sub = subDim(corpus, embCol, m)
+    val withNorm = pqCodebooks(corpus, idCol, embCol, m, kCent, iters)
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    val codes = pqAssign(corpus, idCol, embCol, withNorm, sub, m)
+    val qd = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(withNorm))
+      .select(col("q_id"), col("sub"), col("centroid_id").as("cid"),
+        (col("c_nrm") - lit(2.0) * fastDot(
+          slice(col("q_emb"), col("sub") * sub + lit(1), lit(sub)),
+          col("centroid"))).as("pd"))
+    val scored = (0 until m).foldLeft(codes) { (acc, j) =>
+      val qdj = qd.filter(col("sub") === j).select(
+        col("q_id").as(if (j == 0) "q_id" else s"_q$j"),
+        col("cid").as(s"_c$j"), col("pd").as(s"_pd$j"))
+      if (j == 0) acc.join(broadcast(qdj), col(s"code_$j") === col(s"_c$j"))
+      else acc.join(broadcast(qdj),
+        col("q_id") === col(s"_q$j") && col(s"code_$j") === col(s"_c$j"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))
+    scored
+      .withColumn("adc", (0 until m).map(j => col(s"_pd$j")).reduce(_ + _))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol).as("id"), col("rnk"))
+  }
+
+  /** Full PQ search pipeline: ADC shortlist ([[pqAdcTopK]]) then EXACT
+    * cosine re-rank of only the shortlisted candidates — the standard
+    * two-stage shape (compressed-domain scan over everything, full
+    * vectors fetched for `shortlist` rows per query). Output matches
+    * [[bruteForceTopK]]: (q_id, id, rnk, cosine).
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, shortlist: Int = 100, m: Int = 16,
+      kCent: Int = 16, iters: Int = 2): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val cand = pqAdcTopK(corpus, queries, idCol, embCol, shortlist, m, kCent, iters)
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_nrm", sqrt(fastNorm2(col("q_emb"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+    cand.select("q_id", "id")
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        fastDot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "rnk", "cosine")
   }
 
   /** Nearest centroid per row (squared L2 via dot products; ties by

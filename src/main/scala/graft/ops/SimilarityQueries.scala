@@ -438,7 +438,34 @@ object SimilarityQueries {
       "codebooks + one broadcast-join argmin pass (min-struct, map-side " +
       "combined), integer codes oracled via unrolled per-subspace CTEs")
 
+  /** [[Similarity.pqSearch]] recall gate (q55 pattern): the two-stage
+    * PQ pipeline — ADC scan over 16×16 codes, exact re-rank of the
+    * 100-candidate shortlist — must recover ≥60% of the true cosine
+    * top-10 per query. Measured floor across sf0.001/0.01/0.1 is 0.8
+    * (these embeddings are near-random — PQ's hardest case — which is
+    * exactly why the gate needs the re-rank stage: raw m=2 ADC@10
+    * bottomed at 0.0).
+    */
+  val q119_pq_adc_recall: QueryDef = QueryDef(
+    "q119_pq_adc_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      val approx = Similarity.pqSearch(e, queries, "vec_id", "embedding",
+        k = 10, shortlist = 100, m = 16, kCent = 16, iters = 2)
+      Similarity.recallAtK(exact, approx, 10)
+        .select(col("q_id"),
+          when(col("recall") >= 0.6, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+    "PQ ADC search quality gate: compressed-domain shortlist + exact " +
+      "re-rank, recall@10 vs brute force >= 0.6 per query")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
-    q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes)
+    q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
+    q119_pq_adc_recall)
 }

@@ -281,6 +281,27 @@ class OpsSpec extends SparkSpec {
     assert(again == codes)
   }
 
+  test("pqAdcTopK/pqSearch: compressed-domain ranking finds cluster-mates") {
+    import spark.implicits._
+    // two tight clusters per subspace; each point's true nearest neighbor
+    // is its cluster-mate, which ADC must recover from codes alone
+    val pts = Seq(
+      (0L, Array(1f, 2f, 1f, 2f)), (1L, Array(2f, 1f, 2f, 1f)),
+      (2L, Array(10f, 30f, 10f, 30f)), (3L, Array(11f, 31f, 11f, 31f))
+    ).toDF("vec_id", "embedding")
+    val adc = Similarity.pqAdcTopK(pts, pts, "vec_id", "embedding",
+        k = 1, m = 2, kCent = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adc == Map(0L -> 1L, 1L -> 0L, 2L -> 3L, 3L -> 2L), s"got $adc")
+    // the re-ranked pipeline agrees with brute force on this fixture
+    val exact = Similarity.bruteForceTopK(pts, pts, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.pqSearch(pts, pts, "vec_id", "embedding",
+        k = 1, shortlist = 3, m = 2, kCent = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr == exact)
+  }
+
   test("persisted IVF index: search runs zero training work") {
     def jig(i: Int): Float = (i % 3) * 0.01f
     val vecs = (0 until 30).map { i =>
