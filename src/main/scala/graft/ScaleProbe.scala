@@ -135,6 +135,48 @@ object ScaleProbe {
     probeRebalance("1x", base, nBase)
     probeRebalance(s"${mult}x+cluster (one hot bin)", big, nBig)
 
+    // q115: Gopher rule gate on the pathological corpus — a pure per-row
+    // pass; the boilerplate cluster maximizes the in-row repetition
+    // aggregate (near-identical bigrams throughout), but cost must stay
+    // linear with rows and the plan shuffle-free. `rows` = kept docs.
+    def probeGopher(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(ops.TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .agg(sum("keep")).collect().head.getLong(0))
+      emit("q115_gopher_rules", scale, n, t, rows)
+    }
+    probeGopher("1x", base, nBase)
+    probeGopher(s"${mult}x+cluster", big, nBig)
+
+    // q117: canonical-URL dedup with a celebrity page — every cluster doc
+    // canonicalizes to ONE url (distinct utm_* variants stripped), the
+    // group-agg's worst key. min() is map-side combinable, so the hot key
+    // costs its row count once; `rows` = dropped docs (~inject, not n).
+    def probeUrl(scale: String, docs: DataFrame, n: Long): Unit = {
+      val urled = docs.withColumn("url",
+        when(col("doc_id") >= 900000000L,
+          concat(lit("https://WWW.spam-hub.com:443/landing/?utm_source=s"),
+            col("doc_id")))
+          .otherwise(concat(lit("https://site-"), col("doc_id"),
+            lit(".com/p/"), col("doc_id"))))
+      val (rows, t) = time(ops.Dedup.urlDedup(urled, "doc_id", "url")
+        .filter(col("is_keep") === 0L).count())
+      emit("q117_url_dedup_dropped", scale, n, t, rows)
+    }
+    probeUrl("1x", base, nBase)
+    probeUrl(s"${mult}x+cluster (one hot url)", big, nBig)
+
+    // q118: BPE pair counting — replication leaves the VOCABULARY
+    // unchanged, so the per-character pair stage is constant-size and
+    // per-unit cost must FALL as the corpus grows; only the word-count
+    // hash agg (map-side combined) sees the extra rows.
+    def probeBpe(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(
+        ops.TextAnalysis.bpePairCounts(docs, "text", topK = 20).count())
+      emit("q118_bpe_pairs", scale, n, t, rows)
+    }
+    probeBpe("1x", base, nBase)
+    probeBpe(s"${mult}x (same vocab)", big, nBig)
+
     // q104: k-means training under duplicate mass — the replicated
     // embedding corpus puts mult× identical vectors on every point; the
     // decimal-bridged mean must absorb them as weight, with cost linear
@@ -155,6 +197,16 @@ object ScaleProbe {
     val (r104b, t104b) = time(ops.Similarity.ivfCentroids(
       embBig, "vec_id", "embedding", k = 8, iters = 3).count())
     emit("q104_kmeans", s"${mult}x duplicate mass", nEmbBig, t104b, r104b)
+
+    // q116: PQ coding under the same duplicate mass — codebook training
+    // absorbs the weight, the assignment crossJoin expands ×(m·k) but
+    // map-side combines to one row per vector before the exchange.
+    val (r116a, t116a) = time(ops.Similarity.pqCodes(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 2).count())
+    emit("q116_pq_codes", "1x", nEmb, t116a, r116a)
+    val (r116b, t116b) = time(ops.Similarity.pqCodes(
+      embBig, "vec_id", "embedding", m = 2, k = 4, iters = 2).count())
+    emit("q116_pq_codes", s"${mult}x duplicate mass", nEmbBig, t116b, r116b)
 
     // q88: fuzzy matching on a name table with one pathological variant
     // bucket (all `inject` cluster "names" are near-identical strings)

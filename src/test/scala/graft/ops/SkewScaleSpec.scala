@@ -199,6 +199,45 @@ class SkewScaleSpec extends SparkSpec {
       "kept set must be partitioning-invariant")
   }
 
+  test("urlDedup: a celebrity canonical group keeps exactly one doc, loses none") {
+    // 2000 docs all canonicalizing to ONE page (distinct utm_* stripped,
+    // www/case/port/slash normalized) — the group-agg's hottest key
+    val urls = ((0 until 2000).map(i =>
+      (i.toLong, s"https://WWW.Spam-Hub.com:443/landing/?utm_source=s$i")) ++
+      (0 until 100).map(i => (10000L + i, s"https://site$i.com/p/$i")))
+      .toDF("id", "url")
+    val out = Dedup.urlDedup(urls, "id", "url").collect()
+    assert(out.length == 2100) // one row per input doc, none lost
+    val cluster = out.filter(_.getLong(0) < 10000L)
+    assert(cluster.forall(_.getString(1) == "spam-hub.com/landing"))
+    assert(cluster.forall(_.getLong(2) == 0L)) // keeper = min id
+    assert(cluster.count(_.getLong(3) == 1L) == 1)
+    assert(out.filter(_.getLong(0) >= 10000L).forall(_.getLong(3) == 1L))
+  }
+
+  test("gopherRules: shuffle-free plan, one row per doc on the pathological corpus") {
+    val out = TextAnalysis.gopherRules(pathological, "doc_id", "text")
+    // the 100 TB claim: the entire gate is one per-row pass — no Exchange
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopherRules must not shuffle")
+    val rows = out.collect()
+    assert(rows.length == clusterSize + 300)
+    // the 11-word boilerplate fails the word-count rule, every copy alike
+    assert(rows.filter(_.getLong(0) < 10000L).forall(_.getAs[Long]("keep") == 0L))
+  }
+
+  test("bpePairCounts: replication multiplies counts; vocabulary stage constant") {
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha$i beta$i"))
+      .toDF("doc_id", "text")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpePairCounts(df, "text", topK = 1000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val one = counts(docs)
+    val three = counts(docs.unionAll(docs).unionAll(docs))
+    // weighting is exact: 3× the corpus = 3× every pair count, same vocab
+    assert(three == one.map { case (p, c) => p -> 3 * c })
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
