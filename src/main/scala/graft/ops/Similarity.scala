@@ -219,18 +219,69 @@ object Similarity {
   }
 
   /** Tagged union of the per-subspace PQ codebooks:
-    * (sub, centroid_id, centroid), m·k rows, each trained by the
-    * deterministic Lloyd pass over its slice of the corpus.
+    * (sub, centroid_id, centroid), m·k rows.
+    *
+    * All m subspaces train JOINTLY: the corpus is exploded ONCE into
+    * (id, sub, subvec) rows (persisted across iterations), and each Lloyd
+    * iteration is one broadcast join against the m·k tagged centroids +
+    * a partial-aggregable `min(struct(dist2, cid, subvec))` argmin per
+    * (id, sub) + one decimal-exact elementwise mean — two shuffled passes
+    * per iteration for ALL subspaces, instead of m independent
+    * [[ivfCentroids]] trainers each paying a corpus-wide row_number
+    * window per iteration (m=16, iters=2 was 32 corpus passes; this is
+    * 2 — measured 10.7 s → see BASELINE.md for the re-pin). Math is
+    * bit-identical to the per-subspace trainers: same first-k-ids init,
+    * same |c|²−2·v·c double distance, same (dist2, cid) tie-break, same
+    * DECIMAL(28,12)-bridged means — so q116's unrolled per-subspace CTE
+    * oracle still matches bit-exactly.
+    *
+    * The per-iteration `localCheckpoint` materializes only the m·k-row
+    * centroid table (tiny), truncating lineage so iteration i+1 does not
+    * re-run iteration i's assignment pass inside its own plan; the
+    * persisted exploded corpus is dropped before returning (the final
+    * checkpoint no longer references it).
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, iters: Int): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
     val sub = subDim(corpus, embCol, m)
-    (0 until m).map { j =>
-      ivfCentroids(
-        corpus.select(col(idCol), slice(col(embCol), j * sub + 1, sub).as("_sub")),
-        idCol, "_sub", k, iters)
-        .withColumn("sub", lit(j))
-    }.reduce(_ unionByName _)
+    val subSlices = posexplode(transform(sequence(lit(0), lit(m - 1)),
+      j => transform(slice(col(embCol), j * sub + lit(1), lit(sub)),
+        x => x.cast(DoubleType))))
+    val subs = corpus
+      .select(col(idCol).as("id"), subSlices.as(Seq("sub", "subvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("id"), col(embCol))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy("id")).cast(LongType) - 1)
+      .select(col("centroid_id"), subSlices.as(Seq("sub", "centroid")))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val withNorm = cents.withColumn("c_nrm", fastNorm2(col("centroid")))
+      val assigned = subs.join(broadcast(withNorm), Seq("sub"))
+        .withColumn("dist2",
+          col("c_nrm") - lit(2.0) * fastDot(col("subvec"), col("centroid")))
+        .groupBy(col("id"), col("sub"))
+        // lexicographic min on (dist2, cid, ...) == the per-subspace
+        // trainer's row_number over (dist2, cid); cid is unique per
+        // (sub) so the subvec field never reaches comparison — it rides
+        // along to spare a re-join for the mean pass
+        .agg(min(struct(col("dist2"), col("centroid_id"), col("subvec"))).as("a"))
+      cents = assigned
+        .select(col("sub"), col("a.centroid_id").as("centroid_id"),
+          posexplode(col("a.subvec")).as(Seq("i", "x")))
+        .groupBy("sub", "centroid_id", "i")
+        .agg((sum(col("x").cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy("sub", "centroid_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
+        .select(col("sub"), col("centroid_id"),
+          transform(col("parts"), p => p.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    subs.unpersist()
+    cents
   }
 
   /** The PQ assignment pass (see [[pqCodes]] doc for the plan shape). */
