@@ -551,6 +551,10 @@ object EventQueries {
         Tables.events(s, d).select("user_id", "ts_ns", "event_id", "ts_sec"),
         Seq("ts_ns", "event_id"), "user_id", "prev")
       .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      // `div` truncates toward zero; DuckDB's `//` floors. They agree only
+      // for non-negative operands — holds here (epoch seconds, counts) and
+      // at every other div/`//` pairing in the registry (q101/q103). A
+      // dataset with pre-1970 timestamps would need floor-normalizing first.
       .select(expr("ts_sec div 86400").as("day"),
         least(col("prev"), col("user_id")).as("a"),
         greatest(col("prev"), col("user_id")).as("b"))

@@ -318,24 +318,29 @@ object Similarity {
     val withNorm = pqCodebooks(corpus, idCol, embCol, m, kCent, iters)
       .withColumn("c_nrm", fastNorm2(col("centroid")))
     val codes = pqAssign(corpus, idCol, embCol, withNorm, sub, m)
-    val qd = queries
+    // Per-query distance table flattened to ONE array indexed sub·k + cid:
+    // the scored pass is then a single broadcast of |Q| rows and m
+    // element_at lookups per coded row — one join, expression-only scoring
+    // (the previous m-way join chain paid a planner/broadcast round per
+    // subspace; same doubles, same j-ascending summation order).
+    val qtab = queries
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(withNorm))
-      .select(col("q_id"), col("sub"), col("centroid_id").as("cid"),
+      .select(col("q_id"),
+        (col("sub") * kCent + col("centroid_id")).as("idx"),
         (col("c_nrm") - lit(2.0) * fastDot(
           slice(col("q_emb"), col("sub") * sub + lit(1), lit(sub)),
           col("centroid"))).as("pd"))
-    val scored = (0 until m).foldLeft(codes) { (acc, j) =>
-      val qdj = qd.filter(col("sub") === j).select(
-        col("q_id").as(if (j == 0) "q_id" else s"_q$j"),
-        col("cid").as(s"_c$j"), col("pd").as(s"_pd$j"))
-      if (j == 0) acc.join(broadcast(qdj), col(s"code_$j") === col(s"_c$j"))
-      else acc.join(broadcast(qdj),
-        col("q_id") === col(s"_q$j") && col(s"code_$j") === col(s"_c$j"))
-    }
+      .groupBy("q_id")
+      .agg(array_sort(collect_list(struct(col("idx"), col("pd")))).as("parts"))
+      .select(col("q_id"),
+        transform(col("parts"), p => p.getField("pd")).as("pd_arr"))
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))
-    scored
-      .withColumn("adc", (0 until m).map(j => col(s"_pd$j")).reduce(_ + _))
+    codes.crossJoin(broadcast(qtab))
+      .withColumn("adc", (0 until m).map(j =>
+        element_at(col("pd_arr"),
+          (lit(j * kCent) + col(s"code_$j") + 1).cast(IntegerType)))
+        .reduce(_ + _))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
