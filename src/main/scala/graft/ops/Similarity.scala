@@ -284,6 +284,45 @@ object Similarity {
     cents
   }
 
+  /** IVF-PQ residual quantization — the composed index layout of
+    * large-scale ANN systems: a coarse quantizer routes each vector to an
+    * inverted list, and PQ codes the RESIDUAL (vector − list centroid),
+    * which carries far less energy than the raw vector and so quantizes
+    * with lower distortion at the same bit budget. Output: one row per
+    * corpus row with (`idCol`, `list_id`, code_0..code_{m-1}).
+    *
+    * `coarse` is the trained (centroid_id, centroid) table — typically a
+    * shared [[graft.ops.CorpusBuilds]] artifact so the Lloyd cost is paid
+    * once per corpus, not per index build. The coarse assignment is the
+    * partial-aggregable min-struct argmin (map-side combine collapses the
+    * ×nLists expansion before the exchange; same (dist2, cid) tie order
+    * as [[assignToNearest]]), and the residual subtraction is plain IEEE
+    * double — both engines subtract identical doubles, so the PQ trainer
+    * downstream sees bit-identical input (q120's oracle replays the whole
+    * composition). The residual corpus is eagerly checkpointed: codebook
+    * training and the coding pass both scan it, and at 100 TB it is
+    * exactly the intermediate a production pipeline would materialize
+    * between the route and code stages.
+    */
+  def ivfPqCodes(corpus: DataFrame, idCol: String, embCol: String,
+      coarse: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val withNorm = coarse.withColumn("c_nrm", fastNorm2(col("centroid")))
+    val resid = corpus.crossJoin(broadcast(withNorm))
+      .withColumn("dist2",
+        col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+      .groupBy(col(idCol))
+      // centroid/emb ride along unreached (cid unique), sparing a re-join
+      .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
+        col(embCol).as("emb"))).as("a"))
+      .select(col(idCol), col("a.centroid_id").as("list_id"),
+        zip_with(col("a.emb"), col("a.centroid"),
+          (x, c) => x.cast(DoubleType) - c).as("resid"))
+      .localCheckpoint(true)
+    val codes = pqCodes(resid, idCol, "resid", m, k, iters)
+    resid.select(col(idCol), col("list_id")).join(codes, Seq(idCol))
+  }
+
   /** The PQ assignment pass (see [[pqCodes]] doc for the plan shape). */
   private def pqAssign(corpus: DataFrame, idCol: String, embCol: String,
       withNorm: DataFrame, sub: Int, m: Int): DataFrame = {

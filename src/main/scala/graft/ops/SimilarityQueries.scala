@@ -464,8 +464,83 @@ object SimilarityQueries {
     "PQ ADC search quality gate: compressed-domain shortlist + exact " +
       "re-rank, recall@10 vs brute force >= 0.6 per query")
 
+  /** [[Similarity.ivfPqCodes]]: the composed IVF-PQ index layout — the
+    * q104 coarse quantizer (8 lists, 3 Lloyd iterations, the SAME shared
+    * CorpusBuilds artifact, so bench-time training cost is zero) routes
+    * each vector, PQ (2 subspaces × 4 centroids, 2 iterations) codes the
+    * residual. The oracle replays the whole composition: q104's unrolled
+    * coarse generations → a 4th assignment → residual CTE → q116's
+    * per-subspace generations over the residual slices. Residuals are
+    * IEEE double subtractions of identical doubles on both engines, so
+    * the integer (list_id, code_0, code_1) triple compares bit-exactly.
+    */
+  val q120_ivfpq_codes: QueryDef = QueryDef(
+    "q120_ivfpq_codes",
+    (s, d) => {
+      val coarse = CorpusBuilds.embeddingsCentroids(s, d, k = 8, iters = 3)
+      Similarity.ivfPqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
+          coarse, m = 2, k = 4, iters = 2)
+        .select(col("vec_id"), col("list_id").cast(LongType).as("list_id"),
+          col("code_0").cast(LongType).as("code_0"),
+          col("code_1").cast(LongType).as("code_1"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0) r
+      |  JOIN dv ON dv.id = r.id),
+      |${kmeansIterSql(1)},
+      |${kmeansIterSql(2)},
+      |${kmeansIterSql(3)},
+      |d4 AS (
+      |  SELECT dv.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+      |  FROM dv JOIN c3 c ON c.i = dv.i
+      |  GROUP BY dv.id, c.cid),
+      |a4 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d4) t WHERE rn = 1),
+      |rv AS (
+      |  SELECT dv.id, dv.i, dv.x - c.m AS x
+      |  FROM dv
+      |  JOIN a4 ON a4.id = dv.id
+      |  JOIN c3 c ON c.cid = a4.cid AND c.i = dv.i),
+      |dv0 AS (SELECT id, i, x FROM rv WHERE i <= 32),
+      |dv1 AS (SELECT id, i - 32 AS i, x FROM rv WHERE i > 32),
+      |pids AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 4),
+      |prn AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM pids),
+      |c0_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM prn r JOIN dv0 dv ON dv.id = r.id),
+      |c1_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM prn r JOIN dv1 dv ON dv.id = r.id),
+      |${pqIterSql(0, 1)},
+      |${pqIterSql(0, 2)},
+      |${pqIterSql(0, 3)},
+      |${pqIterSql(1, 1)},
+      |${pqIterSql(1, 2)},
+      |${pqIterSql(1, 3)}
+      |SELECT e.vec_id, CAST(a4.cid AS BIGINT) AS list_id,
+      |  CAST(a0.cid AS BIGINT) AS code_0,
+      |  CAST(a1.cid AS BIGINT) AS code_1
+      |FROM embeddings e
+      |JOIN a4 ON a4.id = e.vec_id
+      |JOIN a0_3 a0 ON a0.id = e.vec_id
+      |JOIN a1_3 a1 ON a1.id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin),
+    "IVF-PQ residual codes: shared coarse quantizer routes each vector, " +
+      "PQ codes the residual — value-oracled across the full composition")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
-    q119_pq_adc_recall)
+    q119_pq_adc_recall, q120_ivfpq_codes)
 }

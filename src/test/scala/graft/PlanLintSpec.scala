@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpec {
     // trained artifact (the Lloyd crossJoins run once inside the build)
     "q110_topic_sample" -> "centroid table (k rows) broadcast for the assignment crossJoin (trainer itself is the shared checkpointed artifact)",
     "q116_pq_codes" -> "m·k-row (8) tagged codebook broadcast for the PQ assignment crossJoin",
+    "q120_ivfpq_codes" -> "m·k-row (8) residual codebook broadcast for the PQ coding crossJoin (coarse routing + trainer run inside the eager checkpoints)",
     "q119_pq_adc_recall" -> "m·k-row (256) tagged codebook broadcast for PQ assignment + per-query ADC distance tables",
     "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
     "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",

@@ -281,6 +281,41 @@ class OpsSpec extends SparkSpec {
     assert(again == codes)
   }
 
+  test("ivfPqCodes: coarse routing + residual codes, deterministic") {
+    import spark.implicits._
+    // two well-separated coarse clusters; within each, residuals split
+    // the SAME way in both subspaces (±1 around the cluster center), so
+    // the residual codebooks must distinguish rows the coarse list can't
+    val pts = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(2f, 2f, 2f, 2f)),
+      (2L, Array(100f, 100f, 100f, 100f)), (3L, Array(102f, 102f, 102f, 102f)),
+      (4L, Array(0f, 0f, 2f, 2f)), (5L, Array(102f, 102f, 100f, 100f))
+    ).toDF("vec_id", "embedding")
+    val coarse = Similarity.ivfCentroids(pts, "vec_id", "embedding", k = 2, iters = 2)
+    val out = Similarity.ivfPqCodes(pts, "vec_id", "embedding", coarse,
+        m = 2, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("list_id"),
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    // coarse routing: rows 0/1/4 in list of init-id 0, rows 2/3/5 the other
+    assert(Set(0L, 1L, 4L).map(out(_)._1).size == 1)
+    assert(Set(2L, 3L, 5L).map(out(_)._1).size == 1)
+    assert(out(0L)._1 != out(2L)._1)
+    // residual codes separate within-list structure: row 4 matches row 0
+    // in subspace 0 but row 1 in subspace 1 (and 5 mirrors in list B)
+    assert(out(4L)._2._1 == out(0L)._2._1 && out(4L)._2._2 == out(1L)._2._2,
+      s"got $out")
+    assert(out(5L)._2._1 == out(3L)._2._1 && out(5L)._2._2 == out(2L)._2._2,
+      s"got $out")
+    // deterministic across partitionings
+    val again = Similarity.ivfPqCodes(pts.repartition(5), "vec_id",
+        "embedding", coarse, m = 2, k = 2, iters = 2)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("list_id"),
+        (r.getAs[Long]("code_0"), r.getAs[Long]("code_1")))).toMap
+    assert(again == out)
+  }
+
   test("pqAdcTopK/pqSearch: compressed-domain ranking finds cluster-mates") {
     import spark.implicits._
     // two tight clusters per subspace; each point's true nearest neighbor
