@@ -73,6 +73,25 @@ object EventQueries {
          |  FROM g JOIN i${k - 1} r ON r.v = g.s GROUP BY g.t)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled peel rounds `e1/deg1/alive1 .. aliveR` for the q121 k-core
+    * oracle: round t keeps nodes whose degree restricted to round t-1's
+    * survivors reaches the threshold. Pure integer arithmetic — rounds
+    * beyond the fixpoint are identities, which is what makes the engine's
+    * early exit oracle-safe.
+    */
+  private def kcoreRoundSql(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""e$t AS (
+         |  SELECT e.a, e.b FROM e
+         |  JOIN alive${t - 1} x ON x.v = e.a
+         |  JOIN alive${t - 1} y ON y.v = e.b),
+         |deg$t AS (
+         |  SELECT v, count(*) AS cnt
+         |  FROM (SELECT a AS v FROM e$t UNION ALL SELECT b AS v FROM e$t)
+         |  GROUP BY v),
+         |alive$t AS (SELECT v FROM deg$t WHERE cnt >= (SELECT k FROM kp))""".stripMargin
+    }.mkString(",\n")
+
   val q10_window_lag: QueryDef = q(
     "q10_window_lag",
     """SELECT event_id, user_id, prev_type, gap_s FROM (
@@ -418,6 +437,59 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** [[graft.ops.Graph.kCore]] over the interaction graph — the onion
+    * decomposition at k = floor(mean degree) + 1, computed in exact
+    * integer arithmetic on both engines (sum-of-degrees over node count —
+    * Spark Long division and DuckDB `//` agree on non-negative operands,
+    * see the q108 note). Each node reports the peel round that removed it
+    * (0 = survived), so the gate checks the cascade's DYNAMICS, not just
+    * final membership: at the bench SFs the mean+1 threshold splits the
+    * near-regular graph into two populated layers. The oracle unrolls 5
+    * peel generations; the engine early-exits at the fixpoint, which is
+    * oracle-safe because post-fixpoint rounds are identities (unlike
+    * PageRank's tol exit, which changes values).
+    */
+  val q121_kcore: QueryDef = q(
+    "q121_kcore",
+    edgesSql +
+      s""",
+        |e AS (SELECT a, b FROM we),
+        |deg0 AS (
+        |  SELECT v, count(*) AS cnt
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |kp AS (SELECT CAST((SUM(cnt) // COUNT(*)) + 1 AS BIGINT) AS k FROM deg0),
+        |alive0 AS (SELECT v FROM deg0),
+        |${kcoreRoundSql(5)}
+        |SELECT d.v AS user_id,
+        |  CAST(CASE
+        |    WHEN a1.v IS NULL THEN 1
+        |    WHEN a2.v IS NULL THEN 2
+        |    WHEN a3.v IS NULL THEN 3
+        |    WHEN a4.v IS NULL THEN 4
+        |    WHEN a5.v IS NULL THEN 5
+        |    ELSE 0 END AS BIGINT) AS peel_round
+        |FROM deg0 d
+        |LEFT JOIN alive1 a1 ON a1.v = d.v
+        |LEFT JOIN alive2 a2 ON a2.v = d.v
+        |LEFT JOIN alive3 a3 ON a3.v = d.v
+        |LEFT JOIN alive4 a4 ON a4.v = d.v
+        |LEFT JOIN alive5 a5 ON a5.v = d.v
+        |ORDER BY user_id""".stripMargin,
+    "k-core onion peeling (k = mean degree + 1): per-node peel round, " +
+      "5 unrolled rounds in the oracle, fixpoint early-exit in the engine") {
+    (s, d) =>
+      val e = weightedEdges(s, d).select(col("source").as("a"), col("target").as("b"))
+      val deg = graft.ops.Graph.degrees(e)
+      // 1-row scalar probe (the DSIR-totals pattern): k from exact integer
+      // arithmetic, identical to the oracle's SUM // COUNT
+      val r = deg.agg(sum(col("deg")).as("s"), count(lit(1)).as("n")).head()
+      val k = r.getLong(0) / r.getLong(1) + 1
+      graft.ops.Graph.kCore(e, k, maxRounds = 5)
+        .select(col("v").as("user_id"), col("peel_round"))
+        .orderBy("user_id")
+  }
+
   /** [[graft.ops.Graph.personalizedPageRank]] over the interaction graph,
     * seeds = the 5 lowest user ids present. VALUE-LEVEL oracled like q74
     * (upgraded from the pre-round-7 mass/floor/concentration property
@@ -745,5 +817,5 @@ object EventQueries {
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
     q78_hopping_window, q79_session_window, q80_topk_agg,
     q93_json_extract, q98_personalized_pagerank, q99_weighted_pagerank,
-    q108_graph_evolution)
+    q108_graph_evolution, q121_kcore)
 }

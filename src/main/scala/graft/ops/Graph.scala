@@ -210,6 +210,56 @@ object Graph {
       .orderBy("day")
   }
 
+  /** k-core onion peeling: round t removes every node whose degree
+    * RESTRICTED to round t-1's survivors is < k, until a fixpoint or
+    * `maxRounds`. Returns every node of the input graph with its
+    * `peel_round` (the round that removed it; 0 = still in the core
+    * after the run) — the onion-layer decomposition at threshold k,
+    * strictly richer than a membership flag.
+    *
+    * Each round is two semi-joins of the (persisted) canonical edge list
+    * against the current alive node frame plus one map-side-combinable
+    * degree agg — never a window, never a pair blowup; the alive frame is
+    * node-sized and eagerly checkpointed per round, so lineage stays O(1)
+    * like the PageRank loop. The fixpoint early-exit is ORACLE-SAFE
+    * (unlike PageRank's tol): once alive_t = alive_{t-1}, every further
+    * round is the identity, so an oracle that unrolls the full
+    * `maxRounds` generations computes the same layers the engine stopped
+    * at. The per-round `count()` doubles as the checkpoint barrier; the
+    * per-round frames stay persisted until the ContextCleaner reclaims
+    * them — the layer union references every generation, so an eager
+    * unpersist would drop data a localCheckpoint cannot recompute.
+    */
+  def kCore(canonical: DataFrame, k: Long, maxRounds: Int): DataFrame = {
+    val e = canonical.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = degrees(e).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = all.select("v")
+    var prev = alive.count()
+    var layers: DataFrame = null
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      r += 1
+      val restricted = e
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+      val next = degrees(restricted).filter(col("deg") >= k)
+        .select("v").localCheckpoint(true)
+      val c = next.count()
+      val removed = alive.join(next, Seq("v"), "left_anti")
+        .withColumn("peel_round", lit(r.toLong))
+      layers = if (layers == null) removed else layers.unionByName(removed)
+      if (c == prev || c == 0L) converged = true
+      prev = c
+      alive = next
+    }
+    val tagged = if (layers == null) all.select("v")
+      .withColumn("peel_round", lit(0L)).limit(0) else layers
+    all.select("v")
+      .join(tagged, Seq("v"), "left")
+      .select(col("v"), coalesce(col("peel_round"), lit(0L)).as("peel_round"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // The canonical edge list feeds four subtrees (degrees, rank join,
     // edge count, closing edges) and the oriented list three — without a

@@ -113,6 +113,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCore: onion layers on a path cascade; clique core survives a tail") {
+    import spark.implicits._
+    // P6 path at k=2: endpoints peel outside-in, one layer per round —
+    // the deep-cascade case the near-regular bench graph can't produce
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val p = Graph.kCore(path, k = 2, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(1L -> 1L, 6L -> 1L, 2L -> 2L, 5L -> 2L, 3L -> 3L, 4L -> 3L),
+      s"got $p")
+    // K4 with a pendant tail at k=3: the tail peels (14 then nothing —
+    // 13 keeps degree 3 inside the clique), the clique is the 3-core
+    val g = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+      (12L, 13L), (13L, 14L), (14L, 15L)).toDF("a", "b")
+    val c = Graph.kCore(g, k = 3, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(10L -> 0L, 11L -> 0L, 12L -> 0L, 13L -> 0L,
+      14L -> 1L, 15L -> 1L), s"got $c")
+    // deterministic under repartitioning
+    val again = Graph.kCore(g.repartition(4), k = 3, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == c)
+  }
+
   test("pageRankWeighted matches the weighted-path closed form; all-1 weights equal pageRank") {
     val d = 0.85
     // path 1-(w=1)-2-(w=3)-3: node 2's mass splits 1/4 vs 3/4; its own
