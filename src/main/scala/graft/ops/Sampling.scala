@@ -236,4 +236,38 @@ object Sampling {
       df.withColumn("_domain", Featurize.domainOf(col(urlCol))),
       idCol, textCol, "_domain", maxDupPpm, minAvgTokens)
       .withColumnRenamed("source", "domain")
+
+  /** Hierarchical blocklist filter — the other half of per-domain
+    * curation: a blocklist entry blocks its exact host AND every
+    * subdomain under it (the way real URL blocklists are interpreted),
+    * including whole-TLD entries. Matching explodes each host into its
+    * label-suffix chain (`a.b.example.com` → 4 suffixes — label
+    * boundaries, so `rc3.com` can never block `site-src3.com`) and
+    * equi-joins the blocklist on the suffix: a bounded ≤#labels-fold
+    * expansion and one hash join, never a LIKE scan — so a
+    * million-entry blocklist is just a bigger join side (broadcast or
+    * shuffled, Spark's choice), not a per-row loop.
+    *
+    * Output: one row per input row — (`idCol`, host, blocked_by,
+    * is_blocked) with `blocked_by` the MOST SPECIFIC (longest) matching
+    * entry, '' if none. Ties are impossible: two equal-length suffixes
+    * of one host are the same string.
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val withHost = df.select(col(idCol),
+      Featurize.hostOf(col(urlCol)).as("host"))
+    val parts = split(col("host"), "\\.")
+    val sufs = withHost.select(col(idCol), col("host"),
+      explode(transform(sequence(lit(0), size(parts) - 1),
+        j => array_join(slice(parts, j + 1, size(parts)), "."))).as("suf"))
+    val matched = sufs
+      .join(blocklist.select(col("blocked").as("suf")), Seq("suf"))
+      .groupBy(idCol)
+      .agg(max_by(col("suf"), length(col("suf"))).as("blocked_by"))
+    withHost.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("host"),
+        coalesce(col("blocked_by"), lit("")).as("blocked_by"),
+        when(col("blocked_by").isNotNull, 1L).otherwise(0L).as("is_blocked"))
+  }
 }

@@ -250,28 +250,30 @@ object SamplingQueries {
     * same host/domain regexes ([[Featurize.hostPattern]] /
     * [[Featurize.domainPattern]], interpolated verbatim) in DuckDB.
     */
-  val q111_domain_curation: QueryDef = QueryDef(
-    "q111_domain_curation",
-    (s, d) => {
-      val schemes = array(lit("https://"), lit("http://"), lit(""),
-        lit("https://user@"))
-      val subs = array(lit(""), lit("www."), lit("blog.cdn."))
-      val tlds = array(lit("com"), lit("org"), lit("net"), lit("co.uk"),
-        lit("com.au"))
-      val url = concat(
-        element_at(schemes, (col("doc_id") % 4 + 1).cast(IntegerType)),
-        element_at(subs, (col("doc_id") % 3 + 1).cast(IntegerType)),
-        lit("site-"), col("source"), lit("."),
-        element_at(tlds, (col("doc_id") % 5 + 1).cast(IntegerType)),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(":8080/p/"), col("doc_id").cast(StringType)))
-          .otherwise(concat(lit("/a?q="), col("doc_id").cast(StringType))))
-      Sampling.domainCuration(
-          Tables.documents(s, d).withColumn("url", url),
-          "doc_id", "text", "url", maxDupPpm = 300000, minAvgTokens = 5)
-        .orderBy("domain")
-    },
-    Some(s"""WITH urled AS (
+  /** q111/q122 shared deterministic URL synthesis (the testdata carries
+    * no URL column): scheme, userinfo, subdomain depth, TLD (incl.
+    * two-level public suffixes), port, and path/query tail all vary with
+    * (doc_id, source) so every parse shape is exercised; the SQL twin
+    * builds the IDENTICAL string.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val schemes = array(lit("https://"), lit("http://"), lit(""),
+      lit("https://user@"))
+    val subs = array(lit(""), lit("www."), lit("blog.cdn."))
+    val tlds = array(lit("com"), lit("org"), lit("net"), lit("co.uk"),
+      lit("com.au"))
+    concat(
+      element_at(schemes, (col("doc_id") % 4 + 1).cast(IntegerType)),
+      element_at(subs, (col("doc_id") % 3 + 1).cast(IntegerType)),
+      lit("site-"), col("source"), lit("."),
+      element_at(tlds, (col("doc_id") % 5 + 1).cast(IntegerType)),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(":8080/p/"), col("doc_id").cast(StringType)))
+        .otherwise(concat(lit("/a?q="), col("doc_id").cast(StringType))))
+  }
+
+  private val syntheticUrlSql: String =
+    """urled AS (
       |  SELECT doc_id, text,
       |    ['https://','http://','','https://user@'][CAST(doc_id % 4 AS INT) + 1] ||
       |    ['','www.','blog.cdn.'][CAST(doc_id % 3 AS INT) + 1] ||
@@ -279,7 +281,17 @@ object SamplingQueries {
       |    ['com','org','net','co.uk','com.au'][CAST(doc_id % 5 AS INT) + 1] ||
       |    CASE WHEN doc_id % 2 = 0 THEN ':8080/p/' || CAST(doc_id AS VARCHAR)
       |         ELSE '/a?q=' || CAST(doc_id AS VARCHAR) END AS url
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  val q111_domain_curation: QueryDef = QueryDef(
+    "q111_domain_curation",
+    (s, d) => {
+      Sampling.domainCuration(
+          Tables.documents(s, d).withColumn("url", syntheticUrl),
+          "doc_id", "text", "url", maxDupPpm = 300000, minAvgTokens = 5)
+        .orderBy("domain")
+    },
+    Some(s"""WITH $syntheticUrlSql,
       |hosted AS (
       |  SELECT doc_id, text,
       |    lower(regexp_extract(url, '${Featurize.hostPattern}', 1)) AS host
@@ -316,6 +328,59 @@ object SamplingQueries {
     "Per-domain curation: registrable-domain parse (simplified public " +
       "suffix rules, pure regexp chain — no UDF) feeding q103's " +
       "dup/length/leakage keep decision")
+
+  /** [[Sampling.blocklistFilter]] over the q111 synthetic URLs. The
+    * blocklist exercises every hierarchy level: a registrable domain
+    * (blocks all its subdomains), a deep subdomain entry (blocks only
+    * that subtree), a two-level-suffix domain, a whole TLD, and a decoy
+    * (`rc5.com`) that is a TEXTUAL suffix of the real host
+    * `site-src5.com` but not a label-boundary suffix — the label-chain
+    * match must not block it. (Each entry's source/TLD pair is chosen on
+    * the synthesis moduli so the host it targets actually occurs:
+    * source srcN always carries TLD index N mod 5.)
+    * `blocked_by` pins which entry won (most specific), not just the
+    * boolean.
+    */
+  val q122_blocklist_filter: QueryDef = QueryDef(
+    "q122_blocklist_filter",
+    (s, d) => {
+      import s.implicits._
+      val bl = Seq("site-src0.com", "cdn.site-src1.org", "site-src3.co.uk",
+        "net", "rc5.com").toDF("blocked")
+      Sampling.blocklistFilter(
+          Tables.documents(s, d).withColumn("url", syntheticUrl),
+          "doc_id", "url", bl)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $syntheticUrlSql,
+      |hosted AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '${Featurize.hostPattern}', 1)) AS host
+      |  FROM urled),
+      |parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM hosted),
+      |idx AS (
+      |  SELECT doc_id, host, p,
+      |    unnest(generate_series(1, len(p))) AS j
+      |  FROM parts),
+      |sufs AS (
+      |  SELECT doc_id, host,
+      |    array_to_string(p[CAST(j AS BIGINT):], '.') AS suf
+      |  FROM idx),
+      |bl(blocked) AS (VALUES ('site-src0.com'), ('cdn.site-src1.org'),
+      |  ('site-src3.co.uk'), ('net'), ('rc5.com')),
+      |m AS (
+      |  SELECT doc_id, max_by(suf, length(suf)) AS blocked_by
+      |  FROM sufs JOIN bl ON bl.blocked = sufs.suf
+      |  GROUP BY doc_id)
+      |SELECT h.doc_id, h.host,
+      |  COALESCE(m.blocked_by, '') AS blocked_by,
+      |  CAST(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_blocked
+      |FROM hosted h LEFT JOIN m ON m.doc_id = h.doc_id
+      |ORDER BY h.doc_id""".stripMargin),
+    "Hierarchical URL blocklist filter: label-suffix-chain explode + " +
+      "equi-join (subdomain and TLD blocking without LIKE scans), most-" +
+      "specific match reported")
 
   /** [[Dedup.urlDedup]] over [[Featurize.canonicalizeUrl]]: the
     * URL-identity dedup every web corpus runs before content hashing.
@@ -450,5 +515,5 @@ object SamplingQueries {
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,
-    q117_url_canonical_dedup)
+    q117_url_canonical_dedup, q122_blocklist_filter)
 }
