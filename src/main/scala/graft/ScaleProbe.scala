@@ -165,6 +165,28 @@ object ScaleProbe {
     probeUrl("1x", base, nBase)
     probeUrl(s"${mult}x+cluster (one hot url)", big, nBig)
 
+    // q122: blocklist filtering with one hot host — every cluster doc
+    // lives under spam-hub.com, so one suffix key carries ~inject rows
+    // into the blocklist join. The join is host-suffix equi (blocklist
+    // broadcast at this size) and the winner agg is per-doc map-side
+    // combined, so the hot host costs its row count once; `rows` =
+    // blocked docs (~cluster size, not n).
+    def probeBlocklist(scale: String, docs: DataFrame, n: Long): Unit = {
+      import spark.implicits._
+      val urled = docs.withColumn("url",
+        when(col("doc_id") >= 900000000L,
+          concat(lit("https://ads.spam-hub.com/l/"), col("doc_id")))
+          .otherwise(concat(lit("https://site-"), col("doc_id"),
+            lit(".com/p/"), col("doc_id"))))
+      val bl = Seq("spam-hub.com", "example.net").toDF("blocked")
+      val (rows, t) = time(ops.Sampling.blocklistFilter(
+          urled, "doc_id", "url", bl)
+        .filter(col("is_blocked") === 1L).count())
+      emit("q122_blocklist_blocked", scale, n, t, rows)
+    }
+    probeBlocklist("1x", base, nBase)
+    probeBlocklist(s"${mult}x+cluster (one hot host)", big, nBig)
+
     // q118: BPE pair counting — replication leaves the VOCABULARY
     // unchanged, so the per-character pair stage is constant-size and
     // per-unit cost must FALL as the corpus grows; only the word-count
@@ -208,6 +230,21 @@ object ScaleProbe {
       embBig, "vec_id", "embedding", m = 2, k = 4, iters = 2).count())
     emit("q116_pq_codes", s"${mult}x duplicate mass", nEmbBig, t116b, r116b)
 
+    // q120: IVF-PQ residual coding under the same duplicate mass — the
+    // coarse router and both residual-trainer passes see mult× identical
+    // vectors; every stage is a broadcast join + map-side-combined agg
+    // over the (checkpointed) residual corpus, so cost must stay linear
+    // in rows with output one row per vector.
+    def probeIvfPq(scale: String, e: DataFrame, n: Long): Unit = {
+      val coarse = ops.Similarity.ivfCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val (rows, t) = time(ops.Similarity.ivfPqCodes(
+        e, "vec_id", "embedding", coarse, m = 2, k = 4, iters = 2).count())
+      emit("q120_ivfpq_codes", scale, n, t, rows)
+    }
+    probeIvfPq("1x", emb, nEmb)
+    probeIvfPq(s"${mult}x duplicate mass", embBig, nEmbBig)
+
     // q88: fuzzy matching on a name table with one pathological variant
     // bucket (all `inject` cluster "names" are near-identical strings)
     val names = spark.range(inject).select(
@@ -237,6 +274,23 @@ object ScaleProbe {
       ops.Graph.triangleStats(withCeleb, "source", "target").collect().head)
     emit("q73_triangles", "celebrity", tri2.getAs[Long]("n_edges"), tt2,
       tri2.getAs[Long]("n_triangles"))
+
+    // q121: k-core peeling with the celebrity star — the degree-`inject`
+    // node makes one peel round's degree agg maximally skewed, and its
+    // `inject` leaves all peel in round 1 (degree 1 each). Per round the
+    // cost is two semi-joins + one map-side-combined agg, so the hot node
+    // costs its edge count once per round; `rows` = peeled nodes.
+    def probeKcore(scale: String, es: DataFrame): Unit = {
+      val canon = ops.Graph.canonicalEdges(es, "source", "target")
+      val deg = ops.Graph.degrees(canon)
+      val r = deg.agg(sum(col("deg")).as("s"), count(lit(1)).as("n")).head()
+      val k = r.getLong(0) / r.getLong(1) + 1
+      val (rows, t) = time(ops.Graph.kCore(canon, k, maxRounds = 5)
+        .filter(col("peel_round") > 0L).count())
+      emit("q121_kcore_peeled", scale, deg.count(), t, rows)
+    }
+    probeKcore("1x", edges)
+    probeKcore("celebrity", withCeleb)
 
     // q108: temporal evolution with a celebrity DAY — one day holding a
     // degree-`inject` star (every edge first-seen that day). Per-day

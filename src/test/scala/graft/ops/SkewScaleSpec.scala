@@ -238,6 +238,43 @@ class SkewScaleSpec extends SparkSpec {
     assert(three == one.map { case (p, c) => p -> 3 * c })
   }
 
+  test("kCore: exact onion layers under a celebrity star") {
+    // 10⁴-leaf star + one K4: at k=2 the leaves peel in round 1 (degree
+    // 1), the hub follows in round 2 (its degree COLLAPSES 10⁴ → 0 when
+    // the leaves go — the maximally skewed degree update), and the K4 is
+    // the surviving 2-core. Cost shape: each round's degree agg is
+    // map-side combined, so the hot hub pays its edge count once.
+    val star = (1 to 10000).map(i => (0L, 100L + i.toLong))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (star ++ k4).toDF("a", "b")
+    val out = Graph.kCore(edges, k = 2, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10005, "one row per node, none lost")
+    assert((1 to 10000).forall(i => out(100L + i) == 1L), "leaves peel round 1")
+    assert(out(0L) == 2L, s"hub must peel in round 2, got ${out(0L)}")
+    assert((1L to 4L).forall(out(_) == 0L), "K4 is the surviving 2-core")
+  }
+
+  test("blocklistFilter: hot host stays one row per doc, longest entry wins") {
+    // 2000 docs under one blocked host (one suffix key carries the whole
+    // cluster into the join) + 100 distinct unblocked hosts. Both
+    // spam-hub.com and its subdomain are listed: docs under the subdomain
+    // must report the MORE SPECIFIC entry, the rest the parent.
+    val urls = ((0 until 2000).map(i =>
+      (i.toLong, s"https://${if (i % 2 == 0) "ads." else ""}spam-hub.com/l/$i")) ++
+      (0 until 100).map(i => (10000L + i, s"https://site$i.org/p/$i")))
+      .toDF("id", "url")
+    val bl = Seq("spam-hub.com", "ads.spam-hub.com").toDF("blocked")
+    val out = Sampling.blocklistFilter(urls, "id", "url", bl).collect()
+    assert(out.length == 2100, "one row per input doc, none lost")
+    val cluster = out.filter(_.getLong(0) < 10000L)
+    assert(cluster.forall(_.getAs[Long]("is_blocked") == 1L))
+    assert(cluster.forall(r => r.getAs[String]("blocked_by") ==
+      (if (r.getLong(0) % 2 == 0) "ads.spam-hub.com" else "spam-hub.com")),
+      "most specific matching entry must win")
+    assert(out.filter(_.getLong(0) >= 10000L).forall(_.getAs[Long]("is_blocked") == 0L))
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
