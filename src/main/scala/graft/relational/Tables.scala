@@ -23,29 +23,45 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain long
-    * (legacy flag, set in Sessions.configure) and derive:
-    *   - `ts_ns`  — raw nanos, the exact ordering key (matches DuckDB's
-    *     nanosecond timestamp order bit-for-bit);
+  /** The `events` table's `ts` column has shipped in two physical types
+    * across testdata generations: INT64 TIMESTAMP(NANOS) (read as a plain
+    * long via the legacy nanosAsLong flag set in Sessions.configure) and
+    * plain TIMESTAMP micros (pandas default, surfaced as TIMESTAMP_NTZ).
+    * Normalize either to the canonical column contract:
+    *   - `ts_ns`  — epoch nanos BIGINT, the exact ordering key (matches
+    *     DuckDB's `ORDER BY ts` bit-for-bit in both generations);
     *   - `ts_sec` — floor-to-second epoch, used for any *output* so both
     *     engines agree regardless of sub-second precision;
-    *   - `ts`     — micros-truncated TimestampType for humans/windows.
+    *   - `ts`     — TimestampType (UTC session) for humans/windows.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      // `div` = exact integer division: `/` is double math, and double(ts_ns)
-      // loses up to ~128 ns near 2^60, enough to truncate a near-boundary
-      // nanosecond into the wrong second vs DuckDB's exact floor(epoch(ts)).
-      // Spark `div` truncates toward zero; DuckDB `//` floors — identical
-      // ONLY because ts_ns ≥ 0 (post-1970 data). Pre-epoch timestamps
-      // would diverge by one at every div site downstream (day buckets,
-      // window starts) — see the QueryDef parity-rules note.
-      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def normalizeEventTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      raw
+        .withColumnRenamed("ts", "ts_ns")
+        // `div` = exact integer division: `/` is double math, and double(ts_ns)
+        // loses up to ~128 ns near 2^60, enough to truncate a near-boundary
+        // nanosecond into the wrong second vs DuckDB's exact floor(epoch(ts)).
+        // Spark `div` truncates toward zero; DuckDB `//` floors — identical
+        // ONLY because ts_ns ≥ 0 (post-1970 data). Pre-epoch timestamps
+        // would diverge by one at every div site downstream (day buckets,
+        // window starts) — see the QueryDef parity-rules note.
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    case TimestampType | TimestampNTZType =>
+      // NTZ→TS cast interprets the wall clock in the session timezone; every
+      // graft session pins UTC, so the cast is the identity on the instant
+      // DuckDB's epoch(ts) computes. unix_micros × 1000 keeps ts_ns a
+      // BIGINT with the same ordering as DuckDB's `ORDER BY ts`.
+      raw
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+    case other =>
+      throw new IllegalStateException(s"events.ts: unsupported type $other")
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
 }
 
 /** Decimal-bridged arithmetic shared by Spark queries and their DuckDB

@@ -31,11 +31,10 @@ object StreamQueries {
     val dir = java.nio.file.Files.createTempDirectory("graft_q94_src")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val df = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val df = graft.relational.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
     (df, dir)
   }
 
