@@ -424,6 +424,37 @@ object Dedup {
       .drop("label")
   }
 
+  /** Quality-aware cluster representative selection — the step real dedup
+    * pipelines run after [[canonicalize]]: keep the BEST copy of each
+    * near-dup cluster, not the arbitrary minimum id (the min-id keeper
+    * throws away the highest-quality duplicate whenever it isn't the
+    * oldest). `canon` is [[canonicalize]]'s (id, canonical_id, …) output;
+    * `scored` carries (id, `scoreCol`). The representative is the
+    * cluster's max-score row, ties broken by minimum id — computed as a
+    * lexicographic struct-min hash aggregate, NOT a per-cluster window:
+    * min(struct(-score, id)) partial-aggregates map-side, so a pathological
+    * million-doc boilerplate cluster costs one combiner row per task
+    * instead of a single-partition window sort.
+    *
+    * Output: one row per input id — (`idCol`, canonical_id, `scoreCol`,
+    * rep_id, is_rep).
+    */
+  def selectRepresentatives(
+      canon: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val j = canon.select(col(idCol), col("canonical_id"))
+      .join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val reps = j
+      .groupBy("canonical_id")
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("m"))
+      .select(col("canonical_id"), col("m.id").as("rep_id"))
+    j.join(reps, Seq("canonical_id"))
+      .withColumn("is_rep",
+        when(col(idCol) === col("rep_id"), 1L).otherwise(0L))
+      .select(col(idCol), col("canonical_id"), col(scoreCol),
+        col("rep_id"), col("is_rep"))
+  }
+
   /** 64-bit SimHash fingerprint per row, as a pure per-row expression:
     * per-bit majority vote over xxhash64 of distinct tokens. SQL-expr form
     * because `shiftleft` with a *column* shift amount has no Scala

@@ -291,6 +291,70 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The keeper-selection step real dedup pipelines run after q52: keep
+    * each near-dup cluster's BEST copy by quality score, not its minimum
+    * id ([[Dedup.selectRepresentatives]] — a lexicographic struct-min hash
+    * aggregate, so a million-doc boilerplate cluster costs map-side
+    * combiner rows, not a single-partition window sort). Components and
+    * quality both reuse their oracled kernels (q52's star-edge components,
+    * q26's 0–3 score); the oracle replays the same fixpoint + a
+    * per-cluster (quality DESC, doc_id) rank — identical keeper by
+    * construction, so the row also pins the struct-min ≡ window-rank
+    * equivalence.
+    */
+  val q123_neardup_representative: QueryDef = q(
+    "q123_neardup_representative",
+    "WITH RECURSIVE " + shinglesSql.stripPrefix("WITH ") +
+      """,
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS a, id_b AS b FROM cand
+        |      UNION SELECT id_b, id_a FROM cand),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM r GROUP BY a),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(length(regexp_extract_all(text, '[.,!?]')) AS BIGINT) * 10
+        |               <= CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS quality
+        |  FROM documents),
+        |base AS (
+        |  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id, q.quality
+        |  FROM documents d
+        |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |  JOIN qual q ON q.doc_id = d.doc_id),
+        |rep AS (
+        |  SELECT canonical_id, doc_id AS rep_id FROM (
+        |    SELECT canonical_id, doc_id,
+        |      row_number() OVER (PARTITION BY canonical_id
+        |                         ORDER BY quality DESC, doc_id) AS rn
+        |    FROM base) t
+        |  WHERE rn = 1)
+        |SELECT b.doc_id, b.canonical_id, b.quality, rep.rep_id,
+        |  CAST(CASE WHEN b.doc_id = rep.rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+        |FROM base b JOIN rep USING (canonical_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "Near-dup keeper selection: components (q52) + quality (q26) → " +
+      "best-copy representative per cluster, min-id tiebreak") { (s, d) =>
+    val canon = Dedup.canonicalize(
+      Tables.documents(s, d).select("doc_id"), "doc_id", starEdges(s, d))
+    val scored = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    Dedup.selectRepresentatives(canon, scored, "doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:
     * hex → bigint via conv/strtol-equivalents on both engines).
     */
@@ -598,5 +662,5 @@ object DedupQueries {
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
     q88_fuzzy_names, q92_repeated_windows, q97_containment,
-    q106_repeated_removal)
+    q106_repeated_removal, q123_neardup_representative)
 }

@@ -574,6 +574,45 @@ object Similarity {
       .select("q_id", "id", "rnk", "cosine")
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dims with a Rademacher
+    * (±1) matrix — the standard cheap dimensionality reduction in front of
+    * clustering / ANN indexing (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances in expectation exactly like Gaussian entries, and
+    * need no float matrix at all). The sign for (input dim i, output dim j)
+    * derives from the parity of the first md5 hex digit of "i_j", so the
+    * projection matrix is a pure expression both engines can materialize
+    * bit-identically — no driver-side randomness, no broadcast state.
+    *
+    * Scale shape: one posexplode pass, then a single hash aggregate with
+    * `k` map-side-combinable integer sums — shuffle volume is k partials
+    * per vector regardless of input dim. No window, no join.
+    *
+    * Outputs micro-unit BIGINT coordinates (`p{j}_micro` = Σ ±round(x·10⁶)):
+    * inputs are quantized by the q54 floor-shift (floor is bit-identical
+    * across engines; a DECIMAL(28,12) bridge is NOT — Spark's
+    * double→decimal cast rounds the shortest string form while DuckDB
+    * rounds the exact binary value, and at scale 12 the two disagree by
+    * one ulp often enough to fail a 500-vector corpus), and integer sums
+    * are exact under any partial-aggregation order. For JL the 1e-6 input
+    * quantization is semantically free — distances move by O(dim·1e-6).
+    */
+  def randomProjection(
+      df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val ex = df
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("i0", "x")))
+      // 1-based position: matches DuckDB's generate_subscripts
+      .select(col(idCol), (col("i0") + 1).cast(StringType).as("i"),
+        floor(col("x").cast(DoubleType) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("xm"))
+    val projs = (0 until k).map { j =>
+      val sign = when(
+        conv(substring(md5(concat(col("i"), lit(s"_$j"))), 1, 1), 16, 10)
+          .cast(LongType) % 2 === 1, lit(1L)).otherwise(lit(-1L))
+      sum(col("xm") * sign).cast(LongType).as(s"p${j}_micro")
+    }
+    ex.groupBy(col(idCol)).agg(projs.head, projs.tail: _*)
+  }
+
   /** SemDeDup-shaped semantic dedup, scale path: connected components over
     * [[annNearDupPairs]] (sign-LSH blocked, optional bucket cap), each
     * component keeping its minimum id. Returns (`idCol`, `canonical_id`,

@@ -539,8 +539,46 @@ object SimilarityQueries {
     "IVF-PQ residual codes: shared coarse quantizer routes each vector, " +
       "PQ codes the residual — value-oracled across the full composition")
 
+  /** [[Similarity.randomProjection]] — JL/Rademacher projection to 8 dims.
+    * The oracle materializes the identical ±1 matrix from md5 parity and
+    * runs the same floor-quantized integer sums, so every projected
+    * coordinate is value-checked (not digested) with ZERO float tolerance.
+    * One corpus pass, k map-side-combinable sums, no join — the cheapest
+    * preprocessing stage in the ANN family.
+    */
+  val q124_random_projection: QueryDef = {
+    val k = 8
+    val signCols = (0 until k).map { j =>
+      s"""    CASE WHEN CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '_$j'), 1, 1)) AS BIGINT) % 2 = 1
+         |         THEN 1 ELSE -1 END AS s$j""".stripMargin
+    }.mkString(",\n")
+    val projCols = (0 until k).map { j =>
+      s"  CAST(SUM(xm * s$j) AS BIGINT) AS p${j}_micro"
+    }.mkString(",\n")
+    QueryDef(
+      "q124_random_projection",
+      (s, d) => Similarity.randomProjection(
+        Tables.embeddings(s, d), "vec_id", "embedding", k).orderBy("vec_id"),
+      Some(
+        s"""WITH ex AS (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * CAST(1000000 AS DOUBLE)
+           |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xm
+           |  FROM embeddings),
+           |sg AS (
+           |  SELECT vec_id, xm,
+           |$signCols
+           |  FROM ex)
+           |SELECT vec_id,
+           |$projCols
+           |FROM sg GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      "Johnson-Lindenstrauss Rademacher projection to 8 dims (md5-parity " +
+        "sign matrix, floor-quantized integer sums) — per-coordinate " +
+        "value oracle, zero float tolerance")
+  }
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
-    q119_pq_adc_recall, q120_ivfpq_codes)
+    q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection)
 }

@@ -1162,4 +1162,46 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a.toSet != c.toSet)
   }
+
+  test("selectRepresentatives: best quality wins, min-id tiebreak, singletons") {
+    // cluster 1 = {1,2,3} (rep: 2, highest quality); cluster 10 = {10,11}
+    // (quality tie -> min id 10); 99 unpaired (its own rep)
+    val canon = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (99L, 99L)).toDF("doc_id", "canonical_id")
+    val scored = Seq((1L, 1L), (2L, 3L), (3L, 2L), (10L, 2L), (11L, 2L),
+      (99L, 0L)).toDF("doc_id", "quality")
+    val out = Dedup.selectRepresentatives(canon, scored, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 0L),
+      (10L, 10L, 1L), (11L, 10L, 0L),
+      (99L, 99L, 1L)))
+  }
+
+  test("randomProjection: dim-wise sign consistency and partition invariance") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, -0.25f, 2.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+    assert(p.schema.fields.count(_.name.startsWith("p")) == 4)
+    assert(p.schema("p0_micro").dataType == LongType)
+    val m = p.collect().map(r => r.getLong(0) ->
+      (1 to 4).map(r.getLong).toVector).toMap
+    // e1 and e2 project to the per-dimension sign rows; their projection
+    // sums must be exactly +-1e6, and linearity must hold exactly:
+    // proj(e1 + e2) = proj(e1) + proj(e2) in integer micro-units
+    assert(m(1L).forall(v => v == 1000000L || v == -1000000L))
+    assert(m(2L).forall(v => v == 1000000L || v == -1000000L))
+    assert(m(3L) == m(1L).zip(m(2L)).map { case (a, b) => a + b })
+    // partition layout must not change any coordinate (integer sums)
+    val p2 = Similarity.randomProjection(
+      df.repartition(7), "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toVector)
+      .toMap
+    assert(p2 == m)
+  }
 }
