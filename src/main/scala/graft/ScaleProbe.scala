@@ -80,6 +80,26 @@ object ScaleProbe {
     probeDocs("docs", "1x", base, nBase)
     probeDocs("docs", s"${mult}x+cluster", big, nBig)
 
+    // q123: representative selection where the boilerplate cluster is ONE
+    // `inject`-doc component — the keeper argmax's worst key. The struct-min
+    // aggregate partial-combines map-side, so the hot component costs one
+    // combiner row per task, never a single-partition window sort; `rows` =
+    // clusters (must track distinct components, not docs).
+    def probeReps(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time {
+        val canon = ops.Dedup.canonicalize(
+          docs.select("doc_id"), "doc_id",
+          ops.Dedup.minhashStarEdges(docs, "doc_id", "text"))
+        val scored = docs.select(col("doc_id"),
+          ops.TextAnalysis.qualityScore(col("text")).as("quality"))
+        ops.Dedup.selectRepresentatives(canon, scored, "doc_id", "quality")
+          .filter(col("is_rep") === 1L).count()
+      }
+      emit("q123_representatives", scale, n, t, rows)
+    }
+    probeReps("1x", base, nBase)
+    probeReps(s"${mult}x+cluster (one giant component)", big, nBig)
+
     // q92: repeated-window detection on the same corpora — the boilerplate
     // cluster makes its windows corpus-frequency ~inject, the worst case
     // for the frequency aggregate
@@ -244,6 +264,17 @@ object ScaleProbe {
     }
     probeIvfPq("1x", emb, nEmb)
     probeIvfPq(s"${mult}x duplicate mass", embBig, nEmbBig)
+
+    // q124: JL projection under the same duplicate mass — a single hash
+    // aggregate with k integer sums; cost must stay linear in rows and
+    // the output one row per vector (shuffle volume k partials/vector
+    // regardless of dim or duplication).
+    val (r124a, t124a) = time(ops.Similarity.randomProjection(
+      emb, "vec_id", "embedding", k = 8).count())
+    emit("q124_random_projection", "1x", nEmb, t124a, r124a)
+    val (r124b, t124b) = time(ops.Similarity.randomProjection(
+      embBig, "vec_id", "embedding", k = 8).count())
+    emit("q124_random_projection", s"${mult}x duplicate mass", nEmbBig, t124b, r124b)
 
     // q88: fuzzy matching on a name table with one pathological variant
     // bucket (all `inject` cluster "names" are near-identical strings)

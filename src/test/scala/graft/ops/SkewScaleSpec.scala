@@ -275,6 +275,31 @@ class SkewScaleSpec extends SparkSpec {
     assert(out.filter(_.getLong(0) >= 10000L).forall(_.getAs[Long]("is_blocked") == 0L))
   }
 
+  test("selectRepresentatives: one giant component resolves without a window sort") {
+    // 5000-doc component (the boilerplate-cluster shape) + 100 singletons.
+    // The keeper must be the unique max-quality doc; the plan must contain
+    // NO Window node — the struct-min hash aggregate is the whole point
+    // (a per-cluster window would sort the hot component in one partition).
+    val n = 5000
+    val canon = ((0 until n).map(i => (i.toLong, 0L)) ++
+      (0 until 100).map(i => (100000L + i, 100000L + i)))
+      .toDF("doc_id", "canonical_id")
+    // quality 0..4 cycling; doc 4 is the smallest id holding the max (4)
+    val scored = ((0 until n).map(i => (i.toLong, (i % 5).toLong)) ++
+      (0 until 100).map(i => (100000L + i, 1L))).toDF("doc_id", "quality")
+    val out = Dedup.selectRepresentatives(canon, scored, "doc_id", "quality")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "representative argmax must be an aggregate, not a window sort")
+    val rows = out.collect()
+    assert(rows.length == n + 100, "one row per input doc")
+    val cluster = rows.filter(_.getLong(1) == 0L)
+    assert(cluster.forall(_.getAs[Long]("rep_id") == 4L),
+      "max quality wins, min id breaks the tie")
+    assert(cluster.count(_.getAs[Long]("is_rep") == 1L) == 1)
+    assert(rows.filter(_.getLong(1) != 0L)
+      .forall(r => r.getAs[Long]("rep_id") == r.getLong(0)))
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
