@@ -455,6 +455,29 @@ object Dedup {
         col("rep_id"), col("is_rep"))
   }
 
+  /** Corpus snapshot diff — the CDC step a recrawl/refresh pipeline runs
+    * between corpus versions: classify every id as added / removed /
+    * changed / unchanged by content hash. Presence is tracked with marker
+    * columns (not hash-null-ness) so a null payload cannot misclassify a
+    * row. One md5 projection per side + one full-outer hash join on the
+    * id — both sides shuffle-partition on the same key, linear at any
+    * corpus size, no window.
+    */
+  def snapshotDiff(
+      old: DataFrame, neu: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val o = old.select(col(idCol), md5(col(payloadCol)).as("_oh"),
+      lit(1).as("_op"))
+    val n = neu.select(col(idCol), md5(col(payloadCol)).as("_nh"),
+      lit(1).as("_np"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_op").isNull, "added")
+          .when(col("_np").isNull, "removed")
+          .when(col("_oh") <=> col("_nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** 64-bit SimHash fingerprint per row, as a pure per-row expression:
     * per-bit majority vote over xxhash64 of distinct tokens. SQL-expr form
     * because `shiftleft` with a *column* shift amount has no Scala

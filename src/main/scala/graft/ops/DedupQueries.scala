@@ -355,6 +355,44 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** [[Dedup.snapshotDiff]] over a simulated recrawl of the documents
+    * corpus: ids ≡3 (mod 10) vanish, ids ≡7 get re-extracted with extra
+    * content, ids ≡0 spawn brand-new pages. The oracle builds the
+    * identical snapshots and replays the classification through a full
+    * outer join — every (id, status) row value-checked.
+    */
+  val q126_snapshot_diff: QueryDef = q(
+    "q126_snapshot_diff",
+    """WITH oh AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |neu AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    'new page ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |nh AS (SELECT doc_id, md5(text) AS h FROM neu)
+      |SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+      |  CASE WHEN oh.doc_id IS NULL THEN 'added'
+      |       WHEN nh.doc_id IS NULL THEN 'removed'
+      |       WHEN oh.h = nh.h THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+      |ORDER BY doc_id""".stripMargin,
+    "Corpus snapshot diff (recrawl CDC): added/removed/changed/unchanged " +
+      "by content hash, one full-outer hash join") { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val neu = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new page "), col("doc_id").cast(StringType)).as("text")))
+    Dedup.snapshotDiff(docs, neu, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:
     * hex → bigint via conv/strtol-equivalents on both engines).
     */
@@ -662,5 +700,5 @@ object DedupQueries {
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
     q88_fuzzy_names, q92_repeated_windows, q97_containment,
-    q106_repeated_removal, q123_neardup_representative)
+    q106_repeated_removal, q123_neardup_representative, q126_snapshot_diff)
 }

@@ -484,9 +484,46 @@ object TextQueries {
     TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
   }
 
+  /** Unicode NFC normalization via the native `graft_nfc` expression
+    * (graft.functions.NfcNormalize — the third custom codegen expression):
+    * decomposed sequences must hash identically to their precomposed
+    * forms before any dedup/fingerprint stage. The corpus text is ASCII,
+    * where NFC is the identity, so each doc gets a mixed-form suffix
+    * appended IN THE QUERY — "e"+U+0301, "o"+U+0308 (decomposed) and
+    * U+00E9 (precomposed) — making the normalization observable: length
+    * shrinks by exactly the two combining marks and the md5 is taken over
+    * composed UTF-8 in both engines (DuckDB runs its own
+    * `nfc_normalize`, so the oracle checks real cross-engine Unicode
+    * agreement, not a replayed formula).
+    */
+  val q125_nfc_normalize: QueryDef = q(
+    "q125_nfc_normalize",
+    """SELECT doc_id,
+      |  CAST(length(t) AS BIGINT) AS n_before,
+      |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+      |  md5(nfc_normalize(t)) AS norm_hash
+      |FROM (SELECT doc_id,
+      |        text || ' mixed:e' || chr(769) || 'o' || chr(776) || chr(233) AS t
+      |      FROM documents) x
+      |ORDER BY doc_id""".stripMargin,
+    "Unicode NFC normalization (native graft_nfc codegen expression) — " +
+      "decomposed/precomposed forms converge, cross-engine value oracle") {
+    (s, d) =>
+      org.apache.spark.sql.GraftRegistrar.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" mixed:e\u0301o\u0308\u00e9")).as("t"))
+        .select(col("doc_id"),
+          length(col("t")).cast(LongType).as("n_before"),
+          length(expr("graft_nfc(t)")).cast(LongType).as("n_after"),
+          md5(expr("graft_nfc(t)")).as("norm_hash"))
+        .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
-    q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts)
+    q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts,
+    q125_nfc_normalize)
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, NfcNormalize}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -18,6 +18,10 @@ object GraftRegistrar {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
     // experimental.* are the public post-creation hooks for optimizer
     // rules and planner strategies (extensions only apply at builder time)
     if (!classic.experimental.extraOptimizations.contains(graft.functions.RewriteDotProduct))

@@ -1178,6 +1178,17 @@ class OpsSpec extends SparkSpec {
       (99L, 99L, 1L)))
   }
 
+  test("snapshotDiff: all four statuses, null payload never misclassifies") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Dedup.snapshotDiff(old, neu, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
   test("randomProjection: dim-wise sign consistency and partition invariance") {
     import org.apache.spark.sql.types._
     val rows = Seq(
