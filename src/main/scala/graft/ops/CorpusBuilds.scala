@@ -56,5 +56,19 @@ object CorpusBuilds {
         "id", "emb", k, iters)
     }
 
+  /** q52's md5-banded near-dup canonical keep/drop set over the documents
+    * table (star edges → connected-components fixpoint → canonicalize),
+    * shared by q52 and q123's keeper selection — the component resolution
+    * is the expensive part of both, and it is deterministic, so sharing
+    * cannot change any oracle value. At 100 TB this IS the materialized
+    * dedup manifest every downstream stage joins against.
+    */
+  def documentsCanonical(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"neardup_canonical|$dir") {
+      Dedup.canonicalize(
+        graft.relational.Tables.documents(s, dir).select("doc_id"),
+        "doc_id", DedupQueries.starEdges(s, dir))
+    }
+
   private[graft] def clear(): Unit = cache.clear()
 }

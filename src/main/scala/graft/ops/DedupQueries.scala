@@ -241,7 +241,7 @@ object DedupQueries {
     * are the NORM in the data this resolves). No cap: connectivity must
     * not be dropped, and star edges make dropping unnecessary.
     */
-  private def starEdges(s: SparkSession, d: String): DataFrame =
+  private[ops] def starEdges(s: SparkSession, d: String): DataFrame =
     bandedBuckets(s, d)
       .withColumn("_root",
         min(col("doc_id")).over(Window.partitionBy("band", "bucket")))
@@ -284,9 +284,9 @@ object DedupQueries {
         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "Near-dup cluster resolution: LSH star edges → connected components → " +
-      "canonical keep/drop set") { (s, d) =>
-    Dedup.canonicalize(
-        Tables.documents(s, d).select("doc_id"), "doc_id", starEdges(s, d))
+      "canonical keep/drop set (shared CorpusBuilds artifact, reused by " +
+      "q123)") { (s, d) =>
+    CorpusBuilds.documentsCanonical(s, d)
       .select("doc_id", "canonical_id", "is_keep")
       .orderBy("doc_id")
   }
@@ -345,13 +345,13 @@ object DedupQueries {
         |  CAST(CASE WHEN b.doc_id = rep.rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
         |FROM base b JOIN rep USING (canonical_id)
         |ORDER BY b.doc_id""".stripMargin,
-    "Near-dup keeper selection: components (q52) + quality (q26) → " +
-      "best-copy representative per cluster, min-id tiebreak") { (s, d) =>
-    val canon = Dedup.canonicalize(
-      Tables.documents(s, d).select("doc_id"), "doc_id", starEdges(s, d))
+    "Near-dup keeper selection: components (q52, shared CorpusBuilds " +
+      "artifact) + quality (q26) → best-copy representative per cluster, " +
+      "min-id tiebreak") { (s, d) =>
     val scored = Tables.documents(s, d).select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
-    Dedup.selectRepresentatives(canon, scored, "doc_id", "quality")
+    Dedup.selectRepresentatives(
+        CorpusBuilds.documentsCanonical(s, d), scored, "doc_id", "quality")
       .orderBy("doc_id")
   }
 
