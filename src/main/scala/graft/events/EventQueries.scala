@@ -80,16 +80,22 @@ object EventQueries {
     * early exit oracle-safe.
     */
   private def kcoreRoundSql(rounds: Int): String =
+    // AS MATERIALIZED on every multiply-referenced generation: each e$t
+    // reads alive{t-1} twice and each deg$t reads e$t twice, so an
+    // inlining planner re-evaluates the base window-over-events 4^t times
+    // — at sf0.1 the un-hinted form spilled >70 GB of DuckDB temp before
+    // dying. Materialization makes the oracle linear in rounds (the
+    // engine side always was: each round's frames are checkpointed).
     (1 to rounds).map { t =>
-      s"""e$t AS (
+      s"""e$t AS MATERIALIZED (
          |  SELECT e.a, e.b FROM e
          |  JOIN alive${t - 1} x ON x.v = e.a
          |  JOIN alive${t - 1} y ON y.v = e.b),
-         |deg$t AS (
+         |deg$t AS MATERIALIZED (
          |  SELECT v, count(*) AS cnt
          |  FROM (SELECT a AS v FROM e$t UNION ALL SELECT b AS v FROM e$t)
          |  GROUP BY v),
-         |alive$t AS (SELECT v FROM deg$t WHERE cnt >= (SELECT k FROM kp))""".stripMargin
+         |alive$t AS MATERIALIZED (SELECT v FROM deg$t WHERE cnt >= (SELECT k FROM kp))""".stripMargin
     }.mkString(",\n")
 
   val q10_window_lag: QueryDef = q(
@@ -453,13 +459,13 @@ object EventQueries {
     "q121_kcore",
     edgesSql +
       s""",
-        |e AS (SELECT a, b FROM we),
-        |deg0 AS (
+        |e AS MATERIALIZED (SELECT a, b FROM we),
+        |deg0 AS MATERIALIZED (
         |  SELECT v, count(*) AS cnt
         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
         |  GROUP BY v),
-        |kp AS (SELECT CAST((SUM(cnt) // COUNT(*)) + 1 AS BIGINT) AS k FROM deg0),
-        |alive0 AS (SELECT v FROM deg0),
+        |kp AS MATERIALIZED (SELECT CAST((SUM(cnt) // COUNT(*)) + 1 AS BIGINT) AS k FROM deg0),
+        |alive0 AS MATERIALIZED (SELECT v FROM deg0),
         |${kcoreRoundSql(5)}
         |SELECT d.v AS user_id,
         |  CAST(CASE
