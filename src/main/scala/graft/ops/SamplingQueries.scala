@@ -512,8 +512,35 @@ object SamplingQueries {
       "per-stratum keep target via exact integer sqrt, hash-ranked kept " +
       "set pinned by digest")
 
+  /** [[Sampling.dupLeakageMatrix]] — the pairwise companion to q103:
+    * which source PAIRS share content. Keyed on the 80-char lede hash
+    * (the mirror/syndication signal: the corpus has zero cross-source
+    * FULL-text dups but 21 shared ledes at sf0.01, so this fingerprint
+    * is the one that yields a live gate). Every (src_a, src_b, count)
+    * cell value-checked; the oracle runs the same
+    * distinct-(fingerprint, source) self-join.
+    */
+  val q127_dup_leakage_matrix: QueryDef = QueryDef(
+    "q127_dup_leakage_matrix",
+    (s, d) => Sampling.dupLeakageMatrix(Tables.documents(s, d),
+        md5(substring(col("text"), 1, 80)), "source")
+      .select(col("src_a"), col("src_b"),
+        col("n_shared_contents").cast(LongType).as("n_shared_contents"))
+      .orderBy("src_a", "src_b"),
+    Some("""WITH hs AS (
+      |  SELECT DISTINCT md5(substr(text, 1, 80)) AS h, source AS s FROM documents)
+      |SELECT a.s AS src_a, b.s AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.s < b.s
+      |GROUP BY 1, 2
+      |ORDER BY src_a, src_b""".stripMargin),
+    "Cross-source duplication leakage matrix on the 80-char lede hash: " +
+      "which source pairs share content (distinct (fingerprint, source) " +
+      "self-join — pair space bounded by source count, never copy count)")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,
-    q117_url_canonical_dedup, q122_blocklist_filter)
+    q117_url_canonical_dedup, q122_blocklist_filter,
+    q127_dup_leakage_matrix)
 }

@@ -1178,6 +1178,20 @@ class OpsSpec extends SparkSpec {
       (99L, 99L, 1L)))
   }
 
+  test("dupLeakageMatrix: pair space tracks sources, not copy count") {
+    // "shared" appears in 3 sources with MANY copies each -> exactly the
+    // 3 source pairs, each counted once; "solo" in one source -> no rows
+    val docs = ((1 to 100).map(i => (s"a$i", "shared", "srcA")) ++
+      (1 to 100).map(i => (s"b$i", "shared", "srcB")) ++
+      (1 to 100).map(i => (s"c$i", "shared", "srcC")) ++
+      (1 to 50).map(i => (s"d$i", "solo", "srcA")))
+      .toDF("id", "text", "source")
+    val out = Sampling.dupLeakageMatrix(docs, md5(col("text")), "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("srcA", "srcB", 1L), ("srcA", "srcC", 1L),
+      ("srcB", "srcC", 1L)))
+  }
+
   test("snapshotDiff: all four statuses, null payload never misclassifies") {
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
       (5L, null.asInstanceOf[String])).toDF("id", "text")
