@@ -100,6 +100,36 @@ object ScaleProbe {
     probeReps("1x", base, nBase)
     probeReps(s"${mult}x+cluster (one giant component)", big, nBig)
 
+    // q126: snapshot diff where the "recrawl" is the pathological corpus
+    // vs itself with the boilerplate cluster flipped — one full-outer
+    // hash join on id; cost must stay linear in rows, output one row per
+    // id. `rows` = non-unchanged ids (~cluster size).
+    def probeDiff(scale: String, docs: DataFrame, n: Long): Unit = {
+      val neu = docs.select(col("doc_id"),
+        when(col("doc_id") >= 900000000L, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      val (rows, t) = time(ops.Dedup.snapshotDiff(docs, neu, "doc_id", "text")
+        .filter(col("status") =!= "unchanged").count())
+      emit("q126_snapshot_diff", scale, n, t, rows)
+    }
+    probeDiff("1x", base, nBase)
+    probeDiff(s"${mult}x+cluster (cluster rewritten)", big, nBig)
+
+    // q127: leakage matrix where the boilerplate cluster gives ONE lede
+    // hash `inject` copies across 3 synthetic sources — the hot
+    // fingerprint. The distinct pass collapses copies before the self
+    // join, so the hot key contributes 3 rows to the pair space, never
+    // inject²; `rows` = matrix cells.
+    def probeLeak(scale: String, docs: DataFrame, n: Long): Unit = {
+      val sourced = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 3).cast("string")))
+      val (rows, t) = time(ops.Sampling.dupLeakageMatrix(
+        sourced, md5(substring(col("text"), 1, 80)), "source").count())
+      emit("q127_leakage_cells", scale, n, t, rows)
+    }
+    probeLeak("1x", base, nBase)
+    probeLeak(s"${mult}x+cluster (one hot lede x3 sources)", big, nBig)
+
     // q92: repeated-window detection on the same corpora — the boilerplate
     // cluster makes its windows corpus-frequency ~inject, the worst case
     // for the frequency aggregate
