@@ -379,7 +379,7 @@ object DedupQueries {
       |       WHEN oh.h = nh.h THEN 'unchanged'
       |       ELSE 'changed' END AS status
       |FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
-      |ORDER BY doc_id""".stripMargin,
+      |ORDER BY doc_id, status""".stripMargin,
     "Corpus snapshot diff (recrawl CDC): added/removed/changed/unchanged " +
       "by content hash, one full-outer hash join") { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -390,7 +390,10 @@ object DedupQueries {
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("new page "), col("doc_id").cast(StringType)).as("text")))
-    Dedup.snapshotDiff(docs, neu, "doc_id", "text").orderBy("doc_id")
+    // secondary status key: the synthetic 'added' ids (doc_id + 10^6)
+    // could collide with real ids at a large enough generation, making
+    // the doc_id ORDER BY tie-ambiguous across engines
+    Dedup.snapshotDiff(docs, neu, "doc_id", "text").orderBy("doc_id", "status")
   }
 
   /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:

@@ -149,31 +149,6 @@ object Sampling {
     * text set; nothing touches the driver, everything is exact integer
     * arithmetic so the oracle replays it with zero tolerance.
     */
-  /** Cross-source duplication leakage MATRIX — which source pairs share
-    * identical content, and how much. q103 reports per-source dup rates
-    * and a total leakage number; curators triaging a mixture also need
-    * the pairwise view ("is source A scraping source B?"). `fingerprint`
-    * is any per-doc content key — full-text md5 for exact leakage, a lede
-    * (prefix) hash for mirror/syndication detection, a minhash band for
-    * near-dup leakage. Shape: one hash-distinct of (fingerprint, source)
-    * — map-side combined, the frame is at most |corpus| rows — then a
-    * self-equi-join on the fingerprint. The join is NOT quadratic in
-    * corpus size: a fingerprint shared by s sources yields s·(s-1)/2
-    * rows, and s is bounded by the source count (single digits), not the
-    * copy count — a million copies of one page across 3 sources is still
-    * 3 rows into the join.
-    */
-  def dupLeakageMatrix(df: DataFrame, fingerprint: Column,
-      sourceCol: String): DataFrame = {
-    val hs = df.select(fingerprint.as("h"), col(sourceCol).as("s"))
-      .distinct()
-    val a = hs.select(col("h"), col("s").as("src_a"))
-    val b = hs.select(col("h").as("h_b"), col("s").as("src_b"))
-    a.join(b, col("h") === col("h_b") && col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("n_shared_contents"))
-  }
-
   def sourceCuration(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, maxDupPpm: Long = 300000,
       minAvgTokens: Long = 5): DataFrame = {
@@ -200,6 +175,31 @@ object Sampling {
         when(col("dup_ppm") <= maxDupPpm &&
             col("avg_tokens_ppm") >= minAvgTokens * 1000000L, 1L)
           .otherwise(0L))
+  }
+
+  /** Cross-source duplication leakage MATRIX — which source pairs share
+    * identical content, and how much. q103 reports per-source dup rates
+    * and a total leakage number; curators triaging a mixture also need
+    * the pairwise view ("is source A scraping source B?"). `fingerprint`
+    * is any per-doc content key — full-text md5 for exact leakage, a lede
+    * (prefix) hash for mirror/syndication detection, a minhash band for
+    * near-dup leakage. Shape: one hash-distinct of (fingerprint, source)
+    * — map-side combined, the frame is at most |corpus| rows — then a
+    * self-equi-join on the fingerprint. The join is NOT quadratic in
+    * corpus size: a fingerprint shared by s sources yields s·(s-1)/2
+    * rows, and s is bounded by the source count (single digits), not the
+    * copy count — a million copies of one page across 3 sources is still
+    * 3 rows into the join.
+    */
+  def dupLeakageMatrix(df: DataFrame, fingerprint: Column,
+      sourceCol: String): DataFrame = {
+    val hs = df.select(fingerprint.as("h"), col(sourceCol).as("s"))
+      .distinct()
+    val a = hs.select(col("h"), col("s").as("src_a"))
+    val b = hs.select(col("h").as("h_b"), col("s").as("src_b"))
+    a.join(b, col("h") === col("h_b") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_contents"))
   }
 
   /** Exact integer sqrt of a non-negative BIGINT column: hardware sqrt

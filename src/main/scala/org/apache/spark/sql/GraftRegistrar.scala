@@ -14,14 +14,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftRegistrar {
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProductF(children(0), children(1)))
-    classic.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_nfc"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (children: Seq[Expression]) => NfcNormalize(children.head))
+    // functionExists guards keep repeat register() calls (every query run
+    // routes through here) from spamming "replaced a previously registered
+    // function" WARNs into bench/verify logs
+    if (!classic.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_dot")))
+      classic.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProductF(children(0), children(1)))
+    if (!classic.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_nfc")))
+      classic.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (children: Seq[Expression]) => NfcNormalize(children.head))
     // experimental.* are the public post-creation hooks for optimizer
     // rules and planner strategies (extensions only apply at builder time)
     if (!classic.experimental.extraOptimizations.contains(graft.functions.RewriteDotProduct))
