@@ -94,6 +94,93 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** FULL BPE vocabulary induction (Sennrich et al. 2016 algorithm 1):
+    * iterate select-top-pair → merge → recount for `nMerges` rounds and
+    * return one row per round — the merge rule (a, b), its
+    * frequency-weighted count, and the post-merge vocab state
+    * (`n_symbols` = distinct symbols, `n_tokens` = Σ f·|syms|). This is
+    * the trainer that [[bpePairCounts]] is the first step of.
+    *
+    * Merge semantics are the textbook greedy left-to-right single pass:
+    * in a run of equal symbols `[a,a,a]` merging (a,a) yields `[aa,a]`,
+    * and a symbol produced by this round's merge never re-merges in the
+    * same round. The engine implements it as a row-local array fold
+    * (`aggregate` with an append-or-replace-last step); the DuckDB
+    * oracle replays the identical fold via `list_reduce` — both are
+    * exactly the greedy pass, so counts match bit-for-bit.
+    *
+    * Scale shape: the corpus is touched ONCE (word-frequency hash
+    * aggregate); every round after that runs over the DISTINCT-WORD
+    * table — vocabulary-sized, not corpus-sized. Each round is 3 jobs
+    * on that small frame: a pair-count topK (map-side combined, pair
+    * space is vocab-alphabet-sized), the merge fold + localCheckpoint
+    * (keeps the re-segmentation lineage O(1) across rounds — the
+    * [[Graph.iterate]] cadence lesson), and one stats aggregate. The
+    * top pair itself is a 1-row driver fetch per round — inherent to
+    * the algorithm (the next round's fold is BUILT from it) and
+    * vocab-bounded, the same driver-scalar class as a convergence
+    * check. At 100 TB the trillion-token corpus collapses to a few
+    * million (word, f) rows before any per-round work happens.
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words0 = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .localCheckpoint()
+    var words = words0
+    var prev = words0
+    val stats = Seq.newBuilder[(Long, String, String, Long, Long, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      r += 1
+      val top = words
+        .select(col("f"),
+          explode(when(size(col("syms")) < 2,
+            array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "named_struct('a', element_at(syms, i), " +
+                "'b', element_at(syms, i + 1)))"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").cast(LongType).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        words = words.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+            // get() is 0-based and null-safe: on an empty accumulator the
+            // comparison is NULL -> falls to the append branch
+            val last = get(acc, size(acc) - 1)
+            when(last === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(last, x))))
+              .otherwise(concat(acc, array(x)))
+          })).localCheckpoint()
+        prev.unpersist(blocking = false)
+        prev = words
+        val st = words.select(col("f"), explode(col("syms")).as("sym"))
+          .agg(sum("f").cast(LongType).as("n_tokens"),
+            countDistinct("sym").cast(LongType).as("n_symbols"))
+          .head()
+        stats += ((r.toLong, a, b, cnt, st.getLong(1), st.getLong(0)))
+      }
+    }
+    words.unpersist(blocking = false)
+    stats.result().toDF(
+      "merge_round", "a", "b", "pair_cnt", "n_symbols", "n_tokens")
+  }
+
   /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics,
     * adapted to the whitespace tokenizer): per-document rule flags plus
     * the combined keep decision. Unlike q56's signal computation (which

@@ -484,6 +484,68 @@ object TextQueries {
     TextAnalysis.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
   }
 
+  /** Unrolled BPE training rounds for the q128 oracle: each round r
+    * materializes pair counts over the round-(r-1) segmentation, the
+    * top-1 pair (cnt DESC, then pair — bit-identical to the engine's
+    * ordering on ASCII), the re-segmented vocab via the same greedy
+    * left-to-right `list_reduce` fold the engine runs (DuckDB list
+    * slicing is inclusive at the negative end, hence `acc[:len(acc)-1]`),
+    * and a 1-row stats frame. AS MATERIALIZED on s$r and t$r: s$r is
+    * read by pc$(r+1), s$(r+1) AND two stat subqueries — an inlining
+    * planner would re-run the fold chain exponentially (the q121
+    * lesson).
+    */
+  private def bpeRoundSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""pc$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(f) AS cnt
+         |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS i
+         |        FROM s${r - 1}) t
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT f, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[-1] = t$r.a AND x[1] = t$r.b
+         |                THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
+         |                ELSE acc || x END) AS syms
+         |  FROM s${r - 1}, t$r),
+         |st$r AS (
+         |  SELECT CAST($r AS BIGINT) AS merge_round,
+         |    (SELECT a FROM t$r) AS a, (SELECT b FROM t$r) AS b,
+         |    (SELECT cnt FROM t$r) AS pair_cnt,
+         |    (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+         |     FROM (SELECT unnest(syms) AS sym FROM s$r)) AS n_symbols,
+         |    (SELECT CAST(SUM(f * len(syms)) AS BIGINT) FROM s$r)
+         |      AS n_tokens)""".stripMargin
+    }.mkString(",\n")
+
+  /** [[TextAnalysis.bpeTrain]]: the FULL iterative BPE tokenizer trainer
+    * — q118 is its first pair-count step; this runs the whole
+    * select-merge-recount loop for 6 rounds and value-checks every merge
+    * rule, its count, and the post-merge vocab size / corpus token count
+    * against an oracle that unrolls the identical greedy fold per round.
+    */
+  val q128_bpe_train: QueryDef = q(
+    "q128_bpe_train",
+    """WITH wf AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY w),
+      |s0 AS MATERIALIZED (
+      |  SELECT f, list_transform(range(1, length(w) + 1),
+      |           i -> substr(w, CAST(i AS INT), 1)) AS syms
+      |  FROM wf),
+      |""".stripMargin + bpeRoundSql(6) + "\n" +
+      (1 to 6).map(r => s"SELECT * FROM st$r").mkString("", "\nUNION ALL\n",
+        "\nORDER BY merge_round"),
+    "Full BPE vocab induction: 6 select-merge-recount rounds over the " +
+      "distinct-word table (corpus touched once; rounds are vocab-sized)") {
+    (s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", nMerges = 6)
+  }
+
   /** Unicode NFC normalization via the native `graft_nfc` expression
     * (graft.functions.NfcNormalize — the third custom codegen expression):
     * decomposed sequences must hash identically to their precomposed
@@ -525,5 +587,5 @@ object TextQueries {
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
     q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts,
-    q125_nfc_normalize)
+    q125_nfc_normalize, q128_bpe_train)
 }

@@ -1084,6 +1084,29 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq("lo", "ow", "er", "we"))
   }
 
+  test("bpeTrain: greedy run merges, second-order merges, early exhaustion") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aab"), (2L, "aaaa")).toDF("doc_id", "text")
+    // word freqs: aaaa=2, aab=1
+    // r1: (a,a)=2*3+1=7 wins; greedy left-to-right: aaaa->[aa,aa] (NOT
+    //     [aa,a,a] or [aaa,a]), aab->[aa,b]; vocab {aa,b}; ntok 2*2+2=6
+    // r2: (aa,aa)=2 wins (second-order: both symbols from r1);
+    //     aaaa->[aaaa]; vocab {aaaa,aa,b}; ntok 2+2=4
+    // r3: (aa,b)=1; aab->[aab]; vocab {aaaa,aab}; ntok 2+1=3
+    // r4: no pairs left -> trainer stops at 3 rows
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 7L, 2L, 6L),
+      (2L, "aa", "aa", 2L, 3L, 4L),
+      (3L, "aa", "b", 1L, 2L, 3L)))
+    // count ties break on the pair string ascending: (a,b) beats (c,d)
+    val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val t1 = TextAnalysis.bpeTrain(tie, "text", nMerges = 1).collect()(0)
+    assert((t1.getString(1), t1.getString(2), t1.getLong(3)) == ("a", "b", 2L))
+  }
+
   test("canonicalizeUrl: variants collapse, distinct origins/queries do not") {
     import spark.implicits._
     val urls = Seq(
