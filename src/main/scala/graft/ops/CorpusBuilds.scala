@@ -70,5 +70,29 @@ object CorpusBuilds {
         "doc_id", DedupQueries.starEdges(s, dir))
     }
 
-  private[graft] def clear(): Unit = cache.clear()
+  private val pathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted IVF-PQ index over the embeddings table
+    * ([[Similarity.buildIvfPqIndex]] under a scratch dir, built once per
+    * (applicationId, dataset)): coarse quantizer = the SAME shared
+    * [[embeddingsCentroids]] artifact q104/q110/q120 train, residual-PQ
+    * codebooks 16×16. The cached value is the index PATH — on-disk
+    * parquet is the artifact itself here, which is exactly the 100 TB
+    * protocol: the index is built by one job and served to every search
+    * job after it.
+    */
+  def embeddingsIvfPqIndex(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|ivfpq|" + dir, _ => {
+        val coarse = embeddingsCentroids(s, dir, k = 8, iters = 3)
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+        Similarity.buildIvfPqIndex(
+          graft.relational.Tables.embeddings(s, dir), "vec_id", "embedding",
+          coarse, idx, dim = 64, m = 16, kCent = 16, iters = 2)
+        idx
+      })
+
+  private[graft] def clear(): Unit = { cache.clear(); pathCache.clear() }
 }

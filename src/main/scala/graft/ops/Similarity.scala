@@ -371,9 +371,16 @@ object Similarity {
           slice(col("q_emb"), col("sub") * sub + lit(1), lit(sub)),
           col("centroid"))).as("pd"))
       .groupBy("q_id")
-      .agg(array_sort(collect_list(struct(col("idx"), col("pd")))).as("parts"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("pd")))).as("pm"))
+      // DENSIFY by key, not position: Lloyd can converge with < kCent
+      // populated clusters (tiny/degenerate corpora), and a positional
+      // array would then shift every later subspace's entries. Missing
+      // slots get +inf — unreferencable, since no code can point at a
+      // dropped centroid. Per-query work only (the broadcast side).
       .select(col("q_id"),
-        transform(col("parts"), p => p.getField("pd")).as("pd_arr"))
+        transform(sequence(lit(0), lit(m * kCent - 1)), i =>
+          coalesce(try_element_at(col("pm"), i.cast(LongType)),
+            lit(Double.MaxValue))).as("pd_arr"))
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col(idCol))
     codes.crossJoin(broadcast(qtab))
       .withColumn("adc", (0 until m).map(j =>
@@ -397,6 +404,16 @@ object Similarity {
       kCent: Int = 16, iters: Int = 2): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
     val cand = pqAdcTopK(corpus, queries, idCol, embCol, shortlist, m, kCent, iters)
+    exactRerank(cand, corpus, queries, idCol, embCol, k)
+  }
+
+  /** Exact-cosine re-rank of a (q_id, id) shortlist: fetch full vectors
+    * for ONLY the shortlisted corpus rows (the compressed-domain stages
+    * never touch them), broadcast the query vectors, keep top `k`. Shared
+    * tail of [[pqSearch]] and [[searchIvfPq]].
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -505,6 +522,126 @@ object Similarity {
     val listed = spark.read.parquet(s"$dir/lists")
       .withColumn("centroid_id", col("centroid_id").cast(LongType))
     searchLists(listed, cents, queries, idCol, embCol, k, nprobe)
+  }
+
+  /** Builds and persists an IVF-PQ index under `dir` — the production
+    * ANN index layout at 100 TB:
+    *
+    *  - `centroids`: the coarse quantizer (typically a shared
+    *    [[CorpusBuilds]] artifact — Lloyd cost paid once per corpus);
+    *  - `codebooks`: the PQ codebooks trained on the coarse RESIDUALS
+    *    (vector − list centroid), m·kCent rows;
+    *  - `lists`: ONE ROW PER CORPUS VECTOR holding only (`id`,
+    *    code_0..code_{m−1}), written `partitionBy(list_id)` so a search's
+    *    broadcast probe join prunes unprobed inverted lists at the FILE
+    *    level. No full vectors in the index: m·log2(kCent) bits per
+    *    vector is the whole point — exact re-ranking fetches vectors
+    *    from the corpus table for the shortlist only.
+    *
+    * `dim` is the static embedding dimensionality, passed explicitly so
+    * repeated builds skip the 1-row scalar probe.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+      coarse: DataFrame, dir: String, dim: Int, m: Int = 16,
+      kCent: Int = 16, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cw = spark.read.parquet(s"$dir/centroids")
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    // route + residual: same argmin/ride-along shape as [[ivfPqCodes]]
+    val resid = corpus.crossJoin(broadcast(cw))
+      .withColumn("dist2",
+        col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
+        col(embCol).as("emb"))).as("a"))
+      .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
+        zip_with(col("a.emb"), col("a.centroid"),
+          (x, c) => x.cast(DoubleType) - c).as("resid"))
+      .localCheckpoint(true)
+    val cbs = pqCodebooks(resid, "id", "resid", m, kCent, iters)
+    cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val cbw = spark.read.parquet(s"$dir/codebooks")
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    pqAssign(resid, "id", "resid", cbw, dim / m, m)
+      .join(resid.select("id", "list_id"), Seq("id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
+    resid.unpersist(blocking = false)
+  }
+
+  /** IVF-PQ compressed-domain search over a [[buildIvfPqIndex]] index —
+    * the production ANN READ path: coarse-route each query to its
+    * `nprobe` nearest inverted lists, ADC-score ONLY those lists' PQ
+    * codes against per-(query, list) residual distance tables, then
+    * exact-cosine re-rank the `shortlist` survivors from the corpus
+    * table. Plan shape, per stage:
+    *
+    *  1. Route: broadcast the tiny centroid table, row_number top-nprobe
+    *     per query. The ride-along list centroid yields the residual
+    *     query q − c_list, and the coarse score `|c|² − 2·q·c` is KEPT:
+    *     ADC estimates |q−c_list−r̂|² = |q−c_list|² − 2·q_res·r̂ + |r̂|²,
+    *     and the |q−c_list|² term differs per list, so dropping it (as
+    *     the flat-PQ path may — its table is per-query constant) would
+    *     mis-rank across lists. The per-query |q|² term IS constant
+    *     across all of a query's candidates and is dropped everywhere.
+    *  2. ADC tables: nprobe·m·kCent rows per query, flattened to one
+    *     lookup array per (q_id, list_id) — the q119 broadcast shape.
+    *  3. Scan: the `lists` parquet joins the broadcast probe table on
+    *     its PARTITION column, so unprobed list partitions are pruned at
+    *     the file level (pinned in PlanAssertionSpec) — at 100 TB the
+    *     compressed scan touches nprobe/nLists of the index, nothing
+    *     else, and never the raw vectors.
+    *  4. Re-rank: [[exactRerank]] fetches full vectors for the
+    *     shortlist only.
+    */
+  def searchIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, dim: Int, nprobe: Int = 2, shortlist: Int = 100,
+      m: Int = 16, kCent: Int = 16): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    val sub = dim / m
+    val cw = spark.read.parquet(s"$dir/centroids")
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    val wq = Window.partitionBy("q_id").orderBy(col("dist2"), col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(cw))
+      .withColumn("dist2",
+        col("c_nrm") - lit(2.0) * fastDot(col("q_emb"), col("centroid")))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("centroid_id").as("list_id"),
+        col("dist2").as("coarse_d2"),
+        zip_with(col("q_emb"), col("centroid"),
+          (x, c) => x.cast(DoubleType) - c).as("q_res"))
+    val cbw = spark.read.parquet(s"$dir/codebooks")
+      .withColumn("cb_nrm", fastNorm2(col("centroid")))
+    val qtab = probes.crossJoin(broadcast(cbw))
+      .select(col("q_id"), col("list_id"), col("coarse_d2"),
+        (col("sub") * kCent + col("centroid_id")).as("idx"),
+        (col("cb_nrm") - lit(2.0) * fastDot(
+          slice(col("q_res"), col("sub") * sub + lit(1), lit(sub)),
+          col("centroid"))).as("pd"))
+      .groupBy("q_id", "list_id", "coarse_d2")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("pd")))).as("pm"))
+      // densify by key — same guard as [[pqAdcTopK]]'s table
+      .select(col("q_id"), col("list_id"), col("coarse_d2"),
+        transform(sequence(lit(0), lit(m * kCent - 1)), i =>
+          coalesce(try_element_at(col("pm"), i.cast(LongType)),
+            lit(Double.MaxValue))).as("pd_arr"))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .withColumn("list_id", col("list_id").cast(LongType))
+    val wa = Window.partitionBy("q_id").orderBy(col("adc"), col("id"))
+    val cand = lists.join(broadcast(qtab), Seq("list_id"))
+      .withColumn("adc", col("coarse_d2") + (0 until m).map(j =>
+        element_at(col("pd_arr"),
+          (lit(j * kCent) + col(s"code_$j") + 1).cast(IntegerType)))
+        .reduce(_ + _))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(wa))
+      .filter(col("rnk") <= shortlist)
+    exactRerank(cand, corpus, queries, idCol, embCol, k)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — 4× (vs

@@ -539,6 +539,38 @@ object SimilarityQueries {
     "IVF-PQ residual codes: shared coarse quantizer routes each vector, " +
       "PQ codes the residual — value-oracled across the full composition")
 
+  /** [[Similarity.searchIvfPq]] over the persisted [[CorpusBuilds]] index
+    * — the production ANN read path composed end-to-end: coarse route
+    * (nprobe=4 of 8 lists), residual ADC over the partition-pruned
+    * `lists` parquet (file-level pruning pinned in PlanAssertionSpec),
+    * exact re-rank of the 100-candidate shortlist. Recall gate (q55/q119
+    * pattern): ≥60% of the true cosine top-10 per query; every
+    * arithmetic piece underneath is already value-oracled (q104 coarse,
+    * q116 PQ trainer, q120 residual composition), so the gate pins the
+    * COMPOSITION not the math. Measured: 1.0 at sf0.001-0.1 (the
+    * clustered embeddings route cleanly).
+    */
+  val q129_ivfpq_search: QueryDef = QueryDef(
+    "q129_ivfpq_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val idx = CorpusBuilds.embeddingsIvfPqIndex(s, d)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      val approx = Similarity.searchIvfPq(s, idx, e, queries,
+        "vec_id", "embedding", k = 10, dim = 64, nprobe = 4,
+        shortlist = 100, m = 16, kCent = 16)
+      Similarity.recallAtK(exact, approx, 10)
+        .select(col("q_id"),
+          when(col("recall") >= 0.6, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+    "IVF-PQ compressed-domain search over the persisted partition-pruned " +
+      "index: route -> residual ADC on probed lists -> exact re-rank, " +
+      "recall@10 >= 0.6 per query")
+
   /** [[Similarity.randomProjection]] — JL/Rademacher projection to 8 dims.
     * The oracle materializes the identical ±1 matrix from md5 parity and
     * runs the same floor-quantized integer sums, so every projected
@@ -580,5 +612,6 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
-    q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection)
+    q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
+    q129_ivfpq_search)
 }

@@ -111,6 +111,30 @@ class PlanAssertionSpec extends SparkSpec {
       s"expected dynamic partition pruning on the fact scan:\n$plan")
   }
 
+  test("IVF-PQ search: unprobed list partitions are pruned at file level " +
+    "(DPP on the lists scan), probe join stays broadcast") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.0f); base(i / 10) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
+    val coarse = ops.Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 3, iters = 2)
+    ops.Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", coarse, dir,
+      dim = 8, m = 4, kCent = 4, iters = 2)
+    val search = ops.Similarity.searchIvfPq(spark, dir, vecs, vecs.limit(2),
+      "vec_id", "embedding", k = 3, dim = 8, nprobe = 1, shortlist = 10,
+      m = 4, kCent = 4)
+    val plan = physical(search)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the lists scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index search shuffles the lists — must stay broadcast probes:\n$plan")
+  }
+
   test("IVF search on a persisted index: probe join broadcasts the probes") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>

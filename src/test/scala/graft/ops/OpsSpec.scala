@@ -373,6 +373,41 @@ class OpsSpec extends SparkSpec {
     assert(after - before <= 10, s"search ran ${after - before} jobs")
   }
 
+  test("persisted IVF-PQ index: compressed-domain search recovers cluster " +
+    "neighbors; cross-list ADC keeps the coarse term") {
+    def jig(i: Int): Float = (i / 3 % 5) * 0.02f
+    // 3 well-separated one-hot clusters of 10, INTERLEAVED (cluster =
+    // i % 3) so the trainer's first-k-ids init spans all three and Lloyd
+    // provably separates them; 8-dim so m=4 subspaces
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val coarse = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 3, iters = 4)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", coarse, dir,
+      dim = 8, m = 4, kCent = 4, iters = 2)
+    // nprobe=1: every returned neighbor must come from q's own cluster,
+    // and with the exact re-rank the top-k must equal brute force
+    val q = vecs.filter($"vec_id" === 0L || $"vec_id" === 25L)
+    val got = Similarity.searchIvfPq(spark, dir, vecs, q, "vec_id",
+      "embedding", k = 3, dim = 8, nprobe = 1, shortlist = 10, m = 4,
+      kCent = 4)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet == exact)
+    // the index holds codes only — no raw vectors in the lists files
+    val listCols = spark.read.parquet(s"$dir/lists").columns.toSet
+    assert(listCols == (0 until 4).map(j => s"code_$j").toSet + "id" + "list_id",
+      s"lists should hold only ids + codes, got $listCols")
+    // search runs zero Lloyd work (no posexplode = no centroid mean pass)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"), s"training work in search plan:\n$plan")
+  }
+
   test("stable split/sample are deterministic and partition-invariant") {
     val docs = spark.range(0, 1000).toDF("doc_id")
     val s1 = Sampling.stableSplit(docs, "doc_id")
