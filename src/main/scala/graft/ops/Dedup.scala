@@ -90,6 +90,32 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
   }
 
+  /** ORACLE-PORTABLE stream-legal band buckets: q58's `hs` CTE
+    * (bucket_b = min over 3-token shingles of md5(b || shingle)) as a
+    * pure per-row expression — no window, no aggregation, so Structured
+    * Streaming accepts it mid-stream, and the values are exactly what
+    * the DuckDB oracle computes (q130 shares q58's oracle verbatim on
+    * the strength of this). Deliberately NOT [[shingleArray]]: tokens
+    * split on the literal single space and docs shorter than `n` tokens
+    * get NO shingles (null buckets, which no equi-join can match) —
+    * both matching the oracle's windowed-shingle CTE, where a short doc
+    * simply has no `hs` rows. Interpreted HOFs inside: the md5-banded
+    * family is the oracle bridge; xxhash production runs use
+    * [[bandedBucketsPerRow]] / [[bandedBuckets]].
+    */
+  private[graft] def md5BandBucketsPerRow(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 8, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val shingles = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_min(transform(shingles,
+          s => md5(concat(b.cast(org.apache.spark.sql.types.StringType), s))))))
+        .as(Seq("band", "bucket")))
+  }
+
   /** (id, band, bucket) LSH assignment for BATCH corpora: the exploded
     * codegen'd pipeline — posexplode tokens, lead-window shingles, one
     * wide aggregation with `numHashes` partial min(xxhash64)s, bucket per

@@ -195,6 +195,70 @@ object StreamQueries {
       "(BPE-ish token sums) as an incrementally-aggregated stream, " +
       "oracled against the batch totals")
 
+  /** Streaming incremental near-dup against a standing corpus index —
+    * the streaming twin of q58, sharing its oracle VERBATIM: the corpus
+    * (doc_id % 5 ≠ 0) builds a static (band, bucket) LSH table once
+    * (materialized, so micro-batches re-read, not recompute); the ingest
+    * stream (doc_id % 5 = 0) computes md5-banded buckets with PURE
+    * per-row expressions ([[graft.ops.Dedup.md5BandBucketsPerRow]] — the
+    * only form legal mid-stream) and probes the index with a
+    * stream-static left-semi join (no watermark needed: the static side
+    * holds no stream state; collision-count state is bounded by ingest
+    * volume, not corpus size). Fourth stream/batch parity entry — the
+    * first whose streaming stage contains a JOIN. The final
+    * all-ingest-docs frame (is_dup 0/1) is assembled batch-side exactly
+    * like q58's tail. Per-invocation teardown as q94/q105/q114.
+    */
+  val q130_stream_incremental_dedup: QueryDef = QueryDef(
+    "q130_stream_incremental_dedup",
+    (s, d) => {
+      val docs = graft.relational.Tables.documents(s, d)
+      val corpusIdx = graft.ops.Dedup.md5BandBucketsPerRow(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select("band", "bucket")
+        .localCheckpoint(true)
+      val path = s"$d/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val dir = java.nio.file.Files.createTempDirectory("graft_q130_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+      val flagged = graft.ops.Dedup.md5BandBucketsPerRow(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .join(corpusIdx, Seq("band", "bucket"), "left_semi")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_hits"))
+      val sink = "graft_q130_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q130_ckpt")
+      val q = flagged.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = docs.filter(col("doc_id") % 5 === 0)
+        .select("doc_id")
+        .join(s.table(sink).select(col("id").as("doc_id"), lit(1L).as("_dup")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_dup"), lit(0L)).as("is_dup"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      corpusIdx.unpersist(blocking = false)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    graft.ops.DedupQueries.q58_incremental_dedup.oracle,
+    "Stream/batch parity #4: incremental near-dup — ingest stream probes " +
+      "the standing corpus LSH index via stream-static semi-join, " +
+      "sharing q58's oracle verbatim")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
-    q105_stream_word_topk, q114_stream_token_budget)
+    q105_stream_word_topk, q114_stream_token_budget,
+    q130_stream_incremental_dedup)
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.ops.Dedup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -104,6 +105,59 @@ class StreamingSpec extends SparkSpec {
     assert(hits.contains(10L) && hits(10L) > 0L) // dup of corpus doc 1
     assert(hits.contains(12L) && hits(12L) > 0L) // dup of corpus doc 2
     assert(!hits.contains(11L)) // novel doc emits nothing
+  }
+
+  test("md5 per-row buckets (q130's stream side) match the batch hs form; " +
+    "short docs get null buckets and never collide") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1
+      (3L, "tiny doc")                // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    // batch reference: q58's hs CTE shape — min(md5(band || sh)) per band
+    // over exploded 3-token window shingles
+    val toks = docs.select($"doc_id",
+      posexplode(split($"text", " ")).as(Seq("i", "w")))
+    val sh = toks
+      .withColumn("sh", concat_ws(" ", $"w",
+        lead("w", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")),
+        lead("w", 2).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i"))))
+      .filter(size(split($"sh", " ")) === 3)
+    val batch = sh
+      .select($"doc_id", explode(sequence(lit(0), lit(7))).as("band"), $"sh")
+      .groupBy("doc_id", "band")
+      .agg(min(md5(concat($"band".cast("string"), $"sh"))).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val perRow = Dedup.md5BandBucketsPerRow(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        Option(r.getString(2))).toMap
+    assert(perRow((1L, 0)).isDefined && perRow((1L, 0)) == perRow((2L, 0)))
+    batch.foreach { case (k, v) => assert(perRow(k).contains(v),
+      s"per-row bucket for $k diverges from the batch form") }
+    // short doc: all 8 bands null, so a semi-join can never flag it
+    assert((0 until 8).forall(b => perRow((3L, b)).isEmpty))
+    val idx = Dedup.md5BandBucketsPerRow(
+      docs.filter($"doc_id" === 1L), "doc_id", "text").select("band", "bucket")
+    val ms = MemoryStream[(Long, String)]
+    val flagged = Dedup.md5BandBucketsPerRow(
+        ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .join(idx, Seq("band", "bucket"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    val q = flagged.writeStream.format("memory").queryName("md5dups")
+      .outputMode("complete").start()
+    try {
+      ms.addData((10L, "alpha beta gamma delta"), (11L, "tiny doc"),
+        (12L, "unrelated words entirely here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("md5dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && hits(10L) == 8L)
+    assert(!hits.contains(11L) && !hits.contains(12L))
   }
 
   test("stream-stream interval join pairs clicks with in-window impressions") {
