@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -703,6 +703,72 @@ object Multimodal {
       .select(col("media_id"), col("kind"),
         posexplode(transform(sequence(lit(0), col("n_frames") - 1),
           i => col("content").substr(i * stride + 1, lit(stride)))).as(Seq("frame_no", "frame")))
+
+  /** Deterministic STUB encoder into a shared text↔image embedding
+    * space — the cross-modal plumbing of CLIP retrieval with the
+    * learned encoder swapped for feature hashing (the container has no
+    * model runtime; the Spark-side shape is the real one). Decodes the
+    * payload (here UTF-8 caption bytes; a real pipeline would decode
+    * pixels and caption separately) and embeds it as a `dim`-bucket
+    * hashed bag-of-words: bucket(w) = first-8-hex-digits(md5(w)) mod
+    * dim, emb[b] = token count. Returns (`id`, `emb` array<bigint>,
+    * `n2` = |emb|², rows with n2 > 0) — INTEGER vectors, so the DuckDB
+    * oracle replays dots and norms exactly.
+    *
+    * Scale shape: explode tokens → two map-side-combined hash aggs →
+    * dense assembly by KEY (the [[Similarity]] densify pattern — a
+    * positional array would shift when a bucket is empty). Everything
+    * before the first agg is whole-stage codegen; no window, no join.
+    */
+  def hashedBowEmbeddings(df: DataFrame, idCol: String, payload: Column,
+      dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(split(payload.cast(StringType), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"),
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType),
+          lit(dim.toLong)).as("b"))
+      .groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("pm"),
+        sum(col("c") * col("c")).as("n2"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          coalesce(try_element_at(col("pm"), j.cast(LongType)), lit(0L)))
+          .as("emb"),
+        col("n2"))
+      .filter(col("n2") > 0)
+
+  /** Cross-modal exact kNN: for each query embedding, the `k` nearest
+    * corpus-side media embeddings by cosine over the SHARED space.
+    * Unlike [[Similarity.bruteForceTopK]] there is NO id-inequality
+    * filter — the two sides are different modalities, so equal ids are
+    * legitimate matches, and integer dots/norms make the ranking
+    * oracle-exact (`cos_ppm` = floor-ppm of dot/√(n2_q·n2_m), identical
+    * doubles both engines). Queries broadcast; one corpus pass; the
+    * top-k window shuffles only (q_id, media_id, score) triples. The
+    * bucketed scale path for huge query sets is [[Similarity.annTopK]]
+    * over the same embedding columns.
+    */
+  def crossModalTopK(mediaEmb: DataFrame, queryEmb: DataFrame,
+      k: Int): DataFrame = {
+    org.apache.spark.sql.GraftRegistrar.register(mediaEmb.sparkSession)
+    val c = mediaEmb.select(col("id").as("media_id"), col("emb").as("m_emb"),
+      col("n2").as("m_n2"))
+    val q = queryEmb.select(col("id").as("q_id"), col("emb").as("q_emb"),
+      col("n2").as("q_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("media_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("dot", aggregate(
+        zip_with(col("q_emb"), col("m_emb"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        sqrt((col("q_n2") * col("m_n2")).cast(DoubleType)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("media_id"), col("rnk").cast(LongType).as("rnk"),
+        floor(lit(1000000) * col("cosine")).cast(LongType).as("cos_ppm"))
+  }
 
   /** "Resize" stub: truncate payload to targetBytes (real impl: scale the
     * decoded raster); metadata recomputed.

@@ -489,8 +489,70 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal retrieval ([[Multimodal.crossModalTopK]]): text queries
+    * against an image-kind media corpus over a SHARED embedding space —
+    * the CLIP-retrieval shape with the learned encoder stubbed as
+    * deterministic feature hashing ([[Multimodal.hashedBowEmbeddings]]
+    * decodes each media payload and embeds it; the same encoder embeds
+    * the text side, which is what "shared space" means). Queries are the
+    * even doc_ids < 10, the media library is every odd doc. Integer
+    * dots/norms make every rank and floor-ppm cosine value-checkable;
+    * the oracle replays the bucket counts relationally (sparse
+    * bucket-join dot products + a cross join so zero-overlap pairs still
+    * rank) — no arrays needed on the DuckDB side.
+    */
+  val q131_crossmodal_retrieval: QueryDef = q(
+    "q131_crossmodal_retrieval",
+    """WITH tokq AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 10),
+      |qb AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+      |    COUNT(*) AS c
+      |  FROM tokq WHERE w <> '' GROUP BY 1, 2),
+      |qn AS (SELECT doc_id, SUM(c * c) AS n2 FROM qb GROUP BY doc_id),
+      |tokm AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |mb AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+      |    COUNT(*) AS c
+      |  FROM tokm WHERE w <> '' GROUP BY 1, 2),
+      |mn AS (SELECT doc_id, SUM(c * c) AS n2 FROM mb GROUP BY doc_id),
+      |dots AS (
+      |  SELECT q.doc_id AS q_id, m.doc_id AS media_id, SUM(q.c * m.c) AS dot
+      |  FROM qb q JOIN mb m ON q.b = m.b
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qn.doc_id AS q_id, mn.doc_id AS media_id,
+      |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(qn.n2 * mn.n2 AS DOUBLE)) AS cosine
+      |  FROM qn CROSS JOIN mn
+      |  LEFT JOIN dots d ON d.q_id = qn.doc_id AND d.media_id = mn.doc_id),
+      |top AS (
+      |  SELECT q_id, media_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY cosine DESC, media_id) AS rnk
+      |  FROM rk)
+      |SELECT q_id, media_id, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(floor(1000000 * cosine) AS BIGINT) AS cos_ppm
+      |FROM top WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin,
+    "Cross-modal retrieval: text queries vs image media corpus in a " +
+      "shared hashed-BoW embedding space, exact integer-dot kNN") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.asMediaTable(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "image")
+    val mEmb = Multimodal.hashedBowEmbeddings(media, "media_id",
+      col("content"), dim = 16)
+    val qEmb = Multimodal.hashedBowEmbeddings(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 10),
+      "doc_id", col("text"), dim = 16)
+    Multimodal.crossModalTopK(mEmb, qEmb, k = 5).orderBy("q_id", "rnk")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
-    q107_tiff_codec)
+    q107_tiff_codec, q131_crossmodal_retrieval)
 }

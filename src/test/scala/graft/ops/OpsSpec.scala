@@ -820,6 +820,38 @@ class OpsSpec extends SparkSpec {
     assert(!d.contains(3L), "frameless RIFF must yield zero rows")
   }
 
+  test("cross-modal retrieval: shared hashed-BoW space ranks the matching " +
+    "caption first; equal ids across modalities are legitimate matches") {
+    import spark.implicits._
+    val captions = Seq(
+      (1L, "red fox in the forest"),
+      (2L, "blue whale under the ocean"),
+      (3L, "red fox in the forest at dawn"))
+    val media = Multimodal.asMediaTable(
+      captions.toDF("doc_id", "text"), "doc_id", "text", "image")
+    val mEmb = Multimodal.hashedBowEmbeddings(media, "media_id",
+      col("content"), dim = 16)
+    // query 1's text equals media 1's decoded payload: cosine 1, rank 1 —
+    // and the SAME id on both sides must not be filtered (cross-modal)
+    val qEmb = Multimodal.hashedBowEmbeddings(
+      Seq((1L, "red fox in the forest"), (7L, "blue whale songs"))
+        .toDF("doc_id", "text"), "doc_id", col("text"), dim = 16)
+    val got = Multimodal.crossModalTopK(mEmb, qEmb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ(1L).find(_._3 == 1L).map(t => (t._2, t._4)).contains((1L, 1000000L)),
+      s"exact caption match should rank 1 with cos_ppm 10^6: ${byQ(1L).toSeq}")
+    // near-match (superset caption) outranks the unrelated one
+    val r1 = byQ(1L).sortBy(_._3).map(_._2).toSeq
+    assert(r1 == Seq(1L, 3L, 2L), s"got order $r1")
+    // query 7 shares 'blue whale' with media 2 only
+    assert(byQ(7L).minBy(_._3)._2 == 2L)
+    // embeddings are dense integer count vectors over dim buckets
+    val e1 = mEmb.filter($"id" === 1L).select("emb", "n2").head()
+    assert(e1.getSeq[Long](0).length == 16 && e1.getSeq[Long](0).sum == 5L
+      && e1.getLong(1) >= 5L)
+  }
+
   test("AVI RIFF walk never throws and never fabricates frames under fuzz") {
     val good = Multimodal.aviMjpegBytes(16, 12, 3, seed = 5L)
     val nGood = Multimodal.aviFrameChunks(good).length
