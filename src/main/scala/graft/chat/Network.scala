@@ -98,6 +98,15 @@ object Network {
     * {"nodes":[{"id":..}],"links":[{"source","target","weight"}]}.
     * The reference's node order is Python set order (nondeterministic);
     * we emit both lists sorted — a documented, deterministic refinement.
+    *
+    * FAÇADE-ONLY CONTRACT: the `collect()`s below exist solely to
+    * materialize the reference's HTTP RESPONSE shape — a chat network is
+    * person-sized, and an API response is driver-sized by definition.
+    * This method must never appear inside a pipeline: any operator
+    * needing graph output composes on the `Graph` frames (or
+    * [[writeGraph]], the executor-side sink) and keeps the data
+    * distributed. These are the only collects in the library outside
+    * test/probe harnesses, and the plan lints assume that stays true.
     */
   def toJson(g: Graph): String = {
     val nodes = g.nodes.orderBy("id").collect()

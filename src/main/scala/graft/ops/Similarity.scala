@@ -201,21 +201,26 @@ object Similarity {
     * row_number window, which exchanges the expanded rows.
     */
   def pqCodes(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int = 2, k: Int = 4, iters: Int = 2): DataFrame = {
+      m: Int = 2, k: Int = 4, iters: Int = 2, dim: Int = -1): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    val sub = subDim(corpus, embCol, m)
-    val withNorm = pqCodebooks(corpus, idCol, embCol, m, k, iters)
+    val sub = subDim(corpus, embCol, m, dim)
+    val withNorm = pqCodebooks(corpus, idCol, embCol, m, k, iters, dim)
       .withColumn("c_nrm", fastNorm2(col("centroid")))
     pqAssign(corpus, idCol, embCol, withNorm, sub, m)
   }
 
-  /** 1-row scalar probe for the static embedding dimension (like DSIR's
-    * totals), divided into `m` equal subspaces.
+  /** Per-subspace width. Pass the embedding dimension via `dim` when the
+    * caller knows it (every production caller does — it is part of the
+    * embedding model's contract): the `dim = -1` fallback costs a 1-row
+    * scalar probe ACTION per call, which a training loop or repeated
+    * index build should not pay.
     */
-  private def subDim(corpus: DataFrame, embCol: String, m: Int): Int = {
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    dim / m
+  private def subDim(corpus: DataFrame, embCol: String, m: Int,
+      dim: Int = -1): Int = {
+    val d =
+      if (dim > 0) dim else corpus.select(size(col(embCol))).head().getInt(0)
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m")
+    d / m
   }
 
   /** Tagged union of the per-subspace PQ codebooks:
@@ -242,9 +247,9 @@ object Similarity {
     * checkpoint no longer references it).
     */
   def pqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int, k: Int, iters: Int): DataFrame = {
+      m: Int, k: Int, iters: Int, dim: Int = -1): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    val sub = subDim(corpus, embCol, m)
+    val sub = subDim(corpus, embCol, m, dim)
     val subSlices = posexplode(transform(sequence(lit(0), lit(m - 1)),
       j => transform(slice(col(embCol), j * sub + lit(1), lit(sub)),
         x => x.cast(DoubleType))))
@@ -305,7 +310,8 @@ object Similarity {
     * between the route and code stages.
     */
   def ivfPqCodes(corpus: DataFrame, idCol: String, embCol: String,
-      coarse: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+      coarse: DataFrame, m: Int, k: Int, iters: Int,
+      dim: Int = -1): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
     val withNorm = coarse.withColumn("c_nrm", fastNorm2(col("centroid")))
     val resid = corpus.crossJoin(broadcast(withNorm))
@@ -319,7 +325,7 @@ object Similarity {
         zip_with(col("a.emb"), col("a.centroid"),
           (x, c) => x.cast(DoubleType) - c).as("resid"))
       .localCheckpoint(true)
-    val codes = pqCodes(resid, idCol, "resid", m, k, iters)
+    val codes = pqCodes(resid, idCol, "resid", m, k, iters, dim)
     resid.select(col(idCol), col("list_id")).join(codes, Seq(idCol))
   }
 
@@ -351,10 +357,10 @@ object Similarity {
     */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, m: Int = 2, kCent: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, dim: Int = -1): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    val sub = subDim(corpus, embCol, m)
-    val withNorm = pqCodebooks(corpus, idCol, embCol, m, kCent, iters)
+    val sub = subDim(corpus, embCol, m, dim)
+    val withNorm = pqCodebooks(corpus, idCol, embCol, m, kCent, iters, dim)
       .withColumn("c_nrm", fastNorm2(col("centroid")))
     val codes = pqAssign(corpus, idCol, embCol, withNorm, sub, m)
     // Per-query distance table flattened to ONE array indexed sub·k + cid:
@@ -401,9 +407,10 @@ object Similarity {
     */
   def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, shortlist: Int = 100, m: Int = 16,
-      kCent: Int = 16, iters: Int = 2): DataFrame = {
+      kCent: Int = 16, iters: Int = 2, dim: Int = -1): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
-    val cand = pqAdcTopK(corpus, queries, idCol, embCol, shortlist, m, kCent, iters)
+    val cand = pqAdcTopK(corpus, queries, idCol, embCol, shortlist, m, kCent,
+      iters, dim)
     exactRerank(cand, corpus, queries, idCol, embCol, k)
   }
 
@@ -560,7 +567,7 @@ object Similarity {
         zip_with(col("a.emb"), col("a.centroid"),
           (x, c) => x.cast(DoubleType) - c).as("resid"))
       .localCheckpoint(true)
-    val cbs = pqCodebooks(resid, "id", "resid", m, kCent, iters)
+    val cbs = pqCodebooks(resid, "id", "resid", m, kCent, iters, dim)
     cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
     val cbw = spark.read.parquet(s"$dir/codebooks")
       .withColumn("c_nrm", fastNorm2(col("centroid")))

@@ -402,7 +402,7 @@ object SimilarityQueries {
     "q116_pq_codes",
     (s, d) => {
       Similarity.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
-          m = 2, k = 4, iters = 2)
+          m = 2, k = 4, iters = 2, dim = 64)
         .select(col("vec_id"), col("code_0").cast(LongType).as("code_0"),
           col("code_1").cast(LongType).as("code_1"))
         .orderBy("vec_id")
@@ -453,7 +453,7 @@ object SimilarityQueries {
       val queries = e.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
       val approx = Similarity.pqSearch(e, queries, "vec_id", "embedding",
-        k = 10, shortlist = 100, m = 16, kCent = 16, iters = 2)
+        k = 10, shortlist = 100, m = 16, kCent = 16, iters = 2, dim = 64)
       Similarity.recallAtK(exact, approx, 10)
         .select(col("q_id"),
           when(col("recall") >= 0.6, 1L).otherwise(0L).as("recall_ok"))
@@ -479,7 +479,7 @@ object SimilarityQueries {
     (s, d) => {
       val coarse = CorpusBuilds.embeddingsCentroids(s, d, k = 8, iters = 3)
       Similarity.ivfPqCodes(Tables.embeddings(s, d), "vec_id", "embedding",
-          coarse, m = 2, k = 4, iters = 2)
+          coarse, m = 2, k = 4, iters = 2, dim = 64)
         .select(col("vec_id"), col("list_id").cast(LongType).as("list_id"),
           col("code_0").cast(LongType).as("code_0"),
           col("code_1").cast(LongType).as("code_1"))

@@ -37,13 +37,70 @@ class PlanLintSpec extends SparkSpec {
     "q75_approx_quantile" -> "one-row quantile estimate joined back for its true-rank check",
     "q77_resample" -> "one-row date-range limits attached to build the spine",
     "q82_histogram" -> "one-row min/max bounds attached for bucket arithmetic",
-    "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union"
+    "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union",
+    "q129_ivfpq_search" -> "k-row centroid + m·k-row codebook broadcasts for the probe/ADC-table crossJoins (brute-force exact baseline broadcasts the 5-row query set)",
+    "q131_crossmodal_retrieval" -> "5-row query-embedding table broadcast for the exact cross-modal kNN scan"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —
   // q94 runs an actual stream — so build each query exactly once)
   private lazy val plans: Seq[(String, String)] = Registry.all.map { q =>
     q.name -> q.fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  /** queryName -> why a SINGLE-PARTITION WindowExec is acceptable there.
+    * The only sanctioned shape: a global row_number/rank directly above a
+    * bounded `limit(k)` (k constant, single digits) — the k-row frame
+    * moves to one partition by construction, so "all data to a single
+    * partition" is k rows, not the corpus. Anything else fails the sweep:
+    * an unpartitioned window over a data-sized frame is the classic
+    * silent scale-killer (the WindowExec WARN in a log is this lint's
+    * runtime cousin).
+    */
+  private val allowedGlobalWindow: Map[String, String] = Map(
+    // the PQ trainer init sites (pqCodebooks) carry the same shape but
+    // run inside eager localCheckpoints during fn() evaluation, so their
+    // windows never reach a query's final plan — only the in-memory IVF
+    // trainer's init is visible here
+    "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
+    "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)"
+  )
+
+  /** A WindowExec line with ONE "], [" separator has (functions, order)
+    * but no partition spec — the single-partition form. Partitioned
+    * windows render three bracket groups: functions, partition, order.
+    */
+  private def hasGlobalWindow(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val t = l.dropWhile(c => !c.isLetter)
+      // two bracket groups = (functions, X). X is an ORDER spec (ASC/
+      // DESC markers, or empty) → no partition spec → single partition.
+      // X without sort markers is a partition spec (partition-only
+      // window, e.g. max().over(partitionBy(id))) — distributed, fine.
+      t.startsWith("Window [") && {
+        val groups = "\\[[^\\]]*\\]".r.findAllIn(t).toSeq
+        groups.length == 2 &&
+          (groups(1) == "[]" || groups(1).contains(" ASC") ||
+            groups(1).contains(" DESC"))
+      }
+    }
+
+  test("single-partition Window appears only above a bounded limit " +
+    "(allowlisted with reason)") {
+    val offenders = plans.collect {
+      case (name, plan)
+          if hasGlobalWindow(plan) && !allowedGlobalWindow.contains(name) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.mkString(", ")} — " +
+        "partition the window, or allowlist it WITH the bounded-limit reason")
+    val actual = plans.collect {
+      case (name, plan) if hasGlobalWindow(plan) => name
+    }.toSet
+    val stale = allowedGlobalWindow.keySet -- actual
+    assert(stale.isEmpty,
+      s"stale global-window allowances: ${stale.mkString(", ")}")
   }
 
   test("no query plan contains an unconditional CartesianProduct") {
