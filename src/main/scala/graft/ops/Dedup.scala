@@ -109,11 +109,45 @@ object Dedup {
     val shingles = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    df.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_min(transform(shingles,
-          s => md5(concat(b.cast(org.apache.spark.sql.types.StringType), s))))))
-        .as(Seq("band", "bucket")))
+    // materialize the shingle array in its own projection: the per-band
+    // lambda below references it `bands` times, and an inline expression
+    // would re-run the whole window-concat chain per band (measured 8×
+    // interpreted-HOF cost on the micro-batch path)
+    df.select(col(idCol).as("id"), shingles.as("_sh"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_min(transform(col("_sh"),
+            s => md5(concat(b.cast(org.apache.spark.sql.types.StringType), s))))))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** BATCH twin of [[md5BandBucketsPerRow]] — identical (band, bucket)
+    * VALUES (same md5(band || 3-token-shingle) minima over the same
+    * windowed shingle set) through the exploded codegen'd pipeline:
+    * posexplode tokens, one lead-window pass, one hash aggregate with
+    * `bands` partial `min(md5(...))`s, stack-unpivot. This is the side
+    * that scans the standing CORPUS when building the incremental-dedup
+    * index (q130's static side) — the per-row form's interpreted HOFs
+    * there cost ~20× (the [[bandedBuckets]] lesson); the stream side has
+    * no choice (aggregations are illegal mid-stream) but only pays them
+    * on the ingest micro-batch.
+    */
+  private[graft] def md5BandBuckets(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 8): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i")
+    val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
+        lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select("id", "sh")
+    val sigCols = (0 until bands).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
+    val stackArgs = (0 until bands)
+      .map(i => s"$i, s$i").mkString(s"stack($bands, ", ", ", ") AS (band, bucket)")
+    sh.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"), expr(stackArgs))
   }
 
   /** (id, band, bucket) LSH assignment for BATCH corpora: the exploded

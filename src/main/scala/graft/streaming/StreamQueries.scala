@@ -213,7 +213,10 @@ object StreamQueries {
     "q130_stream_incremental_dedup",
     (s, d) => {
       val docs = graft.relational.Tables.documents(s, d)
-      val corpusIdx = graft.ops.Dedup.md5BandBucketsPerRow(
+      // corpus pass through the codegen'd BATCH twin (identical values;
+      // the per-row interpreted form is for the stream side only — using
+      // it here cost 5× the whole query's time at sf0.1)
+      val corpusIdx = graft.ops.Dedup.md5BandBuckets(
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
         .select("band", "bucket")
         .localCheckpoint(true)

@@ -140,6 +140,14 @@ class StreamingSpec extends SparkSpec {
       s"per-row bucket for $k diverges from the batch form") }
     // short doc: all 8 bands null, so a semi-join can never flag it
     assert((0 until 8).forall(b => perRow((3L, b)).isEmpty))
+    // the codegen'd batch twin (q130's corpus side) must agree exactly
+    // with the per-row stream form: same keys, same buckets, and no rows
+    // at all for the shingle-less short doc
+    val batchTwin = Dedup.md5BandBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(batchTwin.keySet == perRow.filter(_._2.isDefined).keySet)
+    batchTwin.foreach { case (k, v) => assert(perRow(k).contains(v),
+      s"batch twin diverges from per-row at $k") }
     val idx = Dedup.md5BandBucketsPerRow(
       docs.filter($"doc_id" === 1L), "doc_id", "text").select("band", "bucket")
     val ms = MemoryStream[(Long, String)]
