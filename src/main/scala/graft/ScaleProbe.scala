@@ -249,6 +249,58 @@ object ScaleProbe {
     probeBpe("1x", base, nBase)
     probeBpe(s"${mult}x (same vocab)", big, nBig)
 
+    // q128: FULL BPE training — after the single corpus-pass word count,
+    // all 6 select-merge-recount rounds run over the distinct-word frame,
+    // so replication must leave the per-round cost unchanged (the merge
+    // rules themselves are identical: counts scale ×mult uniformly).
+    // rows = completed merge rounds.
+    def probeBpeTrain(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(
+        ops.TextAnalysis.bpeTrain(docs, "text", nMerges = 6).count())
+      emit("q128_bpe_train", scale, n, t, rows)
+    }
+    probeBpeTrain("1x", base, nBase)
+    probeBpeTrain(s"${mult}x (same vocab)", big, nBig)
+
+    // q130: incremental-dedup split costs. The corpus INDEX build (batch
+    // twin) is linear in corpus size; the per-ingest PROBE of a FIXED
+    // 1000-doc batch must stay ~constant as the standing corpus grows —
+    // that independence is the whole point of incremental dedup (re-running
+    // corpus-wide dedup per ingest would be O(corpus) every time).
+    def probeIncr(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (idxRows, tIdx) = time(
+        ops.Dedup.md5BandBuckets(docs, "doc_id", "text").count())
+      emit("q130_corpus_index", scale, n, tIdx, idxRows)
+      val idx = ops.Dedup.md5BandBuckets(docs, "doc_id", "text")
+        .select("band", "bucket").localCheckpoint(true)
+      val ingest = base.limit(1000)
+      val (hits, tProbe) = time(
+        ops.Dedup.md5BandBucketsPerRow(ingest, "doc_id", "text")
+          .join(idx, Seq("band", "bucket"), "left_semi")
+          .select("id").distinct().count())
+      emit("q130_ingest_probe", s"vs $scale corpus", 1000, tProbe, hits)
+      idx.unpersist(blocking = false)
+    }
+    probeIncr("1x", base, nBase)
+    probeIncr(s"${mult}x+cluster", big, nBig)
+
+    // q131: cross-modal retrieval where the media corpus carries the
+    // boilerplate cluster — `inject` identical payloads collapse onto ONE
+    // point of the shared embedding space (the hot-neighbor case). The
+    // scan is one linear pass over media embeddings per query batch;
+    // rows = queries × k regardless of duplication.
+    def probeCrossModal(scale: String, docs: DataFrame, n: Long): Unit = {
+      val media = ops.Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+      val mEmb = ops.Multimodal.hashedBowEmbeddings(
+        media, "media_id", col("content"), dim = 16)
+      val qEmb = ops.Multimodal.hashedBowEmbeddings(
+        docs.filter(col("doc_id") < 5), "doc_id", col("text"), dim = 16)
+      val (rows, t) = time(ops.Multimodal.crossModalTopK(mEmb, qEmb, k = 10).count())
+      emit("q131_crossmodal", scale, n, t, rows)
+    }
+    probeCrossModal("1x", base, nBase)
+    probeCrossModal(s"${mult}x+cluster (one hot point)", big, nBig)
+
     // q104: k-means training under duplicate mass — the replicated
     // embedding corpus puts mult× identical vectors on every point; the
     // decimal-bridged mean must absorb them as weight, with cost linear
@@ -294,6 +346,27 @@ object ScaleProbe {
     }
     probeIvfPq("1x", emb, nEmb)
     probeIvfPq(s"${mult}x duplicate mass", embBig, nEmbBig)
+
+    // q129: the IVF-PQ SEARCH path under duplicate mass — index build
+    // cost is the q120 shape (probed above); here the timed section is
+    // route → ADC over probed lists → re-rank for a fixed 5-query batch.
+    // Inverted lists are mult× longer, so search cost may grow ~linearly
+    // with list size but must never exceed the compressed scan of
+    // nprobe/nLists of the corpus; rows = queries × k.
+    def probeIvfPqSearch(scale: String, e: DataFrame, n: Long): Unit = {
+      val coarse = ops.Similarity.ivfCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivfpq").toString
+      ops.Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, dir,
+        dim = 64, m = 16, kCent = 16, iters = 2)
+      val q = e.filter(col("vec_id") < 5)
+      val (rows, t) = time(ops.Similarity.searchIvfPq(spark, dir, e, q,
+        "vec_id", "embedding", k = 10, dim = 64, nprobe = 4,
+        shortlist = 100, m = 16, kCent = 16).count())
+      emit("q129_ivfpq_search", scale, n, t, rows)
+    }
+    probeIvfPqSearch("1x", emb, nEmb)
+    probeIvfPqSearch(s"${mult}x duplicate mass", embBig, nEmbBig)
 
     // q124: JL projection under the same duplicate mass — a single hash
     // aggregate with k integer sums; cost must stay linear in rows and
