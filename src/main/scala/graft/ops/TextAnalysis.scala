@@ -126,11 +126,27 @@ object TextAnalysis {
       nMerges: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (stats, words) = bpeTrainCore(df, textCol, nMerges)
+    words.unpersist(blocking = false)
+    stats.toDF(
+      "merge_round", "a", "b", "pair_cnt", "n_symbols", "n_tokens")
+  }
+
+  /** Shared trainer loop behind [[bpeTrain]] (per-round stats) and
+    * [[bpeEncode]] (the final segmentation): returns the merge-round
+    * stat tuples AND the re-segmented distinct-word frame
+    * `(w, f, syms)` after the last merge — localCheckpoint'ed; the
+    * caller owns the unpersist.
+    */
+  private def bpeTrainCore(df: org.apache.spark.sql.DataFrame,
+      textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame) = {
     val words0 = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"),
+      .select(col("w"), col("f"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
       .localCheckpoint()
@@ -176,9 +192,40 @@ object TextAnalysis {
         stats += ((r.toLong, a, b, cnt, st.getLong(1), st.getLong(0)))
       }
     }
+    (stats.result(), words)
+  }
+
+  /** BPE ENCODE — the apply side of the tokenizer story: train `nMerges`
+    * rules ([[bpeTrainCore]]), then tokenize the corpus WITH the trained
+    * vocab and report per-document `n_words`, `n_chars`, and
+    * `n_bpe_tokens` (= Σ per-word segment count) — the token accounting
+    * every training-data budget runs with its real tokenizer rather than
+    * a whitespace proxy.
+    *
+    * Scale shape: segmentation happens ONCE PER DISTINCT WORD (the
+    * trainer's final vocab frame carries it already — zero extra merge
+    * work); the corpus pass is tokenize → hash-join words to their
+    * segment counts (vocab side is broadcast-able at any realistic vocab
+    * size) → one map-side-combined per-doc aggregate. A naive per-row
+    * re-application of the merge chain would run 6 interpreted folds per
+    * corpus WORD; this runs them per distinct word, then joins.
+    */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, words) = bpeTrainCore(df, textCol, nMerges)
+    // materialize the tiny (w, segment-count) frame so the full syms
+    // arrays can be dropped before the returned (lazy) plan runs
+    val seg = words
+      .select(col("w"), size(col("syms")).cast(LongType).as("_nseg"))
+      .localCheckpoint(true)
     words.unpersist(blocking = false)
-    stats.result().toDF(
-      "merge_round", "a", "b", "pair_cnt", "n_symbols", "n_tokens")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(seg, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("_nseg")).cast(LongType).as("n_bpe_tokens"))
   }
 
   /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics,

@@ -506,7 +506,7 @@ object TextQueries {
          |  SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc$r
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |s$r AS MATERIALIZED (
-         |  SELECT f, list_reduce(list_transform(syms, s -> [s]),
+         |  SELECT w, f, list_reduce(list_transform(syms, s -> [s]),
          |    (acc, x) -> CASE WHEN acc[-1] = t$r.a AND x[1] = t$r.b
          |                THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
          |                ELSE acc || x END) AS syms
@@ -527,23 +527,57 @@ object TextQueries {
     * rule, its count, and the post-merge vocab size / corpus token count
     * against an oracle that unrolls the identical greedy fold per round.
     */
-  val q128_bpe_train: QueryDef = q(
-    "q128_bpe_train",
+  /** Shared CTE prefix of the q128/q132 oracles: word frequencies and
+    * the round-0 per-character segmentation, `w` carried so the encode
+    * oracle can join documents back to their trained segmentation.
+    */
+  private val bpePrefixSql: String =
     """WITH wf AS MATERIALIZED (
       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
       |  WHERE w <> '' GROUP BY w),
       |s0 AS MATERIALIZED (
-      |  SELECT f, list_transform(range(1, length(w) + 1),
+      |  SELECT w, f, list_transform(range(1, length(w) + 1),
       |           i -> substr(w, CAST(i AS INT), 1)) AS syms
       |  FROM wf),
-      |""".stripMargin + bpeRoundSql(6) + "\n" +
+      |""".stripMargin
+
+  val q128_bpe_train: QueryDef = q(
+    "q128_bpe_train",
+    bpePrefixSql + bpeRoundSql(6) + "\n" +
       (1 to 6).map(r => s"SELECT * FROM st$r").mkString("", "\nUNION ALL\n",
         "\nORDER BY merge_round"),
     "Full BPE vocab induction: 6 select-merge-recount rounds over the " +
       "distinct-word table (corpus touched once; rounds are vocab-sized)") {
     (s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d), "text", nMerges = 6)
+  }
+
+  /** [[TextAnalysis.bpeEncode]] — the APPLY side of q128's trainer: the
+    * corpus tokenized with its own trained 6-merge vocab, per-document
+    * word/char/BPE-token counts. The token accounting a training budget
+    * runs with its REAL tokenizer instead of a whitespace proxy; the
+    * oracle re-trains through the shared unrolled rounds (w carried) and
+    * joins documents back to the final segmentation.
+    */
+  val q132_bpe_encode: QueryDef = q(
+    "q132_bpe_encode",
+    bpePrefixSql + bpeRoundSql(6) + ",\n" +
+      """tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+        |FROM tok t JOIN s6 s ON s.w = t.w
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "BPE encode with the trained vocab: per-doc word/char/BPE-token " +
+      "counts — segmentation computed once per distinct word, then a " +
+      "hash join + per-doc aggregate") { (s, d) =>
+    TextAnalysis.bpeEncode(Tables.documents(s, d), "doc_id", "text",
+        nMerges = 6)
+      .orderBy("doc_id")
   }
 
   /** Unicode NFC normalization via the native `graft_nfc` expression
@@ -587,5 +621,5 @@ object TextQueries {
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
     q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts,
-    q125_nfc_normalize, q128_bpe_train)
+    q125_nfc_normalize, q128_bpe_train, q132_bpe_encode)
 }

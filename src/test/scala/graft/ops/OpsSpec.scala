@@ -1172,6 +1172,15 @@ class OpsSpec extends SparkSpec {
     val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
     val t1 = TextAnalysis.bpeTrain(tie, "text", nMerges = 1).collect()(0)
     assert((t1.getString(1), t1.getString(2), t1.getLong(3)) == ("a", "b", 2L))
+    // encode with the trained vocab: after all 3 possible merges both
+    // words are single tokens; after 1 merge each word is 2 tokens
+    val enc3 = TextAnalysis.bpeEncode(docs, "doc_id", "text", nMerges = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(enc3 == Map(1L -> (2L, 7L, 2L), 2L -> (1L, 4L, 1L)))
+    val enc1 = TextAnalysis.bpeEncode(docs, "doc_id", "text", nMerges = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(enc1 == Map(1L -> 4L, 2L -> 2L))
   }
 
   test("canonicalizeUrl: variants collapse, distinct origins/queries do not") {
