@@ -651,6 +651,65 @@ object Similarity {
     exactRerank(cand, corpus, queries, idCol, embCol, k)
   }
 
+  /** Incremental IVF-PQ index maintenance — the CDC path a standing
+    * 100 TB ANN index needs between full rebuilds: UPSERT `added`
+    * vectors (route + code them with the index's FROZEN coarse
+    * centroids and PQ codebooks — no retraining) and delete
+    * `removedIds`, rewriting ONLY the touched inverted-list partitions
+    * via dynamic partition overwrite. Untouched lists are never read,
+    * never written — per-ingest cost tracks the delta and the lists it
+    * lands in, not the corpus.
+    *
+    * Shape notes:
+    *  - upsert semantics: rows whose id appears in `added` are replaced
+    *    (anti-join on both the removed AND added id sets before the
+    *    union), which also makes the operation idempotent — re-applying
+    *    the same delta rewrites identical partitions;
+    *  - the rewritten frame is localCheckpoint'ed BEFORE the write so
+    *    the overwrite never reads the path it is replacing;
+    *  - codebook drift is the operator's documented limit: after enough
+    *    distribution shift, rebuild ([[buildIvfPqIndex]]) — the
+    *    centroids/codebooks files are the frozen contract until then.
+    */
+  def updateIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      added: DataFrame, removedIds: DataFrame, idCol: String, embCol: String,
+      dim: Int, m: Int): Unit = {
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    val cw = spark.read.parquet(s"$dir/centroids")
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    val cbw = spark.read.parquet(s"$dir/codebooks")
+      .withColumn("c_nrm", fastNorm2(col("centroid")))
+    val resid = added.crossJoin(broadcast(cw))
+      .withColumn("dist2",
+        col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
+        col(embCol).as("emb"))).as("a"))
+      .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
+        zip_with(col("a.emb"), col("a.centroid"),
+          (x, c) => x.cast(DoubleType) - c).as("resid"))
+      .localCheckpoint(true)
+    val newCodes = pqAssign(resid, "id", "resid", cbw, dim / m, m)
+      .join(resid.select("id", "list_id"), Seq("id"))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .withColumn("list_id", col("list_id").cast(LongType))
+    val rm = removedIds.select(col(idCol).as("id"))
+    val touched = newCodes.select("list_id")
+      .union(lists.join(broadcast(rm), Seq("id"), "left_semi").select("list_id"))
+      .distinct()
+    val rewritten = lists
+      .join(broadcast(touched), Seq("list_id"), "left_semi")
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .join(broadcast(newCodes.select("id")), Seq("id"), "left_anti")
+      .unionByName(newCodes)
+      .localCheckpoint(true)
+    resid.unpersist(blocking = false)
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id").parquet(s"$dir/lists")
+    rewritten.unpersist(blocking = false)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — 4× (vs
     * float32) / 8× (vs float64) memory reduction for ANN candidate stages,
     * with exact re-ranking left to the full-precision vectors. Output:

@@ -539,6 +539,136 @@ object SimilarityQueries {
     "IVF-PQ residual codes: shared coarse quantizer routes each vector, " +
       "PQ codes the residual — value-oracled across the full composition")
 
+  /** [[Similarity.updateIvfPqIndex]] — incremental ANN index maintenance
+    * (the CDC upsert path): build the q120-shaped persisted index, then
+    * apply a delta — remove vec_id ≡ 3 (mod 7), upsert negated copies of
+    * vec_id ≡ 0 (mod 5) under new ids — with the index's FROZEN
+    * codebooks, rewriting only touched list partitions (dynamic
+    * partition overwrite). The query emits the ENTIRE post-update index
+    * content; the oracle replays q120's full training composition on the
+    * ORIGINAL corpus (the frozen-codebook contract), then routes +
+    * residual-codes the MODIFIED corpus against those generators —
+    * every surviving row's (list_id, code_0, code_1) value-checked, so
+    * a partition-overwrite bug (lost rows, stale removed rows,
+    * duplicated upserts) is a hash mismatch.
+    */
+  val q133_ivfpq_index_update: QueryDef = QueryDef(
+    "q133_ivfpq_index_update",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val coarse = CorpusBuilds.embeddingsCentroids(s, d, k = 8, iters = 3)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q133_idx").toString
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, dir,
+        dim = 64, m = 2, kCent = 4, iters = 2)
+      val removed = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      val added = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      Similarity.updateIvfPqIndex(s, dir, added, removed,
+        "vec_id", "embedding", dim = 64, m = 2)
+      s.read.parquet(s"$dir/lists")
+        .select(col("id").as("vec_id"),
+          col("list_id").cast(LongType).as("list_id"),
+          col("code_0").cast(LongType).as("code_0"),
+          col("code_1").cast(LongType).as("code_1"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0) r
+      |  JOIN dv ON dv.id = r.id),
+      |${kmeansIterSql(1)},
+      |${kmeansIterSql(2)},
+      |${kmeansIterSql(3)},
+      |d4 AS (
+      |  SELECT dv.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+      |  FROM dv JOIN c3 c ON c.i = dv.i
+      |  GROUP BY dv.id, c.cid),
+      |a4 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d4) t WHERE rn = 1),
+      |rv AS (
+      |  SELECT dv.id, dv.i, dv.x - c.m AS x
+      |  FROM dv
+      |  JOIN a4 ON a4.id = dv.id
+      |  JOIN c3 c ON c.cid = a4.cid AND c.i = dv.i),
+      |dv0 AS (SELECT id, i, x FROM rv WHERE i <= 32),
+      |dv1 AS (SELECT id, i - 32 AS i, x FROM rv WHERE i > 32),
+      |pids AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 4),
+      |prn AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM pids),
+      |c0_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM prn r JOIN dv0 dv ON dv.id = r.id),
+      |c1_0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM prn r JOIN dv1 dv ON dv.id = r.id),
+      |${pqIterSql(0, 1)},
+      |${pqIterSql(0, 2)},
+      |${pqIterSql(0, 3)},
+      |${pqIterSql(1, 1)},
+      |${pqIterSql(1, 2)},
+      |${pqIterSql(1, 3)},
+      |dvm AS MATERIALIZED (
+      |  SELECT id, i, x FROM dv WHERE id % 7 <> 3
+      |  UNION ALL
+      |  SELECT id + 1000000 AS id, i, -x AS x FROM dv WHERE id % 5 = 0),
+      |dm AS (
+      |  SELECT dvm.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(dvm.x * c.m) AS dist2
+      |  FROM dvm JOIN c3 c ON c.i = dvm.i
+      |  GROUP BY dvm.id, c.cid),
+      |am AS MATERIALIZED (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM dm) t WHERE rn = 1),
+      |rvm AS MATERIALIZED (
+      |  SELECT dvm.id, dvm.i, dvm.x - c.m AS x
+      |  FROM dvm
+      |  JOIN am ON am.id = dvm.id
+      |  JOIN c3 c ON c.cid = am.cid AND c.i = dvm.i),
+      |rm0 AS (SELECT id, i, x FROM rvm WHERE i <= 32),
+      |rm1 AS (SELECT id, i - 32 AS i, x FROM rvm WHERE i > 32),
+      |e0 AS (
+      |  SELECT r.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(r.x * c.m) AS dist2
+      |  FROM rm0 r JOIN c0_2 c ON c.i = r.i
+      |  GROUP BY r.id, c.cid),
+      |a0m AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM e0) t WHERE rn = 1),
+      |e1 AS (
+      |  SELECT r.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(r.x * c.m) AS dist2
+      |  FROM rm1 r JOIN c1_2 c ON c.i = r.i
+      |  GROUP BY r.id, c.cid),
+      |a1m AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM e1) t WHERE rn = 1)
+      |SELECT am.id AS vec_id, CAST(am.cid AS BIGINT) AS list_id,
+      |  CAST(a0m.cid AS BIGINT) AS code_0,
+      |  CAST(a1m.cid AS BIGINT) AS code_1
+      |FROM am
+      |JOIN a0m ON a0m.id = am.id
+      |JOIN a1m ON a1m.id = am.id
+      |ORDER BY vec_id""".stripMargin),
+    "Incremental IVF-PQ index maintenance: CDC upsert/delete with frozen " +
+      "codebooks, dynamic partition overwrite of touched lists only — " +
+      "full post-update index content value-oracled")
+
   /** [[Similarity.searchIvfPq]] over the persisted [[CorpusBuilds]] index
     * — the production ANN read path composed end-to-end: coarse route
     * (nprobe=4 of 8 lists), residual ADC over the partition-pruned
@@ -613,5 +743,5 @@ object SimilarityQueries {
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
-    q129_ivfpq_search)
+    q129_ivfpq_search, q133_ivfpq_index_update)
 }

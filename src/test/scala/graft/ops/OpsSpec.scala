@@ -408,6 +408,56 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("posexplode"), s"training work in search plan:\n$plan")
   }
 
+  test("IVF-PQ index update: upsert/delete rewrites ONLY touched list " +
+    "partitions; idempotent re-apply") {
+    def jig(i: Int): Float = (i / 3 % 5) * 0.02f
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_upd").toString
+    val coarse = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 3, iters = 4)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", coarse, dir,
+      dim = 8, m = 4, kCent = 4, iters = 2)
+    def listState(): Map[String, Long] = {
+      val root = new java.io.File(s"$dir/lists")
+      root.listFiles().filter(_.getName.startsWith("list_id=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = listState()
+    // delta entirely within cluster 0 (vec_ids ≡ 0 mod 3): remove 0,
+    // upsert a replacement for 3 and a new vector 100 — only cluster 0's
+    // list partition may be rewritten
+    val c0 = Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val added = Seq((3L, c0.map(_ + 0.01f)), (100L, c0))
+      .toDF("vec_id", "embedding")
+    val removed = Seq(Tuple1(0L)).toDF("vec_id")
+    Similarity.updateIvfPqIndex(spark, dir, added, removed,
+      "vec_id", "embedding", dim = 8, m = 4)
+    val afterIds = spark.read.parquet(s"$dir/lists")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!afterIds.contains(0L) && afterIds.contains(100L)
+      && afterIds.contains(3L))
+    assert(afterIds.size == 30) // 30 - 1 removed + 1 new; 3 replaced in place
+    // physical claim: partitions untouched by the delta keep their files
+    val after = listState()
+    val touchedDirs = after.keySet.filter(k => before.get(k) != after.get(k))
+      .map(_.split("/")(0)) ++ before.keySet.diff(after.keySet).map(_.split("/")(0))
+    assert(touchedDirs.size == 1,
+      s"expected exactly one rewritten list partition, got $touchedDirs")
+    // idempotence: re-applying the same delta leaves the same row set
+    Similarity.updateIvfPqIndex(spark, dir, added, removed,
+      "vec_id", "embedding", dim = 8, m = 4)
+    val again = spark.read.parquet(s"$dir/lists")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(again.size == 30 && again.toSet == afterIds,
+      "re-applying the delta must not duplicate or drop rows")
+  }
+
   test("stable split/sample are deterministic and partition-invariant") {
     val docs = spark.range(0, 1000).toDF("doc_id")
     val s1 = Sampling.stableSplit(docs, "doc_id")
