@@ -112,8 +112,10 @@ object Dedup {
     // materialize the shingle array in its own projection: the per-band
     // lambda below references it `bands` times, and an inline expression
     // would re-run the whole window-concat chain per band (measured 8×
-    // interpreted-HOF cost on the micro-batch path)
-    df.select(col(idCol).as("id"), shingles.as("_sh"))
+    // interpreted-HOF cost on the micro-batch path). array_distinct is
+    // free correctness-wise — min over duplicates equals min over the
+    // set — and cuts the interpreted md5 count by the in-doc dup rate.
+    df.select(col(idCol).as("id"), array_distinct(shingles).as("_sh"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_min(transform(col("_sh"),

@@ -124,10 +124,15 @@ object TextAnalysis {
     */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val (stats, words) = bpeTrainCore(df, textCol, nMerges)
     words.unpersist(blocking = false)
+    statsFrame(df.sparkSession, stats)
+  }
+
+  private[ops] def statsFrame(spark: org.apache.spark.sql.SparkSession,
+      stats: Seq[(Long, String, String, Long, Long, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     stats.toDF(
       "merge_round", "a", "b", "pair_cnt", "n_symbols", "n_tokens")
   }
@@ -136,9 +141,11 @@ object TextAnalysis {
     * [[bpeEncode]] (the final segmentation): returns the merge-round
     * stat tuples AND the re-segmented distinct-word frame
     * `(w, f, syms)` after the last merge — localCheckpoint'ed; the
-    * caller owns the unpersist.
+    * caller owns the unpersist (or shares it via
+    * [[CorpusBuilds.documentsBpe]], which is how q128 and q132 split
+    * one training run).
     */
-  private def bpeTrainCore(df: org.apache.spark.sql.DataFrame,
+  private[ops] def bpeTrainCore(df: org.apache.spark.sql.DataFrame,
       textCol: String, nMerges: Int)
       : (Seq[(Long, String, String, Long, Long, Long)],
          org.apache.spark.sql.DataFrame) = {
@@ -219,6 +226,16 @@ object TextAnalysis {
       .select(col("w"), size(col("syms")).cast(LongType).as("_nseg"))
       .localCheckpoint(true)
     words.unpersist(blocking = false)
+    bpeEncodeWith(df, idCol, textCol, seg)
+  }
+
+  /** [[bpeEncode]] against an already-trained `(w, _nseg)` segmentation
+    * frame — the production split (train once, encode everywhere; see
+    * [[CorpusBuilds.documentsBpe]]).
+    */
+  def bpeEncodeWith(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .join(seg, Seq("w"))
@@ -226,7 +243,6 @@ object TextAnalysis {
       .agg(count(lit(1)).cast(LongType).as("n_words"),
         sum(length(col("w"))).cast(LongType).as("n_chars"),
         sum(col("_nseg")).cast(LongType).as("n_bpe_tokens"))
-  }
 
   /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics,
     * adapted to the whitespace tokenizer): per-document rule flags plus

