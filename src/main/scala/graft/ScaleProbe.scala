@@ -368,6 +368,29 @@ object ScaleProbe {
     probeIvfPqSearch("1x", emb, nEmb)
     probeIvfPqSearch(s"${mult}x duplicate mass", embBig, nEmbBig)
 
+    // q133: incremental index update — a single-list, remove-only CDC
+    // delta (50 ids all routed to list 0): the update must read and
+    // rewrite ONLY that list's partition, so its cost tracks the touched
+    // list's size, never the index size (the other nLists-1 partitions
+    // are untouched bytes on disk). Timed section = the update alone.
+    def probeIvfPqUpdate(scale: String, e: DataFrame, n: Long): Unit = {
+      val coarse = ops.Similarity.ivfCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivfpq_u").toString
+      ops.Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, dir,
+        dim = 64, m = 2, kCent = 4, iters = 2)
+      val removed = spark.read.parquet(s"$dir/lists")
+        .filter(col("list_id").cast("long") === 0L)
+        .select(col("id").as("vec_id")).limit(50).localCheckpoint(true)
+      val added = e.filter(lit(false))
+      val (_, t) = time(ops.Similarity.updateIvfPqIndex(
+        spark, dir, added, removed, "vec_id", "embedding", dim = 64, m = 2))
+      val rows = spark.read.parquet(s"$dir/lists").count()
+      emit("q133_index_update", scale, n, t, rows)
+    }
+    probeIvfPqUpdate("1x", emb, nEmb)
+    probeIvfPqUpdate(s"${mult}x duplicate mass (same 50-id delta)", embBig, nEmbBig)
+
     // q124: JL projection under the same duplicate mass — a single hash
     // aggregate with k integer sums; cost must stay linear in rows and
     // the output one row per vector (shuffle volume k partials/vector
