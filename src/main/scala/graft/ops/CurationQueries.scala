@@ -257,7 +257,166 @@ object CurationQueries {
     "Quality-stratified rebalancing: LM-score fixed bins + deterministic " +
       "hash-ranked per-bin cap (perplexity-binning mixture control)")
 
+  /** The CAPSTONE composition — the end-to-end "produce the training
+    * mixture" pipeline every stage of this library exists for, run as
+    * ONE query: near-dup keeper selection (q123's shared CorpusBuilds
+    * components + q26 quality) → Gopher quality gate (q115) →
+    * temperature-balanced mixture over the survivors (q113's α=1/2 rule,
+    * base 10). Output is the per-language funnel: corpus docs →
+    * dedup-kept → quality-kept → candidates (both gates) → cap →
+    * final kept set (count + id digest). Every stage reuses its
+    * already-oracled kernel, and the oracle replays the full chain —
+    * so the row value-checks the COMPOSITION (gate ordering, survivor
+    * strata, caps over post-filter counts), not just the pieces.
+    *
+    * Scale shape: nothing new is paid — the component build is the
+    * shared checkpointed artifact, the gates are per-row passes, and
+    * the mixture runs over the (smaller) survivor frame; the funnel
+    * aggregate is one map-side-combined hash agg per stage, output one
+    * row per language.
+    */
+  val q134_curation_pipeline: QueryDef = QueryDef(
+    "q134_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val reps = Dedup.selectRepresentatives(
+          CorpusBuilds.documentsCanonical(s, d), scored, "doc_id", "quality")
+        .select(col("doc_id"), col("is_rep"))
+      val gopher = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("g_keep"))
+      val flags = docs.select("doc_id", "lang")
+        .join(reps, Seq("doc_id"))
+        .join(gopher, Seq("doc_id"))
+      val surv = flags.filter(col("is_rep") === 1L && col("g_keep") === 1L)
+        .select("doc_id", "lang")
+      val mix = Sampling.temperatureMix(surv, "doc_id", "lang", base = 10)
+      val funnel = flags.groupBy("lang").agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum("is_rep").cast(LongType).as("n_rep"),
+        sum("g_keep").cast(LongType).as("n_quality"),
+        sum(col("is_rep") * col("g_keep")).cast(LongType).as("n_candidates"))
+      val kept = mix.groupBy("lang").agg(
+        max("cap").cast(LongType).as("cap"),
+        sum("kept").cast(LongType).as("n_kept"),
+        sum(when(col("kept") === 1L, col("doc_id"))).cast(LongType)
+          .as("kept_id_digest"))
+      funnel.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_rep"), col("n_quality"),
+          col("n_candidates"),
+          coalesce(col("cap"), lit(0L)).as("cap"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_digest"), lit(0L)).as("kept_id_digest"))
+        .orderBy("lang")
+    },
+    Some("WITH RECURSIVE " + DedupQueries.shinglesSql.stripPrefix("WITH ") +
+      """,
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hs a JOIN hs b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |e AS (SELECT id_a AS a, id_b AS b FROM cand
+        |      UNION SELECT id_b, id_a FROM cand),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM r GROUP BY a),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN CAST(length(regexp_extract_all(text, '[.,!?]')) AS BIGINT) * 10
+        |               <= CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS quality
+        |  FROM documents),
+        |cbase AS (
+        |  SELECT d.doc_id, d.lang,
+        |    COALESCE(c.canonical_id, d.doc_id) AS canonical_id, q.quality
+        |  FROM documents d
+        |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |  JOIN qual q ON q.doc_id = d.doc_id),
+        |rep AS (
+        |  SELECT canonical_id, doc_id AS rep_id FROM (
+        |    SELECT canonical_id, doc_id,
+        |      row_number() OVER (PARTITION BY canonical_id
+        |                         ORDER BY quality DESC, doc_id) AS rn
+        |    FROM cbase) t
+        |  WHERE rn = 1),
+        |gt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gbase AS (
+        |  SELECT doc_id,
+        |    CAST(length(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_sum,
+        |    CAST(length(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
+        |  FROM gt),
+        |gbg AS (
+        |  SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+        |  FROM tok),
+        |gbc AS (SELECT doc_id, bg, COUNT(*) AS c FROM gbg WHERE bg IS NOT NULL
+        |  GROUP BY doc_id, bg),
+        |gtop AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM gbc GROUP BY doc_id),
+        |gk AS (
+        |  SELECT b.doc_id,
+        |    CAST(CASE WHEN b.n_words BETWEEN 50 AND 100000
+        |          AND 3 * b.n_words <= b.char_sum AND b.char_sum <= 10 * b.n_words
+        |          AND 5 * b.n_alpha >= 4 * b.n_words
+        |          AND b.n_stop >= 2
+        |          AND (COALESCE(t.n_bg, 0) = 0
+        |            OR 5 * COALESCE(t.top_c, 0) <= COALESCE(t.n_bg, 0))
+        |         THEN 1 ELSE 0 END AS BIGINT) AS g_keep
+        |  FROM gbase b LEFT JOIN gtop t ON b.doc_id = t.doc_id),
+        |flags AS (
+        |  SELECT cb.doc_id, cb.lang,
+        |    CAST(CASE WHEN cb.doc_id = rep.rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep,
+        |    gk.g_keep
+        |  FROM cbase cb
+        |  JOIN rep USING (canonical_id)
+        |  JOIN gk ON gk.doc_id = cb.doc_id),
+        |surv AS (SELECT doc_id, lang FROM flags WHERE is_rep = 1 AND g_keep = 1),
+        |counts AS (SELECT lang, COUNT(*) AS n_docs FROM surv GROUP BY lang),
+        |isq AS (
+        |  SELECT lang, n_docs,
+        |    r - CASE WHEN r * r > n_docs THEN 1 ELSE 0 END
+        |      + CASE WHEN (r + 1) * (r + 1) <= n_docs THEN 1 ELSE 0 END AS isq
+        |  FROM (SELECT lang, n_docs,
+        |          CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS r
+        |        FROM counts) t),
+        |caps AS (SELECT lang, n_docs, LEAST(n_docs, 10 * isq) AS cap FROM isq),
+        |ranked AS (
+        |  SELECT sv.doc_id, sv.lang, c.cap,
+        |    row_number() OVER (PARTITION BY sv.lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+        |      sv.doc_id) AS rk
+        |  FROM surv sv JOIN caps c USING (lang)),
+        |keptagg AS (
+        |  SELECT lang, CAST(MAX(cap) AS BIGINT) AS cap,
+        |    CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN rk <= cap THEN doc_id END) AS BIGINT) AS kept_id_digest
+        |  FROM ranked GROUP BY lang)
+        |SELECT f.lang, f.n_docs, f.n_rep, f.n_quality, f.n_candidates,
+        |  COALESCE(k.cap, 0) AS cap,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_id_digest, 0) AS kept_id_digest
+        |FROM (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(is_rep) AS BIGINT) AS n_rep,
+        |    CAST(SUM(g_keep) AS BIGINT) AS n_quality,
+        |    CAST(SUM(is_rep * g_keep) AS BIGINT) AS n_candidates
+        |  FROM flags GROUP BY lang) f
+        |LEFT JOIN keptagg k USING (lang)
+        |ORDER BY f.lang""".stripMargin),
+    "End-to-end curation pipeline (capstone composition): dedup keeper " +
+      "selection -> Gopher gate -> temperature mixture, per-language " +
+      "funnel value-oracled through the full chain")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
     q67_token_chunks, q81_contamination_bloom, q101_importance_resample,
-    q109_quality_rebalance)
+    q109_quality_rebalance, q134_curation_pipeline)
 }

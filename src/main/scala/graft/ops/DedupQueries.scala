@@ -46,7 +46,7 @@ object DedupQueries {
     shinglesRaw(docs).distinct()
 
   /** DuckDB mirror of [[shingles]] as a CTE prefix. */
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     """WITH tok AS (
       |  SELECT doc_id, lang,
       |    generate_subscripts(string_split(text, ' '), 1) AS i,
