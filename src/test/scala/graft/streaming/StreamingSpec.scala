@@ -168,6 +168,55 @@ class StreamingSpec extends SparkSpec {
     assert(!hits.contains(11L) && !hits.contains(12L))
   }
 
+  test("streaming CDC index ingestion: foreachBatch upserts micro-batches " +
+    "into the persisted IVF-PQ index; at-least-once replay is safe") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    def jig(i: Int): Float = (i / 3 % 5) * 0.02f
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 3) = 1.0f
+      (i.toLong, base.map(_ + jig(i)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cdc").toString
+    val coarse = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 3, iters = 4)
+    Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", coarse, dir,
+      dim = 8, m = 4, kCent = 4, iters = 2)
+    val none = vecs.filter(lit(false)).select("vec_id")
+    val ms = MemoryStream[(Long, Array[Float])]
+    // the streaming shape: each micro-batch of newly embedded vectors is
+    // routed + coded with the FROZEN codebooks and upserted — the
+    // stream-side twin of q133's batch CDC; updateIvfPqIndex's idempotent
+    // upsert is exactly what makes foreachBatch's at-least-once contract
+    // safe here
+    val q = ms.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.updateIvfPqIndex(spark, dir, batch, none,
+          "vec_id", "embedding", dim = 8, m = 4)
+      }.start()
+    val c0 = Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val c1 = Array(0f, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    try {
+      ms.addData((100L, c0), (101L, c1))
+      q.processAllAvailable()
+      ms.addData((101L, c1), (102L, c0.map(_ + 0.01f))) // 101 replayed
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/lists").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 33 && Seq(100L, 101L, 102L).forall(ids.contains),
+      s"expected 30 base + 3 streamed rows, got ${ids.size}")
+    // streamed vectors are searchable through the normal read path
+    val got = Similarity.searchIvfPq(spark, dir, vecs, Seq((100L, c0))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 3, dim = 8, nprobe = 1, shortlist = 10, m = 4, kCent = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty && got.forall(id => id % 3 == 0 || id >= 100L),
+      s"cluster-0 query must retrieve cluster-0 / streamed ids, got $got")
+  }
+
   test("stream-stream interval join pairs clicks with in-window impressions") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
