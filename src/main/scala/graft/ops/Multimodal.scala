@@ -722,8 +722,18 @@ object Multimodal {
     */
   def hashedBowEmbeddings(df: DataFrame, idCol: String, payload: Column,
       dim: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(split(payload.cast(StringType), " ")).as("w"))
-      .filter(col("w") =!= "")
+    hashedBowFromTokens(
+      df.select(col(idCol).as("id"),
+        explode(split(payload.cast(StringType), " ")).as("w"))
+        .filter(col("w") =!= ""),
+      dim)
+
+  /** [[hashedBowEmbeddings]] from an already-tokenized `(id, w)` frame —
+    * the entry point for units other than whole payloads (q135 embeds
+    * CHUNKS: the token frame arrives keyed by chunk id).
+    */
+  def hashedBowFromTokens(tokens: DataFrame, dim: Int): DataFrame =
+    tokens
       .select(col("id"),
         pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType),
           lit(dim.toLong)).as("b"))

@@ -699,6 +699,78 @@ object SimilarityQueries {
       "index: route -> residual ADC on probed lists -> exact re-rank, " +
       "recall@10 >= 0.6 per query")
 
+  /** RAG-shaped retrieval capstone: chunk the corpus into fixed
+    * 30-token windows, embed each CHUNK into the shared hashed-BoW
+    * space ([[Multimodal.hashedBowFromTokens]] — the q131 encoder over
+    * sub-document units), and retrieve the top-3 chunks per query
+    * document ([[Multimodal.crossModalTopK]]). This is the indexing
+    * side of retrieval-augmented generation with the learned encoder
+    * stubbed deterministically: chunking → embedding → kNN, composed
+    * from already-oracled kernels, with every rank and floor-ppm cosine
+    * value-checked. Chunk ids are doc_id·1000 + window index, assigned
+    * from the RAW split position (both engines agree before empty-token
+    * filtering). Queries (doc_id < 5) are excluded from the chunk index
+    * — a RAG query must not retrieve itself.
+    */
+  val q135_rag_retrieval: QueryDef = QueryDef(
+    "q135_rag_retrieval",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunkToks = docs.filter(col("doc_id") >= 5)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .select((col("doc_id") * 1000 + expr("i div 30")).as("id"), col("w"))
+        .filter(col("w") =!= "")
+      val chunkEmb = Multimodal.hashedBowFromTokens(chunkToks, dim = 16)
+      val qEmb = Multimodal.hashedBowEmbeddings(
+        docs.filter(col("doc_id") < 5), "doc_id", col("text"), dim = 16)
+      Multimodal.crossModalTopK(chunkEmb, qEmb, k = 3)
+        .select(col("q_id"), col("media_id").as("chunk_id"), col("rnk"),
+          col("cos_ppm"))
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH ctok AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id >= 5),
+      |ct AS (
+      |  SELECT doc_id * 1000 + (i - 1) // 30 AS cid, w
+      |  FROM ctok WHERE w <> ''),
+      |cb AS (
+      |  SELECT cid, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+      |    COUNT(*) AS c
+      |  FROM ct GROUP BY 1, 2),
+      |cn AS (SELECT cid, SUM(c * c) AS n2 FROM cb GROUP BY cid),
+      |qtok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id < 5),
+      |qb AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+      |    COUNT(*) AS c
+      |  FROM qtok WHERE w <> '' GROUP BY 1, 2),
+      |qn AS (SELECT doc_id, SUM(c * c) AS n2 FROM qb GROUP BY doc_id),
+      |dots AS (
+      |  SELECT q.doc_id AS q_id, m.cid, SUM(q.c * m.c) AS dot
+      |  FROM qb q JOIN cb m ON q.b = m.b
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT qn.doc_id AS q_id, cn.cid,
+      |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+      |      / sqrt(CAST(qn.n2 * cn.n2 AS DOUBLE)) AS cosine
+      |  FROM qn CROSS JOIN cn
+      |  LEFT JOIN dots d ON d.q_id = qn.doc_id AND d.cid = cn.cid),
+      |top AS (
+      |  SELECT q_id, cid, cosine,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY cosine DESC, cid) AS rnk
+      |  FROM rk)
+      |SELECT q_id, cid AS chunk_id, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(floor(1000000 * cosine) AS BIGINT) AS cos_ppm
+      |FROM top WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin),
+    "RAG retrieval capstone: 30-token chunking -> shared-space chunk " +
+      "embeddings -> top-3 chunks per query doc, exact integer-dot kNN")
+
   /** [[Similarity.randomProjection]] — JL/Rademacher projection to 8 dims.
     * The oracle materializes the identical ±1 matrix from md5 parity and
     * runs the same floor-quantized integer sums, so every projected
@@ -741,5 +813,5 @@ object SimilarityQueries {
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
-    q129_ivfpq_search, q133_ivfpq_index_update)
+    q129_ivfpq_search, q133_ivfpq_index_update, q135_rag_retrieval)
 }
