@@ -98,6 +98,27 @@ object EventQueries {
          |alive$t AS MATERIALIZED (SELECT v FROM deg$t WHERE cnt >= (SELECT k FROM kp))""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled LPA generations `v1/l1 .. v{R}/l{R}` for the q137 oracle:
+    * round t's votes aggregate edge weight per (node, neighbor label
+    * from round t-1), and the new label is the argmax with ties toward
+    * the SMALLEST label — replayed here as max-weight filter + MIN(lbl),
+    * the exact relational form of the engine's `max(struct(wsum, −lbl))`.
+    * AS MATERIALIZED throughout (each v$t is read twice; see the q121
+    * spill note).
+    */
+  private def lpaRoundSql(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""v$t AS MATERIALIZED (
+         |  SELECT g.t AS v, l.lbl, SUM(g.w) AS wsum
+         |  FROM g JOIN l${t - 1} l ON l.v = g.s
+         |  GROUP BY g.t, l.lbl),
+         |l$t AS MATERIALIZED (
+         |  SELECT a.v, MIN(a.lbl) AS lbl
+         |  FROM v$t a JOIN (SELECT v, MAX(wsum) AS mw FROM v$t GROUP BY v) m
+         |    ON m.v = a.v AND a.wsum = m.mw
+         |  GROUP BY a.v)""".stripMargin
+    }.mkString(",\n")
+
   val q10_window_lag: QueryDef = q(
     "q10_window_lag",
     """SELECT event_id, user_id, prev_type, gap_s FROM (
@@ -496,6 +517,35 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** [[graft.ops.Graph.labelPropagation]] over the interaction graph —
+    * deterministic weighted community detection, 4 synchronous rounds on
+    * BOTH engines (no convergence exit: LPA label ties can oscillate, so
+    * round-count parity — not a fixpoint argument — is what makes the
+    * result replayable). Every (user_id, community) row value-checked
+    * against the 4-generation unrolled oracle.
+    */
+  val q137_lpa_communities: QueryDef = q(
+    "q137_lpa_communities",
+    edgesSql +
+      s""",
+        |g AS MATERIALIZED (
+        |  SELECT a AS s, b AS t, weight AS w FROM we
+        |  UNION ALL SELECT b AS s, a AS t, weight AS w FROM we),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lbl FROM g),
+        |${lpaRoundSql(4)}
+        |SELECT v AS user_id, CAST(lbl AS BIGINT) AS community
+        |FROM l4 ORDER BY user_id""".stripMargin,
+    "Weighted label-propagation communities (deterministic min-tie LPA), " +
+      "4 fixed synchronous rounds, per-node community value-oracled " +
+      "against the unrolled generation chain") { (s, d) =>
+    val e = weightedEdges(s, d)
+      .select(col("source").as("a"), col("target").as("b"),
+        col("weight").as("w"))
+    graft.ops.Graph.labelPropagation(e, rounds = 4)
+      .select(col("v").as("user_id"), col("lbl").cast(LongType).as("community"))
+      .orderBy("user_id")
+  }
+
   /** [[graft.ops.Graph.personalizedPageRank]] over the interaction graph,
     * seeds = the 5 lowest user ids present. VALUE-LEVEL oracled like q74
     * (upgraded from the pre-round-7 mass/floor/concentration property
@@ -823,5 +873,5 @@ object EventQueries {
     q44_asof_native, q73_triangles, q74_pagerank, q77_resample,
     q78_hopping_window, q79_session_window, q80_topk_agg,
     q93_json_extract, q98_personalized_pagerank, q99_weighted_pagerank,
-    q108_graph_evolution, q121_kcore)
+    q108_graph_evolution, q121_kcore, q137_lpa_communities)
 }

@@ -416,7 +416,65 @@ object CurationQueries {
       "selection -> Gopher gate -> temperature mixture, per-language " +
       "funnel value-oracled through the full chain")
 
+  /** [[Drift.tokenDrift]] between the documents corpus and the q126
+    * simulated recrawl (identical snapshot synthesis: ids ≡3 (mod 10)
+    * vanish, ids ≡7 get " v2" appended, ids ≡0 spawn new pages) — the
+    * distribution-drift monitor that pairs with q126's membership diff.
+    * Top-200 drifted tokens, every (token, old_ppm, new_ppm, drift_ppm)
+    * row value-checked; (drift_ppm DESC, token) is a total order, so the
+    * LIMIT cut is engine-stable.
+    */
+  val q136_token_drift: QueryDef = QueryDef(
+    "q136_token_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val neu = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new page "), col("doc_id").cast(StringType)).as("text")))
+      Drift.tokenDrift(docs, neu, "text")
+        .orderBy(col("drift_ppm").desc, col("token"))
+        .limit(200)
+    },
+    Some("""WITH neu AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    'new page ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |oc AS (
+      |  SELECT token, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY token),
+      |nc AS (
+      |  SELECT token, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM neu)
+      |  WHERE token <> '' GROUP BY token),
+      |op AS (
+      |  SELECT token,
+      |    (1000000 * cnt) // (SELECT SUM(cnt) FROM oc) AS old_ppm
+      |  FROM oc),
+      |np AS (
+      |  SELECT token,
+      |    (1000000 * cnt) // (SELECT SUM(cnt) FROM nc) AS new_ppm
+      |  FROM nc)
+      |SELECT COALESCE(op.token, np.token) AS token,
+      |  CAST(COALESCE(old_ppm, 0) AS BIGINT) AS old_ppm,
+      |  CAST(COALESCE(new_ppm, 0) AS BIGINT) AS new_ppm,
+      |  CAST(abs(COALESCE(new_ppm, 0) - COALESCE(old_ppm, 0)) AS BIGINT) AS drift_ppm
+      |FROM op FULL OUTER JOIN np ON op.token = np.token
+      |ORDER BY drift_ppm DESC, token
+      |LIMIT 200""".stripMargin),
+    "Corpus token-distribution drift between snapshots: per-token " +
+      "floor-ppm frequency shift, full-outer vocab join, top-200 by " +
+      "drift — the content-drift monitor paired with q126's recrawl CDC")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
     q67_token_chunks, q81_contamination_bloom, q101_importance_resample,
-    q109_quality_rebalance, q134_curation_pipeline)
+    q109_quality_rebalance, q134_curation_pipeline, q136_token_drift)
 }

@@ -110,6 +110,31 @@ object Featurize {
       .groupBy("id", "bucket")
       .agg(count(lit(1)).as("tf"))
 
+  /** fastText-shaped linear quality classifier over hashed unigrams:
+    * `score(doc) = Σ_tokens w(token)` where the per-token weight is a
+    * deterministic md5-derived integer in [−8, 8) — the inference shape
+    * of the model-based quality filters (CCNet/GPT-3-style fastText
+    * gates) with the trained weight table replaced by a portable hash so
+    * the whole pass is engine-exact and value-oracled. Swapping in real
+    * trained weights is a broadcast join against a (numFeatures)-row
+    * weight table with IDENTICAL plan shape — the hash IS the lookup.
+    *
+    * Scale: explode + one map-side-combinable hash agg per doc; the
+    * weight is a pure codegen'd expression chain (md5 → conv → mod), no
+    * UDF, no join, no window. `keep = score > 0`.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "qw"): DataFrame = {
+    val w = conv(substring(md5(concat(lit(salt), col("w"))), 1, 4), 16, 10)
+      .cast(LongType) % 16L - 8L
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .select(col("id"), w.as("wt"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score"))
+      .withColumn("keep", (col("score") > 0L).cast(LongType))
+  }
+
   /** Corpus TF-IDF over the [[hashingTf]] rows: weight = tf · idf with the
     * standard smoothed idf = ln((N+1)/(df+1)) + 1. The document-frequency
     * side is one extra aggregation + a broadcast-sized (numFeatures-row)

@@ -73,5 +73,33 @@ object FeaturizeQueries {
     "Hashing-trick TF + rational TF-IDF digest (sparse-as-rows featurizer, " +
       "md5 buckets replayed in DuckDB)")
 
-  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf)
+  /** [[Featurize.hashedLinearScore]] over documents — model-based quality
+    * filtering in its inference shape (fastText-style linear scorer over
+    * hashed unigrams), per-doc (n_tokens, score, keep) all value-checked:
+    * the md5-derived weight makes the "model" portable, so the oracle
+    * replays the exact dot product.
+    */
+  val q139_quality_classifier: QueryDef = QueryDef(
+    "q139_quality_classifier",
+    (s, d) => Featurize.hashedLinearScore(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("score").cast(LongType).as("score"), col("keep"))
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(('0x' || substr(md5('qw' || w), 1, 4)) AS BIGINT) % 16 - 8)
+      |      AS score
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin),
+    "fastText-shaped linear quality classifier: md5-hashed unigram " +
+      "weights in [-8,8), per-doc score + keep gate, pure codegen " +
+      "expression chain (no UDF, no join, no window)")
+
+  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf, q139_quality_classifier)
 }

@@ -260,6 +260,48 @@ object Graph {
       .select(col("v"), coalesce(col("peel_round"), lit(0L)).as("peel_round"))
   }
 
+  /** Synchronous weighted label propagation (community detection): every
+    * node starts as its own community, and each round adopts the label
+    * carrying the largest total edge weight among its neighbors, ties
+    * broken toward the SMALLEST label — the deterministic LPA variant
+    * (classic LPA breaks ties randomly, which no replayable pipeline can
+    * afford). Runs EXACTLY `rounds` rounds with no convergence exit:
+    * unlike k-core, post-fixpoint LPA rounds are not guaranteed
+    * identities (label ties can oscillate), so round-count parity is
+    * what makes the result a pure function of the graph — the oracle
+    * unrolls the same generations and matches bit-for-bit.
+    *
+    * Input: canonical undirected weighted edges (a, b, w), a < b, no
+    * loops. Per round: one shuffle join of the (persisted) directed edge
+    * list against the node-sized label frame, one (t, lbl) hash agg, and
+    * one argmax-with-min-tie via `max(struct(wsum, −lbl))` — a map-side-
+    * combinable aggregate, never a window. The label frame is eagerly
+    * checkpointed per round, so lineage stays O(1) like the PageRank
+    * loop. Returns (v, lbl) — the community id per node.
+    */
+  def labelPropagation(weighted: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val g = weighted
+      .select(col("a").as("s"), col("b").as("t"), col("w"))
+      .unionAll(weighted.select(col("b").as("s"), col("a").as("t"), col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = g.select(col("s").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val votes = g.join(lbl.withColumnRenamed("v", "s"), Seq("s"))
+        .groupBy(col("t"), col("lbl"))
+        .agg(sum("w").as("wsum"))
+      lbl = votes.groupBy("t")
+        .agg(max(struct(col("wsum"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("t").as("v"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    g.unpersist(blocking = false)
+    lbl
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // The canonical edge list feeds four subtrees (degrees, rank join,
     // edge count, closing edges) and the oriented list three — without a

@@ -244,6 +244,36 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Epoch-aware token-budget mixture — the scheduling half of source
+    * balancing ([[temperatureMix]] picks WHICH documents survive; this
+    * computes HOW OFTEN each source is replayed). Given per-row token
+    * counts, reallocate the corpus's own total token budget across
+    * strata by α = 1/2 temperature weights (w_s ∝ ⌊√tokens_s⌋, the
+    * Gopher/Llama mixture recipe), and report each stratum's repetition
+    * factor: `epochs_ppm > 10⁶` means the source is up-sampled past one
+    * epoch (the small-source repetition that mixture tables like the
+    * Pile's publish), `< 10⁶` means it is subsampled.
+    *
+    * All arithmetic exact: [[isqrt]] for the weights, and the two
+    * products that could overflow a 64-bit long at 100 TB token counts
+    * (budget·isq ≈ 10¹⁴·10⁷; 10⁶·target) run in DECIMAL(38,0) before
+    * the integral division — DuckDB mirrors with HUGEINT. One hash agg
+    * (bounded by stratum count), a 1-row total broadcast back, per-row
+    * arithmetic after that.
+    */
+  def epochMixture(df: DataFrame, strataCol: String, tokens: Column): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(sum(tokens).as("n_tokens"))
+      .withColumn("isq", isqrt(col("n_tokens")))
+    val totals = counts.agg(sum("n_tokens").as("budget"), sum("isq").as("isq_sum"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(strataCol), col("n_tokens"),
+        expr("(1000000 * isq) div isq_sum").as("weight_ppm"),
+        expr("CAST((CAST(budget AS DECIMAL(38,0)) * isq) div isq_sum AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("epochs_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * target_tokens) div n_tokens AS BIGINT)"))
+  }
+
   /** Per-DOMAIN curation: [[sourceCuration]] keyed on the registrable
     * domain parsed from a URL column ([[Featurize.domainOf]]) instead of
     * a pre-labeled source tag. Real web corpora (C4, RefinedWeb) police

@@ -538,9 +538,52 @@ object SamplingQueries {
       "which source pairs share content (distinct (fingerprint, source) " +
       "self-join — pair space bounded by source count, never copy count)")
 
+  /** [[Sampling.epochMixture]] over per-source whitespace token counts —
+    * the repetition-factor table of a training mixture: the corpus's own
+    * token budget reallocated by α = 1/2 weights, each source reporting
+    * its target tokens and epochs in ppm. Every value is exact integer
+    * arithmetic (isqrt weights, DECIMAL-38/HUGEINT-guarded products), so
+    * the whole row set is value-checked with zero tolerance.
+    */
+  val q138_epoch_mixture: QueryDef = QueryDef(
+    "q138_epoch_mixture",
+    (s, d) => Sampling.epochMixture(Tables.documents(s, d), "source",
+        graft.ops.TextAnalysis.tokenCount(col("text")))
+      .select(col("source"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("weight_ppm").cast(LongType).as("weight_ppm"),
+        col("target_tokens"), col("epochs_ppm"))
+      .orderBy("source"),
+    Some("""WITH counts AS (
+      |  SELECT source,
+      |    SUM(length(regexp_extract_all(text, '\S+'))) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |isq AS (
+      |  SELECT source, n_tokens,
+      |    r - CASE WHEN r * r > n_tokens THEN 1 ELSE 0 END
+      |      + CASE WHEN (r + 1) * (r + 1) <= n_tokens THEN 1 ELSE 0 END AS isq
+      |  FROM (SELECT source, n_tokens,
+      |          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r
+      |        FROM counts) t),
+      |tot AS (SELECT SUM(n_tokens) AS budget, SUM(isq) AS isq_sum FROM isq)
+      |SELECT source,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((1000000 * isq) // (SELECT isq_sum FROM tot) AS BIGINT) AS weight_ppm,
+      |  CAST((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
+      |    // (SELECT isq_sum FROM tot) AS BIGINT) AS target_tokens,
+      |  CAST((CAST(1000000 AS HUGEINT) *
+      |      ((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
+      |        // (SELECT isq_sum FROM tot)))
+      |    // n_tokens AS BIGINT) AS epochs_ppm
+      |FROM isq
+      |ORDER BY source""".stripMargin),
+    "Epoch-aware token-budget mixture (α = 1/2 temperature weights over " +
+      "per-source token counts): target tokens + repetition factor in " +
+      "exact ppm — the published-mixture-table shape, overflow-guarded " +
+      "to 100 TB token counts")
+
   def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,
     q117_url_canonical_dedup, q122_blocklist_filter,
-    q127_dup_leakage_matrix)
+    q127_dup_leakage_matrix, q138_epoch_mixture)
 }
