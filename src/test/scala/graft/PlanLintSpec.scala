@@ -40,7 +40,9 @@ class PlanLintSpec extends SparkSpec {
     "q87_hll_union" -> "one-row exact distinct joined to the one-row sketch union",
     "q129_ivfpq_search" -> "k-row centroid + m·k-row codebook broadcasts for the probe/ADC-table crossJoins (brute-force exact baseline broadcasts the 5-row query set)",
     "q131_crossmodal_retrieval" -> "5-row query-embedding table broadcast for the exact cross-modal kNN scan",
-    "q135_rag_retrieval" -> "5-row query-embedding table broadcast for the chunk-index kNN scan (q131's kernel)"
+    "q135_rag_retrieval" -> "5-row query-embedding table broadcast for the chunk-index kNN scan (q131's kernel)",
+    "q136_token_drift" -> "two one-row snapshot token totals (ppm denominators) broadcast onto the vocab counts",
+    "q138_epoch_mixture" -> "one-row (budget, isq_sum) totals broadcast onto the stratum counts"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —

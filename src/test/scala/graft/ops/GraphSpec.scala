@@ -25,6 +25,30 @@ class GraphSpec extends SparkSpec {
     assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) == ((6L, 5L, 0L)))
   }
 
+  test("labelPropagation: weak bridge splits cliques; min-label ties; fixed rounds") {
+    // two triangles (edge weight 10) joined by a weight-1 bridge 3-4:
+    // LPA must find the two cliques as communities rooted at their
+    // smallest node ids, and the bridge must NOT merge them
+    val e = Seq(
+      (1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("a", "b", "w")
+    val got = Graph.labelPropagation(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+
+    // pure tie on an even cycle: every vote ties, so labels are decided
+    // by the min-label rule alone — deterministic across reruns
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val a = Graph.labelPropagation(sq, rounds = 3).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Graph.labelPropagation(sq, rounds = 3).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a == b)
+    assert(a.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("pageRank matches closed forms on symmetric and path graphs") {
     // K3: full symmetry → 1/3 each, any damping
     val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
