@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   final case class Evt(user_id: Long, ts_sec: Long)
-  final case class SessionState(lastTs: Long, nSessions: Long)
-  final case class SessionCount(user_id: Long, n_sessions: Long)
+  final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+  final case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Tumbling event-time window counts with a watermark — the streaming
     * form of q22_daily_type_counts. Works on a stream (late data beyond
@@ -54,8 +54,16 @@ object EventStream {
           AND click_ts <= imp_ts + interval $windowSec seconds"""))
 
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
-    * escape hatch (per-user running session count, 30-min default gap).
-    * Update-mode output: one refreshed count per user per batch.
+    * escape hatch (per-user running session + event counts, 30-min
+    * default gap). Update-mode output: one refreshed count per user per
+    * batch. Within a batch each group is sorted by ts_sec before the
+    * state fold — a coarsening of the batch q20 (ts, event_id) order
+    * that yields the IDENTICAL session count (events inside one second
+    * have gap 0 in any order); across batches the state carries lastTs,
+    * so in-order file arrival reproduces the batch result exactly
+    * (out-of-order arrival beyond a batch boundary would need buffering
+    * state + an event-time timeout — out of scope for the parity query,
+    * which stages the bounded input as ordered micro-batches).
     */
   def sessionCounts(events: Dataset[Evt], gapSec: Long = 1800): Dataset[SessionCount] = {
     import events.sparkSession.implicits._
@@ -64,15 +72,15 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionCount](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (uid, evts, state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           evts.toSeq.sortBy(_.ts_sec).foreach { e =>
             st =
               if (st.lastTs == Long.MinValue || e.ts_sec - st.lastTs > gapSec)
-                SessionState(e.ts_sec, st.nSessions + 1)
-              else SessionState(e.ts_sec, st.nSessions)
+                SessionState(e.ts_sec, st.nSessions + 1, st.nEvents + 1)
+              else SessionState(e.ts_sec, st.nSessions, st.nEvents + 1)
           }
           state.update(st)
-          Iterator.single(SessionCount(uid, st.nSessions))
+          Iterator.single(SessionCount(uid, st.nSessions, st.nEvents))
       }
   }
 }

@@ -261,7 +261,52 @@ object StreamQueries {
       "the standing corpus LSH index via stream-static semi-join, " +
       "sharing q58's oracle verbatim")
 
+  /** q20's gaps-and-islands sessionization executed as a REAL stateful
+    * stream — [[EventStream.sessionCounts]]'s flatMapGroupsWithState
+    * with per-user (lastTs, nSessions, nEvents) state, update mode —
+    * and checked against q20's batch oracle VERBATIM. Fifth stream/batch
+    * parity entry and the first exercising the arbitrary-state API in
+    * the oracle gate (q94/q114 pin built-in aggregations; the
+    * StreamingSpec unit test pins cross-batch state carry on a toy —
+    * this pins the full-corpus end state). Update-mode memory sink
+    * appends one refreshed row per (user, batch); the final per-user
+    * value is the max (counts are nondecreasing). Per-invocation
+    * teardown as q94/q105/q114/q130.
+    */
+  val q140_stream_sessionize: QueryDef = QueryDef(
+    "q140_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val (stream, srcDir) = eventsStream(s, d)
+      val sessions = EventStream.sessionCounts(
+        stream.select(col("user_id"), col("ts_sec"))
+          .as[EventStream.Evt])
+      val sink = "graft_q140_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q140_ckpt")
+      val q = sessions.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .groupBy("user_id")
+        .agg(max("n_sessions").cast(LongType).as("n_sessions"),
+          max("n_events").cast(LongType).as("n_events"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      res
+    },
+    graft.events.EventQueries.q20_sessionize.oracle,
+    "Stream/batch parity #5: q20's sessionization as a stateful " +
+      "flatMapGroupsWithState stream (per-user custom state, update " +
+      "mode), same oracle")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
-    q130_stream_incremental_dedup)
+    q130_stream_incremental_dedup, q140_stream_sessionize)
 }

@@ -45,9 +45,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val last = spark.table("sessions").groupBy("user_id")
-      .agg(max("n_sessions").as("n")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(last == Map(1L -> 2L, 2L -> 1L))
+      .agg(max("n_sessions").as("n"), max("n_events").as("ne")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(last == Map(1L -> ((2L, 3L)), 2L -> ((1L, 1L))))
   }
 
   test("streaming dedup: first occurrence per key wins across batches") {
