@@ -449,6 +449,57 @@ object ScaleProbe {
     probeKcore("1x", edges)
     probeKcore("celebrity", withCeleb)
 
+    // q137: label propagation with the celebrity star — the hub's
+    // degree-`inject` vote aggregate is the skew case; per round the
+    // (t, lbl) agg is map-side combined, so the hub costs its edge count
+    // once per round and `rows` stays one per node.
+    def probeLpa(scale: String, es: DataFrame): Unit = {
+      val canon = ops.Graph.canonicalEdges(es, "source", "target")
+        .withColumn("w", lit(1L))
+      val (rows, t) = time(ops.Graph.labelPropagation(canon, rounds = 4).count())
+      emit("q137_lpa_communities", scale, canon.count(), t, rows)
+    }
+    probeLpa("1x", edges)
+    probeLpa("celebrity", withCeleb)
+
+    // q136: token drift where the recrawl APPENDS the boilerplate cluster
+    // — the vocab-sized agg must absorb `inject` near-identical docs
+    // without the output growing past the (bounded) vocabulary.
+    def probeDrift(scale: String, neu: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(
+        ops.Drift.tokenDrift(base, neu, "text").count())
+      emit("q136_token_drift", scale, n, t, rows)
+    }
+    probeDrift("1x", base, nBase)
+    probeDrift(s"boiler+${inject}", base.unionAll(cluster), nBase + inject)
+
+    // q139: hashed linear classifier over the mult× corpus — a pure
+    // per-row pass; time must scale linearly and rows = docs.
+    def probeClassifier(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(
+        ops.Featurize.hashedLinearScore(docs, "doc_id", "text").count())
+      emit("q139_quality_classifier", scale, n, t, rows)
+    }
+    probeClassifier("1x", base, nBase)
+    probeClassifier(s"${mult}x", big, nBig)
+
+    // q138: epoch mixture where ONE stratum holds nearly all the token
+    // mass (the big unioned corpus as a single source vs tiny per-mod
+    // strata). The per-stratum agg is map-side combined so the fat
+    // stratum costs its row count once; output stays one row/stratum
+    // and the DECIMAL(38,0) products must absorb the inflated budget.
+    def probeEpoch(scale: String, docs: DataFrame, n: Long): Unit = {
+      val strata = docs.withColumn("src",
+        when(col("doc_id") % 101L === 0L,
+          concat(lit("minor"), (col("doc_id") % 7L).cast("string")))
+          .otherwise(lit("major")))
+      val (rows, t) = time(ops.Sampling.epochMixture(
+        strata, "src", length(col("text")).cast("long")).count())
+      emit("q138_epoch_mixture", scale, n, t, rows)
+    }
+    probeEpoch("1x", base, nBase)
+    probeEpoch(s"${mult}x skewed-major", big, nBig)
+
     // q108: temporal evolution with a celebrity DAY — one day holding a
     // degree-`inject` star (every edge first-seen that day). Per-day
     // rollups are hash aggs over the day-edge frame, so the hot day costs
