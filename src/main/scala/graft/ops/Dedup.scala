@@ -560,6 +560,57 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs over ANY packed-bit fingerprint column (simhash,
+    * image dHash halves, audio fingerprints): SimHash-style banded LSH.
+    * The fingerprint is cut into `nBands` contiguous `bandBits`-bit
+    * bands; two rows are candidates iff they agree EXACTLY on at least
+    * one band (pigeonhole: any pair within Hamming distance < nBands is
+    * guaranteed a shared band), then candidates are verified with
+    * [[hammingDistance]] ≤ `maxHamming`. Returns (id_a, id_b, hamming),
+    * id_a < id_b.
+    *
+    * Scale shape: one narrow nBands-wide explode, a shuffle on
+    * (band, band_value) — the same linear-ish candidate generation as
+    * the minhash band join — then distinct + a codegen'd bit_count
+    * filter. `maxBucketSize` is the hot-bucket guard: a clique of f
+    * identical fingerprints costs f² candidate rows, so buckets larger
+    * than the cap are dropped from candidate generation entirely
+    * (callers should collapse exact-fingerprint groups first — a hash
+    * agg — when giant exact clusters are expected; the cap is the
+    * boilerplate backstop, same contract as the minhash band cap).
+    */
+  def bandedHammingPairs(df: DataFrame, idCol: String, fpCol: String,
+      nBands: Int = 4, bandBits: Int = 8, maxHamming: Int = 3,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(nBands > 0 && bandBits > 0 && nBands * bandBits <= 64,
+      s"invalid band layout: $nBands x $bandBits bits")
+    val mask = (1L << bandBits) - 1
+    val bandVals = array((0 until nBands).map(b =>
+      shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    val banded0 = df
+      .select(col(idCol).as("id"), col(fpCol).cast(LongType).as("fp"))
+      .select(col("id"), col("fp"), posexplode(bandVals).as(Seq("band", "bv")))
+    val banded =
+      if (maxBucketSize == Long.MaxValue) banded0
+      else banded0
+        .withColumn("_bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+        .filter(col("_bs") <= maxBucketSize)
+        .drop("_bs")
+    val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"),
+      col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast(LongType).as("hamming"))
+  }
+
   /** Bulk SimHash over a corpus: identical fingerprints to [[simhash64]]
     * (same distinct-token hashing, same vote>0 bit rule — spec-asserted
     * equal), but computed as an exploded codegen pipeline: one token

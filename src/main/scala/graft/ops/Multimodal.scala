@@ -165,8 +165,16 @@ object Multimodal {
     * of [[pngBytes]]. Header laid out by hand (44 bytes) so the bytes are
     * identical across JVMs.
     */
-  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
-    val dataLen = nFrames * channels * 2
+  def wavBytes(sampleRate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] =
+    wavBytesFrom(sampleRate, channels,
+      Array.tabulate(nFrames * channels)(i => ((seed * 773 + i * 131) & 0xffff).toShort))
+
+  /** RIFF/WAVE 16-bit PCM little-endian container around caller-provided
+    * interleaved samples — the encode half for payloads whose PCM is
+    * computed rather than formulaic ([[wavBytes]] delegates here).
+    */
+  def wavBytesFrom(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -177,8 +185,8 @@ object Multimodal {
       .putShort((channels * 2).toShort).putShort(16.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nFrames * channels) {
-      b.putShort(((seed * 773 + i * 131) & 0xffff).toShort)
+    while (i < samples.length) {
+      b.putShort(samples(i))
       i += 1
     }
     b.array()
@@ -279,6 +287,80 @@ object Multimodal {
           } finally in.close()
         } catch {
           case scala.util.control.NonFatal(_) => Seq.empty[AudioFeatures]
+        }
+      }
+  }
+
+  final case class AudioFingerprint(media_id: Long, n_windows: Long, fp: Long)
+
+  /** Acoustic fingerprint from REAL decoded PCM — the audio analog of
+    * [[imageDHash]] and the classic energy-delta fingerprint shape
+    * (Shazam/Chromaprint's core idea reduced to its oracle-replayable
+    * integer skeleton): channel-0 samples are cut into non-overlapping
+    * `window`-frame windows, E_w = Σ s² per window (exact 64-bit
+    * integers), and bit j = E_{j+1} > E_j for j < min(`maxBits`,
+    * windows−1), packed LSB-first into one BIGINT. Energy DELTAS rather
+    * than absolute energies make the fingerprint robust to uniform gain
+    * changes of the kind near-dup audio exhibits; small local edits
+    * perturb only the bits whose windows they touch, so Hamming distance
+    * is edit locality — pair generation belongs to
+    * [[Dedup.bandedHammingPairs]]. Non-16-bit-PCM or malformed payloads
+    * report (0, 0), never fail the batch. Same partition-parallel
+    * mapPartitions batch shape as [[decode]].
+    */
+  def audioFingerprint(df: DataFrame, window: Int = 8, maxBits: Int = 31)
+      (implicit spark: SparkSession): Dataset[AudioFingerprint] = {
+    require(window > 0 && maxBits > 0 && maxBits <= 63,
+      s"invalid fingerprint shape: window=$window maxBits=$maxBits")
+    import spark.implicits._
+    df.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            try {
+              val f = in.getFormat
+              if (f.getSampleSizeInBits != 16 ||
+                  f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                AudioFingerprint(id, 0L, 0L)
+              else {
+                val ch = f.getChannels
+                val data = in.readAllBytes()
+                val frames = data.length / (2 * ch)
+                val nW = frames / window
+                val energies = new Array[Long](nW)
+                var w = 0
+                while (w < nW) {
+                  var e = 0L
+                  var k = 0
+                  while (k < window) {
+                    val o = ((w * window + k) * ch) * 2 // channel 0
+                    val s =
+                      if (f.isBigEndian)
+                        ((data(o) << 8) | (data(o + 1) & 0xff)).toShort.toInt
+                      else
+                        ((data(o + 1) << 8) | (data(o) & 0xff)).toShort.toInt
+                    e += s.toLong * s
+                    k += 1
+                  }
+                  energies(w) = e
+                  w += 1
+                }
+                var fp = 0L
+                var j = 0
+                val nBits = math.min(maxBits, math.max(nW - 1, 0))
+                while (j < nBits) {
+                  if (energies(j + 1) > energies(j)) fp |= 1L << j
+                  j += 1
+                }
+                AudioFingerprint(id, nW.toLong, fp)
+              }
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => AudioFingerprint(id, 0L, 0L)
+          }
         }
       }
   }

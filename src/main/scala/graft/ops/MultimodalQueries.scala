@@ -551,8 +551,90 @@ object MultimodalQueries {
     Multimodal.crossModalTopK(mEmb, qEmb, k = 5).orderBy("q_id", "rnk")
   }
 
+  /** Audio NEAR-dup end to end — the missing half of the perceptual-dedup
+    * family (q96 groups EXACT image hashes; this finds audio within a few
+    * fingerprint bits): synthesize 250 acoustic groups (md5-dispersed PCM
+    * shared by `doc_id % 250`, one window re-recorded per member — a
+    * local edit), run the REAL WAV encode → `javax.sound.sampled` decode
+    * → [[Multimodal.audioFingerprint]] energy-delta fingerprint, then
+    * [[Dedup.bandedHammingPairs]] (4×8-bit bands, verify ≤ 3 bits,
+    * bucket cap 512). The oracle replays sample synthesis, window
+    * energies, bit packing, banding, the cap, and the bit_count verify —
+    * all integer — so a single wrong decoded sample or band boundary
+    * hash-fails. Local edits touch 1 of 32 windows → ≤ 2 bits vs the
+    * group base, so in-group pairs land at Hamming 0-4 and the ≤ 3
+    * verify keeps most; cross-group fingerprints are md5-dispersed
+    * (P(≤3 of 31 bits) ≈ 2·10⁻⁶) and never survive.
+    */
+  val q141_audio_fingerprint_neardup: QueryDef = q(
+    "q141_audio_fingerprint_neardup",
+    """WITH fr AS (
+      |  SELECT doc_id, doc_id % 250 AS g, doc_id // 250 AS m,
+      |    unnest(range(0, 256)) AS i
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, i // 8 AS w,
+      |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      |  FROM (SELECT doc_id, i,
+      |          CAST(('0x' || substr(md5(
+      |            CASE WHEN i // 8 = m % 31
+      |                 THEN g || '_' || i || '_' || m
+      |                 ELSE g || '_' || i END), 1, 4)) AS BIGINT) AS v
+      |        FROM fr)),
+      |en AS (SELECT doc_id, w, SUM(s * s) AS e FROM samp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.w - 1 AS j,
+      |    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w - 1
+      |  WHERE a.w BETWEEN 1 AND 31),
+      |fp AS (SELECT doc_id,
+      |  CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS fp
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, fp, b, (fp >> CAST(b * 8 AS INT)) & 255 AS bv
+      |  FROM fp, (SELECT unnest(range(0, 4)) AS b) bb),
+      |capped AS (
+      |  SELECT doc_id, fp, b, bv FROM (
+      |    SELECT doc_id, fp, b, bv, COUNT(*) OVER (PARTITION BY b, bv) AS bs
+      |    FROM bands) t WHERE bs <= 512),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    x.fp AS fa, y.fp AS fb
+      |  FROM capped x JOIN capped y
+      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin,
+    "Audio near-dup: energy-delta fingerprint from real WAV decode, " +
+      "banded Hamming LSH candidates (bucket-capped), <= 3-bit verify") {
+    (s, d) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val g = id % 250
+            val m = id / 250
+            val samples = Array.tabulate(256) { i =>
+              val key =
+                if (i / 8 == m % 31) s"${g}_${i}_${m}" else s"${g}_${i}"
+              val d0 = md.digest(key.getBytes("UTF-8"))
+              // first 4 hex chars of the md5 = first 2 digest bytes
+              (((d0(0) & 0xff) << 8) | (d0(1) & 0xff)).toShort
+            }
+            (id, "audio", Multimodal.wavBytesFrom(8000, 1, samples))
+          }
+        }.toDF("media_id", "kind", "content")
+      val fps = Multimodal.audioFingerprint(media).toDF()
+      Dedup.bandedHammingPairs(fps, "media_id", "fp",
+          nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
+        .orderBy("id_a", "id_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
-    q107_tiff_codec, q131_crossmodal_retrieval)
+    q107_tiff_codec, q131_crossmodal_retrieval,
+    q141_audio_fingerprint_neardup)
 }

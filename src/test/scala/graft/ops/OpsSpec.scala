@@ -956,6 +956,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: energy-delta bits off real WAV decode, channel 0") {
+    implicit val s = spark
+    // 3 windows of 8 mono samples with energies e0 < e1 > e2:
+    // bit0 = (e1 > e0) = 1, bit1 = (e2 > e1) = 0 -> fp = 1
+    val mono = Array.fill[Short](8)(10) ++ Array.fill[Short](8)(100) ++
+      Array.fill[Short](8)(20)
+    // stereo: channel 0 = same pattern, channel 1 = loud constant that
+    // would flip every bit if it leaked into the window energies
+    val stereo = mono.flatMap(v => Array[Short](v, 30000))
+    val media = Seq(
+      (0L, "audio", Multimodal.wavBytesFrom(8000, 1, mono)),
+      (1L, "audio", Multimodal.wavBytesFrom(8000, 2, stereo)),
+      (2L, "audio", Array[Byte](82, 73, 70, 70)) // torn RIFF
+    ).toDF("media_id", "kind", "content")
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(a => a.media_id -> ((a.n_windows, a.fp))).toMap
+    assert(got(0L) == ((3L, 1L)))
+    assert(got(1L) == ((3L, 1L)), "channel 0 only")
+    assert(got(2L) == ((0L, 0L)), "torn payload reports zeros")
+  }
+
+  test("banded hamming pairs: pigeonhole candidates, verify, bucket cap") {
+    val fps = Seq(
+      10L -> 0x01L,               // base
+      11L -> 0x03L,               // hamming 1 from base, shares 3 bands
+      12L -> (0x01L ^ ((1L << 0) | (1L << 8) | (1L << 16) | (1L << 24))),
+      // ^ hamming 4, one flip in EVERY band -> never a candidate
+      13L -> 0x7f3366aaL          // far away
+    ).toDF("id", "fp")
+    val pairs = Dedup.bandedHammingPairs(fps, "id", "fp",
+        nBands = 4, bandBits = 8, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((10L, 11L, 1L)),
+      "only the shared-band pair within the verify threshold survives")
+
+    // bucket cap: 3 identical fingerprints form a 3-clique; cap 2 drops
+    // the bucket entirely, cap 3 yields all 3 pairs at hamming 0
+    val clique = Seq(1L -> 0x5aL, 2L -> 0x5aL, 3L -> 0x5aL).toDF("id", "fp")
+    assert(Dedup.bandedHammingPairs(clique, "id", "fp",
+      maxBucketSize = 2L).count() == 0L)
+    assert(Dedup.bandedHammingPairs(clique, "id", "fp",
+      maxBucketSize = 3L).count() == 3L)
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
