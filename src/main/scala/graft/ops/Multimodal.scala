@@ -427,6 +427,33 @@ object Multimodal {
     * come from [[Dedup.hammingDistance]] over the halves, bucketed the
     * simhash way.
     */
+  /** PNG whose pixel (x, y) is the first 3 md5 bytes (= first 6 hex chars)
+    * of `pixelKey(x, y)` — md5-dispersed test images whose downsampled
+    * gradients are incompressible noise, so perceptual fingerprints of
+    * unrelated images land ~32/64 bits apart instead of the near-constant
+    * hashes smooth synthetic gradients produce. `md` is caller-provided so
+    * mapPartitions batches amortize the digest instance.
+    */
+  def md5PngBytes(width: Int, height: Int, md: java.security.MessageDigest,
+      pixelKey: (Int, Int) => String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val d = md.digest(pixelKey(x, y).getBytes("UTF-8"))
+        img.setRGB(x, y,
+          ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   def imageDHash(df: DataFrame)(implicit spark: SparkSession): Dataset[ImageDHash] = {
     import spark.implicits._
     df.select("media_id", "content").as[(Long, Array[Byte])]

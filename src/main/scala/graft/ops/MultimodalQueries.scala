@@ -632,9 +632,99 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
   }
 
+  /** Image NEAR-dup within-k-bits — the perceptual upgrade of q96 (which
+    * groups EXACT dHashes): 125 image groups with md5-dispersed pixels
+    * ([[Multimodal.md5PngBytes]] — unrelated images land ~32/64 bits
+    * apart, so cross-group pairs are impossible rather than improbable),
+    * each member m > 0 re-shoots ONE downsample-sampled pixel (the NN
+    * grid map x→⌊xw/9⌋ is injective for w ≥ 9, so exactly one of the 72
+    * grid cells moves → ≤ 2 dHash bits). Real PNG encode → ImageIO decode
+    * → [[Multimodal.imageDHash]] → [[Dedup.bandedHammingPairs]] over the
+    * packed 64-bit hash (8×8-bit bands, verify ≤ 3, bucket cap 512). The
+    * oracle replays pixels, luma, gradient bits, packing, banding, cap and
+    * verify in integers — banding hi/lo words separately, bit-identical
+    * to the packed-fp bands while dodging DuckDB's signed `<<` overflow.
+    */
+  val q142_image_hamming_neardup: QueryDef = q(
+    "q142_image_hamming_neardup",
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 125 AS g, doc_id // 125 AS m,
+      |    9 + (doc_id % 125) % 8 AS w, 8 + (doc_id % 125) % 5 AS h
+      |  FROM documents),
+      |grid AS (
+      |  SELECT doc_id, g, m, y, x, (y * h) // 8 AS sy, (x * w) // 9 AS sx
+      |  FROM dims,
+      |    (SELECT unnest(range(0, 8)) AS y) ys,
+      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |px AS (
+      |  SELECT doc_id, y, x,
+      |    CAST(('0x' || substr(md5(
+      |      CASE WHEN m > 0 AND y = m % 8 AND x = m % 9
+      |           THEN g || '_' || sy || '_' || sx || '_' || m
+      |           ELSE g || '_' || sy || '_' || sx END), 1, 6)) AS BIGINT) AS v
+      |  FROM grid),
+      |gray AS (
+      |  SELECT doc_id, y, x,
+      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.doc_id, a.y, a.x, CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hl AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, hi, lo, b,
+      |    CASE WHEN b < 4 THEN (lo >> CAST(b * 8 AS INT)) & 255
+      |         ELSE (hi >> CAST((b - 4) * 8 AS INT)) & 255 END AS bv
+      |  FROM hl, (SELECT unnest(range(0, 8)) AS b) bb),
+      |capped AS (
+      |  SELECT doc_id, hi, lo, b, bv FROM (
+      |    SELECT doc_id, hi, lo, b, bv, COUNT(*) OVER (PARTITION BY b, bv) AS bs
+      |    FROM bands) t WHERE bs <= 512),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b,
+      |    p.hi AS ha, p.lo AS la, r.hi AS hb, r.lo AS lb
+      |  FROM capped p JOIN capped r
+      |    ON p.b = r.b AND p.bv = r.bv AND p.doc_id < r.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin,
+    "Image near-dup within-k-bits: real PNG decode -> dHash -> banded " +
+      "Hamming LSH (bucket-capped) -> <= 3-bit verify") { (s, d) =>
+    implicit val spark: SparkSession = s
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val g = id % 125
+          val m = id / 125
+          val w = (9 + g % 8).toInt
+          val h = (8 + g % 5).toInt
+          val py = (m % 8).toInt * h / 8
+          val px = (m % 9).toInt * w / 9
+          (id, "image", Multimodal.md5PngBytes(w, h, md, (x, y) =>
+            if (m > 0 && y == py && x == px) s"${g}_${y}_${x}_${m}"
+            else s"${g}_${y}_${x}"))
+        }
+      }.toDF("media_id", "kind", "content")
+    val fps = Multimodal.imageDHash(media).toDF()
+      .select(col("media_id"),
+        shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("fp"))
+    Dedup.bandedHammingPairs(fps, "media_id", "fp",
+        nBands = 8, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
+      .orderBy("id_a", "id_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
     q107_tiff_codec, q131_crossmodal_retrieval,
-    q141_audio_fingerprint_neardup)
+    q141_audio_fingerprint_neardup, q142_image_hamming_neardup)
 }

@@ -1000,6 +1000,32 @@ class OpsSpec extends SparkSpec {
       maxBucketSize = 3L).count() == 3L)
   }
 
+  test("md5 png + dHash: one sampled-pixel edit moves at most 2 bits") {
+    implicit val s = spark
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val (w, h) = (11, 9)
+    // base image vs a copy whose grid cell (3, 4) pixel is re-shot: the
+    // NN map x -> x*w/9 is injective for w >= 9, so exactly one of the
+    // 72 sampled cells moves -> only bits (3,3) and (3,4) may flip
+    val (py, px) = (3 * h / 8, 4 * w / 9)
+    val base = Multimodal.md5PngBytes(w, h, md, (x, y) => s"g_${y}_${x}")
+    val edit = Multimodal.md5PngBytes(w, h, md, (x, y) =>
+      if (y == py && x == px) s"g_${y}_${x}_edited" else s"g_${y}_${x}")
+    val hashes = Multimodal.imageDHash(
+        Seq((0L, base), (1L, edit)).toDF("media_id", "content"))
+      .collect().map(i => i.media_id -> ((i.dhash_hi, i.dhash_lo))).toMap
+    val (hi0, lo0) = hashes(0L)
+    val (hi1, lo1) = hashes(1L)
+    assert((hi0, lo0) != ((0L, 0L)), "decode must succeed")
+    val flipped = java.lang.Long.bitCount(hi0 ^ hi1) +
+      java.lang.Long.bitCount(lo0 ^ lo1)
+    assert(flipped <= 2, s"edit locality: $flipped bits flipped")
+    // the flips stay inside row 3 / columns {3,4} of the hi word
+    val rowMask = ((1L << 3) | (1L << 4)) << (3 * 8)
+    assert(((hi0 ^ hi1) & ~rowMask) == 0L, "flips confined to cells (3,3)/(3,4)")
+    assert(lo0 == lo1, "rows 4-7 untouched")
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
