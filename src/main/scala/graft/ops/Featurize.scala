@@ -250,4 +250,64 @@ object Featurize {
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
       .filter(col("rnk") <= k)
   }
+
+  /** IN-ENGINE training of the linear quality classifier whose inference
+    * shape is [[hashedLinearScore]] / q139 — batch perceptron over hashed
+    * unigram counts, ENTIRELY in exact integer arithmetic so every weight
+    * is oracle-replayable with zero tolerance (no learning-rate doubles:
+    * η = 1). Features: `bucket = termBucket(word, numFeatures)` counts,
+    * plus a constant bias feature at bucket −1. Labels are self-supervised
+    * from a held-out rule (y = +1 iff the doc has ≥ `minTokens` tokens) —
+    * the standard bootstrap where a cheap heuristic labels data for a
+    * model that generalizes it (fastText-quality-classifier recipe).
+    *
+    * Per epoch: margin_d = Σ_b c_db·w_b (one hash agg over the cached
+    * feature frame, weights injected as a LITERAL map — pure codegen, no
+    * join, the MLlib broadcast-the-model iteration pattern), misclassified
+    * = y·margin ≤ 0 (epoch 1: w = 0 ⇒ all rows, the standard bootstrap),
+    * gradient = Σ_misclassified y·c_db per bucket (one semi-join + hash
+    * agg), then the 65-row model is collected to the driver — model
+    * maintenance, not data movement: the collect is O(numFeatures)
+    * regardless of corpus size. Feature frame is built once and persisted;
+    * epochs don't re-scan the corpus. Returns (bucket, weight) for bucket
+    * ∈ [−1, numFeatures), −1 = bias.
+    */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 64, epochs: Int = 3, minTokens: Long = 56): DataFrame = {
+    val spark = df.sparkSession
+    val tokFeats = df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .select(col("id"), termBucket(col("w"), numFeatures).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+    val labels = tokFeats.groupBy("id").agg(sum("cnt").as("n_tokens"))
+      .select(col("id"),
+        when(col("n_tokens") >= minTokens, 1L).otherwise(-1L).as("y"))
+    val base = tokFeats
+      .unionByName(labels.select(col("id"), lit(-1L).as("bucket"),
+        lit(1L).as("cnt")))
+      .join(labels, Seq("id"))
+      .persist()
+    var weights = Map.empty[Long, Long]
+    try {
+      for (_ <- 1 to epochs) {
+        val wCol =
+          if (weights.isEmpty) lit(0L)
+          else coalesce(element_at(typedlit(weights), col("bucket")), lit(0L))
+        val miscl = base.groupBy("id", "y")
+          .agg(sum(col("cnt") * wCol).as("margin"))
+          .filter(col("y") * col("margin") <= 0L)
+          .select("id")
+        val grads = base.join(miscl, Seq("id"), "left_semi")
+          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        weights = grads.foldLeft(weights) { case (m, (b, g)) =>
+          m.updated(b, m.getOrElse(b, 0L) + g)
+        }
+      }
+    } finally base.unpersist()
+    import spark.implicits._
+    (-1L until numFeatures.toLong)
+      .map(b => (b, weights.getOrElse(b, 0L)))
+      .toDF("bucket", "weight")
+  }
 }

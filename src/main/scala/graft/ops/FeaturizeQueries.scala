@@ -101,5 +101,69 @@ object FeaturizeQueries {
       "weights in [-8,8), per-doc score + keep gate, pure codegen " +
       "expression chain (no UDF, no join, no window)")
 
-  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf, q139_quality_classifier)
+  /** [[Featurize.perceptronTrain]] over documents — the TRAINING half of
+    * the model-based-curation loop whose inference half is q139: batch
+    * perceptron (η = 1, integer-exact), hashed-unigram counts + bias,
+    * self-supervised labels (y = +1 iff ≥ 56 tokens, the corpus median),
+    * 3 epochs. The oracle unrolls every epoch as CTEs: epoch 1 is the
+    * closed form Σ y·c (w = 0 misclassifies everything), epochs 2-3
+    * replay margin → misclassified-set → gradient → weight update with
+    * full-outer weight merges. A single wrong margin sign in either
+    * engine cascades into different misclassified sets and hash-fails.
+    */
+  val q143_perceptron_train: QueryDef = QueryDef(
+    "q143_perceptron_train",
+    (s, d) => Featurize.perceptronTrain(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("bucket"),
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |feat0 AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM tok GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT doc_id, CASE WHEN SUM(cnt) >= 56 THEN 1 ELSE -1 END AS y
+      |  FROM feat0 GROUP BY doc_id),
+      |base AS (
+      |  SELECT f.doc_id, f.bucket, f.cnt, l.y
+      |  FROM (SELECT doc_id, bucket, cnt FROM feat0
+      |        UNION ALL SELECT doc_id, -1, 1 FROM lab) f
+      |  JOIN lab l ON f.doc_id = l.doc_id),
+      |w1 AS (
+      |  SELECT bucket, SUM(y * cnt) AS wt FROM base GROUP BY bucket),
+      |m2 AS (
+      |  SELECT b.doc_id, b.y, SUM(b.cnt * COALESCE(w1.wt, 0)) AS margin
+      |  FROM base b LEFT JOIN w1 ON b.bucket = w1.bucket
+      |  GROUP BY b.doc_id, b.y),
+      |g2 AS (
+      |  SELECT b.bucket, SUM(b.y * b.cnt) AS g
+      |  FROM base b JOIN m2 ON b.doc_id = m2.doc_id
+      |  WHERE m2.y * m2.margin <= 0 GROUP BY b.bucket),
+      |w2 AS (
+      |  SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
+      |    COALESCE(w1.wt, 0) + COALESCE(g2.g, 0) AS wt
+      |  FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket),
+      |m3 AS (
+      |  SELECT b.doc_id, b.y, SUM(b.cnt * COALESCE(w2.wt, 0)) AS margin
+      |  FROM base b LEFT JOIN w2 ON b.bucket = w2.bucket
+      |  GROUP BY b.doc_id, b.y),
+      |g3 AS (
+      |  SELECT b.bucket, SUM(b.y * b.cnt) AS g
+      |  FROM base b JOIN m3 ON b.doc_id = m3.doc_id
+      |  WHERE m3.y * m3.margin <= 0 GROUP BY b.bucket),
+      |w3 AS (
+      |  SELECT COALESCE(w2.bucket, g3.bucket) AS bucket,
+      |    COALESCE(w2.wt, 0) + COALESCE(g3.g, 0) AS wt
+      |  FROM w2 FULL OUTER JOIN g3 ON w2.bucket = g3.bucket)
+      |SELECT r.bucket, CAST(COALESCE(w3.wt, 0) AS BIGINT) AS weight
+      |FROM (SELECT unnest(range(-1, 64)) AS bucket) r
+      |LEFT JOIN w3 ON r.bucket = w3.bucket
+      |ORDER BY r.bucket""".stripMargin),
+    "Batch perceptron training of the q139-shaped linear quality " +
+      "classifier: integer-exact epochs, literal-map model broadcast")
+
+  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf, q139_quality_classifier,
+    q143_perceptron_train)
 }

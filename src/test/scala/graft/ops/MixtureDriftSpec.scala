@@ -62,4 +62,49 @@ class MixtureDriftSpec extends SparkSpec {
     assert(got(1L) == ((3L, s1, if (s1 > 0) 1L else 0L)))
     assert(got(2L) == ((2L, s2, if (s2 > 0) 1L else 0L)))
   }
+
+  test("perceptronTrain: distributed epochs equal a sequential reference") {
+    // 20 synthetic docs, word vocab {w0..w9}, doc i repeats word (i % 10)
+    // (i % 7 + 1) times plus filler "pad" tokens — label threshold 4
+    val docs = (0L until 20L).map { i =>
+      val main = Seq.fill((i % 7 + 1).toInt)(s"w${i % 10}")
+      val pad = Seq.fill((i % 3).toInt)("pad")
+      (i, (main ++ pad).mkString(" "))
+    }
+    val nF = 8
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % nF
+    }
+    // sequential batch perceptron, bias at bucket -1, eta = 1, 3 epochs
+    val feats = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val cnts = toks.groupBy(bucket).map { case (b, g) => b -> g.length.toLong }
+      val y = if (toks.length >= 4) 1L else -1L
+      (cnts + (-1L -> 1L), y)
+    }
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 3) {
+      val miscl = feats.filter { case (c, y) =>
+        y * c.map { case (b, n) => n * w(b) }.sum <= 0L
+      }
+      val grad = miscl.flatMap { case (c, y) => c.map { case (b, n) => b -> y * n } }
+        .groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+      w = grad.foldLeft(w) { case (m, (b, g)) => m.updated(b, m(b) + g) }
+    }
+    val want = (-1L until nF.toLong).map(b => b -> w(b)).toMap
+    val got = Featurize.perceptronTrain(docs.toDF("doc_id", "text"),
+        "doc_id", "text", numFeatures = nF, epochs = 3, minTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.exists(_ != 0L), "training must move some weight")
+    // partition layout must not change the model (integer sums + exact sets)
+    val got7 = Featurize.perceptronTrain(
+        docs.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", numFeatures = nF, epochs = 3, minTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == want)
+  }
 }
