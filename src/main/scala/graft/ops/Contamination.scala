@@ -92,6 +92,53 @@ object Contamination {
     * any train-gram superset of (train ∩ eval) produces the identical
     * result, because the semi-join re-checks exact equality.
     */
+  /** SPAN-level decontamination — the surgical form of [[ngramOverlap]]:
+    * instead of flagging whole documents, mark exactly the token
+    * positions covered by any n-gram that also appears in `bench`, and
+    * report per doc how much text a span-removal pass would cut
+    * (`n_removed` tokens in `n_spans` maximal runs, `n_kept` remaining).
+    * This is the published GPT-3/PaLM decontamination shape: benchmark
+    * text is excised from training documents, not used to drop them —
+    * dropping a 100k-token page over one quoted test question wastes the
+    * other 99.9%.
+    *
+    * Scale shape: the bench gram set collapses to DISTINCT before the
+    * shuffle; train grams semi-join against it so only HITS flow onward
+    * (contamination volume, not corpus volume). Covered positions are a
+    * bounded n× explode of hits; the span count is one lag() window over
+    * covered positions only — per-doc, tiny partitions. Uncontaminated
+    * docs report zeros via the left join, never disappear.
+    */
+  def spanDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2, "n-gram size must be at least 2")
+    val benchGrams = wordGrams(bench, idCol, textCol, n)
+      .select("gram").distinct()
+    val tok = train.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+    val win = Window.partitionBy("id").orderBy("i")
+    val parts = col("w") +: (1 until n).flatMap(k =>
+      Seq(lit(" "), lead("w", k).over(win)))
+    val grams = tok.select(col("id"), col("i"), concat(parts: _*).as("gram"))
+      .filter(col("gram").isNotNull)
+    val covered = grams.join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("t"))
+      .distinct()
+    val spans = covered
+      .withColumn("pt", lag("t", 1).over(Window.partitionBy("id").orderBy("t")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_removed"),
+        sum(when(col("pt").isNull || col("pt") =!= col("t") - 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
   private def report(eval: DataFrame, evalGrams: DataFrame,
       trainGrams: DataFrame, idCol: String): DataFrame = {
     val hits = evalGrams

@@ -474,7 +474,62 @@ object CurationQueries {
       "floor-ppm frequency shift, full-outer vocab join, top-200 by " +
       "drift — the content-drift monitor paired with q126's recrawl CDC")
 
+  /** [[Contamination.spanDecontaminate]] with q61's split reversed: the
+    * %5=0 docs are the BENCHMARK whose 13-grams must be excised from the
+    * %5≠0 TRAINING docs. Reports the surgical cut per train doc —
+    * n_removed tokens in n_spans maximal runs — instead of q61's
+    * whole-doc flag. The oracle replays gram construction, the covered-
+    * position explode, the DISTINCT overlap merge, and the lag()-based
+    * gaps-and-islands span count; a single off-by-one in span coverage
+    * shifts n_removed and hash-fails.
+    */
+  val q144_span_decontamination: QueryDef = QueryDef(
+    "q144_span_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.spanDecontaminate(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 13)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i, $GramExpr AS gram
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |bg AS (SELECT DISTINCT gram FROM g WHERE gram IS NOT NULL AND doc_id % 5 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, g.i FROM g JOIN bg ON g.gram = bg.gram
+      |  WHERE g.doc_id % 5 <> 0),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, i + d AS t
+      |  FROM hits, (SELECT unnest(range(0, 13)) AS d) ds),
+      |sp AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed,
+      |    SUM(CASE WHEN pt IS NULL OR pt <> t - 1 THEN 1 ELSE 0 END) AS n_spans
+      |  FROM (SELECT doc_id, t, lag(t) OVER (PARTITION BY doc_id ORDER BY t) AS pt
+      |        FROM cov) x
+      |  GROUP BY doc_id),
+      |nt AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens FROM tok
+      |  WHERE doc_id % 5 <> 0 GROUP BY doc_id)
+      |SELECT nt.doc_id,
+      |  CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sp.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(nt.n_tokens - COALESCE(sp.n_removed, 0) AS BIGINT) AS n_kept
+      |FROM nt LEFT JOIN sp ON nt.doc_id = sp.doc_id
+      |ORDER BY nt.doc_id""".stripMargin),
+    "Span-level decontamination: excise benchmark 13-gram overlaps from " +
+      "training docs; per-doc removed-token and maximal-span counts")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
     q67_token_chunks, q81_contamination_bloom, q101_importance_resample,
-    q109_quality_rebalance, q134_curation_pipeline, q136_token_drift)
+    q109_quality_rebalance, q134_curation_pipeline, q136_token_drift,
+    q144_span_decontamination)
 }

@@ -1183,6 +1183,32 @@ class OpsSpec extends SparkSpec {
     assert(got(12L) == ((0L, 0L)))
   }
 
+  test("span decontamination: exact coverage, span merging, zero rows kept") {
+    val bench = Seq(
+      (100L, "alpha beta gamma"),          // 3-gram A
+      (101L, "delta epsilon zeta")         // 3-gram B
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // A at positions 2-4 of 8 tokens -> one 3-token span
+      (1L, "t0 t1 alpha beta gamma t5 t6 t7"),
+      // A and B disjoint -> two spans, 6 removed
+      (2L, "alpha beta gamma x delta epsilon zeta"),
+      // overlapping hits "alpha beta gamma beta gamma?" no — adjacent
+      // grams sharing tokens must merge: "alpha beta gamma" at 0 and the
+      // bench gram again at 3 -> positions 0-5 = ONE span of 6
+      (3L, "alpha beta gamma alpha beta gamma t"),
+      (4L, "completely clean document no overlap here at all")
+    ).toDF("doc_id", "text")
+    val got = Contamination.spanDecontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((8L, 3L, 1L, 5L)))
+    assert(got(2L) == ((7L, 6L, 2L, 1L)))
+    assert(got(3L) == ((7L, 6L, 1L, 1L)))
+    assert(got(4L) == ((8L, 0L, 0L, 8L)))
+  }
+
   test("stratified sampling keeps per-stratum fractions deterministically") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "keep" else "thin"))
       .toDF("doc_id", "lang")
