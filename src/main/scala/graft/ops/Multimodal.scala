@@ -653,9 +653,18 @@ object Multimodal {
     * decode side closed-form oracle-able like q83's GIF palette:
     * sum_r = sum_g = sum_b = w·h·v(f).
     */
-  def aviMjpegBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
-    val frames = (0 until nFrames).map { f =>
-      val v = (((seed * 31 + f) % 256 + 256) % 256).toInt
+  def aviMjpegBytes(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] =
+    aviMjpegBytesFrom(width, height,
+      Array.tabulate(nFrames)(f => (((seed * 31 + f) % 256 + 256) % 256).toInt))
+
+  /** MJPEG-in-AVI around caller-provided per-frame solid-gray levels —
+    * the encode half for frame schedules computed by the caller (scene
+    * scripts, drift ramps); [[aviMjpegBytes]] delegates here. Levels must
+    * be in [0, 255]; the bit-exact-round-trip argument above applies to
+    * every solid-gray level.
+    */
+  def aviMjpegBytesFrom(width: Int, height: Int, levels: Array[Int]): Array[Byte] = {
+    val frames = levels.toSeq.map { v =>
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (v << 16) | (v << 8) | v
@@ -690,10 +699,10 @@ object Multimodal {
     def list(typ: String, data: Array[Byte]): Array[Byte] =
       chunk("LIST", fcc(typ) ++ data)
     val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // µs/frame, maxBps, pad, HASINDEX
-      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++            // totalFrames, initial, streams, bufSize
+      le32(levels.length) ++ le32(0) ++ le32(1) ++ le32(0) ++      // totalFrames, initial, streams, bufSize
       le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++ // scale, rate, start, length, bufSize
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(levels.length) ++ le32(0) ++ // scale, rate, start, length, bufSize
       le32(-1) ++ le32(0) ++                                        // quality, sampleSize
       Array[Byte](0, 0, 0, 0,                                      // rcFrame: left, top,
         (width & 0xff).toByte, ((width >> 8) & 0xff).toByte,       //   right = width,
@@ -801,6 +810,30 @@ object Multimodal {
           case scala.util.control.NonFatal(_) => Seq.empty[DecodedFrame]
         }
       }
+  }
+
+  /** Scene-cut detection — the temporal-segmentation primitive of video
+    * curation (dedup at clip granularity, per-scene sampling, cut-aware
+    * frame extraction all start from it): REAL container walk + JPEG
+    * decode via [[decodeAviMjpegFrames]], per-frame mean luma in exact
+    * integer division, then a cut wherever consecutive frames' luma jumps
+    * by more than `threshold` and a running-sum scene id. One decode pass
+    * + one per-video lag/sum window (frames-per-video-sized partitions,
+    * never corpus-sized). Returns (media_id, frame_no, luma, scene_id).
+    */
+  def videoSceneCuts(df: DataFrame, threshold: Int = 8)
+      (implicit spark: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    decodeAviMjpegFrames(df).toDF()
+      .select(col("media_id"), col("frame_no").cast(LongType).as("frame_no"),
+        expr("sum_r div (width * height)").as("luma"))
+      .withColumn("pv", lag("luma", 1).over(w))
+      .withColumn("is_cut",
+        when(col("pv").isNotNull && abs(col("luma") - col("pv")) > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum("is_cut").over(w).cast(LongType))
+      .select("media_id", "frame_no", "luma", "scene_id")
   }
 
   /** "Frame sampling" for video-kind payloads: every strideBytes-th slice

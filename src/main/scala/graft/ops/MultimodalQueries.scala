@@ -722,9 +722,64 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Scene-cut detection end to end ([[Multimodal.videoSceneCuts]]): each
+    * even doc becomes a real MJPEG-in-AVI video whose solid-gray frame
+    * levels follow a scene SCRIPT — 3-frame scenes at base
+    * (doc·37 + scene·101) mod 248 with a +0/+1/+2 within-scene wobble, so
+    * consecutive in-scene deltas are 1 and scene boundaries jump by 99 or
+    * −149 (the mod-248 cap keeps wobble from wrapping past 255, making
+    * the ±8 threshold decision closed-form). The REAL pipeline — RIFF
+    * walk → per-frame JPEG decode (bit-exact for solid gray at quality
+    * 1.0, q100's argument) → integer mean luma → lag delta → running-sum
+    * scene id — must reproduce the script exactly; the oracle replays the
+    * script arithmetic and the segmentation windows.
+    */
+  val q145_video_scene_cuts: QueryDef = q(
+    "q145_video_scene_cuts",
+    """WITH dims AS (
+      |  SELECT doc_id, 6 + doc_id % 5 AS nf FROM documents WHERE doc_id % 2 = 0),
+      |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+      |lv AS (
+      |  SELECT doc_id, f,
+      |    (doc_id * 37 + (f // 3) * 101) % 248 + (f % 3) AS v
+      |  FROM fr),
+      |cut AS (
+      |  SELECT doc_id, f, v,
+      |    CASE WHEN pv IS NOT NULL AND abs(v - pv) > 8 THEN 1 ELSE 0 END AS is_cut
+      |  FROM (SELECT doc_id, f, v,
+      |          lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS pv
+      |        FROM lv) t)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_no, CAST(v AS BIGINT) AS luma,
+      |  CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS scene_id
+      |FROM cut
+      |ORDER BY doc_id, frame_no""".stripMargin,
+    "Video scene-cut detection: real AVI walk + JPEG decode -> integer " +
+      "luma -> lag-delta threshold -> running-sum scene segmentation") {
+    (s, d) =>
+      implicit val spark: SparkSession = s
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 0)
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map { id =>
+            val w = (8 + id % 5).toInt
+            val h = (8 + id % 3).toInt
+            val nf = (6 + id % 5).toInt
+            val levels = Array.tabulate(nf)(f =>
+              ((id * 37 + (f / 3) * 101) % 248 + (f % 3)).toInt)
+            (id, "video", Multimodal.aviMjpegBytesFrom(w, h, levels))
+          }
+        }.toDF("media_id", "kind", "content")
+      Multimodal.videoSceneCuts(media, threshold = 8)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id", "frame_no")
+  }
+
   def defs: Seq[QueryDef] = Seq(q63_image_codec, q64_wav_codec,
     q68_image_features, q71_frame_sample, q83_video_codec, q95_image_dhash,
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
     q107_tiff_codec, q131_crossmodal_retrieval,
-    q141_audio_fingerprint_neardup, q142_image_hamming_neardup)
+    q141_audio_fingerprint_neardup, q142_image_hamming_neardup,
+    q145_video_scene_cuts)
 }

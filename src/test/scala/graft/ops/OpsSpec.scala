@@ -1026,6 +1026,21 @@ class OpsSpec extends SparkSpec {
     assert(lo0 == lo1, "rows 4-7 untouched")
   }
 
+  test("video scene cuts: real AVI decode, threshold edge, running scene id") {
+    implicit val s = spark
+    // levels: scene A (10, 11), boundary delta exactly 8 (NOT a cut),
+    // then a real cut (+50), then a final cut back down
+    val levels = Array(10, 11, 19, 69, 70, 20)
+    val media = Seq((7L, "video", Multimodal.aviMjpegBytesFrom(9, 8, levels)))
+      .toDF("media_id", "kind", "content")
+    val got = Multimodal.videoSceneCuts(media, threshold = 8)
+      .orderBy("frame_no")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 10L, 0L), (1L, 11L, 0L), (2L, 19L, 0L), // +8 is not > 8
+      (3L, 69L, 1L), (4L, 70L, 1L), (5L, 20L, 2L)))
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
