@@ -645,9 +645,35 @@ object MultimodalQueries {
     * verify in integers — banding hi/lo words separately, bit-identical
     * to the packed-fp bands while dodging DuckDB's signed `<<` overflow.
     */
-  val q142_image_hamming_neardup: QueryDef = q(
-    "q142_image_hamming_neardup",
-    """WITH dims AS (
+  /** Shared md5-dispersed perturbed-image corpus (q142/q146): 125 groups,
+    * one re-shot sampled pixel per member — see q142's scaladoc.
+    */
+  private def hammingImageCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val g = id % 125
+          val m = id / 125
+          val w = (9 + g % 8).toInt
+          val h = (8 + g % 5).toInt
+          val py = (m % 8).toInt * h / 8
+          val px = (m % 9).toInt * w / 9
+          (id, "image", Multimodal.md5PngBytes(w, h, md, (x, y) =>
+            if (m > 0 && y == py && x == px) s"${g}_${y}_${x}_${m}"
+            else s"${g}_${y}_${x}"))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** DuckDB replay of [[hammingImageCorpus]] → dHash → banding → capped
+    * candidate pairs, as a CTE chain (no WITH prefix so q146 can prepend
+    * WITH RECURSIVE). Ends at `cand(id_a, id_b, ha, la, hb, lb)`.
+    */
+  private val hammingImgSql =
+    """dims AS (
       |  SELECT doc_id, doc_id % 125 AS g, doc_id // 125 AS m,
       |    9 + (doc_id % 125) % 8 AS w, 8 + (doc_id % 125) % 5 AS h
       |  FROM documents),
@@ -689,37 +715,83 @@ object MultimodalQueries {
       |  SELECT DISTINCT p.doc_id AS id_a, r.doc_id AS id_b,
       |    p.hi AS ha, p.lo AS la, r.hi AS hb, r.lo AS lb
       |  FROM capped p JOIN capped r
-      |    ON p.b = r.b AND p.bv = r.bv AND p.doc_id < r.doc_id)
-      |SELECT id_a, id_b,
-      |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
-      |ORDER BY id_a, id_b""".stripMargin,
+      |    ON p.b = r.b AND p.bv = r.bv AND p.doc_id < r.doc_id)""".stripMargin
+
+  val q142_image_hamming_neardup: QueryDef = q(
+    "q142_image_hamming_neardup",
+    "WITH " + hammingImgSql +
+      """
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "Image near-dup within-k-bits: real PNG decode -> dHash -> banded " +
       "Hamming LSH (bucket-capped) -> <= 3-bit verify") { (s, d) =>
     implicit val spark: SparkSession = s
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions { ids =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        ids.map { id =>
-          val g = id % 125
-          val m = id / 125
-          val w = (9 + g % 8).toInt
-          val h = (8 + g % 5).toInt
-          val py = (m % 8).toInt * h / 8
-          val px = (m % 9).toInt * w / 9
-          (id, "image", Multimodal.md5PngBytes(w, h, md, (x, y) =>
-            if (m > 0 && y == py && x == px) s"${g}_${y}_${x}_${m}"
-            else s"${g}_${y}_${x}"))
-        }
-      }.toDF("media_id", "kind", "content")
-    val fps = Multimodal.imageDHash(media).toDF()
+    val fps = Multimodal.imageDHash(hammingImageCorpus(s, d)).toDF()
       .select(col("media_id"),
         shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("fp"))
     Dedup.bandedHammingPairs(fps, "media_id", "fp",
         nBands = 8, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Multimodal curation CAPSTONE — q134's funnel shape for the image
+    * corpus: real PNG decode → dHash → banded-Hamming near-dup pairs
+    * (q142's kernel) → [[Dedup.connectedComponents]] (checkpointed
+    * pointer-jumping label propagation, min-id canonical) → one row per
+    * component with its size, the keeper's dimensions, and a
+    * resolution-gate verdict (w·h ≥ 90). The oracle replays the whole
+    * chain, closing components with a recursive CTE (q52's fixpoint
+    * pattern) — so the distributed label propagation is value-checked
+    * against a transitive closure on every component.
+    */
+  val q146_image_curation_capstone: QueryDef = q(
+    "q146_image_curation_capstone",
+    "WITH RECURSIVE " + hammingImgSql +
+      """,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid FROM r GROUP BY a),
+        |alln AS (
+        |  SELECT dm.doc_id, COALESCE(c.cid, dm.doc_id) AS component_id,
+        |    dm.w, dm.h
+        |  FROM dims dm LEFT JOIN comp c ON dm.doc_id = c.doc_id)
+        |SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(CASE WHEN MIN(w) * MIN(h) >= 90 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM alln GROUP BY component_id
+        |ORDER BY component_id""".stripMargin,
+    "Image curation capstone: decode -> dHash -> Hamming LSH pairs -> " +
+      "connected components -> per-component keeper + resolution gate") {
+    (s, d) =>
+      implicit val spark: SparkSession = s
+      val dh = Multimodal.imageDHash(hammingImageCorpus(s, d)).toDF()
+      val fps = dh.select(col("media_id"),
+        shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("fp"))
+      val pairs = Dedup.bandedHammingPairs(fps, "media_id", "fp",
+        nBands = 8, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      dh.select(col("media_id"), col("width"), col("height"))
+        .join(comp, col("media_id") === col("node"), "left")
+        .select(col("media_id"),
+          coalesce(col("label"), col("media_id")).as("component_id"),
+          col("width"), col("height"))
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("n_members"),
+          min("width").cast(LongType).as("width"),
+          min("height").cast(LongType).as("height"))
+        .withColumn("kept",
+          (col("width") * col("height") >= 90L).cast(LongType))
+        .orderBy("component_id")
   }
 
   /** Scene-cut detection end to end ([[Multimodal.videoSceneCuts]]): each
@@ -781,5 +853,5 @@ object MultimodalQueries {
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
     q107_tiff_codec, q131_crossmodal_retrieval,
     q141_audio_fingerprint_neardup, q142_image_hamming_neardup,
-    q145_video_scene_cuts)
+    q145_video_scene_cuts, q146_image_curation_capstone)
 }
