@@ -866,7 +866,46 @@ object EventQueries {
         .orderBy("event_type")
   }
 
+  /** [[graft.ops.Incremental.mergeCountSum]] over events — incremental
+    * maintenance of a per-(user, type) (count, Σvalue) view: the standing
+    * view covers days before Jan 25; the CDC batch inserts day 25 and
+    * RETRACTS the pre-25 rows with event_id ≡ 0 (mod 7) (late-arriving
+    * deletes). The engine computes `base ⊕ ins ⊖ del`; the oracle
+    * recomputes the final state from scratch — the hash match proves the
+    * incremental merge is exactly equivalent to recomputation, which is
+    * the correctness contract of materialized-view upkeep.
+    */
+  val q147_incremental_view: QueryDef = QueryDef(
+    "q147_incremental_view",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      val base = ev.filter(col("ts_sec") < day25)
+      val ins = ev.filter(col("ts_sec") >= day25 && col("ts_sec") < day26)
+      val del = base.filter(col("event_id") % 7 === 0)
+      graft.ops.Incremental.mergeCountSum(base, ins, del,
+          Seq("user_id", "event_type"), "value")
+        .select(col("user_id"), col("event_type"),
+          col("n").cast(LongType).as("n"), col("sum_value"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH fin AS (
+      |  SELECT user_id, event_type, value
+      |  FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
+      |         AND event_id % 7 <> 0)
+      |     OR (CAST(floor(epoch(ts)) AS BIGINT) >= 1706140800
+      |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1706227200))
+      |SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM fin GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin),
+    "Incremental view maintenance: base + insert-agg - retract-agg " +
+      "merged in exact decimal, proven equal to full recompute")
+
   def defs: Seq[QueryDef] = Seq(
+    q147_incremental_view,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,

@@ -1041,6 +1041,20 @@ class OpsSpec extends SparkSpec {
       (3L, 69L, 1L), (4L, 70L, 1L), (5L, 20L, 2L)))
   }
 
+  test("incremental view merge: group arithmetic, zero-count eviction") {
+    val base = Seq((1L, "a", 10.5), (1L, "a", 2.25), (2L, "b", 5.0))
+      .toDF("k", "t", "v")
+    val ins = Seq((1L, "a", 1.0), (3L, "c", 7.5)).toDF("k", "t", "v")
+    val del = Seq((2L, "b", 5.0)).toDF("k", "t", "v") // retracts ALL of (2,b)
+    val got = Incremental.mergeCountSum(base, ins, del, Seq("k", "t"), "v")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (1L, "a") -> ((3L, 13.75)),  // 10.5 + 2.25 + 1.0, exact in decimal
+      (3L, "c") -> ((1L, 7.5))))   // insert-only group appears
+    // (2L, "b") evicted: count reached zero
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
