@@ -282,10 +282,15 @@ object Featurize {
     val labels = tokFeats.groupBy("id").agg(sum("cnt").as("n_tokens"))
       .select(col("id"),
         when(col("n_tokens") >= minTokens, 1L).otherwise(-1L).as("y"))
+    // persisted pre-partitioned on id: every epoch's margin agg
+    // (groupBy id — a subset-key distribution, no exchange) and the
+    // base side of the misclassified semi-join reuse this partitioning,
+    // so an epoch shuffles only the doc-id set and the 65-row gradient
     val base = tokFeats
       .unionByName(labels.select(col("id"), lit(-1L).as("bucket"),
         lit(1L).as("cnt")))
       .join(labels, Seq("id"))
+      .repartition(col("id"))
       .persist()
     var weights = Map.empty[Long, Long]
     try {

@@ -727,8 +727,7 @@ object MultimodalQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "Image near-dup within-k-bits: real PNG decode -> dHash -> banded " +
       "Hamming LSH (bucket-capped) -> <= 3-bit verify") { (s, d) =>
-    implicit val spark: SparkSession = s
-    val fps = Multimodal.imageDHash(hammingImageCorpus(s, d)).toDF()
+    val fps = CorpusBuilds.hammingImageDHashes(s, d, hammingImageCorpus(s, d))
       .select(col("media_id"),
         shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("fp"))
     Dedup.bandedHammingPairs(fps, "media_id", "fp",
@@ -773,8 +772,7 @@ object MultimodalQueries {
     "Image curation capstone: decode -> dHash -> Hamming LSH pairs -> " +
       "connected components -> per-component keeper + resolution gate") {
     (s, d) =>
-      implicit val spark: SparkSession = s
-      val dh = Multimodal.imageDHash(hammingImageCorpus(s, d)).toDF()
+      val dh = CorpusBuilds.hammingImageDHashes(s, d, hammingImageCorpus(s, d))
       val fps = dh.select(col("media_id"),
         shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo")).as("fp"))
       val pairs = Dedup.bandedHammingPairs(fps, "media_id", "fp",
