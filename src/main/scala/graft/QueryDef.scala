@@ -40,6 +40,7 @@ object Registry {
       ops.FeaturizeQueries.defs ++
       ops.CurationQueries.defs ++
       ops.MultimodalQueries.defs ++
+      sources.FormatQueries.defs ++
       streaming.StreamQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
