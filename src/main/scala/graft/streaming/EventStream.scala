@@ -65,6 +65,26 @@ object EventStream {
     * state + an event-time timeout — out of scope for the parity query,
     * which stages the bounded input as ordered micro-batches).
     */
+  /** Retraction-stream view maintenance — the streaming twin of
+    * [[graft.ops.Incremental.mergeCountSum]]: CDC rows arrive with a
+    * `sign` column (+1 insert, −1 retraction) and the standing
+    * (count, Σvalue) view is a SIGNED streaming aggregation —
+    * n = Σsign, sum = Σ(sign·value) in exact decimal — so a retraction
+    * cancels its insert bit-exactly regardless of which micro-batch
+    * either lands in (signed sums are commutative; arrival order cannot
+    * change the end state). This is the Flink-style retract-stream
+    * shape on Structured Streaming's built-in aggregation state; groups
+    * whose count reaches zero are filtered by the CONSUMER (complete
+    * mode re-emits all groups).
+    */
+  def signedCountSumView(cdc: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val dec = graft.relational.Sql.dec2(col(valueCol))
+    cdc.groupBy(keys.map(col): _*)
+      .agg(sum(col("sign")).as("n"),
+        sum(when(col("sign") === 1L, dec).otherwise(-dec)).as("s"))
+  }
+
   def sessionCounts(events: Dataset[Evt], gapSec: Long = 1800): Dataset[SessionCount] = {
     import events.sparkSession.implicits._
     events

@@ -306,7 +306,76 @@ object StreamQueries {
       "flatMapGroupsWithState stream (per-user custom state, update " +
       "mode), same oracle")
 
+  /** Stream/batch parity #6 — RETRACTION streams: q147's CDC view
+    * maintenance executed as a real micro-batch stream. The standing
+    * view's rows arrive as micro-batch 1 (sign +1) and the CDC batch as
+    * micro-batch 2 (day-25 inserts +1, the event_id ≡ 0 (mod 7)
+    * retractions −1); [[EventStream.signedCountSumView]] folds them into
+    * Structured Streaming's aggregation state as signed sums, and the
+    * end state — zero-count groups dropped — must equal q147's oracle
+    * (a from-scratch recompute of the final view) VERBATIM. Signed sums
+    * are commutative, so micro-batch boundaries cannot change the
+    * result; what this pins is the streaming aggregation-state path
+    * computing the exact decimal arithmetic the batch merge computes.
+    */
+  val q149_stream_view_maintenance: QueryDef = QueryDef(
+    "q149_stream_view_maintenance",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      def cdc(df: DataFrame, sign: Long): DataFrame =
+        df.select(col("user_id"), col("event_type"), col("value"),
+          lit(sign).as("sign"))
+      val base = cdc(ev.filter(col("ts_sec") < day25), 1L)
+      val delta = cdc(ev.filter(col("ts_sec") >= day25 &&
+          col("ts_sec") < day26), 1L)
+        .unionAll(cdc(ev.filter(col("ts_sec") < day25 &&
+          col("event_id") % 7 === 0), -1L))
+      // stage the two CDC batches as ordered files for the file source
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_q149_src")
+      val stage = java.nio.file.Files.createTempDirectory("graft_q149_stage")
+      Seq("0001" -> base, "0002" -> delta).foreach { case (n, df) =>
+        val out = s"$stage/$n"
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        val part = new java.io.File(out).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, srcDir.resolve(s"$n.parquet"))
+      }
+      val schema = s.read.parquet(srcDir.toString).schema
+      val view = EventStream.signedCountSumView(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+        Seq("user_id", "event_type"), "value")
+      val sink = "graft_q149_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q149_ckpt")
+      val q = view.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .filter(col("n") > 0L)
+        .select(col("user_id"), col("event_type"),
+          col("n").cast(LongType).as("n"),
+          col("s").cast("double").as("sum_value"))
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      deleteRecursively(stage)
+      res
+    },
+    graft.events.EventQueries.q147_incremental_view.oracle,
+    "Stream/batch parity #6: q147's CDC view maintenance as a signed " +
+      "retraction stream over the aggregation state, same oracle")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
-    q130_stream_incremental_dedup, q140_stream_sessionize)
+    q130_stream_incremental_dedup, q140_stream_sessionize,
+    q149_stream_view_maintenance)
 }
