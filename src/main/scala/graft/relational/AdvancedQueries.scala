@@ -393,11 +393,58 @@ object AdvancedQueries {
         .orderBy("event_id")
   }
 
+  /** KLL quantile-sketch MERGE ([[graft.functions.KllSketch]]) — the
+    * quantile twin of q87's HLL union: one sketch per partition (linear
+    * pass, no row shuffle), kilobyte states merged associatively, then
+    * each merged-quantile estimate's TRUE rank is checked in one scan
+    * (q75's gate, loosened to ±5% — KLL compaction is randomized with
+    * ~0.5% typical rank error at k=800, so the gate fails only on a
+    * broken merge, never on sketch luck). The oracle pins n and the
+    * bound flags.
+    */
+  val q150_kll_quantile_merge: QueryDef = q(
+    "q150_kll_quantile_merge",
+    """SELECT CAST(q AS BIGINT) AS q_ppm,
+      |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS rank_ok
+      |FROM (SELECT unnest([250000, 500000, 750000]) AS q) t
+      |ORDER BY q_ppm""".stripMargin,
+    "Per-partition KLL quantile sketches merged to global estimates, " +
+      "true-rank gated (mergeable-sketch maintenance for quantiles)") {
+    (s, d) =>
+      import s.implicits._
+      import graft.functions.KllSketch
+      val k = 800
+      val vals = lineitem(s, d)
+        .select(col("l_extendedprice").cast(DoubleType).as("v"))
+      val merged = KllSketch.merge(
+        KllSketch.partitionSketches(vals.as[Double], k).collect().toSeq, k)
+      val qs = Seq(0.25, 0.50, 0.75)
+      val ests = qs.map(q => merged.getQuantile(q))
+      val ranks = vals.agg(
+        count(lit(1)).as("n"),
+        qs.zip(ests).zipWithIndex.map { case ((_, e), i) =>
+          sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"r$i")
+        }: _*)
+      qs.zipWithIndex.foldLeft(ranks) { case (df, (q, i)) =>
+        df.withColumn(s"ok$i",
+          when(abs(col(s"r$i").cast(DoubleType) / col("n") - q) <= 0.05, 1L)
+            .otherwise(0L))
+      }.select(
+        explode(array(qs.zipWithIndex.map { case (q, i) =>
+          struct(lit((q * 1000000).toLong).as("q_ppm"),
+            col("n").cast(LongType).as("n"), col(s"ok$i").as("rank_ok"))
+        }: _*)).as("row"))
+        .select("row.*")
+        .orderBy("q_ppm")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
-    q87_hll_union, q89_grouping_sets, q90_range_window)
+    q87_hll_union, q89_grouping_sets, q90_range_window,
+    q150_kll_quantile_merge)
 }
 
 /** SQL texts shared verbatim between the Spark side (over temp views named
