@@ -10,6 +10,30 @@ import java.nio.file.Files
 class IoSkewSpec extends SparkSpec {
   import spark.implicits._
 
+  test("schema evolution: mergeSchema unions parquet generations") {
+    // generation 1 lacks `quality`; generation 2 adds it — the standard
+    // additive-column evolution a standing 100 TB corpus accumulates
+    val dir = Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 0.9), (4L, "d", 0.1)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet ==
+      Set("doc_id", "text", "quality", "gen"))
+    val rows = merged.orderBy("doc_id")
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // old-generation rows surface the new column as null, never fail
+    assert(rows.toSeq == Seq(1L -> None, 2L -> None,
+      3L -> Some(0.9), 4L -> Some(0.1)))
+    // WITHOUT mergeSchema the footer race picks one schema — pin that
+    // reading with an explicit unified schema also works on both gens
+    val explicit = spark.read.schema(merged.schema).parquet(dir)
+    assert(explicit.count() == 4L)
+  }
+
   test("csv and json-lines round-trip with explicit schemas") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
     val schema = StructType(Seq(
