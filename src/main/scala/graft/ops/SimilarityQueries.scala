@@ -809,9 +809,128 @@ object SimilarityQueries {
         "value oracle, zero float tolerance")
   }
 
+  /** EMBEDDING-space curation capstone — the q134/q146 funnel for the
+    * vector corpus: semantic near-dup components (q86's exact-cosine
+    * pairs + [[Dedup.canonicalize]]) pick the keeper set, then the
+    * SHARED k-means quantizer (q104's CorpusBuilds artifact) assigns
+    * topics and a per-topic hash-ranked cap (q110's convention, cap 10)
+    * balances the mixture. One row per topic: candidates before dedup,
+    * survivors after, kept after the cap, and the kept-id digest that
+    * pins the exact kept SET. The oracle replays the full composition —
+    * recursive-CTE components ∘ unrolled Lloyd training ∘ assignment ∘
+    * md5-ranked caps — so every stage's interaction is value-checked,
+    * not just each stage alone.
+    */
+  val q151_embedding_curation_capstone: QueryDef = QueryDef(
+    "q151_embedding_curation_capstone",
+    (s, d) => {
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val subEmb = sub.select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val cents = CorpusBuilds.embeddingsCentroids(s, d, 8, 3)
+      val assignedAll = Similarity.assignToNearest(subEmb, cents, "id", "emb")
+      val keepers = Dedup.canonicalize(
+          sub.select("vec_id"), "vec_id", exactCosinePairs(s, d))
+        .filter(col("is_keep") === 1L)
+        .select(col("vec_id").as("id"))
+      val sampled = Sampling.topicSample(
+          subEmb.join(keepers, Seq("id"), "left_semi"),
+          "id", "emb", nClusters = 8, iters = 3, capPerCluster = 10,
+          centroids = Some(cents))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_dedup"),
+          sum("kept").as("n_kept"),
+          sum(when(col("kept") === 1L, col("id")).otherwise(0L))
+            .as("kept_id_digest"))
+      assignedAll.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          col("n_total").cast(LongType).as("n_total"),
+          coalesce(col("n_dedup"), lit(0L)).cast(LongType).as("n_dedup"),
+          coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
+          coalesce(col("kept_id_digest"), lit(0L)).cast(LongType)
+            .as("kept_id_digest"))
+        .orderBy("centroid_id")
+    },
+    Some(s"""WITH RECURSIVE ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings WHERE vec_id < 500),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT id_a, id_b FROM dots
+      |  JOIN norms na ON na.vec_id = id_a
+      |  JOIN norms nb ON nb.vec_id = id_b
+      |  WHERE dot / sqrt(na.nrm * nb.nrm) >= 0.35),
+      |e AS (SELECT id_a AS a, id_b AS b FROM cand
+      |      UNION SELECT id_b, id_a FROM cand),
+      |r(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS vec_id, LEAST(a, MIN(b)) AS canonical_id FROM r GROUP BY a),
+      |keep AS (
+      |  SELECT v.vec_id AS id
+      |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 500) v
+      |  LEFT JOIN comp c ON c.vec_id = v.vec_id
+      |  WHERE COALESCE(c.canonical_id, v.vec_id) = v.vec_id),
+      |dv AS (
+      |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |ids0 AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 8),
+      |c0 AS (
+      |  SELECT CAST(r.rn - 1 AS BIGINT) AS cid, dv.i, dv.x AS m
+      |  FROM (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM ids0) r
+      |  JOIN dv ON dv.id = r.id),
+      |${kmeansIterSql(1)},
+      |${kmeansIterSql(2)},
+      |${kmeansIterSql(3)},
+      |d4 AS (
+      |  SELECT dv.id, c.cid,
+      |    SUM(c.m * c.m) - 2 * SUM(dv.x * c.m) AS dist2
+      |  FROM dv JOIN c3 c ON c.i = dv.i
+      |  GROUP BY dv.id, c.cid),
+      |a4 AS (
+      |  SELECT id, cid FROM (
+      |    SELECT id, cid,
+      |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+      |    FROM d4) t WHERE rn = 1),
+      |tot AS (SELECT cid, COUNT(*) AS n_total FROM a4 WHERE id < 500 GROUP BY cid),
+      |ranked AS (
+      |  SELECT a4.id, a4.cid,
+      |    row_number() OVER (PARTITION BY a4.cid ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(a4.id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      a4.id) AS rk
+      |  FROM a4 JOIN keep ON a4.id = keep.id),
+      |ded AS (
+      |  SELECT cid, COUNT(*) AS n_dedup,
+      |    SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS n_kept,
+      |    SUM(CASE WHEN rk <= 10 THEN id ELSE 0 END) AS kept_id_digest
+      |  FROM ranked GROUP BY cid)
+      |SELECT t.cid AS centroid_id,
+      |  CAST(t.n_total AS BIGINT) AS n_total,
+      |  CAST(COALESCE(k.n_dedup, 0) AS BIGINT) AS n_dedup,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(k.kept_id_digest, 0) AS BIGINT) AS kept_id_digest
+      |FROM tot t LEFT JOIN ded k ON t.cid = k.cid
+      |ORDER BY centroid_id""".stripMargin),
+    "Embedding curation capstone: semantic-dedup components -> keeper " +
+      "set -> shared-quantizer topics -> per-topic hash-ranked caps, " +
+      "full-composition value oracle")
+
   def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
-    q129_ivfpq_search, q133_ivfpq_index_update, q135_rag_retrieval)
+    q129_ivfpq_search, q133_ivfpq_index_update, q135_rag_retrieval,
+    q151_embedding_curation_capstone)
 }
