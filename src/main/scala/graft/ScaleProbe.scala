@@ -521,6 +521,57 @@ object ScaleProbe {
     val (r108b, t108b) = time(ops.Graph.temporalEvolution(withCelebDay).count())
     emit("q108_graph_evolution", "celebrity day", withCelebDay.count(), t108b, r108b)
 
+    // q141/q142: banded-Hamming near-dup with a hot fingerprint cluster —
+    // `inject` IDENTICAL fingerprints put the whole cluster into one
+    // bucket of every band; the bucket cap must drop it from candidate
+    // generation entirely, so pair volume tracks the background corpus,
+    // never inject². Bands here are 4×16-bit (pigeonhole for ≤3 bits
+    // still holds): band width must be sized to the corpus — background
+    // candidate volume is Σ n_bucket², i.e. ~n²/2^bandBits per band, so
+    // a 100 TB run widens bands the way it widens hash partitions.
+    def probeHamming(scale: String, nBg: Long, withCluster: Boolean): Unit = {
+      val bg = spark.range(nBg).select(col("id"), xxhash64(col("id")).as("fp"))
+      val fps = if (withCluster)
+        bg.unionAll(spark.range(inject).select(
+          (col("id") + 900000000L).as("id"), lit(0x5a5a5a5aL).as("fp")))
+      else bg
+      val (rows, t) = time(ops.Dedup.bandedHammingPairs(fps.toDF(), "id", "fp",
+        nBands = 4, bandBits = 16, maxHamming = 3, maxBucketSize = 512L).count())
+      emit("q142_banded_hamming", scale, nBg + (if (withCluster) inject else 0L),
+        t, rows)
+    }
+    probeHamming("1x", nBase, withCluster = false)
+    probeHamming(s"${mult}x", nBase * mult, withCluster = false)
+    probeHamming(s"${mult}x+${inject} identical fps (hot bucket, capped)",
+      nBase * mult, withCluster = true)
+
+    // q144: span decontamination where the replicated corpus makes every
+    // bench doc's 13-grams hit `mult` train replicas — removed-token
+    // volume must scale with MATCHES (linear in mult), cost with corpus
+    // size; the bench gram set stays the small fixed side.
+    def probeSpan(scale: String, docs: DataFrame, n: Long): Unit = {
+      val bench = base.filter(col("doc_id") % 50 === 0)
+      val (rows, t) = time(ops.Contamination.spanDecontaminate(
+          docs, bench, "doc_id", "text", n = 13)
+        .agg(sum("n_removed")).collect().head.getLong(0))
+      emit("q144_span_decon_removed", scale, n, t, rows)
+    }
+    probeSpan("1x", base, nBase)
+    probeSpan(s"${mult}x+cluster", big, nBig)
+
+    // q143: perceptron training on the pathological corpus — the
+    // boilerplate cluster concentrates `inject` near-identical feature
+    // rows on a handful of buckets (hot gradient keys, absorbed by the
+    // map-side combine). Epoch cost must track corpus size; the output
+    // is the 65-row model regardless of scale.
+    def probePerceptron(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(
+        ops.Featurize.perceptronTrain(docs, "doc_id", "text").count())
+      emit("q143_perceptron_train", scale, n, t, rows)
+    }
+    probePerceptron("1x", base, nBase)
+    probePerceptron(s"${mult}x+cluster (hot feature buckets)", big, nBig)
+
     spark.stop()
   }
 
