@@ -904,8 +904,65 @@ object EventQueries {
     "Incremental view maintenance: base + insert-agg - retract-agg " +
       "merged in exact decimal, proven equal to full recompute")
 
+  /** SCD Type-2 point-in-time join — the warehouse pattern as-of joins
+    * approximate and BETWEEN-bounds dimensions do exactly: each user
+    * carries a slowly-changing `tier` attribute versioned into
+    * [from_sec, to_sec) validity windows (three 10-day periods covering
+    * the events range, tier = (user_id + period) mod 3), and every fact
+    * row joins the version that was current AT ITS TIMESTAMP — an
+    * equi-join on the user plus range predicates, which Catalyst plans
+    * as the user-keyed shuffle join with the range as join filters (dim
+    * broadcasts when small; co-partitions on user_id at scale — never a
+    * cross product). Exactly-one-match is structural (periods tile the
+    * range), so the per-tier rollup is a full-coverage audit of the
+    * join: any dropped or double-matched fact changes a count.
+    */
+  val q152_scd2_join: QueryDef = QueryDef(
+    "q152_scd2_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(sequence(lit(0L), lit(2L))).as("p"))
+        .select(col("user_id"),
+          (lit(1704067200L) + col("p") * 864000L).as("from_sec"),
+          (lit(1704067200L) + (col("p") + 1L) * 864000L).as("to_sec"),
+          ((col("user_id") + col("p")) % 3).as("tier"))
+      ev.select(col("user_id"), col("ts_sec"), col("value"))
+        .join(dim, Seq("user_id"))
+        .filter(col("ts_sec") >= col("from_sec") &&
+          col("ts_sec") < col("to_sec"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          Sql.sumDec2(col("value")).as("sum_value"))
+        .select(col("tier"), col("n").cast(LongType).as("n"),
+          col("n_users").cast(LongType).as("n_users"), col("sum_value"))
+        .orderBy("tier")
+    },
+    Some("""WITH dim AS (
+      |  SELECT u.user_id, p,
+      |    1704067200 + p * 864000 AS from_sec,
+      |    1704067200 + (p + 1) * 864000 AS to_sec,
+      |    (u.user_id + p) % 3 AS tier
+      |  FROM (SELECT DISTINCT user_id FROM events) u,
+      |       (SELECT unnest(range(0, 3)) AS p) ps),
+      |f AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+      |  FROM events)
+      |SELECT d.tier, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM f JOIN dim d
+      |  ON f.user_id = d.user_id
+      | AND f.ts_sec >= d.from_sec AND f.ts_sec < d.to_sec
+      |GROUP BY d.tier
+      |ORDER BY d.tier""".stripMargin),
+    "SCD Type-2 point-in-time dimension join: versioned validity windows, " +
+      "equi-join on the key with range join filters, per-tier audit rollup")
+
   def defs: Seq[QueryDef] = Seq(
-    q147_incremental_view,
+    q147_incremental_view, q152_scd2_join,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
