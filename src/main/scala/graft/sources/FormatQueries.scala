@@ -54,5 +54,65 @@ object FormatQueries {
     "Format round trip: parquet -> JSONL -> CSV -> digest; the oracle " +
       "digests the original parquet, so any corruption hash-fails")
 
-  def defs: Seq[QueryDef] = Seq(q148_format_roundtrip)
+  /** STREAMING ingest of the interchange format (the cloud-ingest /
+    * Autoloader shape): the corpus lands as JSONL files in a drop
+    * directory, a file-source stream picks them up one per micro-batch
+    * with the explicit schema, and a complete-mode per-language digest
+    * must converge to the batch digest of the original parquet. This is
+    * the continuous-ingest twin of q148 — same digest minus n_sources
+    * (distinct aggregation is unsupported in streaming; at scale the
+    * distinct-source rollup is a downstream batch view, q147's shape).
+    */
+  val q153_stream_jsonl_ingest: QueryDef = QueryDef(
+    "q153_stream_jsonl_ingest",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q153_").toString
+      Io.writeJsonLines(
+        Tables.documents(s, d).repartition(3), s"$dir/drop")
+      val digest = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").json(s"$dir/drop")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum("doc_id").as("sum_ids"))
+      val sink = "graft_q153_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q153_ckpt")
+      val q = digest.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(col("lang"), col("n").cast(LongType).as("n"),
+          col("sum_chars").cast(LongType).as("sum_chars"),
+          col("n_nulls").cast(LongType).as("n_nulls"),
+          col("sum_ids").cast(LongType).as("sum_ids"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      def rm(p: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      rm(ckpt.toString)
+      rm(dir)
+      res
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "Streaming JSONL ingest (file-source micro-batches, explicit " +
+      "schema): complete-mode digest converges to the batch digest")
+
+  def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
+    q153_stream_jsonl_ingest)
 }
