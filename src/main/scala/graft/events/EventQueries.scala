@@ -1034,8 +1034,46 @@ object EventQueries {
     "Ordered event funnel: chained conditional-min windows over one " +
       "user partitioning; per-step reach + exact integer latency")
 
+  /** Cohort retention matrix — the third event-analytics classic next to
+    * the funnel (q154) and sessionization (q20): users are cohorted by
+    * their FIRST activity day, and each (cohort_day, day_offset) cell
+    * counts distinct users from that cohort active that many days later.
+    * Two hash aggregations (per-user first day; distinct user-day
+    * activity) joined on the user — both shuffles on user_id, the second
+    * reusing the first's partitioning — then one bounded-cardinality
+    * rollup (days² cells regardless of corpus size). All integer day
+    * arithmetic (epoch div 86400), zero-tolerance oracle.
+    */
+  val q155_cohort_retention: QueryDef = QueryDef(
+    "q155_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(col("cohort_day"), col("day_offset"),
+          col("n_users").cast(LongType).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+      |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_day, a.day - c.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin),
+    "Cohort retention matrix: first-activity-day cohorts x day offset, " +
+      "distinct active users per cell; bounded days-squared output")
+
   def defs: Seq[QueryDef] = Seq(
     q147_incremental_view, q152_scd2_join, q154_event_funnel,
+    q155_cohort_retention,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
