@@ -566,9 +566,13 @@ object MultimodalQueries {
     * verify keeps most; cross-group fingerprints are md5-dispersed
     * (P(≤3 of 31 bits) ≈ 2·10⁻⁶) and never survive.
     */
-  val q141_audio_fingerprint_neardup: QueryDef = q(
-    "q141_audio_fingerprint_neardup",
-    """WITH fr AS (
+  /** DuckDB replay of [[audioCorpus]] -> energy-delta fingerprint ->
+    * banding -> capped candidate pairs, as a CTE chain (no WITH prefix
+    * so q156 can prepend WITH RECURSIVE). Ends at
+    * `cand(id_a, id_b, fa, fb)`; `fp(doc_id, fp)` is also addressable.
+    */
+  private val audioCandSql =
+    """fr AS (
       |  SELECT doc_id, doc_id % 250 AS g, doc_id // 250 AS m,
       |    unnest(range(0, 256)) AS i
       |  FROM documents),
@@ -601,35 +605,109 @@ object MultimodalQueries {
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
       |    x.fp AS fa, y.fp AS fb
       |  FROM capped x JOIN capped y
-      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-      |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-      |ORDER BY id_a, id_b""".stripMargin,
+      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Shared md5-dispersed acoustic corpus (q141/q156): 250 PCM groups,
+    * one re-recorded window per member m > 0 — see q141's scaladoc.
+    */
+  private def audioCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val g = id % 250
+          val m = id / 250
+          val samples = Array.tabulate(256) { i =>
+            val key =
+              if (i / 8 == m % 31) s"${g}_${i}_${m}" else s"${g}_${i}"
+            val d0 = md.digest(key.getBytes("UTF-8"))
+            // first 4 hex chars of the md5 = first 2 digest bytes
+            (((d0(0) & 0xff) << 8) | (d0(1) & 0xff)).toShort
+          }
+          (id, "audio", Multimodal.wavBytesFrom(8000, 1, samples))
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  val q141_audio_fingerprint_neardup: QueryDef = q(
+    "q141_audio_fingerprint_neardup",
+    "WITH " + audioCandSql +
+      """
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "Audio near-dup: energy-delta fingerprint from real WAV decode, " +
       "banded Hamming LSH candidates (bucket-capped), <= 3-bit verify") {
     (s, d) =>
       implicit val spark: SparkSession = s
-      import s.implicits._
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions { ids =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          ids.map { id =>
-            val g = id % 250
-            val m = id / 250
-            val samples = Array.tabulate(256) { i =>
-              val key =
-                if (i / 8 == m % 31) s"${g}_${i}_${m}" else s"${g}_${i}"
-              val d0 = md.digest(key.getBytes("UTF-8"))
-              // first 4 hex chars of the md5 = first 2 digest bytes
-              (((d0(0) & 0xff) << 8) | (d0(1) & 0xff)).toShort
-            }
-            (id, "audio", Multimodal.wavBytesFrom(8000, 1, samples))
-          }
-        }.toDF("media_id", "kind", "content")
-      val fps = Multimodal.audioFingerprint(media).toDF()
+      val fps = Multimodal.audioFingerprint(audioCorpus(s, d)).toDF()
       Dedup.bandedHammingPairs(fps, "media_id", "fp",
           nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
         .orderBy("id_a", "id_b")
+  }
+
+  /** Audio curation CAPSTONE — q146's funnel for the acoustic corpus,
+    * with QUALITY-AWARE keeper selection instead of min-id: near-dup
+    * pairs (q141's kernel) close into components
+    * ([[Dedup.connectedComponents]]), and each component keeps its
+    * highest-ACTIVITY copy (activity = fingerprint popcount, a proxy for
+    * spectral liveliness; ties break to the minimum id) via
+    * [[Dedup.selectRepresentatives]]'s struct-min hash aggregate — no
+    * per-cluster window sort. The oracle closes components with the
+    * recursive-CTE fixpoint and replays the keeper as a per-component
+    * (activity DESC, doc_id) rank, re-pinning the struct-min ≡
+    * window-rank equivalence on a second modality.
+    */
+  val q156_audio_curation_capstone: QueryDef = q(
+    "q156_audio_curation_capstone",
+    "WITH RECURSIVE " + audioCandSql +
+      """,
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand WHERE bit_count(xor(fa, fb)) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid FROM r GROUP BY a),
+        |act AS (SELECT doc_id, CAST(bit_count(fp) AS BIGINT) AS activity FROM fp),
+        |alln AS (
+        |  SELECT act.doc_id, COALESCE(c.cid, act.doc_id) AS component_id,
+        |    act.activity
+        |  FROM act LEFT JOIN comp c ON act.doc_id = c.doc_id),
+        |rk AS (
+        |  SELECT doc_id, component_id, activity,
+        |    row_number() OVER (PARTITION BY component_id
+        |      ORDER BY activity DESC, doc_id) AS rn
+        |  FROM alln)
+        |SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN activity END) AS BIGINT) AS rep_activity
+        |FROM rk GROUP BY component_id
+        |ORDER BY component_id""".stripMargin,
+    "Audio curation capstone: fingerprint -> Hamming LSH pairs -> " +
+      "connected components -> highest-activity keeper per component") {
+    (s, d) =>
+      implicit val spark: SparkSession = s
+      val fps = Multimodal.audioFingerprint(audioCorpus(s, d)).toDF()
+      val pairs = Dedup.bandedHammingPairs(fps, "media_id", "fp",
+        nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
+      val canon = Dedup.canonicalize(fps.select("media_id"), "media_id", pairs)
+      val scored = fps.select(col("media_id"),
+        bit_count(col("fp")).cast(LongType).as("activity"))
+      Dedup.selectRepresentatives(canon, scored, "media_id", "activity")
+        .groupBy(col("canonical_id").as("component_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min("rep_id").as("rep_id"),
+          min(when(col("is_rep") === 1L, col("activity"))).as("rep_activity"))
+        .select(col("component_id"),
+          col("n_members").cast(LongType).as("n_members"),
+          col("rep_id").cast(LongType).as("rep_id"),
+          col("rep_activity").cast(LongType).as("rep_activity"))
+        .orderBy("component_id")
   }
 
   /** Image NEAR-dup within-k-bits — the perceptual upgrade of q96 (which
@@ -851,5 +929,6 @@ object MultimodalQueries {
     q96_image_neardup, q100_avi_mjpeg, q102_audio_features,
     q107_tiff_codec, q131_crossmodal_retrieval,
     q141_audio_fingerprint_neardup, q142_image_hamming_neardup,
-    q145_video_scene_cuts, q146_image_curation_capstone)
+    q145_video_scene_cuts, q146_image_curation_capstone,
+    q156_audio_curation_capstone)
 }
