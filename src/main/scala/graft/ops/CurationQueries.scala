@@ -528,8 +528,65 @@ object CurationQueries {
     "Span-level decontamination: excise benchmark 13-gram overlaps from " +
       "training docs; per-doc removed-token and maximal-span counts")
 
+  /** Data-quality constraint audit ([[Audit]]) — the validation gate a
+    * corpus version passes before release: five named constraints
+    * spanning completeness, uniqueness, row-level consistency
+    * (`n_chars = length(text)` — a REAL metadata/payload agreement
+    * check), a value-range rule tight enough to FAIL (value ≤ 100
+    * against a 490-max column — the audit must prove it counts, not
+    * rubber-stamps), and events→customer referential integrity. All
+    * three documents checks fuse into ONE aggregation pass; the range
+    * check is one pass over events; the referential check one
+    * anti-join. The oracle recomputes every counter as scalar SQL.
+    */
+  val q157_constraint_audit: QueryDef = QueryDef(
+    "q157_constraint_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ev = Tables.events(s, d)
+      Audit.audit(docs, Seq(
+          Audit.complete("completeness:documents.text", col("text")),
+          Audit.unique("uniqueness:documents.doc_id", col("doc_id")),
+          Audit.satisfies("consistency:documents.n_chars",
+            col("n_chars") === length(col("text")))))
+        .unionAll(Audit.audit(ev, Seq(
+          Audit.satisfies("range:events.value<=100", col("value") <= 100.0))))
+        .unionAll(Audit.refCheck("referential:events.user_id",
+          ev, "user_id", Tables.customer(s, d), "c_custkey"))
+        .orderBy("check_name")
+    },
+    Some("""SELECT check_name, n_checked, n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      |FROM (
+      |  SELECT 'completeness:documents.text' AS check_name,
+      |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_checked,
+      |    CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL) AS BIGINT)
+      |      AS n_violations
+      |  UNION ALL
+      |  SELECT 'uniqueness:documents.doc_id',
+      |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+      |    CAST((SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'consistency:documents.n_chars',
+      |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+      |    CAST((SELECT SUM(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END)
+      |          FROM documents) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'range:events.value<=100',
+      |    CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+      |    CAST((SELECT SUM(CASE WHEN NOT (value <= 100) THEN 1 ELSE 0 END)
+      |          FROM events) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'referential:events.user_id',
+      |    CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+      |          (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+      |) t ORDER BY check_name""".stripMargin),
+    "Constraint audit (Deequ shape): completeness/uniqueness/consistency/" +
+      "range/referential checks, single-pass per table, exact counters")
+
   def defs: Seq[QueryDef] = Seq(q61_contamination, q62_stratified_mix,
     q67_token_chunks, q81_contamination_bloom, q101_importance_resample,
     q109_quality_rebalance, q134_curation_pipeline, q136_token_drift,
-    q144_span_decontamination)
+    q144_span_decontamination, q157_constraint_audit)
 }

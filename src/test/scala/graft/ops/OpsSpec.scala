@@ -1041,6 +1041,30 @@ class OpsSpec extends SparkSpec {
       (3L, 69L, 1L), (4L, 70L, 1L), (5L, 20L, 2L)))
   }
 
+  test("constraint audit: fused single-pass checks, violation counting") {
+    val df = Seq(
+      (1L, "a", 1),   // ok
+      (2L, null, 1),  // completeness violation
+      (2L, "ccc", 3), // duplicate key; n_len consistent
+      (3L, "dd", 5)   // consistency violation (len 2 != 5)
+    ).toDF("id", "txt", "n_len")
+    val got = Audit.audit(df, Seq(
+        Audit.complete("c1_complete", $"txt"),
+        Audit.unique("c2_unique", $"id"),
+        Audit.satisfies("c3_consistent", $"n_len" === length($"txt"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("c1_complete") == ((4L, 1L, 0L)))
+    assert(got("c2_unique") == ((4L, 1L, 0L)))
+    // null-text row contributes NO consistency violation (unknown != false)
+    assert(got("c3_consistent") == ((4L, 1L, 0L)))
+    val ref = Audit.refCheck("c4_ref",
+        Seq(1L, 2L, 9L).toDF("k"), "k",
+        Seq(1L, 2L, 3L).toDF("p"), "p")
+      .collect().head
+    assert((ref.getLong(1), ref.getLong(2), ref.getLong(3)) == ((3L, 1L, 0L)))
+  }
+
   test("incremental view merge: group arithmetic, zero-count eviction") {
     val base = Seq((1L, "a", 10.5), (1L, "a", 2.25), (2L, "b", 5.0))
       .toDF("k", "t", "v")
