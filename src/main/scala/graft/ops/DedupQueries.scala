@@ -396,6 +396,56 @@ object DedupQueries {
     Dedup.snapshotDiff(docs, neu, "doc_id", "text").orderBy("doc_id", "status")
   }
 
+  /** N-gram NOVELTY scoring — the memorization/diversity metric corpus
+    * curators rank documents by: in ingestion order (doc_id), how much of
+    * each document's content is appearing for the FIRST time? Each
+    * distinct 3-gram is attributed to its minimum doc_id (one hash agg
+    * over the shingle frame — no per-doc sequential scan, the same
+    * first-occurrence trick q19 uses for first-per-key), then each doc
+    * reports total distinct grams, novel grams, and floor-ppm novelty.
+    * A replicated page scores ~0 on every copy but its first; boilerplate
+    * decays as the template repeats — exactly the ranking signal. Scale
+    * shape: two hash aggs + one join on the gram, all map-side combined.
+    */
+  val q158_novelty_scoring: QueryDef = q(
+    "q158_novelty_scoring",
+    shinglesSql +
+      """,
+        |firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+        |per AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sh s JOIN firsts f ON s.sh = f.sh
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
+        |       ELSE (1000000 * p.n_novel) // p.n_grams END AS BIGINT)
+        |    AS novelty_ppm
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "N-gram novelty in ingestion order: distinct grams attributed to " +
+      "their first doc; per-doc novel fraction in exact floor ppm") {
+    (s, d) =>
+      val sh = shingles(Tables.documents(s, d))
+      val firsts = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val per = sh.join(firsts, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      Tables.documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0L, 0L)
+            .otherwise(expr("(1000000 * n_novel) div n_grams"))
+            .cast(LongType).as("novelty_ppm"))
+        .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash from md5-derived word hashes (portable bit arithmetic:
     * hex → bigint via conv/strtol-equivalents on both engines).
     */
@@ -703,5 +753,6 @@ object DedupQueries {
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
     q88_fuzzy_names, q92_repeated_windows, q97_containment,
-    q106_repeated_removal, q123_neardup_representative, q126_snapshot_diff)
+    q106_repeated_removal, q123_neardup_representative, q126_snapshot_diff,
+    q158_novelty_scoring)
 }
