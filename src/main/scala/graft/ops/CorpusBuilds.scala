@@ -68,6 +68,16 @@ object CorpusBuilds {
       Multimodal.imageDHash(corpus)(s).toDF()
     }
 
+  /** Acoustic fingerprints of the q141/q156 audio corpus — the WAV
+    * encode + javax.sound decode pass is the expensive half of both
+    * queries, shared like [[hammingImageDHashes]].
+    */
+  def audioFingerprints(s: SparkSession, dir: String,
+      corpus: => DataFrame): DataFrame =
+    cached(s, s"audio_fp|$dir") {
+      Multimodal.audioFingerprint(corpus)(s).toDF()
+    }
+
   /** q52's md5-banded near-dup canonical keep/drop set over the documents
     * table (star edges → connected-components fixpoint → canonicalize),
     * shared by q52 and q123's keeper selection — the component resolution

@@ -640,8 +640,7 @@ object MultimodalQueries {
     "Audio near-dup: energy-delta fingerprint from real WAV decode, " +
       "banded Hamming LSH candidates (bucket-capped), <= 3-bit verify") {
     (s, d) =>
-      implicit val spark: SparkSession = s
-      val fps = Multimodal.audioFingerprint(audioCorpus(s, d)).toDF()
+      val fps = CorpusBuilds.audioFingerprints(s, d, audioCorpus(s, d))
       Dedup.bandedHammingPairs(fps, "media_id", "fp",
           nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
         .orderBy("id_a", "id_b")
@@ -691,8 +690,7 @@ object MultimodalQueries {
     "Audio curation capstone: fingerprint -> Hamming LSH pairs -> " +
       "connected components -> highest-activity keeper per component") {
     (s, d) =>
-      implicit val spark: SparkSession = s
-      val fps = Multimodal.audioFingerprint(audioCorpus(s, d)).toDF()
+      val fps = CorpusBuilds.audioFingerprints(s, d, audioCorpus(s, d))
       val pairs = Dedup.bandedHammingPairs(fps, "media_id", "fp",
         nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 512L)
       val canon = Dedup.canonicalize(fps.select("media_id"), "media_id", pairs)
