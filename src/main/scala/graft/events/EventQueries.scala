@@ -1071,9 +1071,83 @@ object EventQueries {
     "Cohort retention matrix: first-activity-day cohorts x day offset, " +
       "distinct active users per cell; bounded days-squared output")
 
+  /** Time-WINDOWED funnel — q154 with the constraint real funnels have:
+    * each step must convert within `W` seconds of the previous step
+    * (t2 = first click in (t1, t1+W], t3 = first purchase in
+    * (t2, t2+W], W = 3 days), so users genuinely drop off instead of
+    * everyone eventually converting. Same single-shuffle chained-window
+    * plan as q154; the timeout adds one bound per conditional min.
+    */
+  val q159_windowed_funnel: QueryDef = QueryDef(
+    "q159_windowed_funnel",
+    (s, d) => {
+      val W = 259200L
+      val w = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, d)
+        .select("user_id", "event_type", "ts_sec")
+        .withColumn("t1", min(when(col("event_type") === "view",
+          col("ts_sec"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts_sec") > col("t1") && col("ts_sec") <= col("t1") + W,
+          col("ts_sec"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts_sec") > col("t2") && col("ts_sec") <= col("t2") + W,
+          col("ts_sec"))).over(w))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      perUser.agg(
+          count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("l2"),
+          coalesce(sum(col("t3") - col("t2")), lit(0L)).as("l3"))
+        .select(explode(array(
+          struct(lit("p1_view").as("step"), col("n1").as("n_users"),
+            lit(0L).as("sum_latency_sec")),
+          struct(lit("p2_click").as("step"), col("n2").as("n_users"),
+            col("l2").cast(LongType).as("sum_latency_sec")),
+          struct(lit("p3_purchase").as("step"), col("n3").as("n_users"),
+            col("l3").cast(LongType).as("sum_latency_sec")))).as("r"))
+        .select("r.*")
+        .orderBy("step")
+    },
+    Some("""WITH f AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |u1 AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS t1
+      |  FROM f GROUP BY user_id),
+      |u2 AS (
+      |  SELECT f.user_id, u1.t1,
+      |    MIN(CASE WHEN f.event_type = 'click' AND f.ts_sec > u1.t1
+      |             AND f.ts_sec <= u1.t1 + 259200
+      |        THEN f.ts_sec END) AS t2
+      |  FROM f JOIN u1 ON f.user_id = u1.user_id
+      |  GROUP BY f.user_id, u1.t1),
+      |u3 AS (
+      |  SELECT f.user_id, u2.t1, u2.t2,
+      |    MIN(CASE WHEN f.event_type = 'purchase' AND f.ts_sec > u2.t2
+      |             AND f.ts_sec <= u2.t2 + 259200
+      |        THEN f.ts_sec END) AS t3
+      |  FROM f JOIN u2 ON f.user_id = u2.user_id
+      |  GROUP BY f.user_id, u2.t1, u2.t2)
+      |SELECT * FROM (
+      |  SELECT 'p1_view' AS step, CAST(COUNT(t1) AS BIGINT) AS n_users,
+      |    CAST(0 AS BIGINT) AS sum_latency_sec FROM u3
+      |  UNION ALL
+      |  SELECT 'p2_click', CAST(COUNT(t2) AS BIGINT),
+      |    CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM u3
+      |  UNION ALL
+      |  SELECT 'p3_purchase', CAST(COUNT(t3) AS BIGINT),
+      |    CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM u3
+      |) t ORDER BY step""".stripMargin),
+    "Time-windowed funnel: per-step 3-day conversion timeout over the " +
+      "q154 chained-window plan; real drop-off per step")
+
   def defs: Seq[QueryDef] = Seq(
     q147_incremental_view, q152_scd2_join, q154_event_funnel,
-    q155_cohort_retention,
+    q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,
     q24_chat_parse, q39_graph_filter, q42_asof_join, q43_interval_join,
