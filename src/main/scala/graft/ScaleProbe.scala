@@ -572,6 +572,43 @@ object ScaleProbe {
     probePerceptron("1x", base, nBase)
     probePerceptron(s"${mult}x+cluster (hot feature buckets)", big, nBig)
 
+    // Straggler probe (VERDICT round-10 #1): ONE 10⁵-row bucket — every
+    // row identical text, so all 10⁵ land in the same (band, bucket) of
+    // every band. Under the old count().over(Window) cap this bucket was
+    // sorted into a single task per band; under the groupBy+anti-join cap
+    // the fat side keeps its input partitioning and only per-bucket
+    // combiner rows cross the shuffle. The pin is the per-task ceiling:
+    // max task duration must stay a small multiple of the mean, not the
+    // whole job (a straggler shows up as max ≈ total wall-clock).
+    locally {
+      val fat = math.max(inject * 10, 100000)
+      val oneBucket = spark.range(fat).select(col("id").as("doc_id"),
+          lit(boiler).as("text"))
+        .unionAll(spark.range(2000).select((col("id") + 500000000L).as("doc_id"),
+          concat(lit("unique doc "), col("id").cast("string"),
+            lit(" words "), (col("id") * 31L).cast("string")).as("text")))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      oneBucket.count()
+      val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (rows, t) = try {
+        time(ops.Dedup.minhashCandidates(oneBucket.toDF(), "doc_id", "text",
+          numHashes = 32, bands = 8, maxBucketSize = 64).count())
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      val durs = taskMs.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      val maxMs = if (durs.isEmpty) 0L else durs.last
+      val p50Ms = if (durs.isEmpty) 0L else durs(durs.length / 2)
+      println(f"""{"probe":"q37_hot_bucket_straggler","scale":"one ${fat}-row bucket","input":${fat + 2000},"seconds":$t%.2f,"rows":$rows,"max_task_ms":$maxMs,"p50_task_ms":$p50Ms,"tasks":${durs.length}}""")
+      oneBucket.unpersist()
+    }
+
     spark.stop()
   }
 

@@ -228,21 +228,30 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       maxBucketSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bw = Window.partitionBy("band", "bucket")
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
-      .withColumn("_bs", count(lit(1)).over(bw))
-      .withColumn("_root", min(col("id")).over(bw))
+    // Hot-bucket detection is a map-side-combinable groupBy — one row per
+    // bucket crosses the shuffle — NOT a count().over(Window), which would
+    // materialize every row of a 10⁸-row boilerplate bucket in one task
+    // before the filter discards it. The hot set is by construction the
+    // pathological tail (buckets over the cap), so the join-backs against
+    // it stay small and AQE turns them into broadcasts at runtime; the
+    // anti-joined fat side keeps its original partitioning.
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_root"))
+      .filter(col("_bs") > maxBucketSize)
       .observe(s"graft.lsh.bucket_cap.${obsId.incrementAndGet()}",
-        sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)).as("rows_over_cap"))
-    val small = banded.filter(col("_bs") <= maxBucketSize)
+        coalesce(sum(col("_bs")), lit(0L)).as("rows_over_cap"))
+    val small = banded.join(hot.select("band", "bucket"),
+      Seq("band", "bucket"), "left_anti")
     val a = small.select(col("id").as("id_a"), col("band"), col("bucket"))
     val b = small.select(col("id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     val clique = a.join(b,
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val star = banded.filter(col("_bs") > maxBucketSize && col("id") =!= col("_root"))
+    val star = banded.join(hot.select("band", "bucket", "_root"),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("_root"))
       .select(col("_root").as("id_a"), col("id").as("id_b"))
     clique.union(star).distinct()
   }
@@ -259,9 +268,14 @@ object Dedup {
   def minhashStarEdges(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
-      .withColumn("_root", min(col("id")).over(Window.partitionBy("band", "bucket")))
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+    // Per-bucket roots via a map-side-combinable groupBy.min + join-back,
+    // not min().over(Window): the window form sorts every row of a bucket
+    // into one task, so a giant bucket is a straggler; the join form keeps
+    // the fat side splittable (AQE skew-join can split an SMJ partition,
+    // it can never split a Window partition).
+    val roots = banded.groupBy("band", "bucket").agg(min(col("id")).as("_root"))
+    banded.join(roots, Seq("band", "bucket"))
       .filter(col("id") =!= col("_root"))
       .select(col("_root").as("id_a"), col("id").as("id_b"))
       .distinct()
@@ -336,14 +350,17 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 3, maxDocFreq: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // codegen'd shingle rows, deduped to set semantics (Jaccard needs sets)
     val sh = shingleRows(df, idCol, textCol, shingleSize).distinct()
-    // one shuffle on sh; the self-join below reuses the same key
-    val capped = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("_df") <= maxDocFreq)
-      .drop("_df")
+    // Hot shingles (doc-freq over the cap) come from a map-side-combinable
+    // groupBy count — one row per shingle crosses the shuffle — and are
+    // removed with an anti-join against that (tiny, AQE-broadcastable) hot
+    // set; a count().over(Window.partitionBy(sh)) would drag every row of
+    // a hot shingle into one task just to drop it.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("sh")
+    val capped = sh.join(hot, Seq("sh"), "left_anti")
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
     val a = capped.select(col("id").as("id_a"), col("sh"))
     val b = capped.select(col("id").as("id_b"), col("sh"))
@@ -592,11 +609,15 @@ object Dedup {
       .select(col("id"), col("fp"), posexplode(bandVals).as(Seq("band", "bv")))
     val banded =
       if (maxBucketSize == Long.MaxValue) banded0
-      else banded0
-        .withColumn("_bs", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
-        .filter(col("_bs") <= maxBucketSize)
-        .drop("_bs")
+      else {
+        // over-cap (band, value) buckets via map-side-combinable groupBy
+        // count + anti-join — same no-straggler shape as
+        // [[minhashCandidates]]; never count().over(Window).
+        val hot = banded0.groupBy("band", "bv").agg(count(lit(1)).as("_bs"))
+          .filter(col("_bs") > maxBucketSize)
+          .select("band", "bv")
+        banded0.join(hot, Seq("band", "bv"), "left_anti")
+      }
     val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"),
       col("band"), col("bv"))
     val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"),

@@ -363,13 +363,14 @@ object DedupQueries {
     */
   val q126_snapshot_diff: QueryDef = q(
     "q126_snapshot_diff",
-    """WITH oh AS (SELECT doc_id, md5(text) AS h FROM documents),
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |oh AS (SELECT doc_id, md5(text) AS h FROM documents),
       |neu AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
       |  FROM documents WHERE doc_id % 10 <> 3
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
+      |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
       |    'new page ' || CAST(doc_id AS VARCHAR) AS text
       |  FROM documents WHERE doc_id % 10 = 0),
       |nh AS (SELECT doc_id, md5(text) AS h FROM neu)
@@ -383,16 +384,19 @@ object DedupQueries {
     "Corpus snapshot diff (recrawl CDC): added/removed/changed/unchanged " +
       "by content hash, one full-outer hash join") { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    // collision-proof synthetic-id offset: max(doc_id)+1 (a one-row
+    // broadcast aggregate) instead of a fixed constant, so 'added' ids
+    // can never land on a real id at any testdata generation; status
+    // stays a secondary sort key as belt-and-braces
+    val off = docs.agg((max(col("doc_id")) + 1L).as("_off"))
     val neu = docs.filter(col("doc_id") % 10 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionAll(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("_off")).as("doc_id"),
           concat(lit("new page "), col("doc_id").cast(StringType)).as("text")))
-    // secondary status key: the synthetic 'added' ids (doc_id + 10^6)
-    // could collide with real ids at a large enough generation, making
-    // the doc_id ORDER BY tie-ambiguous across engines
     Dedup.snapshotDiff(docs, neu, "doc_id", "text").orderBy("doc_id", "status")
   }
 

@@ -111,15 +111,20 @@ object Similarity {
       df: DataFrame, idCol: String, embCol: String, threshold: Double,
       dim: Int, planes: Int = 8, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(df.sparkSession) // fastDot
-    val bw = Window.partitionBy("bucket")
     val b = annBuckets(df, embCol, dim, planes)
       .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
       .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
-      .withColumn("_bs", count(lit(1)).over(bw))
-      .withColumn("_root", min(col("id")).over(bw))
+    // Hot-bucket detection is a map-side-combinable groupBy — one row per
+    // bucket over the shuffle — never count().over(Window), which would
+    // pull every row of a giant identical-vector cluster into one task.
+    // The hot set is the pathological tail, so the join-backs stay small
+    // (AQE broadcasts them) and the fat side keeps its partitioning.
+    val hot = b.groupBy("bucket")
+      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_root"))
+      .filter(col("_bs") > maxBucketSize)
       .observe(s"graft.ann.bucket_cap.${nearDupObsId.incrementAndGet()}",
-        sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)).as("rows_over_cap"))
-    val small = b.filter(col("_bs") <= maxBucketSize)
+        coalesce(sum(col("_bs")), lit(0L)).as("rows_over_cap"))
+    val small = b.join(hot.select("bucket"), Seq("bucket"), "left_anti")
     val x = small.select(col("id").as("id_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val y = small.select(col("id").as("id_b"), col("emb").as("emb_b"),
@@ -129,11 +134,13 @@ object Similarity {
       .select(col("id_a"), col("emb_a"), col("nrm_a"),
         col("id_b"), col("emb_b"), col("nrm_b"))
     // over-cap buckets: pair every member with the bucket root only —
-    // O(f) rows; the root join is a self-equi-join on (bucket, _root)
-    val roots = b.filter(col("id") === col("_root"))
+    // O(f) rows; members and roots both come from joining the fat side
+    // against the tiny hot set
+    val overCap = b.join(hot.select("bucket", "_root"), Seq("bucket"))
+    val roots = overCap.filter(col("id") === col("_root"))
       .select(col("bucket").as("bucket_r"), col("id").as("id_a"),
         col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val star = b.filter(col("_bs") > maxBucketSize && col("id") =!= col("_root"))
+    val star = overCap.filter(col("id") =!= col("_root"))
       .select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
         col("nrm").as("nrm_b"))
       .join(roots, col("bucket") === col("bucket_r"))

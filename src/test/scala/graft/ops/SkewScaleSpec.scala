@@ -87,6 +87,49 @@ class SkewScaleSpec extends SparkSpec {
     assert(n == clusterSize - 1, s"star edges must be exactly f-1, got $n")
   }
 
+  test("capped pair generators carry no Window node: hot-bucket caps are groupBy+join, never count-over-window") {
+    // A count().over(Window.partitionBy(bucket)) materializes every row of
+    // a bucket in ONE task before the cap filter drops it — a 10⁸-row
+    // boilerplate bucket becomes a straggler even though its rows are
+    // discarded. The map-side-combinable groupBy + join-back shape has no
+    // such single-task stage (and an SMJ partition is AQE-splittable where
+    // a Window partition never is). Pin: no WindowExec in any capped
+    // generator's physical plan.
+    val emb = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 7 + d).toFloat / 10f))).toDF("vec_id", "embedding")
+    val fps = (0 until 50).map(i => (i.toLong, (i * 2654435761L) & 0xffffffffL)).toDF("id", "fp")
+    val plans = Map(
+      "minhashCandidates" -> Dedup.minhashCandidates(
+        pathological, "doc_id", "text", numHashes = 32, bands = 8, maxBucketSize = 64),
+      "minhashStarEdges" -> Dedup.minhashStarEdges(
+        pathological, "doc_id", "text", numHashes = 32, bands = 8),
+      "ngramJaccardPairs" -> Dedup.ngramJaccardPairs(
+        pathological, "doc_id", "text", threshold = 0.5, maxDocFreq = 64),
+      "bandedHammingPairs" -> Dedup.bandedHammingPairs(
+        fps, "id", "fp", nBands = 4, bandBits = 8, maxHamming = 3, maxBucketSize = 64),
+      "annNearDupPairs" -> Similarity.annNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.9, dim = 8, maxBucketSize = 64)
+    ).map { case (k, df) => k -> df.queryExecution.executedPlan.toString }
+    // the one legitimate Window is shingleRows' per-DOCUMENT n-gram lead
+    // (partition key = doc id, bounded by document length); what must
+    // never appear is a Window partitioned by the BUCKET keys (band/
+    // bucket/bv/sh) — that is the hot-key straggler shape
+    val bucketKey = "(?i)\\b(band|bucket|bv|sh)#".r
+    val offenders = plans.collect {
+      case (k, p) if p.linesIterator.exists { l =>
+            val t = l.dropWhile(c => !c.isLetter)
+            t.startsWith("Window [") && {
+              val groups = "\\[[^\\]]*\\]".r.findAllIn(t).toSeq
+              // 3 groups = (functions, partition, order): flag if the
+              // partition spec is over a bucket key
+              groups.length == 3 && bucketKey.findFirstIn(groups(1)).isDefined
+            }
+          } => k
+    }
+    assert(offenders.isEmpty,
+      s"capped generators must have no bucket-partitioned Window, found in: ${offenders.mkString(", ")}")
+  }
+
   test("annNearDupPairs: opt-in cap degrades an embedding boilerplate cluster to star pairs") {
     // 1500 near-identical embeddings (same LSH sign pattern) + 200 spread
     val dim = 8
