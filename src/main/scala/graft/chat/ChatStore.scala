@@ -112,6 +112,23 @@ object ChatStore {
     overwrite(updated, tableDir)
   }
 
+  /** Generic MERGE INTO over the versioned-table layer: applies
+    * [[graft.ops.Merge.mergeFrames]] (conditional UPDATE/DELETE on match,
+    * conditional INSERT on no-match — the lakehouse upsert statement) to
+    * the table's current version and commits the result through the same
+    * copy-on-write protocol every other rewrite uses (rename-swap or
+    * version-pointer, per filesystem). `updateUser`/`deleteUser` are
+    * single-row instances of this. Source must be key-unique (the SQL
+    * MERGE contract); re-applying an idempotent merge (upsert whose SET
+    * writes the same values) commits a new version with identical content.
+    */
+  def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[graft.ops.Merge.WhenMatched] = Nil,
+      notMatched: Option[graft.ops.Merge.WhenNotMatched] = None): Unit =
+    overwrite(graft.ops.Merge.mergeFrames(
+      readTable(spark, tableDir), source, keys, matched, notMatched), tableDir)
+
   /** S10: point delete (anti-join rewrite). */
   def deleteUser(spark: SparkSession, tableDir: String, userId: String): Unit =
     overwrite(readTable(spark, tableDir).filter(col("user_id") =!= userId), tableDir)

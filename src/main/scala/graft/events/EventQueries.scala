@@ -904,6 +904,52 @@ object EventQueries {
     "Incremental view maintenance: base + insert-agg - retract-agg " +
       "merged in exact decimal, proven equal to full recompute")
 
+  /** [[graft.ops.Incremental.mergeMinMaxAvg]] on the q147 CDC scenario —
+    * the non-self-maintainable tier: MIN/MAX survive retractions via a
+    * re-scan of AFFECTED groups only (delete batch touches the stored
+    * extreme), AVG derives from the exact-decimal (count, sum) pair. The
+    * oracle recomputes the final state from scratch, so any group whose
+    * extreme was repaired from the wrong row set (or whose affected-set
+    * predicate under-selected) hash-fails. The retraction predicate
+    * (event_id % 7) deletes arbitrary rows, so most groups' minima ARE
+    * affected — OpsSpec pins the complementary claim (unaffected groups
+    * never re-scan) on a controlled frame.
+    */
+  val q162_incremental_minmax: QueryDef = QueryDef(
+    "q162_incremental_minmax",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      val base = ev.filter(col("ts_sec") < day25)
+      val ins = ev.filter(col("ts_sec") >= day25 && col("ts_sec") < day26)
+      val del = base.filter(col("event_id") % 7 === 0)
+      graft.ops.Incremental.mergeMinMaxAvg(base, ins, del,
+          Seq("user_id", "event_type"), "value", "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("n").cast(LongType).as("n"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"),
+          col("avg_value"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH fin AS (
+      |  SELECT user_id, event_type, value
+      |  FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
+      |         AND event_id % 7 <> 0)
+      |     OR (CAST(floor(epoch(ts)) AS BIGINT) >= 1706140800
+      |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1706227200))
+      |SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(value) AS DOUBLE) AS min_value,
+      |  CAST(MAX(value) AS DOUBLE) AS max_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM fin GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin),
+    "Incremental view maintenance tier 2: MIN/MAX repaired by re-scanning " +
+      "only delete-affected groups, AVG from the exact-decimal sum, " +
+      "proven equal to full recompute")
+
   /** SCD Type-2 point-in-time join — the warehouse pattern as-of joins
     * approximate and BETWEEN-bounds dimensions do exactly: each user
     * carries a slowly-changing `tier` attribute versioned into
@@ -1146,7 +1192,7 @@ object EventQueries {
       "q154 chained-window plan; real drop-off per step")
 
   def defs: Seq[QueryDef] = Seq(
-    q147_incremental_view, q152_scd2_join, q154_event_funnel,
+    q147_incremental_view, q162_incremental_minmax, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,

@@ -116,6 +116,23 @@ object CorpusBuilds {
         idx
       })
 
+  /** q164's persisted PLAIN-IVF index (Lloyd-trained coarse quantizer,
+    * full vectors stored per list partition — the uncompressed sibling of
+    * [[embeddingsIvfPqIndex]]; the read path prunes to the probed list
+    * partitions and re-ranks exactly). Built once per (applicationId,
+    * dataset); the cached value is the index path.
+    */
+  def embeddingsIvfIndex(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|ivf|" + dir, _ => {
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+        Similarity.buildIvfIndex(
+          graft.relational.Tables.embeddings(s, dir), "vec_id", "embedding",
+          idx, nLists = 16, iters = 3)
+        idx
+      })
+
   /** q133's persisted base index (m=2, kCent=4 residual-PQ over the
     * shared coarse quantizer), built once per (applicationId, dataset).
     * The CDC update the query applies on top is IDEMPOTENT (upsert

@@ -48,4 +48,71 @@ object Incremental {
       .withColumn("sum_value", col("s").cast("double"))
       .drop("s")
   }
+
+  private val rescanObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The next maintenance tier: MIN/MAX under deletes and AVG. COUNT/SUM
+    * (and therefore AVG = Σ/n, computed at read time) stay group-merge
+    * arithmetic exactly as [[mergeCountSum]]; MIN/MAX are only
+    * SEMI-maintainable — an insert can only improve an extreme
+    * (`least(stored, batch)`), but a retraction of the current extreme
+    * cannot be repaired from the aggregate alone. The standard production
+    * answer, implemented here: re-scan ONLY the AFFECTED groups — those
+    * whose delete batch touches the stored extreme (`del_min ≤ stored_min`
+    * or `del_max ≥ stored_max`); a delete strictly inside the stored
+    * (min, max) interval provably cannot move either extreme, so those
+    * groups merge arithmetically like everything else. The re-scan leg is
+    * `base ⋉ affected_keys` (left-semi, partition-prunable at scale when
+    * the base is key-partitioned) minus the deleted rows by `rowIdCol`
+    * anti-join, so its cost follows the affected groups' row mass, never
+    * the standing corpus. Re-scanned row volume is observable via the
+    * `graft.ivm.rescan.*` metric.
+    *
+    * Returns keys :+ (n, min_value, max_value, avg_value); groups whose
+    * count reaches zero leave the view; AVG divides the exact decimal sum
+    * cast to double by n (deterministic across partitionings).
+    */
+  def mergeMinMaxAvg(base: DataFrame, inserts: DataFrame, deletes: DataFrame,
+      keys: Seq[String], valueCol: String, rowIdCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(Sql.dec2(col(valueCol))).as(s"s_$tag"),
+          min(col(valueCol)).as(s"mn_$tag"),
+          max(col(valueCol)).as(s"mx_$tag"))
+    val stored = side(base, "b")
+    val merged = stored
+      .join(side(inserts, "i"), keys, "full_outer")
+      .join(side(deletes, "d"), keys, "full_outer")
+    val affectedKeys = merged
+      .filter(coalesce(col("n_d"), lit(0L)) > 0L &&
+        (col("mn_d") <= col("mn_b") || col("mx_d") >= col("mx_b")))
+      .select(keys.map(col): _*)
+    // affected groups only: stored rows minus the retracted row ids
+    val rescan = base
+      .join(affectedKeys, keys, "left_semi")
+      .join(deletes.select(rowIdCol), Seq(rowIdCol), "left_anti")
+      .observe(s"graft.ivm.rescan.${rescanObsId.incrementAndGet()}",
+        count(lit(1)).as("rows_rescanned"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("mn_r"), max(col(valueCol)).as("mx_r"))
+    val z = lit(0).cast(Sql.dec2t)
+    merged
+      .join(rescan, keys, "left_outer")
+      .withColumn("_affected",
+        coalesce(col("n_d"), lit(0L)) > 0L &&
+          (col("mn_d") <= col("mn_b") || col("mx_d") >= col("mx_b")))
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
+          coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("s_b"), z) + coalesce(col("s_i"), z) -
+          coalesce(col("s_d"), z)).as("s"),
+        when(col("_affected"), least(col("mn_r"), col("mn_i")))
+          .otherwise(least(col("mn_b"), col("mn_i"))).as("min_value"),
+        when(col("_affected"), greatest(col("mx_r"), col("mx_i")))
+          .otherwise(greatest(col("mx_b"), col("mx_i"))).as("max_value")): _*)
+      .filter(col("n") > 0L)
+      .withColumn("avg_value", col("s").cast("double") / col("n"))
+      .drop("s")
+  }
 }

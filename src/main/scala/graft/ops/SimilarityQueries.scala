@@ -152,7 +152,7 @@ object SimilarityQueries {
   /** q38/q86 shared core: exact decimal-bridged cosine pairs ≥ 0.35 over
     * the label-blocked candidate space, vec_id < 500.
     */
-  private def exactCosinePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def exactCosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
     val ex = e.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("i", "x")))
@@ -308,6 +308,60 @@ object SimilarityQueries {
       |ORDER BY v.vec_id""".stripMargin),
     "Semantic dedup: components over embedding-cosine near-dup pairs, " +
       "min-id keeper per cluster (SemDeDup shape)")
+
+  /** Recall gate for the PRODUCTION semantic-dedup scale path
+    * ([[Similarity.semanticDedup]]: sign-LSH buckets → exact-cosine
+    * verified pairs → components), the q55-style literal-property oracle.
+    * q86 pins the component SEMANTICS on exact pairs; this row pins that
+    * the ANN-blocked path does not silently degenerate. Ground truth is
+    * injected: every fifth vector of the 500-slice gets two near-dup
+    * copies — one SCALED (identical direction, cosine exactly 1, so the
+    * sign-LSH bucket is identical by construction) and one with ±6%
+    * deterministic per-coordinate jitter (cosine ≈ 0.999). The gate:
+    *   - recall_ok — ≥ 60% of the 200 injected copies are flagged
+    *     non-keep (measured ≈ 95% at planes = 8 on sf0.01; the bound is
+    *     loose for the same reason q55's is — it catches degeneration,
+    *     not a recall curve);
+    *   - assign_ok — every flagged copy's canonical id is its own seed
+    *     (copy id mod 10⁴): the exact-cosine verify inside
+    *     [[Similarity.annNearDupPairs]] makes a false merge impossible,
+    *     so any violation is a component-resolution bug.
+    */
+  val q160_semantic_dedup_recall: QueryDef = QueryDef(
+    "q160_semantic_dedup_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      val seeds = e.filter(col("vec_id") % 5 === 0)
+      val scaled = seeds.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val jit = seeds.select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + lit(0.02f) *
+            ((pmod(i * (col("vec_id") + 1L), lit(7)) - lit(3)).cast("float"))))
+          .as("embedding"))
+      val corpus = e.unionAll(scaled).unionAll(jit)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.95, dim = 64, planes = 8)
+        .filter(col("vec_id") >= 10000L)
+        .agg(
+          count(lit(1)).as("n_copies"),
+          sum(when(col("is_keep") === 0L, 1L).otherwise(0L)).as("flagged"),
+          sum(when(col("is_keep") === 0L &&
+              col("canonical_id") =!= pmod(col("vec_id"), lit(10000L)), 1L)
+            .otherwise(0L)).as("bad_assign"))
+        .select(
+          col("n_copies").cast(LongType).as("n_copies"),
+          when(col("flagged") * 10L >= col("n_copies") * 6L, 1L)
+            .otherwise(0L).as("recall_ok"),
+          when(col("bad_assign") === 0L, 1L).otherwise(0L).as("assign_ok"))
+    },
+    Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_copies,
+      |  CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS assign_ok
+      |FROM embeddings WHERE vec_id < 500 AND vec_id % 5 = 0""".stripMargin),
+    "Semantic-dedup scale-path recall gate: injected near-dup copies " +
+      "(scaled + jittered) must be flagged by the LSH-blocked path and " +
+      "assigned to their seed's component, oracled as literal properties")
 
   /** One unrolled Lloyd iteration for the q104 oracle: distances off the
     * previous centroid set (argmin with (dist2, cid) tie order — exactly
@@ -699,6 +753,34 @@ object SimilarityQueries {
       "index: route -> residual ADC on probed lists -> exact re-rank, " +
       "recall@10 >= 0.6 per query")
 
+  /** The PLAIN persisted-IVF read path, recall-gated like q129: route each
+    * query to its nprobe nearest coarse centroids, scan ONLY those list
+    * partitions of the on-disk index (full vectors — exact distances, no
+    * ADC), and gate recall@10 against the brute-force baseline. Together
+    * with q129 both persisted-index families (compressed and
+    * uncompressed) are driver-checkable; the in-memory trainer variant is
+    * q55. The index artifact is the shared [[CorpusBuilds]] build — one
+    * job builds, every search serves, the 100 TB protocol.
+    */
+  val q164_ivf_search: QueryDef = QueryDef(
+    "q164_ivf_search",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val idx = CorpusBuilds.embeddingsIvfIndex(s, d)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+      val approx = Similarity.searchIvf(s, idx, queries,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      Similarity.recallAtK(exact, approx, 10)
+        .select(col("q_id"),
+          when(col("recall") >= 0.6, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+    "Plain persisted-IVF search: coarse route -> probed list partitions " +
+      "only (full vectors, exact distances), recall@10 >= 0.6 per query")
+
   /** RAG-shaped retrieval capstone: chunk the corpus into fixed
     * 30-token windows, embed each CHUNK into the shared hashed-BoW
     * space ([[Multimodal.hashedBowFromTokens]] — the q131 encoder over
@@ -932,5 +1014,6 @@ object SimilarityQueries {
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
     q129_ivfpq_search, q133_ivfpq_index_update, q135_rag_retrieval,
-    q151_embedding_curation_capstone)
+    q151_embedding_curation_capstone, q160_semantic_dedup_recall,
+    q164_ivf_search)
 }

@@ -421,10 +421,66 @@ object RelationalQueries {
         .orderBy("bucket")
   }
 
+  /** [[graft.ops.Merge.mergeFrames]] as an oracle-checked row: a CDC batch
+    * carrying all three ops — per-key UPDATE (acctbal credit), DELETE, and
+    * INSERT of brand-new customers (negative keys, structurally
+    * collision-free against the positive key space) — merged into the
+    * customer table in ONE outer join + projection. The oracle rebuilds
+    * the post-merge table from scratch (filter + CASE + UNION ALL), so a
+    * wrong clause order, a pass-through leak of a deleted row, or a
+    * mis-cast inserted value all hash-fail. The store-level commit path
+    * (`ChatStore.mergeInto`) wraps this same algebra — OpsSpec covers its
+    * versioned re-apply.
+    */
+  val q163_merge_into: QueryDef = q(
+    "q163_merge_into",
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 <> 5),
+      |ins AS (
+      |  SELECT -c_custkey AS c_custkey,
+      |    'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
+      |    CAST(0 AS INTEGER) AS c_nationkey,
+      |    CAST(0.0 AS DOUBLE) AS c_acctbal,
+      |    'MERGED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 7)
+      |SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |ORDER BY c_custkey""".stripMargin,
+    "Generic MERGE INTO: conditional UPDATE/DELETE/INSERT CDC batch in " +
+      "one outer join, post-merge table value-checked against an " +
+      "oracle-side rebuild") { (s, d) =>
+    import graft.ops.Merge
+    val cust = customer(s, d)
+    val src = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("U").as("op"),
+        lit(null).cast(StringType).as("new_name"))
+      .unionAll(cust.filter(col("c_custkey") % 10 === 5)
+        .select(col("c_custkey"), lit("D").as("op"),
+          lit(null).cast(StringType).as("new_name")))
+      .unionAll(cust.filter(col("c_custkey") % 10 === 7)
+        .select((-col("c_custkey")).as("c_custkey"), lit("I").as("op"),
+          concat(lit("new-"), col("c_custkey").cast(StringType)).as("new_name")))
+    Merge.mergeFrames(cust, src, Seq("c_custkey"),
+        matched = Seq(
+          Merge.WhenMatched(Some(col("s.op") === "D"), delete = true),
+          Merge.WhenMatched(Some(col("s.op") === "U"),
+            set = Map("c_acctbal" -> (col("t.c_acctbal") + lit(100.0))))),
+        notMatched = Some(Merge.WhenNotMatched(Some(col("s.op") === "I"),
+          values = Map(
+            "c_name" -> col("s.new_name"),
+            "c_nationkey" -> lit(0),
+            "c_acctbal" -> lit(0.0),
+            "c_mktsegment" -> lit("MERGED")))))
+      .orderBy("c_custkey")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
     q21_broadcast_join, q35_point_lookup, q40_intersect_unionall,
-    q41_approx_distinct, q76_salted_join, q82_histogram)
+    q41_approx_distinct, q76_salted_join, q82_histogram, q163_merge_into)
 }

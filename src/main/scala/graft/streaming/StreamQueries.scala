@@ -374,8 +374,88 @@ object StreamQueries {
     "Stream/batch parity #6: q147's CDC view maintenance as a signed " +
       "retraction stream over the aggregation state, same oracle")
 
+  /** Stream/batch parity #7 — APPEND mode with a real watermark, the
+    * semantics a 100 TB continuous ingest actually runs (q94's complete
+    * mode re-emits the whole table each batch; an unbounded ingest needs
+    * windows finalized once and state evicted). The events table is
+    * staged as FOUR ts-range files with ascending mtimes, so the
+    * micro-batch source consumes them in time order, the watermark
+    * (max event time − 1 day, [[EventStream.dailyTypeCounts]]'s delay)
+    * advances across batches, and no event is ever late. Append emits a
+    * day window exactly once, when `window.end ≤ watermark`; over this
+    * bounded input the emitted end state is therefore the batch daily
+    * counts restricted to CLOSED windows: `day_start + 2 days ≤ max(ts)`
+    * (window end + delay ≤ max event time — boundary-safe because the
+    * corpus max ts sits mid-day, never on a window edge). The final
+    * no-data micro-batch (`noDataMicroBatches`, on by default) is what
+    * flushes windows closed by the last batch's watermark update — this
+    * row would hash-fail if that finalization path broke.
+    */
+  val q161_stream_append_watermark: QueryDef = QueryDef(
+    "q161_stream_append_watermark",
+    (s, d) => {
+      import scala.jdk.CollectionConverters._
+      val ev = graft.relational.Tables.events(s, d)
+        .select("ts", "event_type")
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect().head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      val dir = java.nio.file.Files.createTempDirectory("graft_q161_src")
+      (0 until 4).foreach { k =>
+        val loK = lo + span * k / 4
+        val hiK = lo + span * (k + 1) / 4
+        val stage = java.nio.file.Files.createTempDirectory("graft_q161_part")
+        ev.filter(unix_micros(col("ts")) >= loK && unix_micros(col("ts")) < hiK)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val f = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"part$k%02d.parquet")
+        java.nio.file.Files.move(f, dst)
+        // explicit ascending mtimes: FileStreamSource orders its initial
+        // listing by modification time, and time-ordered batches are what
+        // make "no late data" deterministic
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000L + k * 60000L))
+        deleteRecursively(stage)
+      }
+      val schema = s.read.parquet(dir.toString).schema
+      val counts = EventStream.dailyTypeCounts(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString))
+      val sink = "graft_q161_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q161_ckpt")
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n").cast(LongType).as("n"))
+        .orderBy("day", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS n
+      |FROM events, m
+      |GROUP BY 1, 2, m.mx
+      |HAVING date_trunc('day', min(ts)) + INTERVAL 2 DAY <= m.mx
+      |ORDER BY day, event_type""".stripMargin),
+    "Stream/batch parity #7: daily counts in APPEND mode with a 1-day " +
+      "watermark over time-ordered micro-batches — emitted end state = " +
+      "batch counts on closed windows only")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
-    q149_stream_view_maintenance)
+    q149_stream_view_maintenance, q161_stream_append_watermark)
 }

@@ -45,7 +45,8 @@ class PlanLintSpec extends SparkSpec {
     "q151_embedding_curation_capstone" -> "centroid table (8 rows) broadcast for the two assignment crossJoins (q110's shape; trainer is the shared checkpointed artifact)",
     "q157_constraint_audit" -> "one-row total-count aggregate crossed with the one-row orphan-count aggregate (refCheck's scalar attachment)",
     "q138_epoch_mixture" -> "one-row (budget, isq_sum) totals broadcast onto the stratum counts",
-    "q126_snapshot_diff" -> "one-row max(doc_id)+1 synthetic-id offset broadcast onto the recrawl's 'added' leg"
+    "q126_snapshot_diff" -> "one-row max(doc_id)+1 synthetic-id offset broadcast onto the recrawl's 'added' leg",
+    "q164_ivf_search" -> "k-row centroid broadcast for the coarse-routing crossJoin (brute-force exact baseline broadcasts the 5-row query set — q129's shape over the plain-IVF index)"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —

@@ -47,6 +47,42 @@ class ChatStoreSpec extends SparkSpec {
     assert(ChatStore.findByEmail(spark, dir, "bo@x.io").isEmpty)
   }
 
+  test("mergeInto: update/delete/insert clauses commit through the versioned store, idempotent re-apply") {
+    import spark.implicits._
+    import graft.ops.Merge
+    val dir = tmp()
+    ChatStore.forceVersionedProtocol = true
+    try {
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "name", "bal").write.parquet(dir)
+      // CDC batch: update k=1, delete k=2, insert k=9
+      val cdc = Seq((1L, "U", 5.0), (2L, "D", 0.0), (9L, "I", 90.0))
+        .toDF("k", "op", "amt")
+      def applyCdc(): Unit = ChatStore.mergeInto(spark, dir, cdc, Seq("k"),
+        matched = Seq(
+          Merge.WhenMatched(Some(col("s.op") === "D"), delete = true),
+          Merge.WhenMatched(Some(col("s.op") === "U"),
+            set = Map("bal" -> lit(15.0)))),
+        notMatched = Some(Merge.WhenNotMatched(Some(col("s.op") === "I"),
+          values = Map("name" -> lit("nine"), "bal" -> col("s.amt")))))
+      applyCdc()
+      def state() = ChatStore.readVersion(spark, dir,
+          ChatStore.versions(spark, dir).filter(_._2).head._1)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      val after1 = state()
+      assert(after1 == Map(
+        1L -> (("a", 15.0)), 3L -> (("c", 30.0)), 9L -> (("nine", 90.0))))
+      // idempotent re-apply: a new version commits with IDENTICAL content
+      // (the update SET writes the same value; 2 already gone; 9 matches
+      // now, hits no clause, passes through)
+      val v1 = ChatStore.versions(spark, dir).filter(_._2).head._1
+      applyCdc()
+      val v2 = ChatStore.versions(spark, dir).filter(_._2).head._1
+      assert(v2 == v1 + 1, "re-apply must commit a fresh version")
+      assert(state() == after1, "idempotent re-apply changed the table")
+    } finally ChatStore.forceVersionedProtocol = false
+  }
+
   test("saveResearchConfig stamps created_at (S6/P8)") {
     import spark.implicits._
     val dir = tmp()

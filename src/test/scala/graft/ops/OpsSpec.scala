@@ -179,6 +179,28 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((500L, 501L)))
   }
 
+  test("semanticDedup (scale path) recalls injected copies into their seed's component") {
+    // the q160 shape, miniature: seeds + scaled copies (identical
+    // direction -> same sign bucket, guaranteed) + one unrelated vector
+    val seeds = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (1L, Array(-0.4f, 0.9f, 0.1f, -0.2f)),
+      (2L, Array(0.3f, -0.7f, 0.6f, 0.1f)))
+    val copies = seeds.map { case (id, v) => (id + 100L, v.map(_ * 2.0f)) }
+    val lone = Seq((50L, Array(-1.0f, -0.2f, 0.3f, -0.5f)))
+    val vecs = (seeds ++ copies ++ lone).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, dim = 4, planes = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every scaled copy: non-keep, canonical = its seed
+    for ((id, _) <- seeds) {
+      assert(out(id + 100L) == (id, 0L), s"copy of $id: ${out(id + 100L)}")
+      assert(out(id) == (id, 1L), s"seed $id must be its own keeper")
+    }
+    // the unrelated vector is a singleton keeper
+    assert(out(50L) == (50L, 1L))
+  }
+
   test("ANN paths run the native dot product, not the interpreted lambda") {
     // A session that never loaded GraftExtensions: the operators must
     // self-register, or the ~10x-slower ArrayAggregate lambda path runs.
@@ -1077,6 +1099,49 @@ class OpsSpec extends SparkSpec {
       (1L, "a") -> ((3L, 13.75)),  // 10.5 + 2.25 + 1.0, exact in decimal
       (3L, "c") -> ((1L, 7.5))))   // insert-only group appears
     // (2L, "b") evicted: count reached zero
+  }
+
+  test("incremental min/max/avg: extremes repaired, only affected groups re-scanned") {
+    // group A: delete hits its MIN (affected -> re-scan)
+    // group B: delete strictly inside (min, max)  (unaffected -> no re-scan)
+    // group C: untouched by deletes
+    // group D: fully deleted, then re-inserted (min must come from inserts)
+    val base = Seq(
+      (100L, "A", 1.0), (101L, "A", 5.0), (102L, "A", 9.0),
+      (200L, "B", 2.0), (201L, "B", 4.0), (202L, "B", 8.0),
+      (300L, "C", 3.0),
+      (400L, "D", 6.0)
+    ).toDF("rid", "g", "v")
+    val ins = Seq((500L, "D", 7.5)).toDF("rid", "g", "v")
+    val del = Seq((100L, "A", 1.0), (201L, "B", 4.0), (400L, "D", 6.0))
+      .toDF("rid", "g", "v")
+    var rescanned = -1L
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.ivm.rescan.")) seen.put(name, row.getLong(0))
+        }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      val out = Incremental.mergeMinMaxAvg(base, ins, del, Seq("g"), "v", "rid")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      rescanned = seen.values().toArray(Array.empty[java.lang.Long]).map(_.longValue).sum
+      out
+    } finally spark.listenerManager.unregister(listener)
+    assert(got("A") == ((2L, 5.0, 9.0, 7.0)))      // min repaired: 1.0 gone
+    assert(got("B") == ((2L, 2.0, 8.0, 5.0)))      // extremes untouched
+    assert(got("C") == ((1L, 3.0, 3.0, 3.0)))
+    assert(got("D") == ((1L, 7.5, 7.5, 7.5)))      // rebuilt from the insert
+    // re-scan touched ONLY groups A and D's surviving base rows:
+    // A has 2 survivors, D has 0 -> exactly 2 rows re-scanned (B and C
+    // contribute nothing: B's delete is strictly inside its extremes)
+    assert(rescanned == 2L, s"expected 2 re-scanned rows, got $rescanned")
   }
 
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
