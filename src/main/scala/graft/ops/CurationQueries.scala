@@ -457,11 +457,11 @@ object CurationQueries {
       |  WHERE token <> '' GROUP BY token),
       |op AS (
       |  SELECT token,
-      |    (1000000 * cnt) // (SELECT SUM(cnt) FROM oc) AS old_ppm
+      |    (CAST(1000000 AS HUGEINT) * cnt) // (SELECT SUM(cnt) FROM oc) AS old_ppm
       |  FROM oc),
       |np AS (
       |  SELECT token,
-      |    (1000000 * cnt) // (SELECT SUM(cnt) FROM nc) AS new_ppm
+      |    (CAST(1000000 AS HUGEINT) * cnt) // (SELECT SUM(cnt) FROM nc) AS new_ppm
       |  FROM nc)
       |SELECT COALESCE(op.token, np.token) AS token,
       |  CAST(COALESCE(old_ppm, 0) AS BIGINT) AS old_ppm,

@@ -32,8 +32,13 @@ object Drift {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
+    // the 10⁶·cnt product runs in DECIMAL(38,0): a hot token past ~9.2·10¹²
+    // occurrences (reachable at 100 TB) would overflow the BIGINT product
+    // (epochMixture's guard, mirrored as HUGEINT in the oracle)
     counts.crossJoin(broadcast(total))
-      .select(col("token"), expr("(1000000 * cnt) div total").as("ppm"))
+      .select(col("token"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt) div total AS BIGINT)")
+          .as("ppm"))
   }
 
   /** Token-distribution drift between an `old` and a `neu` snapshot:

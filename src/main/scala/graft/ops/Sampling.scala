@@ -265,13 +265,20 @@ object Sampling {
     val counts = df.groupBy(strataCol).agg(sum(tokens).as("n_tokens"))
       .withColumn("isq", isqrt(col("n_tokens")))
     val totals = counts.agg(sum("n_tokens").as("budget"), sum("isq").as("isq_sum"))
+    // degenerate-input guards (round-10 ADVICE): a stratum whose documents
+    // all have zero tokens gives n_tokens = 0 (division → null in Spark but
+    // an ERROR in DuckDB — an engine/oracle divergence); an all-empty input
+    // gives isq_sum = 0. Both cases pin the affected ratio to 0.
     counts.crossJoin(broadcast(totals))
       .select(col(strataCol), col("n_tokens"),
-        expr("(1000000 * isq) div isq_sum").as("weight_ppm"),
-        expr("CAST((CAST(budget AS DECIMAL(38,0)) * isq) div isq_sum AS BIGINT)")
+        expr("CASE WHEN isq_sum = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * isq) div isq_sum END").as("weight_ppm"),
+        expr("CASE WHEN isq_sum = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((CAST(budget AS DECIMAL(38,0)) * isq) div isq_sum AS BIGINT) END")
           .as("target_tokens"))
       .withColumn("epochs_ppm",
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * target_tokens) div n_tokens AS BIGINT)"))
+        expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * target_tokens) div n_tokens AS BIGINT) END"))
   }
 
   /** Per-DOMAIN curation: [[sourceCuration]] keyed on the registrable

@@ -567,13 +567,19 @@ object SamplingQueries {
       |tot AS (SELECT SUM(n_tokens) AS budget, SUM(isq) AS isq_sum FROM isq)
       |SELECT source,
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
-      |  CAST((1000000 * isq) // (SELECT isq_sum FROM tot) AS BIGINT) AS weight_ppm,
-      |  CAST((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
-      |    // (SELECT isq_sum FROM tot) AS BIGINT) AS target_tokens,
-      |  CAST((CAST(1000000 AS HUGEINT) *
-      |      ((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
-      |        // (SELECT isq_sum FROM tot)))
-      |    // n_tokens AS BIGINT) AS epochs_ppm
+      |  CASE WHEN (SELECT isq_sum FROM tot) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((1000000 * isq) // (SELECT isq_sum FROM tot) AS BIGINT)
+      |  END AS weight_ppm,
+      |  CASE WHEN (SELECT isq_sum FROM tot) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
+      |         // (SELECT isq_sum FROM tot) AS BIGINT)
+      |  END AS target_tokens,
+      |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((CAST(1000000 AS HUGEINT) *
+      |           ((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
+      |             // (SELECT isq_sum FROM tot)))
+      |         // n_tokens AS BIGINT)
+      |  END AS epochs_ppm
       |FROM isq
       |ORDER BY source""".stripMargin),
     "Epoch-aware token-budget mixture (α = 1/2 temperature weights over " +

@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
   */
 object FormatQueries {
 
+  private def rm(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -36,7 +44,7 @@ object FormatQueries {
         .createTempDirectory("graft_fmt_").toString
       Io.writeJsonLines(Tables.documents(s, d), s"$dir/jsonl")
       Io.writeCsv(Io.readJsonLines(s, s"$dir/jsonl", docsSchema), s"$dir/csv")
-      Io.readCsv(s, s"$dir/csv", docsSchema)
+      val res = Io.readCsv(s, s"$dir/csv", docsSchema)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).cast(LongType).as("sum_chars"),
@@ -44,6 +52,12 @@ object FormatQueries {
           sum("doc_id").cast(LongType).as("sum_ids"),
           countDistinct("source").as("n_sources"))
         .orderBy("lang")
+        // materialize the digest BEFORE the staged files go away (q153's
+        // teardown discipline — repeated bench runs must not accumulate
+        // full-corpus copies in /tmp)
+        .localCheckpoint(true)
+      rm(dir)
+      res
     },
     Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
@@ -94,13 +108,6 @@ object FormatQueries {
         .orderBy("lang")
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      def rm(p: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
       rm(ckpt.toString)
       rm(dir)
       res

@@ -17,14 +17,36 @@ import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
   */
 object Io {
 
+  // CSV null/empty/newline contract (round-10 ADVICE): Spark's defaults
+  // write BOTH null and "" as an empty field and read both back as null —
+  // a silent null-corruption of empty strings on any round trip. The
+  // explicit markers below keep the two distinguishable: null → \N (the
+  // classic MySQL-dump marker), "" → "" (quoted empty). Embedded newlines
+  // survive because the writer quotes them and the reader runs multiLine —
+  // the read loses within-file split-parallelism, which is the honest
+  // price of newline-bearing CSV (files stay the parallelism unit; corpora
+  // that need splittable text belong in JSONL/parquet).
+  private val csvNullMarker = "\\N"
+
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read.option("header", "true")
+      .option("nullValue", csvNullMarker)
+      .option("emptyValue", "")
+      .option("multiLine", "true")
+      .schema(schema).csv(path)
 
   def readCsvInferred(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("nullValue", csvNullMarker)
+      .option("emptyValue", "")
+      .option("multiLine", "true")
+      .csv(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("nullValue", csvNullMarker)
+      .option("emptyValue", "\"\"")
+      .csv(path)
 
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)

@@ -46,6 +46,26 @@ class MixtureDriftSpec extends SparkSpec {
     assert(got.values.map(_._3).sum <= 500L)
   }
 
+  test("epochMixture: zero-token stratum yields zero ratios, never null/error") {
+    // a stratum whose docs all have zero whitespace tokens (round-10
+    // ADVICE degenerate input): its epochs_ppm must pin to 0 — Spark's
+    // div-by-zero null and DuckDB's division error would otherwise
+    // diverge
+    val df = Seq(("s1", "w w w w"), ("empty", ""), ("empty", ""))
+    val got = Sampling.epochMixture(df.toDF("source", "text"), "source",
+        TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("empty") == ((0L, 0L, 0L, 0L)))
+    assert(got("s1")._1 == 4L)
+    // fully-empty input: isq_sum = 0 must also stay defined
+    val allEmpty = Sampling.epochMixture(
+        Seq(("z", "")).toDF("source", "text"), "source",
+        TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(allEmpty.toSeq == Seq((0L, 0L, 0L, 0L)))
+  }
+
   test("hashedLinearScore: exact md5 weights, keep gate, determinism") {
     def weight(salt: String, w: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

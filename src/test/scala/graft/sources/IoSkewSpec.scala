@@ -53,6 +53,33 @@ class IoSkewSpec extends SparkSpec {
       df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("csv round-trip distinguishes null from empty string and survives embedded newlines") {
+    // the round-10 ADVICE shapes: Spark CSV defaults collapse null and ""
+    // into one empty field (both read back null) and tear records on
+    // embedded newlines; the explicit nullValue/emptyValue/multiLine
+    // contract must round-trip all three faithfully
+    val df = Seq(
+      (1L, Some("plain"), 1.0),
+      (2L, None: Option[String], 2.0),
+      (3L, Some(""), 3.0),
+      (4L, Some("line one\nline two"), 4.0),
+      (5L, Some("comma, \"quote\""), 5.0)
+    ).toDF("id", "name", "v")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val dir = Files.createTempDirectory("graft_io").resolve("n").toString
+    Io.writeCsv(df, dir)
+    val back = Io.readCsv(spark, dir, schema)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back(1L) == "plain")
+    assert(back(2L) == null, "null must stay null")
+    assert(back(3L) == "", "empty string must NOT collapse to null")
+    assert(back(4L) == "line one\nline two", "embedded newline torn")
+    assert(back(5L) == "comma, \"quote\"")
+  }
+
   test("orc round-trip preserves data") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
     val dir = Files.createTempDirectory("graft_io").resolve("o").toString
