@@ -572,6 +572,174 @@ object ScaleProbe {
     probePerceptron("1x", base, nBase)
     probePerceptron(s"${mult}x+cluster (hot feature buckets)", big, nBig)
 
+    // ---- round-11 capstone probes (VERDICT round-10 #5): the second-half
+    // kernels at the 20×/2·10⁴ pathological shapes ----
+
+    // q154/q159: event funnel with a CELEBRITY USER carrying `inject`
+    // events — the per-user window's worst key. The partition is bounded
+    // by that user's event count (never the corpus), so cost must track
+    // total rows; output is one row per user then a 3-row rollup.
+    val evBase = relational.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts_sec").persist()
+    val nEv = evBase.count()
+    def probeFunnel(scale: String, ev: DataFrame, n: Long): Unit = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val (rows, t) = time {
+        ev.withColumn("t1",
+            min(when(col("event_type") === "view", col("ts_sec"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+            col("ts_sec") > col("t2"), col("ts_sec"))).over(w))
+          .groupBy("user_id")
+          .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+          .agg(count(col("t1")) + count(col("t2")) + count(col("t3")))
+          .collect().head.getLong(0)
+      }
+      emit("q154_event_funnel", scale, n, t, rows)
+    }
+    probeFunnel("1x", evBase, nEv)
+    val celebEvents = spark.range(inject).select(
+      lit(-1L).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"),
+      (lit(1704067200L) + col("id") * 60L).as("ts_sec"))
+    probeFunnel(s"celebrity user with $inject events",
+      evBase.unionAll(celebEvents), nEv + inject)
+
+    // q155: cohort retention with ONE HOT COHORT DAY — `inject` users all
+    // first-active on the same day. Both aggs are user-keyed hash aggs
+    // (the hot day is not a shuffle key until the final bounded rollup),
+    // so cost must track rows; output stays ≤ days² cells.
+    def probeCohort(scale: String, ev: DataFrame, n: Long): Unit = {
+      val (rows, t) = time {
+        val days = ev.select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+        days.distinct().join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .count()
+      }
+      emit("q155_cohort_retention", scale, n, t, rows)
+    }
+    probeCohort("1x", evBase, nEv)
+    val hotCohort = spark.range(inject).select(
+      (col("id") + 900000000L).as("user_id"), lit("view").as("event_type"),
+      (lit(1704067200L) + (col("id") % 5) * 86400L + col("id") % 1000).as("ts_sec"))
+    probeCohort(s"one cohort day gaining $inject users",
+      evBase.unionAll(hotCohort), nEv + inject)
+
+    // q146/q156: banded-Hamming pairs → components → keeper with a
+    // GIANT FINGERPRINT CLUSTER. All `inject` cluster fps sit within
+    // Hamming ≤ 2, so every band bucket holds the whole cluster — the
+    // 512-cap drops those buckets from candidate generation (the
+    // documented contract: exact-fp groups are collapsed by callers
+    // first), so pair volume and chain cost must track the BACKGROUND
+    // corpus, never inject².
+    def probeHammingChain(scale: String, nBg: Long, withCluster: Boolean): Unit = {
+      val bg = spark.range(nBg).select(col("id"), xxhash64(col("id")).as("fp"))
+      val fps = (if (withCluster)
+        bg.unionAll(spark.range(inject).select((col("id") + 900000000L).as("id"),
+          lit(0x5a5a5a5aL).bitwiseOR(col("id") % 4).as("fp")))
+      else bg).toDF()
+      val (rows, t) = time {
+        val pairs = ops.Dedup.bandedHammingPairs(fps, "id", "fp",
+          nBands = 4, bandBits = 16, maxHamming = 3, maxBucketSize = 512L)
+        val canon = ops.Dedup.canonicalize(fps.select("id"), "id", pairs)
+        val scored = fps.select(col("id"), bit_count(col("fp")).cast("double").as("q"))
+        ops.Dedup.selectRepresentatives(canon, scored, "id", "q")
+          .filter(col("is_rep") === 1L).count()
+      }
+      emit("q156_hamming_component_keeper", scale,
+        nBg + (if (withCluster) inject else 0L), t, rows)
+    }
+    probeHammingChain("1x", nBase, withCluster = false)
+    probeHammingChain(s"${mult}x+$inject near-identical fps (capped)",
+      nBase * mult, withCluster = true)
+
+    // q151 (semantic side): semanticDedup with `inject` IDENTICAL
+    // embeddings — one LSH bucket holding the whole cluster. The opt-in
+    // cap degrades it to star pairs, so the giant cluster SURVIVES as one
+    // component at O(f) edges; rows = dropped members ≈ inject − 1.
+    def probeSemantic(scale: String, extra: Long): Unit = {
+      val base500 = relational.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      // element type must stay FLOAT: a double-promoted array would make
+      // the union coerce base500 to double and the float-typed native dot
+      // in annBuckets null the buckets out
+      val vecs = (if (extra > 0)
+        base500.unionAll(spark.range(extra).select(
+          (col("id") + 900000000L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (i.cast("double") / 64d + 1d).cast("float")).as("embedding")))
+      else base500).toDF()
+      val (rows, t) = time {
+        ops.Similarity.semanticDedup(vecs, "vec_id", "embedding",
+            threshold = 0.95, dim = 64, planes = 8, maxBucketSize = 64)
+          .filter(col("is_keep") === 0L).count()
+      }
+      emit("q151_semantic_components", scale, 500L + extra, t, rows)
+    }
+    probeSemantic("1x", 0L)
+    probeSemantic(s"$inject identical embeddings (one bucket, star-degraded)", inject.toLong)
+
+    // q158: n-gram novelty with a HOT GRAM — `inject` docs share one
+    // body, so each of its grams is corpus-frequency ~inject. Attribution
+    // is a min hash agg over the distinct gram frame (map-side combined),
+    // so the hot gram costs one combiner row per task; output stays one
+    // row per doc.
+    def probeNovelty(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time {
+        val grams = ops.Dedup.shingleRows(docs, "doc_id", "text", 3).distinct()
+        val firstDoc = grams.groupBy("sh").agg(min("id").as("first_doc"))
+        grams.join(firstDoc, Seq("sh"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+          .count()
+      }
+      emit("q158_novelty_scoring", scale, n, t, rows)
+    }
+    probeNovelty("1x", base, nBase)
+    probeNovelty(s"${mult}x+cluster (hot grams)", big, nBig)
+
+    // q157: single-pass constraint audit on the replicated corpus — the
+    // audit is aggregate expressions fused into one scan; cost must be
+    // linear in rows and independent of any skew.
+    def probeAudit(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time {
+        ops.Audit.audit(docs, Seq(
+            ops.Audit.complete("text_present", col("text")),
+            ops.Audit.unique("id_unique", col("doc_id")),
+            ops.Audit.satisfies("nonempty", length(col("text")) > 0)))
+          .count()
+      }
+      emit("q157_constraint_audit", scale, n, t, rows)
+    }
+    probeAudit("1x", base, nBase)
+    probeAudit(s"${mult}x+cluster", big, nBig)
+
+    // q145: scene-cut detection on ONE LONG VIDEO — the per-video window
+    // is the unit of work, so a 2·10³-frame video is one task decoding
+    // 2·10³ JPEGs; cost must scale with total frames.
+    def probeScenes(scale: String, nVideos: Int, framesPer: Int): Unit = {
+      implicit val sp: SparkSession = spark
+      import spark.implicits._
+      val vids = (0 until nVideos).map { v =>
+        val levels = Array.tabulate(framesPer)(f =>
+          (f / 3 * 40 + (f % 3)) % 248)
+        (v.toLong, ops.Multimodal.aviMjpegBytesFrom(8, 8, levels))
+      }.toDF("media_id", "content")
+        .repartition(math.min(nVideos, spark.sparkContext.defaultParallelism))
+      val (rows, t) = time(
+        ops.Multimodal.videoSceneCuts(vids).agg(max("scene_id"))
+          .collect().head.getLong(0))
+      emit("q145_video_scene_cuts", scale, nVideos.toLong * framesPer, t, rows)
+    }
+    probeScenes("20 videos x 50 frames", 20, 50)
+    probeScenes(s"1 video x ${math.min(inject / 5, 4000)} frames (one fat partition)",
+      1, math.min(inject / 5, 4000))
+
     // Straggler probe (VERDICT round-10 #1): ONE 10⁵-row bucket — every
     // row identical text, so all 10⁵ land in the same (band, bucket) of
     // every band. Under the old count().over(Window) cap this bucket was

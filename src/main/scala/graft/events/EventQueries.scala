@@ -950,6 +950,63 @@ object EventQueries {
       "only delete-affected groups, AVG from the exact-decimal sum, " +
       "proven equal to full recompute")
 
+  /** Rolling z-score anomaly detection over the per-type daily series —
+    * the ops-monitoring classic (is today's volume > 2σ from the trailing
+    * week?), made engine-portable by never taking the square root: the
+    * flag test (n − μ)² > 4σ² is evaluated as the INTEGER inequality
+    * (w·n − S)² > 4·(w·Q − S²) over the trailing window's count w,
+    * sum S, and sum-of-squares Q (multiply both sides by w²) — exact in
+    * DECIMAL(38,0), where the float z-score would be sqrt-rounding luck
+    * across engines. Window frame = ROWS BETWEEN 7 PRECEDING AND 1
+    * PRECEDING per event_type (the PARTITIONED window — one task holds
+    * one type's ~days rows, never the corpus); days with fewer than 3
+    * trailing points report 0 (insufficient baseline, same on both
+    * engines).
+    */
+  val q167_rolling_anomaly: QueryDef = QueryDef(
+    "q167_rolling_anomaly",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("w", count(lit(1)).over(w))
+        .withColumn("s", sum("n").over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .withColumn("is_anomaly",
+          when(col("w") >= 3 &&
+            expr("CAST(w * n - s AS DECIMAL(38,0)) * CAST(w * n - s AS DECIMAL(38,0))") >
+              expr("CAST(4 AS DECIMAL(38,0)) * (CAST(w AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)"),
+            1L).otherwise(0L))
+        .select(col("event_type"), col("day"), col("n").cast(LongType).as("n"),
+          col("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT event_type, day, n,
+      |    COUNT(*) OVER tw AS w,
+      |    SUM(n) OVER tw AS s,
+      |    SUM(n * n) OVER tw AS q
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN w >= 3 AND
+      |      CAST(w * n - s AS HUGEINT) * CAST(w * n - s AS HUGEINT) >
+      |      CAST(4 AS HUGEINT) * (CAST(w AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM roll
+      |ORDER BY event_type, day""".stripMargin),
+    "Rolling z-score anomaly flag over per-type daily counts: trailing " +
+      "7-day window, sqrt-free exact integer variance test")
+
   /** SCD Type-2 point-in-time join — the warehouse pattern as-of joins
     * approximate and BETWEEN-bounds dimensions do exactly: each user
     * carries a slowly-changing `tier` attribute versioned into
@@ -1192,7 +1249,7 @@ object EventQueries {
       "q154 chained-window plan; real drop-off per step")
 
   def defs: Seq[QueryDef] = Seq(
-    q147_incremental_view, q162_incremental_minmax, q152_scd2_join, q154_event_funnel,
+    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,

@@ -328,4 +328,43 @@ object TextAnalysis {
     // change.)
     df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
   }
+
+  /** Pointwise mutual information over ADJACENT word pairs — the word
+    * association / collocation miner ("new york", "machine learning")
+    * corpus analyses run. Marginals are bigram-table marginals (left
+    * occurrences of a, right occurrences of b), so
+    * PMI(a,b) = P(a,b)/(P(a)·P(b)) = N·c(a,b)/(c_l(a)·c_r(b)), reported
+    * as the exact floor-ppm RATIO (10⁶·N·c_ab div (c_a·c_b)) rather than
+    * its log — log is double-luck across engines, the ratio is integer.
+    * The 10⁶·N·c product runs in DECIMAL(38,0): at 100 TB N ~ 10¹³ and a
+    * hot pair ~ 10¹⁰ would overflow any BIGINT product.
+    *
+    * Scale shape: one token explode, one per-DOC lead window (bounded by
+    * document length), three map-side-combined hash aggs, two marginal
+    * joins keyed on single words, one broadcast of the 1-row total.
+    * `minCount` prunes the pair table before the joins — rare-pair noise
+    * removal and the join-size guard in one.
+    */
+  def wordPmi(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("i")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+    val big = tok.withColumn("b", lead("w", 1).over(w))
+      .filter(col("w") =!= "" && col("b").isNotNull && col("b") =!= "")
+      .select(col("w").as("a"), col("b"))
+    val pairs = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val leftM = big.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val rightM = big.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val total = big.agg(count(lit(1)).as("n_big"))
+    pairs
+      .join(leftM, Seq("a"))
+      .join(rightM, Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_big * c_ab) " +
+          "div (c_a * c_b) AS BIGINT)").as("pmi_ppm"))
+  }
 }

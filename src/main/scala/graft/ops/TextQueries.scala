@@ -618,10 +618,47 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** [[graft.ops.TextAnalysis.wordPmi]] over the documents corpus: top-50
+    * adjacent-pair collocations by exact floor-ppm PMI ratio (min pair
+    * count 5). The oracle rebuilds the identical bigram table (lag-window
+    * adjacency over the raw split positions, empties filtered after),
+    * marginals, and DECIMAL product — any drift in adjacency, marginal
+    * choice, or overflow handling hash-fails.
+    */
+  val q166_word_pmi: QueryDef = q(
+    "q166_word_pmi",
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |  FROM tok),
+      |bigf AS (SELECT a, b FROM big
+      |         WHERE a <> '' AND b IS NOT NULL AND b <> ''),
+      |pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bigf GROUP BY a, b
+      |       HAVING COUNT(*) >= 5),
+      |la AS (SELECT a, COUNT(*) AS c_a FROM bigf GROUP BY a),
+      |rb AS (SELECT b, COUNT(*) AS c_b FROM bigf GROUP BY b),
+      |tot AS (SELECT COUNT(*) AS n_big FROM bigf)
+      |SELECT a, b, c_ab,
+      |  CAST((CAST(1000000 AS HUGEINT) * (SELECT n_big FROM tot) * c_ab)
+      |    // (c_a * c_b) AS BIGINT) AS pmi_ppm
+      |FROM pc JOIN la USING (a) JOIN rb USING (b)
+      |ORDER BY pmi_ppm DESC, a, b
+      |LIMIT 50""".stripMargin,
+    "Adjacent-pair PMI collocations (exact floor-ppm ratio, DECIMAL(38) " +
+      "products): top-50, marginals and adjacency replayed by the oracle") {
+    (s, d) =>
+      TextAnalysis.wordPmi(Tables.documents(s, d), "doc_id", "text", minCount = 5)
+        .orderBy(col("pmi_ppm").desc, col("a"), col("b"))
+        .limit(50)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
     q112_bpeish_tokens, q115_gopher_rules, q118_bpe_pair_counts,
-    q125_nfc_normalize, q128_bpe_train, q132_bpe_encode)
+    q125_nfc_normalize, q128_bpe_train, q132_bpe_encode, q166_word_pmi)
 }

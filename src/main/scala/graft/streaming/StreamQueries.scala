@@ -394,31 +394,9 @@ object StreamQueries {
   val q161_stream_append_watermark: QueryDef = QueryDef(
     "q161_stream_append_watermark",
     (s, d) => {
-      import scala.jdk.CollectionConverters._
-      val ev = graft.relational.Tables.events(s, d)
-        .select("ts", "event_type")
-      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .collect().head
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val span = hi - lo + 1
-      val dir = java.nio.file.Files.createTempDirectory("graft_q161_src")
-      (0 until 4).foreach { k =>
-        val loK = lo + span * k / 4
-        val hiK = lo + span * (k + 1) / 4
-        val stage = java.nio.file.Files.createTempDirectory("graft_q161_part")
-        ev.filter(unix_micros(col("ts")) >= loK && unix_micros(col("ts")) < hiK)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val f = java.nio.file.Files.list(stage).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val dst = dir.resolve(f"part$k%02d.parquet")
-        java.nio.file.Files.move(f, dst)
-        // explicit ascending mtimes: FileStreamSource orders its initial
-        // listing by modification time, and time-ordered batches are what
-        // make "no late data" deterministic
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000L + k * 60000L))
-        deleteRecursively(stage)
-      }
+      val dir = stageTimeOrdered(
+        graft.relational.Tables.events(s, d).select("ts", "event_type"),
+        "ts", 4, "graft_q161_src")
       val schema = s.read.parquet(dir.toString).schema
       val counts = EventStream.dailyTypeCounts(
         s.readStream.schema(schema)
@@ -454,8 +432,155 @@ object StreamQueries {
       "watermark over time-ordered micro-batches — emitted end state = " +
       "batch counts on closed windows only")
 
+  /** Stage `df` (which must carry a timestamp column `tsCol`) as `k`
+    * ts-range parquet files with ascending names AND mtimes, so a file
+    * stream consumes them in event-time order — the staging discipline
+    * q161 established (time-ordered arrival is what makes watermark
+    * semantics deterministic over a bounded replay).
+    */
+  private def stageTimeOrdered(
+      df: DataFrame, tsCol: String, k: Int, prefix: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val b = df.agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))))
+      .collect().head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    (0 until k).foreach { i =>
+      val loI = lo + span * i / k
+      val hiI = lo + span * (i + 1) / k
+      val stage = java.nio.file.Files.createTempDirectory(prefix + "part")
+      df.filter(unix_micros(col(tsCol)) >= loI && unix_micros(col(tsCol)) < hiI)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"part$i%02d.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+      deleteRecursively(stage)
+    }
+    dir
+  }
+
+  /** Stream/batch parity #8 — STREAM-STREAM interval join
+    * ([[EventStream.attributeClicks]]): view impressions joined to clicks
+    * of the same user within 1 day, both sides real file streams with
+    * 1-day watermarks. Both sides are staged time-ordered (two ts-range
+    * files each), so state eviction can never drop a valid match: an
+    * impression is evictable only once the watermark passes
+    * `imp_ts + window`, and every click that could match it arrives
+    * before that (time-ordered files, watermark delay = the join
+    * window). The emitted end state over the bounded replay therefore
+    * equals the batch interval join exactly — the oracle replays it as
+    * plain SQL on native timestamps.
+    */
+  val q165_stream_interval_join: QueryDef = QueryDef(
+    "q165_stream_interval_join",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+      val impDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("imp_user"), col("ts").as("imp_ts")),
+        "imp_ts", 2, "graft_q165_imp")
+      val clkDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"), col("ts").as("click_ts")),
+        "click_ts", 2, "graft_q165_clk")
+      def src(dir: java.nio.file.Path): DataFrame = {
+        val schema = s.read.parquet(dir.toString).schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      }
+      val joined = EventStream.attributeClicks(
+        src(impDir), src(clkDir), windowSec = 86400, watermarkDelay = "1 day")
+      val sink = "graft_q165_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q165_ckpt")
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(col("imp_user").as("user_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("user_id", "imp_us", "click_us")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(impDir)
+      deleteRecursively(clkDir)
+      res
+    },
+    Some("""SELECT i.user_id AS user_id,
+      |  epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') i
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON i.user_id = c.user_id
+      | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 DAY
+      |ORDER BY i.user_id, imp_us, click_us""".stripMargin),
+    "Stream/batch parity #8: stream-stream interval join (click " +
+      "attribution within 1 day) with per-side watermarks over " +
+      "time-ordered micro-batches, end state = the batch interval join")
+
+  /** Stream/batch parity #9 — STREAMING EXACT DEDUP
+    * ([[EventStream.dedupeStream]], `dropDuplicatesWithinWatermark`): one
+    * emitted row per distinct (user, day) activity key over the bounded
+    * replay. The key's occurrences span at most one day by construction
+    * and the watermark delay is TWO days over time-ordered micro-batches,
+    * so a key is never evicted while a duplicate can still arrive —
+    * exactly-once emission is guaranteed, and the post-sink per-day
+    * rollup must equal the batch `COUNT(DISTINCT user)` per day. This is
+    * the dedup-state semantics a continuous ingest runs (q130 gates the
+    * LSH near-dup semi-join; this gates the exact-key state operator).
+    */
+  val q168_stream_dedup: QueryDef = QueryDef(
+    "q168_stream_dedup",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          expr("ts_sec div 86400").as("day"))
+        .withColumn("k", concat_ws(":", col("user_id"), col("day")))
+      val dir = stageTimeOrdered(ev, "ts", 4, "graft_q168_src")
+      val schema = s.read.parquet(dir.toString).schema
+      val deduped = EventStream.dedupeStream(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString),
+        "k", "ts", watermarkDelay = "2 days")
+      val sink = "graft_q168_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q168_ckpt")
+      val q = deduped.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("day"), col("n_users").cast(LongType).as("n_users"))
+        .orderBy("day")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY day""".stripMargin),
+    "Stream/batch parity #9: dropDuplicatesWithinWatermark over (user, " +
+      "day) keys, exactly-once emission, per-day rollup = batch " +
+      "COUNT(DISTINCT)")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
-    q149_stream_view_maintenance, q161_stream_append_watermark)
+    q149_stream_view_maintenance, q161_stream_append_watermark,
+    q165_stream_interval_join, q168_stream_dedup)
 }

@@ -343,6 +343,83 @@ class SkewScaleSpec extends SparkSpec {
       .forall(r => r.getAs[Long]("rep_id") == r.getLong(0)))
   }
 
+  test("event funnel: exact counts under a celebrity user with 10⁴ events") {
+    import org.apache.spark.sql.expressions.Window
+    // celebrity: 10⁴ events; first view at t=1000, first later click at
+    // t=1001, first later purchase at t=1002 (the rest is bulk noise).
+    // Two normal users pin the non-celebrity path: u1 full funnel with
+    // known latencies, u2 view-only.
+    val celeb = (0 until 10000).map { i =>
+      val tp = i % 3 match {
+        case 0 => "view"; case 1 => "click"; case _ => "purchase"
+      }
+      (-1L, tp, 1000L + i.toLong)
+    }
+    val normal = Seq(
+      (1L, "view", 100L), (1L, "click", 160L), (1L, "purchase", 220L),
+      (2L, "view", 50L))
+    val ev = (celeb ++ normal).toDF("user_id", "event_type", "ts_sec")
+    val w = Window.partitionBy("user_id")
+    val perUser = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts_sec"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts_sec") > col("t2"), col("ts_sec"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      .collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+      }.toMap
+    assert(perUser(-1L) == ((Some(1000L), Some(1001L), Some(1002L))),
+      "celebrity funnel anchors must be the chained firsts")
+    assert(perUser(1L) == ((Some(100L), Some(160L), Some(220L))))
+    assert(perUser(2L) == ((Some(50L), None, None)),
+      "view-only user must not convert")
+  }
+
+  test("cohort retention: exact cells under one hot cohort day") {
+    // 5000 users all first-active on day 0, returning day 2; 3 users on
+    // day 1. Cells must count exactly, output stays days² regardless.
+    val hot = (0 until 5000).flatMap(i =>
+      Seq((i.toLong, 0L), (i.toLong, 2L)))
+    val cold = Seq((100000L, 1L), (100001L, 1L), (100002L, 1L))
+    val days = (hot ++ cold).toDF("user_id", "day")
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = days.distinct().join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == Map((0L, 0L) -> 5000L, (0L, 2L) -> 5000L, (1L, 0L) -> 3L))
+  }
+
+  test("giant hamming cluster: exact-collapse pre-step keeps every member via its group rep") {
+    // the documented bandedHammingPairs contract for giant EXACT clusters:
+    // collapse identical fingerprints first (hash agg), run the banded
+    // pairs on the collapsed frame (buckets now small), resolve
+    // components, then expand — every member of the 5000-row cluster must
+    // land in its group rep's component at O(groups) pair cost.
+    val cluster = (0 until 5000).map(i => (i.toLong, 0x5a5aL))
+    val near = Seq((90000L, 0x5a5bL)) // Hamming 1 from the cluster fp
+    val far = Seq((90001L, 0x1234L))
+    val fps = (cluster ++ near ++ far).toDF("id", "fp")
+    val groups = fps.groupBy("fp").agg(min("id").as("gid"), count(lit(1)).as("n"))
+    val pairs = Dedup.bandedHammingPairs(
+      groups.select(col("gid").as("id"), col("fp")), "id", "fp",
+      nBands = 4, bandBits = 4, maxHamming = 3)
+    val canon = Dedup.canonicalize(
+      groups.select(col("gid").as("id")), "id", pairs)
+    val full = fps.join(groups, Seq("fp"))
+      .join(canon.select(col("id").as("gid"), col("canonical_id")), Seq("gid"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("canonical_id")).toMap
+    // every cluster member (incl. the Hamming-1 neighbor) resolves to
+    // component 0; the far fingerprint stays its own singleton
+    assert((0L until 5000L).forall(full(_) == 0L))
+    assert(full(90000L) == 0L, "hamming-1 neighbor must join the component")
+    assert(full(90001L) == 90001L)
+  }
+
   test("triangleStats: exact under a celebrity node (10⁴-leaf star + known triangles)") {
     val leaves = 10000
     val star = (1 to leaves).map(i => (0L, i.toLong))
