@@ -215,11 +215,14 @@ object Dedup {
     * f² clique pairs, and a dedup corpus at scale is FULL of large
     * near-identical clusters — one 10⁵-doc boilerplate cluster would be
     * 10¹⁰ pairs per band. Buckets at or under the cap emit their full
-    * clique; buckets ABOVE the cap degrade to STAR pairs (each member
-    * paired with the bucket's minimum id) — O(f) pairs that still flag
-    * every member as a duplicate of the cluster representative, so no
-    * document is silently lost, while the pair space stays linear in the
-    * worst case. Downstream [[jaccardVerify]] and [[canonicalize]] consume
+    * clique; buckets ABOVE the cap degrade to DUAL-ROOT STAR pairs (each
+    * member paired with the bucket's TWO smallest ids) — O(2f) pairs that
+    * still flag every member against a cluster representative, so no
+    * document is silently lost even when ONE unrelated min-id document
+    * band-collides into the hot bucket (a single-root star would send
+    * every pair through the verify against that outlier and lose the
+    * cluster; two simultaneous outlier roots is the accepted residual
+    * risk). Downstream [[jaccardVerify]] and [[canonicalize]] consume
     * star pairs exactly as well as clique pairs. The degraded-row volume
     * is observable via the `graft.lsh.bucket_cap.*` metric
     * (`rows_over_cap`) on the query's ObservationListener.
@@ -237,7 +240,7 @@ object Dedup {
     // it stay small and AQE turns them into broadcasts at runtime; the
     // anti-joined fat side keeps its original partitioning.
     val hot = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_root"))
+      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_r1"))
       .filter(col("_bs") > maxBucketSize)
       .observe(s"graft.lsh.bucket_cap.${obsId.incrementAndGet()}",
         coalesce(sum(col("_bs")), lit(0L)).as("rows_over_cap"))
@@ -249,9 +252,22 @@ object Dedup {
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val star = banded.join(hot.select("band", "bucket", "_root"),
-        Seq("band", "bucket"))
-      .filter(col("id") =!= col("_root"))
+    // DUAL-ROOT star for over-cap buckets: members pair with the bucket's
+    // TWO smallest ids (2f rows). With one root, an unrelated document
+    // that band-collides into the hot bucket holding the minimum id makes
+    // every star pair fail the downstream Jaccard verify and the whole
+    // cluster silently escapes dup flagging; a second root keeps the
+    // cluster connected through a genuine member unless BOTH smallest ids
+    // are outliers (the accepted residual risk).
+    val overCap = banded.join(hot.select("band", "bucket", "_r1"),
+      Seq("band", "bucket"))
+    val r2 = overCap.filter(col("id") =!= col("_r1"))
+      .groupBy("band", "bucket").agg(min(col("id")).as("_r2"))
+    val rootIds = hot.select(col("band"), col("bucket"), col("_r1").as("_root"))
+      .unionAll(r2.select(col("band"), col("bucket"), col("_r2").as("_root")))
+    val star = overCap.select(col("band"), col("bucket"), col("id"))
+      .join(rootIds, Seq("band", "bucket"))
+      .filter(col("_root") < col("id"))
       .select(col("_root").as("id_a"), col("id").as("id_b"))
     clique.union(star).distinct()
   }

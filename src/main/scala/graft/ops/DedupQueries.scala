@@ -113,11 +113,14 @@ object DedupQueries {
     "n-gram Jaccard near-dup: shingle-set overlap within language blocks, " +
       "hot-shingle capped") {
     (s, d) =>
-      val sh = shingles(Tables.documents(s, d))
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy("lang", "sh")))
-        .filter(col("df") <= MaxShingleDocFreq)
-        .drop("df")
+      // hot-shingle cap via map-side-combinable groupBy + anti-join (the
+      // Dedup.ngramJaccardPairs shape) — the oracle keeps COUNT(*) OVER,
+      // which is semantically identical and only ever runs in DuckDB
+      val shAll = shingles(Tables.documents(s, d))
+      val hot = shAll.groupBy("lang", "sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDocFreq)
+        .select("lang", "sh")
+      val sh = shAll.join(hot, Seq("lang", "sh"), "left_anti")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("sh"))
       val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
@@ -220,11 +223,13 @@ object DedupQueries {
 
   /** q37's candidate pairs: band equi-join with the hot-bucket cap. */
   private def bandCandidates(s: SparkSession, d: String): DataFrame = {
-    val hs = bandedBuckets(s, d)
-      .withColumn("_bs",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("_bs") <= MaxBandBucketSize)
-      .drop("_bs")
+    // hot-bucket cap via groupBy + anti-join (no bucket-partitioned
+    // window — the Dedup.minhashCandidates shape)
+    val banded = bandedBuckets(s, d)
+    val hot = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") > MaxBandBucketSize)
+      .select("band", "bucket")
+    val hs = banded.join(hot, Seq("band", "bucket"), "left_anti")
     val a = hs.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
     val b = hs.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&

@@ -98,9 +98,11 @@ object Similarity {
     * carries: a near-dup embedding corpus is FULL of identical vectors
     * (exact-duplicate documents embed identically), and one bucket of f
     * rows would emit f² candidate pairs. Buckets over the cap degrade to
-    * STAR pairs (each member vs the bucket's minimum id) — every member
-    * still surfaces against the cluster representative at O(f) cost, but
-    * intra-cluster pairs not involving the root are not emitted. The cap
+    * DUAL-ROOT STAR pairs (each member vs the bucket's two smallest ids) —
+    * every member still surfaces against a cluster representative at
+    * O(2f) cost even when one unrelated min-id vector hash-collides into
+    * the bucket, but intra-cluster pairs not involving a root are not
+    * emitted. The cap
     * is OPT-IN (default uncapped = exact pair enumeration, matching
     * [[Featurize.sparseCosineTopK]]'s uncapped default) so enabling the
     * scale guard is a visible recall decision at the call site, never a
@@ -120,7 +122,7 @@ object Similarity {
     // The hot set is the pathological tail, so the join-backs stay small
     // (AQE broadcasts them) and the fat side keeps its partitioning.
     val hot = b.groupBy("bucket")
-      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_root"))
+      .agg(count(lit(1)).as("_bs"), min(col("id")).as("_r1"))
       .filter(col("_bs") > maxBucketSize)
       .observe(s"graft.ann.bucket_cap.${nearDupObsId.incrementAndGet()}",
         coalesce(sum(col("_bs")), lit(0L)).as("rows_over_cap"))
@@ -133,19 +135,29 @@ object Similarity {
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("emb_a"), col("nrm_a"),
         col("id_b"), col("emb_b"), col("nrm_b"))
-    // over-cap buckets: pair every member with the bucket root only —
-    // O(f) rows; members and roots both come from joining the fat side
-    // against the tiny hot set
-    val overCap = b.join(hot.select("bucket", "_root"), Seq("bucket"))
-    val roots = overCap.filter(col("id") === col("_root"))
+    // over-cap buckets: DUAL-ROOT star — pair every member with the
+    // bucket's TWO smallest ids (2f rows). A single min-id root is not
+    // enough: an unrelated vector that hash-collides into the hot bucket
+    // with the smallest id would make every (root, member) pair fail the
+    // exact-cosine verify below and silently lose the whole cluster; with
+    // two roots one outlier cannot sink it (two simultaneous outlier
+    // roots in one bucket is the accepted residual risk of the cap).
+    val overCap = b.join(hot.select("bucket", "_r1"), Seq("bucket"))
+    val r2 = overCap.filter(col("id") =!= col("_r1"))
+      .groupBy("bucket").agg(min(col("id")).as("_r2"))
+    val rootIds = hot.select(col("bucket"), col("_r1").as("_root"))
+      .unionAll(r2.select(col("bucket"), col("_r2").as("_root")))
+    val roots = b.join(rootIds, Seq("bucket"))
+      .filter(col("id") === col("_root"))
       .select(col("bucket").as("bucket_r"), col("id").as("id_a"),
         col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val star = overCap.filter(col("id") =!= col("_root"))
+    val star = overCap
       .select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"),
         col("nrm").as("nrm_b"))
-      .join(roots, col("bucket") === col("bucket_r"))
+      .join(roots, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("emb_a"), col("nrm_a"),
         col("id_b"), col("emb_b"), col("nrm_b"))
+      .distinct()
     clique.union(star)
       .withColumn("cosine", fastDot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)

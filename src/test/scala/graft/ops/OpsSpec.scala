@@ -64,13 +64,14 @@ class OpsSpec extends SparkSpec {
       maxBucketSize = Int.MaxValue).count()
     assert(uncapped >= 19900L, s"expected the quadratic blow-up, got $uncapped")
 
-    // capped: the hot bucket degrades to STAR pairs — every cluster member
-    // still flagged (as a dup of the bucket min), but O(f) pairs, not f²;
-    // the small genuine pair survives as a clique pair
+    // capped: the hot bucket degrades to DUAL-ROOT star pairs — every
+    // cluster member still flagged (vs the bucket's two smallest ids, so
+    // one unrelated min-id collision can't sink the cluster), O(2f) pairs,
+    // not f²; the small genuine pair survives as a clique pair
     val capped = Dedup.minhashCandidates(skewed, "doc_id", "text", maxBucketSize = 64)
     val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedPairs.contains((500L, 501L)))
-    assert(cappedPairs.size <= 202L, s"cap did not linearize the hot bucket: ${cappedPairs.size}")
+    assert(cappedPairs.size <= 2L * 200L + 2L, s"cap did not linearize the hot bucket: ${cappedPairs.size}")
     // no document silently lost: every cluster member appears in a pair
     val flagged = cappedPairs.flatMap(p => Seq(p._1, p._2))
     assert((0L until 200L).forall(flagged.contains), "cap dropped cluster members")
@@ -90,7 +91,9 @@ class OpsSpec extends SparkSpec {
 
   test("nearDuplicates: maxBucketSize=Int.MaxValue restores exact pair recall") {
     // 10 exact-duplicate docs: capped at 4, over-cap buckets degrade to
-    // star pairs (vs root only); uncapped emits the full 45-pair clique.
+    // DUAL-ROOT star pairs (vs the two smallest ids); uncapped emits the
+    // full 45-pair clique. Dual-root star on ids 0..9 = (0,x) for x in
+    // 1..9 plus (1,x) for x in 2..9 = 17 pairs.
     val cluster = (0 until 10).map(i =>
       (i.toLong, "same text body for every document in this tiny cluster")).toDF("doc_id", "text")
     val exactPairs = Dedup.nearDuplicates(cluster, "doc_id", "text",
@@ -98,7 +101,7 @@ class OpsSpec extends SparkSpec {
     val starPairs = Dedup.nearDuplicates(cluster, "doc_id", "text",
       threshold = 0.5, maxBucketSize = 4).count()
     assert(exactPairs == 45L, s"uncapped should emit the full clique, got $exactPairs")
-    assert(starPairs == 9L, s"capped should emit star pairs only, got $starPairs")
+    assert(starPairs == 17L, s"capped should emit dual-root star pairs only, got $starPairs")
   }
 
   test("connected components resolve chains, stars, and unpaired docs") {
@@ -171,7 +174,7 @@ class OpsSpec extends SparkSpec {
     val capped = Similarity.annNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.9, dim = 4, maxBucketSize = 32)
     val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.size <= 121L, s"cap did not linearize the hot bucket: ${pairs.size}")
+    assert(pairs.size <= 2L * 120L + 1L, s"cap did not linearize the hot bucket: ${pairs.size}")
     // every cluster member still flagged against the representative
     val flagged = pairs.flatMap(p => Seq(p._1, p._2))
     assert((0L until 120L).forall(flagged.contains), "cap dropped cluster members")

@@ -152,6 +152,37 @@ class SkewScaleSpec extends SparkSpec {
     assert(nPairs >= 1499, "every cluster member must surface against the representative")
   }
 
+  test("dual-root star: an unrelated min-id vector in the hot bucket cannot sink the cluster") {
+    // the round-11 regression shape: 2000 identical embeddings + ONE
+    // unrelated vector that lands in the same sign bucket with the
+    // SMALLEST id. Single-root star pairs would all verify against the
+    // outlier (cosine < threshold) and the cluster would vanish from dup
+    // flagging; the dual-root star must keep every member flagged via
+    // the second root (a genuine member).
+    val dim = 4
+    val cluster = (0 until 2000).map(i =>
+      (1000L + i, Array(1.0f, 0.5f, 0.25f, 0.125f)))
+    // same sign pattern under every hyperplane as the cluster? cheapest
+    // guarantee: a positive multiple of the cluster vector plus a large
+    // orthogonal-ish component that keeps all plane dots the same sign is
+    // hard to construct blind — instead use a SCALED cluster vector with
+    // one coordinate nudged so cosine < 0.95 but signs (hence bucket)
+    // unchanged
+    val outlier = Seq((1L, Array(1.0f, 0.02f, 0.02f, 0.9f)))
+    val vecs = (cluster ++ outlier).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, dim = dim, planes = 4, maxBucketSize = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sameBucket = Similarity.annBuckets(vecs, "embedding", dim, 4)
+      .select("bucket").distinct().count()
+    assume(sameBucket == 1L, "fixture must place outlier in the cluster bucket")
+    // every cluster member flagged, canonical = the true min MEMBER id
+    assert((1001L to 2999L).forall(i => out(i) == ((1000L, 0L))),
+      "cluster members must stay flagged through the second root")
+    assert(out(1000L) == ((1000L, 1L)))
+    assert(out(1L) == ((1L, 1L)), "the outlier must stay a singleton keeper")
+  }
+
   test("removeRepeatedWindows: cover stays linear under a massively repeated window") {
     // the pathological case for a substring remover: ONE hot 3-token
     // window repeated in thousands of docs. The cover expansion is w rows
