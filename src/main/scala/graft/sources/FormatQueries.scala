@@ -120,6 +120,43 @@ object FormatQueries {
     "Streaming JSONL ingest (file-source micro-batches, explicit " +
       "schema): complete-mode digest converges to the batch digest")
 
+  /** Z-ORDER clustered layout under a content oracle: events written
+    * through [[Io.writeZOrdered]] on (user_id, ts_sec) — the
+    * multi-dimension data-skipping layout — must read back EXACTLY the
+    * corpus that went in (digest per user-bucket vs the parquet-direct
+    * oracle). The skipping property itself (every output file covers a
+    * small key hyper-rectangle, so per-file min/max footers prune scans
+    * on either clustered column) is pinned structurally in IoSkewSpec;
+    * this row pins that the reordering write is content-lossless, the
+    * same contract q148 pins for interchange formats.
+    */
+  val q169_zorder_layout: QueryDef = QueryDef(
+    "q169_zorder_layout",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+        .select("user_id", "ts_sec", "event_type", "value", "event_id")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder_").toString
+      Io.writeZOrdered(ev, dir, Seq("user_id", "ts_sec"), numFiles = 8)
+      val res = s.read.parquet(dir)
+        .groupBy((col("user_id") % 50).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum("user_id").cast(LongType).as("sum_users"),
+          sum("event_id").cast(LongType).as("sum_ids"),
+          sum(graft.relational.Sql.dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("bucket")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT user_id % 50 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "Z-order clustered write (Morton-interleaved multi-column layout): " +
+      "content-lossless round trip digest-checked against the original")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
-    q153_stream_jsonl_ingest)
+    q153_stream_jsonl_ingest, q169_zorder_layout)
 }

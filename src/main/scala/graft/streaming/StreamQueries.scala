@@ -578,9 +578,90 @@ object StreamQueries {
       "day) keys, exactly-once emission, per-day rollup = batch " +
       "COUNT(DISTINCT)")
 
+  /** Stream/batch parity #10 — STREAMING MERGE SINK (`foreachBatch` →
+    * [[graft.chat.ChatStore.mergeInto]]): the Delta-style "upsert each
+    * micro-batch into a lakehouse table" pattern. Each batch reduces to
+    * one row per user (event count + latest value by struct-max over the
+    * unique (ts_ns, event_id) order), then MERGEs into the standing
+    * table: matched users ACCUMULATE the count and OVERWRITE the latest
+    * value (batches arrive time-ordered, so the batch's latest is the
+    * global latest so far), unmatched users insert. The final table
+    * state must equal the batch rebuild — per-user event count + value
+    * of the last event — which the oracle computes directly. Exercises
+    * the foreachBatch sink path and the MERGE clause algebra under
+    * micro-batch composition (q163 pins one-shot semantics).
+    */
+  val q170_stream_merge_sink: QueryDef = QueryDef(
+    "q170_stream_merge_sink",
+    (s, d) => {
+      import graft.ops.Merge
+      val ev = graft.relational.Tables.events(s, d)
+        .select("user_id", "ts", "ts_ns", "event_id", "value")
+      val srcDir = stageTimeOrdered(ev, "ts", 4, "graft_q170_src")
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_q170_tbl").resolve("t").toString
+      // seed: empty table with the target schema, through the normal
+      // parquet path (mergeInto reads the current version each batch)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", LongType),
+            org.apache.spark.sql.types.StructField("n", LongType),
+            org.apache.spark.sql.types.StructField("last_val",
+              org.apache.spark.sql.types.DoubleType))))
+        .write.parquet(tableDir)
+      val schema = s.read.parquet(srcDir.toString).schema
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q170_ckpt")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val agg = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("cnt"),
+                max(struct(col("ts_ns"), col("event_id"), col("value")))
+                  .getField("value").as("last_val"))
+            graft.chat.ChatStore.mergeInto(s, tableDir, agg, Seq("user_id"),
+              matched = Seq(Merge.WhenMatched(set = Map(
+                "n" -> (col("t.n") + col("s.cnt")),
+                "last_val" -> col("s.last_val")))),
+              notMatched = Some(Merge.WhenNotMatched(values = Map(
+                "n" -> col("s.cnt"), "last_val" -> col("s.last_val")))))
+          }
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.read.parquet(tableDir)
+        .select(col("user_id"), col("n").cast(LongType).as("n"),
+          col("last_val").cast("double").as("last_val"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      graft.chat.ChatStore.dropTable(s, tableDir)
+      deleteRecursively(java.nio.file.Paths.get(tableDir).getParent)
+      deleteRecursively(ckpt)
+      deleteRecursively(srcDir)
+      res
+    },
+    Some("""WITH last AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t
+      |  WHERE rn = 1)
+      |SELECT e.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(l.value) AS DOUBLE) AS last_val
+      |FROM events e JOIN last l ON e.user_id = l.user_id
+      |GROUP BY e.user_id
+      |ORDER BY e.user_id""".stripMargin),
+    "Stream/batch parity #10: foreachBatch MERGE sink into the versioned " +
+      "store — per-batch upsert (accumulate count, overwrite latest), " +
+      "final table = batch rebuild")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
-    q165_stream_interval_join, q168_stream_dedup)
+    q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink)
 }
