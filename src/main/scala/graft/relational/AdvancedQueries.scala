@@ -349,6 +349,96 @@ object AdvancedQueries {
       typed.unionAll(allRow).orderBy("event_type")
   }
 
+  /** Grouped sketch ROLLUP — the tier above q87's global union: per-DAY
+    * HLL sketches (the granularity a warehouse materializes once) merged
+    * into per-WEEK cardinalities by `hll_union_agg` WITHOUT rescanning
+    * rows — the whole point of mergeable sketches: the weekly pass
+    * touches one kilobyte-sized sketch per day, not the corpus. Gated
+    * per week against exact distinct at the same 5% tolerance as q87
+    * (estimate quality is a sketch property; the gate catches a broken
+    * grouped merge).
+    */
+  val q171_sketch_rollup: QueryDef = q(
+    "q171_sketch_rollup",
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS week,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS union_within_tol
+      |FROM events
+      |GROUP BY 1 ORDER BY week""".stripMargin,
+    "Per-day HLL sketches merged to weekly cardinalities (grouped " +
+      "hll_union_agg over sketch-sized state), 5%-gated vs exact") { (s, d) =>
+    val ev = events(s, d)
+      .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val weekly = daily.groupBy(expr("day div 7").as("week"))
+      .agg(hll_union_agg(col("sk")).as("sku"))
+    val exact = ev.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    weekly.join(exact, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        when(abs(hll_sketch_estimate(col("sku")) - col("exact_users")) <=
+          col("exact_users") * 0.05, 1L).otherwise(0L).as("union_within_tol"))
+      .orderBy("week")
+  }
+
+  /** Recursive hierarchy closure (BOM-explosion / org-chart ancestor
+    * table) via ITERATIVE JOIN fixpoint — the same distributed pattern as
+    * [[graft.ops.Dedup.connectedComponents]] but path-preserving: each
+    * round joins the frontier's ancestor against the parent-edge table,
+    * so depth-k ancestors cost k co-partitioned joins (k = tree height,
+    * ~log n for this synthetic binary hierarchy — never data-sized) with
+    * a localCheckpoint barrier per round to keep lineage flat. The
+    * hierarchy is synthesized over the customer table
+    * (parent(k) = k div 2), and the oracle replays it as a WITH RECURSIVE
+    * closure; the digest pins one row per (depth): node count + both id
+    * sums, so a dropped path, an off-by-one depth, or a duplicated
+    * frontier row all hash-fail.
+    */
+  val q172_hierarchy_closure: QueryDef = q(
+    "q172_hierarchy_closure",
+    """WITH RECURSIVE edges AS (
+      |  SELECT c_custkey AS node, c_custkey // 2 AS parent
+      |  FROM customer WHERE c_custkey >= 2),
+      |anc AS (
+      |  SELECT node, parent AS ancestor, 1 AS depth FROM edges
+      |  UNION ALL
+      |  SELECT a.node, e.parent AS ancestor, a.depth + 1
+      |  FROM anc a JOIN edges e ON a.ancestor = e.node)
+      |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(node) AS BIGINT) AS sum_nodes,
+      |  CAST(SUM(ancestor) AS BIGINT) AS sum_anc
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
+    "Recursive ancestor closure by iterative co-partitioned joins " +
+      "(tree-height rounds, checkpointed), WITH RECURSIVE oracle") { (s, d) =>
+    val edges = customer(s, d).filter(col("c_custkey") >= 2)
+      .select(col("c_custkey").as("node"),
+        expr("c_custkey div 2").as("parent"))
+      .localCheckpoint(true)
+    val parentOf = edges
+      .select(col("node").as("ancestor"), col("parent").as("_next"))
+    var cur = edges.select(col("node"), col("parent").as("ancestor"),
+      lit(1L).as("depth"))
+    val acc = scala.collection.mutable.ListBuffer[DataFrame](cur)
+    var n = cur.count()
+    while (n > 0) {
+      cur = cur.join(parentOf, Seq("ancestor"))
+        .select(col("node"), col("_next").as("ancestor"),
+          (col("depth") + 1L).as("depth"))
+        .localCheckpoint(true)
+      n = cur.count()
+      if (n > 0) acc += cur
+    }
+    acc.reduce(_ unionAll _)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n"),
+        sum("node").cast(LongType).as("sum_nodes"),
+        sum("ancestor").cast(LongType).as("sum_anc"))
+      .select(col("depth").cast(LongType).as("depth"), col("n"),
+        col("sum_nodes"), col("sum_anc"))
+      .orderBy("depth")
+  }
+
   /** GROUPING SETS with explicit grouping() flags — the generalized form
     * of q18 rollup / q66 cube. The SQL text is shared verbatim with the
     * oracle (temp view named like the DuckDB table), so the two engines
@@ -444,6 +534,7 @@ object AdvancedQueries {
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
     q87_hll_union, q89_grouping_sets, q90_range_window,
+    q171_sketch_rollup, q172_hierarchy_closure,
     q150_kll_quantile_merge)
 }
 
