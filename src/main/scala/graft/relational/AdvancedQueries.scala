@@ -439,6 +439,59 @@ object AdvancedQueries {
       .orderBy("depth")
   }
 
+  /** ANALYZE-style table statistics — the stats-collection pass every
+    * engine's optimizer feeds on (row count, null count, min/max, NDV per
+    * column), computed in ONE aggregation over the table: per-column
+    * stats are parallel aggregate expressions in a single scan (Spark
+    * plans the multi-distinct via one Expand — still one pass over
+    * parquet), then stack-unpivoted to the (column, stats) catalog shape.
+    * NDV is exact here for oracle parity; the production variant swaps
+    * `count_distinct` for `approx_count_distinct` per column and keeps
+    * the identical plan shape.
+    */
+  val q174_table_stats: QueryDef = q(
+    "q174_table_stats",
+    """SELECT 'l_discount' AS col_name, COUNT(*) AS n,
+      |  CAST(COUNT(*) - COUNT(l_discount) AS BIGINT) AS n_null,
+      |  CAST(MIN(l_discount) AS DOUBLE) AS min_v,
+      |  CAST(MAX(l_discount) AS DOUBLE) AS max_v,
+      |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS ndv
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', COUNT(*),
+      |  CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+      |  CAST(MIN(l_extendedprice) AS DOUBLE),
+      |  CAST(MAX(l_extendedprice) AS DOUBLE),
+      |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', COUNT(*),
+      |  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+      |  CAST(MIN(l_quantity) AS DOUBLE),
+      |  CAST(MAX(l_quantity) AS DOUBLE),
+      |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin,
+    "ANALYZE-style per-column statistics (count/nulls/min/max/NDV) in a " +
+      "single scan, stack-unpivoted to catalog rows") { (s, d) =>
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"n_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', n_$c, CAST(nn_$c AS BIGINT), mn_$c, mx_$c, CAST(nd_$c AS BIGINT)")
+      .mkString(s"stack(${cols.size}, ", ", ",
+        ") AS (col_name, n, n_null, min_v, max_v, ndv)")
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stacked))
+      .orderBy("col_name")
+  }
+
   /** GROUPING SETS with explicit grouping() flags — the generalized form
     * of q18 rollup / q66 cube. The SQL text is shared verbatim with the
     * oracle (temp view named like the DuckDB table), so the two engines
@@ -534,7 +587,7 @@ object AdvancedQueries {
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
     q87_hll_union, q89_grouping_sets, q90_range_window,
-    q171_sketch_rollup, q172_hierarchy_closure,
+    q171_sketch_rollup, q172_hierarchy_closure, q174_table_stats,
     q150_kll_quantile_merge)
 }
 

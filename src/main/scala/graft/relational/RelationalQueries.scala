@@ -477,10 +477,41 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** [[graft.ops.Association.pairRules]] over order baskets: parts
+    * co-purchased in the same order, support ≥ 3, confidence and lift in
+    * exact floor-ppm. The oracle replays basket dedup, the per-basket
+    * pair join, marginals, and the HUGEINT lift product — any drift in
+    * the cap, the dedup, or the ratio arithmetic hash-fails.
+    */
+  val q173_association_rules: QueryDef = q(
+    "q173_association_rules",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      |           FROM lineitem),
+      |n AS (SELECT item, COUNT(*) AS n_item FROM b GROUP BY item),
+      |tot AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+      |p AS (
+      |  SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS support
+      |  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+      |  CAST((CAST(1000000 AS HUGEINT) * support) // na.n_item AS BIGINT) AS conf_a_b_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * support) // nb.n_item AS BIGINT) AS conf_b_a_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * (SELECT n_baskets FROM tot) * support)
+      |    // (na.n_item * nb.n_item) AS BIGINT) AS lift_ppm
+      |FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b
+      |ORDER BY item_a, item_b""".stripMargin,
+    "Market-basket association rules over order baskets: support >= 3 " +
+      "pairs with floor-ppm confidence/lift, HUGEINT-exact") { (s, d) =>
+    graft.ops.Association.pairRules(
+        lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 3)
+      .orderBy("item_a", "item_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
     q21_broadcast_join, q35_point_lookup, q40_intersect_unionall,
-    q41_approx_distinct, q76_salted_join, q82_histogram, q163_merge_into)
+    q41_approx_distinct, q76_salted_join, q82_histogram, q163_merge_into,
+    q173_association_rules)
 }

@@ -659,9 +659,82 @@ object StreamQueries {
       "store — per-batch upsert (accumulate count, overwrite latest), " +
       "final table = batch rebuild")
 
+  /** Stream/batch parity #11 — CHECKPOINT RESTART with the exactly-once
+    * FILE SINK: the q161 append-mode watermarked aggregation, but run as
+    * TWO separate query executions sharing one checkpoint. Run 1 sees
+    * only the first two ts-range files, terminates; the remaining two
+    * files land in the source dir; run 2 starts from the SAME checkpoint
+    * — recovering source offsets, aggregation state, and the watermark —
+    * and processes the rest. The parquet file sink's manifest commits
+    * each batch's files atomically, so the reread output contains every
+    * closed window EXACTLY once across the restart boundary; any lost
+    * state, replayed batch, or double-committed file hash-fails against
+    * q161's closed-window oracle. This is the recovery semantics a 100 TB
+    * continuous ingest actually depends on (q161 pins the single-run
+    * end state; this pins survival of the restart).
+    */
+  val q175_stream_restart: QueryDef = QueryDef(
+    "q175_stream_restart",
+    (s, d) => {
+      import scala.jdk.CollectionConverters._
+      val staged = stageTimeOrdered(
+        graft.relational.Tables.events(s, d).select("ts", "event_type"),
+        "ts", 4, "graft_q175_all")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_q175_src")
+      def reveal(names: String*): Unit = names.foreach { n =>
+        val from = staged.resolve(n)
+        val to = srcDir.resolve(n)
+        val mt = java.nio.file.Files.getLastModifiedTime(from)
+        java.nio.file.Files.move(from, to)
+        java.nio.file.Files.setLastModifiedTime(to, mt)
+      }
+      reveal("part00.parquet", "part01.parquet")
+      val schema = s.read.parquet(srcDir.toString).schema
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q175_out")
+        .resolve("t").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q175_ckpt")
+      def runOnce(): Unit = {
+        val q = EventStream.dailyTypeCounts(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+          .select(col("day"), col("event_type"), col("n"))
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      runOnce()
+      reveal("part02.parquet", "part03.parquet")
+      runOnce()
+      val res = s.read.parquet(outDir)
+        .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n").cast(LongType).as("n"))
+        .orderBy("day", "event_type")
+        .localCheckpoint(true)
+      deleteRecursively(ckpt)
+      deleteRecursively(java.nio.file.Paths.get(outDir).getParent)
+      deleteRecursively(srcDir)
+      deleteRecursively(staged)
+      res
+    },
+    Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+      |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS n
+      |FROM events, m
+      |GROUP BY 1, 2, m.mx
+      |HAVING date_trunc('day', min(ts)) + INTERVAL 2 DAY <= m.mx
+      |ORDER BY day, event_type""".stripMargin),
+    "Stream/batch parity #11: checkpoint restart across two query " +
+      "executions with the exactly-once parquet file sink — closed " +
+      "windows emitted exactly once over the restart boundary")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
-    q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink)
+    q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
+    q175_stream_restart)
 }
