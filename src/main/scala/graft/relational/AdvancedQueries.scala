@@ -439,6 +439,43 @@ object AdvancedQueries {
       .orderBy("depth")
   }
 
+  /** Ratio-to-report — the share-of-partition window idiom (each
+    * customer's fraction of their month's revenue). Exactness: spends are
+    * DECIMAL(18,2) sums; the share is computed on exact integer CENTS
+    * (spend·100) with a floor-ppm integer division, so no double division
+    * can drift between engines. The window partitions by MONTH over the
+    * (month, customer) AGGREGATE frame — bounded by customers per month,
+    * never the fact table.
+    */
+  val q177_ratio_to_report: QueryDef = q(
+    "q177_ratio_to_report",
+    """WITH m AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT month, o_custkey, CAST(spend AS DOUBLE) AS spend,
+      |  CAST((CAST(1000000 AS HUGEINT) * CAST(spend * 100 AS HUGEINT))
+      |    // CAST(SUM(spend * 100) OVER (PARTITION BY month) AS HUGEINT)
+      |    AS BIGINT) AS share_ppm
+      |FROM m
+      |ORDER BY month, o_custkey""".stripMargin,
+    "Ratio-to-report: per-customer share of monthly revenue in exact " +
+      "floor-ppm over integer cents (no double-division drift)") { (s, d) =>
+    val m = orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"), col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("spend"))
+    val w = Window.partitionBy("month")
+    m.withColumn("tc", (col("spend") * 100).cast(DecimalType(38, 0)))
+      .withColumn("mt", sum(col("tc")).over(w))
+      .select(col("month"), col("o_custkey"),
+        col("spend").cast(DoubleType).as("spend"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * tc) div mt AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("month", "o_custkey")
+  }
+
   /** ANALYZE-style table statistics — the stats-collection pass every
     * engine's optimizer feeds on (row count, null count, min/max, NDV per
     * column), computed in ONE aggregation over the table: per-column
@@ -587,7 +624,7 @@ object AdvancedQueries {
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
     q87_hll_union, q89_grouping_sets, q90_range_window,
-    q171_sketch_rollup, q172_hierarchy_closure, q174_table_stats,
+    q171_sketch_rollup, q172_hierarchy_closure, q174_table_stats, q177_ratio_to_report,
     q150_kll_quantile_merge)
 }
 
