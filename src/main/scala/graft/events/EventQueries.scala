@@ -1007,6 +1007,54 @@ object EventQueries {
     "Rolling z-score anomaly flag over per-type daily counts: trailing " +
       "7-day window, sqrt-free exact integer variance test")
 
+  /** First-order Markov TRANSITION MATRIX over per-user event journeys —
+    * the user-flow analytics next to the funnel (q154) and sessionization
+    * (q20): for each ordered pair of event types, how often does one
+    * follow the other within a user's stream, and with what probability?
+    * One per-user lag window over the unique (ts_ns, event_id) order
+    * (user-bounded partitions), one hash agg for transition counts, one
+    * for row marginals, probabilities in exact floor-ppm (DECIMAL(38)
+    * product — a 100 TB event stream overflows the BIGINT numerator).
+    */
+  val q178_event_transitions: QueryDef = QueryDef(
+    "q178_event_transitions",
+    (s, d) => {
+      // order by the MICROS ts (+ unique event_id tiebreak) — the oracle
+      // orders by its native timestamp, so a ns-resolution order here
+      // could diverge inside one microsecond
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = trans.groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+      counts.join(marg, Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          col("n").cast(LongType).as("n"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div n_from AS BIGINT)")
+            .as("p_ppm"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM tr WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |m AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY from_type)
+      |SELECT c.from_type AS from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST((CAST(1000000 AS HUGEINT) * n) // n_from AS BIGINT) AS p_ppm
+      |FROM c JOIN m ON c.from_type = m.from_type
+      |ORDER BY from_type, to_type""".stripMargin),
+    "First-order Markov transition matrix over per-user event streams: " +
+      "counts + floor-ppm probabilities, unique-order lag window")
+
   /** SCD Type-2 point-in-time join — the warehouse pattern as-of joins
     * approximate and BETWEEN-bounds dimensions do exactly: each user
     * carries a slowly-changing `tier` attribute versioned into
@@ -1249,7 +1297,7 @@ object EventQueries {
       "q154 chained-window plan; real drop-off per step")
 
   def defs: Seq[QueryDef] = Seq(
-    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q152_scd2_join, q154_event_funnel,
+    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,

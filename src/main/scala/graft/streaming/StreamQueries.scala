@@ -441,7 +441,10 @@ object StreamQueries {
   private def stageTimeOrdered(
       df: DataFrame, tsCol: String, k: Int, prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
-    val b = df.agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))))
+    // cached for the k+1 passes below (bounds agg + one filtered write per
+    // range file); unpersisted before returning
+    val src = df.persist()
+    val b = src.agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))))
       .collect().head
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
@@ -450,7 +453,7 @@ object StreamQueries {
       val loI = lo + span * i / k
       val hiI = lo + span * (i + 1) / k
       val stage = java.nio.file.Files.createTempDirectory(prefix + "part")
-      df.filter(unix_micros(col(tsCol)) >= loI && unix_micros(col(tsCol)) < hiI)
+      src.filter(unix_micros(col(tsCol)) >= loI && unix_micros(col(tsCol)) < hiI)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val f = java.nio.file.Files.list(stage).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
@@ -460,6 +463,7 @@ object StreamQueries {
         java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
       deleteRecursively(stage)
     }
+    src.unpersist()
     dir
   }
 
