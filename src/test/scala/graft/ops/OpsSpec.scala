@@ -1147,6 +1147,43 @@ class OpsSpec extends SparkSpec {
     assert(rescanned == 2L, s"expected 2 re-scanned rows, got $rescanned")
   }
 
+  test("association rules: exact ratios, duplicate rows collapse, giant basket capped") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),          // dup (1,a) must collapse
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"),
+      (4L, "a"), (5L, "b"), (6L, "c")
+    ).toDF("basket", "item")
+    val out = Association.pairRules(rows, "basket", "item", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // support(a,b)=3; n_a=4, n_b=4, N=6 baskets
+    // conf both ways = 3/4 = 750000 ppm; lift = 6*3/(4*4) = 1.125 -> 1125000
+    assert(out == Map(("a", "b") -> ((3L, 750000L, 750000L, 1125000L))))
+    // a degenerate giant basket is dropped whole by the cap
+    val giant = (0 until 50).map(i => (99L, s"i$i")).toDF("basket", "item")
+    val capped = Association.pairRules(rows.unionAll(giant), "basket", "item",
+      minSupport = 2, maxBasketSize = 10)
+    assert(capped.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")), "giant basket must not contribute pairs")
+  }
+
+  test("mergeFrames: first matching clause wins; unmatched-by-clause rows pass through") {
+    val target = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val src = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "tag")
+    val out = Merge.mergeFrames(target, src, Seq("k"),
+        matched = Seq(
+          // clause 1 matches X and Y; clause 2 would also match Y but
+          // must never fire for it (first wins)
+          Merge.WhenMatched(Some(col("s.tag").isin("X", "Y")),
+            set = Map("v" -> lit(1.0))),
+          Merge.WhenMatched(Some(col("s.tag") === "Y"),
+            set = Map("v" -> lit(-99.0))),
+          Merge.WhenMatched(Some(col("s.tag") === "NOPE"), delete = true)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 1.0, 3L -> 30.0))
+  }
+
   test("text cleaning: tag strip, entity unescape, redaction, normalization") {
     val rows = Seq(
       (0L, "<p>Hello <b>world</b></p> visit https://a.b/c?d=1 now"),
