@@ -1007,6 +1007,92 @@ object EventQueries {
     "Rolling z-score anomaly flag over per-type daily counts: trailing " +
       "7-day window, sqrt-free exact integer variance test")
 
+  /** Linear INTERPOLATION over a daily grid — q77's other half: forward
+    * fill answers "last known value"; sensor/metric pipelines need the
+    * value BETWEEN two known points. Per user, missing grid days get
+    * `pv + (nv − pv)·(day − pd) / (nd − pd)` from the bracketing known
+    * days — four ignore-nulls window functions over ONE user partition
+    * exchange (backward last/first, forward first), then exact integer
+    * arithmetic in ppm. Floor division must be portable for NEGATIVE
+    * numerators (falling series): both engines run the identical
+    * `CASE WHEN N ≥ 0 THEN N div D ELSE -((-N + D - 1) div D) END`
+    * (Spark `div` truncates, so the CASE emulates floor; DuckDB's `//`
+    * already floors and the CASE is floor-equivalent there too). Only
+    * interior days (both brackets exist) are emitted.
+    */
+  val q179_linear_interpolate: QueryDef = QueryDef(
+    "q179_linear_interpolate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"), col("value"))
+      val known = ev.groupBy("user_id", "day")
+        .agg(expr("CAST(floor(1000000 * max(value)) AS BIGINT)").as("v"))
+      val lim = ev.agg(expr("min(day)").as("d0"), expr("max(day)").as("d1"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(lim))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val g = grid.join(known, Seq("user_id", "day"), "left")
+      val back = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      g.withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+        .filter(col("pd").isNotNull && col("nd").isNotNull)
+        .withColumn("interp_ppm",
+          when(col("v").isNotNull, col("v")).otherwise(
+            col("pv") + expr("""CASE
+              WHEN (nv - pv) * (day - pd) >= 0
+              THEN ((nv - pv) * (day - pd)) div (nd - pd)
+              ELSE -((-((nv - pv) * (day - pd)) + (nd - pd) - 1) div (nd - pd))
+            END""")))
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, 1L).otherwise(0L).as("is_known"),
+          col("interp_ppm").cast(LongType).as("interp_ppm"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH b AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    value
+      |  FROM events),
+      |known AS (
+      |  SELECT user_id, day,
+      |    CAST(floor(1000000 * max(value)) AS BIGINT) AS v
+      |  FROM b GROUP BY 1, 2),
+      |lim AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+      |grid AS (
+      |  SELECT u.user_id, CAST(g.d AS BIGINT) AS day
+      |  FROM (SELECT DISTINCT user_id FROM b) u, lim,
+      |    unnest(range(d0, d1 + 1)) AS g(d)),
+      |j AS (
+      |  SELECT grid.user_id, grid.day, known.v,
+      |    last_value(known.v IGNORE NULLS) OVER bw AS pv,
+      |    last_value(CASE WHEN known.v IS NOT NULL THEN grid.day END IGNORE NULLS) OVER bw AS pd,
+      |    first_value(known.v IGNORE NULLS) OVER fw AS nv,
+      |    first_value(CASE WHEN known.v IS NOT NULL THEN grid.day END IGNORE NULLS) OVER fw AS nd
+      |  FROM grid LEFT JOIN known
+      |    ON grid.user_id = known.user_id AND grid.day = known.day
+      |  WINDOW bw AS (PARTITION BY grid.user_id ORDER BY grid.day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         fw AS (PARTITION BY grid.user_id ORDER BY grid.day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day,
+      |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_known,
+      |  CAST(CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + CASE
+      |         WHEN (nv - pv) * (day - pd) >= 0
+      |         THEN ((nv - pv) * (day - pd)) // (nd - pd)
+      |         ELSE -((-((nv - pv) * (day - pd)) + (nd - pd) - 1) // (nd - pd))
+      |       END END AS BIGINT) AS interp_ppm
+      |FROM j
+      |WHERE pd IS NOT NULL AND nd IS NOT NULL
+      |ORDER BY user_id, day""".stripMargin),
+    "Linear interpolation over the daily grid: bracketing known points " +
+      "via ignore-nulls windows, exact integer ppm with portable floor " +
+      "division for falling series")
+
   /** First-order Markov TRANSITION MATRIX over per-user event journeys —
     * the user-flow analytics next to the funnel (q154) and sessionization
     * (q20): for each ordered pair of event types, how often does one
@@ -1297,7 +1383,7 @@ object EventQueries {
       "q154 chained-window plan; real drop-off per step")
 
   def defs: Seq[QueryDef] = Seq(
-    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q152_scd2_join, q154_event_funnel,
+    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,

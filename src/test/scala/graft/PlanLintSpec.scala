@@ -48,7 +48,8 @@ class PlanLintSpec extends SparkSpec {
     "q126_snapshot_diff" -> "one-row max(doc_id)+1 synthetic-id offset broadcast onto the recrawl's 'added' leg",
     "q164_ivf_search" -> "k-row centroid broadcast for the coarse-routing crossJoin (brute-force exact baseline broadcasts the 5-row query set — q129's shape over the plain-IVF index)",
     "q166_word_pmi" -> "one-row bigram total (PMI numerator) broadcast onto the pair counts",
-    "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts"
+    "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts",
+    "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —
