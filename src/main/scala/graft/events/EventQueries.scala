@@ -1382,7 +1382,76 @@ object EventQueries {
     "Time-windowed funnel: per-step 3-day conversion timeout over the " +
       "q154 chained-window plan; real drop-off per step")
 
+  /** Unrolled HITS generations `ra$k/a$k/rh$k/h$k` for the q180 oracle:
+    * round k's raw authority sums hub scores over in-edges, rescales to
+    * ppm by the round max (scalar subquery ≡ the engine's 1-row max
+    * broadcast), then raw hub sums the new authority over out-edges and
+    * rescales the same way. AS MATERIALIZED on every generation — each is
+    * read twice (the join and its own max) — see the q121 spill note.
+    */
+  private def hitsRoundSql(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""ra$k AS MATERIALIZED (
+         |  SELECT de.t AS v, sum(h.score) AS raw
+         |  FROM de JOIN h${k - 1} h ON h.v = de.s GROUP BY de.t),
+         |a$k AS MATERIALIZED (
+         |  SELECT v, (CAST(1000000 AS HUGEINT) * raw) // (SELECT max(raw) FROM ra$k) AS score
+         |  FROM ra$k),
+         |rh$k AS MATERIALIZED (
+         |  SELECT de.s AS v, sum(a.score) AS raw
+         |  FROM de JOIN a$k a ON a.v = de.t GROUP BY de.s),
+         |h$k AS MATERIALIZED (
+         |  SELECT v, (CAST(1000000 AS HUGEINT) * raw) // (SELECT max(raw) FROM rh$k) AS score
+         |  FROM rh$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** [[graft.ops.Graph.hits]] over the DIRECTED response graph (prev
+    * speaker → next speaker, distinct pairs — the direction the
+    * canonical interaction graph erases): 3 mutual-reinforcement rounds,
+    * hub/authority per node in exact integer ppm. VALUE-LEVEL oracled
+    * with zero tolerance — the integer rescale normalization makes the
+    * unrolled DuckDB chain bit-exact, unlike the double-valued PageRank
+    * gates. Distinguishes "starts conversations with well-responded
+    * users" (hub) from "gets responses from active starters" (authority)
+    * — a different matrix recurrence (AᵀA / AAᵀ) than the random-walk
+    * family.
+    */
+  val q180_hits_scores: QueryDef = q(
+    "q180_hits_scores",
+    s"""WITH seq AS (
+       |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |de AS MATERIALIZED (
+       |  SELECT DISTINCT prev AS s, user_id AS t
+       |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT v
+       |  FROM (SELECT s AS v FROM de UNION ALL SELECT t AS v FROM de)),
+       |h0 AS (SELECT v, CAST(1000000 AS HUGEINT) AS score FROM nodes),
+       |${hitsRoundSql(3)}
+       |SELECT n.v AS user_id,
+       |  CAST(COALESCE(h3.score, 0) AS BIGINT) AS hub_ppm,
+       |  CAST(COALESCE(a3.score, 0) AS BIGINT) AS auth_ppm
+       |FROM nodes n
+       |LEFT JOIN h3 ON h3.v = n.v
+       |LEFT JOIN a3 ON a3.v = n.v
+       |ORDER BY n.v""".stripMargin,
+    "HITS hub/authority over the directed response graph: 3 unrolled " +
+      "rounds, exact integer ppm rescale — zero-tolerance value oracle") {
+    (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "ts_ns", "event_id")
+      val de = graft.ops.GlobalLag.withLag(
+          ev, Seq("ts_ns", "event_id"), "user_id", "prev")
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("s"), col("user_id").as("t"))
+        .distinct()
+      graft.ops.Graph.hits(de, iters = 3)
+        .select(col("v").as("user_id"), col("hub_ppm"), col("auth_ppm"))
+        .orderBy("user_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q180_hits_scores,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph metrics over undirected edge lists (the interaction-graph shape
   * the engine's flagship pipeline produces — reference
@@ -561,5 +562,61 @@ object Graph {
         .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
     }
     ranks
+  }
+
+  /** HITS hub/authority scores (Kleinberg, reference backend graph
+    * analytics family) over a DIRECTED edge list `(s, t)` — `iters`
+    * synchronous mutual-reinforcement rounds with the float L2
+    * normalization replaced by EXACT integer ppm rescaling (divide by
+    * the round max, scale to 10⁶): rankings are unchanged by the choice
+    * of normalizer, and every intermediate is a bounded integer, so a
+    * DuckDB CTE chain replays the whole computation bit-exactly (the
+    * PageRank trio needs a sub-ppm divergence budget; this needs none).
+    *
+    * Per round: two edge-list hash joins + two map-side-combined sums
+    * over node-sized frames + two 1-row max broadcasts (the canonical
+    * scalar-attachment crossJoin); each half-round's score frame is
+    * checkpointed so lineage stays O(1) in `iters`. Scores are ≤ 10⁶ by
+    * construction and the rescale products DECIMAL(38,0)-guarded, so the
+    * arithmetic holds at 100 TB edge counts (raw sums are bounded by
+    * 10⁶ · max-degree). The round max is always > 0: round 1's raws sum
+    * ≥ 1 seed score, and later maxima include a neighbor of the previous
+    * argmax, whose score is exactly 10⁶.
+    *
+    * Returns one row per node: (`v`, `hub_ppm`, `auth_ppm`) — sinks
+    * (no out-edges) have hub 0, sources (no in-edges) auth 0.
+    */
+  def hits(directed: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ckpt = ckptFn(directed)
+    val e = directed.select(col("s"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("v")).unionAll(e.select(col("t").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact integer normalization: score' = (10⁶ · raw) div max(raw).
+    // `div` (IntegralDivide) truncates, DuckDB's `//` floors — equal on
+    // the non-negative operands here. Result ≤ 10⁶ → LongType.
+    def rescale(raw: DataFrame): DataFrame = ckpt(
+      raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
+        .select(col("v"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * raw) div mx").as("score")))
+    var hub = nodes.select(col("v"), lit(1000000L).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = rescale(
+        e.join(hub.withColumnRenamed("v", "s"), Seq("s"))
+          .groupBy(col("t").as("v"))
+          .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw")))
+      hub = rescale(
+        e.join(auth.select(col("v").as("t"), col("score")), Seq("t"))
+          .groupBy(col("s").as("v"))
+          .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw")))
+    }
+    nodes
+      .join(hub.select(col("v"), col("score").as("hub_ppm")), Seq("v"), "left")
+      .join(auth.select(col("v"), col("score").as("auth_ppm")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"),
+        coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
   }
 }

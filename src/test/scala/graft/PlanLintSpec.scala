@@ -49,6 +49,8 @@ class PlanLintSpec extends SparkSpec {
     "q164_ivf_search" -> "k-row centroid broadcast for the coarse-routing crossJoin (brute-force exact baseline broadcasts the 5-row query set — q129's shape over the plain-IVF index)",
     "q166_word_pmi" -> "one-row bigram total (PMI numerator) broadcast onto the pair counts",
     "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts",
+    // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
+    // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
   )
 
@@ -73,7 +75,8 @@ class PlanLintSpec extends SparkSpec {
     // windows never reach a query's final plan — only the in-memory IVF
     // trainer's init is visible here
     "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
-    "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)"
+    "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
+    "q180_hits_scores" -> "GlobalLag boundary patch in the persisted directed-edge build (q108's shape; the HITS rounds themselves run inside eager checkpoints)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)

@@ -200,4 +200,31 @@ class GraphSpec extends SparkSpec {
       Graph.personalizedPageRank(g, "s", "t", Seq(99L).toDF("seed"), iters = 2)
     }
   }
+
+  test("hits: pure hub/authority split, fan-out asymmetry, cycle fixpoint") {
+    def run(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Long, Long)] =
+      Graph.hits(edges.toDF("s", "t"), iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // directed star: 0 is a pure hub, 1..3 pure authorities; zero-fill
+    // must give the hub auth 0 and the sinks hub 0
+    val star = run(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star == Map(0L -> ((1000000L, 0L)), 1L -> ((0L, 1000000L)),
+      2L -> ((0L, 1000000L)), 3L -> ((0L, 1000000L))))
+
+    // two hubs with different fan-out: the wider hub dominates, the
+    // shared targets outrank the exclusive one. Expected values are the
+    // 3-round integer recurrence computed by hand (reference: Kleinberg,
+    // "Authoritative sources in a hyperlinked environment", JACM 1999).
+    val fan = run(Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
+    assert(fan == Map(
+      1L -> ((0L, 1000000L)), 2L -> ((0L, 1000000L)), 3L -> ((0L, 560975L)),
+      10L -> ((1000000L, 0L)), 20L -> ((780952L, 0L))))
+
+    // directed 3-cycle: perfectly symmetric — every node is max hub and
+    // max authority at every round (the rescale fixpoint)
+    val cyc = run(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(cyc == Map(1L -> ((1000000L, 1000000L)),
+      2L -> ((1000000L, 1000000L)), 3L -> ((1000000L, 1000000L))))
+  }
 }
