@@ -619,7 +619,48 @@ object AdvancedQueries {
         .orderBy("q_ppm")
   }
 
+  /** Skyline / Pareto frontier ([[graft.ops.Skyline.skyline2d]]): the
+    * lineitems no other lineitem beats on BOTH price (cheaper-or-equal)
+    * and quantity (more-or-equal, one strict) — the multi-criteria
+    * optimum set. Engine runs the two-phase distributed sweep (local
+    * skyline per partition, global sweep on the tiny candidate union —
+    * no window node, no pair join); the oracle the equivalent RANGE-frame
+    * formulation: survive iff max(qty | price' < price) < qty and
+    * max(qty | price' ≤ price) ≤ qty, which keeps equal-point duplicates
+    * on both sides. Criteria in exact integer cents / units.
+    */
+  val q181_skyline: QueryDef = q(
+    "q181_skyline",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |sw AS (
+      |  SELECT *,
+      |    max(qty) OVER (ORDER BY price_cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS amax,
+      |    max(qty) OVER (ORDER BY price_cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bmax
+      |  FROM li)
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  price_cents, qty
+      |FROM sw WHERE (amax IS NULL OR amax < qty) AND bmax <= qty
+      |ORDER BY price_cents, qty, l_orderkey, l_linenumber""".stripMargin,
+    "Skyline (Pareto frontier): min price, max quantity over lineitem — " +
+      "two-phase partition-local sweep, window-free engine plan") { (s, d) =>
+    val li = lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_cents"),
+        col("l_quantity").cast(LongType).as("qty"))
+    graft.ops.Skyline.skyline2d(li, "price_cents", "qty")
+      .orderBy("price_cents", "qty", "l_orderkey", "l_linenumber")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q181_skyline,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
