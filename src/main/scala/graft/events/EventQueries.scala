@@ -1405,6 +1405,56 @@ object EventQueries {
          |  FROM rh$k)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
+    * k's frame is the min over (keep previous dist) ∪ (relax every edge
+    * out of a previously-reached node) — the exact SQL transliteration of
+    * one engine round. AS MATERIALIZED (each d$k is read twice).
+    */
+  private def ssspRoundSql(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT v, min(c) AS cost FROM (
+         |    SELECT v, cost AS c FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT g.t AS v, d.cost + g.cost AS c
+         |    FROM g JOIN d${k - 1} d ON d.v = g.s)
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+
+  /** [[graft.ops.Graph.shortestPaths]] over the interaction graph with
+    * AFFINITY costs — edge cost = ⌈10⁶ / weight⌉, so strongly-interacting
+    * pairs are "close" — from the smallest user id, 6 Bellman-Ford
+    * rounds: the cheapest ≤6-edge path cost per reachable user, exact
+    * integers end to end (zero-tolerance oracle). The semantics are
+    * well-defined at any round count, which is what lets the engine
+    * early-exit at the fixpoint against a fixed unrolled CTE chain.
+    */
+  val q182_weighted_sssp: QueryDef = q(
+    "q182_weighted_sssp",
+    edgesSql +
+      s""",
+        |g AS MATERIALIZED (
+        |  SELECT s, t, (1000000 + w - 1) // w AS cost FROM (
+        |    SELECT a AS s, b AS t, weight AS w FROM we
+        |    UNION ALL SELECT b AS s, a AS t, weight AS w FROM we)),
+        |d0 AS (SELECT (SELECT min(s) FROM g) AS v, CAST(0 AS BIGINT) AS cost),
+        |${ssspRoundSql(6)}
+        |SELECT v AS user_id, CAST(cost AS BIGINT) AS cost
+        |FROM d6 ORDER BY v""".stripMargin,
+    "Single-source shortest paths (Bellman-Ford, 6 rounds) with exact " +
+      "integer affinity costs ceil(1e6/weight) — zero-tolerance oracle") {
+    (s, d) =>
+      val we = graft.ops.Graph.fromEvents(s, d)
+      val dirE = we.select(col("source").as("s"), col("target").as("t"), col("weight"))
+        .unionAll(we.select(col("target").as("s"), col("source").as("t"), col("weight")))
+        .select(col("s"), col("t"),
+          expr("(1000000 + weight - 1) div weight").as("cost"))
+      val seeds = dirE.agg(min("s").as("v"))
+      graft.ops.Graph.shortestPaths(dirE, seeds, rounds = 6)
+        .select(col("v").as("user_id"), col("cost"))
+        .orderBy("user_id")
+  }
+
   /** [[graft.ops.Graph.hits]] over the DIRECTED response graph (prev
     * speaker → next speaker, distinct pairs — the direction the
     * canonical interaction graph erases): 3 mutual-reinforcement rounds,
@@ -1451,7 +1501,7 @@ object EventQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    q180_hits_scores,
+    q180_hits_scores, q182_weighted_sssp,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

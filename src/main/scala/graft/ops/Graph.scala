@@ -564,6 +564,43 @@ object Graph {
     ranks
   }
 
+  /** Single-source shortest paths by synchronous Bellman-Ford rounds
+    * over a DIRECTED edge list `(s, t, cost)` with non-negative BIGINT
+    * costs: after round k, `cost(v)` is the exact cheapest path from any
+    * seed to `v` using ≤ k edges — a well-defined result even when the
+    * graph's diameter exceeds `rounds` (unreached nodes are absent, and
+    * rounds past the fixpoint are identities, which is what makes the
+    * engine's early exit oracle-safe against a fixed unrolled CTE
+    * chain).
+    *
+    * Per round: one edge⋈dist hash join + one map-side-combined min agg
+    * over the node-sized dist frame, checkpointed (O(1) lineage);
+    * convergence check = an aggregate-sized anti-join on (v, cost).
+    * Pure integer arithmetic — zero-tolerance oracles.
+    */
+  def shortestPaths(directed: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ckpt = ckptFn(directed)
+    val e = directed.select(col("s"), col("t"), col("cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = ckpt(seeds.select(col("v"), lit(0L).as("cost")))
+    var k = 0
+    var converged = false
+    while (k < rounds && !converged) {
+      k += 1
+      val relaxed = ckpt(
+        dist.unionAll(
+            e.join(dist.select(col("v").as("s"), col("cost").as("dc")), Seq("s"))
+              .select(col("t").as("v"), (col("dc") + col("cost")).as("cost")))
+          .groupBy("v").agg(min("cost").as("cost")))
+      // fixpoint = no (v, cost) pair changed or appeared
+      converged = relaxed.join(dist, Seq("v", "cost"), "left_anti").isEmpty
+      dist = relaxed
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   /** HITS hub/authority scores (Kleinberg, reference backend graph
     * analytics family) over a DIRECTED edge list `(s, t)` — `iters`
     * synchronous mutual-reinforcement rounds with the float L2

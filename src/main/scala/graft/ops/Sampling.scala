@@ -90,6 +90,36 @@ object Sampling {
     * One hash-partition window per stratum; at 100 TB the window input is
     * the stratum, never the global frame.
     */
+  /** Weighted priority sampling without replacement (the
+    * Efraimidis–Spirakis shape, exponential-clock variant made
+    * integer-exact): each item is replicated into `weightCol` unit rows
+    * (bounded — callers cap the weight), every replica draws a
+    * deterministic md5 key, and the item's priority is the MIN replica
+    * key, so an item with w clocks wins a pairwise race with probability
+    * ≈ w/(w+w′) — heavier items surface proportionally more often — yet
+    * the whole draw is a pure function of (seed, id) that the DuckDB
+    * oracle replays bit-for-bit (the float-keyed u^(1/w) classic cannot
+    * be replayed portably). Returns the k smallest priorities.
+    *
+    * Scale shape: one bounded explode (≤ max-weight rows per item), one
+    * map-side-combined min agg, and a partial TakeOrdered top-k — no
+    * window, no shuffle beyond the agg. At 100 TB the explode factor is
+    * the weight cap, a constant.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      seed: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val reps = df
+      .select(col(idCol).as("doc_id"), col(weightCol).cast(LongType).as("weight"))
+      .withColumn("r", explode(sequence(lit(0L), col("weight") - 1)))
+    val key = conv(substring(md5(concat_ws(":",
+        lit(seed), col("doc_id").cast(StringType), col("r").cast(StringType))),
+      1, 8), 16, 10).cast(LongType)
+    reps.select(col("doc_id"), col("weight"), key.as("hk"))
+      .groupBy("doc_id", "weight").agg(min("hk").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id")).limit(k)
+  }
+
   def groupCap(df: DataFrame, keyCol: String, strataCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val w = org.apache.spark.sql.expressions.Window

@@ -587,7 +587,34 @@ object SamplingQueries {
       "exact ppm — the published-mixture-table shape, overflow-guarded " +
       "to 100 TB token counts")
 
-  def defs: Seq[QueryDef] = Seq(q53_stable_split, q59_sequence_packing,
+  /** [[Sampling.weightedSample]]: length-weighted priority sample —
+    * weight = 1 + n_chars/500 capped at 16, 100 winners. The oracle
+    * replays the replica fan-out (`unnest(range(w))`), the per-replica
+    * seeded md5 keys, and the min-priority pick bit-for-bit; any drift
+    * in weight arithmetic, replica numbering, or tie order hash-fails.
+    */
+  val q184_weighted_sample: QueryDef = QueryDef(
+    "q184_weighted_sample",
+    (s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d)
+          .withColumn("w", expr("least(1 + n_chars div 500, 16)")),
+        "doc_id", "w", seed = "ws1", k = 100),
+    Some("""WITH wdoc AS (
+      |  SELECT doc_id, LEAST(1 + n_chars // 500, 16) AS weight
+      |  FROM documents),
+      |reps AS (SELECT doc_id, weight, unnest(range(weight)) AS r FROM wdoc),
+      |pri AS (
+      |  SELECT doc_id, weight,
+      |    min(CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)
+      |      || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)) AS priority
+      |  FROM reps GROUP BY doc_id, weight)
+      |SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
+      |FROM pri ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+    "Weighted sampling without replacement (Efraimidis-Spirakis shape, " +
+      "min of w md5 clocks): deterministic, replica-exact oracle")
+
+  def defs: Seq[QueryDef] = Seq(q184_weighted_sample, q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,
     q117_url_canonical_dedup, q122_blocklist_filter,

@@ -367,4 +367,54 @@ object TextAnalysis {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_big * c_ab) " +
           "div (c_a * c_b) AS BIGINT)").as("pmi_ppm"))
   }
+
+  /** BM25-shape keyword relevance scoring (Robertson/Spärck Jones) with
+    * the transcendentals replaced by exact rationals so the score is a
+    * zero-tolerance integer: idf's log((N−df+½)/(df+½)) becomes the
+    * rational (2N−2df+1)/(2df+1) itself (same ordering, never negative
+    * — the log's notorious negative-idf edge vanishes), and the tf
+    * saturation keeps its exact Robertson form with k1=6/5, b=3/4
+    * cleared of denominators:
+    *
+    *   tf_part = 22·A·tf / (10·A·tf + 3·A + 9·dl·N)
+    *
+    * (A = corpus token count, N = doc count, dl = doc length). Each
+    * term's contribution is floored to ppm, then summed per doc.
+    *
+    * Scale shape: one token explode feeding three map-side-combined
+    * aggs (doc lengths, the query-term pick, per-doc tf restricted by a
+    * broadcast semi-join on the k query terms), a term-keyed df agg,
+    * and one 1-row totals broadcast; top-k is a partial TakeOrdered.
+    * All products DECIMAL(38,0)-guarded: at 100 TB (A≈10¹⁴, N≈10¹⁰) the
+    * largest numerator is ≈10³⁵.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nTerms: Int, minTermLen: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
+    val terms = toks.filter(length(col("w")) >= minTermLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(nTerms)
+      .select("w")
+    val tf = toks.join(terms, Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) *
+                  (2 * n_docs - 2 * df + 1) * 22 * a_tokens * tf) div
+                (CAST(2 * df + 1 AS DECIMAL(38,0)) *
+                  (CAST(10 AS DECIMAL(38,0)) * a_tokens * tf +
+                   3 * a_tokens + CAST(9 AS DECIMAL(38,0)) * dl * n_docs))"""
+          .stripMargin).as("contrib"))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .select(col("doc_id"), col("score").cast(LongType).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id")).limit(k)
+  }
 }

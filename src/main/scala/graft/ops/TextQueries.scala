@@ -655,7 +655,52 @@ object TextQueries {
         .limit(50)
   }
 
+  /** [[TextAnalysis.bm25TopK]]: BM25-shape keyword retrieval with every
+    * transcendental replaced by an exact rational (idf → the
+    * (2N−2df+1)/(2df+1) argument itself; k1=6/5, b=3/4 cleared of
+    * denominators), so the relevance ranking is a zero-tolerance integer
+    * oracle rather than a float-tolerance gate. The query = the corpus's
+    * 3 most frequent ≥6-char tokens (deterministic, (cnt DESC, w)
+    * tie-broken), the answer = the 20 highest-scoring docs.
+    */
+  val q183_bm25_scoring: QueryDef = q(
+    "q183_bm25_scoring",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS a_tokens FROM dl),
+      |terms AS MATERIALIZED (
+      |  SELECT w FROM toks WHERE length(w) >= 6
+      |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 3),
+      |tf AS MATERIALIZED (
+      |  SELECT t.doc_id, t.w, count(*) AS tf
+      |  FROM toks t JOIN terms USING (w) GROUP BY t.doc_id, t.w),
+      |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id, sum(
+      |    (CAST(1000000 AS HUGEINT) *
+      |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
+      |       (SELECT a_tokens FROM tot) * tf.tf) //
+      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
+      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |        3 * (SELECT a_tokens FROM tot) +
+      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |  FROM tf
+      |  JOIN dfx ON dfx.w = tf.w
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score_ppm
+      |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "BM25-shape keyword relevance (exact rational idf + Robertson tf " +
+      "saturation, floor-ppm per term): top-20 docs, zero-tolerance oracle") {
+    (s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        nTerms = 3, minTermLen = 6, k = 20)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q183_bm25_scoring,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,

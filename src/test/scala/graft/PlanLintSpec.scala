@@ -49,6 +49,7 @@ class PlanLintSpec extends SparkSpec {
     "q164_ivf_search" -> "k-row centroid broadcast for the coarse-routing crossJoin (brute-force exact baseline broadcasts the 5-row query set — q129's shape over the plain-IVF index)",
     "q166_word_pmi" -> "one-row bigram total (PMI numerator) broadcast onto the pair counts",
     "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts",
+    "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"

@@ -201,6 +201,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: relaxation beats the direct edge; round cap; early exit; unreachable absent") {
+    // 1→2 (5), 2→3 (1), 1→3 (10): the 2-hop path wins at round 2;
+    // 7→8 is an unseeded component and must stay absent
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (7L, 8L, 1L))
+      .toDF("s", "t", "cost")
+    val seeds = Seq(1L).toDF("v")
+    def run(r: Int): Map[Long, Long] =
+      Graph.shortestPaths(e, seeds, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L), "≤1-edge paths only")
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    // fixpoint early exit: a large round budget returns the same frame
+    assert(run(50) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+  }
+
   test("hits: pure hub/authority split, fan-out asymmetry, cycle fixpoint") {
     def run(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Long, Long)] =
       Graph.hits(edges.toDF("s", "t"), iters)

@@ -1632,4 +1632,51 @@ class OpsSpec extends SparkSpec {
       .toMap
     assert(p2 == m)
   }
+
+  test("bm25TopK: exact rational scores on a hand-computed corpus") {
+    import spark.implicits._
+    // terms picked: banana (4), apple (3); N=3, A=8. Expected ppm scores
+    // from the exact recurrence (see TextAnalysis.bm25TopK scaladoc):
+    // d1 matches both terms, d3 only banana (tf=3, longest doc), d2 only
+    // apple — ordering d1 > d3 > d2 with exact integer values
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        nTerms = 2, minTermLen = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 1367791L), (3L, 918260L), (2L, 668354L)))
+  }
+
+  test("weightedSample: min-of-w-clocks priorities, deterministic, monotone in weight") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 1L + (i % 16))).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(docs, "doc_id", "w", "t", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(a.size == 50)
+    assert(a.map(_._3) == a.map(_._3).sorted, "ascending priority order")
+    // pure function of (seed, id, replica): partitioning cannot change it
+    val b = Sampling.weightedSample(docs.repartition(13), "doc_id", "w", "t", k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(a == b)
+    // priority = min over the doc's replica keys, replayed byte-for-byte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, r: Long): Long = {
+      val hex = md.digest(s"t:$id:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    a.foreach { case (id, w, pri) =>
+      assert(pri == (0L until w).map(key(id, _)).min, s"doc $id")
+    }
+    // more clocks can only lower the min: doubling every weight must not
+    // raise any doc's priority (same seed → replicas are a superset)
+    val dbl = Sampling.weightedSample(
+        docs.withColumn("w", col("w") * 2), "doc_id", "w", "t", k = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val all = Sampling.weightedSample(docs, "doc_id", "w", "t", k = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    all.foreach { case (id, pri) => assert(dbl(id) <= pri) }
+  }
 }
