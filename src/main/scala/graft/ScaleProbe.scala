@@ -740,6 +740,114 @@ object ScaleProbe {
     probeScenes(s"1 video x ${math.min(inject / 5, 4000)} frames (one fat partition)",
       1, math.min(inject / 5, 4000))
 
+    // q180: HITS with a CELEBRITY AUTHORITY — `inject` distinct sources
+    // all pointing at one node. Per round the hub/auth frames are
+    // node-sized hash aggs (map-side combinable), so the hot node is one
+    // combiner key, never a single-task partition of raw edges.
+    locally {
+      val de = evBase
+        .select(col("user_id").as("s"), (col("user_id") % 97).as("t"))
+        .distinct()
+      def probeHits(scale: String, edges: DataFrame, n: Long): Unit = {
+        val (rows, t) = time(ops.Graph.hits(edges, iters = 3).count())
+        emit("q180_hits_scores", scale, n, t, rows)
+      }
+      val nDe = de.count()
+      probeHits("1x", de, nDe)
+      val celeb = spark.range(inject)
+        .select((col("id") + 700000000L).as("s"), lit(-5L).as("t"))
+      probeHits(s"celebrity authority with $inject in-edges",
+        de.unionAll(celeb), nDe + inject)
+    }
+
+    // q181: skyline under ANTI-CORRELATED criteria — the worst case where
+    // EVERY point is on the frontier (x + y constant), so partition-local
+    // pruning removes nothing and the global sweep runs over the full
+    // candidate union in one task. The probe pins that even this
+    // degenerate shape stays a linear single-pass sweep (output = input);
+    // correlated data (the 1x run) prunes to a handful of candidates.
+    locally {
+      def probeSky(scale: String, df: DataFrame, n: Long): Unit = {
+        val (rows, t) = time(
+          ops.Skyline.skyline2d(df, "x", "y").count())
+        emit("q181_skyline", scale, n, t, rows)
+      }
+      val corr = spark.range(inject * 10L).select(col("id").as("doc_id"),
+        (col("id") % 10007).as("x"), ((col("id") * 31L) % 9973).as("y"))
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      probeSky("uncorrelated 10x", corr, corr.count())
+      // worst case for min-x/max-y: every price increase buys more
+      // quantity, so no point dominates another — output = input and the
+      // global sweep degenerates to one linear pass over all rows
+      val anti = spark.range(inject * 10L).select(col("id").as("doc_id"),
+        col("id").as("x"), col("id").as("y"))
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      probeSky("anti-correlated (all points on frontier)", anti, anti.count())
+      corr.unpersist(); anti.unpersist()
+    }
+
+    // q185: rolling distinct with ONE HOT DAY — `inject` users all active
+    // on the same day. The cover explode is a constant 7× regardless of
+    // key skew, and the per-day count is a map-side-combined hash agg.
+    locally {
+      def probeRolling(scale: String, ev: DataFrame, n: Long): Unit = {
+        val ad = ev.select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val days = ad.select("day").distinct()
+        val (rows, t) = time(
+          ad.select(col("user_id"),
+              explode(expr("sequence(day, day + 6)")).as("day"))
+            .distinct()
+            .join(days, Seq("day"), "left_semi")
+            .groupBy("day").agg(count(lit(1)).as("n_users"))
+            .count())
+        emit("q185_rolling_distinct", scale, n, t, rows)
+      }
+      probeRolling("1x", evBase, nEv)
+      val hotDay = spark.range(inject).select(
+        (col("id") + 800000000L).as("user_id"), lit("view").as("event_type"),
+        lit(1704067200L).as("ts_sec"))
+      probeRolling(s"one day with $inject distinct users",
+        evBase.unionAll(hotDay), nEv + inject)
+    }
+
+    // q187: attribution with a CELEBRITY BUYER — one user with `inject`
+    // touches and inject/10 purchases. The bucketized interval join keeps
+    // candidates to the touches of a 6-day span per purchase; a plain
+    // user-equi join would generate touches×purchases pairs for this user.
+    locally {
+      def probeAttr(scale: String, ev: DataFrame, n: Long): Unit = {
+        val win = 259200L
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), (col("ts_sec") * 1000000000L).as("t_ts"),
+            col("event_type").as("touch_type"),
+            explode(array(expr(s"ts_sec div $win"),
+              expr(s"ts_sec div $win") + 1)).as("bk"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), (col("ts_sec") * 1000000000L).as("p_ts"),
+            concat(col("user_id"), lit(":"), col("ts_sec")).as("pid"),
+            expr(s"ts_sec div $win").as("bk"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+        val (rows, t) = time(
+          purchases.join(touches, Seq("user_id", "bk"))
+            .filter(col("t_ts") < col("p_ts") &&
+              col("t_ts") >= col("p_ts") - lit(259200000000000L))
+            .withColumn("k", count(lit(1)).over(w))
+            .groupBy("touch_type")
+            .agg(count(lit(1)).as("n_touches"),
+              sum(expr("1000000 div k")).as("credit_ppm"))
+            .count())
+        emit("q187_linear_attribution", scale, n, t, rows)
+      }
+      probeAttr("1x", evBase, nEv)
+      val buyer = spark.range(inject).select(lit(-9L).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("id") % 10 === 0).cast("int") * 2 + 1).as("event_type"),
+        (lit(1704067200L) + col("id") * 600L).as("ts_sec"))
+      probeAttr(s"celebrity buyer with $inject events",
+        evBase.unionAll(buyer), nEv + inject)
+    }
+
     // Straggler probe (VERDICT round-10 #1): ONE 10⁵-row bucket — every
     // row identical text, so all 10⁵ land in the same (band, bucket) of
     // every band. Under the old count().over(Window) cap this bucket was

@@ -1405,6 +1405,231 @@ object EventQueries {
          |  FROM rh$k)""".stripMargin
     }.mkString(",\n")
 
+  /** Rolling 7-day DISTINCT users per day — the distinct-over-sliding-
+    * window aggregate that plain window functions cannot express
+    * scalably (COUNT(DISTINCT) OVER a range frame re-scans every frame).
+    * The scalable shape is the COVER EXPLODE: each (user, active day)
+    * pair covers days d..d+6, so a bounded 7× explode + distinct + one
+    * hash agg answers every day at once — no range self-join of the fact
+    * table, no per-day rescans. Restricted to days that had any
+    * activity (semi-join on the distinct-day frame).
+    */
+  val q185_rolling_distinct: QueryDef = q(
+    "q185_rolling_distinct",
+    """WITH ad AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ad)
+      |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM days d
+      |JOIN ad a ON a.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day
+      |ORDER BY d.day""".stripMargin,
+    "Rolling 7-day distinct users per active day — bounded cover-explode " +
+      "engine plan vs the oracle's range join") { (s, d) =>
+    val ad = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .distinct()
+    val days = ad.select("day").distinct()
+    ad.select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("n_users"))
+      .orderBy("day")
+  }
+
+  /** A/B conversion-rate lift with an EXACT rational two-proportion
+    * z² statistic: variants split by seeded md5 (first hex digit < '8'
+    * → A), conversion = the user ever purchased. Algebra cleared of
+    * every division:
+    *
+    *   z² = (c_a·n_b − c_b·n_a)² · N / (n_a·n_b·C·(N−C))
+    *
+    * (C = c_a+c_b, N = n_a+n_b), emitted floor-ppm; lift = p_a/p_b
+    * floor-ppm. Exact for variant populations up to ~10⁹ users (the
+    * squared cross-term is the DECIMAL(38) binding constraint —
+    * pre-scale counts beyond that). Degenerate inputs (no conversions,
+    * or a conversion rate of 1) emit 0 via the same CASE on both
+    * engines. One corpus pass → user-sized agg → one row.
+    */
+  val q186_ab_lift: QueryDef = q(
+    "q186_ab_lift",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 'A' ELSE 'B' END AS variant,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |agg AS (
+      |  SELECT
+      |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+      |    sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS c_a,
+      |    sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS c_b
+      |  FROM u)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+      |  CAST(CASE WHEN c_b = 0 OR n_a = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT) * c_a * n_b) // (n_a * c_b) END
+      |    AS BIGINT) AS lift_ppm,
+      |  CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+      |         OR c_a + c_b = n_a + n_b THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT)
+      |        * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |        * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |        * (n_a + n_b))
+      |      // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+      |        * (n_a + n_b - c_a - c_b)) END
+      |    AS BIGINT) AS z2_ppm
+      |FROM agg""".stripMargin,
+    "A/B conversion lift + exact rational two-proportion z^2 (floor-ppm, " +
+      "division-free algebra) — md5 variant split shared with the oracle") {
+    (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant",
+          when(substring(md5(concat(lit("ab:"), col("user_id").cast(StringType))),
+            1, 1) < "8", "A").otherwise("B"))
+      u.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("c_b"))
+        .selectExpr(
+          "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+          "CAST(c_a AS BIGINT) AS conv_a", "CAST(c_b AS BIGINT) AS conv_b",
+          """CAST(CASE WHEN c_b = 0 OR n_a = 0 THEN 0
+             ELSE (CAST(1000000 AS DECIMAL(38,0)) * c_a * n_b) div (n_a * c_b) END
+             AS BIGINT) AS lift_ppm""",
+          """CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                  OR c_a + c_b = n_a + n_b THEN 0
+             ELSE (CAST(1000000 AS DECIMAL(38,0))
+                 * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+                 * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+                 * (n_a + n_b))
+               div (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+                 * (n_a + n_b - c_a - c_b)) END
+             AS BIGINT) AS z2_ppm""")
+  }
+
+  /** Linear multi-touch attribution — every purchase's credit is split
+    * equally (floor-ppm) across the user's click/view touches in the
+    * strict 3-day window before it, then rolled up per touch channel.
+    * The marketing-analytics join shape: conversions ⋈ touches on
+    * user_id equality + a time-range predicate (user-co-partitioned, one
+    * hash shuffle), per-purchase touch count as a window over the
+    * purchase-id partition (bounded by touches per purchase, never
+    * corpus-sized). Credit arithmetic is pure integer: 10⁶ div k per
+    * touch, so a purchase's emitted credit is exactly k·(10⁶ div k).
+    */
+  val q187_linear_attribution: QueryDef = q(
+    "q187_linear_attribution",
+    """WITH t AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id AS pid, t.event_type AS touch_type
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 3 DAY),
+      |km AS (SELECT *, count(*) OVER (PARTITION BY pid) AS k FROM m)
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(1000000 // k) AS BIGINT) AS credit_ppm
+      |FROM km GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    "Linear multi-touch attribution: equal floor-ppm credit across the " +
+      "3-day pre-purchase touches, rolled up per channel") { (s, d) =>
+    // Bucketized interval join (RangeJoin's rewrite): a plain user-equi
+    // join would generate touches×purchases candidate pairs PER USER
+    // (quadratic under a celebrity user); quantizing time into 3-day
+    // buckets and exploding each touch into (bk, bk+1) bounds the
+    // candidates per purchase to the touches of a 6-day span.
+    val ev = Tables.events(s, d)
+    val win = 259200L // 3 days, seconds
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ns").as("t_ts"),
+        col("event_type").as("touch_type"),
+        explode(array(expr(s"ts_sec div $win"), expr(s"ts_sec div $win") + 1))
+          .as("bk"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ts"), col("event_id").as("pid"),
+        expr(s"ts_sec div $win").as("bk"))
+    val m = purchases.join(touches, Seq("user_id", "bk"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(259200000000000L))
+    val w = Window.partitionBy("pid")
+    m.withColumn("k", count(lit(1)).over(w))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("1000000 div k")).as("credit_ppm"))
+      .orderBy("touch_type")
+  }
+
+  /** CUSUM change-point detection over per-type daily counts — the
+    * sequential drift detector a rolling z-score (q167) cannot express:
+    * S_d = max(0, S_{d−1} + (x_d − target)) accumulates small sustained
+    * shifts; alarm when S_d > 2·target. The recurrence is inherently
+    * sequential, but only over the AGGREGATE frame (days per type —
+    * calendar-bounded, never corpus-sized): the corpus pass is one hash
+    * agg; the per-type day series is then folded in-row with the
+    * `aggregate` higher-order function over the sorted array (a
+    * sentinel-0 accumulator head keeps element_at(-1) total). The
+    * oracle replays the same recurrence as a recursive CTE over the
+    * row-numbered day series. target = floor(mean daily count), exact
+    * integer div.
+    */
+  val q188_cusum_changepoint: QueryDef = q(
+    "q188_cusum_changepoint",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tgt AS (
+      |  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target
+      |  FROM daily GROUP BY event_type),
+      |rd AS (
+      |  SELECT d.event_type, d.day, d.x, t.target,
+      |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      |  FROM daily d JOIN tgt t USING (event_type)),
+      |cus AS (
+      |  SELECT event_type, day, x, target, rn,
+      |    GREATEST(CAST(0 AS BIGINT), x - target) AS s
+      |  FROM rd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT rd.event_type, rd.day, rd.x, rd.target, rd.rn,
+      |    GREATEST(CAST(0 AS BIGINT), cus.s + rd.x - rd.target)
+      |  FROM rd JOIN cus ON cus.event_type = rd.event_type
+      |    AND rd.rn = cus.rn + 1)
+      |SELECT event_type, day, x, s,
+      |  CAST(CASE WHEN s > 2 * target THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM cus ORDER BY event_type, day""".stripMargin,
+    "CUSUM change-point detection per event type: sequential max(0, ...) " +
+      "recurrence folded in-row over the day-series array; recursive-CTE oracle") {
+    (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("seq"),
+          expr("sum(x) div count(1)").as("target"))
+        .withColumn("ss", expr(
+          """slice(aggregate(seq, array(CAST(0 AS BIGINT)),
+            |  (acc, e) -> concat(acc, array(greatest(CAST(0 AS BIGINT),
+            |    element_at(acc, -1) + e.x - target)))), 2, size(seq))"""
+            .stripMargin))
+        .select(col("event_type"), col("target"),
+          explode(arrays_zip(col("seq"), col("ss"))).as("z"))
+        .select(col("event_type"),
+          col("z.seq.day").as("day"), col("z.seq.x").as("x"),
+          col("z.ss").as("s"),
+          when(col("z.ss") > lit(2) * col("target"), 1L).otherwise(0L).as("alarm"))
+        .orderBy("event_type", "day")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -1501,7 +1726,8 @@ object EventQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    q180_hits_scores, q182_weighted_sssp,
+    q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
+    q187_linear_attribution, q188_cusum_changepoint,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
