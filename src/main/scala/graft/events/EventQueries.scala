@@ -1630,6 +1630,154 @@ object EventQueries {
         .orderBy("event_type", "day")
   }
 
+  /** Sequential-pattern support (PrefixSpan's counting core): for every
+    * ordered event-type triple (gap-allowed subsequence, NOT q178's
+    * adjacent transitions), how many users' journeys contain it. The
+    * subsequence-exists test is the GREEDY first-match fold — provably
+    * equivalent to ∃ i<j<k — run in-row by the `aggregate` HOF over each
+    * user's journey array (journeys are user-bounded; the 5³ pattern set
+    * is a 125× bounded explode of the user-sized journey frame, never of
+    * the corpus). The oracle replays the same greedy via
+    * list_position + list-slicing over identically-ordered journeys;
+    * both sides order by (ts, event_id), a total order.
+    */
+  val q189_sequence_support: QueryDef = q(
+    "q189_sequence_support",
+    """WITH j AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |types AS (
+      |  SELECT unnest(['click','error','purchase','signup','view']) AS t),
+      |pats AS (SELECT a.t AS p1, b.t AS p2, c.t AS p3
+      |  FROM types a, types b, types c),
+      |pos AS (
+      |  SELECT p1, p2, p3, user_id,
+      |    COALESCE(list_position(seq, p1), 0) AS i1,
+      |    seq FROM j, pats),
+      |pos2 AS (
+      |  SELECT *, CASE WHEN i1 > 0
+      |      THEN COALESCE(list_position(seq[i1 + 1 :], p2), 0)
+      |      ELSE 0 END AS i2
+      |  FROM pos),
+      |pos3 AS (
+      |  SELECT *, CASE WHEN i2 > 0
+      |      THEN COALESCE(list_position(seq[i1 + i2 + 1 :], p3), 0)
+      |      ELSE 0 END AS i3
+      |  FROM pos2)
+      |SELECT p1 || '>' || p2 || '>' || p3 AS pattern,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM pos3 WHERE i3 > 0
+      |GROUP BY 1 ORDER BY support DESC, pattern LIMIT 25""".stripMargin,
+    "Sequential-pattern support: per ordered type triple, users whose " +
+      "journey contains it as a subsequence (greedy in-row fold)") { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pats = for { a <- types; b <- types; c <- types } yield Seq(a, b, c)
+    val patCol = array(pats.map(p => array(p.map(lit): _*)): _*)
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+          col("event_type")))), e => e("event_type")).as("seq"))
+      .select(col("user_id"), col("seq"), explode(patCol).as("p"))
+      .filter(expr(
+        """aggregate(seq, 0, (acc, e) ->
+          |  CASE WHEN acc < 3 AND e = element_at(p, acc + 1)
+          |    THEN acc + 1 ELSE acc END) = 3""".stripMargin))
+      .groupBy(concat_ws(">", col("p")).as("pattern"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pattern"))
+      .limit(25)
+  }
+
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * slopes of the daily-count series — the estimator that shrugs off
+    * outlier days where least squares folds. Day pairs live on the
+    * AGGREGATE frame (days²/2 per type, calendar-bounded), so the
+    * pairwise "join" is a per-type self-join of a tiny series, and the
+    * median is a partitioned window over those pairs. Slopes are exact
+    * floor-ppm rationals with q179's portable-floor CASE (numerators go
+    * negative on falling series; Spark `div` truncates, DuckDB `//`
+    * floors — the CASE makes both floor). Lower median, fully
+    * tie-broken by (slope_ppm, d1, d2).
+    */
+  val q190_theilsen_trend: QueryDef = q(
+    "q190_theilsen_trend",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+      |    1000000 * (b.x - a.x) AS n, b.day - a.day AS dd
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND b.day > a.day),
+      |sl AS (
+      |  SELECT event_type, d1, d2,
+      |    CASE WHEN n >= 0 THEN n // dd
+      |         ELSE -((-n + dd - 1) // dd) END AS slope_ppm
+      |  FROM pr),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope_ppm, d1, d2) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM sl)
+      |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs, slope_ppm
+      |FROM rk WHERE rn = (cnt + 1) // 2
+      |ORDER BY event_type""".stripMargin,
+    "Theil-Sen robust trend: median pairwise slope of the daily series " +
+      "per type, exact floor-ppm with portable floor division") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("x").as("x2"))
+    val pr = a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        (lit(1000000L) * (col("x2") - col("x1"))).as("n"),
+        (col("d2") - col("d1")).as("dd"))
+    val sl = pr.select(col("event_type"), col("d1"), col("d2"),
+      expr("""CASE WHEN n >= 0 THEN n div dd
+             |     ELSE -((-n + dd - 1) div dd) END""".stripMargin).as("slope_ppm"))
+    val w = Window.partitionBy("event_type")
+    sl.withColumn("rn", row_number().over(w.orderBy("slope_ppm", "d1", "d2")))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("cnt").as("n_pairs"), col("slope_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Behavioral concentration (Herfindahl–Hirschman index) per user:
+    * Σ (type share)² in exact ppm — the division-free quadratic
+    * concentration measure (entropy needs a log; HHI is rational).
+    * hhi_ppm = (10⁶ · Σ cntᵢ²) div (Σ cntᵢ)², 10⁶ = single-type users.
+    * Two map-side-combined hash aggs, no window, no join.
+    */
+  val q191_hhi_concentration: QueryDef = q(
+    "q191_hhi_concentration",
+    """WITH tc AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, sum(c) AS total, sum(c * c) AS sq
+      |  FROM tc GROUP BY user_id)
+      |SELECT user_id, CAST(total AS BIGINT) AS n_events,
+      |  CAST((CAST(1000000 AS HUGEINT) * sq) // (total * total) AS BIGINT)
+      |    AS hhi_ppm
+      |FROM u ORDER BY user_id""".stripMargin,
+    "Behavioral concentration: per-user HHI over event-type shares, " +
+      "exact quadratic ppm (no logs, no doubles)") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("total"), sum(col("c") * col("c")).as("sq"))
+      .select(col("user_id"), col("total").as("n_events"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sq) div (total * total) AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy("user_id")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -1727,7 +1875,8 @@ object EventQueries {
 
   def defs: Seq[QueryDef] = Seq(
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
-    q187_linear_attribution, q188_cusum_changepoint,
+    q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
+    q190_theilsen_trend, q191_hhi_concentration,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
