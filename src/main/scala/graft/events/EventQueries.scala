@@ -1778,6 +1778,138 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Jaccard link prediction: for non-adjacent user pairs, the Jaccard
+    * similarity of their neighborhoods — |N(a)∩N(b)| / |N(a)∪N(b)| in
+    * exact ppm — ranked top-20 (the classic common-neighbors link
+    * predictor). Wedge generation is HUB-CAPPED: common neighbors are
+    * counted only through centers of degree ≤ 2× the mean degree (a
+    * celebrity-mediated co-neighbor carries no tie signal, and an
+    * uncapped wedge join is deg² per center — the LSH-bucket-cap rule
+    * applied to graphs; the data-adaptive threshold ⌊2·Σdeg/n⌋ binds on
+    * skewed graphs and is vacuous on regular ones). The cap is part of
+    * the pinned semantics: the oracle applies the same degree filter.
+    * Degrees in the denominator stay FULL. Candidate pairs are bounded
+    * by Σ_{deg(w)≤cap} deg(w)² ≤ cap·|E|; existing edges are removed by
+    * one anti-join on the canonical pair.
+    */
+  val q192_link_prediction: QueryDef = q(
+    "q192_link_prediction",
+    edgesSql +
+      """,
+        |adj AS (SELECT a AS v, b AS n FROM we UNION ALL SELECT b AS v, a AS n FROM we),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+        |low AS (SELECT v FROM deg
+        |  WHERE deg <= (SELECT 2 * sum(deg) // count(*) FROM deg)),
+        |cn AS (
+        |  SELECT a1.v AS p, a2.v AS q, CAST(count(*) AS BIGINT) AS inter
+        |  FROM adj a1
+        |  JOIN low l ON l.v = a1.n
+        |  JOIN adj a2 ON a2.n = a1.n AND a2.v > a1.v
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT cn.* FROM cn
+        |  LEFT JOIN we ON we.a = cn.p AND we.b = cn.q
+        |  WHERE we.a IS NULL)
+        |SELECT c.p AS a, c.q AS b, c.inter,
+        |  CAST((CAST(1000000 AS HUGEINT) * c.inter)
+        |    // (dp.deg + dq.deg - c.inter) AS BIGINT) AS jaccard_ppm
+        |FROM cand c
+        |JOIN deg dp ON dp.v = c.p
+        |JOIN deg dq ON dq.v = c.q
+        |ORDER BY jaccard_ppm DESC, a, b LIMIT 20""".stripMargin,
+    "Jaccard link prediction over the interaction graph: hub-capped " +
+      "common-neighbor wedges, full-degree union, exact ppm, top-20") {
+    (s, d) =>
+      val we = graft.ops.Graph.fromEvents(s, d).select(col("source").as("a"),
+        col("target").as("b"))
+      val adj = we.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(we.select(col("b").as("v"), col("a").as("n")))
+      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      val cap = deg.agg(expr("2 * sum(deg) div count(1)").as("cap"))
+      val low = deg.crossJoin(broadcast(cap))
+        .filter(col("deg") <= col("cap")).select(col("v").as("n"))
+      val capped = adj.join(low, Seq("n"), "left_semi")
+      val cn = capped.select(col("v").as("p"), col("n"))
+        .join(capped.select(col("v").as("q"), col("n")), Seq("n"))
+        .filter(col("q") > col("p"))
+        .groupBy("p", "q").agg(count(lit(1)).as("inter"))
+      val cand = cn.join(we,
+        cn("p") === we("a") && cn("q") === we("b"), "left_anti")
+      cand
+        .join(deg.select(col("v").as("p"), col("deg").as("dp")), Seq("p"))
+        .join(deg.select(col("v").as("q"), col("deg").as("dq")), Seq("q"))
+        .select(col("p").as("a"), col("q").as("b"), col("inter"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * inter)
+                 |  div (dp + dq - inter) AS BIGINT)""".stripMargin)
+            .as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+        .limit(20)
+  }
+
+  /** [[graft.ops.Incremental.mergeJoinView]] — maintenance tier 3: an
+    * orders⋈customer JOIN view kept current under a CDC batch of order
+    * inserts (id-offset clones, offset = max(o_orderkey)+1 broadcast, the
+    * q126 rule), order deletes (o_orderkey ≡ 3 mod 17), and customer
+    * payload UPDATES (name suffixed `#v2` for c_custkey ≡ 2 mod 11). The
+    * oracle re-joins the post-churn tables from scratch; the per-nation
+    * digest (row count, exact cents, Σ order keys, refreshed-payload
+    * count) hash-fails on any dropped/double-counted row or stale dim
+    * payload the delta rules mishandle.
+    */
+  val q193_incremental_join_view: QueryDef = QueryDef(
+    "q193_incremental_join_view",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_nationkey"))
+      val view = o.join(c, Seq("o_custkey"))
+      val del = o.filter(col("o_orderkey") % 17 === 3).select("o_orderkey")
+      val mk = o.agg(max("o_orderkey").as("mk"))
+      val ins = o.filter(col("o_orderkey") % 13 === 5)
+        .crossJoin(broadcast(mk))
+        .select((col("o_orderkey") + col("mk") + 1).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val upd = c.filter(col("o_custkey") % 11 === 2)
+        .select(col("o_custkey"), concat(col("c_name"), lit("#v2")).as("c_name"),
+          col("c_nationkey"))
+      graft.ops.Incremental
+        .mergeJoinView(view, o, c, ins, del, upd, "o_custkey", "o_orderkey")
+        .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("sum_cents"),
+          sum("o_orderkey").cast(LongType).as("sum_okey"),
+          sum(when(col("c_name").endsWith("#v2"), 1L).otherwise(0L))
+            .as("n_updated"))
+        .orderBy("c_nationkey")
+    },
+    Some("""WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |o2 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 17 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT mk FROM mk) + 1, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 5),
+      |c2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 2 THEN c_name || '#v2' ELSE c_name END
+      |      AS c_name,
+      |    c_nationkey
+      |  FROM customer)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(sum(CASE WHEN c_name LIKE '%#v2' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_updated
+      |FROM o2 JOIN c2 ON c2.c_custkey = o2.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Incremental JOIN-view maintenance (delta rules, affected-key rescan " +
+      "only): post-CDC view proven equal to a from-scratch re-join")
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -1876,7 +2008,8 @@ object EventQueries {
   def defs: Seq[QueryDef] = Seq(
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
-    q190_theilsen_trend, q191_hhi_concentration,
+    q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
+    q193_incremental_join_view,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -115,4 +115,45 @@ object Incremental {
       .withColumn("avg_value", col("s").cast("double") / col("n"))
       .drop("s")
   }
+
+  /** Maintenance tier 3: an INNER equi-join VIEW
+    * `V = facts ⋈_joinKey dims` (dim unique per key) under a CDC batch
+    * of fact inserts, fact deletes (by row id), and dim row UPDATES
+    * (replacement payloads by key). The classic delta rules
+    * (ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD), arranged so the standing sides are
+    * touched only where the delta lands:
+    *
+    *   1. drop view rows whose fact id was deleted — one anti-join with
+    *      a delta-sized probe;
+    *   2. drop view rows whose dim key was updated (stale dim payload)
+    *      and RE-DERIVE them: post-churn facts restricted to the updated
+    *      keys (one semi-join — the affected-key rescan, q162's rule
+    *      lifted to the join tier; partition-prunable on a key-partitioned
+    *      fact table) joined against the replacement dim rows;
+    *   3. join fact inserts on un-updated keys against the standing dims
+    *      (inserts on updated keys already arrived via rule 2's
+    *      post-churn fact side).
+    *
+    * `factCols`/`dimCols` name the view's payload columns. The result is
+    * proven ≡ a from-scratch re-join by the q193 oracle.
+    */
+  def mergeJoinView(view: DataFrame, facts: DataFrame, dims: DataFrame,
+      factIns: DataFrame, factDelIds: DataFrame, dimUpd: DataFrame,
+      joinKey: String, factIdCol: String): DataFrame = {
+    val updKeys = dimUpd.select(joinKey)
+    val kept = view
+      .join(factDelIds, Seq(factIdCol), "left_anti")
+      .join(updKeys, Seq(joinKey), "left_anti")
+    // rule 2: post-churn facts of the updated keys only
+    val affFacts = facts
+      .join(factDelIds, Seq(factIdCol), "left_anti")
+      .unionByName(factIns)
+      .join(updKeys, Seq(joinKey), "left_semi")
+    val rederived = affFacts.join(dimUpd, Seq(joinKey))
+    // rule 3: fresh facts on untouched keys against the standing dim
+    val freshOther = factIns
+      .join(updKeys, Seq(joinKey), "left_anti")
+      .join(dims, Seq(joinKey))
+    kept.unionByName(rederived).unionByName(freshOther)
+  }
 }

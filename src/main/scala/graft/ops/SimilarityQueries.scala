@@ -1009,7 +1009,111 @@ object SimilarityQueries {
       "set -> shared-quantizer topics -> per-topic hash-ranked caps, " +
       "full-composition value oracle")
 
-  def defs: Seq[QueryDef] = Seq(q32_knn_cosine, q33_ann_lsh_buckets,
+  /** Unrolled MMR generations for the q194 oracle: each round joins the
+    * shortlist against the max-similarity-to-selected aggregate, argmax
+    * by (rel − maxsim, vec_id), and unions the pick into the selected
+    * set. AS MATERIALIZED — each sel$t is read three times.
+    */
+  private def mmrRoundSql(rounds: Int): String =
+    (2 to rounds).map { t =>
+      s"""pick$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.rel, s.rel - m.msim AS mmr, $t AS rank
+         |  FROM sl s
+         |  JOIN (SELECT ss.a AS vec_id, max(ss.sim) AS msim
+         |        FROM ss JOIN sel${t - 1} p ON p.vec_id = ss.b
+         |        GROUP BY ss.a) m ON m.vec_id = s.vec_id
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY mmr DESC, s.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** Maximal Marginal Relevance retrieval (Carbonell/Goldstein) — the
+    * diversified-RAG read path: shortlist the 20 highest-dot candidates
+    * for the query vector (vec_id = min id), then greedily pick 5 by
+    * `rel − max-sim-to-selected` (λ=½ up to the monotone 2× the argmax
+    * ignores), so near-duplicate shortlist entries cannot crowd the
+    * answer. Every dot is the q32 decimal bridge, so the greedy argmax
+    * chain is bit-exact on both engines and the whole selection is a
+    * zero-tolerance value oracle (rank, ids, floor-ppm scores). Scale
+    * shape: one broadcast-query dot pass + a 20-vector pairwise matrix +
+    * 4 rounds over ≤20-row frames.
+    */
+  val q194_mmr_retrieval: QueryDef = QueryDef(
+    "q194_mmr_retrieval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ex = exploded(emb)
+      val qid = emb.agg(min("vec_id").as("qid"))
+      val qX = ex.join(broadcast(qid), col("vec_id") === col("qid"))
+        .select(col("i"), col("x").as("qxv"))
+      val rel = ex.join(broadcast(qX), Seq("i"))
+        .crossJoin(broadcast(qid))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("vec_id")
+        .agg(sum((col("qxv") * col("x")).cast(decP)).as("rel"))
+      val sl = rel.orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sx = ex.join(broadcast(sl.select("vec_id")), Seq("vec_id"))
+      val ss = sx.select(col("vec_id").as("a"), col("i"), col("x"))
+        .join(sx.select(col("vec_id").as("b"), col("i"), col("x").as("y")), Seq("i"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b")
+        .agg(sum((col("x") * col("y")).cast(decP)).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var sel = sl.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
+          lit(1L).as("rank"))
+      for (t <- 2 to 5) {
+        val selIds = sel.select(col("vec_id").as("b"))
+        val msim = ss.join(selIds, Seq("b"))
+          .groupBy(col("a").as("vec_id")).agg(max("sim").as("msim"))
+        val pick = sl
+          .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(msim, Seq("vec_id"))
+          .select(col("vec_id"), col("rel"),
+            (col("rel") - col("msim")).as("mmr"), lit(t.toLong).as("rank"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        sel = sel.unionByName(pick)
+      }
+      sel.select(col("rank"), col("vec_id"),
+          expr("CAST(floor(1000000 * rel) AS BIGINT)").as("rel_ppm"),
+          expr("CAST(floor(1000000 * mmr) AS BIGINT)").as("mmr_ppm"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |q AS (SELECT min(vec_id) AS qid FROM embeddings),
+      |qx AS (SELECT i, x FROM ex WHERE vec_id = (SELECT qid FROM q)),
+      |rel AS MATERIALIZED (
+      |  SELECT ex.vec_id, SUM(CAST(qx.x * ex.x AS DECIMAL(28,12))) AS rel
+      |  FROM ex JOIN qx ON qx.i = ex.i
+      |  WHERE ex.vec_id <> (SELECT qid FROM q)
+      |  GROUP BY ex.vec_id),
+      |sl AS MATERIALIZED (
+      |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+      |sx AS MATERIALIZED (
+      |  SELECT ex.vec_id, ex.i, ex.x FROM ex JOIN sl ON sl.vec_id = ex.vec_id),
+      |ss AS MATERIALIZED (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS sim
+      |  FROM sx a JOIN sx b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2),
+      |sel1 AS MATERIALIZED (
+      |  SELECT vec_id, rel, rel AS mmr, 1 AS rank
+      |  FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+      |${mmrRoundSql(5)}
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+      |  CAST(floor(1000000 * rel) AS BIGINT) AS rel_ppm,
+      |  CAST(floor(1000000 * mmr) AS BIGINT) AS mmr_ppm
+      |FROM sel5 ORDER BY rank""".stripMargin),
+    "MMR diversified retrieval: exact-decimal greedy argmax chain over " +
+      "the top-20 shortlist — rank/id/score value oracle")
+
+  def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,

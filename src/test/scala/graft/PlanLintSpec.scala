@@ -50,6 +50,9 @@ class PlanLintSpec extends SparkSpec {
     "q166_word_pmi" -> "one-row bigram total (PMI numerator) broadcast onto the pair counts",
     "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts",
     "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
+    "q192_link_prediction" -> "one-row adaptive degree-cap threshold (2x mean degree) broadcast onto the node-degree frame",
+    "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
+    "q194_mmr_retrieval" -> "one-row query-id aggregate broadcast to exclude the query vector from its own shortlist (q131's query-set shape)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"

@@ -1633,6 +1633,36 @@ class OpsSpec extends SparkSpec {
     assert(p2 == m)
   }
 
+  test("mergeJoinView: delete, dim-update rederive, insert on touched and untouched keys") {
+    import spark.implicits._
+    val facts = Seq((1L, 10L, 5.0), (2L, 10L, 6.0), (3L, 20L, 7.0), (4L, 30L, 8.0))
+      .toDF("fid", "k", "v")
+    val dims = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("k", "name")
+    val view = facts.join(dims, Seq("k"))
+    val del = Seq(3L).toDF("fid")
+    // insert 5 on an un-updated key, 6 on a dim-less key (must drop),
+    // 7 on the UPDATED key (must surface with the NEW payload)
+    val ins = Seq((5L, 20L, 9.0), (6L, 40L, 1.0), (7L, 10L, 2.0))
+      .toDF("fid", "k", "v")
+    val upd = Seq((10L, "x2")).toDF("k", "name")
+    val got = Incremental
+      .mergeJoinView(view, facts, dims, ins, del, upd, "k", "fid")
+      .select("fid", "k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, 5.0, "x2"), (2L, 10L, 6.0, "x2"), (7L, 10L, 2.0, "x2"),
+      (4L, 30L, 8.0, "z"), (5L, 20L, 9.0, "y")))
+    // equivalence with a from-scratch re-join of the post-churn tables
+    val facts2 = facts.join(del, Seq("fid"), "left_anti").unionByName(ins)
+    val dims2 = dims.join(upd.select("k"), Seq("k"), "left_anti").unionByName(upd)
+    val full = facts2.join(dims2, Seq("k"))
+      .select("fid", "k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == full)
+  }
+
   test("bm25TopK: exact rational scores on a hand-computed corpus") {
     import spark.implicits._
     // terms picked: banana (4), apple (3); N=3, A=8. Expected ppm scores
