@@ -1910,6 +1910,159 @@ object EventQueries {
     "Incremental JOIN-view maintenance (delta rules, affected-key rescan " +
       "only): post-CDC view proven equal to a from-scratch re-join")
 
+  /** Classical seasonal decomposition (STL's additive skeleton) of the
+    * per-type daily count series, kept in EXACT integers by scaling the
+    * centered moving average by its window size: trend_sum7 = Σ x over
+    * the centered ±3-day RANGE window, detrended×7 = 7·x − trend_sum7,
+    * seasonal×7 per day-of-week = ⌊mean of detrended×7⌋ (portable floor
+    * — detrended goes negative), residual×7 = the difference. Interior
+    * days only (the 7-day window must be full). The window partitions by
+    * type over the AGGREGATE day frame; the DOW means are one hash agg
+    * joined back.
+    */
+  val q196_seasonal_decompose: QueryDef = q(
+    "q196_seasonal_decompose",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT *,
+      |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY day
+      |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tn
+      |  FROM daily),
+      |det AS (
+      |  SELECT event_type, day, x, CAST(tsum AS BIGINT) AS tsum,
+      |    CAST(7 * x - tsum AS BIGINT) AS d7, day % 7 AS dow
+      |  FROM tr WHERE tn = 7),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |    CASE WHEN sum(d7) >= 0 THEN sum(d7) // count(*)
+      |         ELSE -((-sum(d7) + count(*) - 1) // count(*)) END AS s7
+      |  FROM det GROUP BY 1, 2)
+      |SELECT det.event_type, det.day, det.x,
+      |  det.tsum AS trend_sum7, det.d7 AS detrended7,
+      |  CAST(seas.s7 AS BIGINT) AS seasonal7,
+      |  CAST(det.d7 - seas.s7 AS BIGINT) AS residual7
+      |FROM det JOIN seas
+      |  ON seas.event_type = det.event_type AND seas.dow = det.dow
+      |ORDER BY det.event_type, det.day""".stripMargin,
+    "Additive seasonal decomposition of daily counts: 7x-scaled centered " +
+      "trend, day-of-week seasonal, residual — all exact integers") {
+    (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-3, 3)
+      val det = daily
+        .withColumn("tsum", sum("x").over(w))
+        .withColumn("tn", count(lit(1)).over(w))
+        .filter(col("tn") === 7)
+        .withColumn("d7", lit(7) * col("x") - col("tsum"))
+        .withColumn("dow", col("day") % 7)
+      val seas = det.groupBy("event_type", "dow")
+        .agg(expr("""CASE WHEN sum(d7) >= 0 THEN sum(d7) div count(1)
+                    |     ELSE -((-sum(d7) + count(1) - 1) div count(1)) END"""
+          .stripMargin).as("s7"))
+      det.join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("x"),
+          col("tsum").as("trend_sum7"), col("d7").as("detrended7"),
+          col("s7").cast(LongType).as("seasonal7"),
+          (col("d7") - col("s7")).cast(LongType).as("residual7"))
+        .orderBy("event_type", "day")
+  }
+
+  /** Pearson chi-square independence audit of the (event_type ×
+    * day-of-week) contingency table — does behavior depend on weekday?
+    * Division-free per-cell statistic: with d = N·o − r·c,
+    * cell_ppm = ⌊10⁶·d² / (N·r·c)⌋ (the χ² contribution, N-scaled), all
+    * DECIMAL(38,0). Exact while N·o < ~10¹⁹ — beyond that (extreme
+    * single-table scale) pre-scale counts; q186's documented bound. The
+    * corpus pass is one hash agg; margins are tiny frames joined back
+    * (the 7-row column margin broadcast).
+    */
+  val q197_chisq_independence: QueryDef = q(
+    "q197_chisq_independence",
+    """WITH o AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 % 7 AS dow,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(o) AS r FROM o GROUP BY 1),
+      |c AS (SELECT dow, sum(o) AS c FROM o GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM o)
+      |SELECT o.event_type, o.dow, o.o,
+      |  CAST((CAST(1000000 AS HUGEINT)
+      |      * ((SELECT n FROM n) * o.o - r.r * c.c)
+      |      * ((SELECT n FROM n) * o.o - r.r * c.c))
+      |    // (CAST((SELECT n FROM n) AS HUGEINT) * r.r * c.c) AS BIGINT)
+      |    AS chi2_ppm
+      |FROM o JOIN r ON r.event_type = o.event_type JOIN c ON c.dow = o.dow
+      |ORDER BY o.event_type, o.dow""".stripMargin,
+    "Chi-square independence audit of type x weekday counts: exact " +
+      "division-free per-cell statistic in ppm") { (s, d) =>
+    val o = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 86400 % 7").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val r = o.groupBy("event_type").agg(sum("o").as("r"))
+    val c = o.groupBy("dow").agg(sum("o").as("c"))
+    val n = o.agg(sum("o").as("n"))
+    o.join(r, Seq("event_type")).join(broadcast(c), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("o"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+               |    * (n * o - r * c) * (n * o - r * c))
+               |  div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"""
+          .stripMargin).as("chi2_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Time-weighted average value per user (TWAP) — the mean that
+    * respects HOLDING TIME, not event count: each event's value holds
+    * until the user's next event; twap = Σ value·duration / Σ duration
+    * in exact integer cents (final events have no holding interval and
+    * are excluded — pinned). One lead window over user-bounded
+    * partitions + one hash agg.
+    */
+  val q198_twap: QueryDef = q(
+    "q198_twap",
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    lead(CAST(floor(epoch(ts)) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+      |  FROM events),
+      |h AS (SELECT user_id, cents, nt - t AS dur FROM seq WHERE nt IS NOT NULL)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(dur) AS BIGINT) AS held_s,
+      |  CAST(CASE WHEN sum(dur) = 0 THEN 0
+      |    ELSE sum(CAST(cents AS HUGEINT) * dur) // sum(dur) END AS BIGINT)
+      |    AS twap_cents
+      |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "Time-weighted average value per user: holding-duration-weighted " +
+      "mean in exact integer cents") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val seq = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        col("ts_sec").as("t"), col("ts_ns"), col("event_id"))
+      .withColumn("nt", lead("t", 1).over(w))
+      .filter(col("nt").isNotNull)
+      .withColumn("dur", col("nt") - col("t"))
+    seq.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dur").cast(LongType).as("held_s"),
+        expr("""CAST(CASE WHEN sum(dur) = 0 THEN 0
+               |  ELSE sum(CAST(cents AS DECIMAL(38,0)) * dur) div sum(dur) END
+               |  AS BIGINT)""".stripMargin).as("twap_cents"))
+      .orderBy("user_id")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2009,7 +2162,8 @@ object EventQueries {
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
-    q193_incremental_join_view,
+    q193_incremental_join_view, q196_seasonal_decompose,
+    q197_chisq_independence, q198_twap,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -699,8 +699,87 @@ object TextQueries {
         nTerms = 3, minTermLen = 6, k = 20)
   }
 
+  /** RAKE keyword extraction (Rose et al., 2010): candidate phrases are
+    * the maximal stopword-free token runs, each word scores
+    * deg(w)/freq(w) — deg = Σ length of every phrase the word occurs in,
+    * freq = its occurrence count — and a phrase scores the sum of its
+    * words' scores. The scoring is made integer-exact by flooring each
+    * word score to ppm BEFORE the phrase sum (pinned semantics both
+    * engines). Phrase segmentation = one running stopword count per doc
+    * (doc-bounded window), so identical phrase ids fall out of identical
+    * token orders; word stats are two corpus-wide map-side-combined
+    * aggs. Top-20 distinct phrases by (score, phrase).
+    */
+  val q195_rake_keywords: QueryDef = q(
+    "q195_rake_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, i, w, CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+      |  FROM (
+      |    SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |      unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |seg AS (
+      |  SELECT doc_id, i, w, stop,
+      |    sum(stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+      |  FROM toks),
+      |pw AS (SELECT doc_id, pid, i, w FROM seg WHERE stop = 0),
+      |ph AS MATERIALIZED (
+      |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY i) AS phrase,
+      |    count(*) AS plen
+      |  FROM pw GROUP BY doc_id, pid),
+      |wstat AS MATERIALIZED (
+      |  SELECT pw.w, count(*) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg
+      |  FROM pw JOIN ph ON ph.doc_id = pw.doc_id AND ph.pid = pw.pid
+      |  GROUP BY pw.w),
+      |wsc AS (
+      |  SELECT w, (CAST(1000000 AS HUGEINT) * deg) // freq AS ws
+      |  FROM wstat),
+      |psc AS (
+      |  SELECT ph.doc_id, ph.pid, ph.phrase,
+      |    CAST(sum(wsc.ws) AS BIGINT) AS score_ppm
+      |  FROM pw
+      |  JOIN ph ON ph.doc_id = pw.doc_id AND ph.pid = pw.pid
+      |  JOIN wsc ON wsc.w = pw.w
+      |  GROUP BY 1, 2, 3)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  max(score_ppm) AS score_ppm
+      |FROM psc GROUP BY phrase
+      |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin,
+    "RAKE keyword extraction: stopword-split phrases, deg/freq word " +
+      "scores floored to ppm, top-20 phrases — zero-tolerance oracle") {
+    (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("stop", when(col("w").isin("a", "the"), 1L).otherwise(0L))
+      val seg = toks.withColumn("pid", sum("stop").over(w))
+      val pw = seg.filter(col("stop") === 0L)
+        .select("doc_id", "pid", "i", "w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ph = pw.groupBy("doc_id", "pid")
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("i"), col("w")))),
+            e => e("w"))).as("phrase"),
+          count(lit(1)).as("plen"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wstat = pw.join(ph, Seq("doc_id", "pid"))
+        .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      val wsc = wstat.select(col("w"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * deg) div freq").as("ws"))
+      val psc = pw.join(ph, Seq("doc_id", "pid")).join(wsc, Seq("w"))
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(sum("ws").cast(LongType).as("score_ppm"))
+      psc.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"), max("score_ppm").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q183_bm25_scoring,
+    q183_bm25_scoring, q195_rake_keywords,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,

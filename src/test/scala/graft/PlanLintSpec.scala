@@ -53,6 +53,7 @@ class PlanLintSpec extends SparkSpec {
     "q192_link_prediction" -> "one-row adaptive degree-cap threshold (2x mean degree) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
     "q194_mmr_retrieval" -> "one-row query-id aggregate broadcast to exclude the query vector from its own shortlist (q131's query-set shape)",
+    "q197_chisq_independence" -> "one-row grand-total N broadcast onto the 35-cell contingency table (expected-count denominator)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
