@@ -659,8 +659,133 @@ object AdvancedQueries {
       .orderBy("price_cents", "qty", "l_orderkey", "l_linenumber")
   }
 
+  /** Golden-record survivorship merge (the MERGE stage of master-data
+    * management; the MATCH stage is q88/q86's fuzzy/semantic pairing):
+    * duplicate customer records — synthetic match groups of ≤3, the
+    * q126/q193 synthesis rule — collapse to one survivor row under
+    * deterministic field rules: representative name from the member
+    * with the HIGHEST balance (tie → lowest key, the struct-max trick —
+    * no per-group window), segment by most-frequent-with-min-tie
+    * (struct-min over (−cnt, seg)), balance = group max in exact cents,
+    * survivor key = min. The oracle replays the rules with rank
+    * windows, re-pinning struct-extremum ≡ window-rank on a third
+    * operator family.
+    */
+  val q199_golden_record: QueryDef = q(
+    "q199_golden_record",
+    """WITH base AS (
+      |  SELECT c_custkey // 3 AS gid, c_custkey, c_name, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |rep AS (
+      |  SELECT gid, c_name FROM (
+      |    SELECT gid, c_name,
+      |      row_number() OVER (PARTITION BY gid
+      |        ORDER BY cents DESC, c_custkey) AS rn
+      |    FROM base) WHERE rn = 1),
+      |segm AS (
+      |  SELECT gid, c_mktsegment FROM (
+      |    SELECT gid, c_mktsegment,
+      |      row_number() OVER (PARTITION BY gid
+      |        ORDER BY count(*) DESC, c_mktsegment) AS rn
+      |    FROM base GROUP BY gid, c_mktsegment) WHERE rn = 1),
+      |agg AS (
+      |  SELECT gid, CAST(count(*) AS BIGINT) AS n_members,
+      |    min(c_custkey) AS survivor_key, max(cents) AS max_cents
+      |  FROM base GROUP BY gid)
+      |SELECT agg.gid, agg.n_members, agg.survivor_key,
+      |  rep.c_name AS rep_name, segm.c_mktsegment AS segment, agg.max_cents
+      |FROM agg
+      |JOIN rep ON rep.gid = agg.gid
+      |JOIN segm ON segm.gid = agg.gid
+      |ORDER BY agg.gid""".stripMargin,
+    "Golden-record survivorship merge: per match group, best-balance " +
+      "name, modal segment, max cents, min key — window-free engine") {
+    (s, d) =>
+      val base = customer(s, d).select(
+        expr("c_custkey div 3").as("gid"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+      val agg = base.groupBy("gid").agg(
+        count(lit(1)).as("n_members"),
+        min("c_custkey").as("survivor_key"),
+        max("cents").as("max_cents"),
+        max(struct(col("cents").as("a"), (-col("c_custkey")).as("b"),
+          col("c_name").as("nm"))).getField("nm").as("rep_name"))
+      val segm = base.groupBy("gid", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("gid")
+        .agg(min(struct((-col("cnt")).as("a"), col("c_mktsegment").as("s")))
+          .getField("s").as("segment"))
+      agg.join(segm, Seq("gid"))
+        .select(col("gid"), col("n_members"), col("survivor_key"),
+          col("rep_name"), col("segment"), col("max_cents"))
+        .orderBy("gid")
+  }
+
+  /** Quantile normalization across sources (the batch-effect corrector
+    * of bioinformatics, applied to per-source document-length
+    * distributions): every (source, length) value maps to the GLOBAL
+    * length at the same percentile, so all sources share one output
+    * distribution. Runs entirely on the VALUE DOMAIN — per-(source,
+    * value) counts, cumulative ppm percentiles as windows over the
+    * aggregate frame (distinct lengths × sources, never corpus rows) —
+    * and the percentile lookup is the NATIVE as-of operator
+    * (plans.AsOfJoinExec) on a constant key: latest global percentile ≤
+    * the source percentile. The oracle mirrors with DuckDB's own ASOF
+    * JOIN — real cross-engine agreement of two independent as-of
+    * implementations.
+    */
+  val q200_quantile_normalize: QueryDef = q(
+    "q200_quantile_normalize",
+    """WITH v AS (SELECT source, n_chars AS val FROM documents),
+      |sv AS (SELECT source, val, CAST(count(*) AS BIGINT) AS c
+      |  FROM v GROUP BY 1, 2),
+      |st AS (SELECT source, sum(c) AS n FROM sv GROUP BY source),
+      |sp AS (
+      |  SELECT sv.source, sv.val, sv.c,
+      |    CAST((CAST(1000000 AS HUGEINT) *
+      |        sum(sv.c) OVER (PARTITION BY sv.source ORDER BY sv.val))
+      |      // st.n AS BIGINT) AS pct_ppm
+      |  FROM sv JOIN st ON st.source = sv.source),
+      |gv AS (SELECT val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY val),
+      |gp AS (
+      |  SELECT val AS gval,
+      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
+      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |  FROM gv)
+      |SELECT sp.source, sp.val, sp.c AS n_docs, sp.pct_ppm,
+      |  gp.gval AS normalized
+      |FROM sp ASOF JOIN gp ON sp.pct_ppm >= gp.gpct
+      |ORDER BY sp.source, sp.val""".stripMargin,
+    "Quantile normalization of per-source length distributions onto the " +
+      "global distribution — value-domain frames + native as-of lookup") {
+    (s, d) =>
+      val v = Tables.documents(s, d).select(col("source"), col("n_chars").as("val"))
+      val sv = v.groupBy("source", "val").agg(count(lit(1)).as("c"))
+      val st = sv.groupBy("source").agg(sum("c").as("n"))
+      val ws = Window.partitionBy("source").orderBy("val")
+      val sp = sv.join(st, Seq("source"))
+        .withColumn("cum", sum("c").over(ws))
+        .select(col("source"), col("val"), col("c"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum) div n AS BIGINT)")
+            .as("pct_ppm"), lit(0L).as("k"))
+      val gv = v.groupBy("val").agg(count(lit(1)).as("c"))
+      val gt = gv.agg(sum("c").as("gn"))
+      val wg = Window.orderBy("val")
+      val gp = gv.crossJoin(broadcast(gt))
+        .withColumn("gcum", sum("c").over(wg))
+        .select(col("val").as("gval"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+            .as("gpct"), lit(0L).as("k"))
+      graft.ops.AsOf.joinAsOfNative(sp, gp, "k", "pct_ppm", "gpct", Seq("gval"))
+        .select(col("source"), col("val"), col("c").as("n_docs"),
+          col("pct_ppm"), col("asof_gval").as("normalized"))
+        .orderBy("source", "val")
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q181_skyline,
+    q181_skyline, q199_golden_record, q200_quantile_normalize,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,

@@ -68,6 +68,41 @@ object FormatQueries {
     "Format round trip: parquet -> JSONL -> CSV -> digest; the oracle " +
       "digests the original parquet, so any corruption hash-fails")
 
+  /** ORC round trip — the third columnar interchange leg (q148 covers
+    * JSONL/CSV): parquet → ORC sink → ORC source → the same per-language
+    * digest vs the parquet-direct oracle. ORC is self-describing, so
+    * the read needs no explicit schema; type fidelity (int64/strings
+    * surviving the ORC writer) is what the digest pins. Same teardown
+    * discipline: digest materialized before the staged files are
+    * deleted.
+    */
+  val q201_orc_roundtrip: QueryDef = QueryDef(
+    "q201_orc_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      Io.writeOrc(Tables.documents(s, d), s"$dir/orc")
+      val res = Io.readOrc(s, s"$dir/orc")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast(LongType).as("sum_chars"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum("doc_id").cast(LongType).as("sum_ids"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "ORC round trip: parquet -> ORC -> digest vs the parquet-direct " +
+      "oracle — type fidelity of the third columnar format")
+
   /** STREAMING ingest of the interchange format (the cloud-ingest /
     * Autoloader shape): the corpus lands as JSONL files in a drop
     * directory, a file-source stream picks them up one per micro-batch
@@ -158,5 +193,5 @@ object FormatQueries {
       "content-lossless round trip digest-checked against the original")
 
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
-    q153_stream_jsonl_ingest, q169_zorder_layout)
+    q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip)
 }

@@ -53,6 +53,25 @@ object EventStream {
           AND click_ts >= imp_ts
           AND click_ts <= imp_ts + interval $windowSec seconds"""))
 
+  /** LEFT OUTER twin of [[attributeClicks]] — the shape that answers
+    * "which impressions NEVER converted": matched pairs stream out like
+    * the inner join; an unmatched impression is emitted with null click
+    * columns once the watermark proves no in-window click can still
+    * arrive (its state expires at imp_ts + window + delay). Callers
+    * must push the final watermark past the last real impression's
+    * expiry — the q202 parity query stages far-future sentinel rows on
+    * BOTH sides (the join watermark is the min across inputs) and
+    * filters them from the result.
+    */
+  def attributeClicksOuter(impressions: DataFrame, clicks: DataFrame,
+      windowSec: Long = 3600, watermarkDelay: String = "1 hour"): DataFrame =
+    impressions.withWatermark("imp_ts", watermarkDelay)
+      .join(clicks.withWatermark("click_ts", watermarkDelay),
+        expr(s"""imp_user = click_user
+          AND click_ts >= imp_ts
+          AND click_ts <= imp_ts + interval $windowSec seconds"""),
+        "left_outer")
+
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch (per-user running session + event counts, 30-min
     * default gap). Update-mode output: one refreshed count per user per

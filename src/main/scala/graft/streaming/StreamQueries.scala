@@ -530,6 +530,75 @@ object StreamQueries {
       "attribution within 1 day) with per-side watermarks over " +
       "time-ordered micro-batches, end state = the batch interval join")
 
+  /** Stream/batch parity #12 — stream-stream LEFT OUTER interval join
+    * ([[EventStream.attributeClicksOuter]]): q165's attribution plus the
+    * null-emission semantics — an impression with no in-window click is
+    * emitted with null click time once the watermark passes its join
+    * state's expiry. Outer emission is exactly the semantics watermarks
+    * exist for, and the part q165 cannot exercise. Far-future sentinel
+    * rows (negative user ids, max ts + 3 days) are staged on BOTH sides
+    * to push the final watermark past every real impression's expiry
+    * (the join watermark is the min across inputs); they are filtered
+    * from the result and absent from the batch oracle.
+    */
+  val q202_stream_outer_join: QueryDef = QueryDef(
+    "q202_stream_outer_join",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+      val far = ev.agg((max(unix_micros(col("ts"))) + 259200000000L).as("fs"))
+        .collect().head.getLong(0)
+      def sentinel(uid: Long, userCol: String, tsCol: String): DataFrame =
+        s.range(1).select(lit(uid).as(userCol),
+          timestamp_micros(lit(far)).as(tsCol))
+      val impDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"))
+          .unionByName(sentinel(-1L, "imp_user", "imp_ts")),
+        "imp_ts", 2, "graft_q202_imp")
+      val clkDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+          .unionByName(sentinel(-2L, "click_user", "click_ts")),
+        "click_ts", 2, "graft_q202_clk")
+      def src(dir: java.nio.file.Path): DataFrame = {
+        val schema = s.read.parquet(dir.toString).schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      }
+      val joined = EventStream.attributeClicksOuter(
+        src(impDir), src(clkDir), windowSec = 86400, watermarkDelay = "1 day")
+      val sink = "graft_q202_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q202_ckpt")
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .filter(col("imp_user") >= 0L)
+        .select(col("imp_user").as("user_id"),
+          unix_micros(col("imp_ts")).as("imp_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("user_id", "imp_us", "click_us")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(impDir)
+      deleteRecursively(clkDir)
+      res
+    },
+    Some("""SELECT i.user_id AS user_id,
+      |  epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') i
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON i.user_id = c.user_id
+      | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 DAY
+      |ORDER BY i.user_id, imp_us, click_us""".stripMargin),
+    "Stream/batch parity #12: LEFT OUTER stream-stream interval join — " +
+      "watermark-driven null emission, end state = the batch left join")
+
   /** Stream/batch parity #9 — STREAMING EXACT DEDUP
     * ([[EventStream.dedupeStream]], `dropDuplicatesWithinWatermark`): one
     * emitted row per distinct (user, day) activity key over the bounded
@@ -740,5 +809,5 @@ object StreamQueries {
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
-    q175_stream_restart)
+    q175_stream_restart, q202_stream_outer_join)
 }

@@ -54,6 +54,7 @@ class PlanLintSpec extends SparkSpec {
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
     "q194_mmr_retrieval" -> "one-row query-id aggregate broadcast to exclude the query vector from its own shortlist (q131's query-set shape)",
     "q197_chisq_independence" -> "one-row grand-total N broadcast onto the 35-cell contingency table (expected-count denominator)",
+    "q200_quantile_normalize" -> "one-row global token total broadcast onto the value-domain histogram (ppm denominator)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
@@ -81,7 +82,8 @@ class PlanLintSpec extends SparkSpec {
     // trainer's init is visible here
     "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
     "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
-    "q180_hits_scores" -> "GlobalLag boundary patch in the persisted directed-edge build (q108's shape; the HITS rounds themselves run inside eager checkpoints)"
+    "q180_hits_scores" -> "GlobalLag boundary patch in the persisted directed-edge build (q108's shape; the HITS rounds themselves run inside eager checkpoints)",
+    "q200_quantile_normalize" -> "global cumulative sum over the VALUE-DOMAIN histogram (distinct n_chars values — bounded by the value domain, not the corpus)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
