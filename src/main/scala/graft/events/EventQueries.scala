@@ -2063,6 +2063,66 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Degree assortativity of the interaction graph (Newman 2002): does
+    * the network wire hubs to hubs? The Pearson correlation of endpoint
+    * degrees over the directed edge expansion, made EXACT by emitting
+    * the SIGN and the SQUARED correlation separately (r² is a pure
+    * rational of the five integer sums; the sqrt that makes r float
+    * never happens): r2_ppm = ⌊10⁶·cov² / (var·var)⌋ with
+    * cov = E·Σxy − Σx·Σy (x/y symmetric on the undirected expansion, so
+    * one variance serves both). One degree agg + one edge join + one
+    * 1-row reduction. DECIMAL(38)-guarded; exact to ~10⁹-degree sums
+    * (q186's documented bound pattern).
+    */
+  val q205_assortativity: QueryDef = q(
+    "q205_assortativity",
+    edgesSql +
+      """,
+        |adj AS (SELECT a AS v, b AS n FROM we UNION ALL SELECT b AS v, a AS n FROM we),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+        |pairs AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM adj JOIN deg da ON da.v = adj.v JOIN deg db ON db.v = adj.n),
+        |sums AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM pairs)
+        |SELECT CAST(m AS BIGINT) AS n_endpoints,
+        |  CAST(CASE WHEN m * sxy - sx * sx >= 0 THEN 1 ELSE -1 END AS BIGINT)
+        |    AS sign,
+        |  CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+        |    ELSE (CAST(1000000 AS HUGEINT)
+        |        * (m * sxy - sx * sx) * (m * sxy - sx * sx))
+        |      // ((m * sxx - sx * sx) * (m * sxx - sx * sx)) END AS BIGINT)
+        |    AS r2_ppm
+        |FROM sums""".stripMargin,
+    "Degree assortativity: sign + exact rational r^2 in ppm over the " +
+      "directed edge expansion — sqrt-free Pearson") { (s, d) =>
+    val we = graft.ops.Graph.fromEvents(s, d)
+      .select(col("source").as("a"), col("target").as("b"))
+    val adj = we.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(we.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg.select(col("v"), col("deg").as("x")), Seq("v"))
+      .join(deg.select(col("v").as("n"), col("deg").as("y")), Seq("n"))
+    pairs.agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("m"),
+        sum("x").cast(DecimalType(38, 0)).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"))
+      .selectExpr(
+        "CAST(m AS BIGINT) AS n_endpoints",
+        "CAST(CASE WHEN m * sxy - sx * sx >= 0 THEN 1 ELSE -1 END AS BIGINT) AS sign",
+        """CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
+           ELSE (CAST(1000000 AS DECIMAL(38,0))
+               * (m * sxy - sx * sx) * (m * sxy - sx * sx))
+             div ((m * sxx - sx * sx) * (m * sxx - sx * sx)) END AS BIGINT)
+           AS r2_ppm""")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2162,7 +2222,7 @@ object EventQueries {
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
-    q193_incremental_join_view, q196_seasonal_decompose,
+    q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,

@@ -1053,15 +1053,20 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("qid"))
         .groupBy("vec_id")
         .agg(sum((col("qxv") * col("x")).cast(decP)).as("rel"))
+      // localCheckpoint (eager): the greedy rounds below build one
+      // nested plan over these frames — materializing the 20-row
+      // shortlist and its 380-row sim matrix up front keeps every round
+      // an O(1)-depth job over tiny scans instead of re-deriving the
+      // corpus dot passes per round
       val sl = rel.orderBy(col("rel").desc, col("vec_id")).limit(20)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val sx = ex.join(broadcast(sl.select("vec_id")), Seq("vec_id"))
       val ss = sx.select(col("vec_id").as("a"), col("i"), col("x"))
         .join(sx.select(col("vec_id").as("b"), col("i"), col("x").as("y")), Seq("i"))
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b")
         .agg(sum((col("x") * col("y")).cast(decP)).as("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var sel = sl.orderBy(col("rel").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
           lit(1L).as("rank"))
@@ -1113,7 +1118,92 @@ object SimilarityQueries {
     "MMR diversified retrieval: exact-decimal greedy argmax chain over " +
       "the top-20 shortlist — rank/id/score value oracle")
 
-  def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q32_knn_cosine, q33_ann_lsh_buckets,
+  /** In-engine kNN CLASSIFICATION — the label-prediction read path over
+    * the embedding store (q32 ranks; this one votes): for each of the 5
+    * lowest-id query vectors, the 10 nearest neighbors by the
+    * decimal-bridged cosine vote on `label`, majority with ties to the
+    * SMALLEST label (struct-min over (−votes, label) — window-free),
+    * and the row reports predicted vs true. The oracle replays ranking
+    * and voting with the identical tie orders.
+    */
+  val q206_knn_classify: QueryDef = QueryDef(
+    "q206_knn_classify",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ex = exploded(emb)
+      val norms = normsOf(ex)
+      val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lbl"))
+      val qx = ex.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+      val dots = ex.join(broadcast(qx), Seq("i"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+      val top = dots
+        .join(broadcast(norms.select(col("vec_id").as("q_id"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+        .join(broadcast(norms), Seq("vec_id"))
+        .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .join(labels, Seq("vec_id"))
+      val pred = top.groupBy("q_id", "lbl").agg(count(lit(1)).as("votes"))
+        .groupBy("q_id")
+        .agg(min(struct((-col("votes")).as("a"), col("lbl").as("l")))
+          .as("win"))
+        .select(col("q_id"), col("win.l").as("predicted"),
+          (-col("win.a")).as("n_votes"))
+      pred.join(labels.select(col("vec_id").as("q_id"),
+          col("lbl").as("true_label")), Seq("q_id"))
+        .select(col("q_id"), col("predicted"), col("n_votes"),
+          col("true_label"),
+          when(col("predicted") === col("true_label"), 1L).otherwise(0L)
+            .as("correct"))
+        .orderBy("q_id")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |qx AS (SELECT vec_id AS q_id, i, x FROM ex WHERE vec_id < 5),
+      |dots AS (
+      |  SELECT qx.q_id, ex.vec_id,
+      |    CAST(SUM(CAST(qx.x * ex.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM qx JOIN ex ON qx.i = ex.i AND ex.vec_id <> qx.q_id
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT d.q_id, d.vec_id,
+      |      row_number() OVER (PARTITION BY d.q_id
+      |        ORDER BY d.dot / sqrt(nq.nrm * nv.nrm) DESC, d.vec_id) AS rnk
+      |    FROM dots d
+      |    JOIN norms nq ON nq.vec_id = d.q_id
+      |    JOIN norms nv ON nv.vec_id = d.vec_id)
+      |  WHERE rnk <= 10),
+      |votes AS (
+      |  SELECT t.q_id, CAST(e.label AS BIGINT) AS lbl, count(*) AS votes
+      |  FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT q_id, lbl AS predicted, votes AS n_votes FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY votes DESC, lbl) AS rn FROM votes)
+      |  WHERE rn = 1)
+      |SELECT p.q_id, p.predicted, CAST(p.n_votes AS BIGINT) AS n_votes,
+      |  CAST(e.label AS BIGINT) AS true_label,
+      |  CAST(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END AS BIGINT)
+      |    AS correct
+      |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+      |ORDER BY p.q_id""".stripMargin),
+    "kNN label classification over the embedding store: top-10 cosine " +
+      "vote, min-tie majority — prediction value oracle")
+
+  def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q206_knn_classify,
+    q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,

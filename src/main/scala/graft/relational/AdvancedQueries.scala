@@ -784,8 +784,88 @@ object AdvancedQueries {
         .orderBy("source", "val")
   }
 
+  /** Co-bucketed fact-fact join promoted to a CORRECTNESS row
+    * ([[graft.ops.Bucketing]], plan pinned exchange-free by
+    * BucketingSpec): both sides written bucketed+sorted on the join key,
+    * joined without any shuffle, digested per order priority. The oracle
+    * digests the plain join — so the bucketed write→read→join chain must
+    * lose/duplicate nothing. Tables are dropped after the digest
+    * materializes (q148's teardown discipline).
+    */
+  val q203_bucketed_join: QueryDef = q(
+    "q203_bucketed_join",
+    """SELECT o.o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "Co-bucketed join (shuffle-free fact-fact): bucketed write -> read " +
+      "-> join digest vs the plain-join oracle") { (s, d) =>
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tOrders = s"graft_q203_o_$tag"
+    val tLines = s"graft_q203_l_$tag"
+    graft.ops.Bucketing.writeBucketed(
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice")), tOrders, "o_orderkey", 8)
+    graft.ops.Bucketing.writeBucketed(
+      lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity")), tLines, "o_orderkey", 8)
+    val res = graft.ops.Bucketing.coBucketedJoin(s, tOrders, tLines, "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).cast(LongType).as("sum_qty"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("sum_cents"))
+      .orderBy("o_orderpriority")
+      .localCheckpoint(true)
+    s.sql(s"DROP TABLE IF EXISTS $tOrders")
+    s.sql(s"DROP TABLE IF EXISTS $tLines")
+    res
+  }
+
+  /** Exact equi-DEPTH histogram boundaries (q82 is equi-width): for each
+    * decile k, the smallest value whose cumulative ppm reaches k·10⁵ —
+    * the optimizer-statistics quantile sketch, computed EXACTLY on the
+    * value domain (distinct n_chars values, never corpus rows; q200's
+    * trick). One hash agg + one cumulative window over the bounded
+    * value-domain frame + one tiny threshold join.
+    */
+  val q204_equi_depth_histogram: QueryDef = q(
+    "q204_equi_depth_histogram",
+    """WITH gv AS (
+      |  SELECT n_chars AS val, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |gp AS (
+      |  SELECT val,
+      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
+      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |  FROM gv),
+      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_val
+      |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
+      |GROUP BY ks.k ORDER BY k""".stripMargin,
+    "Equi-depth decile boundaries, exact on the value domain — the " +
+      "statistics quantile pass without sampling") { (s, d) =>
+    val gv = Tables.documents(s, d)
+      .groupBy(col("n_chars").as("val")).agg(count(lit(1)).as("c"))
+    val gt = gv.agg(sum("c").as("gn"))
+    val wg = Window.orderBy("val")
+    val gp = gv.crossJoin(broadcast(gt))
+      .withColumn("gcum", sum("c").over(wg))
+      .select(col("val"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+          .as("gpct"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    broadcast(ks).join(gp, col("gpct") >= col("k") * 100000)
+      .groupBy("k").agg(min("val").as("upper_val"))
+      .orderBy("k")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q181_skyline, q199_golden_record, q200_quantile_normalize,
+    q203_bucketed_join, q204_equi_depth_histogram,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,

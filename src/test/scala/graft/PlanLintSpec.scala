@@ -52,9 +52,11 @@ class PlanLintSpec extends SparkSpec {
     "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
     "q192_link_prediction" -> "one-row adaptive degree-cap threshold (2x mean degree) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
-    "q194_mmr_retrieval" -> "one-row query-id aggregate broadcast to exclude the query vector from its own shortlist (q131's query-set shape)",
+    // q194's 1-row query-id crossJoin runs inside the eager shortlist
+    // checkpoint, so no BNLJ reaches its final plan
     "q197_chisq_independence" -> "one-row grand-total N broadcast onto the 35-cell contingency table (expected-count denominator)",
     "q200_quantile_normalize" -> "one-row global token total broadcast onto the value-domain histogram (ppm denominator)",
+    "q204_equi_depth_histogram" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (value-domain frames)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
@@ -83,7 +85,8 @@ class PlanLintSpec extends SparkSpec {
     "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
     "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
     "q180_hits_scores" -> "GlobalLag boundary patch in the persisted directed-edge build (q108's shape; the HITS rounds themselves run inside eager checkpoints)",
-    "q200_quantile_normalize" -> "global cumulative sum over the VALUE-DOMAIN histogram (distinct n_chars values — bounded by the value domain, not the corpus)"
+    "q200_quantile_normalize" -> "global cumulative sum over the VALUE-DOMAIN histogram (distinct n_chars values — bounded by the value domain, not the corpus)",
+    "q204_equi_depth_histogram" -> "global cumulative sum over the VALUE-DOMAIN histogram (q200's frame, decile-boundary variant)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
