@@ -2123,6 +2123,116 @@ object EventQueries {
            AS r2_ppm""")
   }
 
+  /** User-journey PATH analysis: sessionize (q20's 30-min gap rule),
+    * render each session's first 8 event types as a `a>b>c` path string,
+    * and rank the top-20 paths by session count (+ distinct users) —
+    * the product-analytics "what do sessions look like" report. Paths
+    * are built from user-bounded windows and per-session collect_lists;
+    * the 8-event cap bounds the path string (pinned by slicing in both
+    * engines).
+    */
+  val q207_path_analysis: QueryDef = q(
+    "q207_path_analysis",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS sid
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>')
+      |      AS path
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "User-journey path analysis: per-session first-8-event path strings, " +
+      "top-20 by frequency") { (s, d) =>
+    val prevSec = lag("ts_sec", 1).over(wUser)
+    Tables.events(s, d)
+      .withColumn("is_new",
+        when(prevSec.isNull || col("ts_sec") - prevSec > 1800, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sid", sum("is_new").over(wUser))
+      .groupBy("user_id", "sid")
+      .agg(concat_ws(">", slice(transform(
+        sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+          col("event_type")))), e => e("event_type")), 1, 8)).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Peak concurrency (maximum simultaneous active sessions) per day —
+    * the interval-overlap analytic (meeting-room / connection-pool
+    * shape): sessions become ±1 endpoint events, the concurrency curve
+    * is their RUNNING SUM over the global time order, and each day
+    * reports its max. The global prefix sum is the scalable two-pass
+    * [[graft.ops.GlobalPrefixSum]] primitive (range partitions +
+    * per-partition cumsum + broadcast boundary offsets — GlobalLag's
+    * sibling), never a single-partition window. Tie order is pinned
+    * (+1 before −1 at the same second → inclusive overlap) and the
+    * per-day MAX is invariant to permutations of equal (ts, delta)
+    * rows, which is exactly the relaxation GlobalPrefixSum documents.
+    */
+  val q210_peak_concurrency: QueryDef = q(
+    "q210_peak_concurrency",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS sid,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM g),
+      |se AS (
+      |  SELECT user_id, sid, min(tsec) AS st, max(tsec) AS en
+      |  FROM s GROUP BY user_id, sid),
+      |en AS (
+      |  SELECT st AS ts, CAST(1 AS BIGINT) AS delta, -1 AS nd FROM se
+      |  UNION ALL
+      |  SELECT en AS ts, CAST(-1 AS BIGINT) AS delta, 1 AS nd FROM se),
+      |r AS (
+      |  SELECT ts, sum(delta) OVER (ORDER BY ts, nd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM en)
+      |SELECT ts // 86400 AS day, CAST(max(conc) AS BIGINT) AS peak
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
+    "Peak concurrent sessions per day: +/-1 endpoints, distributed " +
+      "global prefix sum (GlobalPrefixSum), per-day max") { (s, d) =>
+    val prevSec = lag("ts_sec", 1).over(wUser)
+    val sess = Tables.events(s, d)
+      .withColumn("is_new",
+        when(prevSec.isNull || col("ts_sec") - prevSec > 1800, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sid", sum("is_new").over(wUser))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_sec").as("st"), max("ts_sec").as("en"))
+    val ends = sess.select(col("st").as("ts"), lit(1L).as("delta"),
+        lit(-1).as("nd"))
+      .unionAll(sess.select(col("en").as("ts"), lit(-1L).as("delta"),
+        lit(1).as("nd")))
+    graft.ops.GlobalPrefixSum.withRunningSum(ends, Seq("ts", "nd"), "delta", "conc")
+      .groupBy(expr("ts div 86400").as("day"))
+      .agg(max("conc").cast(LongType).as("peak"))
+      .orderBy("day")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2223,7 +2333,8 @@ object EventQueries {
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
-    q197_chisq_independence, q198_twap,
+    q197_chisq_independence, q198_twap, q207_path_analysis,
+    q210_peak_concurrency,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

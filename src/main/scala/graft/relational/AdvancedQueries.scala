@@ -863,9 +863,97 @@ object AdvancedQueries {
       .orderBy("k")
   }
 
+  /** k-anonymity audit — the privacy gate a dataset release runs: group
+    * rows by their quasi-identifier tuple (nation, segment, $1000
+    * balance band) and surface every equivalence class smaller than
+    * k=5, whose members a linker could re-identify. The balance band is
+    * SHIFTED before the floor division (+10⁵ cents) so negative
+    * balances never hit the div/`//` truncate-vs-floor divergence. One
+    * map-side-combined hash agg; output bounded by the violating-class
+    * count.
+    */
+  val q208_kanonymity: QueryDef = q(
+    "q208_kanonymity",
+    """WITH qi AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+      |      // 100000 AS bal_band
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM qi GROUP BY 1, 2, 3)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      |  bal_band, n
+      |FROM cls WHERE n < 5
+      |ORDER BY 1, 2, 3""".stripMargin,
+    "k-anonymity audit (k=5): quasi-identifier equivalence classes too " +
+      "small to release, shifted integer balance bands") { (s, d) =>
+    customer(s, d)
+      .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"),
+        col("c_mktsegment"),
+        expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               | + 100000) div 100000""".stripMargin).as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5)
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
+  /** Referentially-consistent pseudonymization — the GDPR-style masking
+    * pass: customer keys are replaced by seeded-md5 surrogate keys, and
+    * the SAME function applied on the fact side must keep every join
+    * intact (surrogate joins reproduce key joins exactly) while no two
+    * keys collide. The one-row report value-checks consistency (orders
+    * joining on surrogate AND key), collision count (surrogate shared
+    * by ≠ keys — must be 0), and cardinalities; any drift in the
+    * surrogate derivation hash-fails against the oracle's own md5.
+    */
+  val q209_pseudonymize: QueryDef = q(
+    "q209_pseudonymize",
+    """WITH cmap AS (
+      |  SELECT c_custkey,
+      |    substr(md5('pk1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS sk
+      |  FROM customer),
+      |omap AS (
+      |  SELECT o_custkey,
+      |    substr(md5('pk1:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS sk
+      |  FROM orders)
+      |SELECT
+      |  CAST((SELECT count(*) FROM cmap) AS BIGINT) AS n_customers,
+      |  CAST((SELECT count(DISTINCT sk) FROM cmap) AS BIGINT) AS n_surrogates,
+      |  CAST((SELECT count(*) FROM omap) AS BIGINT) AS n_orders,
+      |  CAST((SELECT count(*) FROM omap o JOIN cmap c
+      |        ON c.sk = o.sk AND c.c_custkey = o.o_custkey) AS BIGINT)
+      |    AS n_join_consistent,
+      |  CAST((SELECT count(*) FROM omap o JOIN cmap c
+      |        ON c.sk = o.sk AND c.c_custkey <> o.o_custkey) AS BIGINT)
+      |    AS n_cross_collisions""".stripMargin,
+    "Deterministic pseudonymization audit: surrogate keys preserve every " +
+      "join, zero collisions — one-row report") { (s, d) =>
+    def sk(c: Column) =
+      substring(md5(concat(lit("pk1:"), c.cast(StringType))), 1, 16)
+    val cmap = customer(s, d).select(col("c_custkey"), sk(col("c_custkey")).as("sk"))
+    val omap = orders(s, d).select(col("o_custkey"), sk(col("o_custkey")).as("sk"))
+    val joined = omap.join(cmap, Seq("sk"))
+    val a = cmap.agg(count(lit(1)).as("n_customers"),
+      countDistinct("sk").as("n_surrogates"))
+    val b = omap.agg(count(lit(1)).as("n_orders"))
+    val c = joined.agg(
+      sum(when(col("c_custkey") === col("o_custkey"), 1L).otherwise(0L))
+        .as("n_join_consistent"),
+      sum(when(col("c_custkey") =!= col("o_custkey"), 1L).otherwise(0L))
+        .as("n_cross_collisions"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+      .select(col("n_customers"), col("n_surrogates"), col("n_orders"),
+        col("n_join_consistent").cast(LongType).as("n_join_consistent"),
+        coalesce(col("n_cross_collisions").cast(LongType), lit(0L))
+          .as("n_cross_collisions"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q181_skyline, q199_golden_record, q200_quantile_normalize,
-    q203_bucketed_join, q204_equi_depth_histogram,
+    q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
+    q209_pseudonymize,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
