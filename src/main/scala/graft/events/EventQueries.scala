@@ -2233,6 +2233,74 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Autocorrelation function (ACF) of the per-type daily count series
+    * at lags 1..7 — the periodicity detector behind every seasonality
+    * model, made EXACT the q205 way: sign and squared correlation are
+    * pure rationals of the five integer sums (no sqrt, no mean
+    * subtraction — the cross-multiplied Pearson form). Lag pairs live
+    * on the aggregate day frame: a 7× bounded explode + one equi-join
+    * on (type, day+lag), then one hash agg per (type, lag).
+    */
+  val q211_autocorrelation: QueryDef = q(
+    "q211_autocorrelation",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN daily b ON b.event_type = a.event_type
+      |    AND b.day = a.day + l.lag),
+      |sums AS (
+      |  SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS m,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+      |  CAST(m AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
+      |    AS sign,
+      |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT)
+      |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
+      |      // ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+      |    AS r2_ppm
+      |FROM sums ORDER BY event_type, lag""".stripMargin,
+    "Autocorrelation of daily counts at lags 1..7: sign + exact rational " +
+      "r^2 ppm per (type, lag) — sqrt-free Pearson on the day frame") {
+    (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val a = daily.withColumn("lag", explode(expr("sequence(1, 7)")))
+      val b = daily.select(col("event_type"), col("day").as("bday"),
+        col("x").as("y"))
+      val dec = DecimalType(38, 0)
+      a.join(b, a("event_type") === b("event_type") &&
+          col("bday") === col("day") + col("lag"))
+        .select(a("event_type"), col("lag"), col("x"), col("y"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).cast(dec).as("m"),
+          sum("x").cast(dec).as("sx"), sum("y").cast(dec).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .selectExpr("event_type", "CAST(lag AS BIGINT) AS lag",
+          "CAST(m AS BIGINT) AS n_pairs",
+          "CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT) AS sign",
+          """CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
+             ELSE (CAST(1000000 AS DECIMAL(38,0))
+                 * (m * sxy - sx * sy) * (m * sxy - sx * sy))
+               div ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+             AS r2_ppm""")
+        .orderBy("event_type", "lag")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2334,7 +2402,7 @@ object EventQueries {
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
-    q210_peak_concurrency,
+    q210_peak_concurrency, q211_autocorrelation,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.QueryDef
 import graft.relational.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -778,8 +778,84 @@ object TextQueries {
         .limit(20)
   }
 
+  /** Dataset card — the corpus-level release report (metric, value)
+    * every published training set ships with: cardinalities, language/
+    * source diversity, size totals, exact-duplicate pressure, short-doc
+    * rate, and top-language share, each a replayable exact integer. One
+    * doc-level aggregation pass + one md5 duplicate-group agg + one
+    * language-count agg, unioned into the bounded report frame.
+    */
+  val q213_dataset_card: QueryDef = q(
+    "q213_dataset_card",
+    """WITH base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |      AS total_tokens,
+      |    CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_short
+      |  FROM documents),
+      |dup AS (
+      |  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_dup_docs
+      |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents
+      |        GROUP BY 1) g WHERE c >= 2),
+      |toplang AS (
+      |  SELECT CAST(max(c) AS BIGINT) AS top_lang_docs
+      |  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1))
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      |  UNION ALL SELECT 'n_langs', n_langs FROM base
+      |  UNION ALL SELECT 'n_sources', n_sources FROM base
+      |  UNION ALL SELECT 'total_chars', total_chars FROM base
+      |  UNION ALL SELECT 'total_tokens', total_tokens FROM base
+      |  UNION ALL SELECT 'short_doc_ppm',
+      |    CAST((CAST(1000000 AS HUGEINT) * n_short) // n_docs AS BIGINT)
+      |  FROM base
+      |  UNION ALL SELECT 'exact_dup_ppm',
+      |    CAST((CAST(1000000 AS HUGEINT) * (SELECT n_dup_docs FROM dup))
+      |      // n_docs AS BIGINT) FROM base
+      |  UNION ALL SELECT 'top_lang_share_ppm',
+      |    CAST((CAST(1000000 AS HUGEINT) * (SELECT top_lang_docs FROM toplang))
+      |      // n_docs AS BIGINT) FROM base)
+      |ORDER BY metric""".stripMargin,
+    "Dataset card: corpus release report (metric, value) — counts, " +
+      "diversity, size, duplicate pressure, all exact integers") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      sum("n_chars").cast(LongType).as("total_chars"),
+      sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+        .cast(LongType).as("total_tokens"),
+      sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"))
+    val dup = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(sum("c"), lit(0L)).cast(LongType).as("n_dup_docs"))
+    val topl = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("top_lang_docs"))
+    val rep = base.crossJoin(broadcast(dup)).crossJoin(broadcast(topl))
+    def row(name: String, c: Column) =
+      rep.select(lit(name).as("metric"), c.cast(LongType).as("value"))
+    row("n_docs", col("n_docs"))
+      .unionAll(row("n_langs", col("n_langs")))
+      .unionAll(row("n_sources", col("n_sources")))
+      .unionAll(row("total_chars", col("total_chars")))
+      .unionAll(row("total_tokens", col("total_tokens")))
+      .unionAll(row("short_doc_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * n_short) div n_docs")))
+      .unionAll(row("exact_dup_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * n_dup_docs) div n_docs")))
+      .unionAll(row("top_lang_share_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * top_lang_docs) div n_docs")))
+      .orderBy("metric")
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q183_bm25_scoring, q195_rake_keywords,
+    q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,

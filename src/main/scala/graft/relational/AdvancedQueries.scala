@@ -950,10 +950,81 @@ object AdvancedQueries {
           .as("n_cross_collisions"))
   }
 
+  /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
+    * from the SymSpell deletion-neighborhood blocking (q88's kernel —
+    * never all-pairs), scored by integer field-agreement weights
+    * (nation 400k, segment 300k, shifted balance band 200k, plus the
+    * 100k name-similarity base every candidate carries) and classified
+    * link / possible / non-link at pinned thresholds — the MATCH-
+    * SCORING stage between q88's blocking and q199's survivorship
+    * merge. Pure codegen CASE arithmetic on two broadcast-joined
+    * customer payloads.
+    */
+  val q212_record_linkage: QueryDef = q(
+    "q212_record_linkage",
+    """WITH words AS (SELECT DISTINCT c_name AS w FROM customer),
+      |vars AS (
+      |  SELECT DISTINCT w, v FROM (
+      |    SELECT w, w AS v FROM words
+      |    UNION ALL
+      |    SELECT w, substr(w, 1, i - 1) || substr(w, i + 1, length(w)) AS v
+      |    FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+      |          FROM words) g) u),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS w1, b.w AS w2
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w),
+      |pairs AS (
+      |  SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1),
+      |cust AS (
+      |  SELECT c_name, c_custkey, c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+      |      // 100000 AS band
+      |  FROM customer),
+      |sc AS (
+      |  SELECT c1.c_custkey AS key1, c2.c_custkey AS key2,
+      |    100000
+      |      + CASE WHEN c1.c_nationkey = c2.c_nationkey THEN 400000 ELSE 0 END
+      |      + CASE WHEN c1.c_mktsegment = c2.c_mktsegment THEN 300000 ELSE 0 END
+      |      + CASE WHEN c1.band = c2.band THEN 200000 ELSE 0 END AS score
+      |  FROM pairs
+      |  JOIN cust c1 ON c1.c_name = pairs.w1
+      |  JOIN cust c2 ON c2.c_name = pairs.w2)
+      |SELECT key1, key2, CAST(score AS BIGINT) AS score,
+      |  CASE WHEN score >= 700000 THEN 'link'
+      |       WHEN score >= 400000 THEN 'possible'
+      |       ELSE 'non-link' END AS klass
+      |FROM sc ORDER BY key1, key2""".stripMargin,
+    "Record-linkage scoring: blocked candidate pairs, integer field-" +
+      "agreement weights, link/possible/non-link classification") { (s, d) =>
+    val pairs = graft.ops.Dedup.editDistance1Pairs(
+      customer(s, d).select("c_name"), "c_name")
+    val cust = customer(s, d).select(col("c_name"), col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"),
+      expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             | + 100000) div 100000""".stripMargin).as("band"))
+    pairs
+      .join(cust.select(col("c_name").as("w1"), col("c_custkey").as("key1"),
+        col("c_nationkey").as("n1"), col("c_mktsegment").as("s1"),
+        col("band").as("b1")), Seq("w1"))
+      .join(cust.select(col("c_name").as("w2"), col("c_custkey").as("key2"),
+        col("c_nationkey").as("n2"), col("c_mktsegment").as("s2"),
+        col("band").as("b2")), Seq("w2"))
+      .select(col("key1"), col("key2"),
+        (lit(100000L)
+          + when(col("n1") === col("n2"), 400000L).otherwise(0L)
+          + when(col("s1") === col("s2"), 300000L).otherwise(0L)
+          + when(col("b1") === col("b2"), 200000L).otherwise(0L)).as("score"))
+      .withColumn("klass",
+        when(col("score") >= 700000L, "link")
+          .when(col("score") >= 400000L, "possible")
+          .otherwise("non-link"))
+      .orderBy("key1", "key2")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
-    q209_pseudonymize,
+    q209_pseudonymize, q212_record_linkage,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,

@@ -58,6 +58,7 @@ class PlanLintSpec extends SparkSpec {
     "q200_quantile_normalize" -> "one-row global token total broadcast onto the value-domain histogram (ppm denominator)",
     "q204_equi_depth_histogram" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (value-domain frames)",
     "q209_pseudonymize" -> "three one-row audit aggregates cross-joined into the single report row (q157's scalar-attachment shape)",
+    "q213_dataset_card" -> "three one-row corpus aggregates cross-joined into the bounded (metric, value) report frame",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
