@@ -1021,10 +1021,185 @@ object AdvancedQueries {
       .orderBy("key1", "key2")
   }
 
+  /** l-diversity audit — k-anonymity's necessary refinement (q208): a
+    * class can be large yet still leak if everyone in it shares the
+    * SENSITIVE value. QI = (nation, shifted balance band); sensitive =
+    * market segment; flag classes whose distinct sensitive count < l=3
+    * (65 of 272 classes at sf0.01 — a live gate). Two map-side-combined
+    * hash aggs (distinct-per-class via the two-level (class, value) →
+    * class rollup, no count-distinct shuffle explosion); output bounded
+    * by violating classes.
+    */
+  val q214_l_diversity: QueryDef = q(
+    "q214_l_diversity",
+    """WITH qi AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+      |      // 100000 AS band
+      |  FROM customer),
+      |cv AS (
+      |  SELECT c_nationkey, band, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |  FROM qi GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT c_nationkey, band,
+      |    CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_sensitive
+      |  FROM cv GROUP BY 1, 2)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, band,
+      |  n_rows, n_sensitive
+      |FROM cls WHERE n_sensitive < 3
+      |ORDER BY 1, 2""".stripMargin,
+    "l-diversity audit (l=3): QI classes whose sensitive-value diversity " +
+      "is too low to release — two-level rollup, no distinct shuffle") {
+    (s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey").cast(LongType).as("c_nationkey"),
+          expr("""(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 | + 100000) div 100000""".stripMargin).as("band"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("c_nationkey", "band")
+        .agg(sum("n").cast(LongType).as("n_rows"),
+          count(lit(1)).as("n_sensitive"))
+        .filter(col("n_sensitive") < 3)
+        .orderBy("c_nationkey", "band")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the two largest
+    * sources' document-length distributions — the numeric drift test
+    * (q136 is the token-frequency one): D = max over the merged value
+    * axis of |F₁(v) − F₂(v)|, EXACT via cross-multiplied integer
+    * cumulatives: d(v) = |c₁(v)·n₂ − c₂(v)·n₁| · 10⁶ / (n₁·n₂), floored
+    * once at the end. Runs on the value domain: two per-source
+    * histograms full-outer-merged (zeros filled), cumulative sums as
+    * ONE window over the bounded merged axis. One row: both n's, the
+    * max D in ppm, and the smallest value attaining it.
+    */
+  val q215_ks_test: QueryDef = q(
+    "q215_ks_test",
+    """WITH top2 AS (
+      |  SELECT source, row_number() OVER (ORDER BY count(*) DESC, source)
+      |    AS rk
+      |  FROM documents GROUP BY source),
+      |s1 AS (SELECT source FROM top2 WHERE rk = 1),
+      |s2 AS (SELECT source FROM top2 WHERE rk = 2),
+      |h AS (
+      |  SELECT n_chars AS val,
+      |    CAST(sum(CASE WHEN source = (SELECT source FROM s1) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN source = (SELECT source FROM s2) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM documents
+      |  WHERE source IN ((SELECT source FROM s1), (SELECT source FROM s2))
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT val,
+      |    sum(c1) OVER (ORDER BY val) AS f1,
+      |    sum(c2) OVER (ORDER BY val) AS f2
+      |  FROM h),
+      |tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
+      |dd AS (
+      |  SELECT val,
+      |    abs(CAST(f1 AS HUGEINT) * (SELECT n2 FROM tot)
+      |      - CAST(f2 AS HUGEINT) * (SELECT n1 FROM tot)) AS num
+      |  FROM cum)
+      |SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n1,
+      |  CAST((SELECT n2 FROM tot) AS BIGINT) AS n2,
+      |  CAST((CAST(1000000 AS HUGEINT) * max(num))
+      |    // (CAST((SELECT n1 FROM tot) AS HUGEINT) * (SELECT n2 FROM tot))
+      |    AS BIGINT) AS d_ppm,
+      |  CAST(min(CASE WHEN num = (SELECT max(num) FROM dd) THEN val END)
+      |    AS BIGINT) AS at_val
+      |FROM dd""".stripMargin,
+    "Two-sample KS distance between the two largest sources (doc-length " +
+      "distributions): exact cross-multiplied integer cumulatives") {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top2 = docs.groupBy("source").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("source")).limit(2)
+        .select(col("source"), row_number().over(
+          Window.orderBy(col("c").desc, col("source"))).as("rk"))
+      val s1 = top2.filter(col("rk") === 1).select(col("source"))
+      val s2 = top2.filter(col("rk") === 2).select(col("source").as("source2"))
+      val h = docs
+        .join(broadcast(s1.withColumnRenamed("source", "src1")), lit(true))
+        .join(broadcast(s2), lit(true))
+        .filter(col("source") === col("src1") || col("source") === col("source2"))
+        .groupBy(col("n_chars").as("val"))
+        .agg(sum(when(col("source") === col("src1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("source") === col("source2"), 1L).otherwise(0L)).as("c2"))
+      val wv = Window.orderBy("val")
+      val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val dd = h
+        .withColumn("f1", sum("c1").over(wv))
+        .withColumn("f2", sum("c2").over(wv))
+        .crossJoin(broadcast(tot))
+        .select(col("val"), col("n1"), col("n2"),
+          abs(col("f1").cast(DecimalType(38, 0)) * col("n2")
+            - col("f2").cast(DecimalType(38, 0)) * col("n1")).as("num"))
+      val mx = dd.agg(max("num").as("mnum"))
+      dd.crossJoin(broadcast(mx))
+        .groupBy("n1", "n2")
+        .agg(
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * max(num))
+                 | div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+            .stripMargin).as("d_ppm"),
+          min(when(col("num") === col("mnum"), col("val"))).cast(LongType)
+            .as("at_val"))
+        .select(col("n1").cast(LongType).as("n1"),
+          col("n2").cast(LongType).as("n2"), col("d_ppm"), col("at_val"))
+  }
+
+  /** Top-k with OTHERS rollup — the BI report idiom: each nation's 3
+    * highest-balance customers as named rows plus one aggregated
+    * 'OTHER' row carrying the remainder, so the report is complete AND
+    * bounded (4 rows per nation). Rank window partitions by nation;
+    * exact integer cents.
+    */
+  val q216_topk_others: QueryDef = q(
+    "q216_topk_others",
+    """WITH r AS (
+      |  SELECT c_nationkey, c_name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        DESC, c_custkey) AS rk
+      |  FROM customer)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, member,
+      |  CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents
+      |FROM (
+      |  SELECT c_nationkey, c_name AS member, 1 AS n, cents
+      |  FROM r WHERE rk <= 3
+      |  UNION ALL
+      |  SELECT c_nationkey, 'OTHER', count(*), sum(cents)
+      |  FROM r WHERE rk > 3 GROUP BY c_nationkey)
+      |ORDER BY c_nationkey, n, member""".stripMargin,
+    "Top-3 per nation + OTHER rollup: the complete-but-bounded BI " +
+      "report shape, exact integer cents") { (s, d) =>
+    val r = customer(s, d)
+      .select(col("c_nationkey").cast(LongType).as("c_nationkey"),
+        col("c_name"), col("c_custkey"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_nationkey")
+          .orderBy(col("cents").desc, col("c_custkey"))))
+    r.filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_name").as("member"),
+        lit(1L).as("n"), col("cents"))
+      .unionAll(
+        r.filter(col("rk") > 3)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum("cents").cast(LongType).as("cents"))
+          .select(col("c_nationkey"), lit("OTHER").as("member"),
+            col("n"), col("cents")))
+      .orderBy("c_nationkey", "n", "member")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
-    q209_pseudonymize, q212_record_linkage,
+    q209_pseudonymize, q212_record_linkage, q214_l_diversity,
+    q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,
     q69_rank_family, q75_approx_quantile, q84_cms_heavy_hitters,
