@@ -103,6 +103,83 @@ object FormatQueries {
     "ORC round trip: parquet -> ORC -> digest vs the parquet-direct " +
       "oracle — type fidelity of the third columnar format")
 
+  /** Parquet SCHEMA EVOLUTION round trip — the lakehouse reality that a
+    * table's files span schema generations: generation 1 writes the
+    * narrow (doc_id, lang) projection, generation 2 adds `n_chars`, and
+    * a mergeSchema read must see the union schema with nulls where the
+    * old files lack the column. The digest counts per-language rows,
+    * null n_chars (exactly the gen-1 rows), and the gen-2 char sum; the
+    * oracle recomputes all three from the ORIGINAL parquet with the
+    * same even/odd doc split — any column loss, mis-merge, or null
+    * corruption hash-fails.
+    */
+  val q218_schema_evolution: QueryDef = QueryDef(
+    "q218_schema_evolution",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_evo_").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$dir/t/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/t/gen2")
+      val res = s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/t/gen1", s"$dir/t/gen2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_null_chars"),
+          coalesce(sum("n_chars"), lit(0L)).cast(LongType).as("sum_chars"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_chars,
+      |  CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+      |    AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "Schema-evolution round trip: two parquet generations, mergeSchema " +
+      "union read, nulls exactly where the old generation lacks the column")
+
+  /** Small-file COMPACTION promoted to a CORRECTNESS row (the
+    * maintenance op was IoSkewSpec-only): the corpus is written as 64
+    * tiny files, compacted to ~4, and the post-compaction digest must
+    * equal the parquet-direct oracle — compaction must lose, duplicate,
+    * or corrupt nothing. The file-count collapse is asserted in-query
+    * (emitted as literal-checked columns, q119's property style).
+    */
+  val q219_compaction: QueryDef = QueryDef(
+    "q219_compaction",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cmp_").toString
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$dir/t")
+      val (before, after) = Io.compact(s, s"$dir/t", targetRows = 2000)
+      val res = s.read.parquet(s"$dir/t")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("doc_id").cast(LongType).as("sum_ids"),
+          sum(length(col("text"))).cast(LongType).as("sum_chars"))
+        .withColumn("files_shrank",
+          lit(if (before >= 64 && after < 16) 1L else 0L))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(1 AS BIGINT) AS files_shrank
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "Small-file compaction: 64 files -> ~4 with a byte-identical corpus " +
+      "digest; the shrink itself is literal-checked")
+
   /** STREAMING ingest of the interchange format (the cloud-ingest /
     * Autoloader shape): the corpus lands as JSONL files in a drop
     * directory, a file-source stream picks them up one per micro-batch
@@ -193,5 +270,6 @@ object FormatQueries {
       "content-lossless round trip digest-checked against the original")
 
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
-    q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip)
+    q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
+    q218_schema_evolution, q219_compaction)
 }

@@ -104,6 +104,53 @@ object EventStream {
         sum(when(col("sign") === 1L, dec).otherwise(-dec)).as("s"))
   }
 
+  final case class TsEvt(user_id: Long, ts_sec: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Long, n_events: Long)
+
+  /** Stateful sessionization with EVENT-TIME TIMEOUT — the semantics
+    * [[sessionCounts]] (update-mode running counts) cannot express: a
+    * session is emitted ONCE, when it CLOSES — either a later event
+    * proves the gap in-batch, or the watermark passes `last + gap` and
+    * the state times out (the path that finalizes each user's LAST
+    * session; callers advance the final watermark with a far-future
+    * sentinel row, q202's trick). Append-style emission of closed
+    * sessions is exactly what a 100 TB continuous sessionizer feeds
+    * downstream. State per user is one (start, last, n) triple;
+    * timed-out state is removed, so state size tracks ACTIVE users only.
+    */
+  def closedSessions(events: Dataset[TsEvt], gapSec: Long = 1800): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evts, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, st.start, st.n))
+          } else {
+            var closed = List.empty[ClosedSession]
+            var stOpt = state.getOption
+            evts.toSeq.sortBy(_.ts_sec).foreach { e =>
+              stOpt = stOpt match {
+                case Some(st) if e.ts_sec - st.last <= gapSec =>
+                  Some(OpenSession(st.start, e.ts_sec, st.n + 1))
+                case Some(st) =>
+                  closed ::= ClosedSession(uid, st.start, st.n)
+                  Some(OpenSession(e.ts_sec, e.ts_sec, 1))
+                case None => Some(OpenSession(e.ts_sec, e.ts_sec, 1))
+              }
+            }
+            val st = stOpt.get
+            state.update(st)
+            state.setTimeoutTimestamp((st.last + gapSec + 1) * 1000)
+            closed.reverse.iterator
+          }
+      }
+  }
+
   def sessionCounts(events: Dataset[Evt], gapSec: Long = 1800): Dataset[SessionCount] = {
     import events.sparkSession.implicits._
     events

@@ -599,6 +599,76 @@ object StreamQueries {
     "Stream/batch parity #12: LEFT OUTER stream-stream interval join — " +
       "watermark-driven null emission, end state = the batch left join")
 
+  /** Stream/batch parity #13 — EVENT-TIME TIMEOUT session finalization
+    * ([[EventStream.closedSessions]]): q140 streams RUNNING session
+    * counts (update mode); this one emits each session exactly ONCE,
+    * when it CLOSES — in-batch when a later event proves the 30-min
+    * gap, or by `GroupStateTimeout.EventTimeTimeout` when the watermark
+    * passes `last + gap` (the only way a user's LAST session ever
+    * finalizes). A far-future sentinel row advances the final watermark
+    * so every state times out; the batch oracle is the full per-session
+    * (user, start, n_events) table from the q20 gaps-and-islands chain.
+    * Timed-out state is REMOVED — state size tracks active users.
+    */
+  val q217_stream_session_close: QueryDef = QueryDef(
+    "q217_stream_session_close",
+    (s, d) => {
+      import s.implicits._
+      val ev = graft.relational.Tables.events(s, d)
+        .select(col("user_id"), col("ts_sec"), col("ts"))
+      val far = ev.agg((max(unix_micros(col("ts"))) + 864000000000L).as("f"))
+        .collect().head.getLong(0)
+      val staged = ev.unionByName(
+        s.range(1).select(lit(-1L).as("user_id"),
+          lit(far / 1000000L).as("ts_sec"),
+          timestamp_micros(lit(far)).as("ts")))
+      val dir = stageTimeOrdered(staged, "ts", 3, "graft_q217_src")
+      val schema = s.read.parquet(dir.toString).schema
+      val closed = EventStream.closedSessions(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+          .as[EventStream.TsEvt])
+      val sink = "graft_q217_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q217_ckpt")
+      val q = closed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_start"),
+          col("n_events").cast(LongType).as("n_events"))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(dir)
+      res
+    },
+    Some("""WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(min(tsec) AS BIGINT) AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin),
+    "Stream/batch parity #13: event-time-timeout session finalization — " +
+      "each session emitted once at close, end state = the batch " +
+      "per-session table")
+
   /** Stream/batch parity #9 — STREAMING EXACT DEDUP
     * ([[EventStream.dedupeStream]], `dropDuplicatesWithinWatermark`): one
     * emitted row per distinct (user, day) activity key over the bounded
@@ -809,5 +879,5 @@ object StreamQueries {
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
-    q175_stream_restart, q202_stream_outer_join)
+    q175_stream_restart, q202_stream_outer_join, q217_stream_session_close)
 }
