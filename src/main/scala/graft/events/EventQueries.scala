@@ -2,7 +2,7 @@ package graft.events
 
 import graft.QueryDef
 import graft.relational.{Sql, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2301,6 +2301,102 @@ object EventQueries {
         .orderBy("event_type", "lag")
   }
 
+  /** Interval-preserving DATE SHIFT — the third privacy operator
+    * (k-anonymity/pseudonymization's temporal sibling, the HIPAA-style
+    * de-identification trick): every user's event dates move by a
+    * deterministic per-user offset in [−15, +15] days (seeded md5), so
+    * absolute dates are masked while every INTRA-user interval —
+    * session gaps, funnels, retention math — survives exactly. The
+    * audit row per user reports the offset, shifted bounds, and a
+    * span-preservation flag the oracle recomputes from the raw table.
+    */
+  val q221_date_shift: QueryDef = q(
+    "q221_date_shift",
+    """WITH off AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('ds1:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 31 - 15 AS offset_days
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |ev AS (
+      |  SELECT e.user_id,
+      |    CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 + o.offset_days AS sday,
+      |    CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 AS day
+      |  FROM events e JOIN off o ON o.user_id = e.user_id)
+      |SELECT ev.user_id, CAST(o.offset_days AS BIGINT) AS offset_days,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(sday) AS BIGINT) AS min_day_shifted,
+      |  CAST(max(sday) AS BIGINT) AS max_day_shifted,
+      |  CAST(CASE WHEN max(sday) - min(sday) = max(day) - min(day)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS span_ok
+      |FROM ev JOIN off o ON o.user_id = ev.user_id
+      |GROUP BY ev.user_id, o.offset_days
+      |ORDER BY ev.user_id""".stripMargin,
+    "Interval-preserving date shift (privacy): per-user seeded offset in " +
+      "[-15, +15] days; spans provably unchanged, audit value-oracled") {
+    (s, d) =>
+      val off = (c: Column) =>
+        (conv(substring(md5(concat(lit("ds1:"), c.cast(StringType))), 1, 8),
+          16, 10).cast(LongType) % 31 - 15).as("offset_days")
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .withColumn("offset_days", off(col("user_id")))
+        .withColumn("sday", col("day") + col("offset_days"))
+        .groupBy("user_id", "offset_days")
+        .agg(count(lit(1)).as("n_events"),
+          min("sday").as("min_day_shifted"),
+          max("sday").as("max_day_shifted"),
+          when(max("sday") - min("sday") === max("day") - min("day"), 1L)
+            .otherwise(0L).as("span_ok"))
+        .select(col("user_id"), col("offset_days"), col("n_events"),
+          col("min_day_shifted"), col("max_day_shifted"), col("span_ok"))
+        .orderBy("user_id")
+  }
+
+  /** Inter-arrival gap deciles — the latency-distribution readout
+    * (watermark sizing, SLA monitoring): per-user consecutive-event
+    * gaps in seconds, exact equi-depth decile bounds on the VALUE
+    * DOMAIN (q204's trick on a derived metric — distinct gap values,
+    * never row-wise sorting). One user-bounded lag window → one
+    * value-domain histogram → cumulative ppm → 10 threshold picks.
+    */
+  val q222_gap_deciles: QueryDef = q(
+    "q222_gap_deciles",
+    """WITH g AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |gv AS (
+      |  SELECT gap AS val, CAST(count(*) AS BIGINT) AS c
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |gp AS (
+      |  SELECT val,
+      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
+      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |  FROM gv),
+      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_gap_s
+      |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
+      |GROUP BY ks.k ORDER BY k""".stripMargin,
+    "Inter-arrival gap deciles: exact equi-depth bounds of the per-user " +
+      "consecutive-gap distribution, value-domain computation") { (s, d) =>
+    val gaps = Tables.events(s, d)
+      .select((col("ts_sec") - lag("ts_sec", 1).over(wUser)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val gv = gaps.groupBy(col("gap").as("val")).agg(count(lit(1)).as("c"))
+    val gt = gv.agg(sum("c").as("gn"))
+    val wg = Window.orderBy("val")
+    val gp = gv.crossJoin(broadcast(gt))
+      .withColumn("gcum", sum("c").over(wg))
+      .select(col("val"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+          .as("gpct"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    broadcast(ks).join(gp, col("gpct") >= col("k") * 100000)
+      .groupBy("k").agg(min("val").as("upper_gap_s"))
+      .orderBy("k")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2402,7 +2498,7 @@ object EventQueries {
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
-    q210_peak_concurrency, q211_autocorrelation,
+    q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

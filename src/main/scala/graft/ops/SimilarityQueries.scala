@@ -781,6 +781,76 @@ object SimilarityQueries {
     "Plain persisted-IVF search: coarse route -> probed list partitions " +
       "only (full vectors, exact distances), recall@10 >= 0.6 per query")
 
+  /** IVF tuning curve — recall@10 as a function of `nprobe` over the
+    * SAME persisted index (the knob every IVF deployment tunes): probing
+    * more coarse lists can only grow the candidate set, so with exact
+    * re-ranking recall is STRUCTURALLY monotone in nprobe — pinned per
+    * query as a literal property (q164's oracle style), together with
+    * q164's absolute floor at nprobe=4. A monotonicity break means the
+    * router probes the wrong lists or the re-rank drops candidates.
+    */
+  val q220_ivf_probe_curve: QueryDef = QueryDef(
+    "q220_ivf_probe_curve",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val idx = CorpusBuilds.embeddingsIvfIndex(s, d)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 10)
+        .localCheckpoint(true)
+      def rec(nprobe: Int) = Similarity.recallAtK(
+          exact,
+          Similarity.searchIvf(s, idx, queries, "vec_id", "embedding",
+            k = 10, nprobe = nprobe), 10)
+        .select(col("q_id"), col("recall").as(s"r$nprobe"))
+      rec(1).join(rec(2), Seq("q_id")).join(rec(4), Seq("q_id"))
+        .select(col("q_id"),
+          when(col("r1") <= col("r2") && col("r2") <= col("r4"), 1L)
+            .otherwise(0L).as("monotone_ok"),
+          when(col("r4") >= 0.6, 1L).otherwise(0L).as("floor4_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS monotone_ok,
+      |  CAST(1 AS BIGINT) AS floor4_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin),
+    "IVF nprobe tuning curve: recall@10 monotone in probed lists per " +
+      "query + the nprobe=4 absolute floor — literal-property oracle")
+
+  /** Per-label centroid report — the embedding-store aggregate every
+    * class-balance / drift check reads: the mean vector per label in
+    * exact floor-micro units (decimal-bridged sums; the division floors
+    * once). One posexplode + one map-side-combined (label, dim) agg;
+    * output bounded at labels × dims.
+    */
+  val q223_label_centroids: QueryDef = QueryDef(
+    "q223_label_centroids",
+    (s, d) => {
+      val ex = Tables.embeddings(s, d)
+        .select(col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("x", col("x").cast(DoubleType))
+      // decimal-exact sum → ONE double division (IEEE-identical on both
+      // engines, the q32 bridge) → floor
+      ex.groupBy("label", "i")
+        .agg(sum(col("x").cast(decP)).cast(DoubleType).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), (col("i") + 1).cast(LongType).as("dim"),
+          floor(lit(1000000.0) * col("sx") / col("n")).cast(LongType)
+            .as("centroid_micro"))
+        .orderBy("label", "dim")
+    },
+    Some("""WITH ex AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS BIGINT) AS dim,
+      |  CAST(floor(1000000.0 * CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*)) AS BIGINT) AS centroid_micro
+      |FROM ex GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin),
+    "Per-label embedding centroids in exact floor-micro units — the " +
+      "class-profile aggregate, decimal-bridged")
+
   /** RAG-shaped retrieval capstone: chunk the corpus into fixed
     * 30-token windows, embed each CHUNK into the shared hashed-BoW
     * space ([[Multimodal.hashedBowFromTokens]] — the q131 encoder over
@@ -1203,6 +1273,7 @@ object SimilarityQueries {
       "vote, min-tie majority — prediction value oracle")
 
   def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q206_knn_classify,
+    q220_ivf_probe_curve, q223_label_centroids,
     q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,
     q86_semantic_dedup, q104_kmeans_centroids, q116_pq_codes,

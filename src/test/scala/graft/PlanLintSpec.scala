@@ -60,6 +60,8 @@ class PlanLintSpec extends SparkSpec {
     "q209_pseudonymize" -> "three one-row audit aggregates cross-joined into the single report row (q157's scalar-attachment shape)",
     "q213_dataset_card" -> "three one-row corpus aggregates cross-joined into the bounded (metric, value) report frame",
     "q215_ks_test" -> "1-row source picks + totals + max broadcast onto the value-domain histogram (KS numerator/denominator scalars)",
+    "q220_ivf_probe_curve" -> "k-row centroid broadcast for the three coarse-routing crossJoins (q164's shape, once per nprobe setting)",
+    "q222_gap_deciles" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (q204's shape on the gap domain)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
@@ -91,7 +93,8 @@ class PlanLintSpec extends SparkSpec {
     "q200_quantile_normalize" -> "global cumulative sum over the VALUE-DOMAIN histogram (distinct n_chars values — bounded by the value domain, not the corpus)",
     "q204_equi_depth_histogram" -> "global cumulative sum over the VALUE-DOMAIN histogram (q200's frame, decile-boundary variant)",
     "q210_peak_concurrency" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (GlobalLag's patch shape)",
-    "q215_ks_test" -> "cumulative CDF sums over the merged VALUE-DOMAIN histogram (distinct n_chars values — q200's frame, two-sample variant)"
+    "q215_ks_test" -> "cumulative CDF sums over the merged VALUE-DOMAIN histogram (distinct n_chars values — q200's frame, two-sample variant)",
+    "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
