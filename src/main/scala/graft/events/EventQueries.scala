@@ -2397,6 +2397,145 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** Cohort LTV matrix — q155's revenue twin: cohorts by first-activity
+    * day, and for each cohort age (day offset) the CUMULATIVE value per
+    * cohort in exact integer cents — the lifetime-value curve growth
+    * teams read next to retention. Two user-keyed hash aggs + one join
+    * reusing the partitioning + one cumulative window over the bounded
+    * (cohort, age) frame (days² cells regardless of corpus size).
+    */
+  val q224_cohort_ltv: QueryDef = q(
+    "q224_cohort_ltv",
+    """WITH fe AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM fe GROUP BY user_id),
+      |cell AS (
+      |  SELECT c.cohort, fe.day - c.cohort AS age,
+      |    CAST(sum(fe.cents) AS BIGINT) AS rev
+      |  FROM fe JOIN c ON c.user_id = fe.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort, age, rev,
+      |  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev
+      |FROM cell ORDER BY cohort, age""".stripMargin,
+    "Cohort lifetime-value matrix: cumulative cents per (cohort, age), " +
+      "bounded days^2 output — retention's revenue twin") { (s, d) =>
+    val fe = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val c = fe.groupBy("user_id").agg(min("day").as("cohort"))
+    val cell = fe.join(c, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(sum("cents").cast(LongType).as("rev"))
+    cell.withColumn("cum_rev",
+        sum("rev").over(Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .orderBy("cohort", "age")
+  }
+
+  /** User growth curve — per day: first-time (new) users and the
+    * cumulative distinct-user total, computed WITHOUT any rolling
+    * distinct state: first-activity attribution is one user-keyed min
+    * agg, and the cumulative curve is a window over the bounded day
+    * frame. The activation analytics readout next to q108's edge
+    * growth.
+    */
+  val q225_user_growth: QueryDef = q(
+    "q225_user_growth",
+    """WITH fa AS (
+      |  SELECT user_id,
+      |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      |  FROM events GROUP BY user_id),
+      |nd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fa GROUP BY day)
+      |SELECT day, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_cumulative
+      |FROM nd ORDER BY day""".stripMargin,
+    "User growth curve: per-day new users + cumulative distinct total " +
+      "via first-activity attribution (no rolling distinct state)") {
+    (s, d) =>
+      val nd = Tables.events(s, d)
+        .groupBy("user_id").agg(expr("min(ts_sec div 86400)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_new"))
+      nd.withColumn("n_cumulative",
+          sum("n_new").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        .orderBy("day")
+  }
+
+  /** The q154 conversion funnel SPLIT BY EXPERIMENT ARM (q186's md5
+    * variant assignment) — the A/B experiment readout: per (variant,
+    * step) reach, sharing one user-partition shuffle for the three
+    * chained conditional mins. Composition of two oracled kernels whose
+    * interaction (variant-conditional funnel counts) is value-checked.
+    */
+  val q226_variant_funnel: QueryDef = q(
+    "q226_variant_funnel",
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |      THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |u1 AS (
+      |  SELECT user_id, variant,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS t1
+      |  FROM f GROUP BY user_id, variant),
+      |u2 AS (
+      |  SELECT f.user_id, u1.variant, u1.t1,
+      |    MIN(CASE WHEN f.event_type = 'click' AND f.ts_sec > u1.t1
+      |        THEN f.ts_sec END) AS t2
+      |  FROM f JOIN u1 ON f.user_id = u1.user_id
+      |  GROUP BY f.user_id, u1.variant, u1.t1),
+      |u3 AS (
+      |  SELECT f.user_id, u2.variant, u2.t1, u2.t2,
+      |    MIN(CASE WHEN f.event_type = 'purchase' AND f.ts_sec > u2.t2
+      |        THEN f.ts_sec END) AS t3
+      |  FROM f JOIN u2 ON f.user_id = u2.user_id
+      |  GROUP BY f.user_id, u2.variant, u2.t1, u2.t2)
+      |SELECT variant, step, CAST(n_users AS BIGINT) AS n_users FROM (
+      |  SELECT variant, 'p1_view' AS step, COUNT(t1) AS n_users
+      |  FROM u3 GROUP BY variant
+      |  UNION ALL
+      |  SELECT variant, 'p2_click', COUNT(t2) FROM u3 GROUP BY variant
+      |  UNION ALL
+      |  SELECT variant, 'p3_purchase', COUNT(t3) FROM u3 GROUP BY variant)
+      |ORDER BY variant, step""".stripMargin,
+    "Conversion funnel per A/B arm: q154's chained conditional mins + " +
+      "q186's variant split — per-(variant, step) reach") { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(s, d)
+      .select("user_id", "event_type", "ts_sec")
+      .withColumn("variant",
+        when(substring(md5(concat(lit("ab:"), col("user_id").cast(StringType))),
+          1, 1) < "8", "A").otherwise("B"))
+      .withColumn("t1", min(when(col("event_type") === "view",
+        col("ts_sec"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts_sec") > col("t2"), col("ts_sec"))).over(w))
+      .groupBy("user_id", "variant")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+    perUser.groupBy("variant")
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(col("variant"), explode(array(
+        struct(lit("p1_view").as("step"), col("n1").as("n_users")),
+        struct(lit("p2_click").as("step"), col("n2").as("n_users")),
+        struct(lit("p3_purchase").as("step"), col("n3").as("n_users"))))
+        .as("r"))
+      .select(col("variant"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"))
+      .orderBy("variant", "step")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2499,6 +2638,7 @@ object EventQueries {
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
+    q224_cohort_ltv, q225_user_growth, q226_variant_funnel,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -94,7 +94,8 @@ class PlanLintSpec extends SparkSpec {
     "q204_equi_depth_histogram" -> "global cumulative sum over the VALUE-DOMAIN histogram (q200's frame, decile-boundary variant)",
     "q210_peak_concurrency" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (GlobalLag's patch shape)",
     "q215_ks_test" -> "cumulative CDF sums over the merged VALUE-DOMAIN histogram (distinct n_chars values — q200's frame, two-sample variant)",
-    "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)"
+    "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)",
+    "q225_user_growth" -> "cumulative sum over the per-day new-user aggregate (calendar-bounded day frame, never corpus rows)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
