@@ -467,4 +467,57 @@ class SkewScaleSpec extends SparkSpec {
       s"expected 50 celebrity + 30 outside triangles, got ${row.getAs[Long]("n_triangles")}")
     assert(row.getAs[Long]("n_edges") == (leaves + 50 + 90).toLong)
   }
+
+  test("bucketized interval join (q187's rewrite) equals the naive inequality join, boundaries included") {
+    // pseudo-random touches/purchases per user, including exact-boundary
+    // gaps (t == p - win) that the bucket replicas must still catch
+    val win = 259200L
+    val touches = (1L to 400L).map { i =>
+      (i % 7, 1704067200L + (i * 104729L) % (win * 4), i)
+    }.toDF("user_id", "t_sec", "tid")
+    val purchases = (1L to 60L).map { i =>
+      // every 5th purchase sits exactly `win` after some touch's second
+      val base = 1704067200L + (i * 15485863L) % (win * 4)
+      val sec = if (i % 5 == 0) 1704067200L + ((i * 104729L) % (win * 4)) + win
+                else base
+      (i % 7, sec, 1000L + i)
+    }.toDF("user_id", "p_sec", "pid")
+    val naive = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_sec") < col("p_sec") &&
+        col("t_sec") >= col("p_sec") - win)
+      .select("pid", "tid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    val bucketed = purchases
+      .withColumn("bk", expr(s"p_sec div $win"))
+      .join(
+        touches.select(col("user_id"), col("t_sec"), col("tid"),
+          explode(array(expr(s"t_sec div $win"),
+            expr(s"t_sec div $win") + 1)).as("bk")),
+        Seq("user_id", "bk"))
+      .filter(col("t_sec") < col("p_sec") &&
+        col("t_sec") >= col("p_sec") - win)
+      .select("pid", "tid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive,
+      s"missing=${(naive -- bucketed).take(5)} extra=${(bucketed -- naive).take(5)}")
+  }
+
+  test("rolling-distinct cover explode (q185's rewrite) equals the naive range join") {
+    val ad = (1L to 300L).map(i => ((i * 31L) % 40, 19700L + (i * 7L) % 25))
+      .toDF("user_id", "day").distinct()
+    val days = ad.select("day").distinct()
+    val naive = days.as("d").join(ad.as("a"),
+        col("a.day").between(col("d.day") - 6, col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cover = ad.select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cover == naive)
+  }
 }
