@@ -2536,6 +2536,104 @@ object EventQueries {
       .orderBy("variant", "step")
   }
 
+  /** Week-over-week growth per event type — the KPI-report delta: weekly
+    * counts, previous week via one lag over the bounded (type, week)
+    * frame, growth in exact floor-ppm with the portable-floor CASE
+    * (shrinking weeks go negative, where Spark's truncating `div` and
+    * DuckDB's flooring `//` would silently diverge — q179's rule).
+    */
+  val q227_wow_growth: QueryDef = q(
+    "q227_wow_growth",
+    """WITH wk AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(x) OVER (PARTITION BY event_type ORDER BY week)
+      |    AS prev
+      |  FROM wk)
+      |SELECT event_type, week, x, prev,
+      |  CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+      |    WHEN 1000000 * (x - prev) >= 0 THEN (1000000 * (x - prev)) // prev
+      |    ELSE -((-(1000000 * (x - prev)) + prev - 1) // prev) END
+      |    AS BIGINT) AS growth_ppm
+      |FROM l ORDER BY event_type, week""".stripMargin,
+    "Week-over-week growth per type: exact floor-ppm deltas with the " +
+      "portable-floor CASE for shrinking weeks") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 604800").as("week"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("prev", lag("x", 1).over(
+        Window.partitionBy("event_type").orderBy("week")))
+      .withColumn("growth_ppm", expr(
+        """CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+          |  WHEN 1000000 * (x - prev) >= 0 THEN (1000000 * (x - prev)) div prev
+          |  ELSE -((-(1000000 * (x - prev)) + prev - 1) div prev) END
+          |  AS BIGINT)""".stripMargin))
+      .orderBy("event_type", "week")
+  }
+
+  /** Time-to-convert deciles — how long the view→purchase journey takes:
+    * per converting user the exact (first purchase after first view) −
+    * (first view) latency, then equi-depth decile bounds on the VALUE
+    * DOMAIN (q222's machinery on the funnel latency metric). One
+    * user-partition shuffle for the two conditional mins, then
+    * aggregate-sized frames only.
+    */
+  val q228_conversion_latency: QueryDef = q(
+    "q228_conversion_latency",
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |u1 AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS t1
+      |  FROM f GROUP BY user_id),
+      |u2 AS (
+      |  SELECT f.user_id,
+      |    MIN(CASE WHEN f.event_type = 'purchase' AND f.ts_sec > u1.t1
+      |        THEN f.ts_sec END) - u1.t1 AS lat
+      |  FROM f JOIN u1 ON f.user_id = u1.user_id
+      |  GROUP BY f.user_id, u1.t1),
+      |gv AS (
+      |  SELECT lat AS val, CAST(count(*) AS BIGINT) AS c
+      |  FROM u2 WHERE lat IS NOT NULL GROUP BY 1),
+      |gp AS (
+      |  SELECT val,
+      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
+      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |  FROM gv),
+      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_latency_s
+      |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
+      |GROUP BY ks.k ORDER BY k""".stripMargin,
+    "Time-to-convert deciles: first-view -> first-subsequent-purchase " +
+      "latency, exact equi-depth bounds on the value domain") { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    val lat = Tables.events(s, d)
+      .select("user_id", "event_type", "ts_sec")
+      .withColumn("t1", min(when(col("event_type") === "view",
+        col("ts_sec"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+      .groupBy("user_id")
+      .agg((first("tp") - first("t1")).as("lat"))
+      .filter(col("lat").isNotNull)
+    val gv = lat.groupBy(col("lat").as("val")).agg(count(lit(1)).as("c"))
+    val gt = gv.agg(sum("c").as("gn"))
+    val gp = gv.crossJoin(broadcast(gt))
+      .withColumn("gcum", sum("c").over(Window.orderBy("val")))
+      .select(col("val"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+          .as("gpct"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    broadcast(ks).join(gp, col("gpct") >= col("k") * 100000)
+      .groupBy("k").agg(min("val").as("upper_latency_s"))
+      .orderBy("k")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2638,7 +2736,8 @@ object EventQueries {
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
-    q224_cohort_ltv, q225_user_growth, q226_variant_funnel,
+    q224_cohort_ltv, q225_user_growth, q226_variant_funnel, q227_wow_growth,
+    q228_conversion_latency,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

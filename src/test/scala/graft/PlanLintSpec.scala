@@ -62,6 +62,7 @@ class PlanLintSpec extends SparkSpec {
     "q215_ks_test" -> "1-row source picks + totals + max broadcast onto the value-domain histogram (KS numerator/denominator scalars)",
     "q220_ivf_probe_curve" -> "k-row centroid broadcast for the three coarse-routing crossJoins (q164's shape, once per nprobe setting)",
     "q222_gap_deciles" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (q204's shape on the gap domain)",
+    "q228_conversion_latency" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (q222's shape on the latency domain)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
@@ -95,7 +96,8 @@ class PlanLintSpec extends SparkSpec {
     "q210_peak_concurrency" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (GlobalLag's patch shape)",
     "q215_ks_test" -> "cumulative CDF sums over the merged VALUE-DOMAIN histogram (distinct n_chars values — q200's frame, two-sample variant)",
     "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)",
-    "q225_user_growth" -> "cumulative sum over the per-day new-user aggregate (calendar-bounded day frame, never corpus rows)"
+    "q225_user_growth" -> "cumulative sum over the per-day new-user aggregate (calendar-bounded day frame, never corpus rows)",
+    "q228_conversion_latency" -> "global cumulative sum over the VALUE-DOMAIN latency histogram (distinct latency values - q222's frame)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
