@@ -854,8 +854,61 @@ object TextQueries {
       .orderBy("metric")
   }
 
+  /** All-pairs document similarity via the INVERTED-INDEX join (the
+    * Bayardo/Ma/Srikant all-pairs-similarity shape): per-(doc, term)
+    * integer tf·idf weights — idf as the exact rational ⌈10⁶/df⌉ — and
+    * pair dot products generated ONLY through shared DISCRIMINATIVE
+    * terms (df ≤ 64; a term in every doc carries no pair signal and
+    * would explode the join — the q192 hub-cap rule on the term
+    * dimension). Pair space is bounded by Σ_{df≤cap} df², every product
+    * DECIMAL(38)-guarded, top-20 pairs by exact integer dot.
+    */
+  val q229_sparse_cosine_pairs: QueryDef = q(
+    "q229_sparse_cosine_pairs",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |wt AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    tf.tf * ((1000000 + dfx.df - 1) // dfx.df) AS wgt
+      |  FROM tf JOIN dfx ON dfx.w = tf.w
+      |  WHERE dfx.df <= 64),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    CAST(sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS BIGINT) AS dot
+      |  FROM wt a JOIN wt b ON b.w = a.w AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, dot FROM pairs
+      |ORDER BY dot DESC, a, b LIMIT 20""".stripMargin,
+    "All-pairs doc similarity: inverted-index join over df<=64 terms, " +
+      "exact integer tf-idf dots, top-20") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64)
+    val wt = tf.join(dfx, Seq("w"))
+      .select(col("doc_id"), col("w"),
+        (col("tf") * expr("(1000000 + df - 1) div df")).as("wgt"))
+    wt.select(col("w"), col("doc_id").as("a"), col("wgt").as("wa"))
+      .join(wt.select(col("w"), col("doc_id").as("b"), col("wgt").as("wb")),
+        Seq("w"))
+      .filter(col("b") > col("a"))
+      .groupBy("a", "b")
+      .agg(sum(col("wa").cast(DecimalType(38, 0)) * col("wb"))
+        .cast(LongType).as("dot"))
+      .orderBy(col("dot").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
+    q229_sparse_cosine_pairs,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,
