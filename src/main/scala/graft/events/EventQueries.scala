@@ -2634,6 +2634,126 @@ object EventQueries {
       .orderBy("k")
   }
 
+  /** [[graft.ops.Graph.localClustering]] over the interaction graph —
+    * the node-resolved "how cliquish is my neighborhood" metric q73's
+    * global census cannot answer: cc(v) = 2·tri(v)/(deg·(deg−1)) in
+    * exact floor-ppm. The oracle enumerates each triangle ONCE in
+    * a<b<c order and explodes its three corners — orientation-invariant
+    * per-node counts, so the engine's degree-oriented wedge path must
+    * agree exactly.
+    */
+  val q230_local_clustering: QueryDef = q(
+    "q230_local_clustering",
+    edgesSql +
+      """,
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM we e1
+        |  JOIN we e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN we e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS v FROM tri
+        |    UNION ALL SELECT y AS v FROM tri
+        |    UNION ALL SELECT z AS v FROM tri)
+        |  GROUP BY v),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM we UNION ALL SELECT b AS v FROM we)
+        |  GROUP BY v)
+        |SELECT deg.v AS user_id, deg.deg,
+        |  COALESCE(tn.n_tri, 0) AS n_tri,
+        |  CAST(CASE WHEN deg.deg >= 2
+        |    THEN (CAST(2000000 AS HUGEINT) * COALESCE(tn.n_tri, 0))
+        |      // (CAST(deg.deg AS HUGEINT) * (deg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN tn ON tn.v = deg.v
+        |ORDER BY user_id""".stripMargin,
+    "Local clustering coefficient per user: degree-oriented per-node " +
+      "triangle counts, exact floor-ppm — a<b<c-enumerated oracle") {
+    (s, d) =>
+      val we = graft.ops.Graph.fromEvents(s, d)
+      graft.ops.Graph.localClustering(we, "source", "target")
+        .select(col("v").as("user_id"), col("deg"), col("n_tri"),
+          col("cc_ppm"))
+        .orderBy("user_id")
+  }
+
+  /** Unrolled per-round CTEs for the q231 oracle: each generation
+    * distributes the current ppm mass along the transition counts with
+    * the PINNED per-term floor `(π_i · c_ij) div r_i`, then rescales the
+    * 5-row vector back to Σ = 10⁶.
+    */
+  private def markovRoundSql(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""raw$k AS MATERIALIZED (
+         |  SELECT tm.dst AS st, sum((p.p * tm.c) // tm.r) AS raw
+         |  FROM tm JOIN pi${k - 1} p ON p.st = tm.src
+         |  GROUP BY tm.dst),
+         |pi$k AS MATERIALIZED (
+         |  SELECT st, (CAST(1000000 AS HUGEINT) * raw)
+         |    // (SELECT sum(raw) FROM raw$k) AS p
+         |  FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** Stationary distribution of q178's event-transition Markov chain —
+    * 4 power-iteration rounds in EXACT integers: mass moves along the
+    * transition counts with a pinned per-term floor, and each round
+    * rescales the 5-row vector to Σ = 10⁶ (q180's integer-normalization
+    * trick on a stochastic matrix). Every frame after the one corpus
+    * pass is state-count-sized (5 rows).
+    */
+  val q231_markov_stationary: QueryDef = q(
+    "q231_markov_stationary",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |tm AS MATERIALIZED (
+      |  SELECT prev AS src, event_type AS dst,
+      |    CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(count(*)) OVER (PARTITION BY prev) AS BIGINT) AS r
+      |  FROM seq WHERE prev IS NOT NULL
+      |  GROUP BY prev, event_type),
+      |states AS (SELECT DISTINCT src AS st FROM tm),
+      |pi0 AS (
+      |  SELECT st, CAST(1000000 AS HUGEINT)
+      |    // (SELECT count(*) FROM states) AS p
+      |  FROM states),
+      |""".stripMargin + markovRoundSql(4) +
+      """
+        |SELECT st AS event_type, CAST(p AS BIGINT) AS pi_ppm
+        |FROM pi4 ORDER BY st""".stripMargin,
+    "Stationary distribution of the event-transition chain: 4 exact " +
+      "integer power-iteration rounds with ppm rescale") { (s, d) =>
+    val seq = Tables.events(s, d)
+      .withColumn("prev", lag("event_type", 1).over(wUser))
+      .filter(col("prev").isNotNull)
+    val tm = seq.groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", sum("c").over(Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val states = tm.select(col("src").as("st")).distinct()
+    val nStates = states.count()
+    var pi = states.select(col("st"),
+      expr(s"CAST(CAST(1000000 AS DECIMAL(38,0)) div $nStates AS BIGINT)")
+        .as("p"))
+    for (_ <- 1 to 4) {
+      val raw = tm.join(pi.withColumnRenamed("st", "src"), Seq("src"))
+        .groupBy(col("dst").as("st"))
+        .agg(sum(expr("(p * c) div r")).as("raw"))
+      val tot = raw.agg(sum("raw").as("t"))
+      pi = raw.crossJoin(broadcast(tot))
+        .select(col("st"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * raw) div t AS BIGINT)")
+            .as("p"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("st").as("event_type"), col("p").as("pi_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2737,7 +2857,7 @@ object EventQueries {
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q226_variant_funnel, q227_wow_growth,
-    q228_conversion_latency,
+    q228_conversion_latency, q230_local_clustering, q231_markov_stationary,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,

@@ -344,6 +344,49 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node LOCAL clustering coefficient — [[triangleStats]]'s
+    * node-resolved sibling: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) in
+    * exact floor-ppm. Same degree-oriented wedge join (O(m^1.5) under
+    * skew); the per-node attribution joins the closing edge INNER (the
+    * canonical edge list has one row per edge, so no double count) and
+    * explodes each triangle to its three corners — 3 rows per triangle,
+    * one map-side-combined count per node. Returns
+    * (v, deg, n_tri, cc_ppm); degree-1 nodes report 0.
+    */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degrees(e)
+    val withRanks = e
+      .join(deg.select(col("v").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("_db")), Seq("b"))
+    val oriented = withRanks.select(
+      when(struct(col("_da").as("d"), col("a").as("i")) <
+          struct(col("_db").as("d"), col("b").as("i")),
+        struct(col("a").as("u"), col("b").as("w"),
+          struct(col("_db").as("d"), col("b").as("i")).as("rw")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("w"),
+            struct(col("_da").as("d"), col("a").as("i")).as("rw"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.rw").as("rw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rw") < col("e2.rw"))
+      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+    val closing = oriented.select(col("u").as("x"), col("w").as("y"))
+    val triNodes = wedges.join(closing, Seq("x", "y"))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(triNodes, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("""CAST(CASE WHEN deg >= 2
+               |  THEN (CAST(2000000 AS DECIMAL(38,0)) * coalesce(n_tri, 0))
+               |    div (CAST(deg AS DECIMAL(38,0)) * (deg - 1))
+               |  ELSE 0 END AS BIGINT)""".stripMargin).as("cc_ppm"))
+  }
+
   /** Shared power-iteration loop for the three PageRank variants:
     * O(1)-lineage via depth-triggered eager checkpoints (cost model in
     * [[pageRank]]'s body comments), optional L1 convergence early-exit.

@@ -216,6 +216,26 @@ class GraphSpec extends SparkSpec {
     assert(run(50) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
   }
 
+  test("localClustering: closed forms on K4, star, triangle-with-pendant") {
+    def run(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Graph.localClustering(edges.toDF("s", "t"), "s", "t")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // K4: every node deg 3, 3 triangles each, cc = 1
+    val k4 = run(for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    assert(k4.values.forall(_ == ((3L, 3L, 1000000L))))
+    // star: hub deg 5 with no closing edges → cc 0; leaves deg 1 → 0
+    val star = run((1L to 5L).map(i => (0L, i)))
+    assert(star(0L) == ((5L, 0L, 0L)) && star(1L) == ((1L, 0L, 0L)))
+    // triangle 1-2-3 with pendant 3-4: cc(1)=cc(2)=1, cc(3)=2/(3·2)·1 =
+    // 333333 ppm, cc(4)=0
+    val tp = run(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(tp == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L))))
+  }
+
   test("hits: pure hub/authority split, fan-out asymmetry, cycle fixpoint") {
     def run(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Long, Long)] =
       Graph.hits(edges.toDF("s", "t"), iters)
