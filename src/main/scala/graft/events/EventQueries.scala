@@ -2754,6 +2754,35 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Degree distribution in log₂ buckets — the scale-free-ness readout
+    * every graph report leads with, with the log kept EXACT: bucket =
+    * ⌊log₂ deg⌋ computed as `length(bin(deg)) − 1` (bit length, pure
+    * integer — no float log at any scale) on both engines. One degree
+    * agg + one bounded bucket agg.
+    */
+  val q232_degree_histogram: QueryDef = q(
+    "q232_degree_histogram",
+    edgesSql +
+      """,
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM we UNION ALL SELECT b AS v FROM we)
+        |  GROUP BY v)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "Degree distribution in exact log2 buckets (bit length, no float " +
+      "log): nodes + degree range per bucket") { (s, d) =>
+    val we = graft.ops.Graph.fromEvents(s, d)
+    we.select(col("source").as("v")).unionAll(we.select(col("target").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bucket")
+  }
+
   /** Unrolled Bellman-Ford generations `d$k` for the q182 oracle: round
     * k's frame is the min over (keep previous dist) ∪ (relax every edge
     * out of a previously-reached node) — the exact SQL transliteration of
@@ -2857,7 +2886,7 @@ object EventQueries {
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q226_variant_funnel, q227_wow_growth,
-    q228_conversion_latency, q230_local_clustering, q231_markov_stationary,
+    q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
