@@ -1105,12 +1105,14 @@ object EventQueries {
   val q178_event_transitions: QueryDef = QueryDef(
     "q178_event_transitions",
     (s, d) => {
-      // order by the MICROS ts (+ unique event_id tiebreak) — the oracle
-      // orders by its native timestamp, so a ns-resolution order here
-      // could diverge inside one microsecond
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // order by ts_ns (+ unique event_id tiebreak) — the repo's ordering
+      // contract (Tables.normalizeEventTs): the oracle's ORDER BY ts is
+      // nanosecond-resolution in the nanos generation, so ordering by the
+      // micros-truncated ts here could place two same-user events inside
+      // one microsecond differently from DuckDB
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
       val trans = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
         .withColumn("prev", lag("event_type", 1).over(w))
         .filter(col("prev").isNotNull)
       val counts = trans.groupBy(col("prev").as("from_type"),

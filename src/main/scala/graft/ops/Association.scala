@@ -49,7 +49,10 @@ object Association {
           .as("conf_a_b_ppm"),
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * support) div n_b AS BIGINT)")
           .as("conf_b_a_ppm"),
+        // the denominator needs the same DECIMAL(38) guard as the
+        // numerator: a raw BIGINT n_a*n_b silently wraps past ~9.2e18
+        // (two 3e9-count items already overflow)
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_baskets * support) " +
-          "div (n_a * n_b) AS BIGINT)").as("lift_ppm"))
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
   }
 }

@@ -37,10 +37,16 @@ object GlobalPrefixSum {
       spark.conf.get("spark.sql.shuffle.partitions"),
       spark.sparkContext.defaultParallelism)
     val orderKey = orderCols.map(col)
+    // eager localCheckpoint, NOT persist: the frame is read twice (offsets
+    // + final join) within this one call and never again, and a persist
+    // here leaked — the lazily-returned result gives no point to
+    // unpersist, so cached blocks accumulated across repeated executions
+    // in one session. Local-checkpoint blocks are ContextCleaner-reclaimed
+    // when the frame is GC'd.
     val ranged = df
       .repartitionByRange(n, orderKey: _*)
       .withColumn(PID, spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val offsets = ranged
       .groupBy(col(PID))
       .agg(sum(col(valueCol)).as("_tot"))

@@ -306,13 +306,14 @@ object Graph {
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // The canonical edge list feeds four subtrees (degrees, rank join,
     // edge count, closing edges) and the oriented list three — without a
-    // persist each reference recomputes the whole upstream pipeline.
-    // Edges are tiny relative to the input that produced them (one row
-    // per distinct pair), so materializing them is the scale-correct
-    // trade at any corpus size; ContextCleaner unpersists when the frames
-    // become unreachable.
-    val e = canonicalEdges(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialization each reference recomputes the whole upstream
+    // pipeline. Edges are tiny relative to the input that produced them
+    // (one row per distinct pair). Eager checkpoints, not persist: the
+    // result is returned lazily so there is no sound in-function
+    // unpersist point, and CacheManager-pinned blocks accumulated across
+    // repeated executions; checkpoint blocks are reclaimed on GC.
+    val ckpt = ckptFn(edges)
+    val e = ckpt(canonicalEdges(edges, srcCol, dstCol))
     val deg = degrees(e)
     // rank struct (deg, v): total order; compare field-wise
     val withRanks = e
@@ -327,7 +328,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("w"),
             struct(col("_da").as("d"), col("a").as("i")).as("rw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.rw").as("rw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ckpt)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rw") < col("e2.rw"))
@@ -354,8 +355,13 @@ object Graph {
     * (v, deg, n_tri, cc_ppm); degree-1 nodes report 0.
     */
   def localClustering(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoints, not persist: e is read 3× (deg + two rank joins)
+    // and oriented 3× (wedge self-join + closing), but the result is
+    // returned lazily so an in-function unpersist has no sound place —
+    // persisted blocks leaked across repeated executions. Checkpoint
+    // blocks are reclaimed when the frames are GC'd.
+    val ckpt = ckptFn(edges)
+    val e = ckpt(canonicalEdges(edges, srcCol, dstCol))
     val deg = degrees(e)
     val withRanks = e
       .join(deg.select(col("v").as("a"), col("deg").as("_da")), Seq("a"))
@@ -369,7 +375,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("w"),
             struct(col("_da").as("d"), col("a").as("i")).as("rw"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.rw").as("rw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(ckpt)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rw") < col("e2.rw"))
@@ -671,9 +677,12 @@ object Graph {
     val ckpt = ckptFn(directed)
     val e = directed.select(col("s"), col("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("s").as("v")).unionAll(e.select(col("t").as("v")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ckpt, not persist: nodes outlives the loop into the lazily-returned
+    // final join, so there is no in-function unpersist point for it — a
+    // persist here leaked across executions (e below IS unpersisted once
+    // the loop's checkpointed frames no longer need it).
+    val nodes = ckpt(
+      e.select(col("s").as("v")).unionAll(e.select(col("t").as("v"))).distinct())
     // Exact integer normalization: score' = (10⁶ · raw) div max(raw).
     // `div` (IntegralDivide) truncates, DuckDB's `//` floors — equal on
     // the non-negative operands here. Result ≤ 10⁶ → LongType.
@@ -693,6 +702,7 @@ object Graph {
           .groupBy(col("s").as("v"))
           .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw")))
     }
+    e.unpersist(blocking = false) // hub/auth/nodes are checkpointed; e is done
     nodes
       .join(hub.select(col("v"), col("score").as("hub_ppm")), Seq("v"), "left")
       .join(auth.select(col("v"), col("score").as("auth_ppm")), Seq("v"), "left")

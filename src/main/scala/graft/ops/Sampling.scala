@@ -111,6 +111,11 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val reps = df
       .select(col(idCol).as("doc_id"), col(weightCol).cast(LongType).as("weight"))
+      // weight ≤ 0 must mean EXCLUSION: sequence(0, w-1) on w=0 yields the
+      // DESCENDING array [0, -1] (two replicas → near-certain inclusion)
+      // and negative weights explode arbitrarily large ranges. DuckDB's
+      // range(0) is empty, so this filter is also the oracle-parity shape.
+      .filter(col("weight") > 0)
       .withColumn("r", explode(sequence(lit(0L), col("weight") - 1)))
     val key = conv(substring(md5(concat_ws(":",
         lit(seed), col("doc_id").cast(StringType), col("r").cast(StringType))),

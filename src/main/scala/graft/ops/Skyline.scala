@@ -67,8 +67,13 @@ object Skyline {
       .sortWithinPartitions(col(xCol).asc, col(yCol).desc)
       .mapPartitions(sweep _)(enc)
     // candidate union is tiny — one task finishes the exact answer with
-    // the identical kernel (no single-partition Window in the plan)
-    local.coalesce(1)
+    // the identical kernel (no single-partition Window in the plan).
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    // that would collapse phase 1 into the same single task, piping the
+    // full input through one sweep; the shuffle is a stage barrier that
+    // keeps phase 1 at input parallelism and moves only the skyline-sized
+    // candidate union.
+    local.repartition(1)
       .sortWithinPartitions(col(xCol).asc, col(yCol).desc)
       .mapPartitions(sweep _)(enc)
   }

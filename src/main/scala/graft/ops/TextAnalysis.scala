@@ -364,8 +364,11 @@ object TextAnalysis {
       .join(rightM, Seq("b"))
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("c_ab"),
+        // DECIMAL(38)-guard the denominator too: raw BIGINT c_a*c_b wraps
+        // past ~9.2e18 at 100 TB word counts (the numerator was already
+        // guarded)
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_big * c_ab) " +
-          "div (c_a * c_b) AS BIGINT)").as("pmi_ppm"))
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("pmi_ppm"))
   }
 
   /** BM25-shape keyword relevance scoring (Robertson/Spärck Jones) with
@@ -391,9 +394,13 @@ object TextAnalysis {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, nTerms: Int, minTermLen: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
+    // eager localCheckpoint, not persist: toks feeds three subtrees (dl,
+    // terms, tf) but the result is returned lazily, so a persist had no
+    // unpersist point and its blocks accumulated across executions;
+    // checkpoint blocks are GC-reclaimed.
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
     val terms = toks.filter(length(col("w")) >= minTermLen)

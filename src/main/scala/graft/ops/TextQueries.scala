@@ -756,15 +756,19 @@ object TextQueries {
         .filter(col("w") =!= "")
         .withColumn("stop", when(col("w").isin("a", "the"), 1L).otherwise(0L))
       val seg = toks.withColumn("pid", sum("stop").over(w))
+      // eager localCheckpoints, not persist: pw feeds three subtrees and
+      // ph two, but the result is lazy — persisted blocks had no
+      // unpersist point and leaked across executions (GC reclaims
+      // checkpoint blocks)
       val pw = seg.filter(col("stop") === 0L)
         .select("doc_id", "pid", "i", "w")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val ph = pw.groupBy("doc_id", "pid")
         .agg(concat_ws(" ", transform(
             sort_array(collect_list(struct(col("i"), col("w")))),
             e => e("w"))).as("phrase"),
           count(lit(1)).as("plen"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val wstat = pw.join(ph, Seq("doc_id", "pid"))
         .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       val wsc = wstat.select(col("w"),

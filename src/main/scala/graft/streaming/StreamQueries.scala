@@ -599,6 +599,113 @@ object StreamQueries {
     "Stream/batch parity #12: LEFT OUTER stream-stream interval join — " +
       "watermark-driven null emission, end state = the batch left join")
 
+  /** BOUNDED-STATE PROOF for the stream-stream interval join — the
+    * operational claim q165/q202 verify only indirectly: watermarks
+    * don't just gate emission, they EVICT join state, so state size
+    * tracks the open time window, never the cumulative stream. This
+    * query re-runs q165's inner interval join (3 time-ordered files per
+    * side + far-future sentinels that force the final watermark past
+    * every real row's expiry) and reads
+    * `StreamingQueryProgress.stateOperators.numRowsTotal` across the
+    * micro-batches:
+    *   - `n_matches`        — the joined row count (sentinels excluded),
+    *                          = the batch interval join (same oracle as
+    *                          q165's row set, collapsed to a count);
+    *   - `state_evicted`    — 1 iff peak state rows strictly exceed the
+    *                          final state rows (eviction observed);
+    *   - `final_state_rows` — the exact end-state size. At the final
+    *                          watermark (sentinel_ts − 1 day) every real
+    *                          row is past its retention bound — an
+    *                          impression is kept while
+    *                          imp_ts ≥ wm − window (here wm − 1 day
+    *                          = real_max + 1 day > any imp_ts), a click
+    *                          while click_ts ≥ wm — so the open-window
+    *                          key count is exactly the 2 sentinels, and
+    *                          anything larger means state leaked.
+    * At 100 TB continuous ingest this is THE failure mode watermarks
+    * exist to prevent; the per-batch upper-bound twin (state ≤ rows
+    * still inside the previous watermark's retention window, every
+    * batch) is pinned in StreamingSpec where the staged files are
+    * available to compute the bound.
+    */
+  val q233_stream_state_bound: QueryDef = QueryDef(
+    "q233_stream_state_bound",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+      val far = ev.agg((max(unix_micros(col("ts"))) + 259200000000L).as("fs"))
+        .collect().head.getLong(0)
+      def sentinel(uid: Long, userCol: String, tsCol: String): DataFrame =
+        s.range(1).select(lit(uid).as(userCol),
+          timestamp_micros(lit(far)).as(tsCol))
+      val impDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"))
+          .unionByName(sentinel(-1L, "imp_user", "imp_ts")),
+        "imp_ts", 3, "graft_q233_imp")
+      val clkDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+          .unionByName(sentinel(-2L, "click_user", "click_ts")),
+        "click_ts", 3, "graft_q233_clk")
+      def src(dir: java.nio.file.Path): DataFrame = {
+        val schema = s.read.parquet(dir.toString).schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      }
+      val joined = EventStream.attributeClicks(
+        src(impDir), src(clkDir), windowSec = 86400, watermarkDelay = "1 day")
+      val sink = "graft_q233_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q233_ckpt")
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // state-row trajectory: one sample per micro-batch that ran a
+      // stateful operator (includes the trailing no-data batch that
+      // applies the final watermark's eviction)
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      require(stateRows.nonEmpty, "no state-operator progress observed")
+      val peak = stateRows.max
+      val fin = stateRows.last
+      val nMatches = s.table(sink).filter(col("imp_user") >= 0L).count()
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      deleteRecursively(impDir)
+      deleteRecursively(clkDir)
+      s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("final_state_rows", fin),
+          org.apache.spark.sql.Row("n_matches", nMatches),
+          org.apache.spark.sql.Row("state_evicted",
+            if (peak > fin) 1L else 0L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("metric",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("value", LongType,
+            nullable = false))))
+        .orderBy("metric")
+    },
+    Some("""WITH j AS (
+      |  SELECT 1 AS one
+      |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') i
+      |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |    ON i.user_id = c.user_id
+      |   AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 DAY)
+      |SELECT metric, value FROM (
+      |  SELECT 'final_state_rows' AS metric, CAST(2 AS BIGINT) AS value
+      |  UNION ALL
+      |  SELECT 'n_matches', CAST(count(*) AS BIGINT) FROM j
+      |  UNION ALL
+      |  SELECT 'state_evicted', CAST(1 AS BIGINT))
+      |ORDER BY metric""".stripMargin),
+    "Bounded-state proof: stream-stream interval join state rows drop " +
+      "to exactly the open-window keys (the 2 sentinels) after the " +
+      "final watermark, with eviction observed mid-run")
+
   /** Stream/batch parity #13 — EVENT-TIME TIMEOUT session finalization
     * ([[EventStream.closedSessions]]): q140 streams RUNNING session
     * counts (update mode); this one emits each session exactly ONCE,
@@ -879,5 +986,6 @@ object StreamQueries {
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
-    q175_stream_restart, q202_stream_outer_join, q217_stream_session_close)
+    q175_stream_restart, q202_stream_outer_join, q217_stream_session_close,
+    q233_stream_state_bound)
 }

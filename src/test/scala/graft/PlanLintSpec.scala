@@ -90,7 +90,9 @@ class PlanLintSpec extends SparkSpec {
     // trainer's init is visible here
     "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
     "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
-    "q180_hits_scores" -> "GlobalLag boundary patch in the persisted directed-edge build (q108's shape; the HITS rounds themselves run inside eager checkpoints)",
+    // q180's GlobalLag boundary-patch window now runs inside the
+    // checkpointed node frame (hits ckpts nodes instead of persisting
+    // it), so no global window reaches its final plan
     "q200_quantile_normalize" -> "global cumulative sum over the VALUE-DOMAIN histogram (distinct n_chars values — bounded by the value domain, not the corpus)",
     "q204_equi_depth_histogram" -> "global cumulative sum over the VALUE-DOMAIN histogram (q200's frame, decile-boundary variant)",
     "q210_peak_concurrency" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (GlobalLag's patch shape)",

@@ -242,6 +242,76 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("stream-stream join state is watermark-bounded, never cumulative " +
+      "(q233's per-batch twin)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val windowSec = 100L
+    val delaySec = 10L
+    val t0 = 1000000000000L // millis
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000L)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp)]
+    // every row ever staged, for the survivor bound below
+    val impRows = Seq(0L, 20L, 500L, 10000L).map(ts)
+    val clkRows = Seq(30L, 40L, 520L, 10000L).map(ts)
+    val joined = EventStream.attributeClicks(
+      imps.toDS().toDF("imp_user", "imp_ts"),
+      clks.toDS().toDF("click_user", "click_ts"),
+      windowSec = windowSec, watermarkDelay = s"$delaySec seconds")
+    val q = joined.writeStream.format("memory").queryName("statebound")
+      .outputMode("append").start()
+    try {
+      // batch 1: two imps, one matching click, one orphan click
+      imps.addData((1L, ts(0)), (2L, ts(20)))
+      clks.addData((1L, ts(30)), (3L, ts(40)))
+      q.processAllAvailable()
+      // batch 2: far enough that batch-1 state becomes evictable
+      imps.addData((4L, ts(500)))
+      clks.addData((4L, ts(520)))
+      q.processAllAvailable()
+      // batch 3: sentinels push the watermark past every real expiry
+      imps.addData((-1L, ts(10000)))
+      clks.addData((-2L, ts(10000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    assert(progress.nonEmpty, "no stateful progress recorded")
+    // Per-batch NON-CUMULATIVE bound: a progress reporting watermark W ran
+    // its eviction with W, so its end-of-batch state can only hold rows
+    // still inside W's retention window — impressions with
+    // imp_ts >= W - window (a later click could still match them), clicks
+    // with click_ts >= W (a later impression could still match them) —
+    // regardless of how many rows ever streamed through.
+    progress.foreach { p =>
+      val wmStr = p.eventTime.get("watermark")
+      if (wmStr != null && wmStr.nonEmpty) {
+        val wm = java.time.Instant.parse(wmStr).toEpochMilli
+        if (wm > 0) { // skip the epoch-zero initial watermark
+          val survivors =
+            impRows.count(_.getTime >= wm - windowSec * 1000L) +
+              clkRows.count(_.getTime >= wm)
+          val total = p.stateOperators.map(_.numRowsTotal).sum
+          assert(total <= survivors,
+            s"batch ${p.batchId}: state rows $total exceed the " +
+              s"$survivors rows inside watermark $wmStr's retention window")
+        }
+      }
+    }
+    val trajectory = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    // eviction observed (peak strictly above the end state) and the end
+    // state is exactly the open-window keys: the two sentinels
+    assert(trajectory.max > trajectory.last,
+      s"no eviction observed in state trajectory $trajectory")
+    assert(trajectory.last == 2L,
+      s"final state ${trajectory.last} != the 2 open sentinel rows " +
+        s"(trajectory $trajectory)")
+    // the join itself still emitted exactly the in-window matches
+    val matched = spark.table("statebound").filter(col("imp_user") >= 0L)
+      .select("imp_user").collect().map(_.getLong(0)).sorted.toSeq
+    assert(matched == Seq(1L, 4L))
+  }
+
   test("daily windowed counts with watermark (streaming form of q22)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
