@@ -950,6 +950,49 @@ object EventQueries {
       "only delete-affected groups, AVG from the exact-decimal sum, " +
       "proven equal to full recompute")
 
+  /** [[graft.ops.Incremental.mergeDistinctSupport]] — IVM tier 4:
+    * COUNT(DISTINCT user) per (event_type, day) under a DELETE-HEAVY CDC
+    * batch. The q147 scenario with the retraction predicate widened to
+    * `event_id % 2 = 0` — HALF the standing corpus retracted — because
+    * distinct counts fail in a way COUNT/SUM cannot: a user with several
+    * events on a day must KEEP counting while any one of them survives
+    * and STOP the moment the last is retracted, which only the
+    * per-(group, value) support table gets right (a signed distinct-set
+    * delta would double-drop). The oracle recomputes
+    * COUNT(DISTINCT user_id) from scratch on the post-CDC row set, so
+    * both failure modes hash-fail.
+    */
+  val q234_incremental_distinct: QueryDef = QueryDef(
+    "q234_incremental_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", expr("ts_sec div 86400"))
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      val base = ev.filter(col("ts_sec") < day25)
+      val ins = ev.filter(col("ts_sec") >= day25 && col("ts_sec") < day26)
+      val del = base.filter(col("event_id") % 2 === 0)
+      val support = graft.ops.Incremental.mergeDistinctSupport(
+        base, ins, del, Seq("event_type", "day"), "user_id")
+      graft.ops.Incremental.distinctCounts(support, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          col("n_distinct").cast(LongType).as("n_users"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH fin AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+      |  FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
+      |         AND event_id % 2 <> 0)
+      |     OR (CAST(floor(epoch(ts)) AS BIGINT) >= 1706140800
+      |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1706227200))
+      |SELECT event_type, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM fin GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin),
+    "Incremental view maintenance tier 4: COUNT(DISTINCT) under a " +
+      "delete-heavy retraction batch via the per-(group, value) support " +
+      "table, proven equal to full recompute")
+
   /** Rolling z-score anomaly detection over the per-type daily series —
     * the ops-monitoring classic (is today's volume > 2σ from the trailing
     * week?), made engine-portable by never taking the square root: the
@@ -2471,6 +2514,41 @@ object EventQueries {
         .orderBy("day")
   }
 
+  /** Rolling 7-day active users (WAU) — the windowed-DISTINCT companion
+    * to q225's cumulative growth curve and the one id left unfilled in
+    * the registry. A rolling distinct CANNOT ride a window frame (count
+    * distinct over a sliding frame re-scans per row) — the scale-correct
+    * shape is contribution explosion: dedup to distinct (user, day)
+    * pairs, explode each onto the ≤7 window END days it serves, and
+    * hash-agg `count(distinct user)` per end day, restricted to days
+    * that actually occur. Two shuffles and a constant ×7 fan-out at any
+    * corpus size — the DISTINCT pre-shrink runs first, so the fan-out is
+    * over user-days, never raw events.
+    */
+  val q176_rolling_actives: QueryDef = q(
+    "q176_rolling_actives",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ud)
+      |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "Rolling 7-day distinct actives via contribution explosion over " +
+      "deduped user-days (no sliding-frame distinct, no range join)") {
+    (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      ud.withColumn("day", explode(sequence(col("day"), col("day") + 6)))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("day")
+  }
+
   /** The q154 conversion funnel SPLIT BY EXPERIMENT ARM (q186's md5
     * variant assignment) — the A/B experiment readout: per (variant,
     * step) reach, sharing one user-partition shuffle for the three
@@ -2887,9 +2965,11 @@ object EventQueries {
     q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
-    q224_cohort_ltv, q225_user_growth, q226_variant_funnel, q227_wow_growth,
+    q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
+    q226_variant_funnel, q227_wow_growth,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
-    q147_incremental_view, q162_incremental_minmax, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
+    q147_incremental_view, q162_incremental_minmax,
+    q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
     q155_cohort_retention, q159_windowed_funnel,
     q10_window_lag, q11_interaction_graph, q12_distinct_users, q15_case_agg,
     q19_first_event, q20_sessionize, q22_daily_type_counts, q23_regex_extract,

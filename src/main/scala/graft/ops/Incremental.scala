@@ -116,6 +116,44 @@ object Incremental {
       .drop("s")
   }
 
+  /** Maintenance tier 4: COUNT(DISTINCT valueCol) under retraction.
+    * A distinct count is not self-maintainable from the aggregate alone
+    * (retracting one of a value's three occurrences must NOT drop the
+    * distinct count; retracting its last one must) — the standard
+    * production answer is the per-(group, value) SUPPORT table: a signed
+    * count per distinct value, merged exactly like [[mergeCountSum]]'s
+    * group counts (`support = n_base + n_ins − n_del`, values at zero
+    * leave the table). The support table IS the stored auxiliary view;
+    * its size is Σ distinct values per group (≤ the data, usually ≪),
+    * and maintenance is three map-side-combined hash aggregations over
+    * CDC-sized deltas plus two aggregate-sized merges — never a corpus
+    * re-scan. [[distinctCounts]] derives the distinct-count view from it
+    * with one more hash agg.
+    *
+    * `base` is a ROW frame standing in for the stored support table
+    * (production passes the stored (group, value, support) rows through
+    * an identity-weighted aggregation instead).
+    */
+  def mergeDistinctSupport(base: DataFrame, inserts: DataFrame,
+      deletes: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val g = keys :+ valueCol
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(g.map(col): _*).agg(count(lit(1)).as(s"n_$tag"))
+    side(base, "b")
+      .join(side(inserts, "i"), g, "full_outer")
+      .join(side(deletes, "d"), g, "full_outer")
+      .select(g.map(col) :+
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
+          coalesce(col("n_d"), lit(0L))).as("support"): _*)
+      .filter(col("support") > 0L)
+  }
+
+  /** The COUNT(DISTINCT) view over a [[mergeDistinctSupport]] table: one
+    * hash agg, `n_distinct` = surviving support rows per group.
+    */
+  def distinctCounts(support: DataFrame, keys: Seq[String]): DataFrame =
+    support.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_distinct"))
+
   /** Maintenance tier 3: an INNER equi-join VIEW
     * `V = facts ⋈_joinKey dims` (dim unique per key) under a CDC batch
     * of fact inserts, fact deletes (by row id), and dim row UPDATES

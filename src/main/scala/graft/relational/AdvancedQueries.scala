@@ -950,6 +950,61 @@ object AdvancedQueries {
           .as("n_cross_collisions"))
   }
 
+  /** Differentially-private histogram release
+    * ([[graft.ops.Privacy.withTwoSidedGeometricNoise]]) — the
+    * noisy-aggregate tier the privacy suite (q208/q209/q214) lacked:
+    * the per-(event_type, day) activity histogram is published with
+    * seeded two-sided-geometric noise (α = 1/2, sensitivity-1 counts →
+    * ε = ln 2), plus an ε-accounting row (the buckets partition the
+    * events, so parallel composition keeps the release at one ε). The
+    * noise draw is exact integer arithmetic from md5 — the oracle
+    * replays every noisy count bit-for-bit, so a wrong threshold, a
+    * float log2 ulp, or a seed drift all hash-fail. Scale shape: one
+    * map-side-combined hash agg + per-row codegen noise; the release is
+    * histogram-sized.
+    */
+  val q236_dp_release: QueryDef = q(
+    "q236_dp_release",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |nz AS (
+      |  SELECT event_type, day, n,
+      |    CAST(('0x' || substr(md5('dp1:' || event_type || ':'
+      |      || CAST(day AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 6597069766656 AS u
+      |  FROM c)
+      |SELECT event_type, day,
+      |  CAST(n + CASE
+      |    WHEN u = 0 THEN -41
+      |    WHEN u < 4398046511104 THEN length(bin(u)) - 42
+      |    WHEN 6597069766655 - u = 0 THEN 41
+      |    ELSE 42 - length(bin(6597069766655 - u))
+      |  END AS BIGINT) AS n_released
+      |FROM nz
+      |UNION ALL
+      |SELECT 'epsilon_ppm', CAST(-1 AS BIGINT), CAST(693147 AS BIGINT)
+      |ORDER BY event_type, day""".stripMargin,
+    "DP histogram release: two-sided geometric noise (alpha=1/2, " +
+      "eps=ln 2) in exact integer arithmetic, oracle-replayed " +
+      "bit-for-bit, with an epsilon-accounting row") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .withColumn("day", expr("ts_sec div 86400"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Privacy.withTwoSidedGeometricNoise(
+        counts, seed = "dp1",
+        keySql = "concat(event_type, ':', CAST(day AS STRING))", out = "z")
+      .select(col("event_type"), col("day"),
+        (col("n") + col("z")).cast(LongType).as("n_released"))
+      .unionByName(s.range(1).select(
+        lit("epsilon_ppm").as("event_type"), lit(-1L).as("day"),
+        lit(graft.ops.Privacy.EpsilonLn2Ppm).as("n_released")))
+      .orderBy("event_type", "day")
+  }
+
   /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
     * from the SymSpell deletion-neighborhood blocking (q88's kernel —
     * never all-pairs), scored by integer field-agreement weights
@@ -1198,7 +1253,7 @@ object AdvancedQueries {
   def defs: Seq[QueryDef] = Seq(
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
-    q209_pseudonymize, q212_record_linkage, q214_l_diversity,
+    q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,
     q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,

@@ -103,6 +103,45 @@ object FormatQueries {
     "ORC round trip: parquet -> ORC -> digest vs the parquet-direct " +
       "oracle — type fidelity of the third columnar format")
 
+  /** Avro round trip — the fourth interchange leg (q148 JSONL/CSV, q201
+    * ORC): parquet → Avro sink → Avro source → the same per-language
+    * digest vs the parquet-direct oracle. Avro is the schema'd ROW
+    * format streaming buses interchange (Kafka payloads,
+    * schema-registry pipelines) — the one a large pipeline hits at the
+    * ingest boundary rather than at rest. Self-describing, so the read
+    * needs no explicit schema; what the digest pins is type fidelity
+    * across Avro's union-with-null nullability encoding (int64/strings
+    * and null text surviving writer + reader). Same teardown
+    * discipline: digest materialized before the staged files are
+    * deleted.
+    */
+  val q235_avro_roundtrip: QueryDef = QueryDef(
+    "q235_avro_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_avro_").toString
+      Io.writeAvro(Tables.documents(s, d), s"$dir/avro")
+      val res = Io.readAvro(s, s"$dir/avro")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast(LongType).as("sum_chars"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          sum("doc_id").cast(LongType).as("sum_ids"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "Avro round trip: parquet -> Avro -> digest vs the parquet-direct " +
+      "oracle — row-format type fidelity at the streaming-bus boundary")
+
   /** Parquet SCHEMA EVOLUTION round trip — the lakehouse reality that a
     * table's files span schema generations: generation 1 writes the
     * narrow (doc_id, lang) projection, generation 2 adds `n_chars`, and
@@ -271,5 +310,5 @@ object FormatQueries {
 
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
-    q218_schema_evolution, q219_compaction)
+    q218_schema_evolution, q219_compaction, q235_avro_roundtrip)
 }

@@ -63,6 +63,23 @@ object Io {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Avro — the schema'd ROW format streaming buses interchange (Kafka
+    * payloads, schema-registry pipelines). Self-describing like ORC, so
+    * the read needs no explicit schema; Spark 4 bundles the avro
+    * connector in spark-sql.
+    */
+  // this distribution ships the avro classes inside spark-sql but does
+  // not register the "avro" short name in DataSourceRegister — use the
+  // provider class name, which DataSource.lookupDataSource resolves
+  // directly
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroProvider).save(path)
+
   /** Whole-file binary ingest — the multimodal boundary: one row per file
     * with (path, modificationTime, length, content: binary). Feed the
     * result through ops.Multimodal for decode/feature plumbing. Splittable
