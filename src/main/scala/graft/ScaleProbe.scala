@@ -432,6 +432,34 @@ object ScaleProbe {
     emit("q73_triangles", "celebrity", tri2.getAs[Long]("n_edges"), tt2,
       tri2.getAs[Long]("n_triangles"))
 
+    // q192: hub-capped link prediction with the celebrity star — the
+    // wedge self-join is Σ deg(w)² over common-neighbor CENTERS, so an
+    // uncapped degree-`inject` hub alone contributes ~inject²/2 wedges
+    // (2·10⁸ more pairs at inject=2·10⁴). The √(Σdeg) cap must exclude
+    // the hub from the center role while KEEPING ordinary nodes — this
+    // probe is what killed the previous 2×-mean cap: the grafted
+    // degree-1 leaves dragged the mean below every ordinary node's
+    // degree and recall went to zero (rows=0). `pairs` counts the full
+    // candidate wedge-pair mass (pre-top-k), the honest cost metric.
+    def probeLinkPred(scale: String, es: DataFrame): Unit = {
+      val we = ops.Graph.canonicalEdges(es, "source", "target")
+      val adj = we.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(we.select(col("b").as("v"), col("a").as("n")))
+      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      val cap = deg.agg(
+        expr("CAST(floor(sqrt(sum(deg))) AS BIGINT)").as("cap"))
+      val low = deg.crossJoin(broadcast(cap))
+        .filter(col("deg") <= col("cap")).select(col("v").as("n"))
+      val capped = adj.join(low, Seq("n"), "left_semi")
+      val (pairs, tp) = time(capped.select(col("v").as("p"), col("n"))
+        .join(capped.select(col("v").as("q"), col("n")), Seq("n"))
+        .filter(col("q") > col("p")).count())
+      val (rows, t) = time(ops.Graph.linkPrediction(we, 20).count())
+      println(f"""{"probe":"q192_link_prediction","scale":"$scale","input":${we.count()},"seconds":${tp + t}%.2f,"rows":$rows,"wedge_pairs":$pairs}""")
+    }
+    probeLinkPred("1x", edges)
+    probeLinkPred("celebrity", withCeleb)
+
     // q121: k-core peeling with the celebrity star — the degree-`inject`
     // node makes one peel round's degree agg maximally skewed, and its
     // `inject` leaves all peel in round 1 (degree 1 each). Per round the

@@ -1844,7 +1844,7 @@ object EventQueries {
         |adj AS (SELECT a AS v, b AS n FROM we UNION ALL SELECT b AS v, a AS n FROM we),
         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
         |low AS (SELECT v FROM deg
-        |  WHERE deg <= (SELECT 2 * sum(deg) // count(*) FROM deg)),
+        |  WHERE deg <= (SELECT CAST(floor(sqrt(sum(deg))) AS BIGINT) FROM deg)),
         |cn AS (
         |  SELECT a1.v AS p, a2.v AS q, CAST(count(*) AS BIGINT) AS inter
         |  FROM adj a1
@@ -1865,30 +1865,10 @@ object EventQueries {
     "Jaccard link prediction over the interaction graph: hub-capped " +
       "common-neighbor wedges, full-degree union, exact ppm, top-20") {
     (s, d) =>
-      val we = graft.ops.Graph.fromEvents(s, d).select(col("source").as("a"),
-        col("target").as("b"))
-      val adj = we.select(col("a").as("v"), col("b").as("n"))
-        .unionAll(we.select(col("b").as("v"), col("a").as("n")))
-      val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
-      val cap = deg.agg(expr("2 * sum(deg) div count(1)").as("cap"))
-      val low = deg.crossJoin(broadcast(cap))
-        .filter(col("deg") <= col("cap")).select(col("v").as("n"))
-      val capped = adj.join(low, Seq("n"), "left_semi")
-      val cn = capped.select(col("v").as("p"), col("n"))
-        .join(capped.select(col("v").as("q"), col("n")), Seq("n"))
-        .filter(col("q") > col("p"))
-        .groupBy("p", "q").agg(count(lit(1)).as("inter"))
-      val cand = cn.join(we,
-        cn("p") === we("a") && cn("q") === we("b"), "left_anti")
-      cand
-        .join(deg.select(col("v").as("p"), col("deg").as("dp")), Seq("p"))
-        .join(deg.select(col("v").as("q"), col("deg").as("dq")), Seq("q"))
-        .select(col("p").as("a"), col("q").as("b"), col("inter"),
-          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * inter)
-                 |  div (dp + dq - inter) AS BIGINT)""".stripMargin)
-            .as("jaccard_ppm"))
-        .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
-        .limit(20)
+      graft.ops.Graph.linkPrediction(
+        graft.ops.Graph.fromEvents(s, d).select(col("source").as("a"),
+          col("target").as("b")),
+        k = 20)
   }
 
   /** [[graft.ops.Incremental.mergeJoinView]] — maintenance tier 3: an

@@ -303,6 +303,49 @@ object Graph {
     lbl
   }
 
+  /** Hub-capped Jaccard link prediction (q192's kernel): candidate
+    * non-edges ranked by common-neighbor Jaccard. The wedge self-join is
+    * the quadratic step — Σ deg(w)² over common-neighbor CENTERS — so
+    * centers are capped at √(Σdeg) = √(2|E|): wedge mass is then
+    * ≤ cap·Σdeg = (2|E|)^1.5, the same O(m^1.5) guarantee degree
+    * orientation gives triangles, INDEPENDENT of the degree
+    * distribution. (The previous 2×-mean cap had a measured failure
+    * mode: grafting 2·10⁴ degree-1 leaves onto the sf0.1 graph dragged
+    * the mean from 127 to 10.7, excluded every ordinary node from the
+    * center role, and zeroed recall — the round-12 ScaleProbe line that
+    * motivated this cap.) A capped-out hub still counts toward every
+    * candidate's degree union, keeping the Jaccard denominators exact.
+    * `we` must be canonical `(a, b)` pairs (a < b, one row per
+    * undirected edge). floor(sqrt(·)) on a BIGINT is engine-portable:
+    * IEEE sqrt is correctly rounded, exact on perfect squares and never
+    * within an ulp of the next integer elsewhere at these magnitudes.
+    */
+  def linkPrediction(we: DataFrame, k: Int): DataFrame = {
+    val adj = we.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(we.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val cap = deg.agg(
+      expr("CAST(floor(sqrt(sum(deg))) AS BIGINT)").as("cap"))
+    val low = deg.crossJoin(broadcast(cap))
+      .filter(col("deg") <= col("cap")).select(col("v").as("n"))
+    val capped = adj.join(low, Seq("n"), "left_semi")
+    val cn = capped.select(col("v").as("p"), col("n"))
+      .join(capped.select(col("v").as("q"), col("n")), Seq("n"))
+      .filter(col("q") > col("p"))
+      .groupBy("p", "q").agg(count(lit(1)).as("inter"))
+    val cand = cn.join(we,
+      cn("p") === we("a") && cn("q") === we("b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("p"), col("deg").as("dp")), Seq("p"))
+      .join(deg.select(col("v").as("q"), col("deg").as("dq")), Seq("q"))
+      .select(col("p").as("a"), col("q").as("b"), col("inter"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * inter)
+               |  div (dp + dq - inter) AS BIGINT)""".stripMargin)
+          .as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // The canonical edge list feeds four subtrees (degrees, rank join,
     // edge count, closing edges) and the oriented list three — without a

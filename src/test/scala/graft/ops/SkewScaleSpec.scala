@@ -247,6 +247,33 @@ class SkewScaleSpec extends SparkSpec {
     assert(out(3L) == ((1000L, 1000L, 1000L, 1001L)), s"celebrity day: ${out(3L)}")
   }
 
+  test("linkPrediction: the adaptive hub cap excludes a celebrity center " +
+      "from the wedge join") {
+    // a 200-leaf star grafted onto a small clique: uncapped, the hub
+    // centers ~200²/2 = 19900 leaf-pair wedges; with the √(Σdeg) cap
+    // (√420 ≈ 20) the hub (degree 200) is excluded from the CENTER role,
+    // so no leaf pair may appear among the candidates (leaves share ONLY
+    // the hub). The clique's low-degree wedges must still rank — the cap
+    // degrades hub recall, never ordinary-node recall (the failure mode
+    // that killed the 2×-mean cap: grafted leaves dragging the mean
+    // below every ordinary degree).
+    val clique = for {
+      i <- 0L until 5L; j <- (i + 1) until 5L
+    } yield (i, j)
+    val star = (0 until 200).map(i => (-1L, 100L + i))
+    val we = (clique ++ star).map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.toDF("a", "b")
+    val got = Graph.linkPrediction(we, 1000).collect()
+    val leafPairs = got.count(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L)
+    assert(leafPairs == 0,
+      s"celebrity-centered wedges leaked: $leafPairs leaf pairs ranked")
+    // wedge mass is bounded: candidates can only be clique-vertex pairs
+    // (all existing — anti-joined away) or hub-leaf/hub-clique non-edges
+    // via low-degree centers; the top-k list stays tiny, not star-sized
+    assert(got.length < 300, s"candidate set exploded: ${got.length}")
+  }
+
   test("quality rebalance: a bin holding ~all docs is capped per-bin, deterministically") {
     // 99% of docs share one text → one LM score → ONE perplexity bin;
     // the hash-ranked cap must hold there while tiny bins keep all their
