@@ -657,6 +657,86 @@ object ScaleProbe {
     probeCohort(s"one cohort day gaining $inject users",
       evBase.unionAll(hotCohort), nEv + inject)
 
+    // q228: conversion-latency deciles with (a) a HOT VALUE BIN —
+    // `inject` users all converting with the identical latency, so the
+    // value-domain histogram concentrates in one row — and (b) a
+    // celebrity user with `inject` events in one window partition. The
+    // machinery is per-user windows (user-keyed, the celebrity is one
+    // partition's rows) + a histogram whose size is DISTINCT latencies,
+    // so neither shape may move cost or output size.
+    def probeLatency(scale: String, ev: DataFrame, n: Long): Unit = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val (rows, t) = time {
+        val lat = ev
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts_sec"))).over(w))
+          .withColumn("tp", min(when(col("event_type") === "purchase" &&
+            col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+          .groupBy("user_id")
+          .agg((first("tp") - first("t1")).as("lat"))
+          .filter(col("lat").isNotNull)
+        val gv = lat.groupBy(col("lat").as("val")).agg(count(lit(1)).as("c"))
+        val gt = gv.agg(sum("c").as("gn"))
+        val gp = gv.crossJoin(broadcast(gt))
+          .withColumn("gcum",
+            sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("val")))
+          .select(col("val"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+              .as("gpct"))
+        val ks = spark.range(1, 11).select(col("id").as("k"))
+        broadcast(ks).join(gp, col("gpct") >= col("k") * 100000)
+          .groupBy("k").agg(min("val").as("upper_latency_s")).count()
+      }
+      emit("q228_conversion_latency", scale, n, t, rows)
+    }
+    probeLatency("1x", evBase, nEv)
+    val hotLatency = spark.range(inject).flatMap { i =>
+      Seq((800000000L + i, "view", 1704067200L),
+        (800000000L + i, "purchase", 1704067200L + 777L))
+    }.toDF("user_id", "event_type", "ts_sec")
+    val celebConvert = spark.range(inject).select(lit(-7L).as("user_id"),
+      element_at(array(lit("view"), lit("purchase")),
+        (col("id") % 2 + 1).cast("int")).as("event_type"),
+      (lit(1704067200L) + col("id") * 60L).as("ts_sec"))
+    probeLatency(s"$inject identical-latency users + celebrity with $inject events",
+      evBase.unionAll(hotLatency).unionAll(celebConvert),
+      nEv + 3 * inject)
+
+    // q230: per-node clustering coefficient with the celebrity star —
+    // the wedge join is degree-ORIENTED (each edge points low→high
+    // (deg, id) rank), so the hub's `inject` edges all point INTO it
+    // and it centers no wedges; cost tracks Σ outdeg² = O(m^1.5), and
+    // output stays one row per node.
+    def probeClustering(scale: String, es: DataFrame): Unit = {
+      val (rows, t) = time(
+        ops.Graph.localClustering(es, "source", "target").count())
+      emit("q230_local_clustering", scale, es.count(), t, rows)
+    }
+    probeClustering("1x", edges)
+    probeClustering("celebrity", withCeleb)
+
+    // q229: inverted-index all-pairs similarity (word 3-shingle units)
+    // where the boilerplate cluster (`inject` docs sharing one body)
+    // drives every shared shingle's df to cluster size ≫ 64 — the df cap
+    // must DROP those shingles from pair generation entirely (a unit in
+    // every doc carries no discrimination), so pair mass tracks
+    // Σ_{2≤df≤64} df² over the background corpus, never inject².
+    def probeSparseCos(scale: String, docs: DataFrame, n: Long): Unit = {
+      val sh = docs.select(col("doc_id"), lit("en").as("lang"), col("text"))
+        .select(col("doc_id"),
+          explode(ops.Dedup.shingleArray(col("text"), 3)).as("sh"))
+      val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 64))
+      val wt = sh.join(dfx, Seq("sh"))
+      val (pairs, t) = time(
+        wt.select(col("sh"), col("doc_id").as("a"))
+          .join(wt.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+          .filter(col("b") > col("a")).count())
+      println(f"""{"probe":"q229_sparse_cosine_pairs","scale":"$scale","input":$n,"seconds":$t%.2f,"rows":$pairs}""")
+    }
+    probeSparseCos("1x", base, nBase)
+    probeSparseCos(s"${mult}x + $inject-doc boilerplate cluster", big, nBig)
+
     // q146/q156: banded-Hamming pairs → components → keeper with a
     // GIANT FINGERPRINT CLUSTER. All `inject` cluster fps sit within
     // Hamming ≤ 2, so every band bucket holds the whole cluster — the

@@ -2739,6 +2739,69 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** HyperBall-style k-hop NEIGHBORHOOD FUNCTION (Boldi/Rosa/Vigna) over
+    * the interaction graph — per-node "how many nodes are within ≤2
+    * hops" (incl. self), the primitive behind effective-diameter and
+    * centrality estimates. The 100 TB shape is the SKETCHED iteration:
+    * ball(0) = one HLL per node, ball(k+1) = hll_union of neighbors'
+    * ball(k) ∪ own — per round one adjacency join + one sketch-merge
+    * agg, per-node state a CONSTANT-size sketch, so hub neighborhoods
+    * cost their edge count, never their ball size. Exact 2-hop reach
+    * (the Σdeg² path explosion the sketch exists to avoid) is computed
+    * HERE only as the oracle gate at test scale; the released number is
+    * gated ≤5% off exact per node, q171's sketch-gate discipline.
+    */
+  val q239_khop_reach: QueryDef = QueryDef(
+    "q239_khop_reach",
+    (s, d) => {
+      val we = graft.ops.Graph.fromEvents(s, d)
+      val adj = we.select(col("source").as("v"), col("target").as("n"))
+        .unionAll(we.select(col("target").as("v"), col("source").as("n")))
+      val nodes = adj.select("v").distinct()
+      def ckpt(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      var ball = ckpt(nodes.groupBy("v")
+        .agg(hll_sketch_agg(col("v"), lit(14)).as("sk")))
+      for (_ <- 1 to 2) {
+        val fromNeighbors = adj
+          .join(ball.select(col("v").as("n"), col("sk")), Seq("n"))
+          .select(col("v"), col("sk"))
+        ball = ckpt(fromNeighbors.unionByName(ball.select(col("v"), col("sk")))
+          .groupBy("v").agg(hll_union_agg(col("sk")).as("sk")))
+      }
+      // exact 2-hop ball — test-scale oracle gate only (Σdeg² paths)
+      val hop1 = adj.select(col("v"), col("n").as("u"))
+      val exact = hop1
+        .unionByName(adj.as("e1").join(adj.select(col("v").as("m"), col("n").as("u")),
+          col("n") === col("m")).select(col("v"), col("u")))
+        .unionByName(nodes.select(col("v"), col("v").as("u")))
+        .distinct()
+        .groupBy("v").agg(count(lit(1)).as("exact_reach"))
+      ball.join(exact, Seq("v"))
+        .select(col("v").as("user_id"),
+          col("exact_reach").cast(LongType).as("exact_reach"),
+          when(abs(hll_sketch_estimate(col("sk")) - col("exact_reach")) <=
+            col("exact_reach") * 0.05, 1L).otherwise(0L).as("within_tol"))
+        .orderBy("user_id")
+    },
+    Some(edgesSql +
+      """,
+        |adj AS (SELECT a AS v, b AS n FROM we UNION ALL SELECT b, a FROM we),
+        |ball AS (
+        |  SELECT v, u FROM (
+        |    SELECT v, n AS u FROM adj
+        |    UNION
+        |    SELECT a1.v, a2.n AS u FROM adj a1 JOIN adj a2 ON a2.v = a1.n
+        |    UNION
+        |    SELECT v, v AS u FROM adj) t)
+        |SELECT v AS user_id, CAST(count(*) AS BIGINT) AS exact_reach,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM ball GROUP BY v ORDER BY user_id""".stripMargin),
+    "HyperBall 2-hop neighborhood function: HLL ball iteration " +
+      "(constant per-node state, join + sketch-merge per round), " +
+      "5%-gated per node vs the exact 2-hop reach")
+
   /** Unrolled per-round CTEs for the q231 oracle: each generation
     * distributes the current ppm mass along the transition counts with
     * the PINNED per-term floor `(π_i · c_ij) div r_i`, then rescales the
@@ -2946,7 +3009,7 @@ object EventQueries {
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
-    q226_variant_funnel, q227_wow_growth,
+    q226_variant_funnel, q227_wow_growth, q239_khop_reach,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

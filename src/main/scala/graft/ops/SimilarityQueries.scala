@@ -42,6 +42,77 @@ object SimilarityQueries {
     ex.groupBy("vec_id")
       .agg(sum((col("x") * col("x")).cast(decP)).cast(DoubleType).as("nrm"))
 
+  /** Contrastive HARD-NEGATIVE mining — the embedding-space op a
+    * training pipeline runs right after retrieval: for each query vector,
+    * the most similar vectors with a DIFFERENT label (the examples a
+    * contrastive loss learns the most from; same-label neighbors are
+    * positives, not negatives). q32's exact-cosine kernel with the
+    * label-inequality pushed into the pair generator — at scale the
+    * query side stays broadcast and the label filter prunes before the
+    * dot-product agg, so mining cost ≤ plain kNN cost.
+    */
+  val q238_hard_negatives: QueryDef = QueryDef(
+    "q238_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ex = exploded(emb)
+      val norms = normsOf(ex)
+      val labels = emb.select(col("vec_id"), col("label").cast(LongType))
+      val qx = ex.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+      val qLab = labels.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val dots = ex.join(broadcast(qx), Seq("i"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+        .join(labels, Seq("vec_id"))
+        .join(broadcast(qLab), Seq("q_id"))
+        .filter(col("label") =!= col("q_label"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+      dots
+        .join(broadcast(norms.select(col("vec_id").as("q_id"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+        .join(broadcast(norms), Seq("vec_id"))
+        .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neg_id"), col("rnk"),
+          col("label").as("neg_label"), col("cosine"))
+        .orderBy("q_id", "rnk")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |qx AS (SELECT vec_id AS q_id, i, x FROM ex WHERE vec_id < 10),
+      |dots AS (
+      |  SELECT qx.q_id, ex.vec_id,
+      |    CAST(SUM(CAST(qx.x * ex.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM qx JOIN ex ON qx.i = ex.i AND ex.vec_id <> qx.q_id
+      |  GROUP BY 1, 2),
+      |neg AS (
+      |  SELECT d.q_id, d.vec_id, l.label,
+      |    d.dot / sqrt(nq.nrm * nv.nrm) AS cosine
+      |  FROM dots d
+      |  JOIN lab l ON l.vec_id = d.vec_id
+      |  JOIN lab ql ON ql.vec_id = d.q_id AND l.label <> ql.label
+      |  JOIN norms nq ON nq.vec_id = d.q_id
+      |  JOIN norms nv ON nv.vec_id = d.vec_id)
+      |SELECT q_id, vec_id AS neg_id, rnk, label AS neg_label, cosine FROM (
+      |  SELECT q_id, vec_id, label, cosine,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM neg) t
+      |WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin),
+    "Contrastive hard-negative mining: per query, top-3 most-similar " +
+      "vectors of a DIFFERENT label, exact decimal-bridged cosine")
+
   val q32_knn_cosine: QueryDef = QueryDef(
     "q32_knn_cosine",
     (s, d) => {
@@ -1280,5 +1351,5 @@ object SimilarityQueries {
     q119_pq_adc_recall, q120_ivfpq_codes, q124_random_projection,
     q129_ivfpq_search, q133_ivfpq_index_update, q135_rag_retrieval,
     q151_embedding_curation_capstone, q160_semantic_dedup_recall,
-    q164_ivf_search)
+    q164_ivf_search, q238_hard_negatives)
 }

@@ -859,49 +859,49 @@ object TextQueries {
   }
 
   /** All-pairs document similarity via the INVERTED-INDEX join (the
-    * Bayardo/Ma/Srikant all-pairs-similarity shape): per-(doc, term)
-    * integer tf·idf weights — idf as the exact rational ⌈10⁶/df⌉ — and
-    * pair dot products generated ONLY through shared DISCRIMINATIVE
-    * terms (df ≤ 64; a term in every doc carries no pair signal and
-    * would explode the join — the q192 hub-cap rule on the term
-    * dimension). Pair space is bounded by Σ_{df≤cap} df², every product
-    * DECIMAL(38)-guarded, top-20 pairs by exact integer dot.
+    * Bayardo/Ma/Srikant all-pairs-similarity shape): per-(doc, shingle)
+    * integer idf weights — idf as the exact rational ⌈10⁶/df⌉ — and pair
+    * dot products generated ONLY through shared DISCRIMINATIVE shingles
+    * (2 ≤ df ≤ 64; a unit in every doc carries no pair signal and would
+    * explode the join — the q192 hub-cap rule on the term dimension;
+    * df = 1 pairs with nothing and is pruned before the join). The unit
+    * is the WORD 3-SHINGLE, not the word: the round-12 probe caught the
+    * word form silently emptying at sf0.1 — the synthetic vocabulary is
+    * 31 words, every one past any sane df cap — while the shingle
+    * domain (27k units at sf0.1, max df 25) discriminates at every
+    * scale, exactly why near-dup systems index shingles. Pair space is
+    * bounded by Σ_{df≤cap} df², every product DECIMAL(38)-guarded,
+    * top-20 pairs by exact integer dot.
     */
   val q229_sparse_cosine_pairs: QueryDef = q(
     "q229_sparse_cosine_pairs",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
-      |  FROM documents),
-      |tf AS (
-      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-      |  FROM toks GROUP BY 1, 2),
-      |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
-      |wt AS (
-      |  SELECT tf.doc_id, tf.w,
-      |    tf.tf * ((1000000 + dfx.df - 1) // dfx.df) AS wgt
-      |  FROM tf JOIN dfx ON dfx.w = tf.w
-      |  WHERE dfx.df <= 64),
-      |pairs AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b,
-      |    CAST(sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS BIGINT) AS dot
-      |  FROM wt a JOIN wt b ON b.w = a.w AND b.doc_id > a.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT a, b, dot FROM pairs
-      |ORDER BY dot DESC, a, b LIMIT 20""".stripMargin,
-    "All-pairs doc similarity: inverted-index join over df<=64 terms, " +
-      "exact integer tf-idf dots, top-20") { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"))
-    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 64)
-    val wt = tf.join(dfx, Seq("w"))
-      .select(col("doc_id"), col("w"),
-        (col("tf") * expr("(1000000 + df - 1) div df")).as("wgt"))
-    wt.select(col("w"), col("doc_id").as("a"), col("wgt").as("wa"))
-      .join(wt.select(col("w"), col("doc_id").as("b"), col("wgt").as("wb")),
-        Seq("w"))
+    graft.ops.DedupQueries.shinglesSql +
+      """,
+        |dfx AS (
+        |  SELECT sh, CAST(count(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 64),
+        |wt AS (
+        |  SELECT s.doc_id, s.sh, (1000000 + d.df - 1) // d.df AS wgt
+        |  FROM sh s JOIN dfx d ON d.sh = s.sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS BIGINT) AS dot
+        |  FROM wt a JOIN wt b ON b.sh = a.sh AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, dot FROM pairs
+        |ORDER BY dot DESC, a, b LIMIT 20""".stripMargin,
+    "All-pairs doc similarity: inverted-index join over df-capped word " +
+      "3-shingles (2<=df<=64), exact integer idf dots, top-20") { (s, d) =>
+    val sh = graft.ops.DedupQueries.shingles(Tables.documents(s, d))
+      .select("doc_id", "sh")
+    val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64))
+    val wt = sh.join(dfx, Seq("sh"))
+      .select(col("doc_id"), col("sh"),
+        expr("(1000000 + df - 1) div df").as("wgt"))
+    wt.select(col("sh"), col("doc_id").as("a"), col("wgt").as("wa"))
+      .join(wt.select(col("sh"), col("doc_id").as("b"), col("wgt").as("wb")),
+        Seq("sh"))
       .filter(col("b") > col("a"))
       .groupBy("a", "b")
       .agg(sum(col("wa").cast(DecimalType(38, 0)) * col("wb"))
@@ -910,9 +910,74 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Reciprocal-rank fusion (RRF, the Cormack/Clarke/Büttcher hybrid-
+    * retrieval standard) — how a pipeline combines rankings from
+    * retrievers whose SCORES are incomparable (BM25 floats vs cosine vs
+    * priors): each retriever contributes 1/(60+rank), ranks only. Here
+    * the two fused signals are a length prior (n_chars DESC) and a
+    * lexical-diversity ranking (distinct-word ratio, exact floor-ppm),
+    * each cut at retriever depth 100; the fusion is a full-outer join of
+    * two RANK LISTS (depth-bounded — never corpus-sized) with the
+    * transcendental-free contribution floor(10⁶/(60+rank)), so every
+    * score is an exact integer both engines replay. Ties broken by
+    * doc_id everywhere; missing-from-one-list contributes zero.
+    */
+  val q237_rank_fusion: QueryDef = q(
+    "q237_rank_fusion",
+    """WITH stats AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST((CAST(1000000 AS HUGEINT) * count(DISTINCT w)) // count(*)
+      |      AS BIGINT) AS div_ppm
+      |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) t
+      |  WHERE w <> ''
+      |  GROUP BY doc_id, n_chars),
+      |ra AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+      |  FROM stats QUALIFY r <= 100),
+      |rb AS (
+      |  SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY div_ppm DESC, doc_id) AS BIGINT) AS r
+      |  FROM stats QUALIFY r <= 100),
+      |fused AS (
+      |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+      |    COALESCE(1000000 // (60 + ra.r), 0)
+      |      + COALESCE(1000000 // (60 + rb.r), 0) AS rrf_ppm
+      |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+      |SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+      |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "Reciprocal-rank fusion of two retriever rankings (length prior + " +
+      "lexical diversity, depth 100): exact integer 1/(60+rank) " +
+      "contributions, top-20") { (s, d) =>
+    val stats = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "n_chars")
+      .agg(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * count(DISTINCT w))" +
+        " div count(1) AS BIGINT)").as("div_ppm"))
+    def rankList(order: Column): org.apache.spark.sql.DataFrame = stats
+      .orderBy(order, col("doc_id")).limit(100)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(order, col("doc_id"))).cast(LongType))
+      .select("doc_id", "r")
+    val ra = rankList(col("n_chars").desc)
+      .withColumnRenamed("r", "ra")
+    val rb = rankList(col("div_ppm").desc)
+      .withColumnRenamed("r", "rb")
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000 div (60 + ra)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rb)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
-    q229_sparse_cosine_pairs,
+    q229_sparse_cosine_pairs, q237_rank_fusion,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,
     q36_doc_fingerprint, q34_binary_meta, q51_frame_meta,
     q56_repetition_metrics, q57_clean_redact, q85_lm_quality,

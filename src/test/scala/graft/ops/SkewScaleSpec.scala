@@ -274,6 +274,96 @@ class SkewScaleSpec extends SparkSpec {
     assert(got.length < 300, s"candidate set exploded: ${got.length}")
   }
 
+  test("sparse cosine pairs: a shingle past the df cap generates no " +
+      "pairs; discriminative shingles still pair (q229's twin)") {
+    import spark.implicits._
+    // 100 docs share the boilerplate body (its shingles have df=100 > 64
+    // → dropped from the index); docs 1 and 2 instead share a rare body
+    // (shingle df=2 → kept). The ONLY surviving pair must be (1,2) — if
+    // the cap leaked, the boilerplate shingles alone would generate
+    // 100·99/2 = 4950 pairs.
+    val docs = ((1L to 102L).map(i =>
+        (i, "en", if (i <= 2) "alpha beta gamma delta"
+        else "subscribe to our newsletter today")): Seq[(Long, String, String)])
+      .toDF("doc_id", "lang", "text")
+    val sh = DedupQueries.shingles(docs).select("doc_id", "sh")
+    val dfx = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64))
+    val wt = sh.join(dfx, Seq("sh"))
+    val pairs = wt.select(col("sh"), col("doc_id").as("a"))
+      .join(wt.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("b") > col("a"))
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"df cap leaked: ${pairs.length} pairs generated")
+  }
+
+  test("localClustering: exact cc under a celebrity hub — the hub and " +
+      "its leaves read 0, the clique stays 10^6 (q230's twin)") {
+    import spark.implicits._
+    // a 5-clique (every vertex cc = 1) + a 200-leaf star on a separate
+    // hub: leaves have deg 1 (cc 0 by the deg≥2 guard), the hub closes
+    // no triangles (cc 0). Degree orientation means the hub CENTERS no
+    // wedges — correctness must not depend on it doing so.
+    val clique = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
+    val star = (0 until 200).map(i => (-1L, 100L + i.toLong))
+    val cc = Graph.localClustering(
+        (clique ++ star).toDF("source", "target"), "source", "target")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (0L until 5L).foreach(v =>
+      assert(cc(v) == 1000000L, s"clique vertex $v: ${cc(v)}"))
+    assert(cc(-1L) == 0L, s"hub cc: ${cc(-1L)}")
+    assert(cc(100L) == 0L, s"leaf cc: ${cc(100L)}")
+  }
+
+  test("conversion-latency deciles: a hot value bin (10^4 identical " +
+      "latencies) stays one histogram row with exact bounds (q228's twin)") {
+    import spark.implicits._
+    // 10 users per latency 10,20,…,100, plus 10^4 users all at latency
+    // 50 — the hot bin. Expected deciles replayed by a plain-Scala
+    // reference of the SAME floor-ppm rule (gpct >= k·10^5).
+    val shaped = (1 to 10).flatMap(b => (1 to 10).map(u =>
+      (b * 1000L + u, b * 10L)))
+    val hot = (1 to 10000).map(u => (100000L + u, 50L))
+    val lats = shaped ++ hot
+    val ev = lats.flatMap { case (u, l) =>
+      Seq((u, "view", 1000L), (u, "purchase", 1000L + l))
+    }.toDF("user_id", "event_type", "ts_sec")
+    // reference: cumulative counts over the sorted value domain
+    val total = lats.size.toLong
+    val hist = lats.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (v, n)) => (v, c + n) }.drop(1)
+    def upper(k: Int): Long = cums
+      .find { case (_, c) => (BigInt(1000000) * c / total) >= k * 100000L }
+      .get._1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val lat = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_sec"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" &&
+        col("ts_sec") > col("t1"), col("ts_sec"))).over(w))
+      .groupBy("user_id").agg((first("tp") - first("t1")).as("lat"))
+      .filter(col("lat").isNotNull)
+    val gv = lat.groupBy(col("lat").as("val")).agg(count(lit(1)).as("c"))
+    val gt = gv.agg(sum("c").as("gn"))
+    val gp = gv.crossJoin(broadcast(gt))
+      .withColumn("gcum",
+        sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("val")))
+      .select(col("val"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * gcum) div gn AS BIGINT)")
+          .as("gpct"))
+    val ks = spark.range(1, 11).select(col("id").as("k"))
+    val got = broadcast(ks).join(gp, col("gpct") >= col("k") * 100000)
+      .groupBy("k").agg(min("val").as("upper_latency_s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 10).foreach(k =>
+      assert(got(k.toLong) == upper(k), s"decile $k: ${got(k.toLong)} != ${upper(k)}"))
+    // the histogram itself is value-domain-sized: 10 distinct latencies
+    assert(gv.count() == 10L)
+  }
+
   test("quality rebalance: a bin holding ~all docs is capped per-bin, deterministically") {
     // 99% of docs share one text → one LM score → ONE perplexity bin;
     // the hash-ranked cap must hold there while tiny bins keep all their
