@@ -2739,6 +2739,92 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** MAD-based robust outlier detection per event type — the robust twin
+    * of q167's z-score (mean/σ break under the very outliers they hunt;
+    * median/MAD have a 50% breakdown point). Everything runs on the
+    * VALUE DOMAIN in exact cents: per-type value histogram → cumulative
+    * → discrete lower median → absolute-deviation histogram → MAD →
+    * outliers = rows with |v − med| > 3·MAD. The windows order DISTINCT
+    * cent values per type (domain-sized partitions, never row-sized —
+    * the q200/q204 machinery), and every statistic is an exact BIGINT
+    * both engines replay.
+    */
+  val q240_mad_outliers: QueryDef = QueryDef(
+    "q240_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val gv = ev.groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy("event_type").orderBy("c")
+      val tot = gv.groupBy("event_type").agg(sum("n").as("tot"))
+      val med = gv
+        .withColumn("cum", sum("n").over(wv))
+        .join(tot, Seq("event_type"))
+        .filter(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy("event_type").agg(min("c").as("med"))
+      val gd = gv.join(med, Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("c") - col("med")).as("dev"))
+        .agg(sum("n").as("n"))
+      val wd = Window.partitionBy("event_type").orderBy("dev")
+      val mad = gd
+        .withColumn("cum", sum("n").over(wd))
+        .join(tot, Seq("event_type"))
+        .filter(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy("event_type").agg(min("dev").as("mad"))
+      gd.join(mad, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(when(col("dev") > col("mad") * 3, col("n"))
+          .otherwise(lit(0L))).as("n_outliers"))
+        .join(med, Seq("event_type")).join(mad, Seq("event_type"))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("med").as("median_cents"),
+          col("mad").as("mad_cents"),
+          col("n_outliers").cast(LongType).as("n_outliers"),
+          col("tot").cast(LongType).as("n_rows"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |gv AS (SELECT event_type, c, count(*) AS n FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      |        FROM gv GROUP BY 1),
+      |med AS (
+      |  SELECT g.event_type AS event_type, min(c) AS med FROM (
+      |    SELECT event_type, c,
+      |      sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum
+      |    FROM gv) g
+      |  JOIN tot t ON t.event_type = g.event_type
+      |  WHERE g.cum >= (t.tot + 1) // 2
+      |  GROUP BY g.event_type),
+      |gd AS (
+      |  SELECT gv.event_type, abs(gv.c - med.med) AS dev,
+      |    CAST(sum(gv.n) AS BIGINT) AS n
+      |  FROM gv JOIN med ON med.event_type = gv.event_type
+      |  GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT g.event_type AS event_type, min(dev) AS mad FROM (
+      |    SELECT event_type, dev,
+      |      sum(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+      |    FROM gd) g
+      |  JOIN tot t ON t.event_type = g.event_type
+      |  WHERE g.cum >= (t.tot + 1) // 2
+      |  GROUP BY g.event_type)
+      |SELECT gd.event_type AS event_type, med.med AS median_cents,
+      |  mad.mad AS mad_cents,
+      |  CAST(sum(CASE WHEN gd.dev > mad.mad * 3 THEN gd.n ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(max(tot.tot) AS BIGINT) AS n_rows
+      |FROM gd
+      |JOIN med ON med.event_type = gd.event_type
+      |JOIN mad ON mad.event_type = gd.event_type
+      |JOIN tot ON tot.event_type = gd.event_type
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin),
+    "Robust MAD outlier detection per type: discrete medians over the " +
+      "exact-cents value domain, 3-MAD outlier counts, all BIGINT")
+
   /** HyperBall-style k-hop NEIGHBORHOOD FUNCTION (Boldi/Rosa/Vigna) over
     * the interaction graph — per-node "how many nodes are within ≤2
     * hops" (incl. self), the primitive behind effective-diameter and
@@ -3009,7 +3095,7 @@ object EventQueries {
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
-    q226_variant_funnel, q227_wow_growth, q239_khop_reach,
+    q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

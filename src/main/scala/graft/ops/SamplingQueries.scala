@@ -614,7 +614,52 @@ object SamplingQueries {
     "Weighted sampling without replacement (Efraimidis-Spirakis shape, " +
       "min of w md5 clocks): deterministic, replica-exact oracle")
 
-  def defs: Seq[QueryDef] = Seq(q184_weighted_sample, q53_stable_split, q59_sequence_packing,
+  /** Curriculum training order — the schedule a curriculum-learning run
+    * feeds its data loader: documents bucketed by difficulty (equal-width
+    * length deciles here; any score column slots in), shuffled WITHIN
+    * each bucket by a seeded md5 clock, and assigned a GLOBAL 1-based
+    * training position over the (bucket, clock, doc_id) total order.
+    * The global position is the scale-hard part — a corpus-sized
+    * row_number is a single-partition sort — so it rides
+    * [[graft.ops.GlobalPrefixSum.withRunningSum]]: range-repartition on
+    * the order key, per-partition ranks, #partitions-sized boundary
+    * offsets broadcast back. Deterministic (pure function of doc_id),
+    * so the oracle replays every position with one ROW_NUMBER.
+    */
+  val q241_curriculum_order: QueryDef = QueryDef(
+    "q241_curriculum_order",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val mx = docs.agg(max("n_chars").as("mx"))
+      val scored = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          expr("(n_chars * 10) div (mx + 1)").as("bucket"),
+          expr("CAST(conv(substring(md5(concat('cur1:', " +
+            "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)").as("hk"))
+        .withColumn("one", lit(1L))
+      graft.ops.GlobalPrefixSum.withRunningSum(scored,
+          Seq("bucket", "hk", "doc_id"), "one", "train_order")
+        .select(col("doc_id"),
+          col("bucket").cast(LongType).as("difficulty_bucket"),
+          col("train_order").cast(LongType).as("train_order"))
+        .orderBy("train_order")
+    },
+    Some("""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+      |sc AS (
+      |  SELECT doc_id, (n_chars * 10) // (mx + 1) AS bucket,
+      |    CAST(('0x' || substr(md5('cur1:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) AS hk
+      |  FROM documents, mx)
+      |SELECT doc_id, CAST(bucket AS BIGINT) AS difficulty_bucket,
+      |  CAST(row_number() OVER (ORDER BY bucket, hk, doc_id) AS BIGINT)
+      |    AS train_order
+      |FROM sc ORDER BY train_order""".stripMargin),
+    "Curriculum schedule: difficulty buckets, seeded within-bucket " +
+      "shuffle, global training position via the distributed prefix-sum " +
+      "rank (no corpus-sized sort partition)")
+
+  def defs: Seq[QueryDef] = Seq(q241_curriculum_order,
+    q184_weighted_sample, q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,
     q117_url_canonical_dedup, q122_blocklist_filter,

@@ -91,6 +91,7 @@ class PlanLintSpec extends SparkSpec {
     "q55_ann_recall" -> "IVF centroid init: row_number over the orderBy(id).limit(16) seed rows",
     "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
     "q237_rank_fusion" -> "retriever-depth rank assignment: row_number over each orderBy(...).limit(100) rank list — the window moves 100 rows, never the corpus",
+    "q241_curriculum_order" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (q210's shape on the curriculum rank)",
     // q180's GlobalLag boundary-patch window now runs inside the
     // checkpointed node frame (hits ckpts nodes instead of persisting
     // it), so no global window reaches its final plan
