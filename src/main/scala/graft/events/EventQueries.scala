@@ -993,6 +993,59 @@ object EventQueries {
       "delete-heavy retraction batch via the per-(group, value) support " +
       "table, proven equal to full recompute")
 
+  /** [[graft.ops.Incremental.mergeTopK]] — IVM tier 5: per-(user, type)
+    * TOP-2 values (exact cents, event_id tiebreak) under the q147 CDC
+    * batch. Ranked views break under retraction precisely when a delete
+    * hits a stored top row — the 3rd-best was never stored — and the
+    * `event_id % 7` predicate guarantees plenty of such hits while
+    * leaving most groups untouched, so BOTH maintenance paths (CDC-sized
+    * re-rank for unaffected groups, affected-group rescan for the rest)
+    * carry weight. The oracle recomputes the final top-2 from scratch
+    * with a ROW_NUMBER over the post-CDC rows; any group repaired from
+    * the wrong row set hash-fails.
+    */
+  val q242_incremental_topk: QueryDef = QueryDef(
+    "q242_incremental_topk",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_cents"),
+        col("event_id"), col("ts_sec"))
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      val base = ev.filter(col("ts_sec") < day25).drop("ts_sec")
+      val ins = ev.filter(col("ts_sec") >= day25 && col("ts_sec") < day26)
+        .drop("ts_sec")
+      val del = base.filter(col("event_id") % 7 === 0)
+      graft.ops.Incremental.mergeTopK(base, ins, del,
+          Seq("user_id", "event_type"), "v_cents", "event_id", k = 2)
+        .select(col("user_id"), col("event_type"),
+          col("rank").cast(LongType).as("rank"), col("v_cents"),
+          col("event_id"))
+        .orderBy("user_id", "event_type", "rank")
+    },
+    Some("""WITH fin AS (
+      |  SELECT user_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
+      |    event_id
+      |  FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
+      |         AND event_id % 7 <> 0)
+      |     OR (CAST(floor(epoch(ts)) AS BIGINT) >= 1706140800
+      |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1706227200))
+      |SELECT user_id, event_type, CAST(rk AS BIGINT) AS rank, v_cents,
+      |  event_id
+      |FROM (
+      |  SELECT user_id, event_type, v_cents, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY v_cents DESC, event_id) AS rk
+      |  FROM fin) t
+      |WHERE rk <= 2
+      |ORDER BY user_id, event_type, rank""".stripMargin),
+    "Incremental view maintenance tier 5: per-group top-2 under " +
+      "retraction — CDC-sized re-rank for untouched groups, " +
+      "affected-group rescan where a delete hit a stored top row, " +
+      "proven equal to full recompute")
+
   /** Rolling z-score anomaly detection over the per-type daily series —
     * the ops-monitoring classic (is today's volume > 2σ from the trailing
     * week?), made engine-portable by never taking the square root: the
@@ -2825,6 +2878,134 @@ object EventQueries {
     "Robust MAD outlier detection per type: discrete medians over the " +
       "exact-cents value domain, 3-MAD outlier counts, all BIGINT")
 
+  /** Exponentially-weighted moving average of the per-type daily volume
+    * in EXACT BINARY FRACTIONS — the float-free EWMA: α = 1/2 makes every
+    * weight a power of two (gap g ← weight 2^(7−g), truncated at an
+    * 8-day tail, ≤0.4% truncation error), so numerator and denominator
+    * are exact BIGINTs both engines replay, where the textbook float
+    * recursion would accumulate engine-specific rounding. Scale shape:
+    * the corpus collapses to per-(type, day) counts FIRST (one map-side
+    * combinable agg), then the bounded cover-explode (≤8 rows per
+    * aggregate row, q185's pattern) lands each day's count on its ≤8
+    * downstream window ends — no self-join, no per-row window over the
+    * corpus. Only occurring (type, day) cells are reported.
+    */
+  val q244_ewma: QueryDef = QueryDef(
+    "q244_ewma",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val contrib = daily
+        .select(col("event_type"), col("day"), col("n"),
+          explode(expr("sequence(0, 7)")).as("g"))
+        .select(col("event_type"), (col("day") + col("g")).as("day"),
+          expr("n * shiftleft(1L, 7 - g)").as("num_c"),
+          expr("shiftleft(1L, 7 - g)").as("den_c"))
+      val sums = contrib.groupBy("event_type", "day")
+        .agg(sum("num_c").as("ewma_num"), sum("den_c").as("ewma_den"))
+      daily.join(sums, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          col("n").cast(LongType).as("n"),
+          col("ewma_num").cast(LongType).as("ewma_num"),
+          col("ewma_den").cast(LongType).as("ewma_den"),
+          expr("(1000 * ewma_num) div ewma_den").cast(LongType)
+            .as("ewma_milli"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT a.event_type, a.day,
+      |    CAST(sum(b.n * (1 << CAST(7 - (a.day - b.day) AS INTEGER)))
+      |      AS BIGINT) AS ewma_num,
+      |    CAST(sum(1 << CAST(7 - (a.day - b.day) AS INTEGER)) AS BIGINT)
+      |      AS ewma_den
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type
+      |   AND a.day - b.day BETWEEN 0 AND 7
+      |  GROUP BY 1, 2)
+      |SELECT d.event_type AS event_type, d.day AS day,
+      |  CAST(d.n AS BIGINT) AS n, s.ewma_num AS ewma_num,
+      |  s.ewma_den AS ewma_den,
+      |  CAST((1000 * s.ewma_num) // s.ewma_den AS BIGINT) AS ewma_milli
+      |FROM daily d JOIN sums s
+      |  ON s.event_type = d.event_type AND s.day = d.day
+      |ORDER BY event_type, day""".stripMargin),
+    "EWMA daily-volume smoothing in exact binary fractions (α=1/2, " +
+      "8-day truncated tail): bounded cover-explode, no float recursion")
+
+  /** Two-sided 5% TRIMMED MEAN of the value column per event type — the
+    * robust location estimate between q240's median and the plain mean,
+    * computed entirely on the VALUE DOMAIN in exact cents: per-type
+    * distinct-cent histogram → cumulative → each distinct value keeps
+    * `max(0, min(cum, hi) − max(cum − m, lo))` of its m occurrences
+    * (lo = ⌊n·5%⌋ rows cut from each tail, hi = n − lo), so the trim cuts
+    * ROWS, not distinct values, exactly like an order-statistics scan —
+    * without ever sorting rows (the window orders DISTINCT cents per
+    * type). The mean is reported in exact floor micro-cents via the
+    * portable-floor CASE (value cents can be negative, where Spark `div`
+    * truncates but DuckDB `//` floors — q179's rule).
+    */
+  val q245_trimmed_mean: QueryDef = QueryDef(
+    "q245_trimmed_mean",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val gv = ev.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val wv = Window.partitionBy("event_type").orderBy("c")
+      val tot = gv.groupBy("event_type").agg(sum("m").as("n"))
+      gv.withColumn("cum", sum("m").over(wv))
+        .join(tot, Seq("event_type"))
+        .withColumn("lo", expr("n * 5 div 100"))
+        .withColumn("hi", col("n") - col("lo"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("hi")) - greatest(col("cum") - col("m"), col("lo"))))
+        .groupBy("event_type")
+        .agg(max("n").as("n_rows"), max(col("hi") - col("lo")).as("n_kept"),
+          sum(expr("c * kept")).as("tsum"))
+        .select(col("event_type"), col("n_rows").cast(LongType).as("n_rows"),
+          col("n_kept").cast(LongType).as("n_kept"),
+          // DECIMAL(38) product guard (the Association.lift_ppm rule):
+          // 10⁶ · Σ(c·kept) wraps BIGINT at 100 TB row counts
+          expr("CASE WHEN tsum >= 0 THEN " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * tsum) div n_kept " +
+            "ELSE -((CAST(-1000000 AS DECIMAL(38,0)) * tsum + n_kept - 1) " +
+            "div n_kept) END")
+            .cast(LongType).as("trimmed_mean_micro_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |gv AS (SELECT event_type, c, COUNT(*) AS m FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+      |        FROM gv GROUP BY 1),
+      |cum AS (
+      |  SELECT g.event_type, g.c, g.m, t.n,
+      |    CAST(n * 5 // 100 AS BIGINT) AS lo,
+      |    CAST(n - (n * 5 // 100) AS BIGINT) AS hi,
+      |    sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.c) AS cm
+      |  FROM gv g JOIN tot t ON t.event_type = g.event_type),
+      |kept AS (
+      |  SELECT event_type, n, hi - lo AS nk,
+      |    c * greatest(0, least(cm, hi) - greatest(cm - m, lo)) AS ks
+      |  FROM cum)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(nk) AS BIGINT) AS n_kept,
+      |  CAST(CASE WHEN sum(ks) >= 0
+      |    THEN (CAST(1000000 AS HUGEINT) * sum(ks)) // max(nk)
+      |    ELSE -((CAST(-1000000 AS HUGEINT) * sum(ks) + max(nk) - 1)
+      |           // max(nk)) END AS BIGINT) AS trimmed_mean_micro_cents
+      |FROM kept GROUP BY 1
+      |ORDER BY event_type""".stripMargin),
+    "Two-sided 5% trimmed mean per type on the exact-cents value domain: " +
+      "row-exact tail cuts without sorting rows, portable-floor micro mean")
+
   /** HyperBall-style k-hop NEIGHBORHOOD FUNCTION (Boldi/Rosa/Vigna) over
     * the interaction graph — per-node "how many nodes are within ≤2
     * hops" (incl. self), the primitive behind effective-diameter and
@@ -3096,6 +3277,7 @@ object EventQueries {
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
+    q242_incremental_topk, q244_ewma, q245_trimmed_mean,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

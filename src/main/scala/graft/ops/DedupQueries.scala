@@ -758,10 +758,79 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Train/test SPLIT-LEAKAGE audit — the composition every eval pipeline
+    * needs before trusting a benchmark number: near-duplicate pairs
+    * (q37's bucket-capped LSH band join) classified by which side of the
+    * deterministic train/val/test split ([[Sampling.stableSplit]], q53)
+    * each endpoint landed on. A near-dup pair straddling train and test
+    * means the model sees the answer key — `is_cross = 1` rows are the
+    * leaks. The pair is canonicalized by the lexicographic (lo, hi) split
+    * label so direction never splits a cell. Scale shape: the pair space
+    * is q37's (band-blocked, hot-bucket capped — linear-ish), the split
+    * is a per-row pure function, and the classification is two hash
+    * joins on doc_id — no new quadratic surface.
+    */
+  val q243_split_leakage: QueryDef = q(
+    "q243_split_leakage",
+    shinglesSql +
+      s""",
+        |hs AS (
+        |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  GROUP BY doc_id, band),
+        |hsc AS (
+        |  SELECT doc_id, band, bucket FROM (
+        |    SELECT doc_id, band, bucket,
+        |      COUNT(*) OVER (PARTITION BY band, bucket) AS bs
+        |    FROM hs) t
+        |  WHERE bs <= $MaxBandBucketSize),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM hsc a JOIN hsc b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT least(sa.split, sb.split) AS split_lo,
+        |  greatest(sa.split, sb.split) AS split_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_cross
+        |FROM pairs p
+        |JOIN spl sa ON sa.doc_id = p.id_a
+        |JOIN spl sb ON sb.doc_id = p.id_b
+        |GROUP BY 1, 2, 4
+        |ORDER BY split_lo, split_hi""".stripMargin,
+    "Split-leakage audit: near-dup pairs straddling the train/test " +
+      "boundary (LSH pairs ∘ stable split — the eval-contamination check)") {
+    (s, d) =>
+      val pairs = bandCandidates(s, d)
+      val spl = Sampling.stableSplit(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      pairs
+        .join(spl.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(spl.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)
+            .as("is_cross"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("split_lo"), col("split_hi"),
+          col("n_pairs").cast(LongType).as("n_pairs"), col("is_cross"))
+        .orderBy("split_lo", "split_hi")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
     q88_fuzzy_names, q92_repeated_windows, q97_containment,
     q106_repeated_removal, q123_neardup_representative, q126_snapshot_diff,
-    q158_novelty_scoring)
+    q158_novelty_scoring, q243_split_leakage)
 }

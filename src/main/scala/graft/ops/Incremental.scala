@@ -116,6 +116,57 @@ object Incremental {
       .drop("s")
   }
 
+  /** Maintenance tier 5: per-group TOP-K rows (ordered by valueCol DESC,
+    * rowIdCol ASC as the deterministic tiebreak) under insert+delete CDC.
+    * A top-k view is not self-maintainable the moment a retraction hits a
+    * stored top row — the (k+1)-th value was never stored — so the rule is
+    * q162's affected-group rescan lifted to ranked views:
+    *
+    *   - UNAFFECTED groups (no delete touched their stored top-k): the new
+    *     top-k is re-ranked from stored-top ∪ that group's inserts — a
+    *     frame of ≤ k + |Δins| rows per group, CDC-sized, never the
+    *     corpus. Deletes of rows OUTSIDE the stored top-k cannot change
+    *     the view (the deleted row was already beaten by k rows that all
+    *     survive) and are correctly ignored.
+    *   - AFFECTED groups (a delete id hit a stored top row): re-scan that
+    *     group's post-churn rows (standing minus deletes, plus inserts)
+    *     — one semi-join restriction, partition-prunable on a
+    *     key-partitioned standing table, observed via `graft.ivm.rescan.*`
+    *     like the MIN/MAX tier.
+    *
+    * Inputs carry exactly keys :+ (valueCol, rowIdCol). `base` is a ROW
+    * frame standing in for the standing corpus; the stored top-k view is
+    * derived here (production reads it back instead). Result: keys :+
+    * (rank, valueCol, rowIdCol), rank 1..k, proven ≡ a from-scratch
+    * re-rank by the q242 oracle.
+    */
+  def mergeTopK(base: DataFrame, inserts: DataFrame, deletes: DataFrame,
+      keys: Seq[String], valueCol: String, rowIdCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = keys.map(col) ++ Seq(col(valueCol), col(rowIdCol))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol).desc, col(rowIdCol).asc)
+    val stored = base.select(cols: _*)
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .drop("_rk")
+    val delIds = deletes.select(col(rowIdCol))
+    val affected = stored.join(delIds, Seq(rowIdCol), "left_semi")
+      .select(keys.map(col): _*).distinct()
+    val ins = inserts.select(cols: _*)
+    val unaffected = stored.join(affected, keys, "left_anti")
+      .unionByName(ins.join(affected, keys, "left_anti"))
+    val rescan = base.select(cols: _*)
+      .join(affected, keys, "left_semi")
+      .join(delIds, Seq(rowIdCol), "left_anti")
+      .observe(s"graft.ivm.rescan.${rescanObsId.incrementAndGet()}",
+        count(lit(1)).as("rows_rescanned"))
+      .unionByName(ins.join(affected, keys, "left_semi"))
+    unaffected.unionByName(rescan)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Maintenance tier 4: COUNT(DISTINCT valueCol) under retraction.
     * A distinct count is not self-maintainable from the aggregate alone
     * (retracting one of a value's three occurrences must NOT drop the

@@ -1147,6 +1147,46 @@ class OpsSpec extends SparkSpec {
     assert(rescanned == 2L, s"expected 2 re-scanned rows, got $rescanned")
   }
 
+  test("incremental top-k: delete in stored top forces rescan, outside-top deletes ignored") {
+    // group A: delete hits stored rank-1 (affected -> re-scan), plus an insert
+    // group B: delete hits a row OUTSIDE the stored top-2 (unaffected, view unchanged)
+    // group C: insert beats the stored top (unaffected re-rank path)
+    // group D: brand-new group arriving via inserts only
+    val base = Seq(
+      (100L, "A", 9.0), (101L, "A", 7.0), (102L, "A", 5.0), (103L, "A", 3.0),
+      (200L, "B", 9.0), (201L, "B", 7.0), (202L, "B", 5.0),
+      (300L, "C", 4.0), (301L, "C", 2.0)
+    ).toDF("rid", "g", "v")
+    val ins = Seq((110L, "A", 8.0), (310L, "C", 6.0),
+      (400L, "D", 1.0), (401L, "D", 2.0)).toDF("rid", "g", "v")
+    val del = Seq((100L, "A", 9.0), (202L, "B", 5.0)).toDF("rid", "g", "v")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.ivm.rescan.")) seen.put(name, row.getLong(0))
+        }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val (got, rescanned) = try {
+      val out = Incremental.mergeTopK(base, ins, del, Seq("g"), "v", "rid", k = 2)
+        .collect().map(r => (r.getString(0), r.getInt(3)) ->
+          ((r.getLong(2), r.getDouble(1)))).toMap
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      (out, seen.values().toArray(Array.empty[java.lang.Long]).map(_.longValue).sum)
+    } finally spark.listenerManager.unregister(listener)
+    assert(got == Map(
+      ("A", 1) -> ((110L, 8.0)), ("A", 2) -> ((101L, 7.0)), // 9.0 retracted
+      ("B", 1) -> ((200L, 9.0)), ("B", 2) -> ((201L, 7.0)), // unchanged
+      ("C", 1) -> ((310L, 6.0)), ("C", 2) -> ((300L, 4.0)), // insert wins
+      ("D", 1) -> ((401L, 2.0)), ("D", 2) -> ((400L, 1.0))))
+    // only group A re-scans: its 3 surviving base rows (B's outside-top
+    // delete and C/D never touch the standing corpus)
+    assert(rescanned == 3L, s"expected 3 re-scanned rows, got $rescanned")
+  }
+
   test("association rules: exact ratios, duplicate rows collapse, giant basket capped") {
     val rows = Seq(
       (1L, "a"), (1L, "b"), (1L, "a"),          // dup (1,a) must collapse
