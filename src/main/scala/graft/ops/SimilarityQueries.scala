@@ -1343,7 +1343,103 @@ object SimilarityQueries {
     "kNN label classification over the embedding store: top-10 cosine " +
       "vote, min-tie majority — prediction value oracle")
 
+  /** Retrieval EVALUATION metrics — the scorecard a pipeline computes
+    * before trusting any retriever change: per query (vec_id < 20),
+    * precision@10, recall@10 and reciprocal rank against the
+    * deterministic same-label ground truth, all in exact floor-ppm
+    * integers (the float mean would be engine-rounding luck; the macro
+    * average is one exact aggregation away downstream). Retrieved =
+    * q206's exact-cosine top-10 (broadcast query block, partitioned rank
+    * window over the 10-row lists); relevant = other vectors sharing the
+    * query's label (|truth| from one count per label, no pair scan).
+    * MRR's 1/rank is `1e6 div rank` — exact, and 0 when no relevant doc
+    * is retrieved, same on both engines.
+    */
+  val q246_retrieval_eval: QueryDef = QueryDef(
+    "q246_retrieval_eval",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ex = exploded(emb)
+      val norms = normsOf(ex)
+      val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lbl"))
+      val labelSizes = labels.groupBy("lbl").agg(count(lit(1)).as("lbl_n"))
+      val qx = ex.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
+      val dots = ex.join(broadcast(qx), Seq("i"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+      val top = dots
+        .join(broadcast(norms.select(col("vec_id").as("q_id"),
+          col("nrm").as("q_nrm"))), Seq("q_id"))
+        .join(broadcast(norms), Seq("vec_id"))
+        .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .join(labels, Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("q_id"), col("lbl").as("q_lbl")),
+          Seq("q_id"))
+      val perQ = top.groupBy("q_id")
+        .agg(max("q_lbl").as("q_lbl"),
+          sum(when(col("lbl") === col("q_lbl"), 1L).otherwise(0L)).as("hits"),
+          min(when(col("lbl") === col("q_lbl"), col("rnk"))).as("first_rel"))
+      perQ
+        .join(labelSizes.select(col("lbl").as("q_lbl"),
+          (col("lbl_n") - 1L).as("n_rel")), Seq("q_lbl"))
+        .select(col("q_id"), col("n_rel").cast(LongType).as("n_rel"),
+          col("hits").cast(LongType).as("hits"),
+          expr("(1000000 * hits) div 10").cast(LongType).as("p_at10_ppm"),
+          expr("(1000000 * hits) div n_rel").cast(LongType).as("r_at10_ppm"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).cast(LongType)
+            .as("rr_ppm"))
+        .orderBy("q_id")
+    },
+    Some("""WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS nrm
+      |  FROM ex GROUP BY vec_id),
+      |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+      |lsz AS (SELECT lbl, COUNT(*) AS lbl_n FROM lbl GROUP BY 1),
+      |qx AS (SELECT vec_id AS q_id, i, x FROM ex WHERE vec_id < 20),
+      |dots AS (
+      |  SELECT qx.q_id, ex.vec_id,
+      |    CAST(SUM(CAST(qx.x * ex.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      |  FROM qx JOIN ex ON qx.i = ex.i AND ex.vec_id <> qx.q_id
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT q_id, vec_id, rnk FROM (
+      |    SELECT d.q_id, d.vec_id,
+      |      row_number() OVER (PARTITION BY d.q_id
+      |        ORDER BY d.dot / sqrt(nq.nrm * nv.nrm) DESC, d.vec_id) AS rnk
+      |    FROM dots d
+      |    JOIN norms nq ON nq.vec_id = d.q_id
+      |    JOIN norms nv ON nv.vec_id = d.vec_id)
+      |  WHERE rnk <= 10),
+      |perq AS (
+      |  SELECT t.q_id, max(ql.lbl) AS q_lbl,
+      |    sum(CASE WHEN vl.lbl = ql.lbl THEN 1 ELSE 0 END) AS hits,
+      |    min(CASE WHEN vl.lbl = ql.lbl THEN t.rnk END) AS first_rel
+      |  FROM top t
+      |  JOIN lbl vl ON vl.vec_id = t.vec_id
+      |  JOIN lbl ql ON ql.vec_id = t.q_id
+      |  GROUP BY t.q_id)
+      |SELECT p.q_id AS q_id, CAST(s.lbl_n - 1 AS BIGINT) AS n_rel,
+      |  CAST(p.hits AS BIGINT) AS hits,
+      |  CAST((1000000 * p.hits) // 10 AS BIGINT) AS p_at10_ppm,
+      |  CAST((1000000 * p.hits) // (s.lbl_n - 1) AS BIGINT) AS r_at10_ppm,
+      |  CAST(COALESCE(1000000 // p.first_rel, 0) AS BIGINT) AS rr_ppm
+      |FROM perq p JOIN lsz s ON s.lbl = p.q_lbl
+      |ORDER BY q_id""".stripMargin),
+    "Retrieval evaluation scorecard: precision@10 / recall@10 / " +
+      "reciprocal rank per query vs the same-label ground truth, exact " +
+      "floor-ppm (no float means)")
+
   def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q206_knn_classify,
+    q246_retrieval_eval,
     q220_ivf_probe_curve, q223_label_centroids,
     q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,

@@ -3,6 +3,7 @@ package graft.ops
 import graft.QueryDef
 import graft.relational.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -975,7 +976,130 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities in EXACT RATIONALS —
+    * the n-gram LM estimate (KenLM's default) with the D = 3/4 absolute
+    * discount cleared of denominators:
+    * `p(b|a) = (c_ab − D)⁺/c_a + D·N1f(a)/c_a · N1b(b)/|B|`, reported as
+    * `⌊10⁶·((4·c_ab − 3)⁺·|B| + 3·N1f(a)·N1b(b)) / (4·c_a·|B|)⌋` — one
+    * integer expression both engines replay bit-for-bit (the float form
+    * diverges in the last ulp across sum orders). Scale shape: the corpus
+    * collapses to the bigram-TYPE table first (one map-side-combinable
+    * agg); marginals c_a = Σ_b c_ab, the continuation counts N1f/N1b, and
+    * |B| are all aggregates OVER THE TYPE TABLE (aggregate-sized, never
+    * re-scanning rows); products carry DECIMAL(38)/HUGEINT guards
+    * (Association.lift_ppm's rule — c_ab·|B| wraps BIGINT at 100 TB).
+    */
+  val q248_kn_bigram: QueryDef = q(
+    "q248_kn_bigram",
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT w AS a, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+      |  FROM tok),
+      |bigf AS (SELECT a, b FROM big
+      |         WHERE a <> '' AND b IS NOT NULL AND b <> ''),
+      |pc AS (SELECT a, b, COUNT(*) AS c_ab FROM bigf GROUP BY a, b),
+      |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+      |         COUNT(*) AS n1f FROM pc GROUP BY a),
+      |nb AS (SELECT b, COUNT(*) AS n1b FROM pc GROUP BY b),
+      |tot AS (SELECT COUNT(*) AS n_types FROM pc)
+      |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, c_a,
+      |  CAST(n1f AS BIGINT) AS n1f, CAST(n1b AS BIGINT) AS n1b,
+      |  CAST((CAST(1000000 AS HUGEINT) *
+      |        (CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * n_types +
+      |         CAST(3 AS HUGEINT) * n1f * n1b))
+      |    // (CAST(4 AS HUGEINT) * c_a * n_types) AS BIGINT) AS p_kn_ppm
+      |FROM pc JOIN ca USING (a) JOIN nb USING (b), tot
+      |ORDER BY c_ab DESC, a, b
+      |LIMIT 50""".stripMargin,
+    "Kneser-Ney bigram LM estimates (D=3/4, continuation counts) in " +
+      "exact floor-ppm rationals; marginals from the type table, top-50") {
+    (s, d) =>
+      val wdoc = Window.partitionBy("doc_id").orderBy("i")
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val bigf = tok.withColumn("b", lead("w", 1).over(wdoc))
+        .filter(col("w") =!= "" && col("b").isNotNull && col("b") =!= "")
+        .select(col("w").as("a"), col("b"))
+      val pc = bigf.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = pc.groupBy("a")
+        .agg(sum("c_ab").cast(LongType).as("c_a"), count(lit(1)).as("n1f"))
+      val nb = pc.groupBy("b").agg(count(lit(1)).as("n1b"))
+      val types = pc.agg(count(lit(1)).as("n_types"))
+      pc.join(ca, Seq("a")).join(nb, Seq("b"))
+        .crossJoin(broadcast(types))
+        .select(col("a"), col("b"), col("c_ab").cast(LongType).as("c_ab"),
+          col("c_a"), col("n1f").cast(LongType).as("n1f"),
+          col("n1b").cast(LongType).as("n1b"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            "(CAST(greatest(4 * c_ab - 3, 0) AS DECIMAL(38,0)) * n_types + " +
+            "CAST(3 AS DECIMAL(38,0)) * n1f * n1b)) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * c_a * n_types) AS BIGINT)")
+            .as("p_kn_ppm"))
+        .orderBy(col("c_ab").desc, col("a"), col("b"))
+        .limit(50)
+  }
+
+  /** Vocabulary COVERAGE curve — the tokenizer-design metric (how much of
+    * the corpus does a size-N word vocabulary cover?): exact floor-ppm
+    * coverage at N ∈ {100, 1000, 10000}. Scale shape: word counts are one
+    * map-side-combinable agg; the candidate vocab is a distributed TopK
+    * (`orderBy(cnt).limit(10000)` — take-ordered, NO corpus-sized sort);
+    * the rank window runs above that bounded 10⁴-row frame (q237's
+    * allowlisted shape); coverage is three conditional sums unpivoted by
+    * `stack`. The 10⁶ product is DECIMAL(38)-guarded (covered ≈ total
+    * tokens ≈ 10¹⁴ at 100 TB wraps BIGINT).
+    */
+  val q249_vocab_coverage: QueryDef = q(
+    "q249_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+      |top AS (SELECT w, cnt,
+      |          row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM wc),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+      |cov AS (SELECT
+      |  CAST(SUM(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS BIGINT) AS c100,
+      |  CAST(SUM(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END) AS BIGINT) AS c1000,
+      |  CAST(SUM(CASE WHEN rk <= 10000 THEN cnt ELSE 0 END) AS BIGINT) AS c10000
+      |  FROM top)
+      |SELECT n_vocab, covered, total,
+      |  CAST((CAST(1000000 AS HUGEINT) * covered) // total AS BIGINT)
+      |    AS coverage_ppm
+      |FROM (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS n_vocab,
+      |             unnest([c100, c1000, c10000]) AS covered FROM cov), tot
+      |ORDER BY n_vocab""".stripMargin,
+    "Vocabulary coverage curve at N in {100, 1000, 10000}: distributed " +
+      "TopK vocab, bounded rank window, exact floor-ppm coverage") {
+    (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val wc = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val top = wc.orderBy(col("cnt").desc, col("w")).limit(10000)
+      val wr = Window.orderBy(col("cnt").desc, col("w"))
+      val tot = wc.agg(sum("cnt").cast(LongType).as("total"))
+      top.withColumn("rk", row_number().over(wr))
+        .agg(
+          sum(when(col("rk") <= 100, col("cnt")).otherwise(0L))
+            .cast(LongType).as("c100"),
+          sum(when(col("rk") <= 1000, col("cnt")).otherwise(0L))
+            .cast(LongType).as("c1000"),
+          sum(when(col("rk") <= 10000, col("cnt")).otherwise(0L))
+            .cast(LongType).as("c10000"))
+        .crossJoin(broadcast(tot))
+        .select(expr("stack(3, 100L, c100, 1000L, c1000, 10000L, c10000) " +
+          "AS (n_vocab, covered)"), col("total"))
+        .select(col("n_vocab"), col("covered"), col("total"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * covered) div total " +
+            "AS BIGINT)").as("coverage_ppm"))
+        .orderBy("n_vocab")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q248_kn_bigram, q249_vocab_coverage,
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q229_sparse_cosine_pairs, q237_rank_fusion,
     q13_word_topk, q25_token_stats, q26_quality_score, q27_lang_guess,

@@ -308,7 +308,54 @@ object FormatQueries {
     "Z-order clustered write (Morton-interleaved multi-column layout): " +
       "content-lossless round trip digest-checked against the original")
 
+  /** Hive-partitioned TIME layout + static partition pruning — the
+    * bread-and-butter 100 TB fact-table shape (`.../day=19747/...`): the
+    * corpus is written `partitionBy(day)`, and a day-range query must
+    * then touch ONLY the in-range directories (listing-level pruning —
+    * no footer of an out-of-range file is ever opened; the IVF index's
+    * DPP rows prove the dynamic variant, this one pins the static
+    * PartitionFilters path). The digest restricted to a 5-day window is
+    * value-checked against the un-partitioned oracle, proving the
+    * layout is content-lossless AND the partition column round-trips
+    * through directory encoding (SourcesSpec pins the actual pruned
+    * read: selectedPartitions == 5 of ~31).
+    */
+  val q247_partition_pruning: QueryDef = QueryDef(
+    "q247_partition_pruning",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts_sec div 86400").as("day"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_part_").toString
+      ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val res = s.read.parquet(dir)
+        .filter(col("day").between(19740L, 19744L))
+        .groupBy(col("day").cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          sum("event_id").cast(LongType).as("sum_ids"),
+          sum(graft.relational.Sql.dec2(col("value"))).cast("double")
+            .as("sum_value"))
+        .orderBy("day")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(floor(epoch(ts)) AS BIGINT) // 86400 BETWEEN 19740 AND 19744
+      |GROUP BY 1 ORDER BY day""".stripMargin),
+    "Hive-partitioned day layout: partitionBy write, statically pruned " +
+      "day-range read (PartitionFilters, no out-of-range footer opened), " +
+      "content digest vs the un-partitioned oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
-    q218_schema_evolution, q219_compaction, q235_avro_roundtrip)
+    q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
+    q247_partition_pruning)
 }

@@ -49,6 +49,8 @@ class PlanLintSpec extends SparkSpec {
     "q164_ivf_search" -> "k-row centroid broadcast for the coarse-routing crossJoin (brute-force exact baseline broadcasts the 5-row query set — q129's shape over the plain-IVF index)",
     "q166_word_pmi" -> "one-row bigram total (PMI numerator) broadcast onto the pair counts",
     "q173_association_rules" -> "one-row basket total (lift numerator) broadcast onto the pair counts",
+    "q248_kn_bigram" -> "one-row bigram-type total |B| (KN continuation denominator) broadcast onto the type table (q166's shape)",
+    "q249_vocab_coverage" -> "one-row corpus token total (coverage denominator) broadcast onto the 3-point coverage frame",
     "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
     "q192_link_prediction" -> "one-row adaptive degree-cap threshold (2x mean degree) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
@@ -92,6 +94,7 @@ class PlanLintSpec extends SparkSpec {
     "q108_graph_evolution" -> "GlobalLag boundary patch: lag over the #partitions-sized per-partition-tails frame (bounded by task count, not data)",
     "q237_rank_fusion" -> "retriever-depth rank assignment: row_number over each orderBy(...).limit(100) rank list — the window moves 100 rows, never the corpus",
     "q241_curriculum_order" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (q210's shape on the curriculum rank)",
+    "q249_vocab_coverage" -> "vocab rank: row_number over the orderBy(cnt).limit(10000) TopK frame — the window moves 10^4 rows, never the corpus (q237's shape)",
     // q180's GlobalLag boundary-patch window now runs inside the
     // checkpointed node frame (hits ckpts nodes instead of persisting
     // it), so no global window reaches its final plan

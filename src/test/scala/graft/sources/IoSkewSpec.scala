@@ -199,6 +199,22 @@ class IoSkewSpec extends SparkSpec {
     assert(back.agg(sum($"v")).first().getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("hive-partitioned write prunes to the filtered partitions (q247's layout)") {
+    val dir = Files.createTempDirectory("graft_prune").resolve("t").toString
+    (0L until 300L).toDF("id").withColumn("day", $"id" % 30)
+      .write.partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"day".between(10, 14))
+    // static pruning happens at file listing: the scan's selected
+    // partition count must be the 5 in-range directories, not 30
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    assert(scan.get.selectedPartitions.partitionCount == 5,
+      s"expected 5 pruned partitions, got ${scan.get.selectedPartitions.partitionCount}")
+    assert(q.count() == 50L)
+  }
+
   test("interrupted compaction swap recovers without losing the table") {
     val dir = Files.createTempDirectory("graft_compact_rec").resolve("t").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
