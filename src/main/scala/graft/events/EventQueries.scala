@@ -3268,7 +3268,256 @@ object EventQueries {
         .orderBy("user_id")
   }
 
+  /** Benford first-digit audit — the fraud/data-quality screen over the
+    * value column: the observed first-digit distribution of positive cent
+    * amounts vs the Benford expectation, per digit in exact floor-ppm.
+    * The nine Benford constants ⌊10⁶·log₁₀(1+1/d)⌋ are public math
+    * literals pinned identically on both engines (no runtime float log);
+    * the corpus collapses to a 9-row digit histogram in one map-side-
+    * combinable agg, so the only broadcast is the 1-row total. The 10⁶
+    * product carries the DECIMAL(38)/HUGEINT guard (n ≈ corpus rows at
+    * 100 TB; 10⁶·n brushes the BIGINT edge).
+    */
+  val q250_benford: QueryDef = QueryDef(
+    "q250_benford",
+    (s, d) => {
+      val digits = Tables.events(s, d)
+        .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("c"))
+        .filter(col("c") > 0)
+        .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").cast(LongType).as("total"))
+      val benford = s.range(1).select(expr(
+        "stack(9, 1L, 301029L, 2L, 176091L, 3L, 124938L, 4L, 96910L, " +
+          "5L, 79181L, 6L, 66946L, 7L, 57991L, 8L, 51152L, 9L, 45757L) " +
+          "AS (digit, benford_ppm)"))
+      benford.join(counts, Seq("digit"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n").cast(LongType).as("n"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div total AS BIGINT)")
+            .as("share_ppm"),
+          col("benford_ppm").cast(LongType).as("benford_ppm"))
+        .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+        .orderBy("digit")
+    },
+    Some("""WITH c AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |dg AS (
+      |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM c WHERE c > 0),
+      |cnt AS (SELECT digit, COUNT(*) AS n FROM dg GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+      |b AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+      |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+      |  (9, 45757)) v(digit, benford_ppm))
+      |SELECT CAST(b.digit AS BIGINT) AS digit,
+      |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+      |  CAST((CAST(1000000 AS HUGEINT) * COALESCE(cnt.n, 0)) // total
+      |    AS BIGINT) AS share_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CAST(abs((CAST(1000000 AS HUGEINT) * COALESCE(cnt.n, 0)) // total
+      |    - b.benford_ppm) AS BIGINT) AS dev_ppm
+      |FROM b LEFT JOIN cnt ON cnt.digit = b.digit, tot
+      |ORDER BY digit""".stripMargin),
+    "Benford first-digit audit of positive cent amounts: 9-row digit " +
+      "histogram vs the literal Benford ppm table, exact floor-ppm shares")
+
+  /** Gini coefficient of per-user total spend — the inequality measure
+    * next to HHI (q191): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ASCENDING-sorted user totals, reported in exact floor-ppm. The 100 TB
+    * shape never sorts users: totals collapse to the spend-VALUE-DOMAIN
+    * histogram (distinct cent totals), the global cumulative count runs
+    * through [[graft.ops.GlobalPrefixSum]] (range-partitioned prefix sum —
+    * no single-partition data window), and a run of cnt equal values with
+    * cum-before c contributes exactly t·cnt·(2c+cnt+1) to 2·Σ i·xᵢ — ties
+    * resolved in closed form, no per-row rank. All products DECIMAL(38)/
+    * HUGEINT (rank-weighted sums reach n²·x ≈ 10²⁵ at scale); the Gini
+    * numerator is ≥ 0 by rearrangement, so plain floor div is portable.
+    */
+  val q251_gini: QueryDef = QueryDef(
+    "q251_gini",
+    (s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+        .groupBy("user_id").agg(sum("c").cast(LongType).as("t"))
+      val gv = ut.groupBy("t").agg(count(lit(1)).as("cnt"))
+      graft.ops.GlobalPrefixSum.withRunningSum(gv, Seq("t"), "cnt", "cum")
+        .withColumn("cb", col("cum") - col("cnt"))
+        .agg(sum("cnt").cast(LongType).as("n"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * cnt")).as("sw"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * cnt * (2 * cb + cnt + 1)"))
+            .as("rw2"))
+        .select(col("n").as("n_users"),
+          col("sw").cast(LongType).as("total_cents"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (rw2 - (n + 1) * sw)) " +
+            "div (CAST(n AS DECIMAL(38,0)) * sw) AS BIGINT)").as("gini_ppm"))
+    },
+    Some("""WITH ut AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS t
+      |  FROM events GROUP BY 1),
+      |gv AS (SELECT t, COUNT(*) AS cnt FROM ut GROUP BY 1),
+      |cum AS (
+      |  SELECT t, cnt, SUM(cnt) OVER (ORDER BY t) - cnt AS cb FROM gv),
+      |agg AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(t AS HUGEINT) * cnt) AS sw,
+      |    SUM(CAST(t AS HUGEINT) * cnt * (2 * cb + cnt + 1)) AS rw2
+      |  FROM cum)
+      |SELECT n AS n_users, CAST(sw AS BIGINT) AS total_cents,
+      |  CAST((CAST(1000000 AS HUGEINT) * (rw2 - (n + 1) * sw))
+      |    // (CAST(n AS HUGEINT) * sw) AS BIGINT) AS gini_ppm
+      |FROM agg""".stripMargin),
+    "Gini coefficient of per-user spend: value-domain histogram + " +
+      "GlobalPrefixSum cumulative (no user sort), closed-form tie runs, " +
+      "exact floor-ppm")
+
+  /** Newman MODULARITY of the q137 LPA communities — the partition-quality
+    * score that tells you whether the communities are real structure:
+    * Q = Σ_c [e_c/m − (deg_c/2m)²] over intra-community edge weight e_c,
+    * community weighted degree deg_c, and total edge weight m, reported in
+    * exact floor-ppm via the shifted non-negative form
+    * ⌊10⁶·(4m² + Σ_c(4m·e_c − deg_c²)) / (4m²)⌋ − 10⁶ (Q ≥ −½ keeps the
+    * numerator ≥ 0, so truncating div IS floor on both engines). Scale
+    * shape: two hash joins tag edge endpoints with labels, e_c/deg_c are
+    * map-side-combinable aggs, and the only broadcast is the 1-row m;
+    * products are DECIMAL(38)/HUGEINT (m² ≈ 10²⁶ at 100 TB edge mass).
+    */
+  val q252_modularity: QueryDef = QueryDef(
+    "q252_modularity",
+    (s, d) => {
+      val e = weightedEdges(s, d).select(col("source").as("a"),
+        col("target").as("b"), col("weight").as("w"))
+      val lbl = graft.ops.Graph.labelPropagation(e, rounds = 4)
+      val tagged = e
+        .join(lbl.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+        .join(lbl.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      val intra = tagged.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community")).agg(sum("w").as("ec"))
+      val degc = e.select(col("a").as("v"), col("w"))
+        .unionAll(e.select(col("b").as("v"), col("w")))
+        .groupBy("v").agg(sum("w").as("dg"))
+        .join(lbl, Seq("v"))
+        .groupBy(col("lbl").as("community")).agg(sum("dg").as("degc"))
+      val m = e.agg(sum("w").cast(LongType).as("m"))
+      degc.join(intra, Seq("community"), "left")
+        .withColumn("ec", coalesce(col("ec"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).cast(LongType).as("n_comm"),
+          sum(expr("CAST(4 AS DECIMAL(38,0)) * m * ec - " +
+            "CAST(degc AS DECIMAL(38,0)) * degc")).as("num"),
+          max("m").as("m_total"))
+        .select(col("n_comm"), col("m_total"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            "(CAST(4 AS DECIMAL(38,0)) * m_total * m_total + num)) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m_total * m_total) - 1000000 " +
+            "AS BIGINT)").as("q_ppm"))
+    },
+    Some(edgesSql +
+      s""",
+        |g AS MATERIALIZED (
+        |  SELECT a AS s, b AS t, weight AS w FROM we
+        |  UNION ALL SELECT b AS s, a AS t, weight AS w FROM we),
+        |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lbl FROM g),
+        |${lpaRoundSql(4)},
+        |e AS (SELECT a, b, weight AS w FROM we),
+        |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+        |intra AS (
+        |  SELECT la.lbl AS community, SUM(e.w) AS ec
+        |  FROM e JOIN l4 la ON la.v = e.a JOIN l4 lb2 ON lb2.v = e.b
+        |  WHERE la.lbl = lb2.lbl GROUP BY 1),
+        |degc AS (
+        |  SELECT l.lbl AS community, SUM(d.dg) AS degc
+        |  FROM (SELECT v, SUM(w) AS dg FROM (
+        |          SELECT a AS v, w FROM e
+        |          UNION ALL SELECT b AS v, w FROM e) GROUP BY v) d
+        |  JOIN l4 l ON l.v = d.v GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+        |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(i.ec, 0)
+        |      - CAST(dc.degc AS HUGEINT) * dc.degc) AS num
+        |  FROM degc dc LEFT JOIN intra i ON i.community = dc.community, m)
+        |SELECT agg.n_comm, m.m AS m_total,
+        |  CAST((CAST(1000000 AS HUGEINT) *
+        |    (CAST(4 AS HUGEINT) * m.m * m.m + agg.num))
+        |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT) AS q_ppm
+        |FROM agg, m""".stripMargin),
+    "Newman modularity of the LPA communities: shifted non-negative " +
+      "floor-ppm rational, label-tagging hash joins, 1-row m broadcast")
+
+  /** Per-type OLS TREND line over the daily volume series — the
+    * least-squares twin of q190's Theil–Sen (which resists the outliers
+    * OLS folds to; shipping both is the standard analyst pairing):
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and the matching intercept,
+    * both in exact floor-ppm with q179's portable-floor CASE (falling
+    * series make the numerators negative, where Spark `div` truncates
+    * but DuckDB `//` floors). Aggregate-first: the corpus collapses to
+    * per-(type, day) counts, then one hash agg of five integer sums per
+    * type — no window, no broadcast, nothing driver-side; products are
+    * DECIMAL(38)/HUGEINT (n·Σxy ≈ 10²³ at 100 TB daily volumes).
+    */
+  val q253_ols_trend: QueryDef = q(
+    "q253_ols_trend",
+    """WITH dc AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(day AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(day AS HUGEINT) * day) AS sxx
+      |  FROM dc GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n,
+      |    CAST(1000000 AS HUGEINT) * (CAST(n AS HUGEINT) * sxy
+      |      - CAST(sx AS HUGEINT) * sy) AS snum,
+      |    CAST(1000000 AS HUGEINT) * (CAST(sy AS HUGEINT) * sxx
+      |      - CAST(sx AS HUGEINT) * sxy) AS inum,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |  FROM s WHERE n >= 2)
+      |SELECT event_type, n AS n_days,
+      |  CAST(CASE WHEN snum >= 0 THEN snum // den
+      |       ELSE -((-snum + den - 1) // den) END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN inum >= 0 THEN inum // den
+      |       ELSE -((-inum + den - 1) // den) END AS BIGINT) AS intercept_ppm
+      |FROM r ORDER BY event_type""".stripMargin,
+    "Per-type OLS trend (slope + intercept) over daily volumes: exact " +
+      "floor-ppm rationals, portable floor for falling series, " +
+      "aggregate-first with no window") { (s, d) =>
+    val dc = Tables.events(s, d)
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    dc.groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum("day").cast(LongType).as("sx"),
+        sum("y").cast(LongType).as("sy"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(day AS DECIMAL(38,0)) * day")).as("sxx"))
+      .filter(col("n") >= 2)
+      .withColumn("snum", expr("CAST(1000000 AS DECIMAL(38,0)) * " +
+        "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"))
+      .withColumn("inum", expr("CAST(1000000 AS DECIMAL(38,0)) * " +
+        "(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * sxx - " +
+        "CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CAST(CASE WHEN snum >= 0 THEN snum div den " +
+          "ELSE -((-snum + den - 1) div den) END AS BIGINT)").as("slope_ppm"),
+        expr("CAST(CASE WHEN inum >= 0 THEN inum div den " +
+          "ELSE -((-inum + den - 1) div den) END AS BIGINT)")
+          .as("intercept_ppm"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q250_benford, q251_gini, q252_modularity, q253_ols_trend,
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,

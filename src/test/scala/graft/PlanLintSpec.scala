@@ -67,7 +67,9 @@ class PlanLintSpec extends SparkSpec {
     "q228_conversion_latency" -> "10-row decile-threshold frame broadcast for the inequality threshold join + 1-row total (q222's shape on the latency domain)",
     // q180's 1-row round-max rescale crossJoins run inside Graph.hits's
     // eager per-round checkpoints, so no BNLJ reaches its final plan
-    "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)"
+    "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)",
+    "q250_benford" -> "one-row positive-cents row total broadcast onto the 9-digit Benford frame (share denominator)",
+    "q252_modularity" -> "one-row total edge weight m (modularity denominator) broadcast onto the per-community frame"
   )
 
   // one plan-build pass shared by every rule (some fns do real work —
@@ -104,7 +106,8 @@ class PlanLintSpec extends SparkSpec {
     "q215_ks_test" -> "cumulative CDF sums over the merged VALUE-DOMAIN histogram (distinct n_chars values — q200's frame, two-sample variant)",
     "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)",
     "q225_user_growth" -> "cumulative sum over the per-day new-user aggregate (calendar-bounded day frame, never corpus rows)",
-    "q228_conversion_latency" -> "global cumulative sum over the VALUE-DOMAIN latency histogram (distinct latency values - q222's frame)"
+    "q228_conversion_latency" -> "global cumulative sum over the VALUE-DOMAIN latency histogram (distinct latency values - q222's frame)",
+    "q251_gini" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (q210's shape on the spend-total value domain)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)
