@@ -3516,8 +3516,384 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** IVM tier 6 — per-group discrete MEDIAN under retraction
+    * ([[graft.ops.Incremental.mergeMedian]]): the holistic-aggregate
+    * tier. No scalar ⊕⊖ rule exists for a median, but the per-group
+    * VALUE-HISTOGRAM support table is an abelian group under count
+    * deltas and the median is a pure function of it — so untouched
+    * groups pass their stored median through (anti-join, zero work) and
+    * only CDC-touched groups re-derive from the merged histogram (a
+    * per-group cumulative over DISTINCT values, value-domain-sized).
+    * Same CDC shape as q242: day-25 inserts, event_id % 7 deletes,
+    * proven ≡ a from-scratch median over the post-churn state.
+    */
+  val q254_incremental_median: QueryDef = QueryDef(
+    "q254_incremental_median",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("v_cents"),
+        col("event_id"), col("ts_sec"))
+      val day25 = lit(1706140800L)
+      val day26 = lit(1706227200L)
+      val base = ev.filter(col("ts_sec") < day25).drop("ts_sec")
+      val ins = ev.filter(col("ts_sec") >= day25 && col("ts_sec") < day26)
+        .drop("ts_sec")
+      val del = base.filter(col("event_id") % 7 === 0)
+      graft.ops.Incremental.mergeMedian(
+          base.drop("event_id"), ins.drop("event_id"), del.drop("event_id"),
+          Seq("user_id", "event_type"), "v_cents")
+        .select(col("user_id"), col("event_type"),
+          col("n").cast(LongType).as("n"),
+          col("median").cast(LongType).as("median_cents"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH fin AS (
+      |  SELECT user_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+      |  FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
+      |         AND event_id % 7 <> 0)
+      |     OR (CAST(floor(epoch(ts)) AS BIGINT) >= 1706140800
+      |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1706227200)),
+      |agg AS (
+      |  SELECT user_id, event_type, v_cents, COUNT(*) AS c
+      |  FROM fin GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT user_id, event_type, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM agg GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT a.user_id, a.event_type, a.v_cents, t.n,
+      |    SUM(a.c) OVER (PARTITION BY a.user_id, a.event_type
+      |                   ORDER BY a.v_cents) AS cm
+      |  FROM agg a JOIN tot t
+      |    ON t.user_id = a.user_id AND t.event_type = a.event_type)
+      |SELECT user_id, event_type, n,
+      |  CAST(MIN(v_cents) AS BIGINT) AS median_cents
+      |FROM cum WHERE cm >= (n + 1) // 2
+      |GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type""".stripMargin),
+    "Incremental view maintenance tier 6: per-group discrete median " +
+      "under retraction — histogram support-table deltas, untouched " +
+      "groups pass through, touched groups re-derive from the merged " +
+      "value-domain histogram; proven equal to full recompute")
+
+  /** SCD Type-2 dimension BUILD from the raw change log — the warehouse
+    * op that PRODUCES what q152 consumes: per user, the event_type
+    * attribute stream collapses into versioned validity intervals
+    * (consecutive equal values compressed — gaps-and-islands via
+    * lag + running island sum over the per-user order), each emitting
+    * (version, attr, valid_from, valid_to, is_current). All windows
+    * partition by user_id (bounded partitions, never the corpus);
+    * valid_to = next version's valid_from (half-open intervals, the
+    * join convention q152's point-in-time lookups expect), NULL on the
+    * open current version.
+    */
+  val q255_scd2_build: QueryDef = q(
+    "q255_scd2_build",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, event_type, ts_sec,
+      |    SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+      |  FROM seq),
+      |dim AS (
+      |  SELECT user_id, island, MIN(event_type) AS attr,
+      |    CAST(MIN(ts_sec) AS BIGINT) AS valid_from_sec,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(island AS BIGINT) AS version, attr,
+      |  valid_from_sec,
+      |  lead(valid_from_sec) OVER (PARTITION BY user_id ORDER BY island)
+      |    AS valid_to_sec,
+      |  CAST(CASE WHEN lead(valid_from_sec)
+      |      OVER (PARTITION BY user_id ORDER BY island) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |  n_events
+      |FROM dim ORDER BY user_id, version""".stripMargin,
+    "SCD Type-2 dimension build from the change log: gaps-and-islands " +
+      "change compression per user, half-open validity intervals, " +
+      "is_current flag — all windows user-partitioned") { (s, d) =>
+    val wRun = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = Tables.events(s, d)
+      .withColumn("prev", lag("event_type", 1).over(wUser))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L)).over(wRun))
+    val dim = isl.groupBy("user_id", "island")
+      .agg(min("event_type").as("attr"),
+        min("ts_sec").cast(LongType).as("valid_from_sec"),
+        count(lit(1)).cast(LongType).as("n_events"))
+    val wv = Window.partitionBy("user_id").orderBy("island")
+    dim.withColumn("valid_to_sec", lead("valid_from_sec", 1).over(wv))
+      .select(col("user_id"), col("island").cast(LongType).as("version"),
+        col("attr"), col("valid_from_sec"), col("valid_to_sec"),
+        when(col("valid_to_sec").isNull, 1L).otherwise(0L).as("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  /** CROSS-correlation between event types' daily volume series at lags
+    * 0..3 — q211's sqrt-free exact-rational Pearson machinery lifted from
+    * one series against itself to ordered TYPE PAIRS (does signup volume
+    * lead purchase volume?): per (type_a < type_b, lag), sign +
+    * r² in exact floor-ppm over the days where both series have volume.
+    * Aggregate-first (the corpus collapses to the per-(type, day) frame
+    * before any pairing); the pair join is day-aligned on the tiny daily
+    * aggregate; products are DECIMAL(38)/HUGEINT like q211.
+    */
+  val q256_cross_correlation: QueryDef = q(
+    "q256_cross_correlation",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+      |    a.x AS x, b.x AS y
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS lag) l
+      |  JOIN daily b ON b.event_type > a.event_type
+      |    AND b.day = a.day + l.lag),
+      |sums AS (
+      |  SELECT type_a, type_b, lag, CAST(count(*) AS HUGEINT) AS m,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pr GROUP BY 1, 2, 3)
+      |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+      |  CAST(m AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
+      |    AS sign,
+      |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT)
+      |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
+      |      // ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+      |    AS r2_ppm
+      |FROM sums ORDER BY type_a, type_b, lag""".stripMargin,
+    "Cross-correlation of daily volumes between type pairs at lags 0..3: " +
+      "sign + exact rational r^2 ppm — q211's sqrt-free Pearson across " +
+      "series") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.withColumn("lag", explode(expr("sequence(0, 3)")))
+      .select(col("event_type").as("type_a"), col("day"), col("lag"),
+        col("x"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day").as("bday"), col("x").as("y"))
+    val dec = DecimalType(38, 0)
+    a.join(b, col("type_b") > col("type_a") &&
+        col("bday") === col("day") + col("lag"))
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).cast(dec).as("m"),
+        sum("x").cast(dec).as("sx"), sum("y").cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .selectExpr("type_a", "type_b", "CAST(lag AS BIGINT) AS lag",
+        "CAST(m AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT) AS sign",
+        """CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
+           ELSE (CAST(1000000 AS DECIMAL(38,0))
+               * (m * sxy - sx * sy) * (m * sxy - sx * sy))
+             div ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+           AS r2_ppm""")
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  /** Purged K-fold temporal split — the time-series cross-validation
+    * shape (Lopez de Prado's purged CV): 5 contiguous day-range folds,
+    * each fold's validation days EMBARGOED by ±2 days from its own
+    * training set so leakage through temporal autocorrelation cannot
+    * cross the boundary. Aggregate-first: the corpus collapses to the
+    * per-day count frame before any fold arithmetic, so the fold
+    * classification is O(days × folds) no matter the row count; the two
+    * crossJoins broadcast a 1-row day-range and a 5-row fold-bounds
+    * frame. All integer day arithmetic (days ≥ 0 so div = floor on both
+    * engines).
+    */
+  val q259_purged_folds: QueryDef = q(
+    "q259_purged_folds",
+    """WITH daily AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |days AS (
+      |  SELECT day, n,
+      |    LEAST(4, ((day - d0) * 5) // (d1 - d0 + 1)) AS fold
+      |  FROM daily CROSS JOIN b),
+      |fb AS (SELECT fold AS f, MIN(day) AS f0, MAX(day) AS f1
+      |       FROM days GROUP BY 1),
+      |m AS (
+      |  SELECT d.day, d.n, fb.f,
+      |    CASE WHEN d.fold = fb.f THEN 'val'
+      |         WHEN d.day >= fb.f0 - 2 AND d.day <= fb.f1 + 2 THEN 'purged'
+      |         ELSE 'train' END AS cls
+      |  FROM days d CROSS JOIN fb)
+      |SELECT CAST(f AS BIGINT) AS fold,
+      |  CAST(SUM(CASE WHEN cls = 'val' THEN n ELSE 0 END) AS BIGINT) AS n_val,
+      |  CAST(SUM(CASE WHEN cls = 'train' THEN n ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN cls = 'purged' THEN n ELSE 0 END) AS BIGINT) AS n_purged
+      |FROM m GROUP BY 1 ORDER BY fold""".stripMargin,
+    "Purged 5-fold temporal split with a ±2-day embargo: per fold, " +
+      "validation / training / purged event counts — leakage-safe " +
+      "time-series CV, aggregate-first") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val days = daily.crossJoin(broadcast(bounds))
+      .withColumn("fold",
+        least(lit(4L), expr("((day - d0) * 5) div (d1 - d0 + 1)")))
+      .select("day", "n", "fold")
+    val fb = days.groupBy(col("fold").as("f"))
+      .agg(min("day").as("f0"), max("day").as("f1"))
+    days.crossJoin(broadcast(fb))
+      .withColumn("cls",
+        when(col("fold") === col("f"), lit("val"))
+          .when(col("day") >= col("f0") - 2 && col("day") <= col("f1") + 2,
+            lit("purged"))
+          .otherwise(lit("train")))
+      .groupBy(col("f").cast(LongType).as("fold"))
+      .agg(
+        sum(when(col("cls") === "val", col("n")).otherwise(lit(0L)))
+          .cast(LongType).as("n_val"),
+        sum(when(col("cls") === "train", col("n")).otherwise(lit(0L)))
+          .cast(LongType).as("n_train"),
+        sum(when(col("cls") === "purged", col("n")).otherwise(lit(0L)))
+          .cast(LongType).as("n_purged"))
+      .orderBy("fold")
+  }
+
+  /** Session bounce rate per day — the engagement-quality metric on top
+    * of the q20 sessionization kernel: share of sessions that contain
+    * exactly one event, attributed to the day the session STARTED.
+    * Both windows are user-partitioned (no global window); the session
+    * rollup is a hash aggregate on (user, sid); the day rollup is tiny.
+    * Exact floor-ppm rate (non-negative operands, div = floor).
+    */
+  val q260_bounce_rate: QueryDef = q(
+    "q260_bounce_rate",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS BIGINT) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(sec) // 86400 AS day, COUNT(*) AS n_ev
+      |  FROM s GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, COUNT(*) AS n_sessions,
+      |    CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+      |  FROM sess GROUP BY 1)
+      |SELECT CAST(day AS BIGINT) AS day, n_sessions, n_bounce,
+      |  (1000000 * n_bounce) // n_sessions AS bounce_ppm
+      |FROM r ORDER BY day""".stripMargin,
+    "Per-day session bounce rate (1-event sessions / sessions started " +
+      "that day) in exact floor-ppm, over the 30-min-gap sessionization") {
+    (s, d) =>
+      val prevSec = lag("ts_sec", 1).over(wUser)
+      Tables.events(s, d)
+        .withColumn("is_new",
+          when(prevSec.isNull || col("ts_sec") - prevSec > 1800, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("sid", sum("is_new").over(wUser))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_sec").as("start_sec"), count(lit(1)).as("n_ev"))
+        .groupBy(expr("start_sec div 86400").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, lit(1L)).otherwise(lit(0L)))
+            .cast(LongType).as("n_bounce"))
+        .withColumn("bounce_ppm", expr("(1000000 * n_bounce) div n_sessions"))
+        .orderBy("day")
+  }
+
+  /** Interpolated quartiles (PERCENTILE_CONT) per event type, EXACT: the
+    * linear interpolation at position (n-1)·k/4 is carried in quarter-
+    * cents — value·4 = v_lo·(4-rem) + v_hi·rem with rem = (n-1)·k mod 4 —
+    * so no float division ever happens and both engines agree bit-for-
+    * bit. Order statistics come from the value-domain histogram (q204's
+    * machinery): per-type cumulative counts over DISTINCT cent values,
+    * then the 6 needed ranks (3 quartiles × lo/hi) join in by range —
+    * a broadcast of a 6-rows-per-type frame against the bounded
+    * histogram, never a sort of the raw rows.
+    */
+  val q261_quartiles_cont: QueryDef = q(
+    "q261_quartiles_cont",
+    """WITH vals AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |hist AS (SELECT event_type, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum
+      |  FROM hist),
+      |c2 AS (SELECT event_type, v, cum - cnt AS lo_rank, cum FROM cum),
+      |n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY 1),
+      |ranks AS (
+      |  SELECT event_type, k, ((n - 1) * k) // 4 AS lo,
+      |    (n - 1) * k - (((n - 1) * k) // 4) * 4 AS rem
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, 4)) AS k)),
+      |rr AS (
+      |  SELECT event_type, k, lo AS r, 4 - rem AS w FROM ranks
+      |  UNION ALL
+      |  SELECT event_type, k, lo + 1 AS r, rem AS w FROM ranks WHERE rem > 0)
+      |SELECT rr.event_type, CAST(rr.k AS BIGINT) AS quartile,
+      |  CAST(SUM(rr.w * c2.v) AS BIGINT) AS q_quarter_cents
+      |FROM rr JOIN c2 ON c2.event_type = rr.event_type
+      |  AND rr.r >= c2.lo_rank AND rr.r < c2.cum
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "PERCENTILE_CONT quartiles per event type in exact quarter-cents — " +
+      "interpolated order statistics off the value-domain histogram, no " +
+      "row sort, no float") { (s, d) =>
+    val vals = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    val hist = vals.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("event_type").orderBy("v")))
+      .withColumn("lo_rank", col("cum") - col("cnt"))
+      .select(col("event_type").as("h_type"), col("v"), col("lo_rank"),
+        col("cum"))
+    val ranks = vals.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("k", explode(expr("sequence(1, 3)")))
+      .withColumn("lo", expr("((n - 1) * k) div 4"))
+      .withColumn("rem", expr("(n - 1) * k - (((n - 1) * k) div 4) * 4"))
+    val rr = ranks
+      .select(col("event_type"), col("k"), col("lo").as("r"),
+        (lit(4L) - col("rem")).as("w"))
+      .unionAll(ranks.filter(col("rem") > 0)
+        .select(col("event_type"), col("k"), (col("lo") + 1).as("r"),
+          col("rem").as("w")))
+    broadcast(rr).join(cum,
+        col("event_type") === col("h_type") &&
+          col("r") >= col("lo_rank") && col("r") < col("cum"))
+      .groupBy(col("event_type"), col("k").cast(LongType).as("quartile"))
+      .agg(sum(col("w") * col("v")).cast(LongType).as("q_quarter_cents"))
+      .orderBy("event_type", "quartile")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q250_benford, q251_gini, q252_modularity, q253_ols_trend,
+    q254_incremental_median, q255_scd2_build, q256_cross_correlation,
+    q259_purged_folds, q260_bounce_rate, q261_quartiles_cont,
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,

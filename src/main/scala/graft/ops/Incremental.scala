@@ -205,6 +205,61 @@ object Incremental {
   def distinctCounts(support: DataFrame, keys: Seq[String]): DataFrame =
     support.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_distinct"))
 
+  /** Maintenance tier 6: per-group discrete (lower) MEDIAN under
+    * insert+delete CDC. A holistic aggregate has no scalar ⊕⊖ rule, but
+    * it IS delta-maintainable over the per-group VALUE-HISTOGRAM support
+    * table (the [[mergeDistinctSupport]] state with multiplicities):
+    * histograms form an abelian group under per-(group, value) count
+    * addition, and the median is a pure function of the group's
+    * histogram. The update rule:
+    *
+    *   - UNTOUCHED groups (no CDC row): the stored median passes through
+    *     — zero work, an anti-join against the CDC key set.
+    *   - TOUCHED groups: merge the stored histogram rows with the CDC's
+    *     ⊕⊖ deltas (all frames CDC- or histogram-sized, partition-
+    *     prunable on a key-partitioned support table; observed via
+    *     `graft.ivm.rescan.*`) and re-derive the median from the merged
+    *     histogram — a per-group cumulative over DISTINCT values (the
+    *     value-domain frame, never the group's row count).
+    *
+    * Median convention = q45's portable lower median: the smallest value
+    * whose cumulative count reaches ⌊(n+1)/2⌋. Inputs are ROW frames
+    * (base stands in for the stored support table + median view in
+    * tests). Returns keys :+ (n, median), proven ≡ a from-scratch
+    * recompute by the q254 oracle.
+    */
+  def mergeMedian(base: DataFrame, inserts: DataFrame, deletes: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = keys :+ valueCol
+    def hist(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(g.map(col): _*).agg(count(lit(1)).as(s"c_$tag"))
+    def medianOf(h: DataFrame, cnt: String): DataFrame = {
+      val wk = Window.partitionBy(keys.map(col): _*).orderBy(valueCol)
+      h.withColumn("_n", sum(col(cnt)).over(
+          Window.partitionBy(keys.map(col): _*)))
+        .withColumn("_cum", sum(col(cnt)).over(wk))
+        .filter(col("_cum") >= expr("(_n + 1) div 2"))
+        .groupBy(keys.map(col): _*)
+        .agg(max(col("_n")).as("n"), min(col(valueCol)).as("median"))
+    }
+    val touched = inserts.select(keys.map(col): _*)
+      .unionAll(deletes.select(keys.map(col): _*)).distinct()
+    val stored = hist(base, "b")
+    val merged = stored.join(touched, keys, "left_semi")
+      .join(hist(inserts, "i"), g, "full_outer")
+      .join(hist(deletes, "d"), g, "full_outer")
+      .select(g.map(col) :+
+        (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_i"), lit(0L)) -
+          coalesce(col("c_d"), lit(0L))).as("c"): _*)
+      .filter(col("c") > 0L)
+      .observe(s"graft.ivm.rescan.${rescanObsId.incrementAndGet()}",
+        sum(col("c")).as("rows_rescanned"))
+    medianOf(stored, "c_b").join(touched, keys, "left_anti")
+      .unionByName(medianOf(merged, "c"))
+      .filter(col("n") > 0L)
+  }
+
   /** Maintenance tier 3: an INNER equi-join VIEW
     * `V = facts ⋈_joinKey dims` (dim unique per key) under a CDC batch
     * of fact inserts, fact deletes (by row id), and dim row UPDATES

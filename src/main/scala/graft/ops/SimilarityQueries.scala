@@ -1438,8 +1438,73 @@ object SimilarityQueries {
       "reciprocal rank per query vs the same-label ground truth, exact " +
       "floor-ppm (no float means)")
 
+  /** Grid-cell DBSCAN core — density clustering the way it survives 100 TB:
+    * instead of the textbook eps-neighborhood pair join (quadratic), points
+    * quantize to fixed grid cells (cell = eps), cells aggregate to counts
+    * (one map-side-combinable groupBy), DENSE cells (count >= minPts)
+    * become the unit of clustering, and clusters are connected components
+    * over the 9-neighbor cell adjacency — built by EQUI-joining each dense
+    * cell's 9 shifted keys against the dense-cell set, never by a distance
+    * join. Work after the first aggregate is O(|dense cells|), independent
+    * of row count; the components run on the tiny cell graph (pointer
+    * jumping, q52's kernel). The (0,0) self-shift keeps isolated dense
+    * cells as singleton clusters. Quantization floor(x*40) is IEEE-exact
+    * on both engines (float->double exact, *40 deterministic).
+    */
+  val q258_grid_dbscan: QueryDef = QueryDef(
+    "q258_grid_dbscan",
+    (s, d) => {
+      val pts = Tables.embeddings(s, d).select(
+        expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 40) AS BIGINT)")
+          .as("cx"),
+        expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 40) AS BIGINT)")
+          .as("cy"))
+      val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n_pts"))
+        .filter(col("n_pts") >= 3)
+        .withColumn("cell",
+          (col("cx") + lit(1000L)) * lit(100000L) + (col("cy") + lit(1000L)))
+      // 9 shifted keys per dense cell -> equi-join against the dense set
+      // (includes the self-shift, so isolated cells still get a label)
+      val shifted = dense.select(col("cell").as("a"), col("cx"), col("cy"))
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .select(col("a"),
+          ((col("cx") + col("dx") + lit(1000L)) * lit(100000L)
+            + (col("cy") + col("dy") + lit(1000L))).as("b"))
+      val edges = shifted.join(dense.select(col("cell").as("b")), Seq("b"))
+      Dedup.connectedComponents(edges, "a", "b")
+        .join(dense.select(col("cell").as("node"), col("n_pts")), Seq("node"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum("n_pts").cast(LongType).as("n_points"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE pts AS (
+      |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 40) AS BIGINT) AS cx,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 40) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |cells AS (SELECT cx, cy, COUNT(*) AS n_pts FROM pts GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT (cx + 1000) * 100000 + (cy + 1000) AS cell, cx, cy, n_pts
+      |  FROM cells WHERE n_pts >= 3),
+      |e AS (
+      |  SELECT a.cell AS a, b.cell AS b FROM dense a JOIN dense b
+      |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+      |r(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |comp AS (SELECT a AS cell, MIN(b) AS cluster_id FROM r GROUP BY a)
+      |SELECT c.cluster_id, COUNT(*) AS n_cells,
+      |  CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+      |FROM comp c JOIN dense d ON d.cell = c.cell
+      |GROUP BY 1 ORDER BY cluster_id""".stripMargin),
+    "Grid-cell DBSCAN: quantize to eps-cells, dense cells (>= 3 pts) " +
+      "cluster via 9-neighbor connected components — density clustering " +
+      "with no distance pair join")
+
   def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q206_knn_classify,
-    q246_retrieval_eval,
+    q246_retrieval_eval, q258_grid_dbscan,
     q220_ivf_probe_curve, q223_label_centroids,
     q32_knn_cosine, q33_ann_lsh_buckets,
     q38_embedding_neardup, q54_embedding_quantize, q55_ann_recall,

@@ -1005,6 +1005,78 @@ object AdvancedQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Differentially-private MEAN release — the q236 mechanism extended
+    * from counts to a numeric aggregate the safe way: the value domain
+    * is banded ($10 bands of the cents domain), the per-(type, band)
+    * histogram gets the same seeded two-sided-geometric noise (each
+    * event falls in exactly ONE bucket, so parallel composition keeps
+    * the whole release at ε = ln 2), and the published mean is derived
+    * from the NOISY histogram via band midpoints — pure post-processing,
+    * which costs zero additional ε. Negative noisy counts clamp to 0
+    * (standard, still post-processing). Exact integer arithmetic
+    * throughout; the oracle replays every noise draw bit-for-bit.
+    */
+  val q257_dp_mean: QueryDef = q(
+    "q257_dp_mean",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |nz AS (
+      |  SELECT event_type, band, n,
+      |    CAST(('0x' || substr(md5('dpm1:' || event_type || ':'
+      |      || CAST(band AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 6597069766656 AS u
+      |  FROM c),
+      |rel AS (
+      |  SELECT event_type, band,
+      |    greatest(n + CASE
+      |      WHEN u = 0 THEN -41
+      |      WHEN u < 4398046511104 THEN length(bin(u)) - 42
+      |      WHEN 6597069766655 - u = 0 THEN 41
+      |      ELSE 42 - length(bin(6597069766655 - u)) END, 0) AS n_rel
+      |  FROM nz),
+      |agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bands,
+      |    CAST(SUM(n_rel) AS BIGINT) AS n_total,
+      |    SUM(CAST(band * 1000 + 500 AS HUGEINT) * n_rel) AS num
+      |  FROM rel GROUP BY 1)
+      |SELECT event_type, n_bands, n_total,
+      |  CAST(CASE WHEN n_total = 0 THEN 0
+      |    ELSE (CAST(1000000 AS HUGEINT) * num) // n_total END AS BIGINT)
+      |    AS dp_mean_micro_cents
+      |FROM agg
+      |UNION ALL
+      |SELECT 'epsilon_ppm', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(693147 AS BIGINT)
+      |ORDER BY event_type""".stripMargin,
+    "DP mean release: noisy banded value histogram (eps = ln 2 by " +
+      "parallel composition) post-processed to a band-midpoint mean — " +
+      "exact integer noise, oracle-replayed bit-for-bit") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000")
+          .as("band"))
+      .groupBy("event_type", "band").agg(count(lit(1)).as("n"))
+    graft.ops.Privacy.withTwoSidedGeometricNoise(counts, seed = "dpm1",
+        keySql = "concat(event_type, ':', CAST(band AS STRING))", out = "z")
+      .withColumn("n_rel", greatest(col("n") + col("z"), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_bands"),
+        sum("n_rel").cast(LongType).as("n_total"),
+        sum(expr("CAST(band * 1000 + 500 AS DECIMAL(38,0)) * n_rel"))
+          .as("num"))
+      .select(col("event_type"), col("n_bands"), col("n_total"),
+        expr("CAST(CASE WHEN n_total = 0 THEN 0 ELSE " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * num) div n_total END " +
+          "AS BIGINT)").as("dp_mean_micro_cents"))
+      .unionByName(s.range(1).select(lit("epsilon_ppm").as("event_type"),
+        lit(-1L).as("n_bands"), lit(-1L).as("n_total"),
+        lit(693147L).as("dp_mean_micro_cents")))
+      .orderBy("event_type")
+  }
+
   /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
     * from the SymSpell deletion-neighborhood blocking (q88's kernel —
     * never all-pairs), scored by integer field-agreement weights
@@ -1254,6 +1326,7 @@ object AdvancedQueries {
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
     q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,
+    q257_dp_mean,
     q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,

@@ -1187,6 +1187,24 @@ class OpsSpec extends SparkSpec {
     assert(rescanned == 3L, s"expected 3 re-scanned rows, got $rescanned")
   }
 
+  test("incremental median: touched groups re-derive, untouched pass through, eviction") {
+    // A: delete hits the stored median, insert shifts it  (touched)
+    // B: untouched -> stored median passes through, zero work
+    // C: insert-only new group (lower-median convention on even n)
+    // D: fully deleted -> evicted from the view
+    val base = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 5L), ("A", 9L),
+      ("B", 2L), ("B", 4L), ("B", 8L), ("D", 6L)).toDF("g", "v")
+    val ins = Seq(("A", 7L), ("C", 10L), ("C", 20L)).toDF("g", "v")
+    val del = Seq(("A", 3L), ("D", 6L)).toDF("g", "v")
+    val out = Incremental.mergeMedian(base, ins, del, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("A") == ((5L, 5L)))   // [1,2,5,7,9] -> 5
+    assert(out("B") == ((3L, 4L)))   // stored median unchanged
+    assert(out("C") == ((2L, 10L)))  // lower median of [10,20]
+    assert(!out.contains("D"))
+  }
+
   test("association rules: exact ratios, duplicate rows collapse, giant basket capped") {
     val rows = Seq(
       (1L, "a"), (1L, "b"), (1L, "a"),          // dup (1,a) must collapse
