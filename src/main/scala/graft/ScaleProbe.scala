@@ -993,6 +993,70 @@ object ScaleProbe {
       oneBucket.unpersist()
     }
 
+    // q258: grid DBSCAN with a HOT CELL — `inject` points quantizing into
+    // ONE grid cell. The kernel's first aggregate is map-side combinable,
+    // so the hot cell collapses to a single dense-cell row before any
+    // join; components then run on the (tiny) cell graph. A distance-join
+    // DBSCAN would generate inject² pairs here.
+    locally {
+      def probeDbscan(scale: String, pts: DataFrame, n: Long): Unit = {
+        val dense = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n_pts"))
+          .filter(col("n_pts") >= 3)
+          .withColumn("cell",
+            (col("cx") + lit(1000L)) * lit(100000L) + (col("cy") + lit(1000L)))
+        val shifted = dense.select(col("cell").as("a"), col("cx"), col("cy"))
+          .withColumn("dx", explode(expr("sequence(-1, 1)")))
+          .withColumn("dy", explode(expr("sequence(-1, 1)")))
+          .select(col("a"),
+            ((col("cx") + col("dx") + lit(1000L)) * lit(100000L)
+              + (col("cy") + col("dy") + lit(1000L))).as("b"))
+        val edges = shifted.join(dense.select(col("cell").as("b")), Seq("b"))
+        val (rows, t) = time(
+          ops.Dedup.connectedComponents(edges, "a", "b")
+            .join(dense.select(col("cell").as("node"), col("n_pts")), Seq("node"))
+            .groupBy(col("label")).agg(sum("n_pts").as("n_points"))
+            .count())
+        emit("q258_grid_dbscan", scale, n, t, rows)
+      }
+      val embPts = relational.Tables.embeddings(spark, sfDir).select(
+        expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 40) AS BIGINT)").as("cx"),
+        expr("CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 40) AS BIGINT)").as("cy"))
+        .persist()
+      val nPts = embPts.count()
+      probeDbscan("1x", embPts, nPts)
+      val hotCell = spark.range(inject)
+        .select(lit(999L).as("cx"), lit(999L).as("cy"))
+      probeDbscan(s"one cell with $inject points",
+        embPts.unionAll(hotCell), nPts + inject)
+      embPts.unpersist()
+    }
+
+    // q262: bipartite projection with an OMNIPRESENT type — every user
+    // gains one extra incidence row, the worst case for the per-user
+    // self-join (the new type co-occurs with everything). Fan-out stays
+    // (|types|+1)² per user; output stays |types|²-bounded.
+    locally {
+      def probeBipartite(scale: String, inc: DataFrame, n: Long): Unit = {
+        val nt = inc.groupBy("event_type").agg(count(lit(1)).as("ntyp"))
+        val (rows, t) = time(
+          inc.as("a").join(inc.as("b"),
+              col("b.user_id") === col("a.user_id") &&
+                col("b.event_type") > col("a.event_type"))
+            .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+            .agg(count(lit(1)).as("co"))
+            .join(broadcast(nt.select(col("event_type").as("ta"), col("ntyp").as("na"))), Seq("ta"))
+            .count())
+        emit("q262_bipartite_projection", scale, n, t, rows)
+      }
+      val inc = evBase.select("user_id", "event_type").distinct().persist()
+      val nInc = inc.count()
+      probeBipartite("1x", inc, nInc)
+      val omni = inc.select("user_id").distinct()
+        .select(col("user_id"), lit("zz_omni").as("event_type"))
+      probeBipartite("omnipresent extra type", inc.unionAll(omni), nInc * 2)
+      inc.unpersist()
+    }
+
     spark.stop()
   }
 

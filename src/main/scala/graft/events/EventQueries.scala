@@ -3890,10 +3890,288 @@ object EventQueries {
       .orderBy("event_type", "quartile")
   }
 
+  /** Bipartite user–type co-occurrence projection — the "users who do A
+    * also do B" affinity table: distinct (user, type) incidence, then the
+    * per-user self-join (fan-out bounded by |types| per user, never by
+    * event count), co-occurrence counts + exact floor-ppm Jaccard against
+    * the per-type user counts. The |types|²-bounded output is the
+    * item-item co-occurrence shape recommendation pipelines build at any
+    * corpus size; the incidence distinct is the only corpus-sized
+    * aggregate.
+    */
+  val q262_bipartite_projection: QueryDef = q(
+    "q262_bipartite_projection",
+    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nt AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS co_users
+      |  FROM u a JOIN u b ON b.user_id = a.user_id
+      |    AND b.event_type > a.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, co_users,
+      |  (1000000 * co_users) // (na.n + nb.n - co_users) AS jaccard_ppm
+      |FROM pr
+      |JOIN nt na ON na.event_type = type_a
+      |JOIN nt nb ON nb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin,
+    "Bipartite projection: per type pair, distinct users active in both " +
+      "+ exact floor-ppm Jaccard — item-item co-occurrence, per-user " +
+      "bounded fan-out") { (s, d) =>
+    val u = Tables.events(s, d).select("user_id", "event_type").distinct()
+    val nt = u.groupBy("event_type").agg(count(lit(1)).as("n"))
+    u.as("a")
+      .join(u.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.event_type") > col("a.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("co_users"))
+      .join(broadcast(nt.select(col("event_type").as("type_a"),
+        col("n").as("na"))), Seq("type_a"))
+      .join(broadcast(nt.select(col("event_type").as("type_b"),
+        col("n").as("nb"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("co_users"),
+        expr("(1000000 * co_users) div (na + nb - co_users)")
+          .as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Daily OHLC bars per event type — the time-bucketed
+    * open/high/low/close rollup every market/telemetry pipeline ships:
+    * open/close ride the partial-aggregable struct-extremum
+    * (min/max of (ts_ns, event_id, v) — map-side combinable, no window
+    * over the raw rows), high/low/volume are plain aggregates, all in
+    * exact cents. The oracle derives open/close through first_value
+    * windows instead — two independent formulations agreeing bit-for-bit.
+    */
+  val q263_ohlc_bars: QueryDef = q(
+    "q263_ohlc_bars",
+    """WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, day, v,
+      |    first_value(v) OVER (PARTITION BY event_type, day
+      |      ORDER BY ts, event_id) AS o,
+      |    first_value(v) OVER (PARTITION BY event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS c
+      |  FROM e)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  MAX(o) AS open_cents, MAX(v) AS high_cents, MIN(v) AS low_cents,
+      |  MAX(c) AS close_cents, COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS BIGINT) AS volume_cents
+      |FROM w GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "Daily OHLC bars per type in exact cents: open/close via " +
+      "struct-extremum aggregates (map-side combinable), high/low/volume " +
+      "plain aggregates") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"),
+        col("ts_ns"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(struct(col("ts_ns"), col("event_id"), col("v"))).as("first"),
+        max(col("v")).as("high_cents"), min(col("v")).as("low_cents"),
+        max(struct(col("ts_ns"), col("event_id"), col("v"))).as("last"),
+        count(lit(1)).as("n_events"),
+        sum("v").cast(LongType).as("volume_cents"))
+      .select(col("event_type"), col("day"),
+        col("first.v").as("open_cents"), col("high_cents"),
+        col("low_cents"), col("last.v").as("close_cents"),
+        col("n_events"), col("volume_cents"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Seeded Poisson-ish bootstrap CI for the per-type mean — resampling
+    * uncertainty WITHOUT resampling: 16 bootstrap replicas get exact
+    * integer weights w ~ Binomial(4, 1/4) (mean 1) derived from one md5
+    * per event (byte b of the digest drives replica b), so the whole
+    * bootstrap is ONE corpus pass computing 32 map-side-combinable sums —
+    * no 16× row explosion, no RNG state, replayable bit-for-bit by the
+    * oracle. Replica means in exact floor-cents; the CI is the 2nd/15th
+    * order statistic of the 16 means (87.5% interval), picked by a
+    * 16-row-per-type window.
+    */
+  val q264_bootstrap_ci: QueryDef = {
+    // replica weight from digest byte x: count of zero 2-bit pairs
+    def wOf(x: String) =
+      s"(CASE WHEN ($x) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) div 4) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) div 16) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) div 64) % 4 = 0 THEN 1 ELSE 0 END)"
+    val sqlW = (0 until 16).map { b =>
+      val x = s"CAST(('0x' || substr(h, ${1 + 2 * b}, 2)) AS BIGINT)"
+      val w = s"(CASE WHEN ($x) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) // 4) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) // 16) % 4 = 0 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN (($x) // 64) % 4 = 0 THEN 1 ELSE 0 END)"
+      s"SELECT event_type, $b AS b, $w AS w, v FROM e"
+    }.mkString("\nUNION ALL\n")
+    q(
+      "q264_bootstrap_ci",
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    md5('bs1:' || CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        |reps AS (
+        |$sqlW),
+        |bm AS (
+        |  SELECT event_type, b,
+        |    CASE WHEN SUM(w) = 0 THEN 0
+        |         ELSE CAST(SUM(w * v) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+        |    END AS mean_b
+        |  FROM reps GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, mean_b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_b, b)
+        |      AS rn
+        |  FROM bm),
+        |pt AS (
+        |  SELECT event_type, CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_cents
+        |  FROM e GROUP BY 1)
+        |SELECT pt.event_type, pt.mean_cents,
+        |  MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo_cents,
+        |  MAX(CASE WHEN rn = 15 THEN mean_b END) AS ci_hi_cents
+        |FROM pt JOIN rk ON rk.event_type = pt.event_type
+        |GROUP BY 1, 2 ORDER BY pt.event_type""".stripMargin,
+      "Seeded one-pass bootstrap CI of the per-type mean: 16 replicas " +
+        "weighted Binomial(4,1/4) off one md5 per event, 32 combinable " +
+        "sums, CI = 2nd/15th replica-mean order stats (exact cents)") {
+      (s, d) =>
+        val e = Tables.events(s, d).select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("v"),
+          md5(concat(lit("bs1:"), col("event_id").cast(StringType)))
+            .as("h"))
+        val aggs = (0 until 16).flatMap { b =>
+          val x = s"CAST(conv(substring(h, ${1 + 2 * b}, 2), 16, 10) AS BIGINT)"
+          val w = wOf(x)
+          Seq(expr(s"SUM($w * v)").cast(LongType).as(s"swv$b"),
+            expr(s"SUM($w)").cast(LongType).as(s"sw$b"))
+        } ++ Seq(sum("v").cast(LongType).as("sv"),
+          count(lit(1)).as("cnt"))
+        val wide = e.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        val stackArgs = (0 until 16)
+          .map(b => s"CAST($b AS BIGINT), swv$b, sw$b").mkString(", ")
+        val bm = wide.selectExpr("event_type", "sv div cnt AS mean_cents",
+            s"stack(16, $stackArgs) AS (b, swv, sw)")
+          .withColumn("mean_b",
+            expr("CASE WHEN sw = 0 THEN 0 ELSE swv div sw END"))
+        val rk = bm.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("mean_b", "b")))
+        rk.groupBy("event_type", "mean_cents")
+          .agg(max(when(col("rn") === 2, col("mean_b"))).as("ci_lo_cents"),
+            max(when(col("rn") === 15, col("mean_b"))).as("ci_hi_cents"))
+          .select("event_type", "mean_cents", "ci_lo_cents", "ci_hi_cents")
+          .orderBy("event_type")
+    }
+  }
+
+  /** RFM segmentation — the classic customer-base cut: per user, Recency
+    * (last active day), Frequency (events), Monetary (exact cents), each
+    * scored into quintiles; output the segment grid with user counts and
+    * mean spend. The quintile thresholds come from the q204 value-domain
+    * machinery (histogram + cumulative + 4-row threshold frame per
+    * dimension, broadcast), so no user-count-sized sort ever happens —
+    * the only corpus-sized step is the per-user aggregate. Scores are
+    * exact: score = 1 + #(thresholds strictly below the value), ties
+    * share a bucket on both engines.
+    */
+  val q265_rfm_segments: QueryDef = q(
+    "q265_rfm_segments",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS r,
+      |    COUNT(*) AS f,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS m
+      |  FROM events GROUP BY 1),
+      |nu AS (SELECT COUNT(*) AS n FROM per_user),
+      |dims AS (
+      |  SELECT user_id, 'r' AS dim, r AS val FROM per_user
+      |  UNION ALL SELECT user_id, 'f', f FROM per_user
+      |  UNION ALL SELECT user_id, 'm', m FROM per_user),
+      |hist AS (SELECT dim, val, COUNT(*) AS cnt FROM dims GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT dim, val,
+      |    CAST(SUM(cnt) OVER (PARTITION BY dim ORDER BY val) AS BIGINT)
+      |      AS cum
+      |  FROM hist),
+      |thr AS (
+      |  SELECT dim, qq, MIN(val) AS t
+      |  FROM cum CROSS JOIN (SELECT unnest(range(1, 5)) AS qq) q
+      |  CROSS JOIN nu
+      |  WHERE cum * 5 >= qq * nu.n
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.user_id, d.dim,
+      |    1 + SUM(CASE WHEN d.val > th.t THEN 1 ELSE 0 END) AS s
+      |  FROM dims d JOIN thr th ON th.dim = d.dim
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT p.user_id,
+      |    MAX(CASE WHEN sc.dim = 'r' THEN sc.s END) AS r_seg,
+      |    MAX(CASE WHEN sc.dim = 'f' THEN sc.s END) AS f_seg,
+      |    MAX(CASE WHEN sc.dim = 'm' THEN sc.s END) AS m_seg,
+      |    MAX(p.m) AS m
+      |  FROM per_user p JOIN scored sc ON sc.user_id = p.user_id
+      |  GROUP BY 1)
+      |SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+      |  CAST(m_seg AS BIGINT) AS m_seg, COUNT(*) AS n_users,
+      |  CAST(SUM(m) AS BIGINT) // COUNT(*) AS mean_monetary_cents
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin,
+    "RFM quintile segmentation: per-user recency/frequency/monetary " +
+      "scored against value-domain quintile thresholds (no user-sized " +
+      "sort), segment grid with counts + mean spend in exact cents") {
+    (s, d) =>
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(expr("ts_sec div 86400")).as("r"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("m"))
+      val dims = perUser.selectExpr("user_id", "'r' AS dim", "r AS val")
+        .unionAll(perUser.selectExpr("user_id", "'f' AS dim", "f AS val"))
+        .unionAll(perUser.selectExpr("user_id", "'m' AS dim", "m AS val"))
+      val nu = perUser.agg(count(lit(1)).as("n"))
+      val cum = dims.groupBy("dim", "val").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("dim").orderBy("val")))
+      val thr = cum
+        .withColumn("qq", explode(expr("sequence(1, 4)")))
+        .crossJoin(broadcast(nu))
+        .filter(col("cum") * 5 >= col("qq") * col("n"))
+        .groupBy("dim", "qq").agg(min("val").as("t"))
+      val scored = dims.join(broadcast(thr), Seq("dim"))
+        .groupBy("user_id", "dim")
+        .agg((lit(1) + sum(when(col("val") > col("t"), 1L).otherwise(0L)))
+          .as("s"))
+      val seg = perUser.select("user_id", "m")
+        .join(scored, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(max(when(col("dim") === "r", col("s"))).as("r_seg"),
+          max(when(col("dim") === "f", col("s"))).as("f_seg"),
+          max(when(col("dim") === "m", col("s"))).as("m_seg"),
+          max("m").as("m"))
+      seg.groupBy(col("r_seg").cast(LongType).as("r_seg"),
+          col("f_seg").cast(LongType).as("f_seg"),
+          col("m_seg").cast(LongType).as("m_seg"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(SUM(m) AS BIGINT) div COUNT(*)")
+            .as("mean_monetary_cents"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q250_benford, q251_gini, q252_modularity, q253_ols_trend,
     q254_incremental_median, q255_scd2_build, q256_cross_correlation,
     q259_purged_folds, q260_bounce_rate, q261_quartiles_cont,
+    q262_bipartite_projection, q263_ohlc_bars, q264_bootstrap_ci,
+    q265_rfm_segments,
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,

@@ -69,6 +69,7 @@ class PlanLintSpec extends SparkSpec {
     // eager per-round checkpoints, so no BNLJ reaches its final plan
     "q179_linear_interpolate" -> "one-row date-range limits attached to build the daily spine (q77's shape)",
     "q259_purged_folds" -> "one-row day-range bounds + 5-row fold-bounds broadcasts onto the tiny per-day count frame (aggregate-first split arithmetic)",
+    "q265_rfm_segments" -> "one-row user-count total broadcast onto the value-domain histogram for quintile threshold picks (q204's denominator shape)",
     "q250_benford" -> "one-row positive-cents row total broadcast onto the 9-digit Benford frame (share denominator)",
     "q252_modularity" -> "one-row total edge weight m (modularity denominator) broadcast onto the per-community frame"
   )
