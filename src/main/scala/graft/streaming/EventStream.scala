@@ -72,6 +72,23 @@ object EventStream {
           AND click_ts <= imp_ts + interval $windowSec seconds"""),
         "left_outer")
 
+  /** LEFT SEMI twin of [[attributeClicks]] — "which impressions DID
+    * convert", emitted once per impression regardless of how many
+    * in-window clicks match, and with only the left side's columns
+    * (the click payload never crosses the join). Same two-sided
+    * watermark state bounds as the inner join; a matched impression
+    * emits in the micro-batch its first match arrives in, so the end
+    * state over a bounded replay equals the batch EXISTS semi join.
+    */
+  def attributeClicksSemi(impressions: DataFrame, clicks: DataFrame,
+      windowSec: Long = 3600, watermarkDelay: String = "1 hour"): DataFrame =
+    impressions.withWatermark("imp_ts", watermarkDelay)
+      .join(clicks.withWatermark("click_ts", watermarkDelay),
+        expr(s"""imp_user = click_user
+          AND click_ts >= imp_ts
+          AND click_ts <= imp_ts + interval $windowSec seconds"""),
+        "left_semi")
+
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * escape hatch (per-user running session + event counts, 30-min
     * default gap). Update-mode output: one refreshed count per user per

@@ -998,11 +998,69 @@ object StreamQueries {
       "executions with the exactly-once parquet file sink — closed " +
       "windows emitted exactly once over the restart boundary")
 
+  /** Stream/batch parity #14 — stream-stream LEFT SEMI interval join
+    * ([[EventStream.attributeClicksSemi]]): q165's attribution asked as
+    * the EXISTS question — each view impression with at least one click
+    * from the same user within 1 day is emitted ONCE, with only the
+    * impression's columns (the click payload never crosses the join; at
+    * scale that is the point — the semi join ships no right-side bytes
+    * to the sink). Matched impressions emit eagerly on first match, so
+    * the bounded time-ordered replay needs no sentinels; the oracle is
+    * the batch EXISTS over the same interval predicate.
+    */
+  val q266_stream_semi_join: QueryDef = QueryDef(
+    "q266_stream_semi_join",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+      val impDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("imp_user"), col("ts").as("imp_ts")),
+        "imp_ts", 2, "graft_q266_imp", d)
+      val clkDir = stageTimeOrdered(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("click_user"), col("ts").as("click_ts")),
+        "click_ts", 2, "graft_q266_clk", d)
+      def src(dir: java.nio.file.Path): DataFrame = {
+        val schema = s.read.parquet(dir.toString).schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      }
+      val joined = EventStream.attributeClicksSemi(
+        src(impDir), src(clkDir), windowSec = 86400, watermarkDelay = "1 day")
+      val sink = "graft_q266_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q266_ckpt")
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(col("imp_user").as("user_id"),
+          unix_micros(col("imp_ts")).as("imp_us"))
+        .orderBy("user_id", "imp_us")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      res
+    },
+    Some("""SELECT i.user_id AS user_id, epoch_us(i.ts) AS imp_us
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') i
+      |WHERE EXISTS (
+      |  SELECT 1 FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = i.user_id
+      |    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 DAY)
+      |ORDER BY user_id, imp_us""".stripMargin),
+    "Stream/batch parity #14: stream-stream LEFT SEMI interval join — " +
+      "converted impressions emitted once, no right-side payload, end " +
+      "state = the batch EXISTS")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
     q175_stream_restart, q202_stream_outer_join, q217_stream_session_close,
-    q233_stream_state_bound)
+    q233_stream_state_bound, q266_stream_semi_join)
 }
