@@ -587,6 +587,22 @@ object ScaleProbe {
     probeSpan("1x", base, nBase)
     probeSpan(s"${mult}x+cluster", big, nBig)
 
+    // q267: cross-doc substring dedup on the pathological corpus. The
+    // mult× id-remapped replicas make EVERY gram cross-doc duplicated
+    // (worst case: covered positions ≈ all tokens), and the boilerplate
+    // cluster concentrates one gram set on 10⁴ docs. The kernel has no
+    // pair join anywhere — hits are a semi-join and the explode is a
+    // fixed k× of hit positions — so cost must scale with corpus size,
+    // not with duplication-cluster size squared.
+    def probeCrossDoc(scale: String, docs: DataFrame, n: Long): Unit = {
+      val (rows, t) = time(ops.Dedup.crossDocSpanDedup(
+          docs, "doc_id", "text", k = 8)
+        .agg(sum("n_removed")).collect().head.getLong(0))
+      emit("q267_crossdoc_removed", scale, n, t, rows)
+    }
+    probeCrossDoc("1x", base, nBase)
+    probeCrossDoc(s"${mult}x+cluster", big, nBig)
+
     // q143: perceptron training on the pathological corpus — the
     // boilerplate cluster concentrates `inject` near-identical feature
     // rows on a handful of buckets (hot gradient keys, absorbed by the

@@ -1880,15 +1880,18 @@ object EventQueries {
     * similarity of their neighborhoods — |N(a)∩N(b)| / |N(a)∪N(b)| in
     * exact ppm — ranked top-20 (the classic common-neighbors link
     * predictor). Wedge generation is HUB-CAPPED: common neighbors are
-    * counted only through centers of degree ≤ 2× the mean degree (a
+    * counted only through centers of degree ≤ ⌊√(2|E|)⌋ (a
     * celebrity-mediated co-neighbor carries no tie signal, and an
     * uncapped wedge join is deg² per center — the LSH-bucket-cap rule
-    * applied to graphs; the data-adaptive threshold ⌊2·Σdeg/n⌋ binds on
-    * skewed graphs and is vacuous on regular ones). The cap is part of
-    * the pinned semantics: the oracle applies the same degree filter.
-    * Degrees in the denominator stay FULL. Candidate pairs are bounded
-    * by Σ_{deg(w)≤cap} deg(w)² ≤ cap·|E|; existing edges are removed by
-    * one anti-join on the canonical pair.
+    * applied to graphs). The √(2|E|) cap bounds total wedge mass at
+    * Σ_{deg(w)≤cap} deg(w)² ≤ cap·Σdeg = (2|E|)^1.5 INDEPENDENT of the
+    * degree distribution — the round-12 celebrity probe (2·10⁴-leaf
+    * hub) killed the earlier 2×-mean-degree cap, whose threshold the
+    * hub itself dragged down until recall hit 0, while √(2|E|) kept
+    * recall intact at flat cost (BASELINE.md round-12). The cap is part
+    * of the pinned semantics: the oracle applies the same degree
+    * filter. Degrees in the denominator stay FULL; existing edges are
+    * removed by one anti-join on the canonical pair.
     */
   val q192_link_prediction: QueryDef = q(
     "q192_link_prediction",

@@ -910,4 +910,79 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
   }
+
+  /** Cross-document variable-length substring dedup at suffix
+    * granularity — the ExactSubstr family (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every token span of length ≥ k that appears verbatim in MORE THAN
+    * ONE document and excise it from all of them. q92/q106 remove
+    * fixed-width repeats WITHIN a doc and q144 excises a known
+    * benchmark's grams; this is the corpus-vs-itself form — the
+    * duplicated-gram set is discovered from the corpus, not given.
+    *
+    * Distributed shape (the suffix-array algorithm is single-machine;
+    * the k-gram union form is its exact distributed equivalent for
+    * excision): a position t is inside a cross-doc duplicated span of
+    * length ≥ k IFF some k-token window covering t occurs in ≥ 2
+    * distinct documents. Proof sketch: any duplicated span of length
+    * L ≥ k covers each of its positions with one of its own k-windows,
+    * each of which is itself a duplicated span; conversely a duplicated
+    * k-window IS a duplicated span ≥ k. So the union of duplicated
+    * k-gram windows, merged into maximal runs (gaps-and-islands), is
+    * exactly the variable-length excision set — runs LONGER than k
+    * emerge naturally as consecutive duplicated windows chain.
+    *
+    *  1. per-doc gram pass: posexplode + (k−1) `lead`s, no cross-doc
+    *     shuffle; grams carry a 128-bit md5 fingerprint so the corpus
+    *     shuffle moves 32 hex chars, not k words;
+    *  2. duplicated grams: groupBy(fingerprint) with min(id) ≠ max(id)
+    *     — two map-side-combined aggregates, NEVER a count-distinct
+    *     (its dedup shuffle would move the whole gram table again);
+    *  3. hits: one left_semi of the gram table against the (small)
+    *     duplicated set, then a bounded k× covered-position explode;
+    *  4. islands: one lag() window over covered positions only —
+    *     per-doc partitions sized by contamination, not corpus.
+    *
+    * Removal is ALL copies (the published ExactSubstr convention — no
+    * canonical survivor, since partially-overlapping spans have no
+    * consistent "first" copy); a keep-one policy is a downstream join
+    * against [[selectRepresentatives]]-style cluster roots if wanted.
+    * Output per input doc (zeros preserved): (id, n_tokens, n_removed,
+    * n_spans, n_kept).
+    */
+  def crossDocSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "span threshold k must be at least 2")
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
+    val win = Window.partitionBy("id").orderBy("i")
+    val parts = col("w") +: (1 until k).flatMap(j =>
+      Seq(lit(" "), lead("w", j).over(win)))
+    val grams = tok
+      .select(col("id"), col("i"), md5(concat(parts: _*)).as("gh"))
+      .filter(col("gh").isNotNull)
+    val dup = grams.groupBy("gh")
+      .agg(min("id").as("_mn"), max("id").as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("t"))
+      .distinct()
+    val spans = covered
+      .withColumn("pt",
+        lag("t", 1).over(Window.partitionBy("id").orderBy("t")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_removed"),
+        sum(when(col("pt").isNull || col("pt") =!= col("t") - 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_kept"))
+  }
 }

@@ -827,10 +827,65 @@ object DedupQueries {
         .orderBy("split_lo", "split_hi")
   }
 
+  /** [[Dedup.crossDocSpanDedup]] at k = 8 — the ExactSubstr family:
+    * every token span ≥ 8 appearing verbatim in ≥ 2 documents is excised
+    * from ALL of them (variable-length: longer duplicated runs chain
+    * from consecutive duplicated 8-windows and are merged by the
+    * gaps-and-islands pass into single maximal spans). The oracle
+    * replays gram md5s, the min≠max cross-doc test, the covered-position
+    * explode, and the lag()-based span merge; every doc reports, zeros
+    * included. Live signal at sf0.01: 1015 duplicated grams, 47/500
+    * docs hit (probed before pinning — a zero-row gate is no gate).
+    */
+  val q267_crossdoc_substring_dedup: QueryDef = q(
+    "q267_crossdoc_substring_dedup",
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    md5(${crossDocGramExpr(8)}) AS gh
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |dup AS (
+      |  SELECT gh FROM g WHERE gh IS NOT NULL
+      |  GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, g.i + ds.d AS t
+      |  FROM g JOIN dup ON g.gh = dup.gh
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS d) ds),
+      |sp AS (
+      |  SELECT doc_id, COUNT(*) AS n_removed,
+      |    SUM(CASE WHEN pt IS NULL OR pt <> t - 1 THEN 1 ELSE 0 END)
+      |      AS n_spans
+      |  FROM (SELECT doc_id, t,
+      |          lag(t) OVER (PARTITION BY doc_id ORDER BY t) AS pt
+      |        FROM cov) x
+      |  GROUP BY doc_id),
+      |nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+      |SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(sp.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(nt.n_tokens - COALESCE(sp.n_removed, 0) AS BIGINT) AS n_kept
+      |FROM nt LEFT JOIN sp ON nt.doc_id = sp.doc_id
+      |ORDER BY nt.doc_id""".stripMargin,
+    "Cross-document variable-length substring dedup (ExactSubstr, " +
+      "k=8): corpus-discovered duplicated spans excised from all " +
+      "copies, maximal-run counts per doc") { (s, d) =>
+    Dedup.crossDocSpanDedup(Tables.documents(s, d), "doc_id", "text", 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The (k−1) chained `lead`s of a k-word gram window, as DuckDB SQL. */
+  private def crossDocGramExpr(k: Int): String =
+    "w" + (1 until k).map(j => s" || ' ' || lead(w, $j) OVER win").mkString
+
   def defs: Seq[QueryDef] = Seq(
     q28_dedup_exact, q29_ngram_jaccard, q30_minhash_sig, q37_minhash_pairs,
     q31_simhash, q52_neardup_components, q58_incremental_dedup, q70_line_dedup,
     q88_fuzzy_names, q92_repeated_windows, q97_containment,
     q106_repeated_removal, q123_neardup_representative, q126_snapshot_diff,
-    q158_novelty_scoring, q243_split_leakage)
+    q158_novelty_scoring, q243_split_leakage, q267_crossdoc_substring_dedup)
 }

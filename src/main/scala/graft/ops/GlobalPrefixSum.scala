@@ -37,16 +37,16 @@ object GlobalPrefixSum {
       spark.conf.get("spark.sql.shuffle.partitions"),
       spark.sparkContext.defaultParallelism)
     val orderKey = orderCols.map(col)
-    // eager localCheckpoint, NOT persist: the frame is read twice (offsets
-    // + final join) within this one call and never again, and a persist
-    // here leaked — the lazily-returned result gives no point to
-    // unpersist, so cached blocks accumulated across repeated executions
-    // in one session. Local-checkpoint blocks are ContextCleaner-reclaimed
-    // when the frame is GC'd.
-    val ranged = df
+    // Ckpt.stage, NOT persist: the frame is read twice (offsets + final
+    // join) within this one call and never again, and a persist here
+    // leaked — the lazily-returned result gives no point to unpersist,
+    // so cached blocks accumulated across repeated executions in one
+    // session. Checkpoint blocks are ContextCleaner-reclaimed when the
+    // frame is GC'd, and the stage is reliable when a checkpoint dir is
+    // configured (cluster fault tolerance — see [[Ckpt]]).
+    val ranged = Ckpt.stage(df
       .repartitionByRange(n, orderKey: _*)
-      .withColumn(PID, spark_partition_id())
-      .localCheckpoint(eager = true)
+      .withColumn(PID, spark_partition_id()))
     val offsets = ranged
       .groupBy(col(PID))
       .agg(sum(col(valueCol)).as("_tot"))

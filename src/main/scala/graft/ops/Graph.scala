@@ -71,13 +71,10 @@ object Graph {
   final case class WeightedDirectedGraph(
       directed: DataFrame, strength: DataFrame, n: Long)
 
-  private def ckptFn(df: DataFrame): DataFrame => DataFrame = {
+  private def ckptFn(df: DataFrame): DataFrame => DataFrame =
     // Same protocol as Dedup.connectedComponents: reliable checkpoints
     // when a dir is configured, executor-local otherwise.
-    val sc = df.sparkSession.sparkContext
-    d => if (sc.getCheckpointDir.isDefined) d.checkpoint(true)
-         else d.localCheckpoint(true)
-  }
+    d => Ckpt.stage(d)
 
   /** One-time PageRank setup over an arbitrary edge frame. The canonical
     * edge list is read twice (degrees, then the directed list) — persist

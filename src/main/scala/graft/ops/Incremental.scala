@@ -139,26 +139,32 @@ object Incremental {
     * derived here (production reads it back instead). Result: keys :+
     * (rank, valueCol, rowIdCol), rank 1..k, proven ≡ a from-scratch
     * re-rank by the q242 oracle.
+    *
+    * Deletes are matched on keys :+ rowIdCol (not the id alone), so the
+    * rule is correct whether row ids are globally unique or only unique
+    * WITHIN a group: a delete in one group never marks same-id rows in
+    * other groups affected, and never drops them from the rescan.
     */
   def mergeTopK(base: DataFrame, inserts: DataFrame, deletes: DataFrame,
       keys: Seq[String], valueCol: String, rowIdCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = keys.map(col) ++ Seq(col(valueCol), col(rowIdCol))
+    val delKey = keys :+ rowIdCol
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(valueCol).desc, col(rowIdCol).asc)
     val stored = base.select(cols: _*)
       .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .drop("_rk")
-    val delIds = deletes.select(col(rowIdCol))
-    val affected = stored.join(delIds, Seq(rowIdCol), "left_semi")
+    val delIds = deletes.select(delKey.map(col): _*)
+    val affected = stored.join(delIds, delKey, "left_semi")
       .select(keys.map(col): _*).distinct()
     val ins = inserts.select(cols: _*)
     val unaffected = stored.join(affected, keys, "left_anti")
       .unionByName(ins.join(affected, keys, "left_anti"))
     val rescan = base.select(cols: _*)
       .join(affected, keys, "left_semi")
-      .join(delIds, Seq(rowIdCol), "left_anti")
+      .join(delIds, delKey, "left_anti")
       .observe(s"graft.ivm.rescan.${rescanObsId.incrementAndGet()}",
         count(lit(1)).as("rows_rescanned"))
       .unionByName(ins.join(affected, keys, "left_semi"))

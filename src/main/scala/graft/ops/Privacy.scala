@@ -40,9 +40,21 @@ object Privacy {
     * pure function of (seed, keySql). `keySql` must be a deterministic
     * per-bucket STRING expression (SQL text over `df`'s columns) so the
     * draw replays on any engine that shares the md5.
+    *
+    * Both inputs are spliced into SQL text, and a privacy mechanism
+    * whose correctness contract is bit-exact replay cannot afford a
+    * silently-altered draw — so both are validated: the seed must be a
+    * plain `[A-Za-z0-9_-]+` token (a quote or colon would change the
+    * md5 preimage or break parsing), and `keySql` must not reference
+    * the transient `_dp_u` working column this function owns.
     */
   def withTwoSidedGeometricNoise(df: DataFrame, seed: String,
       keySql: String, out: String): DataFrame = {
+    require(seed.matches("[A-Za-z0-9_-]+"),
+      s"DP seed must match [A-Za-z0-9_-]+ (got '$seed'): quotes/colons " +
+        "would silently alter the spliced md5 preimage")
+    require(!keySql.contains("_dp_u"),
+      "keySql must not reference the transient _dp_u working column")
     val mid = 1L << 42 // F(0)·scale
     df.withColumn("_dp_u", expr(
         s"CAST(conv(substring(md5(concat('$seed:', $keySql)), 1, 15), " +

@@ -394,13 +394,12 @@ object TextAnalysis {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, nTerms: Int, minTermLen: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    // eager localCheckpoint, not persist: toks feeds three subtrees (dl,
-    // terms, tf) but the result is returned lazily, so a persist had no
-    // unpersist point and its blocks accumulated across executions;
-    // checkpoint blocks are GC-reclaimed.
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w"))
-      .localCheckpoint(eager = true)
+    // Ckpt.stage, not persist: toks feeds three subtrees (dl, terms, tf)
+    // but the result is returned lazily, so a persist had no unpersist
+    // point and its blocks accumulated across executions; checkpoint
+    // blocks are GC-reclaimed, reliable when a dir is configured.
+    val toks = Ckpt.stage(docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w")))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
     val terms = toks.filter(length(col("w")) >= minTermLen)

@@ -757,19 +757,17 @@ object TextQueries {
         .filter(col("w") =!= "")
         .withColumn("stop", when(col("w").isin("a", "the"), 1L).otherwise(0L))
       val seg = toks.withColumn("pid", sum("stop").over(w))
-      // eager localCheckpoints, not persist: pw feeds three subtrees and
-      // ph two, but the result is lazy — persisted blocks had no
-      // unpersist point and leaked across executions (GC reclaims
-      // checkpoint blocks)
-      val pw = seg.filter(col("stop") === 0L)
-        .select("doc_id", "pid", "i", "w")
-        .localCheckpoint(eager = true)
-      val ph = pw.groupBy("doc_id", "pid")
+      // Ckpt.stage, not persist: pw feeds three subtrees and ph two, but
+      // the result is lazy — persisted blocks had no unpersist point and
+      // leaked across executions (GC reclaims checkpoint blocks;
+      // reliable when a dir is configured)
+      val pw = graft.ops.Ckpt.stage(seg.filter(col("stop") === 0L)
+        .select("doc_id", "pid", "i", "w"))
+      val ph = graft.ops.Ckpt.stage(pw.groupBy("doc_id", "pid")
         .agg(concat_ws(" ", transform(
             sort_array(collect_list(struct(col("i"), col("w")))),
             e => e("w"))).as("phrase"),
-          count(lit(1)).as("plen"))
-        .localCheckpoint(eager = true)
+          count(lit(1)).as("plen")))
       val wstat = pw.join(ph, Seq("doc_id", "pid"))
         .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       val wsc = wstat.select(col("w"),

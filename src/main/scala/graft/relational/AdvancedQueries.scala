@@ -1015,12 +1015,17 @@ object AdvancedQueries {
     * which costs zero additional ε. Negative noisy counts clamp to 0
     * (standard, still post-processing). Exact integer arithmetic
     * throughout; the oracle replays every noise draw bit-for-bit.
+    * The cents domain is SHIFTED (+10⁸) before the band division so
+    * negative values never hit the Spark-`div`-truncates vs DuckDB-`//`
+    * -floors divergence (q208's idiom); the midpoint subtracts the
+    * shift back, and the final mean uses an explicit portable floor.
     */
   val q257_dp_mean: QueryDef = q(
     "q257_dp_mean",
     """WITH c AS (
       |  SELECT event_type,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+      |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
+      |      // 1000 AS band,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |nz AS (
@@ -1040,7 +1045,8 @@ object AdvancedQueries {
       |agg AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bands,
       |    CAST(SUM(n_rel) AS BIGINT) AS n_total,
-      |    SUM(CAST(band * 1000 + 500 AS HUGEINT) * n_rel) AS num
+      |    SUM(CAST(band * 1000 + 500 - 100000000 AS HUGEINT) * n_rel)
+      |      AS num
       |  FROM rel GROUP BY 1)
       |SELECT event_type, n_bands, n_total,
       |  CAST(CASE WHEN n_total = 0 THEN 0
@@ -1056,8 +1062,8 @@ object AdvancedQueries {
       "exact integer noise, oracle-replayed bit-for-bit") { (s, d) =>
     val counts = Tables.events(s, d)
       .select(col("event_type"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000")
-          .as("band"))
+        expr("""(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               | + 100000000) div 1000""".stripMargin).as("band"))
       .groupBy("event_type", "band").agg(count(lit(1)).as("n"))
     graft.ops.Privacy.withTwoSidedGeometricNoise(counts, seed = "dpm1",
         keySql = "concat(event_type, ':', CAST(band AS STRING))", out = "z")
@@ -1065,11 +1071,14 @@ object AdvancedQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).cast(LongType).as("n_bands"),
         sum("n_rel").cast(LongType).as("n_total"),
-        sum(expr("CAST(band * 1000 + 500 AS DECIMAL(38,0)) * n_rel"))
-          .as("num"))
+        sum(expr("CAST(band * 1000 + 500 - 100000000 AS DECIMAL(38,0))" +
+          " * n_rel")).as("num"))
       .select(col("event_type"), col("n_bands"), col("n_total"),
-        expr("CAST(CASE WHEN n_total = 0 THEN 0 ELSE " +
-          "(CAST(1000000 AS DECIMAL(38,0)) * num) div n_total END " +
+        expr("CAST(CASE WHEN n_total = 0 THEN 0 " +
+          "WHEN num >= 0 THEN " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * num) div n_total " +
+          "ELSE -(((CAST(-1000000 AS DECIMAL(38,0)) * num) " +
+          "+ n_total - 1) div n_total) END " +
           "AS BIGINT)").as("dp_mean_micro_cents"))
       .unionByName(s.range(1).select(lit("epsilon_ppm").as("event_type"),
         lit(-1L).as("n_bands"), lit(-1L).as("n_total"),

@@ -52,7 +52,7 @@ class PlanLintSpec extends SparkSpec {
     "q248_kn_bigram" -> "one-row bigram-type total |B| (KN continuation denominator) broadcast onto the type table (q166's shape)",
     "q249_vocab_coverage" -> "one-row corpus token total (coverage denominator) broadcast onto the 3-point coverage frame",
     "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
-    "q192_link_prediction" -> "one-row adaptive degree-cap threshold (2x mean degree) broadcast onto the node-degree frame",
+    "q192_link_prediction" -> "one-row adaptive degree-cap threshold (floor(sqrt(2|E|)), wedge mass <= (2|E|)^1.5) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
     // q194's 1-row query-id crossJoin runs inside the eager shortlist
     // checkpoint, so no BNLJ reaches its final plan

@@ -20,6 +20,28 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(0L, 1L, 2L, 4L)) // 3 deduped against 0
   }
 
+  test("crossDocSpanDedup: variable-length shared run excised from all copies, sub-k runs kept") {
+    import spark.implicits._
+    // A and B share a 12-token run (>= k=8): A's positions 4..15, B's
+    // 2..13. C and D share only a 7-token run (< k): untouched.
+    val shared = (5 to 16).map(i => s"a$i").mkString(" ")
+    val sub = (1 to 7).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" ") + " " + shared +
+        " " + (17 to 20).map(i => s"a$i").mkString(" ")), // 20 tokens
+      (2L, "b1 b2 " + shared + " b3 b4"),                 // 16 tokens
+      (3L, "c1 c2 " + sub + " c3"),
+      (4L, "d1 " + sub + " d2 d3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpanDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((20L, 12L, 1L, 8L)))  // one maximal 12-token span
+    assert(out(2L) == ((16L, 12L, 1L, 4L)))
+    assert(out(3L) == ((10L, 0L, 0L, 10L)))  // 7-run below threshold
+    assert(out(4L) == ((10L, 0L, 0L, 10L)))
+  }
+
   test("minhash LSH finds the near-dup pair and Jaccard verifies it") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -80,6 +80,26 @@ class SkewScaleSpec extends SparkSpec {
       "no candidate pair may span the cluster and the distinct docs")
   }
 
+  test("crossDocSpanDedup: 2000-member boilerplate cluster costs O(members), every copy fully excised") {
+    // The q267 kernel has no pair join anywhere: the 2000-doc identical
+    // cluster contributes 2000 gram rows per window position (semi-join
+    // + k-fold explode, linear), never 2000² pairs. Every cluster doc is
+    // fully removed (all its 8-grams occur in 1999 other docs); every
+    // distinct doc is untouched (its i-suffixed words occur nowhere
+    // else).
+    val out = Dedup.crossDocSpanDedup(pathological, "doc_id", "text", 8)
+    val clusterRows = out.filter(col("id") < 10000L)
+      .agg(sum("n_removed"), sum("n_kept"), sum("n_spans"))
+      .collect().head
+    val nTok = 11L // words in the boilerplate body
+    assert(clusterRows.getLong(0) == clusterSize * nTok)
+    assert(clusterRows.getLong(1) == 0L)
+    assert(clusterRows.getLong(2) == clusterSize.toLong) // one span each
+    val distinctTouched = out.filter(col("id") >= 10000L)
+      .filter(col("n_removed") > 0L).count()
+    assert(distinctTouched == 0L)
+  }
+
   test("minhashStarEdges: components over star edges equal components over cliques, at O(f) cost") {
     val edges = Dedup.minhashStarEdges(
       pathological, "doc_id", "text", numHashes = 32, bands = 8)
