@@ -603,6 +603,25 @@ object ScaleProbe {
     probeCrossDoc("1x", base, nBase)
     probeCrossDoc(s"${mult}x+cluster", big, nBig)
 
+    // q262's operator form (Bipartite.projectCapped) under a 2*10^4-item
+    // bot user: uncapped, that single user is a ~2*10^8-pair straggler
+    // task; capped at 64 its contribution is <= 64^2 while every
+    // all-under-cap pair count stays exact. Cost must track the
+    // incidence size, not the bot's |items|^2.
+    def probeBipartite(scale: String, nUsers: Int, withBot: Boolean): Unit = {
+      val normal = spark.range(nUsers.toLong * 20).select(
+        (col("id") % nUsers).as("user_id"), (col("id") % 500).as("item_id"))
+      val incidence =
+        if (!withBot) normal
+        else normal.unionAll(spark.range(20000).select(
+          lit(777777L).as("user_id"), (col("id") + 100000L).as("item_id")))
+      val (rows, t) = time(ops.Bipartite.projectCapped(
+          incidence, "user_id", "item_id", 64).count())
+      emit("q262_bipartite_capped", scale, incidence.count(), t, rows)
+    }
+    probeBipartite("1x", 5000, withBot = false)
+    probeBipartite("1x+bot", 5000, withBot = true)
+
     // q143: perceptron training on the pathological corpus — the
     // boilerplate cluster concentrates `inject` near-identical feature
     // rows on a handful of buckets (hot gradient keys, absorbed by the

@@ -354,8 +354,61 @@ object FormatQueries {
       "day-range read (PartitionFilters, no out-of-range footer opened), " +
       "content digest vs the un-partitioned oracle")
 
+  /** Multi-dimensional data skipping on the z-ordered layout — the read
+    * path q169's write-side row leaves open: events are laid out by the
+    * Morton interleave of (day, user_id) and then read through a 2-D
+    * box predicate (day range AND user range). Because every output
+    * file covers a tight hyper-rectangle of BOTH dimensions, the
+    * parquet footer min/max stats prune row groups on the user
+    * predicate as well as the day predicate — where q247's 1-d Hive
+    * layout can only prune its single directory key and a
+    * lexicographic sort only its leading column. The digest restricted
+    * to the box is value-checked against the unclustered oracle
+    * (q219's discipline: the clustered copy must be content-lossless
+    * under the predicate); the files/rows-scanned SHRINKAGE itself is
+    * pinned with scan metrics in IoSkewSpec (z-layout reads strictly
+    * fewer rows than the lexicographic layout under the same box).
+    */
+  val q268_zorder_pruning: QueryDef = QueryDef(
+    "q268_zorder_pruning",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_sec div 86400").as("day"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zprune_").toString
+      Io.writeZOrdered(ev, dir, Seq("day", "user_id"), numFiles = 16,
+        bits = 8)
+      val res = s.read.parquet(dir)
+        .filter(col("day").between(19735L, 19742L) &&
+          col("user_id").between(30L, 89L))
+        .groupBy(col("day").cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          sum("event_id").cast(LongType).as("sum_ids"),
+          sum(graft.relational.Sql.dec2(col("value"))).cast("double")
+            .as("sum_value"))
+        .orderBy("day")
+        .localCheckpoint(true)
+      rm(dir)
+      res
+    },
+    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      |    BETWEEN 19735 AND 19742
+      |  AND user_id BETWEEN 30 AND 89
+      |GROUP BY 1 ORDER BY day""".stripMargin),
+    "Z-order 2-D data skipping: box predicate (day AND user) over the " +
+      "Morton layout, digest vs the unclustered oracle; rows-scanned " +
+      "shrinkage pinned in IoSkewSpec")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
-    q247_partition_pruning)
+    q247_partition_pruning, q268_zorder_pruning)
 }

@@ -452,7 +452,16 @@ object StreamQueries {
   private val stageHook = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def stageTimeOrdered(df: DataFrame, tsCol: String, k: Int,
-      prefix: String, datasetDir: String): java.nio.file.Path = {
+      prefix: String, datasetDir: String): java.nio.file.Path =
+    stageRanged(df, unix_micros(col(tsCol)), k, prefix, datasetDir)
+
+  /** [[stageTimeOrdered]] generalized to any LONG ordering expression
+    * (same cache, same shutdown hook): k range files ordered by
+    * `orderExpr`, file mtimes ascending so the file source replays them
+    * in range order.
+    */
+  private def stageRanged(df: DataFrame, orderExpr: org.apache.spark.sql.Column,
+      k: Int, prefix: String, datasetDir: String): java.nio.file.Path = {
     if (stageHook.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         stageCache.values().forEach(p =>
@@ -460,16 +469,17 @@ object StreamQueries {
     val key = df.sparkSession.sparkContext.applicationId +
       "|" + datasetDir + "|" + prefix + "|" + k
     stageCache.computeIfAbsent(key,
-      _ => stageTimeOrderedUncached(df, tsCol, k, prefix))
+      _ => stageRangedUncached(df, orderExpr, k, prefix))
   }
 
-  private def stageTimeOrderedUncached(
-      df: DataFrame, tsCol: String, k: Int, prefix: String): java.nio.file.Path = {
+  private def stageRangedUncached(df: DataFrame,
+      orderExpr: org.apache.spark.sql.Column, k: Int,
+      prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     // cached for the k+1 passes below (bounds agg + one filtered write per
     // range file); unpersisted before returning
     val src = df.persist()
-    val b = src.agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))))
+    val b = src.agg(min(orderExpr), max(orderExpr))
       .collect().head
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
@@ -478,7 +488,7 @@ object StreamQueries {
       val loI = lo + span * i / k
       val hiI = lo + span * (i + 1) / k
       val stage = java.nio.file.Files.createTempDirectory(prefix + "part")
-      src.filter(unix_micros(col(tsCol)) >= loI && unix_micros(col(tsCol)) < hiI)
+      src.filter(orderExpr >= loI && orderExpr < hiI)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val f = java.nio.file.Files.list(stage).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
@@ -1056,11 +1066,90 @@ object StreamQueries {
       "converted impressions emitted once, no right-side payload, end " +
       "state = the batch EXISTS")
 
+  /** Stream/batch parity #15 — mergeable SKETCHES at the stream
+    * boundary ([[graft.functions.KllAggregator]]): q150's KLL quantile
+    * estimation executed as a real Structured Streaming aggregation.
+    * The lineitem prices arrive as 3 key-ranged file micro-batches;
+    * each micro-batch reduces its rows into partial KLL sketches
+    * map-side, and the streaming state store carries ONE kilobyte
+    * sketch state between batches (the typed-Aggregator buffer
+    * serializes through the sketch's own compact byte form — bounded
+    * state by construction, the sketch never grows past O(k log n)).
+    * The final sketch answers the same three quantiles under q150's
+    * true-rank gate (±5%, KLL compaction is randomized so the gate is
+    * on rank accuracy, never exact values) and shares its oracle row
+    * shape verbatim.
+    */
+  val q269_stream_kll_quantiles: QueryDef = QueryDef(
+    "q269_stream_kll_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val kllK = 800
+      val li = graft.relational.Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast(LongType).as("okey"),
+          col("l_extendedprice").cast(DoubleType).as("v"))
+      val dir = stageRanged(li, col("okey"), k = 3,
+        prefix = "graft_q269_src", datasetDir = d)
+      val schema = s.read.parquet(dir.toString).schema
+      val kll = udaf(graft.functions.KllAggregator(kllK),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val agged = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .select(col("v"))
+        .agg(kll(col("v")).as("sk"))
+      val sink = "graft_q269_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q269_ckpt")
+      val q = agged.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"expected multiple micro-batches, saw $batches — staging broke")
+      val bytes = s.table(sink).head().getAs[Array[Byte]]("sk")
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      val merged = graft.functions.KllSketch.fromBytes(bytes)
+      val qs = Seq(0.25, 0.50, 0.75)
+      val ests = qs.map(p => merged.getQuantile(p))
+      val vals = li.select("v")
+      val ranks = vals.agg(
+        count(lit(1)).as("n"),
+        qs.zip(ests).zipWithIndex.map { case ((_, e), i) =>
+          sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"r$i")
+        }: _*)
+      qs.zipWithIndex.foldLeft(ranks) { case (df, (p, i)) =>
+        df.withColumn(s"ok$i",
+          when(abs(col(s"r$i").cast(DoubleType) / col("n") - p) <= 0.05, 1L)
+            .otherwise(0L))
+      }.select(
+        explode(array(qs.zipWithIndex.map { case (p, i) =>
+          struct(lit((p * 1000000).toLong).as("q_ppm"),
+            col("n").cast(LongType).as("n"), col(s"ok$i").as("rank_ok"))
+        }: _*)).as("row"))
+        .select("row.*")
+        .orderBy("q_ppm")
+        .localCheckpoint(true)
+    },
+    Some("""SELECT CAST(q AS BIGINT) AS q_ppm,
+      |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS rank_ok
+      |FROM (SELECT unnest([250000, 500000, 750000]) AS q) t
+      |ORDER BY q_ppm""".stripMargin),
+    "Stream/batch parity #15: KLL quantile sketch as a streaming " +
+      "stateful aggregation (kilobyte sketch state per micro-batch), " +
+      "q150's true-rank gate and oracle")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
     q175_stream_restart, q202_stream_outer_join, q217_stream_session_close,
-    q233_stream_state_bound, q266_stream_semi_join)
+    q233_stream_state_bound, q266_stream_semi_join,
+    q269_stream_kll_quantiles)
 }

@@ -100,6 +100,30 @@ class SkewScaleSpec extends SparkSpec {
     assert(distinctTouched == 0L)
   }
 
+  test("Bipartite.projectCapped: a 20k-item bot user contributes <= k^2 pairs, normal pairs stay exact, metric fires") {
+    // One bot touching 20000 items (uncapped: ~2*10^8 pairs from this
+    // user alone) + 50 normal users each touching items {0,1,2}. The
+    // capped projection keeps the bot's 64 rarest items (its items are
+    // unique to it, frequency 1, so any 64 of them — the id tiebreak
+    // makes it deterministic), bounding its pairs at 64*63/2, while the
+    // (0,1),(0,2),(1,2) counts from normal users stay exactly 50 (+1
+    // when the bot's kept set includes those items — it doesn't: items
+    // 0..2 have frequency 51, far above its frequency-1 own items).
+    val bot = (0 until 20000).map(i => (999L, 100000L + i))
+    val normal = for (u <- 0 until 50; it <- 0 to 2) yield (u.toLong, it.toLong)
+    val inc = (bot ++ normal).toDF("user_id", "item_id")
+    var pairs: Array[(Long, Long, Long)] = Array.empty
+    val overCap = observedOverCap("graft.bipartite.cap.") {
+      pairs = Bipartite.projectCapped(inc, "user_id", "item_id", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(overCap == 20000L - 64L, s"metric saw $overCap dropped rows")
+    val botPairs = pairs.count(p => p._1 >= 100000L)
+    assert(botPairs == 64L * 63 / 2, s"bot contributed $botPairs pairs")
+    val normalPairs = pairs.filter(p => p._1 < 100000L).toSet
+    assert(normalPairs == Set((0L, 1L, 50L), (0L, 2L, 50L), (1L, 2L, 50L)))
+  }
+
   test("minhashStarEdges: components over star edges equal components over cliques, at O(f) cost") {
     val edges = Dedup.minhashStarEdges(
       pathological, "doc_id", "text", numHashes = 32, bands = 8)

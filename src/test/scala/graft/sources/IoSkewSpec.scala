@@ -279,6 +279,47 @@ class IoSkewSpec extends SparkSpec {
     assert(hh.getLong(0) == 1L) // the hot key surfaces first
   }
 
+  test("z-ordered layout scans strictly fewer rows than lexicographic under a 2-D box predicate") {
+    // The q268 claim, measured: the same 64×64 grid written (a)
+    // z-ordered and (b) lexicographically range-clustered on (x, y),
+    // read through the same box predicate. Parquet footer min/max
+    // row-group pruning can skip a file only if the predicate range
+    // misses its stats; z-tiles are tight on BOTH axes, lex files are
+    // tight on x but span ALL of y — so the y half of the box prunes
+    // nothing on the lex layout. The scan metric (numOutputRows = rows
+    // surviving row-group pruning) must come out strictly smaller for z.
+    val grid = spark.range(0, 64L * 64)
+      .select(($"id" / 64).cast("long").as("x"), ($"id" % 64).as("y"))
+    val zdir = Files.createTempDirectory("graft_zp").resolve("z").toString
+    val ldir = Files.createTempDirectory("graft_zp").resolve("l").toString
+    Io.writeZOrdered(grid, zdir, Seq("x", "y"), numFiles = 16, bits = 6)
+    Io.writeClustered(grid, ldir, Seq("x", "y"), numFiles = 16)
+
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter($"x".between(16L, 31L) && $"y".between(16L, 31L))
+      // collect() executes df's OWN queryExecution, so its scan node
+      // carries the metrics (count() would plan a separate query)
+      val out = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }
+      (scans.sum, out)
+    }
+    val (zScanned, zOut) = scannedRows(zdir)
+    val (lScanned, lOut) = scannedRows(ldir)
+    assert(zOut == 256L && lOut == 256L) // same answer on both layouts
+    // lex: the x range keeps ~4 of 16 files and y prunes none of them
+    // (each spans y=0..63), so >= 4 full 256-row groups are read
+    assert(lScanned >= 1024L, s"lex layout scanned only $lScanned rows")
+    // z: the box is one 16×16 tile; range-boundary sampling can split it
+    // across a few files, but footer pruning must drop most of the grid
+    assert(zScanned <= 768L, s"z layout scanned $zScanned rows")
+    assert(zScanned < lScanned,
+      s"z-order ($zScanned) did not beat lexicographic ($lScanned)")
+  }
+
   test("z-ordered write localizes BOTH cluster columns per file") {
     // 64×64 grid → 16 files. A perfect z-layout gives each file one 16×16
     // tile; lexicographic range clustering would give x-range ~4 but
