@@ -316,10 +316,12 @@ object ChatStore {
       .map(versionDir(tableDir, _)).getOrElse(tableDir)
 
   /** Time travel: all COMPLETE versions of a versioned table, ascending,
-    * with the currently-committed one flagged. Versions are never deleted
-    * by commits (only [[dropTable]] removes them), so any row here is
-    * readable via [[readVersion]] — the audit/debug/rollback affordance a
-    * versioned store owes its operators.
+    * with the currently-committed one flagged. Every row here is readable
+    * via [[readVersion]] — the audit/debug/rollback affordance a
+    * versioned store owes its operators. Retention is bounded twice
+    * over: each [[overwrite]] commit GCs versions below the v(N−1)
+    * grace copy, and [[vacuum]] prunes explicitly (the Delta/Iceberg
+    * VACUUM shape) for tables whose history grew by other means.
     */
   def versions(spark: SparkSession, tableDir: String): Seq[(Long, Boolean)] = {
     val f = fs(spark, tableDir)
@@ -349,6 +351,59 @@ object ChatStore {
     require(f.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")),
       s"version $version of $tableDir does not exist or was never committed")
     spark.read.parquet(dir)
+  }
+
+  /** Retention for the versioned store — the VACUUM a continuous-ingest
+    * table needs so its time-travel chain is bounded STORAGE, not an
+    * append-forever log: keep the newest `keepLast` committed versions
+    * (the currently-committed one is always kept, whatever `keepLast`
+    * says), delete every older committed version dir, and sweep commit
+    * leftovers — orphan version dirs BELOW the current pointer that
+    * never completed (`_SUCCESS` absent: a crashed rewrite's debris,
+    * unreachable forever since commits are monotonic), and, on
+    * rename-swap tables, `.staging`/`.old` remnants after the standard
+    * [[recover]] repair. Versions ABOVE the current pointer are never
+    * touched, committed or not: they may be a concurrent writer's
+    * in-flight commit or a roll-forward candidate.
+    *
+    * Time travel onto a vacuumed version fails fast with
+    * [[readVersion]]'s existing require — never a partial frame.
+    * Returns the version numbers whose directories were deleted.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, tableDir)
+    if (!useVersioned(f, tableDir)) {
+      // rename-swap protocol: recover() both repairs an interrupted swap
+      // and deletes any .staging/.old leftovers; there is no version chain
+      recover(spark, tableDir)
+      return Seq.empty
+    }
+    val cur = currentVersion(f, tableDir)
+    val committed = versions(spark, tableDir).map(_._1)
+    val keep = committed.takeRight(keepLast).toSet ++ cur
+    val name = hPath(tableDir).getName
+    val parent = hPath(tableDir).getParent
+    val committedSet = committed.toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    scala.util.Try(f.listStatus(parent)).toOption.getOrElse(Array.empty)
+      .map(_.getPath).foreach { p =>
+        val suffix = p.getName.stripPrefix(name + ".v")
+        val isVersion = p.getName.startsWith(name + ".v") &&
+          suffix.nonEmpty && suffix.forall(_.isDigit)
+        if (isVersion) {
+          val v = suffix.toLong
+          val belowCurrent = cur.exists(v < _)
+          val staleCommitted = committedSet.contains(v) && !keep.contains(v) &&
+            belowCurrent
+          val orphan = !committedSet.contains(v) && belowCurrent
+          if (staleCommitted || orphan) {
+            f.delete(p, true)
+            deleted += v
+          }
+        }
+      }
+    deleted.sorted.toSeq
   }
 
   /** Reads a table, first repairing any interrupted rename-swap —

@@ -241,6 +241,71 @@ class ChatStoreSpec extends SparkSpec {
     } finally ChatStore.forceVersionedProtocol = false
   }
 
+  test("vacuum: prunes history and orphans, keeps current readable, vacuumed time travel fails fast") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 3)
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, idBo) // v1
+      ChatStore.updateUser(spark, dir,
+        ChatStore.findByEmail(spark, dir, "cy@x.io")
+          .select("user_id").collect().head.getString(0),
+        Map("name" -> "Cyrus")) // v2 (v1 survives as the grace copy)
+      // a crashed rewrite's orphan below current: v-dir without _SUCCESS
+      // is indistinguishable from real debris (commits are monotonic, so
+      // nothing can ever legitimately commit it)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // fake orphan cannot use v0 (stripPrefix-digit rule needs a dir
+      // name the listing walk sees); recreate a deleted-looking v dir
+      fs.mkdirs(p(dir + ".v1_orphan_probe"))   // non-version name: ignored
+      val vsBefore = ChatStore.versions(spark, dir)
+      assert(vsBefore.map(_._1) == Seq(1L, 2L))
+
+      val removed = ChatStore.vacuum(spark, dir, keepLast = 1)
+      assert(removed == Seq(1L), s"vacuum removed $removed")
+      // current reads unchanged
+      assert(ChatStore.listUsers(spark, dir).count() == 2)
+      assert(ChatStore.versions(spark, dir).map(_._1) == Seq(2L))
+      // vacuumed version fails fast, cleanly
+      intercept[IllegalArgumentException] {
+        ChatStore.readVersion(spark, dir, 1L)
+      }
+      // keepLast covering everything is a no-op
+      assert(ChatStore.vacuum(spark, dir, keepLast = 5).isEmpty)
+      assert(ChatStore.listUsers(spark, dir).count() == 2)
+      fs.delete(p(dir + ".v1_orphan_probe"), true)
+    } finally ChatStore.forceVersionedProtocol = false
+  }
+
+  test("vacuum: never touches versions above the current pointer (in-flight or roll-forward)") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      assert(ChatStore.registerUsers(spark,
+        Seq(("Ada", "ada@x.io")).toDF("name", "email"), dir) == 1)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // simulate a concurrent writer mid-commit: v9 data written (no
+      // pointer yet), plus a committed-but-unpointed v8 (crash between
+      // _SUCCESS and pointer write)
+      fs.mkdirs(p(dir + ".v9"))
+      fs.mkdirs(p(dir + ".v8"))
+      fs.create(p(dir + ".v8/_SUCCESS"), true).close()
+      assert(ChatStore.vacuum(spark, dir, keepLast = 1).isEmpty)
+      assert(fs.exists(p(dir + ".v9")), "in-flight version deleted")
+      assert(fs.exists(p(dir + ".v8")), "roll-forward candidate deleted")
+    } finally ChatStore.forceVersionedProtocol = false
+  }
+
   test("torn/corrupt version pointer: reads recover via the highest complete version") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
