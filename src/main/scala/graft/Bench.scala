@@ -33,6 +33,29 @@ object Bench {
       try java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // Quiet-box gate (round-13 VERDICT task 1, after three consecutive
+    // rounds closed on a hot box): spin-wait until the 1-minute loadavg
+    // drops below SPARK_GRAFT_BENCH_MAXLOAD (default 2.0) before the
+    // workload starts, bounded by SPARK_GRAFT_BENCH_MAXWAIT_S (default
+    // 1200 s). The best-of-N estimator cannot save a record taken at
+    // loadavg 8; refusing to start is the only fix that lives in code.
+    // Set SPARK_GRAFT_BENCH_MAXLOAD high (e.g. 99) to skip the gate for
+    // quick iteration runs. Every wait is printed so a gated record
+    // shows what it waited on.
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.0").toDouble
+    val maxWaitS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXWAIT_S", "1200").toLong
+    val waitDeadline = System.nanoTime() + maxWaitS * 1000000000L
+    var waitedS = 0L
+    while (loadavg() >= maxLoad && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench-gate] loadavg ${loadavg()}%.2f >= " +
+        f"$maxLoad%.2f; waited ${waitedS}s, sleeping 30s")
+      Thread.sleep(30000); waitedS += 30
+    }
+    if (loadavg() >= maxLoad)
+      System.err.println(f"[bench-gate] GAVE UP after ${waitedS}s; " +
+        f"recording at loadavg ${loadavg()}%.2f")
     val loadStart = loadavg()
     val tsStart = java.time.Instant.now().toString
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

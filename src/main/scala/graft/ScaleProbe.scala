@@ -622,6 +622,107 @@ object ScaleProbe {
     probeBipartite("1x", 5000, withBot = false)
     probeBipartite("1x+bot", 5000, withBot = true)
 
+    // q268's read path, measured at sf scale: the same events projection
+    // written (a) z-ordered on (day, user_id) and (b) lexicographically
+    // range-clustered, then read through the same 2-D box. `rows` is the
+    // scan metric (rows surviving parquet footer row-group pruning) —
+    // the lex layout is tight on day but spans ALL users per file, so
+    // the user half of the box prunes nothing; z must scan strictly
+    // fewer. Seconds include the one-time layout write (setup), so the
+    // reading that matters is the rows-scanned ratio, not wall-clock.
+    def probeZorder(): Unit = {
+      val ev = relational.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_sec div 86400").as("day"))
+      val nEv = ev.count()
+      def run(name: String, write: (DataFrame, String) => Unit): Unit = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_zprobe_").toString
+        write(ev, dir)
+        val t0 = System.nanoTime()
+        val df = spark.read.parquet(dir)
+          .filter(col("day").between(19735L, 19742L) &&
+            col("user_id").between(30L, 89L))
+        df.collect()
+        val scanned = df.queryExecution.executedPlan.collectLeaves()
+          .collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numOutputRows").value
+          }.sum
+        emit("q268_zorder_scan", name, nEv,
+          (System.nanoTime() - t0) / 1e9, scanned)
+        locally {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      run("zorder", (d, dir) =>
+        sources.Io.writeZOrdered(d, dir, Seq("day", "user_id"),
+          numFiles = 16, bits = 8))
+      run("lex", (d, dir) =>
+        sources.Io.writeClustered(d, dir, Seq("day", "user_id"),
+          numFiles = 16))
+    }
+    probeZorder()
+
+    // q270: theta-sketch segment build under a hot-key segment — 2*10^4
+    // duplicate rows of one key must cost 2*10^4 O(1) updates absorbed
+    // by map-side partial aggregation (one retained hash), so seconds
+    // track row count, not distinct structure; `rows` = the union
+    // estimate (sanity: duplicates add nothing).
+    def probeTheta(scale: String, keys: DataFrame, n: Long): Unit = {
+      val theta = udaf(functions.ThetaAggregator(4096),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val (est, t) = time {
+        val sks = keys
+          .select(col("k"), explode(array(
+            when(col("k") % 2 === 0, "a"), when(col("k") % 3 === 0, "b")))
+            .as("seg"))
+          .filter(col("seg").isNotNull)
+          .groupBy("seg").agg(theta(col("k")).as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .toMap
+        functions.ThetaSketch.union(Seq(sks("a"), sks("b")), 4096)
+          .getEstimate.toLong
+      }
+      emit("q270_theta_union_est", scale, n, t, est)
+    }
+    val thetaBase = spark.range(200000L).select(col("id").as("k"))
+    probeTheta("1x", thetaBase, 200000L)
+    probeTheta("1x+hotkey", thetaBase.unionAll(
+      spark.range(20000L).select(lit(42L).as("k"))), 220000L)
+
+    // q271: tier-7 join+agg IVM under a celebrity join key — the CDC
+    // delta re-groups a key owning 2*10^4 B rows; maintenance cost must
+    // track the delta's JOIN FAN-OUT (the 2*10^4 matching rows), never
+    // the standing corpus (the untouched groups are only probed).
+    def probeJoinAgg(scale: String, bExtra: Option[DataFrame]): Unit = {
+      val a = spark.range(5000L).select(col("id").as("k"),
+        concat(lit("g"), (col("id") % 7).cast("string")).as("grp"))
+      val b0 = spark.range(100000L).select((col("id") % 5000L).as("k"),
+        col("id").as("line"), lit("1.25").as("v"))
+      val b = bExtra.map(b0.unionAll).getOrElse(b0)
+      val nB = b.count()
+      val aDel = a.filter(col("k") === 42L)
+      val aIns = aDel.withColumn("grp", lit("gX"))
+      val bDel = b.filter(col("k") === 77L && col("line") < 50000L)
+      val bIns = spark.range(100L).select(lit(42L).as("k"),
+        (col("id") + 10000000L).as("line"), lit("9.99").as("v"))
+      val view = a.join(b, Seq("k")).groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(relational.Sql.dec2(col("v"))).as("s"))
+        .localCheckpoint(true)
+      val (rows, t) = time(ops.Incremental.mergeJoinAggView(
+        view, a, b, aIns, aDel, bIns, bDel, "k", Seq("grp"), "v").count())
+      emit("q271_ivm_join_agg", scale, nB, t, rows)
+    }
+    probeJoinAgg("1x", None)
+    probeJoinAgg("1x+celebrity-key", Some(spark.range(20000L).select(
+      lit(42L).as("k"), (col("id") + 1000000L).as("line"),
+      lit("2.00").as("v"))))
+
     // q143: perceptron training on the pathological corpus — the
     // boilerplate cluster concentrates `inject` near-identical feature
     // rows on a handful of buckets (hot gradient keys, absorbed by the

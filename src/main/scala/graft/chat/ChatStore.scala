@@ -187,6 +187,14 @@ object ChatStore {
     */
   private[chat] var forceVersionedProtocol = false
 
+  /** Test seam for the vacuum-vs-writer race: invoked after [[vacuum]]
+    * reads the pointer + committed list and before it sweeps, so a spec
+    * can commit a new version in the window and prove the sweep never
+    * touches it (it is above the stale pointer vacuum captured, and
+    * above-pointer dirs are never deleted). No-op in production.
+    */
+  private[chat] var vacuumAfterListHook: () => Unit = () => ()
+
   private def pointer(tableDir: String) = hPath(tableDir + ".current")
   private def versionDir(tableDir: String, v: Long) = s"$tableDir.v$v"
 
@@ -381,7 +389,15 @@ object ChatStore {
     }
     val cur = currentVersion(f, tableDir)
     val committed = versions(spark, tableDir).map(_._1)
-    val keep = committed.takeRight(keepLast).toSet ++ cur
+    // the keepLast quota counts only usable history — versions at or
+    // below the current pointer. Committed-but-unpointed versions above
+    // it (a crashed commit / roll-forward candidate) are never deleted
+    // anyway, and letting them eat the quota would silently shrink the
+    // below-current history kept (keepLast=2 with one crashed commit
+    // above current kept only the current version)
+    val keep = committed.filter(v => cur.forall(v <= _))
+      .takeRight(keepLast).toSet ++ cur
+    vacuumAfterListHook()
     val name = hPath(tableDir).getName
     val parent = hPath(tableDir).getParent
     val committedSet = committed.toSet

@@ -1728,6 +1728,125 @@ object EventQueries {
         .orderBy("event_type", "day")
   }
 
+  /** Additive Holt-Winters forecast (α=β=γ=1/2) over the per-type daily
+    * count series — the FORECASTER the time-series family (q196
+    * decompose, q253 OLS, q190 Theil-Sen, q244 EWMA) lacked. The three
+    * coupled recurrences
+    *
+    *   l_t = ⌊(y_t − s_{t−7} + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+    *   s_t = ⌊(y_t − l_t + s_{t−7}) / 2⌋     (seasonal slot = day mod 7)
+    *
+    * run in EXACT integers: every halving is the portable floor
+    * `(v − (v & 1)) div 2` (two's-complement parity bit makes the
+    * numerator even, so truncation ≡ floor for negatives too — q244's
+    * exact-binary-fraction discipline without a denominator blow-up).
+    * Anchor: l₁ = y₁, b₁ = 0, seasonals all 0. The recurrence is
+    * inherently sequential but only over the AGGREGATE day series (the
+    * corpus pass is one hash agg); per type it folds in-row via the
+    * `aggregate` HOF carrying a (l, b, s[7]) struct (q188's shape with
+    * seasonal state). Forecast ŷ_{T+h} = l_T + h·b_T + s[(d_T+h) mod 7]
+    * for h = 1..7. The oracle replays the identical recurrence as a
+    * recursive CTE carrying the seven seasonal slots as columns — both
+    * SQL texts are macro-expanded from the SAME Scala formula strings,
+    * so the two engines cannot drift apart.
+    */
+  val q272_holt_winters: QueryDef = {
+    // shared formula macros (Spark references acc./e., DuckDB c./rd.)
+    def mk(f2div: String, sslot: String, acc: (String, String),
+        x: String): (String, String, String) = {
+      def f2(e: String) = s"((($e) - (($e) & 1)) $f2div 2)"
+      val (l0, b0) = acc
+      val v1 = s"($x - $sslot + $l0 + $b0)"
+      val newl = f2(v1)
+      val newb = f2(s"($newl - $l0 + $b0)")
+      val news = f2(s"($x - $newl + $sslot)")
+      (newl, newb, news)
+    }
+    val (sl, sb, ss) = mk("div",
+      "element_at(acc.s, CAST(e.day % 7 AS INT) + 1)",
+      ("acc.l", "acc.b"), "e.x")
+    val foldExpr =
+      s"""aggregate(
+         |  slice(seq, 2, greatest(size(seq) - 1, 0)),
+         |  named_struct(
+         |    'l', CAST(element_at(seq, 1).x AS BIGINT),
+         |    'b', CAST(0 AS BIGINT),
+         |    's', array_repeat(CAST(0 AS BIGINT), 7),
+         |    'd', CAST(element_at(seq, 1).day AS BIGINT)),
+         |  (acc, e) -> named_struct(
+         |    'l', $sl,
+         |    'b', $sb,
+         |    's', transform(acc.s,
+         |      (sv, i) -> IF(i = CAST(e.day % 7 AS INT), $ss, sv)),
+         |    'd', CAST(e.day AS BIGINT)))""".stripMargin
+    val dowCase = (pfx: String) => (0 to 6)
+      .map(i => s"WHEN $i THEN $pfx.s$i").mkString(" ", " ", " END")
+    val (ol, ob, os) = mk("//",
+      "(CASE rd.dow" + dowCase("c") + ")", ("c.l", "c.b"), "rd.x")
+    val sCols = (0 to 6).map(i =>
+      s"CASE WHEN rd.dow = $i THEN $os ELSE c.s$i END AS s$i")
+      .mkString(",\n    ")
+    val oracleSql =
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |rd AS (
+         |  SELECT event_type, day, CAST(day % 7 AS BIGINT) AS dow, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |hw AS (
+         |  SELECT event_type, day, dow, x, rn,
+         |    x AS l, CAST(0 AS BIGINT) AS b,
+         |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         |    CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+         |    CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+         |    CAST(0 AS BIGINT) AS s6
+         |  FROM rd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT rd.event_type, rd.day, rd.dow, rd.x, rd.rn,
+         |    $ol AS l,
+         |    $ob AS b,
+         |    $sCols
+         |  FROM rd JOIN hw c ON c.event_type = rd.event_type
+         |    AND rd.rn = c.rn + 1),
+         |lastrow AS (
+         |  SELECT h.* FROM hw h
+         |  JOIN (SELECT event_type, max(rn) AS mr FROM hw GROUP BY 1) m
+         |    ON m.event_type = h.event_type AND h.rn = m.mr),
+         |hs AS (SELECT unnest(range(1, 8)) AS h)
+         |SELECT l.event_type, CAST(hs.h AS BIGINT) AS h,
+         |  CAST(l.l + hs.h * l.b + (CASE CAST((l.day + hs.h) % 7 AS BIGINT)
+         |   ${dowCase("l")}) AS BIGINT) AS forecast
+         |FROM lastrow l, hs ORDER BY event_type, h""".stripMargin
+    QueryDef(
+      "q272_holt_winters",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+            .as("seq"))
+          .withColumn("st", expr(foldExpr))
+          .select(col("event_type"),
+            explode(expr("sequence(1, 7)")).as("h"),
+            expr("st.l").as("l"), expr("st.b").as("b"),
+            expr("st.s").as("sarr"), expr("st.d").as("lastd"))
+          .select(col("event_type"), col("h").cast(LongType).as("h"),
+            (col("l") + col("h") * col("b") +
+              expr("element_at(sarr, CAST((lastd + h) % 7 AS INT) + 1)"))
+              .cast(LongType).as("forecast"))
+          .orderBy("event_type", "h")
+      },
+      Some(oracleSql),
+      "Additive Holt-Winters (α=β=γ=1/2) daily forecast, h=1..7: exact " +
+        "portable-floor integer recurrences folded in-row per type; " +
+        "macro-shared recursive-CTE oracle")
+  }
+
   /** Sequential-pattern support (PrefixSpan's counting core): for every
     * ordered event-type triple (gap-allowed subsequence, NOT q178's
     * adjacent transitions), how many users' journeys contain it. The
@@ -1990,6 +2109,81 @@ object EventQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin),
     "Incremental JOIN-view maintenance (delta rules, affected-key rescan " +
       "only): post-CDC view proven equal to a from-scratch re-join")
+
+  /** [[graft.ops.Incremental.mergeJoinAggView]] — maintenance tier 7:
+    * the composed view γ_{priority}(COUNT, Σprice) over orders⋈lineitem
+    * under a CDC batch touching BOTH sides: order deletes (≡3 mod 17)
+    * and id-offset order clones (≡5 mod 13, the q126/q193 offset rule),
+    * lineitem deletes (line 1 of orderkeys ≡11 mod 23) and lineitem
+    * inserts both at the CLONED keys (pairing with the new orders — the
+    * ΔA⋈ΔB(+·+) cross term) and at existing keys ≡7 mod 19 (pairing
+    * with standing and deleted orders — the A⋈ΔB and ΔA(−)⋈ΔB(+)
+    * terms). All four signed cross-term combinations are live or
+    * provably empty; the oracle re-joins and re-aggregates the
+    * post-churn tables from scratch, so any mis-signed delta or missed
+    * cross term hash-fails the per-priority (n, exact cents) digest.
+    */
+  val q271_incremental_join_agg: QueryDef = QueryDef(
+    "q271_incremental_join_agg",
+    (s, d) => {
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val view = a.join(b, Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(Sql.dec2(col("l_extendedprice"))).as("s"))
+      val mk = a.agg(max("o_orderkey").as("mk"))
+      val aDel = a.filter(col("o_orderkey") % 17 === 3)
+      val aIns = a.filter(col("o_orderkey") % 13 === 5)
+        .crossJoin(broadcast(mk))
+        .select((col("o_orderkey") + col("mk") + 1).as("o_orderkey"),
+          col("o_orderpriority"))
+      val bDel = b.filter(col("o_orderkey") % 23 === 11 &&
+        col("l_linenumber") === 1)
+      val bIns = b.filter(col("o_orderkey") % 13 === 5)
+        .crossJoin(broadcast(mk))
+        .select((col("o_orderkey") + col("mk") + 1).as("o_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .unionByName(b.filter(col("o_orderkey") % 19 === 7)
+          .select(col("o_orderkey"),
+            (col("l_linenumber") + 100).as("l_linenumber"),
+            col("l_extendedprice")))
+      graft.ops.Incremental.mergeJoinAggView(view, a, b, aIns, aDel,
+          bIns, bDel, "o_orderkey", Seq("o_orderpriority"),
+          "l_extendedprice")
+        .select(col("o_orderpriority"), col("n"),
+          (col("s") * 100).cast(LongType).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |a2 AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |  WHERE o_orderkey % 17 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT mk FROM mk) + 1, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 5),
+      |b2 AS (
+      |  SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice
+      |  FROM lineitem
+      |  WHERE NOT (l_orderkey % 23 = 11 AND l_linenumber = 1)
+      |  UNION ALL
+      |  SELECT l_orderkey + (SELECT mk FROM mk) + 1, l_linenumber,
+      |    l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 13 = 5
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber + 100, l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 19 = 7)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM a2 JOIN b2 USING (o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "IVM tier 7 (join+agg composed view): signed-delta maintenance " +
+      "under CDC on both join inputs, proven ≡ from-scratch re-join + " +
+      "re-aggregate")
 
   /** Classical seasonal decomposition (STL's additive skeleton) of the
     * per-type daily count series, kept in EXACT integers by scaling the
@@ -4176,9 +4370,11 @@ object EventQueries {
     q262_bipartite_projection, q263_ohlc_bars, q264_bootstrap_ci,
     q265_rfm_segments,
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
-    q187_linear_attribution, q188_cusum_changepoint, q189_sequence_support,
+    q187_linear_attribution, q188_cusum_changepoint, q272_holt_winters,
+    q189_sequence_support,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
-    q193_incremental_join_view, q205_assortativity, q196_seasonal_decompose,
+    q193_incremental_join_view, q271_incremental_join_agg,
+    q205_assortativity, q196_seasonal_decompose,
     q197_chisq_independence, q198_twap, q207_path_analysis,
     q210_peak_concurrency, q211_autocorrelation, q221_date_shift, q222_gap_deciles,
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,

@@ -41,9 +41,10 @@ object GlobalPrefixSum {
     // join) within this one call and never again, and a persist here
     // leaked — the lazily-returned result gives no point to unpersist,
     // so cached blocks accumulated across repeated executions in one
-    // session. Checkpoint blocks are ContextCleaner-reclaimed when the
-    // frame is GC'd, and the stage is reliable when a checkpoint dir is
-    // configured (cluster fault tolerance — see [[Ckpt]]).
+    // session. Local-checkpoint blocks are ContextCleaner-reclaimed when
+    // the frame is GC'd; the reliable path (checkpoint dir configured —
+    // cluster fault tolerance) reclaims files only under
+    // cleanCheckpoints=true, and [[Ckpt.stage]] warns otherwise.
     val ranged = Ckpt.stage(df
       .repartitionByRange(n, orderKey: _*)
       .withColumn(PID, spark_partition_id()))

@@ -306,4 +306,57 @@ object Incremental {
       .join(dims, Seq(joinKey))
     kept.unionByName(rederived).unionByName(freshOther)
   }
+
+  /** Maintenance tier 7 — the composed materialized-view workhorse: a
+    * grouped COUNT/SUM aggregate OVER an inner equi-join, under a CDC
+    * batch touching BOTH join inputs. The signed-delta algebra:
+    *
+    *   A' ⋈ B' = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    *
+    * where ΔX = inserts(+1) ∪ deletes(−1) and the cross term multiplies
+    * signs — so the three delta joins (each delta-sized on at least one
+    * side) produce a signed row stream whose grouped (Σsign, Σsign·value)
+    * folds directly into the stored aggregate state:
+    * `n' = n + Σsign`, `s' = s + Σ sign·value`, groups reaching n = 0
+    * evicted. COUNT/SUM are self-maintainable, so the standing inputs
+    * are only ever PROBED by delta-sized builds (broadcast the delta /
+    * key-partitioned at scale) — never re-scanned into the aggregate,
+    * and the view itself is aggregate-sized.
+    *
+    * `view` is the stored aggregate: `groupKeys :+ (n, s)` with `s` in
+    * exact DECIMAL ([[graft.relational.Sql.dec2t]]); same shape out.
+    * `valueCol` lives on the B side; `groupKeys` may come from either
+    * side of the joined row. Deletes must be rows present in the
+    * corresponding base (standard CDC contract).
+    */
+  def mergeJoinAggView(view: DataFrame,
+      aBase: DataFrame, bBase: DataFrame,
+      aIns: DataFrame, aDel: DataFrame,
+      bIns: DataFrame, bDel: DataFrame,
+      joinKey: String, groupKeys: Seq[String], valueCol: String): DataFrame = {
+    def signed(ins: DataFrame, del: DataFrame, s: String): DataFrame =
+      ins.withColumn(s, lit(1L))
+        .unionByName(del.withColumn(s, lit(-1L)))
+    val dA = signed(aIns, aDel, "_sa")
+    val dB = signed(bIns, bDel, "_sb")
+    val proj = groupKeys.map(col) ++
+      Seq(col("_sign"), Sql.dec2(col(valueCol)).as("_v"))
+    val d1 = dA.join(bBase, Seq(joinKey))
+      .withColumn("_sign", col("_sa")).select(proj: _*)
+    val d2 = aBase.join(dB, Seq(joinKey))
+      .withColumn("_sign", col("_sb")).select(proj: _*)
+    val d3 = dA.join(dB, Seq(joinKey))
+      .withColumn("_sign", col("_sa") * col("_sb")).select(proj: _*)
+    val z = lit(0).cast(Sql.dec2t)
+    val delta = d1.unionByName(d2).unionByName(d3)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("_sign")).as("n_d"),
+        sum(col("_v") * col("_sign")).as("s_d"))
+    view.join(delta, groupKeys, "full_outer")
+      .select(groupKeys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("s"), z) +
+          coalesce(col("s_d"), z).cast(Sql.dec2t)).as("s")): _*)
+      .filter(col("n") > 0L)
+  }
 }

@@ -396,8 +396,9 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     // Ckpt.stage, not persist: toks feeds three subtrees (dl, terms, tf)
     // but the result is returned lazily, so a persist had no unpersist
-    // point and its blocks accumulated across executions; checkpoint
-    // blocks are GC-reclaimed, reliable when a dir is configured.
+    // point and its blocks accumulated across executions; local-checkpoint
+    // blocks are GC-reclaimed (the reliable path needs
+    // cleanCheckpoints=true — Ckpt.stage warns when it's off).
     val toks = Ckpt.stage(docs.select(col(idCol).as("doc_id"),
         explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("w")))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))

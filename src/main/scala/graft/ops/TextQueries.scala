@@ -759,8 +759,8 @@ object TextQueries {
       val seg = toks.withColumn("pid", sum("stop").over(w))
       // Ckpt.stage, not persist: pw feeds three subtrees and ph two, but
       // the result is lazy — persisted blocks had no unpersist point and
-      // leaked across executions (GC reclaims checkpoint blocks;
-      // reliable when a dir is configured)
+      // leaked across executions (GC reclaims local-checkpoint blocks;
+      // the reliable path needs cleanCheckpoints=true — Ckpt.stage warns)
       val pw = graft.ops.Ckpt.stage(seg.filter(col("stop") === 0L)
         .select("doc_id", "pid", "i", "w"))
       val ph = graft.ops.Ckpt.stage(pw.groupBy("doc_id", "pid")

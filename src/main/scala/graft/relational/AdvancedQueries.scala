@@ -1015,10 +1015,12 @@ object AdvancedQueries {
     * which costs zero additional ε. Negative noisy counts clamp to 0
     * (standard, still post-processing). Exact integer arithmetic
     * throughout; the oracle replays every noise draw bit-for-bit.
-    * The cents domain is SHIFTED (+10⁸) before the band division so
-    * negative values never hit the Spark-`div`-truncates vs DuckDB-`//`
-    * -floors divergence (q208's idiom); the midpoint subtracts the
-    * shift back, and the final mean uses an explicit portable floor.
+    * The cents domain is SHIFTED (+10⁸) before the band division AND the
+    * Spark-side division is an explicit portable floor (q179's CASE), so
+    * the Spark-`div`-truncates vs DuckDB-`//`-floors divergence cannot
+    * appear for ANY BIGINT cents value — the shift alone only guarded
+    * values ≥ -10⁸ cents; the midpoint subtracts the shift back, and the
+    * final mean uses the same portable floor.
     */
   val q257_dp_mean: QueryDef = q(
     "q257_dp_mean",
@@ -1060,10 +1062,19 @@ object AdvancedQueries {
     "DP mean release: noisy banded value histogram (eps = ln 2 by " +
       "parallel composition) post-processed to a band-midpoint mean — " +
       "exact integer noise, oracle-replayed bit-for-bit") { (s, d) =>
+    // portable floor, q179's idiom: the +10^8 shift keeps every realistic
+    // cents value positive, but for cents below -10^8 the shifted value
+    // would still be negative and Spark `div` (truncates) would diverge
+    // from DuckDB `//` (floors) — the CASE floors for ALL inputs, so the
+    // per-band noise key stays synchronized over the whole BIGINT domain
     val counts = Tables.events(s, d)
       .select(col("event_type"),
-        expr("""(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-               | + 100000000) div 1000""".stripMargin).as("band"))
+        expr("""CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               | + 100000000""".stripMargin).as("shifted"))
+      .select(col("event_type"),
+        expr("""CASE WHEN shifted >= 0 THEN shifted div 1000
+               | ELSE -((-shifted + 999) div 1000) END""".stripMargin)
+          .as("band"))
       .groupBy("event_type", "band").agg(count(lit(1)).as("n"))
     graft.ops.Privacy.withTwoSidedGeometricNoise(counts, seed = "dpm1",
         keySql = "concat(event_type, ':', CAST(band AS STRING))", out = "z")
@@ -1331,7 +1342,88 @@ object AdvancedQueries {
       .orderBy("c_nationkey", "n", "member")
   }
 
+  /** Theta-sketch SET operations ([[graft.functions.ThetaAggregator]]) —
+    * the audience-overlap report HLL cannot express: theta sketches
+    * retain a k-th-minimum-value hash sample, so two segment sketches
+    * answer |A∩B| and |A∖B|, not just the union. Segments: orderkeys
+    * with a returned line (A) vs orderkeys with a completed line (B) —
+    * ~11k/13k distinct with ~10k overlap at sf0.01, real estimation
+    * territory for nominal k=4096. One corpus pass builds both sketches
+    * (membership-tag explode → 2-group hash agg; only kilobyte compact
+    * images cross the shuffle); the set algebra then runs between the
+    * two collected kilobyte states (the documented sketch-sized collect,
+    * q84/q150's contract). The gate is the sketch's own standard-error
+    * interval at 3σ — exact COUNT(DISTINCT) must fall inside
+    * [lb(3), ub(3)] for every one of the five estimates; the oracle
+    * pins the exact counts and the always-on gate flags.
+    */
+  val q270_theta_set_ops: QueryDef = q(
+    "q270_theta_set_ops",
+    """WITH f AS (
+      |  SELECT l_orderkey,
+      |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+      |    max(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS b
+      |  FROM lineitem GROUP BY 1)
+      |SELECT set_op, exact_n, CAST(1 AS BIGINT) AS within_bounds
+      |FROM (
+      |  SELECT 'a' AS set_op, CAST(SUM(a) AS BIGINT) AS exact_n FROM f
+      |  UNION ALL SELECT 'b', CAST(SUM(b) AS BIGINT) FROM f
+      |  UNION ALL SELECT 'union', CAST(COUNT(*) AS BIGINT) FROM f
+      |    WHERE a = 1 OR b = 1
+      |  UNION ALL SELECT 'intersect', CAST(COUNT(*) AS BIGINT) FROM f
+      |    WHERE a = 1 AND b = 1
+      |  UNION ALL SELECT 'a_not_b', CAST(COUNT(*) AS BIGINT) FROM f
+      |    WHERE a = 1 AND b = 0) t
+      |ORDER BY set_op""".stripMargin,
+    "Theta-sketch set operations: segment sketches built in one pass, " +
+      "A∪B / A∩B / A∖B estimated between kilobyte states, every " +
+      "estimate 3σ-bound-gated vs exact COUNT(DISTINCT)") { (s, d) =>
+    import graft.functions.ThetaSketch
+    val nom = 4096
+    val li = lineitem(s, d).select(
+      col("l_orderkey").cast(LongType).as("k"),
+      (col("l_returnflag") === "R").as("ina"),
+      (col("l_linestatus") === "F").as("inb"))
+    val theta = udaf(graft.functions.ThetaAggregator(nom),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sks = li
+      .select(col("k"), explode(array(
+        when(col("ina"), "a"), when(col("inb"), "b"))).as("seg"))
+      .filter(col("seg").isNotNull)
+      .groupBy("seg").agg(theta(col("k")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (skA, skB) = (sks("a"), sks("b"))
+    val ests: Seq[(String, (Double, Double))] = Seq(
+      "a" -> ThetaSketch.fromBytes(skA),
+      "b" -> ThetaSketch.fromBytes(skB),
+      "union" -> ThetaSketch.union(Seq(skA, skB), nom),
+      "intersect" -> ThetaSketch.intersect(skA, skB),
+      "a_not_b" -> ThetaSketch.aNotB(skA, skB)
+    ).map { case (n, sk) =>
+      val (_, lb, ub) = ThetaSketch.bounds(sk, 3); n -> (lb, ub)
+    }
+    val flags = li.groupBy("k").agg(
+      max(when(col("ina"), 1L).otherwise(0L)).as("a"),
+      max(when(col("inb"), 1L).otherwise(0L)).as("b"))
+    val exact = flags.agg(
+      sum("a").as("ea"), sum("b").as("eb"),
+      sum(when(col("a") === 1 || col("b") === 1, 1L).otherwise(0L)).as("eu"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("ei"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("ed"))
+    val exCol = Map("a" -> "ea", "b" -> "eb", "union" -> "eu",
+      "intersect" -> "ei", "a_not_b" -> "ed")
+    exact.select(explode(array(ests.map { case (n, (lb, ub)) =>
+        struct(lit(n).as("set_op"),
+          col(exCol(n)).cast(LongType).as("exact_n"),
+          when(col(exCol(n)).between(lit(lb), lit(ub)), 1L).otherwise(0L)
+            .as("within_bounds"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("set_op")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q270_theta_set_ops,
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
     q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,

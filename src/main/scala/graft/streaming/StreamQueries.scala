@@ -466,8 +466,12 @@ object StreamQueries {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         stageCache.values().forEach(p =>
           try deleteRecursively(p) catch { case _: Throwable => })))
+    // orderExpr's rendered text is part of the identity: two call sites
+    // sharing a prefix and k but ordering by different columns must NOT
+    // reuse each other's staged files (Column.toString renders the
+    // underlying expression node — stable per expression shape)
     val key = df.sparkSession.sparkContext.applicationId +
-      "|" + datasetDir + "|" + prefix + "|" + k
+      "|" + datasetDir + "|" + prefix + "|" + k + "|" + orderExpr.toString
     stageCache.computeIfAbsent(key,
       _ => stageRangedUncached(df, orderExpr, k, prefix))
   }

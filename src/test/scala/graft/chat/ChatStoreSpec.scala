@@ -306,6 +306,83 @@ class ChatStoreSpec extends SparkSpec {
     } finally ChatStore.forceVersionedProtocol = false
   }
 
+  test("vacuum: above-pointer commits never eat the keepLast quota for usable history") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 3) // v0, pointer=0
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, idBo) // v1, pointer=1
+      ChatStore.updateUser(spark, dir,
+        ChatStore.findByEmail(spark, dir, "cy@x.io")
+          .select("user_id").collect().head.getString(0),
+        Map("name" -> "Cyrus")) // v2, pointer=2
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // committed-but-unpointed v8 above the current pointer: a crashed
+      // commit (died between _SUCCESS and the pointer write). Before the
+      // fix, keepLast=2 counted {2, 8} as the kept tail and deleted v1 —
+      // the crashed commit silently ate the quota meant for USABLE
+      // (<= pointer) history.
+      fs.mkdirs(p(dir + ".v8"))
+      fs.create(p(dir + ".v8/_SUCCESS"), true).close()
+      assert(ChatStore.vacuum(spark, dir, keepLast = 2).isEmpty,
+        "keepLast=2 must keep both below-pointer versions (v1, v2)")
+      assert(ChatStore.readVersion(spark, dir, 1L).count() == 2)
+      assert(fs.exists(p(dir + ".v8")), "above-pointer commit deleted")
+      // and the quota still prunes when it genuinely overflows
+      assert(ChatStore.vacuum(spark, dir, keepLast = 1) == Seq(1L))
+      assert(fs.exists(p(dir + ".v8")))
+    } finally ChatStore.forceVersionedProtocol = false
+  }
+
+  test("vacuum racing an in-flight overwrite: the commit landing mid-sweep survives intact") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 3) // v0
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.deleteUser(spark, dir, idBo) // v1, pointer=1
+      // interleaving: vacuum captures pointer=1 and the committed list,
+      // THEN (via the test seam) a concurrent writer commits v2 and
+      // advances the pointer, THEN vacuum's sweep lists the directory —
+      // which now contains the new version. The sweep works off the
+      // STALE pointer, so v2 is "above current" and must survive, data
+      // and pointer both.
+      var raced = false
+      ChatStore.vacuumAfterListHook = () => {
+        ChatStore.updateUser(spark, dir,
+          ChatStore.findByEmail(spark, dir, "cy@x.io")
+            .select("user_id").collect().head.getString(0),
+          Map("name" -> "Cyrus")) // commits v2, pointer=2
+        raced = true
+      }
+      val removed = try ChatStore.vacuum(spark, dir, keepLast = 1)
+        finally ChatStore.vacuumAfterListHook = () => ()
+      assert(raced)
+      // v0 was legitimately prunable under the stale view (pointer=1,
+      // keepLast=1); the race outcome under test is v2's survival
+      assert(!removed.contains(2L), s"racing commit swept: $removed")
+      val after = ChatStore.listUsers(spark, dir)
+      assert(after.count() == 2, "reader saw a partial/missing frame")
+      assert(after.filter($"name" === "Cyrus").count() == 1,
+        "racing commit's content lost")
+      assert(ChatStore.versions(spark, dir).map(_._1).contains(2L))
+    } finally {
+      ChatStore.vacuumAfterListHook = () => ()
+      ChatStore.forceVersionedProtocol = false
+    }
+  }
+
   test("torn/corrupt version pointer: reads recover via the highest complete version") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -681,4 +681,66 @@ class SkewScaleSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cover == naive)
   }
+
+  test("ThetaAggregator: a hot key repeated 2*10^4 times is one distinct; below-k set algebra is exact") {
+    // The q270 kernel under a hot-key segment: 2*10^4 duplicate rows of
+    // one key cost 2*10^4 O(1) sketch updates (absorbed map-side — only
+    // kilobyte partials shuffle) and contribute ONE retained hash.
+    // Below nominal entries the sketch is in exact mode, so every
+    // estimate — including intersection and difference, the ops HLL
+    // cannot do — must be exactly right, not just within bounds.
+    import graft.functions.{ThetaAggregator, ThetaSketch}
+    val theta = udaf(ThetaAggregator(4096),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // A = {1..3000} (hot key 777 inside it, massively duplicated);
+    // B = {777} ∪ {2001..4000}
+    val a = (Seq.fill(20000)(777L) ++ (1L to 3000L)).toDF("k")
+    val b = (Seq.fill(20000)(777L) ++ (2001L to 4000L)).toDF("k")
+    val skA = a.agg(theta(col("k"))).collect().head.getAs[Array[Byte]](0)
+    val skB = b.agg(theta(col("k"))).collect().head.getAs[Array[Byte]](0)
+    assert(ThetaSketch.fromBytes(skA).getEstimate == 3000.0)
+    assert(ThetaSketch.fromBytes(skB).getEstimate == 2001.0)
+    assert(ThetaSketch.union(Seq(skA, skB), 4096).getEstimate == 4000.0)
+    // A∩B = {777} ∪ {2001..3000} = 1001; A∖B = {1..2000}∖{777} = 1999
+    assert(ThetaSketch.intersect(skA, skB).getEstimate == 1001.0)
+    assert(ThetaSketch.aNotB(skA, skB).getEstimate == 1999.0)
+  }
+
+  test("mergeJoinAggView: celebrity join key regrouped by CDC equals full recompute, zero-count group evicted") {
+    // Tier-7 IVM under skew: ONE join key owns 2*10^4 B rows. The CDC
+    // batch deletes that key's only A row (group g1) and re-inserts it
+    // under group g3 — so the whole 2*10^4-row mass must move between
+    // groups via the delta joins (ΔA⋈B, delta-sized probe on A's side)
+    // without ever re-scanning the untouched g2 slice, and g1 must
+    // leave the view entirely (n = 0 eviction). B-side CDC lands on the
+    // same hot key (inserts) and on the cold key (deletes) so both
+    // cross terms fire.
+    val aBase = Seq((1L, "g1"), (2L, "g2")).toDF("k", "grp")
+    val bBase = ((1 to 20000).map(i => (1L, i, "1.00")) ++
+      (1 to 10).map(i => (2L, i, "2.50"))).toDF("k", "line", "v")
+    val aDel = Seq((1L, "g1")).toDF("k", "grp")
+    val aIns = Seq((1L, "g3")).toDF("k", "grp")
+    val bDel = bBase.filter(col("k") === 2L && col("line") <= 5)
+    val bIns = ((20001 to 20100).map(i => (1L, i, "3.00"))).toDF("k", "line", "v")
+    def recompute(adf: org.apache.spark.sql.DataFrame,
+        bdf: org.apache.spark.sql.DataFrame) =
+      adf.join(bdf, Seq("k")).groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.relational.Sql.dec2(col("v"))).as("s"))
+    val view = recompute(aBase, bBase)
+    val merged = Incremental.mergeJoinAggView(view, aBase, bBase,
+        aIns, aDel, bIns, bDel, "k", Seq("grp"), "v")
+      .select(col("grp"), col("n"), col("s").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val aFinal = Seq((1L, "g3"), (2L, "g2")).toDF("k", "grp")
+    val bFinal = bBase.except(bDel).unionByName(bIns)
+    val expect = recompute(aFinal, bFinal)
+      .select(col("grp"), col("n"), col("s").cast("string"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(merged.toSeq == expect.toSeq)
+    assert(!merged.exists(_._1 == "g1"), "zero-count group not evicted")
+    assert(merged.exists(t => t._1 == "g3" && t._2 == 20100L))
+  }
 }
