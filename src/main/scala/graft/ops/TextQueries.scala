@@ -1096,7 +1096,78 @@ object TextQueries {
         .orderBy("n_vocab")
   }
 
+  /** Exact PHRASE search over a positional inverted index — the boolean
+    * retrieval primitive the ranked family (q183 BM25, q237 RRF) lacks:
+    * "these tokens, adjacent, in this order". The engine plan IS the
+    * inverted-index plan a search system runs at 100 TB: one positional
+    * posting list (doc_id, pos, term) built in a single codegen pass,
+    * one broadcast join against the tiny phrase-terms table, and a
+    * two-level hash agg — a posting matches phrase occurrence `anchor =
+    * pos − offset` iff all `len` offsets land (count of distinct
+    * offsets per (phrase, doc, anchor) = phrase length). No self-join
+    * of the posting list per phrase word, no per-phrase rescan;
+    * OVERLAPPING occurrences count (token-adjacency semantics, which a
+    * non-overlapping regex scan would undercount). The oracle rebuilds
+    * the same adjacency join from generate_subscripts positions.
+    */
+  val q275_phrase_search: QueryDef = {
+    val phrases = Seq("fast table", "table value", "value table part")
+    val phraseRows = phrases.flatMap(p =>
+      p.split(' ').zipWithIndex.map { case (t, i) => (p, i.toLong, t) })
+    val oracleSql = {
+      val phraseSel = phrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |ph(phrase) AS (VALUES $phraseSel),
+         |pt AS (
+         |  SELECT phrase,
+         |    generate_subscripts(string_split(phrase, ' '), 1) - 1 AS off,
+         |    unnest(string_split(phrase, ' ')) AS term,
+         |    len(string_split(phrase, ' ')) AS plen
+         |  FROM ph),
+         |m AS (
+         |  SELECT pt.phrase, t.doc_id, t.pos - pt.off AS anchor,
+         |    count(DISTINCT pt.off) AS nmatch, any_value(pt.plen) AS plen
+         |  FROM toks t JOIN pt ON pt.term = t.w
+         |  GROUP BY 1, 2, 3),
+         |hit AS (SELECT phrase, doc_id FROM m WHERE nmatch = plen)
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM hit GROUP BY 1 ORDER BY phrase""".stripMargin
+    }
+    q("q275_phrase_search", oracleSql,
+      "Positional inverted-index phrase search: broadcast phrase-term " +
+        "join + anchor hash agg, overlapping token-adjacency counts, " +
+        "no posting-list self-join") { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        // 1-based positions to match generate_subscripts; the +0L offset
+        // subtraction below is position-shift-invariant anyway
+        .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+          col("col").as("w"))
+      val pt = phraseRows.toDF("phrase", "off", "term")
+      val plens = phrases.map(p => p -> p.split(' ').length.toLong).toMap
+      val plenCol = phrases.foldLeft(lit(-1L)) { (acc, p) =>
+        when(col("phrase") === p, lit(plens(p))).otherwise(acc)
+      }
+      toks.join(broadcast(pt), col("w") === col("term"))
+        .groupBy(col("phrase"), col("doc_id"),
+          (col("pos") - col("off")).as("anchor"))
+        .agg(countDistinct("off").as("nmatch"))
+        .filter(col("nmatch") === plenCol)
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("phrase")
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q275_phrase_search,
     q248_kn_bigram, q249_vocab_coverage,
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q229_sparse_cosine_pairs, q237_rank_fusion,

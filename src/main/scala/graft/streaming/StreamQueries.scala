@@ -1148,6 +1148,143 @@ object StreamQueries {
       "stateful aggregation (kilobyte sketch state per micro-batch), " +
       "q150's true-rank gate and oracle")
 
+  /** Stream/batch parity #16 — THETA sketches at the stream boundary
+    * ([[graft.functions.ThetaAggregator]]): per-returnflag distinct
+    * orderkey cardinalities maintained as a GROUPED streaming stateful
+    * aggregation. The lineitem rows arrive as 3 key-ranged micro-batches;
+    * each batch reduces map-side into partial sketches and the state
+    * store carries one kilobyte compact image PER GROUP between batches
+    * (bounded state by construction — a KMV sample never exceeds its
+    * nominal entries). The end-state sketches are gated with their own
+    * 3σ standard-error interval against exact COUNT(DISTINCT), q270's
+    * discipline at the stream boundary.
+    */
+  val q273_stream_theta_distinct: QueryDef = QueryDef(
+    "q273_stream_theta_distinct",
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val li = graft.relational.Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast(LongType).as("okey"),
+          col("l_returnflag").as("rf"))
+      val dir = stageRanged(li, col("okey"), k = 3,
+        prefix = "graft_q273_src", datasetDir = d)
+      val schema = s.read.parquet(dir.toString).schema
+      val theta = udaf(graft.functions.ThetaAggregator(4096),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val agged = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .groupBy("rf")
+        .agg(theta(col("okey")).as("sk"))
+      val sink = "graft_q273_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q273_ckpt")
+      val q = agged.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"expected multiple micro-batches, saw $batches — staging broke")
+      val sks = s.table(sink).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      val bounds = sks.map { case (rf, b) =>
+        val sk = graft.functions.ThetaSketch.fromBytes(b)
+        rf -> (sk.getLowerBound(3), sk.getUpperBound(3))
+      }
+      val exact = li.groupBy("rf")
+        .agg(countDistinct("okey").as("exact_n"))
+      val lb = bounds.foldLeft(lit(Double.MaxValue)) { case (acc, (rf, (l, _))) =>
+        when(col("rf") === rf, lit(l)).otherwise(acc)
+      }
+      val ub = bounds.foldLeft(lit(Double.MinValue)) { case (acc, (rf, (_, u))) =>
+        when(col("rf") === rf, lit(u)).otherwise(acc)
+      }
+      exact.select(col("rf"), col("exact_n").cast(LongType).as("exact_n"),
+          when(col("exact_n").between(lb, ub), 1L).otherwise(0L)
+            .as("within_bounds"))
+        .orderBy("rf")
+        .localCheckpoint(true)
+    },
+    Some("""SELECT l_returnflag AS rf,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
+      |  CAST(1 AS BIGINT) AS within_bounds
+      |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin),
+    "Stream/batch parity #16: theta sketches as grouped streaming " +
+      "state (one kilobyte KMV image per group), end-state estimates " +
+      "3σ-bound-gated vs exact COUNT(DISTINCT)")
+
+  /** Stream/batch parity #17 — the LATE-DATA DROP semantics q161 leaves
+    * untested (there "no event is ever late"): one deterministic row —
+    * the globally minimum (ts, event_id) event — is staged OUT of time
+    * order into the final micro-batch. By then the watermark (max event
+    * time of the earlier batches − 1 day) is far past that row's day
+    * window, whose result was already emitted and whose state was
+    * evicted, so Structured Streaming must DISCARD the row: the end
+    * state equals q161's closed-window batch counts with exactly that
+    * one event excluded. Both the drop rule and the exclusion are
+    * deterministic (total order on (ts, event_id)), so the oracle
+    * replays them; a streaming engine that silently double-counts or
+    * resurrects evicted windows hash-fails this row.
+    */
+  val q274_stream_late_drop: QueryDef = QueryDef(
+    "q274_stream_late_drop",
+    (s, d) => {
+      val ev = graft.relational.Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("event_id"))
+      // the one deliberately late row, by total order — a 1-row
+      // aggregate broadcast (PlanLint's allowlisted 1-row crossJoin)
+      val m = ev.agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      val tagged = ev.crossJoin(broadcast(m))
+        .withColumn("late",
+          col("ts") === col("m.ts") && col("event_id") === col("m.event_id"))
+        .select("ts", "event_type", "late")
+      val dir = stageRanged(tagged,
+        when(col("late"), lit(Long.MaxValue / 2))
+          .otherwise(unix_micros(col("ts"))),
+        k = 4, prefix = "graft_q274_src", datasetDir = d)
+      val schema = s.read.parquet(dir.toString).schema
+      val counts = EventStream.dailyTypeCounts(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+          .select("ts", "event_type"))
+      val sink = "graft_q274_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q274_ckpt")
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val res = s.table(sink)
+        .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n").cast(LongType).as("n"))
+        .orderBy("day", "event_type")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt)
+      res
+    },
+    Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+      |late AS (SELECT event_id FROM events ORDER BY ts, event_id LIMIT 1),
+      |ev AS (SELECT ts, event_type FROM events
+      |       WHERE event_id <> (SELECT event_id FROM late))
+      |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS n
+      |FROM ev, m
+      |GROUP BY 1, 2, m.mx
+      |HAVING date_trunc('day', min(ts)) + INTERVAL 2 DAY <= m.mx
+      |ORDER BY day, event_type""".stripMargin),
+    "Stream/batch parity #17: a deterministically late event is " +
+      "DROPPED by the watermark (window emitted once, state evicted) — " +
+      "end state = closed-window counts minus exactly that event")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
@@ -1155,5 +1292,6 @@ object StreamQueries {
     q165_stream_interval_join, q168_stream_dedup, q170_stream_merge_sink,
     q175_stream_restart, q202_stream_outer_join, q217_stream_session_close,
     q233_stream_state_bound, q266_stream_semi_join,
-    q269_stream_kll_quantiles)
+    q269_stream_kll_quantiles, q273_stream_theta_distinct,
+    q274_stream_late_drop)
 }

@@ -54,6 +54,7 @@ class PlanLintSpec extends SparkSpec {
     "q183_bm25_scoring" -> "one-row (n_docs, a_tokens) corpus totals broadcast onto the per-(doc,term) tf rows (q60's idf-denominator shape)",
     "q192_link_prediction" -> "one-row adaptive degree-cap threshold (floor(sqrt(2|E|)), wedge mass <= (2|E|)^1.5) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
+    "q271_incremental_join_agg" -> "same one-row max(o_orderkey)+1 offset broadcast as q193, applied to both sides' CDC insert clones",
     // q194's 1-row query-id crossJoin runs inside the eager shortlist
     // checkpoint, so no BNLJ reaches its final plan
     "q197_chisq_independence" -> "one-row grand-total N broadcast onto the 35-cell contingency table (expected-count denominator)",
