@@ -723,6 +723,51 @@ object ScaleProbe {
       lit(42L).as("k"), (col("id") + 1000000L).as("line"),
       lit("2.00").as("v"))))
 
+    // q276: 3-D skyline under dominated mass — 2*10^5 copies of one
+    // deeply-dominated point must be pruned partition-locally (each
+    // local sweep emits its skyline, bounded by distinct y), so seconds
+    // track the scan, never the dominated multiplicity, and the global
+    // pass moves only candidates.
+    def probeSkyline(scale: String, extra: Option[DataFrame]): Unit = {
+      val li = relational.Tables.lineitem(spark, sfDir)
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_quantity").isNotNull && col("l_discount").isNotNull)
+        .select(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+            "AS BIGINT) div 50000").as("x"),
+          col("l_quantity").cast("long").as("y"),
+          expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("z"))
+      val in = extra.map(li.unionAll).getOrElse(li)
+      val n = in.count()
+      val (rows, t) = time(ops.Skyline.skyline3d(in, "x", "y", "z").count())
+      emit("q276_skyline3d", scale, n, t, rows)
+    }
+    probeSkyline("1x", None)
+    probeSkyline("1x+dominated-mass", Some(spark.range(200000L).select(
+      lit(9999L).as("x"), lit(1L).as("y"), lit(0L).as("z"))))
+
+    // q277: Merkle replica diff at table scale — the identical-replica
+    // run must cost only the two digest passes (empty rescan), and the
+    // diverging run's extra cost tracks the mismatched buckets' rows.
+    def probeMerkle(scale: String, diverge: Boolean): Unit = {
+      val o = relational.Tables.orders(spark, sfDir).select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val b = if (!diverge) o
+        else o.filter(col("o_orderkey") % 103 =!= 5)
+          .withColumn("cents", when(col("o_orderkey") % 101 === 7,
+            col("cents") + 1).otherwise(col("cents")))
+      val n = o.count()
+      val dg = expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS " +
+        "STRING), ':', CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      val (rows, t) = time(
+        ops.Audit.merkleBucketDiff(o, b, "o_orderkey", dg, 256).count())
+      emit("q277_merkle_diff", scale, n, t, rows)
+    }
+    probeMerkle("identical-replicas", diverge = false)
+    probeMerkle("diverging", diverge = true)
+
     // q143: perceptron training on the pathological corpus — the
     // boilerplate cluster concentrates `inject` near-identical feature
     // rows on a handful of buckets (hot gradient keys, absorbed by the

@@ -1847,6 +1847,196 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** Incremental CONNECTED COMPONENTS (IVM tier 8,
+    * [[graft.ops.Incremental.mergeComponents]]): the component-label
+    * view of the interaction graph maintained under an edge-INSERT
+    * batch — base = edges with (source+target) ≢ 0 mod 5, delta = the
+    * rest. The merge touches only the delta: label lookups for delta
+    * endpoints, pointer jumping over the LABEL-pair graph (bounded by
+    * merging components), one remap join — the standing edge set is
+    * never re-read. The oracle computes components of the FULL edge
+    * set from scratch via a recursive transitive closure and labels
+    * every node with its minimum reachable id, so a missed merge, a
+    * lost delta-only node, or a remap that breaks the min-label
+    * convention hash-fails per node.
+    */
+  val q281_incremental_components: QueryDef = QueryDef(
+    "q281_incremental_components",
+    (s, d) => {
+      val e = weightedEdges(s, d).select("source", "target")
+      val base = e.filter((col("source") + col("target")) % 5 =!= 0)
+      val delta = e.filter((col("source") + col("target")) % 5 === 0)
+      val labels = graft.ops.Dedup.connectedComponents(
+        base, "source", "target")
+      graft.ops.Incremental.mergeComponents(labels, delta,
+          "source", "target")
+        .select(col("node").cast(LongType).as("node"),
+          col("label").cast(LongType).as("label"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a,
+      |    GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |r(a, b) AS (
+      |  SELECT a, b FROM u
+      |  UNION
+      |  SELECT r.a, u.b FROM r JOIN u ON r.b = u.a)
+      |SELECT CAST(a AS BIGINT) AS node,
+      |  CAST(LEAST(a, min(b)) AS BIGINT) AS label
+      |FROM r GROUP BY a ORDER BY node""".stripMargin),
+    "IVM tier 8: connected-component labels maintained under edge " +
+      "inserts — delta-sized label merges only, proven ≡ from-scratch " +
+      "components via the closure oracle")
+
+  /** Grouped MULTIVARIATE OLS — per-type regression of event cents on
+    * TWO features (day index, synthetic weekend flag) plus intercept,
+    * solved EXACTLY via the 3×3 normal equations and Cramer's rule in
+    * wide-integer arithmetic (DECIMAL(38,0) / HUGEINT): the
+    * multi-feature lift of q253's single-feature trend line. The corpus
+    * pass is ONE hash agg of nine integer moment sums (n, Σx₁, Σx₂,
+    * Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y) — the model solve is pure
+    * aggregate-side arithmetic, so 100 TB costs one map-side-combined
+    * aggregation regardless of feature count. Coefficients published as
+    * floor-ppm rationals: βᵢ = det(Aᵢ)/det(A) with the numerator and
+    * denominator SIGN-NORMALIZED first, then q179's portable-floor
+    * CASE, so Spark `div` and DuckDB `//` agree for either sign. The
+    * determinant expressions are macro-expanded from the SAME Scala
+    * strings into both engines' SQL.
+    */
+  val q279_multivar_ols: QueryDef = {
+    def det3(a: String*): String = {
+      require(a.length == 9)
+      val Seq(a11, a12, a13, a21, a22, a23, a31, a32, a33) = a
+      s"(($a11)*(($a22)*($a33)-($a23)*($a32)) - " +
+        s"($a12)*(($a21)*($a33)-($a23)*($a31)) + " +
+        s"($a13)*(($a21)*($a32)-($a22)*($a31)))"
+    }
+    val detA = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    val dets = Seq(
+      det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22"),
+      det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22"),
+      det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"))
+    // floor-ppm of num/detA for either sign: normalize by sign(detA),
+    // then the portable-floor CASE over the now-positive denominator
+    def ppm(num: String, w: String, fd: String): String = {
+      val sgn = s"(CASE WHEN ($detA) < 0 THEN -1 ELSE 1 END)"
+      val dab = s"(($detA) * $sgn)"
+      val nn = s"(CAST(1000000 AS $w) * ($num) * $sgn)"
+      s"(CASE WHEN ($detA) = 0 THEN CAST(0 AS $w) " +
+        s"WHEN $nn >= 0 THEN $nn $fd $dab " +
+        s"ELSE -((-($nn) + $dab - 1) $fd $dab) END)"
+    }
+    def betas(w: String, fd: String): Seq[String] =
+      dets.zipWithIndex.map { case (d, i) =>
+        s"CAST(${ppm(d, w, fd)} AS BIGINT) AS beta${i}_ppm" }
+    val oracleSql =
+      s"""WITH base AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400
+         |      - (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+         |         FROM events) AS x1,
+         |    CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7
+         |      IN (2, 3) THEN 1 ELSE 0 END AS x2,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x1) AS HUGEINT) AS s1,
+         |    CAST(sum(x2) AS HUGEINT) AS s2,
+         |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
+         |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+         |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x1*y) AS HUGEINT) AS s1y,
+         |    CAST(sum(x2*y) AS HUGEINT) AS s2y
+         |  FROM base GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  ${betas("HUGEINT", "//").mkString(",\n  ")}
+         |FROM s ORDER BY event_type""".stripMargin
+    QueryDef(
+      "q279_multivar_ols",
+      (s, d) => {
+        val w = "DECIMAL(38,0)"
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("ts_sec div 86400").as("day"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("y"))
+        val minDay = ev.agg(min("day").as("mind"))
+        val base = ev.crossJoin(broadcast(minDay))
+          .select(col("event_type"), (col("day") - col("mind")).as("x1"),
+            when(col("day") % 7 === 2 || col("day") % 7 === 3, 1L)
+              .otherwise(0L).as("x2"), col("y"))
+        val sums = base.groupBy("event_type").agg(
+          count(lit(1)).cast(w).as("n"),
+          sum("x1").cast(w).as("s1"), sum("x2").cast(w).as("s2"),
+          sum(expr("x1*x1")).cast(w).as("s11"),
+          sum(expr("x1*x2")).cast(w).as("s12"),
+          sum(expr("x2*x2")).cast(w).as("s22"),
+          sum("y").cast(w).as("sy"),
+          sum(expr("x1*y")).cast(w).as("s1y"),
+          sum(expr("x2*y")).cast(w).as("s2y"))
+        sums.selectExpr(Seq("event_type", "CAST(n AS BIGINT) AS n") ++
+            betas(w, "div"): _*)
+          .orderBy("event_type")
+      },
+      Some(oracleSql),
+      "Grouped multivariate OLS (2 features + intercept) via exact " +
+        "Cramer normal equations — one hash agg of integer moments, " +
+        "floor-ppm coefficients, macro-shared determinant SQL")
+  }
+
+  /** Event-sequence REGEX matching — the MATCH_RECOGNIZE shape beyond
+    * q154's fixed funnel and q189's gap-subsequences: each user's
+    * journey (event-type initials in (ts, event_id) total order — the
+    * five types have distinct initials) becomes one bounded string, and
+    * arbitrary regular patterns with quantifiers run against it:
+    * `s[cv]*p` (signup, any browsing, purchase — ADJACENT, which q189's
+    * gap semantics cannot express), `c{3,}` (click bursts), `ep`
+    * (purchase immediately after an error), `sv?p`. Per-user journeys
+    * are user-bounded, the pattern set is a 4× explode of the
+    * user-sized frame, and both engines count NON-OVERLAPPING
+    * left-to-right matches (java.util.regex find() ≡ RE2 extract_all
+    * for these patterns). The corpus pass is one hash agg.
+    */
+  val q278_sequence_regex: QueryDef = q(
+    "q278_sequence_regex",
+    """WITH j AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY ts, event_id) AS jr
+      |  FROM events GROUP BY user_id),
+      |p(pat) AS (VALUES ('s[cv]*p'), ('c{3,}'), ('ep'), ('sv?p')),
+      |m AS (SELECT p.pat, len(regexp_extract_all(j.jr, p.pat)) AS n
+      |      FROM j, p)
+      |SELECT pat,
+      |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+      |  CAST(sum(n) AS BIGINT) AS n_occ
+      |FROM m GROUP BY 1 ORDER BY pat""".stripMargin,
+    "Event-sequence regex (MATCH_RECOGNIZE emulation): per-user " +
+      "journey strings × 4 quantified patterns, non-overlapping match " +
+      "counts — one hash agg corpus pass") { (s, d) =>
+    val pats = Seq("s[cv]*p", "c{3,}", "ep", "sv?p")
+    val j = Tables.events(s, d).groupBy("user_id")
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("ch")))),
+        e => e("ch"))).as("jr"))
+    j.select(explode(array(pats.map(p =>
+        struct(lit(p).as("pat"),
+          size(regexp_extract_all(col("jr"), lit(p), lit(0)))
+            .cast(LongType).as("n"))): _*)).as("r"))
+      .select("r.*")
+      .groupBy("pat")
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_users"),
+        sum("n").as("n_occ"))
+      .orderBy("pat")
+  }
+
   /** Sequential-pattern support (PrefixSpan's counting core): for every
     * ordered event-type triple (gap-allowed subsequence, NOT q178's
     * adjacent transitions), how many users' journeys contain it. The
@@ -4371,7 +4561,8 @@ object EventQueries {
     q265_rfm_segments,
     q180_hits_scores, q182_weighted_sssp, q185_rolling_distinct, q186_ab_lift,
     q187_linear_attribution, q188_cusum_changepoint, q272_holt_winters,
-    q189_sequence_support,
+    q189_sequence_support, q278_sequence_regex, q279_multivar_ols,
+    q281_incremental_components,
     q190_theilsen_trend, q191_hhi_concentration, q192_link_prediction,
     q193_incremental_join_view, q271_incremental_join_agg,
     q205_assortativity, q196_seasonal_decompose,

@@ -67,4 +67,55 @@ object Audit {
         col("n_violations").cast(LongType).as("n_violations"),
         when(col("n_violations") === 0L, 1L).otherwise(0L).as("passed"))
   }
+
+  /** Merkle-style replica diff (anti-entropy repair's read path): find
+    * WHERE two table replicas diverge while exchanging only O(buckets)
+    * summary state, never the tables. Each side folds its rows into
+    * per-bucket digests — (count, bit_xor of row digests, sum of row
+    * digests): xor catches any single flip, count catches pure
+    * adds/drops, and the sum makes a compensating double-flip require a
+    * simultaneous md5 collision — then ONLY the mismatched buckets are
+    * re-scanned row-level (one semi-join per side, partition-prunable
+    * on a bucket-partitioned table) and keys categorized `only_a` /
+    * `only_b` / `modified`. At 100 TB per replica the comparison moves
+    * kilobytes of bucket digests plus the diverging buckets' rows; a
+    * naive full-table except/anti-join would shuffle both corpora.
+    *
+    * `rowDigest` must be a deterministic BIGINT digest of the row's
+    * key+payload (the md5-hex-to-long idiom); `keyCol` unique per side.
+    * Returns (key, bucket, digest_a, digest_b, diff_type) for every
+    * diverging key.
+    */
+  def merkleBucketDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      rowDigest: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(keyCol).as("k"), rowDigest.cast(LongType).as("dg"),
+        pmod(col(keyCol), lit(buckets.toLong)).as("bucket"))
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      prep(df).groupBy("bucket").agg(
+        count(lit(1)).as(s"n_$tag"),
+        expr("bit_xor(dg)").as(s"x_$tag"),
+        // DECIMAL sum: 60-bit digests summed over a bucket overflow
+        // BIGINT under ANSI mode; the sum is a checksum, any exact
+        // wide type serves
+        sum(col("dg").cast("decimal(38,0)")).as(s"s_$tag"))
+    val mismatched = summarize(a, "a")
+      .join(summarize(b, "b"), Seq("bucket"), "full_outer")
+      .filter(col("n_a").isNull || col("n_b").isNull ||
+        col("n_a") =!= col("n_b") || col("x_a") =!= col("x_b") ||
+        col("s_a") =!= col("s_b"))
+      .select("bucket")
+    val ra = prep(a).join(mismatched, Seq("bucket"), "left_semi")
+    val rb = prep(b).join(mismatched, Seq("bucket"), "left_semi")
+    ra.select(col("bucket"), col("k"), col("dg").as("digest_a"))
+      .join(rb.select(col("bucket"), col("k"), col("dg").as("digest_b")),
+        Seq("bucket", "k"), "full_outer")
+      .filter(col("digest_a").isNull || col("digest_b").isNull ||
+        col("digest_a") =!= col("digest_b"))
+      .select(col("k"), col("bucket"), col("digest_a"), col("digest_b"),
+        when(col("digest_b").isNull, "only_a")
+          .when(col("digest_a").isNull, "only_b")
+          .otherwise("modified").as("diff_type"))
+  }
 }

@@ -164,6 +164,66 @@ object FeaturizeQueries {
     "Batch perceptron training of the q139-shaped linear quality " +
       "classifier: integer-exact epochs, literal-map model broadcast")
 
-  def defs: Seq[QueryDef] = Seq(q60_hashing_tfidf, q139_quality_classifier,
+  /** Classifier CALIBRATION curve (reliability diagram) — the ML-eval
+    * row the train/infer pair (q143/q139) lacked: q139's linear scores
+    * bucketed into fixed-width bins (width 32, portable floor for
+    * negative scores), each bin reporting observed positive rate
+    * (label = q143's self-supervised n_tokens ≥ 56) and mean score,
+    * both in exact floor-ppm. A calibrated scorer shows pos_rate
+    * rising monotonically with the bin — the curve a quality-filter
+    * threshold is read from. One corpus pass (the q139 expression
+    * chain) + one hash agg; bins are value-domain-bounded.
+    */
+  val q282_calibration_curve: QueryDef = QueryDef(
+    "q282_calibration_curve",
+    (s, d) => {
+      val scored = Featurize.hashedLinearScore(
+        Tables.documents(s, d), "doc_id", "text")
+      scored
+        .withColumn("pos", when(col("n_tokens") >= 56, 1L).otherwise(0L))
+        .withColumn("bin", expr("CASE WHEN score >= 0 THEN score div 32 " +
+          "ELSE -((-score + 31) div 32) END"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+          sum("score").as("sum_score"))
+        .select(col("bin").cast(LongType).as("bin"),
+          col("n").cast(LongType).as("n"),
+          col("n_pos").cast(LongType).as("n_pos"),
+          expr("(1000000 * n_pos) div n").cast(LongType)
+            .as("pos_rate_ppm"),
+          expr("CAST(CASE WHEN sum_score >= 0 THEN " +
+            "(1000000 * sum_score) div n " +
+            "ELSE -((-(1000000 * sum_score) + n - 1) div n) END " +
+            "AS BIGINT)").as("mean_score_ppm"))
+        .orderBy("bin")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(('0x' || substr(md5('qw' || w), 1, 4)) AS BIGINT)
+      |      % 16 - 8) AS score
+      |  FROM tok GROUP BY doc_id),
+      |b AS (
+      |  SELECT CASE WHEN score >= 0 THEN score // 32
+      |    ELSE -((-score + 31) // 32) END AS bin,
+      |    CASE WHEN n_tokens >= 56 THEN 1 ELSE 0 END AS pos, score
+      |  FROM scored)
+      |SELECT CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_rate_ppm,
+      |  CAST(CASE WHEN sum(score) >= 0 THEN
+      |      (1000000 * sum(score)) // count(*)
+      |    ELSE -((-(1000000 * sum(score)) + count(*) - 1) // count(*))
+      |    END AS BIGINT) AS mean_score_ppm
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+    "Classifier calibration curve: fixed-width score bins × observed " +
+      "positive rate in exact floor-ppm — the reliability diagram for " +
+      "the q139/q143 quality filter")
+
+  def defs: Seq[QueryDef] = Seq(q282_calibration_curve,
+    q60_hashing_tfidf, q139_quality_classifier,
     q143_perceptron_train)
 }

@@ -307,6 +307,40 @@ object Incremental {
     kept.unionByName(rederived).unionByName(freshOther)
   }
 
+  /** Maintenance tier 8 — CONNECTED-COMPONENT labels as an incremental
+    * view under edge INSERTS (the insert-only case is the classic
+    * incremental union-find; deletes force recompute and are out of
+    * scope, as in every production CC view). The standing labels are
+    * never re-derived: the delta edges are translated into LABEL pairs
+    * (two delta-sized label lookups), only the pairs joining DIFFERENT
+    * components survive, pointer-jumping runs on that label-pair graph
+    * (bounded by the number of merging components, not by |E| or |V|),
+    * and the resulting label remap is applied with one join against the
+    * label table. Nodes first seen in the delta seed as their own
+    * component. Labels stay "min node id of component" if they were —
+    * the remap label is the min of merged labels.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val deltaNodes = newPairs.select(col(aCol).as("node"))
+      .unionByName(newPairs.select(col(bCol).as("node"))).distinct()
+    val seeds = deltaNodes.join(labels.select("node"), Seq("node"),
+      "left_anti").withColumn("label", col("node"))
+    val all = labels.unionByName(seeds)
+    val lp = newPairs
+      .join(all.select(col("node").as(aCol), col("label").as("_la")),
+        Seq(aCol))
+      .join(all.select(col("node").as(bCol), col("label").as("_lb")),
+        Seq(bCol))
+      .filter(col("_la") =!= col("_lb"))
+      .select(col("_la"), col("_lb"))
+    val remap = Dedup.connectedComponents(lp, "_la", "_lb")
+      .select(col("node").as("label"), col("label").as("_newLabel"))
+    all.join(remap, Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("_newLabel"), col("label")).as("label"))
+  }
+
   /** Maintenance tier 7 — the composed materialized-view workhorse: a
     * grouped COUNT/SUM aggregate OVER an inner equi-join, under a CDC
     * batch touching BOTH join inputs. The signed-delta algebra:

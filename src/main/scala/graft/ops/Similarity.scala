@@ -796,6 +796,57 @@ object Similarity {
       .select("q_id", "id", "rnk", "cosine")
   }
 
+  /** MULTI-PROBE ANN top-k — the recall lever single-bucket sign-LSH
+    * ([[annTopK]]) lacks without rebuilding the index: each query also
+    * probes the buckets reached by flipping its LOWEST-MARGIN sign bits
+    * (the planes whose dot product sits closest to the boundary — where
+    * a true neighbor most likely landed on the other side; Lv et al.,
+    * VLDB 2007). Candidates are the UNION of `1 + extraProbes` buckets,
+    * deduped, then exact-cosine ranked — a strict superset of the
+    * single-probe candidates, so recall can only improve, at
+    * `(1 + extraProbes)×` the probe cost and ZERO extra index state
+    * (the same bucket layout serves any probe budget). At 100 TB this
+    * is the standard recall/latency dial: the corpus-side index is
+    * untouched; only the broadcast query side fans out.
+    */
+  def annTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, dim: Int, planes: Int = 8, extraProbes: Int = 4): DataFrame = {
+    require(extraProbes >= 0 && extraProbes <= planes,
+      s"extraProbes must be in [0, planes], got $extraProbes")
+    org.apache.spark.sql.GraftRegistrar.register(corpus.sparkSession)
+    val c = annBuckets(corpus, embCol, dim, planes)
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
+      .withColumn("nrm", sqrt(fastNorm2(col("emb"))))
+    var q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_nrm", sqrt(fastNorm2(col("q_emb"))))
+    (0 until planes).foreach { p =>
+      val hp = array(hyperplane(p, dim).map(lit): _*)
+      q = q.withColumn(s"_d$p", fastDot(col("q_emb"), hp))
+    }
+    val base = (0 until planes).map(p =>
+      when(col(s"_d$p") > 0, 1L << p).otherwise(0L)).reduce(_ + _)
+    val margins = (0 until planes)
+      .map(p => s"struct(abs(_d$p) AS m, $p AS p)").mkString(", ")
+    val qq = q.withColumn("_base", base)
+      .withColumn("bucket", explode(expr(
+        s"""concat(array(_base),
+           |  transform(slice(array_sort(array($margins)), 1, $extraProbes),
+           |    e -> _base ^ CAST(shiftleft(1, e.p) AS BIGINT)))"""
+          .stripMargin)))
+      .select("q_id", "q_emb", "q_nrm", "bucket")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("id"))
+    c.join(broadcast(qq), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      // a corpus point can surface through several probes of one query
+      .dropDuplicates("q_id", "id")
+      .withColumn("cosine",
+        fastDot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "id", "rnk", "cosine")
+  }
+
   /** Johnson–Lindenstrauss random projection to `k` dims with a Rademacher
     * (±1) matrix — the standard cheap dimensionality reduction in front of
     * clustering / ANN indexing (Achlioptas 2003: ±1 entries preserve

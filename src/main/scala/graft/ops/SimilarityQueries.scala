@@ -1503,7 +1503,49 @@ object SimilarityQueries {
       "cluster via 9-neighbor connected components — density clustering " +
       "with no distance pair join")
 
-  def defs: Seq[QueryDef] = Seq(q194_mmr_retrieval, q206_knn_classify,
+  /** Multi-probe LSH recall gate ([[Similarity.annTopKMultiProbe]]):
+    * the probe-budget dial measured — single-bucket sign-LSH at 3
+    * planes vs the same index probed with 3 additional lowest-margin
+    * bit flips (4 of 8 buckets). The multi-probe candidate set is a
+    * SUPERSET of the single-probe set by construction, so per-query
+    * recall@10 must be ≥ the single-probe recall (ge_ok — a broken
+    * probe enumeration that loses the base bucket fails this) and
+    * ≥ 0.25 absolute (multi_ok — measured ≥ 0.3 at sf0.001/0.01/0.1
+    * where single-probe bottoms at 0.0; the bound catches silent
+    * candidate-set collapse, q55's discipline). Plane count is LOW by
+    * design: sign-LSH kNN recall decays with planes, and multiprobe is
+    * exactly the dial that buys it back without rebuilding the index.
+    */
+  val q280_multiprobe_recall: QueryDef = QueryDef(
+    "q280_multiprobe_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, queries, "vec_id",
+        "embedding", 10)
+      val single = Similarity.annTopK(e, queries, "vec_id", "embedding",
+        k = 10, dim = 64, planes = 3)
+      val multi = Similarity.annTopKMultiProbe(e, queries, "vec_id",
+        "embedding", k = 10, dim = 64, planes = 3, extraProbes = 3)
+      val rs = Similarity.recallAtK(exact, single, 10)
+        .select(col("q_id"), col("recall").as("r_single"))
+      val rm = Similarity.recallAtK(exact, multi, 10)
+        .select(col("q_id"), col("recall").as("r_multi"))
+      rs.join(rm, Seq("q_id"))
+        .select(col("q_id"),
+          when(col("r_multi") >= col("r_single"), 1L).otherwise(0L)
+            .as("ge_ok"),
+          when(col("r_multi") >= 0.25, 1L).otherwise(0L).as("multi_ok"))
+        .orderBy("q_id")
+    },
+    Some("""SELECT vec_id AS q_id, CAST(1 AS BIGINT) AS ge_ok,
+      |  CAST(1 AS BIGINT) AS multi_ok
+      |FROM embeddings WHERE vec_id < 8 ORDER BY q_id""".stripMargin),
+    "Multi-probe LSH: lowest-margin bit-flip probing strictly dominates " +
+      "single-bucket recall at the same index, oracled as literal gates")
+
+  def defs: Seq[QueryDef] = Seq(q280_multiprobe_recall,
+    q194_mmr_retrieval, q206_knn_classify,
     q246_retrieval_eval, q258_grid_dbscan,
     q220_ivf_probe_curve, q223_label_centroids,
     q32_knn_cosine, q33_ann_lsh_buckets,

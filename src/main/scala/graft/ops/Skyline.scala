@@ -77,4 +77,90 @@ object Skyline {
       .sortWithinPartitions(col(xCol).asc, col(yCol).desc)
       .mapPartitions(sweep _)(enc)
   }
+
+  /** 3-D skyline over non-null BIGINT criteria: minimize `xCol`,
+    * maximize `yCol` and `zCol`. Same two-phase shape as [[skyline2d]]
+    * (partition-local prune → tiny candidate union → exact global pass,
+    * no window node, no pair join); the per-partition kernel is the
+    * sorted BNL sweep with a Pareto FRONTIER of (y, z) maxima from
+    * strictly-cheaper x-groups, kept as a TreeMap (y → z, z strictly
+    * decreasing in y by invariant) so each row's dominance test is one
+    * ceiling lookup, O(log f). Tie semantics match the 2-D operator:
+    * a row survives iff no OTHER point (x'≤x, y'≥y, z'≥z) beats it with
+    * at least one strict inequality — exact duplicates all survive
+    * together. Frontier size is bounded by the distinct y values, so
+    * phase 2 moves candidates ≤ partitions × |frontier|, never rows.
+    */
+  def skyline3d(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val schema = df.schema
+    val xi = schema.fieldIndex(xCol)
+    val yi = schema.fieldIndex(yCol)
+    val zi = schema.fieldIndex(zCol)
+    require(Seq(xi, yi, zi).forall(i =>
+        schema(i).dataType == org.apache.spark.sql.types.LongType),
+      "skyline3d needs BIGINT criteria")
+    val enc = Encoders.row(schema)
+    def sweep(it: Iterator[Row]): Iterator[Row] = {
+      // frontier: y -> max z over kept rows of strictly-cheaper x-groups;
+      // invariant: strictly ascending y => strictly descending z, so the
+      // dominating candidate for (y, z) is ceilingEntry(y) alone.
+      val frontier = new java.util.TreeMap[Long, Long]()
+      def frontierDominates(y: Long, z: Long): Boolean = {
+        val e = frontier.ceilingEntry(y)
+        e != null && e.getValue >= z
+      }
+      def frontierAdd(y: Long, z: Long): Unit = {
+        val e = frontier.ceilingEntry(y)
+        if (e == null || e.getValue < z) {
+          // remove now-dominated entries (y' <= y with z' <= z)
+          var f = frontier.floorEntry(y)
+          while (f != null && f.getValue <= z) {
+            frontier.remove(f.getKey); f = frontier.floorEntry(y)
+          }
+          frontier.put(y, z)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer[Row]()
+      // current x-group state, rows arriving (y desc, z desc):
+      //   strictMaxZ = max z among KEPT group rows with y > current y;
+      //   runMaxZ    = z of the current equal-y run's first row (its max).
+      // A row is group-dominated iff strictMaxZ >= z (some higher-y kept
+      // row has z' >= z) or z < runMaxZ (same y, strictly higher z kept).
+      var curX = 0L; var started = false
+      var curY = Long.MinValue; var strictMaxZ = Long.MinValue
+      var runMaxZ = Long.MinValue
+      val groupKept = scala.collection.mutable.ArrayBuffer[(Long, Long, Row)]()
+      def closeGroup(): Unit = if (started) {
+        groupKept.foreach { case (y, z, r) =>
+          if (!frontierDominates(y, z)) out += r
+        }
+        // merge AFTER emitting: same-group pairs must not strict-test
+        // against each other twice (the in-group rule already handled
+        // strictness among equals)
+        groupKept.foreach { case (y, z, _) => frontierAdd(y, z) }
+        groupKept.clear()
+        curY = Long.MinValue; strictMaxZ = Long.MinValue
+        runMaxZ = Long.MinValue
+      }
+      it.foreach { r =>
+        val x = r.getLong(xi); val y = r.getLong(yi); val z = r.getLong(zi)
+        if (!started || x != curX) { closeGroup(); curX = x; started = true }
+        if (y != curY) {
+          strictMaxZ = math.max(strictMaxZ, runMaxZ)
+          curY = y; runMaxZ = z
+        }
+        if (strictMaxZ < z && z >= runMaxZ) groupKept += ((y, z, r))
+      }
+      closeGroup()
+      out.iterator
+    }
+    val local = df
+      .sortWithinPartitions(col(xCol).asc, col(yCol).desc, col(zCol).desc)
+      .mapPartitions(sweep _)(enc)
+    // same stage-barrier reasoning as skyline2d's repartition(1)
+    local.repartition(1)
+      .sortWithinPartitions(col(xCol).asc, col(yCol).desc, col(zCol).desc)
+      .mapPartitions(sweep _)(enc)
+  }
 }

@@ -1422,7 +1422,131 @@ object AdvancedQueries {
       .orderBy("set_op")
   }
 
+  /** 3-D skyline ([[graft.ops.Skyline.skyline3d]]): the lineitems no
+    * other lineitem beats on ALL of price band (cheaper-or-equal),
+    * quantity (more-or-equal) and discount (more-or-equal), at least
+    * one strict — q181's frontier lifted to three criteria, where the
+    * sweep needs a real Pareto frontier structure (TreeMap of (y, z)
+    * maxima, one ceiling lookup per row) instead of a running max.
+    * Price is banded to $500 so the oracle's quadratic NOT EXISTS runs
+    * over DISTINCT triples (≤ bands × qty × disc values, thousands) —
+    * the ENGINE still sweeps every row and returns per-triple
+    * survivor counts. No window, no pair join in the engine plan.
+    */
+  val q276_skyline_3d: QueryDef = q(
+    "q276_skyline_3d",
+    """WITH li AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) // 50000 AS price_band,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+      |      AS disc_bp
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_discount IS NOT NULL),
+      |d AS (SELECT price_band, qty, disc_bp, CAST(count(*) AS BIGINT) AS n
+      |  FROM li GROUP BY 1, 2, 3),
+      |sky AS (
+      |  SELECT * FROM d s WHERE NOT EXISTS (
+      |    SELECT 1 FROM d r
+      |    WHERE r.price_band <= s.price_band AND r.qty >= s.qty
+      |      AND r.disc_bp >= s.disc_bp
+      |      AND (r.price_band < s.price_band OR r.qty > s.qty
+      |           OR r.disc_bp > s.disc_bp)))
+      |SELECT price_band, qty, disc_bp, n FROM sky
+      |ORDER BY price_band, qty, disc_bp""".stripMargin,
+    "3-D skyline (min price band, max quantity, max discount): " +
+      "two-phase frontier sweep, window-free and pair-join-free; " +
+      "quadratic NOT EXISTS oracle over distinct triples") { (s, d) =>
+    val li = lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull &&
+        col("l_quantity").isNotNull && col("l_discount").isNotNull)
+      .select(
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               | AS BIGINT) div 50000""".stripMargin).as("price_band"),
+        col("l_quantity").cast(LongType).as("qty"),
+        expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+          .as("disc_bp"))
+    graft.ops.Skyline.skyline3d(li, "price_band", "qty", "disc_bp")
+      .groupBy("price_band", "qty", "disc_bp")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("price_band", "qty", "disc_bp")
+  }
+
+  /** Merkle-style replica diff ([[graft.ops.Audit.merkleBucketDiff]]):
+    * replica B of orders diverges deterministically — keys ≡5 mod 103
+    * deleted (`only_a`), prices of keys ≡7 mod 101 bumped one cent
+    * (`modified`), clones of keys ≡3 mod 107 inserted above max key
+    * (`only_b`, q193's offset rule). The engine exchanges only 256
+    * bucket digests (count + bit_xor + sum of md5-derived row digests)
+    * and re-scans row-level ONLY the mismatched buckets; the oracle
+    * derives the diverging key set directly from the divergence rules,
+    * so a digest scheme that misses a bucket (xor compensation) or a
+    * rescan that drops/duplicates keys hash-fails the per-type
+    * (n_keys, Σkeys) digest and the mismatched-bucket count.
+    */
+  val q277_merkle_diff: QueryDef = q(
+    "q277_merkle_diff",
+    """WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |divg AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 103 = 5
+      |  UNION ALL
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 101 = 7 AND o_orderkey % 103 <> 5
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT mk FROM mk) + 1 FROM orders
+      |  WHERE o_orderkey % 107 = 3),
+      |typed AS (
+      |  SELECT 'only_a' AS diff_type, o_orderkey AS k FROM orders
+      |  WHERE o_orderkey % 103 = 5
+      |  UNION ALL
+      |  SELECT 'modified', o_orderkey FROM orders
+      |  WHERE o_orderkey % 101 = 7 AND o_orderkey % 103 <> 5
+      |  UNION ALL
+      |  SELECT 'only_b', o_orderkey + (SELECT mk FROM mk) + 1 FROM orders
+      |  WHERE o_orderkey % 107 = 3)
+      |SELECT diff_type, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(k) AS BIGINT) AS sum_keys
+      |FROM typed GROUP BY 1
+      |UNION ALL
+      |SELECT '_buckets_mismatched',
+      |  CAST(count(DISTINCT k % 256) AS BIGINT),
+      |  CAST(256 AS BIGINT)
+      |FROM divg
+      |ORDER BY diff_type""".stripMargin,
+    "Merkle bucket diff between two replicas: O(buckets) digest " +
+      "exchange + mismatched-bucket rescan only; per-type key digests " +
+      "vs the divergence rules") { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val mk = o.agg(max("o_orderkey").as("mk"))
+    val b = o.filter(col("o_orderkey") % 103 =!= 5)
+      .withColumn("cents",
+        when(col("o_orderkey") % 101 === 7, col("cents") + 1)
+          .otherwise(col("cents")))
+      .unionByName(o.filter(col("o_orderkey") % 107 === 3)
+        .crossJoin(broadcast(mk))
+        .select((col("o_orderkey") + col("mk") + 1).as("o_orderkey"),
+          col("cents")))
+    val digest = expr("""CAST(conv(substring(md5(concat(
+      |CAST(o_orderkey AS STRING), ':', CAST(cents AS STRING))), 1, 15),
+      |16, 10) AS BIGINT)""".stripMargin)
+    // Ckpt.stage, not persist: diff feeds two aggregates below and the
+    // result is returned lazily (no unpersist point) — see [[Ckpt]]
+    val diff = graft.ops.Ckpt.stage(graft.ops.Audit.merkleBucketDiff(
+      o, b, "o_orderkey", digest, 256))
+    diff.groupBy("diff_type")
+      .agg(count(lit(1)).as("n_keys"), sum("k").cast(LongType).as("sum_keys"))
+      .unionByName(diff.agg(
+        countDistinct("bucket").cast(LongType).as("n_keys"))
+        .select(lit("_buckets_mismatched").as("diff_type"), col("n_keys"),
+          lit(256L).as("sum_keys")))
+      .orderBy("diff_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q276_skyline_3d, q277_merkle_diff,
     q270_theta_set_ops,
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,

@@ -55,6 +55,8 @@ class PlanLintSpec extends SparkSpec {
     "q192_link_prediction" -> "one-row adaptive degree-cap threshold (floor(sqrt(2|E|)), wedge mass <= (2|E|)^1.5) broadcast onto the node-degree frame",
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
     "q271_incremental_join_agg" -> "same one-row max(o_orderkey)+1 offset broadcast as q193, applied to both sides' CDC insert clones",
+    "q279_multivar_ols" -> "one-row min(day) anchor broadcast onto the corpus (day-index feature), q193's one-row-offset shape",
+    "q280_multiprobe_recall" -> "brute-force exact baseline broadcasts the 8-row query set (q129/q164's shape) for the recall gate",
     // q194's 1-row query-id crossJoin runs inside the eager shortlist
     // checkpoint, so no BNLJ reaches its final plan
     "q197_chisq_independence" -> "one-row grand-total N broadcast onto the 35-cell contingency table (expected-count denominator)",

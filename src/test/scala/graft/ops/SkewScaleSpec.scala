@@ -682,6 +682,86 @@ class SkewScaleSpec extends SparkSpec {
     assert(cover == naive)
   }
 
+  test("annTopKMultiProbe with zero extra probes is exactly annTopK; extra probes never lose the base bucket") {
+    // The q280 superset claim, pinned structurally: probes=0 must
+    // reproduce the single-bucket ranking row-for-row, and a positive
+    // probe budget must return a candidate RANKING that still contains
+    // every single-bucket hit (the base bucket is always probed) — a
+    // probe enumeration that replaced instead of extended the base
+    // bucket fails here before any recall number moves.
+    val e = graft.relational.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = Similarity.annTopK(e, q, "vec_id", "embedding", 10, 64, 4)
+    val zero = Similarity.annTopKMultiProbe(e, q, "vec_id", "embedding",
+      10, 64, 4, extraProbes = 0)
+    assert(rows(zero) == rows(single))
+    // with probes, every single-bucket candidate id still appears in
+    // the multi candidate pool (ranks may shift as better ones enter)
+    val multi = Similarity.annTopKMultiProbe(e, q, "vec_id", "embedding",
+      1000, 64, 4, extraProbes = 4)
+    val multiIds = multi.select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val singleIds = single.select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(singleIds.subsetOf(multiIds),
+      s"lost ${(singleIds -- multiIds).take(5)}")
+  }
+
+  test("skyline3d equals the naive quadratic skyline, duplicates and ties included") {
+    // Deterministic pseudo-random triples with deliberate structure: a
+    // small value domain forces exact duplicates (must survive or die
+    // TOGETHER) and 2-D ties (x equal, y equal, z differing — the
+    // strict-inequality cases the frontier sweep gets wrong first).
+    val rows = (0 until 2000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 13, (h / 13) % 11, (h / 143) % 7, i.toLong)
+    }
+    val df = rows.toDF("x", "y", "z", "id")
+    def dominated(s: (Long, Long, Long, Long)) = rows.exists(r =>
+      r._1 <= s._1 && r._2 >= s._2 && r._3 >= s._3 &&
+        (r._1 < s._1 || r._2 > s._2 || r._3 > s._3))
+    val naive = rows.filterNot(dominated).map(_._4).toSet
+    val sweep = Skyline.skyline3d(df, "x", "y", "z")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sweep == naive,
+      s"missing=${(naive -- sweep).take(5)} extra=${(sweep -- naive).take(5)}")
+    // and under a dominated-mass shape: one optimal point kills all but
+    // its own duplicates
+    val mass = ((0 until 10000).map(i => (5L, 1L, 1L, i.toLong)) ++
+      Seq((0L, 99L, 99L, 100001L), (0L, 99L, 99L, 100002L)))
+      .toDF("x", "y", "z", "id")
+    val kept = Skyline.skyline3d(mass, "x", "y", "z")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100001L, 100002L))
+  }
+
+  test("merkleBucketDiff: divergence concentrated in one hot bucket is found exactly; identical replicas diff empty") {
+    // All diverging keys share bucket (k % 64 == 3): the digest pass
+    // must flag exactly that bucket and the rescan must categorize
+    // every key, while the other 63 buckets never mismatch. Digest =
+    // the md5-to-long idiom over (k, v).
+    val a = (0 until 20000).map(i => (i.toLong, i.toLong * 3)).toDF("k", "v")
+    val dg = expr("CAST(conv(substring(md5(concat(CAST(k AS STRING), " +
+      "':', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    // b: keys ≡3 mod 64 below 1000 get v+1 (modified); key 67 deleted;
+    // key 99971 (≡3 mod 64) inserted
+    val b = a.filter($"k" =!= 67L)
+      .withColumn("v",
+        when($"k" % 64 === 3 && $"k" < 1000, $"v" + 1).otherwise($"v"))
+      .unionByName(Seq((99971L, 1L)).toDF("k", "v"))
+    val diff = Audit.merkleBucketDiff(a, b, "k", dg, 64)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val expectModified = (0 until 1000).map(_.toLong)
+      .filter(k => k % 64 == 3 && k != 67L).toSet
+    assert(diff.filter(_._2 == "modified").map(_._1).toSet == expectModified)
+    assert(diff.filter(_._2 == "only_a").map(_._1).toSet == Set(67L))
+    assert(diff.filter(_._2 == "only_b").map(_._1).toSet == Set(99971L))
+    assert(Audit.merkleBucketDiff(a, a, "k", dg, 64).count() == 0L)
+  }
+
   test("ThetaAggregator: a hot key repeated 2*10^4 times is one distinct; below-k set algebra is exact") {
     // The q270 kernel under a hot-key segment: 2*10^4 duplicate rows of
     // one key cost 2*10^4 O(1) sketch updates (absorbed map-side — only
