@@ -1847,6 +1847,93 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** WINSORIZED mean per type — the robust-stats sibling of q245's
+    * trimmed mean: tail rows are CLAMPED to the p05/p95 order-statistic
+    * values instead of dropped, so n stays the full count. Same
+    * value-domain machinery (per-(type, value) histogram + cumulative
+    * over distinct values — never a row sort): the thresholds are
+    * conditional mins over the cumulative frame (v_lo = value at rank
+    * lo+1, v_hi = value at rank hi), joined back per type, and each
+    * histogram row splits its multiplicity into below/mid/above
+    * portions arithmetically. Exact integer cents; floor-ppm mean with
+    * the DECIMAL(38) product guard.
+    */
+  val q284_winsorized_mean: QueryDef = QueryDef(
+    "q284_winsorized_mean",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val gv = ev.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      val wv = Window.partitionBy("event_type").orderBy("c")
+      val tot = gv.groupBy("event_type").agg(sum("m").as("n"))
+      val cum = gv.withColumn("cum", sum("m").over(wv))
+        .join(tot, Seq("event_type"))
+        .withColumn("lo", expr("n * 5 div 100"))
+        .withColumn("hi", col("n") - col("lo"))
+      val thr = cum.groupBy("event_type").agg(
+        min(when(col("cum") >= col("lo") + 1, col("c"))).as("v_lo"),
+        min(when(col("cum") >= col("hi"), col("c"))).as("v_hi"))
+      cum.join(thr, Seq("event_type"))
+        .withColumn("n_below", greatest(lit(0L),
+          least(col("cum"), col("lo")) - (col("cum") - col("m"))))
+        .withColumn("n_above", greatest(lit(0L),
+          col("cum") - greatest(col("cum") - col("m"), col("hi"))))
+        .withColumn("n_mid", col("m") - col("n_below") - col("n_above"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_rows"), max("v_lo").as("v_lo"),
+          max("v_hi").as("v_hi"),
+          sum(expr("c * n_mid + v_lo * n_below + v_hi * n_above"))
+            .as("wsum"))
+        .select(col("event_type"),
+          col("n_rows").cast(LongType).as("n_rows"),
+          col("v_lo").cast(LongType).as("v_lo"),
+          col("v_hi").cast(LongType).as("v_hi"),
+          expr("CASE WHEN wsum >= 0 THEN " +
+            "(CAST(1000000 AS DECIMAL(38,0)) * wsum) div n_rows " +
+            "ELSE -((CAST(-1000000 AS DECIMAL(38,0)) * wsum + n_rows - 1) " +
+            "div n_rows) END")
+            .cast(LongType).as("winsorized_mean_micro_cents"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |gv AS (SELECT event_type, c, COUNT(*) AS m FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n
+      |        FROM gv GROUP BY 1),
+      |cum AS (
+      |  SELECT g.event_type, g.c, g.m, t.n,
+      |    CAST(n * 5 // 100 AS BIGINT) AS lo,
+      |    CAST(n - (n * 5 // 100) AS BIGINT) AS hi,
+      |    sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.c) AS cm
+      |  FROM gv g JOIN tot t ON t.event_type = g.event_type),
+      |thr AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN cm >= lo + 1 THEN c END) AS v_lo,
+      |    min(CASE WHEN cm >= hi THEN c END) AS v_hi
+      |  FROM cum GROUP BY 1),
+      |parts AS (
+      |  SELECT cum.event_type, cum.n,
+      |    greatest(0, least(cm, lo) - (cm - m)) AS n_below,
+      |    greatest(0, cm - greatest(cm - m, hi)) AS n_above,
+      |    m - greatest(0, least(cm, lo) - (cm - m))
+      |      - greatest(0, cm - greatest(cm - m, hi)) AS n_mid,
+      |    c, t.v_lo, t.v_hi
+      |  FROM cum JOIN thr t ON t.event_type = cum.event_type)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(v_lo) AS BIGINT) AS v_lo,
+      |  CAST(max(v_hi) AS BIGINT) AS v_hi,
+      |  CAST(CASE WHEN sum(c * n_mid + v_lo * n_below + v_hi * n_above) >= 0
+      |    THEN (CAST(1000000 AS HUGEINT)
+      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above)) // max(n)
+      |    ELSE -((CAST(-1000000 AS HUGEINT)
+      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above) + max(n) - 1)
+      |      // max(n)) END AS BIGINT) AS winsorized_mean_micro_cents
+      |FROM parts GROUP BY 1 ORDER BY event_type""".stripMargin),
+    "Winsorized mean per type (p05/p95 clamp): value-domain histogram + " +
+      "cumulative, arithmetic tail split, exact floor-ppm — no row sort")
+
   /** Incremental CONNECTED COMPONENTS (IVM tier 8,
     * [[graft.ops.Incremental.mergeComponents]]): the component-label
     * view of the interaction graph maintained under an edge-INSERT
@@ -4571,6 +4658,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
+    q284_winsorized_mean,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

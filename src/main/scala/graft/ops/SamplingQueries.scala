@@ -658,7 +658,44 @@ object SamplingQueries {
       "shuffle, global training position via the distributed prefix-sum " +
       "rank (no corpus-sized sort partition)")
 
-  def defs: Seq[QueryDef] = Seq(q241_curriculum_order,
+  /** Deterministic WEIGHTED sampling by integer PRIORITY (the
+    * priority-sampling / A-Res family, float-free): each doc draws a
+    * seeded 40-bit uniform h from md5 and gets priority
+    * ⌊w · 2⁴⁰ / (h+1)⌋ with w = its token count — inclusion odds scale
+    * with w (1/h is Pareto-tailed), yet everything is exact integer
+    * arithmetic both engines replay bit-for-bit. The sample is the
+    * global top-100 by (priority, doc_id): a TakeOrderedAndProject —
+    * one scan, k-row heap per partition, no global sort, no shuffle of
+    * non-winners — the weighted analogue of q53's stable split for
+    * mixture construction at corpus scale.
+    */
+  val q283_weighted_sample: QueryDef = QueryDef(
+    "q283_weighted_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("w"),
+          expr("""CAST(conv(substring(md5(concat('wsamp:',
+            |CAST(doc_id AS STRING))), 1, 10), 16, 10) AS BIGINT)"""
+            .stripMargin).as("h"))
+      docs.select(col("doc_id"), col("w"),
+          expr("(w * CAST(1099511627776 AS BIGINT)) div (h + 1)")
+            .as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some("""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |  (CAST(len(string_split(text, ' ')) AS BIGINT) * 1099511627776)
+      |    // (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+      |        1, 10)) AS BIGINT) + 1) AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin),
+    "Weighted sampling via integer priority keys (w·2^40 / (h+1)): " +
+      "exact md5-seeded arithmetic, TakeOrderedAndProject top-100 — " +
+      "no global sort")
+
+  def defs: Seq[QueryDef] = Seq(q283_weighted_sample, q241_curriculum_order,
     q184_weighted_sample, q53_stable_split, q59_sequence_packing,
     q72_shuffle_shards, q91_group_cap, q103_source_curation,
     q110_topic_sample, q111_domain_curation, q113_temperature_mix,

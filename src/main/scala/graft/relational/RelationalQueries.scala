@@ -507,7 +507,82 @@ object RelationalQueries {
       .orderBy("item_a", "item_b")
   }
 
-  def defs: Seq[QueryDef] = Seq(
+  /** Right-to-be-forgotten CASCADE (GDPR erasure, the privacy family's
+    * operational op): forget customers ≡1 mod 37, cascade to their
+    * orders and those orders' lineitems, and AUDIT the post-delete
+    * state — zero kept orders referencing a forgotten customer, zero
+    * kept lineitems referencing a deleted order. Every step is a
+    * delta-probed semi/anti-join (the forget set and the deleted-order
+    * keys are the only frames that cross tables, both key-sized); the
+    * output is nine (table, metric, n) rows, and the orphan rows are
+    * COMPUTED (real anti-joins), not asserted — a cascade that missed
+    * a level reports a non-zero orphan count and hash-fails.
+    */
+  val q285_forget_cascade: QueryDef = q(
+    "q285_forget_cascade",
+    """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 1),
+      |do_ AS (SELECT o_orderkey, o_custkey FROM orders
+      |        WHERE o_custkey IN (SELECT c_custkey FROM f)),
+      |ko AS (SELECT o_orderkey, o_custkey FROM orders
+      |       WHERE o_custkey NOT IN (SELECT c_custkey FROM f)),
+      |dl AS (SELECT l_orderkey FROM lineitem
+      |       WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+      |kl AS (SELECT l_orderkey FROM lineitem
+      |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM do_))
+      |SELECT * FROM (
+      |  SELECT 'customer' AS tbl, 'deleted' AS metric,
+      |    CAST(count(*) AS BIGINT) AS n FROM f
+      |  UNION ALL SELECT 'customer', 'kept', CAST(count(*) AS BIGINT)
+      |    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM f)
+      |  UNION ALL SELECT 'customer', 'orphans', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT 'orders', 'deleted', CAST(count(*) AS BIGINT)
+      |    FROM do_
+      |  UNION ALL SELECT 'orders', 'kept', CAST(count(*) AS BIGINT) FROM ko
+      |  UNION ALL SELECT 'orders', 'orphans', CAST(count(*) AS BIGINT)
+      |    FROM ko WHERE o_custkey IN (SELECT c_custkey FROM f)
+      |  UNION ALL SELECT 'lineitem', 'deleted', CAST(count(*) AS BIGINT)
+      |    FROM dl
+      |  UNION ALL SELECT 'lineitem', 'kept', CAST(count(*) AS BIGINT)
+      |    FROM kl
+      |  UNION ALL SELECT 'lineitem', 'orphans', CAST(count(*) AS BIGINT)
+      |    FROM kl WHERE l_orderkey IN (SELECT o_orderkey FROM do_)) t
+      |ORDER BY tbl, metric""".stripMargin,
+    "GDPR forget-user cascade: key-sized semi/anti-join deltas across " +
+      "customer→orders→lineitem, with computed (not asserted) orphan " +
+      "audits of the kept state") { (s, d) =>
+    val forget = Tables.customer(s, d)
+      .filter(col("c_custkey") % 37 === 1).select("c_custkey")
+    val keptCust = Tables.customer(s, d)
+      .join(forget, Seq("c_custkey"), "left_anti")
+    val fo = forget.select(col("c_custkey").as("o_custkey"))
+    val delOrders = Tables.orders(s, d).join(fo, Seq("o_custkey"),
+      "left_semi")
+    val keptOrders = Tables.orders(s, d).join(fo, Seq("o_custkey"),
+      "left_anti")
+    val dok = delOrders.select(col("o_orderkey").as("l_orderkey"))
+    val delLi = Tables.lineitem(s, d).join(dok, Seq("l_orderkey"),
+      "left_semi")
+    val keptLi = Tables.lineitem(s, d).join(dok, Seq("l_orderkey"),
+      "left_anti")
+    def cnt(tbl: String, metric: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast(LongType).as("n"))
+        .select(lit(tbl).as("tbl"), lit(metric).as("metric"), col("n"))
+    cnt("customer", "deleted", forget)
+      .unionByName(cnt("customer", "kept", keptCust))
+      .unionByName(cnt("customer", "orphans",
+        keptCust.join(forget, Seq("c_custkey"), "left_semi")))
+      .unionByName(cnt("orders", "deleted", delOrders))
+      .unionByName(cnt("orders", "kept", keptOrders))
+      .unionByName(cnt("orders", "orphans",
+        keptOrders.join(fo, Seq("o_custkey"), "left_semi")))
+      .unionByName(cnt("lineitem", "deleted", delLi))
+      .unionByName(cnt("lineitem", "kept", keptLi))
+      .unionByName(cnt("lineitem", "orphans",
+        keptLi.join(dok, Seq("l_orderkey"), "left_semi")))
+      .orderBy("tbl", "metric")
+  }
+
+  def defs: Seq[QueryDef] = Seq(q285_forget_cascade,
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,
