@@ -1847,6 +1847,123 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** TOTAL-VARIATION drift between the first and second half of each
+    * type's day range — the distribution-drift metric that needs NO
+    * logarithms (PSI and KL do, and floats drift across engines): over
+    * $10 value bands, TV = ½ Σ_b |p_b − q_b| computed as the exact
+    * cross-multiplied integer Σ|n1·N2 − n2·N1| / (2·N1·N2), published
+    * floor-ppm with the DECIMAL(38) product guard. The corpus pass is
+    * one hash agg per (type, half, band); the TV fold runs over the
+    * band histogram (value-domain-bounded). The midpoint is one 1-row
+    * min/max broadcast (the q193 one-row shape).
+    */
+  val q288_tv_drift: QueryDef = QueryDef(
+    "q288_tv_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("ts_sec div 86400").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000")
+          .as("band"))
+      val mid = ev.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .withColumn("half", when(col("day") < col("mid"), 1L).otherwise(2L))
+        .groupBy("event_type", "band", "half")
+        .agg(count(lit(1)).as("m"))
+      val piv = halves.groupBy("event_type", "band").agg(
+        sum(when(col("half") === 1L, col("m")).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 2L, col("m")).otherwise(0L)).as("n2"))
+      val tot = piv.groupBy("event_type")
+        .agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      piv.join(tot, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max("t1").as("n_first"), max("t2").as("n_second"),
+          sum(abs(col("n1") * col("t2") - col("n2") * col("t1")))
+            .as("num"))
+        .select(col("event_type"),
+          col("n_first").cast(LongType).as("n_first"),
+          col("n_second").cast(LongType).as("n_second"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num) div " +
+            "(2 * n_first * n_second) AS BIGINT)").as("tv_ppm"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+      |      AS band
+      |  FROM events),
+      |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |h AS (
+      |  SELECT event_type, band,
+      |    CASE WHEN day < (SELECT mid FROM mid) THEN 1 ELSE 2 END AS half,
+      |    count(*) AS m
+      |  FROM ev GROUP BY 1, 2, 3),
+      |piv AS (
+      |  SELECT event_type, band,
+      |    sum(CASE WHEN half = 1 THEN m ELSE 0 END) AS n1,
+      |    sum(CASE WHEN half = 2 THEN m ELSE 0 END) AS n2
+      |  FROM h GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2
+      |  FROM piv GROUP BY 1)
+      |SELECT p.event_type,
+      |  CAST(max(t.t1) AS BIGINT) AS n_first,
+      |  CAST(max(t.t2) AS BIGINT) AS n_second,
+      |  CAST((CAST(1000000 AS HUGEINT)
+      |      * sum(abs(p.n1 * t.t2 - p.n2 * t.t1)))
+      |    // (2 * max(t.t1) * max(t.t2)) AS BIGINT) AS tv_ppm
+      |FROM piv p JOIN tot t ON t.event_type = p.event_type
+      |GROUP BY 1 ORDER BY p.event_type""".stripMargin),
+    "Total-variation drift (first vs second half of the day range) per " +
+      "type over $10 value bands — log-free exact cross-multiplied " +
+      "integers, floor-ppm")
+
+  /** Maximum DRAWDOWN of each type's cumulative daily net (the classic
+    * risk analytic): cum_d = running Σ of daily cents, runmax_d = its
+    * running max, drawdown = max(runmax − cum). Both windows partition
+    * by type over the AGGREGATE day frame (calendar-bounded, never
+    * corpus-sized); exact integer cents throughout.
+    */
+  val q289_max_drawdown: QueryDef = q(
+    "q289_max_drawdown",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS net
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day, net,
+      |    sum(net) OVER (PARTITION BY event_type ORDER BY day) AS cum
+      |  FROM daily),
+      |r AS (
+      |  SELECT event_type, day, cum,
+      |    max(cum) OVER (PARTITION BY event_type ORDER BY day) AS runmax
+      |  FROM c)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(max(runmax - cum) AS BIGINT) AS max_drawdown_cents,
+      |  CAST(max(runmax) AS BIGINT) AS peak_cents
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "Maximum drawdown of the cumulative daily net per type: two " +
+      "key-partitioned windows over the aggregate day frame, exact cents") {
+    (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("net"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("cum", sum("net").over(w))
+        .withColumn("runmax", max("cum").over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("n_days"),
+          max(col("runmax") - col("cum")).cast(LongType)
+            .as("max_drawdown_cents"),
+          max("runmax").cast(LongType).as("peak_cents"))
+        .orderBy("event_type")
+  }
+
   /** WINSORIZED mean per type — the robust-stats sibling of q245's
     * trimmed mean: tail rows are CLAMPED to the p05/p95 order-statistic
     * values instead of dropped, so n stays the full count. Same
@@ -4658,7 +4775,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

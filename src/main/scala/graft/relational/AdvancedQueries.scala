@@ -1545,7 +1545,82 @@ object AdvancedQueries {
       .orderBy("diff_type")
   }
 
+  /** BITMAP-index filtering — the warehouse technique for multi-predicate
+    * selection over a dense row-id space: each predicate compiles to a
+    * bitmap (one 64-bit word per 64 row ids, built with a
+    * map-side-combinable `bit_or` of shifted bits), and every boolean
+    * combination is then word-wise bit algebra + popcount over the
+    * BITMAP table (rows/64 words), never a corpus re-scan per
+    * combination. Seven combinations (including AND-NOT) are answered
+    * from ONE three-way full-outer word join; the oracle computes every
+    * count DIRECTLY from the predicates, so any bit lost or aliased by
+    * the bitmap build/algebra hash-fails. At 100 TB the bitmap table is
+    * the reusable index artifact: predicates are built once, arbitrary
+    * combinations cost popcounts over words.
+    */
+  val q287_bitmap_index: QueryDef = q(
+    "q287_bitmap_index",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'p1' AS expr, CAST(count(*) AS BIGINT) AS n FROM ev
+      |    WHERE event_type = 'click'
+      |  UNION ALL SELECT 'p2', CAST(count(*) AS BIGINT) FROM ev
+      |    WHERE cents >= 10000
+      |  UNION ALL SELECT 'p3', CAST(count(*) AS BIGINT) FROM ev
+      |    WHERE day % 7 = 2
+      |  UNION ALL SELECT 'p1_and_p2', CAST(count(*) AS BIGINT) FROM ev
+      |    WHERE event_type = 'click' AND cents >= 10000
+      |  UNION ALL SELECT 'p1_or_p3', CAST(count(*) AS BIGINT) FROM ev
+      |    WHERE event_type = 'click' OR day % 7 = 2
+      |  UNION ALL SELECT 'p1_and_p2_and_p3', CAST(count(*) AS BIGINT)
+      |    FROM ev WHERE event_type = 'click' AND cents >= 10000
+      |      AND day % 7 = 2
+      |  UNION ALL SELECT 'p1_and_not_p3', CAST(count(*) AS BIGINT)
+      |    FROM ev WHERE event_type = 'click' AND NOT day % 7 = 2) t
+      |ORDER BY expr""".stripMargin,
+    "Bitmap-index multi-predicate filtering: per-predicate word bitmaps " +
+      "(bit_or of shifted bits), boolean combinations as word algebra + " +
+      "popcount — counts proven against direct predicate evaluation") {
+    (s, d) =>
+    val ev = Tables.events(s, d).select(
+      expr("event_id div 64").as("word"),
+      expr("CAST(event_id % 64 AS INT)").as("bit"),
+      (col("event_type") === "click").as("c1"),
+      (expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)") >= 10000L)
+        .as("c2"),
+      (expr("ts_sec div 86400") % 7 === 2).as("c3"))
+    def bm(flag: String, out: String) = ev.filter(col(flag))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as(out))
+    val j = bm("c1", "w1")
+      .join(bm("c2", "w2"), Seq("word"), "full_outer")
+      .join(bm("c3", "w3"), Seq("word"), "full_outer")
+      .select(coalesce(col("w1"), lit(0L)).as("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+    val agg = j.agg(
+      sum(expr("bit_count(w1)")).as("p1"),
+      sum(expr("bit_count(w2)")).as("p2"),
+      sum(expr("bit_count(w3)")).as("p3"),
+      sum(expr("bit_count(w1 & w2)")).as("p1_and_p2"),
+      sum(expr("bit_count(w1 | w3)")).as("p1_or_p3"),
+      sum(expr("bit_count(w1 & w2 & w3)")).as("p1_and_p2_and_p3"),
+      sum(expr("bit_count(w1 & ~w3)")).as("p1_and_not_p3"))
+    val names = Seq("p1", "p2", "p3", "p1_and_p2", "p1_or_p3",
+      "p1_and_p2_and_p3", "p1_and_not_p3")
+    agg.select(explode(array(names.map(n =>
+        struct(lit(n).as("expr"), col(n).cast(LongType).as("n"))): _*))
+        .as("r"))
+      .select("r.*")
+      .orderBy("expr")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q287_bitmap_index,
     q276_skyline_3d, q277_merkle_diff,
     q270_theta_set_ops,
     q181_skyline, q199_golden_record, q200_quantile_normalize,

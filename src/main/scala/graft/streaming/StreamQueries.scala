@@ -3,7 +3,7 @@ package graft.streaming
 import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Oracle-checked stream/batch parity: the driver's DuckDB oracle cannot
   * run a stream, but it can pin the END STATE of one — Structured
@@ -1285,6 +1285,97 @@ object StreamQueries {
       "DROPPED by the watermark (window emitted once, state evicted) — " +
       "end state = closed-window counts minus exactly that event")
 
+  /** Stream/batch parity #18 — tier-7 IVM AT THE STREAM BOUNDARY: the
+    * q271 composed view (grouped COUNT/SUM over orders⋈lineitem) kept
+    * current by `foreachBatch` as interleaved CDC inserts for BOTH join
+    * inputs arrive in key-ranged micro-batches (one tagged stream, each
+    * batch split by side). Every batch applies the same signed-delta
+    * algebra ([[graft.ops.Incremental.mergeJoinAggView]]) against the
+    * standing snapshots, then folds itself into them — the per-batch
+    * cost is the delta's join fan-out, the view stays aggregate-sized,
+    * and the end state must equal the from-scratch join+aggregate over
+    * the COMPLETE tables (the oracle), which any dropped batch,
+    * mis-signed delta, or missed ΔA⋈ΔB cross term hash-fails.
+    */
+  val q286_stream_join_agg_view: QueryDef = QueryDef(
+    "q286_stream_join_agg_view",
+    (s, d) => {
+      import graft.relational.{Sql, Tables}
+      val ordersAll = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val liAll = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val aBase = ordersAll.filter(col("o_orderkey") % 7 =!= 0)
+      val bBase = liAll.filter(col("o_orderkey") % 5 =!= 0)
+      val cdc = ordersAll.filter(col("o_orderkey") % 7 === 0)
+        .select(lit("a").as("side"), col("o_orderkey").as("k"),
+          col("o_orderpriority").as("grp"),
+          lit(null).cast(IntegerType).as("line"),
+          lit(null).cast(DoubleType).as("price"))
+        .unionByName(liAll.filter(col("o_orderkey") % 5 === 0)
+          .select(lit("b").as("side"), col("o_orderkey").as("k"),
+            lit(null).cast(StringType).as("grp"),
+            col("l_linenumber").as("line"),
+            col("l_extendedprice").as("price")))
+      val dir = stageRanged(cdc, col("k"), k = 3,
+        prefix = "graft_q286_src", datasetDir = d)
+      val schema = s.read.parquet(dir.toString).schema
+      // driver-side maintenance state; foreachBatch runs sequentially,
+      // and localCheckpoint truncates lineage so state never re-derives
+      var aTab = aBase.localCheckpoint(true)
+      var bTab = bBase.localCheckpoint(true)
+      var view = aTab.join(bTab, Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(Sql.dec2(col("l_extendedprice"))).as("s"))
+        .localCheckpoint(true)
+      val sink = "graft_q286_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q286_ckpt")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ba = batch.filter(col("side") === "a")
+            .select(col("k").as("o_orderkey"),
+              col("grp").as("o_orderpriority"))
+            .localCheckpoint(true)
+          val bb = batch.filter(col("side") === "b")
+            .select(col("k").as("o_orderkey"),
+              col("line").as("l_linenumber"),
+              col("price").as("l_extendedprice"))
+            .localCheckpoint(true)
+          view = graft.ops.Incremental.mergeJoinAggView(view, aTab, bTab,
+              ba, ba.limit(0), bb, bb.limit(0), "o_orderkey",
+              Seq("o_orderpriority"), "l_extendedprice")
+            .localCheckpoint(true)
+          aTab = aTab.unionByName(ba).localCheckpoint(true)
+          bTab = bTab.unionByName(bb).localCheckpoint(true)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"expected multiple micro-batches, saw $batches — staging broke")
+      deleteRecursively(ckpt)
+      view.select(col("o_orderpriority"), col("n"),
+          (col("s") * 100).cast(LongType).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "Stream/batch parity #18: tier-7 join+agg view maintained by " +
+      "foreachBatch over interleaved two-sided CDC inserts — end state " +
+      "= from-scratch join+aggregate of the complete tables")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
@@ -1293,5 +1384,5 @@ object StreamQueries {
     q175_stream_restart, q202_stream_outer_join, q217_stream_session_close,
     q233_stream_state_bound, q266_stream_semi_join,
     q269_stream_kll_quantiles, q273_stream_theta_distinct,
-    q274_stream_late_drop)
+    q274_stream_late_drop, q286_stream_join_agg_view)
 }

@@ -56,6 +56,7 @@ class PlanLintSpec extends SparkSpec {
     "q193_incremental_join_view" -> "one-row max(o_orderkey)+1 synthetic-id offset broadcast onto the CDC insert clones (q126's shape)",
     "q271_incremental_join_agg" -> "same one-row max(o_orderkey)+1 offset broadcast as q193, applied to both sides' CDC insert clones",
     "q279_multivar_ols" -> "one-row min(day) anchor broadcast onto the corpus (day-index feature), q193's one-row-offset shape",
+    "q288_tv_drift" -> "one-row (min+max)/2 midpoint broadcast onto the corpus (half assignment), q193's one-row shape",
     "q280_multiprobe_recall" -> "brute-force exact baseline broadcasts the 8-row query set (q129/q164's shape) for the recall gate",
     // q194's 1-row query-id crossJoin runs inside the eager shortlist
     // checkpoint, so no BNLJ reaches its final plan
