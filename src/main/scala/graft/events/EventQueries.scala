@@ -1847,6 +1847,49 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** TOP MOVERS — the trending report: each type's rank among types by
+    * daily count, and its day-over-day RANK DELTA (positive = climbed).
+    * Two windows, both over the AGGREGATE (day × type) frame —
+    * rank-by-count partitioned by day, lag-of-rank partitioned by type
+    * — so the corpus pass is one hash agg and the ranking never touches
+    * row-level data. Deterministic tie-break (count desc, type asc).
+    */
+  val q290_top_movers: QueryDef = q(
+    "q290_top_movers",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, day, n,
+      |    CAST(rank() OVER (PARTITION BY day
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |  FROM daily),
+      |mv AS (
+      |  SELECT event_type, day, n, rnk,
+      |    lag(rnk) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM rk)
+      |SELECT event_type, day, n, rnk,
+      |  CAST(prev - rnk AS BIGINT) AS rank_delta
+      |FROM mv WHERE prev IS NOT NULL
+      |ORDER BY day, event_type""".stripMargin,
+    "Day-over-day rank movers per type: rank-by-count + lag-of-rank, " +
+      "both windows over the aggregate day×type frame") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("n").desc, col("event_type"))
+    val wType = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("rnk", rank().over(wDay).cast(LongType))
+      .withColumn("prev", lag("rnk", 1).over(wType))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("day"), col("n"), col("rnk"),
+        (col("prev") - col("rnk")).cast(LongType).as("rank_delta"))
+      .orderBy("day", "event_type")
+  }
+
   /** TOTAL-VARIATION drift between the first and second half of each
     * type's day range — the distribution-drift metric that needs NO
     * logarithms (PSI and KL do, and floats drift across engines): over
@@ -4775,7 +4818,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

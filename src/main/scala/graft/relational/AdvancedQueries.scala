@@ -1619,8 +1619,58 @@ object AdvancedQueries {
       .orderBy("expr")
   }
 
+  /** Exact WEIGHTED median — the price level that splits shipped
+    * QUANTITY (not row count) in half, per returnflag: the weighted
+    * generalization of q45's discrete median, on the value-domain
+    * histogram with WEIGHT sums (Σ qty per distinct price) instead of
+    * counts. Threshold = ⌈W/2⌉ = (W+1) div 2 over the cumulative weight
+    * — one hash agg + one bounded window over distinct prices + one
+    * conditional min; no row sort anywhere.
+    */
+  val q291_weighted_median: QueryDef = q(
+    "q291_weighted_median",
+    """WITH li AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |gv AS (SELECT rf, price_cents, CAST(sum(w) AS BIGINT) AS m
+      |       FROM li GROUP BY 1, 2),
+      |tot AS (SELECT rf, CAST(sum(m) AS BIGINT) AS tw FROM gv GROUP BY 1),
+      |cum AS (
+      |  SELECT g.rf, g.price_cents, t.tw,
+      |    sum(g.m) OVER (PARTITION BY g.rf ORDER BY g.price_cents) AS cw
+      |  FROM gv g JOIN tot t ON t.rf = g.rf)
+      |SELECT rf, CAST(max(tw) AS BIGINT) AS total_weight,
+      |  CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN price_cents END)
+      |    AS BIGINT) AS weighted_median_cents
+      |FROM cum GROUP BY 1 ORDER BY rf""".stripMargin,
+    "Exact weighted median (price splitting shipped quantity in half) " +
+      "per returnflag: weight-histogram + cumulative over distinct " +
+      "prices — no row sort") { (s, d) =>
+    val li = lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull &&
+        col("l_quantity").isNotNull)
+      .select(col("l_returnflag").as("rf"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("price_cents"),
+        col("l_quantity").cast(LongType).as("w"))
+    val gv = li.groupBy("rf", "price_cents").agg(sum("w").as("m"))
+    val tot = gv.groupBy("rf").agg(sum("m").as("tw"))
+    val wv = Window.partitionBy("rf").orderBy("price_cents")
+    gv.withColumn("cw", sum("m").over(wv))
+      .join(tot, Seq("rf"))
+      .groupBy("rf")
+      .agg(max("tw").cast(LongType).as("total_weight"),
+        min(when(col("cw") >= expr("(tw + 1) div 2"), col("price_cents")))
+          .cast(LongType).as("weighted_median_cents"))
+      .orderBy("rf")
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q287_bitmap_index,
+    q287_bitmap_index, q291_weighted_median,
     q276_skyline_3d, q277_merkle_diff,
     q270_theta_set_ops,
     q181_skyline, q199_golden_record, q200_quantile_normalize,
