@@ -1847,6 +1847,125 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** Graph ROBUSTNESS under targeted hub removal (percolation audit):
+    * delete the top-5 degree hubs (deterministic tie-break) and compare
+    * the largest connected component before/after — the standard attack
+    * -tolerance report for an interaction network. Engine: degree agg →
+    * 5-row hub frame → two anti-joins → the checkpointed
+    * pointer-jumping components both times; the oracle runs TWO
+    * recursive transitive closures (full and hub-filtered edge sets)
+    * and labels by minimum reachable id, so a component merge missed
+    * by either pass hash-fails the size digest.
+    */
+  val q292_robustness: QueryDef = q(
+    "q292_robustness",
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a,
+      |    GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+      |  GROUP BY v),
+      |hubs AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 5),
+      |e2 AS (
+      |  SELECT a, b FROM e
+      |  WHERE a NOT IN (SELECT v FROM hubs)
+      |    AND b NOT IN (SELECT v FROM hubs)),
+      |u1 AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |r1(a, b) AS (
+      |  SELECT a, b FROM u1
+      |  UNION SELECT r1.a, u1.b FROM r1 JOIN u1 ON r1.b = u1.a),
+      |c1 AS (SELECT a AS node, LEAST(a, min(b)) AS lab FROM r1 GROUP BY a),
+      |u2 AS (SELECT a, b FROM e2 UNION SELECT b, a FROM e2),
+      |r2(a, b) AS (
+      |  SELECT a, b FROM u2
+      |  UNION SELECT r2.a, u2.b FROM r2 JOIN u2 ON r2.b = u2.a),
+      |c2 AS (SELECT a AS node, LEAST(a, min(b)) AS lab FROM r2 GROUP BY a)
+      |SELECT * FROM (
+      |  SELECT 'nodes_orig' AS metric, CAST(count(*) AS BIGINT) AS value
+      |    FROM c1
+      |  UNION ALL SELECT 'largest_orig', CAST(max(n) AS BIGINT)
+      |    FROM (SELECT count(*) AS n FROM c1 GROUP BY lab) t
+      |  UNION ALL SELECT 'nodes_after', CAST(count(*) AS BIGINT) FROM c2
+      |  UNION ALL SELECT 'largest_after', CAST(coalesce(max(n), 0)
+      |      AS BIGINT)
+      |    FROM (SELECT count(*) AS n FROM c2 GROUP BY lab) t
+      |  UNION ALL SELECT 'removed_hubs', CAST(count(*) AS BIGINT)
+      |    FROM hubs) t
+      |ORDER BY metric""".stripMargin,
+    "Attack tolerance: largest component before/after removing the " +
+      "top-5 degree hubs — components via pointer jumping, double " +
+      "recursive-closure oracle") { (s, d) =>
+    val e = weightedEdges(s, d).select(col("source").as("a"),
+      col("target").as("b"))
+    val deg = graft.ops.Graph.degrees(e)
+    val hubs = deg.orderBy(col("deg").desc, col("v")).limit(5)
+      .select("v")
+    val e2 = e.join(hubs.select(col("v").as("a")), Seq("a"), "left_anti")
+      .join(hubs.select(col("v").as("b")), Seq("b"), "left_anti")
+    def stats(edges: DataFrame, tag: String): DataFrame = {
+      val sizes = graft.ops.Dedup.connectedComponents(edges, "a", "b")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      sizes.agg(sum("n").cast(LongType).as("nodes"),
+          coalesce(max("n"), lit(0L)).cast(LongType).as("largest"))
+        .select(explode(array(
+          struct(lit(s"nodes_$tag").as("metric"), col("nodes").as("value")),
+          struct(lit(s"largest_$tag").as("metric"),
+            col("largest").as("value")))).as("r"))
+        .select("r.*")
+    }
+    stats(e, "orig").unionByName(stats(e2, "after"))
+      .unionByName(hubs.agg(count(lit(1)).cast(LongType).as("value"))
+        .select(lit("removed_hubs").as("metric"), col("value")))
+      .orderBy("metric")
+  }
+
+  /** RICH-CLUB coefficient — do the best-connected nodes preferentially
+    * link to EACH OTHER? φ = 2·E_rich / (n_rich·(n_rich−1)) over the
+    * top-20 degree nodes (deterministic tie-break), exact floor-ppm.
+    * Engine: degree agg → 20-row club frame → two semi-joins count the
+    * intra-club edges; nothing corpus-sized moves after the degree agg.
+    */
+  val q293_rich_club: QueryDef = q(
+    "q293_rich_club",
+    """WITH seq AS (
+      |  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |e AS (
+      |  SELECT DISTINCT LEAST(prev, user_id) AS a,
+      |    GREATEST(prev, user_id) AS b
+      |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id),
+      |deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+      |  GROUP BY v),
+      |club AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 20),
+      |er AS (
+      |  SELECT count(*) AS m FROM e
+      |  WHERE a IN (SELECT v FROM club) AND b IN (SELECT v FROM club))
+      |SELECT CAST(20 AS BIGINT) AS n_rich,
+      |  CAST(m AS BIGINT) AS e_rich,
+      |  CAST((CAST(2000000 AS BIGINT) * m) // (20 * 19) AS BIGINT)
+      |    AS phi_ppm
+      |FROM er""".stripMargin,
+    "Rich-club coefficient of the top-20 degree nodes, exact floor-ppm") {
+    (s, d) =>
+      val e = weightedEdges(s, d).select(col("source").as("a"),
+        col("target").as("b"))
+      val club = graft.ops.Graph.degrees(e)
+        .orderBy(col("deg").desc, col("v")).limit(20).select("v")
+      e.join(club.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(club.select(col("v").as("b")), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+        .select(lit(20L).as("n_rich"), col("m").cast(LongType).as("e_rich"),
+          expr("(CAST(2000000 AS BIGINT) * m) div (20 * 19)")
+            .cast(LongType).as("phi_ppm"))
+  }
+
   /** TOP MOVERS — the trending report: each type's rank among types by
     * daily count, and its day-over-day RANK DELTA (positive = climbed).
     * Two windows, both over the AGGREGATE (day × type) frame —
@@ -4818,7 +4937,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
