@@ -1847,6 +1847,96 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** DAILY PERCENTILE BANDS — the p10/p50/p90 ribbon a metrics
+    * dashboard draws per type over time, in exact discrete order
+    * statistics: per (type, day) value histogram + cumulative over
+    * distinct cents, band position = ⌈n·p/100⌉ (portable ceil
+    * `(n·p + 99) div 100`), band value = min cents with cum ≥ position.
+    * Windows partition by (type, day) — bounded by distinct values per
+    * cell, never corpus-wide; one corpus hash agg feeds everything.
+    */
+  val q294_daily_percentile_bands: QueryDef = q(
+    "q294_daily_percentile_bands",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |gv AS (SELECT event_type, day, c, count(*) AS m
+      |       FROM ev GROUP BY 1, 2, 3),
+      |tot AS (SELECT event_type, day, CAST(sum(m) AS BIGINT) AS n
+      |        FROM gv GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g.event_type, g.day, g.c, t.n,
+      |    sum(g.m) OVER (PARTITION BY g.event_type, g.day
+      |      ORDER BY g.c) AS cm
+      |  FROM gv g JOIN tot t
+      |    ON t.event_type = g.event_type AND t.day = g.day)
+      |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cm >= (n * 10 + 99) // 100 THEN c END)
+      |    AS BIGINT) AS p10_cents,
+      |  CAST(min(CASE WHEN cm >= (n * 50 + 99) // 100 THEN c END)
+      |    AS BIGINT) AS p50_cents,
+      |  CAST(min(CASE WHEN cm >= (n * 90 + 99) // 100 THEN c END)
+      |    AS BIGINT) AS p90_cents
+      |FROM cum GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "Daily p10/p50/p90 bands per type in exact discrete cents — " +
+      "per-cell value histogram + cumulative, portable ceil positions") {
+    (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("ts_sec div 86400").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      val gv = ev.groupBy("event_type", "day", "c")
+        .agg(count(lit(1)).as("m"))
+      val tot = gv.groupBy("event_type", "day").agg(sum("m").as("n"))
+      val w = Window.partitionBy("event_type", "day").orderBy("c")
+      def band(p: Int, out: String) =
+        min(when(col("cm") >= expr(s"(n * $p + 99) div 100"), col("c")))
+          .cast(LongType).as(out)
+      gv.withColumn("cm", sum("m").over(w))
+        .join(tot, Seq("event_type", "day"))
+        .groupBy("event_type", "day")
+        .agg(max("n").cast(LongType).as("n"),
+          band(10, "p10_cents"), band(50, "p50_cents"),
+          band(90, "p90_cents"))
+        .orderBy("event_type", "day")
+  }
+
+  /** LOG₂-BUCKETED value histogram (the HDR-histogram shape latency
+    * systems keep): bucket = ⌊log₂ cents⌋ computed WITHOUT floats as
+    * `length(bin(c)) − 1` — the binary-string length trick both engines
+    * evaluate identically on positive BIGINTs. Per (type, bucket):
+    * count and exact bucket bounds observed. Constant buckets per
+    * decade of range, one hash agg — the fixed-memory histogram that
+    * replaces raw latency retention at 100 TB.
+    */
+  val q295_log2_histogram: QueryDef = q(
+    "q295_log2_histogram",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(c) AS BIGINT) AS lo_cents,
+      |  CAST(max(c) AS BIGINT) AS hi_cents
+      |FROM ev WHERE c > 0
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "Power-of-two value histogram per type (HDR shape): floor-log2 via " +
+      "the bin-string length, no floats, one hash agg") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+      .groupBy(col("event_type"),
+        (length(bin(col("c"))) - 1).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("c").cast(LongType).as("lo_cents"),
+        max("c").cast(LongType).as("hi_cents"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Graph ROBUSTNESS under targeted hub removal (percolation audit):
     * delete the top-5 degree hubs (deterministic tie-break) and compare
     * the largest connected component before/after — the standard attack
@@ -4937,7 +5027,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
