@@ -1847,6 +1847,140 @@ object EventQueries {
         "macro-shared recursive-CTE oracle")
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the 40/20/40
+    * model beside q187's equal split: first and last touch in the 3-day
+    * pre-purchase window get 400,000 ppm each, the middles share
+    * 200,000 (floor each; 1 touch → 10⁶, 2 touches → 500,000/500,000).
+    * Same bucketized interval-join shape as q187 (quantized time
+    * buckets bound candidates per purchase — celebrity-user safe); the
+    * ordering that defines first/last is the total order
+    * (touch ts, touch event_id), replayed identically by the oracle.
+    */
+  val q296_position_attribution: QueryDef = q(
+    "q296_position_attribution",
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id AS pid, t.event_type AS touch_type,
+      |    t.ts AS tts, t.event_id AS teid
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 3 DAY),
+      |km AS (
+      |  SELECT *, count(*) OVER (PARTITION BY pid) AS k,
+      |    row_number() OVER (PARTITION BY pid ORDER BY tts, teid) AS rn
+      |  FROM m),
+      |cr AS (
+      |  SELECT touch_type,
+      |    CASE WHEN k = 1 THEN 1000000
+      |         WHEN k = 2 THEN 500000
+      |         WHEN rn = 1 OR rn = k THEN 400000
+      |         ELSE 200000 // (k - 2) END AS credit
+      |  FROM km)
+      |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(credit) AS BIGINT) AS credit_ppm
+      |FROM cr GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "U-shaped (40/20/40) multi-touch attribution over the 3-day " +
+      "pre-purchase window — bucketized interval join, exact floor-ppm " +
+      "credit, total-order first/last") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val win = 259200L
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_ns").as("t_ts"),
+        col("event_id").as("teid"), col("event_type").as("touch_type"),
+        explode(array(expr(s"ts_sec div $win"),
+          expr(s"ts_sec div $win") + 1)).as("bk"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ts"),
+        col("event_id").as("pid"), expr(s"ts_sec div $win").as("bk"))
+    val m = purchases.join(touches, Seq("user_id", "bk"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(259200000000000L))
+    val wp = Window.partitionBy("pid")
+    val wo = Window.partitionBy("pid").orderBy("t_ts", "teid")
+    m.withColumn("k", count(lit(1)).over(wp))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("credit",
+        when(col("k") === 1, 1000000L)
+          .when(col("k") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("k"), 400000L)
+          .otherwise(expr("200000 div (k - 2)")))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit").cast(LongType).as("credit_ppm"))
+      .orderBy("touch_type")
+  }
+
+  /** KENDALL tau-a between each type's daily COUNT ranking and daily
+    * REVENUE ranking — do busy days earn proportionally? Exact integer
+    * concordant/discordant pair counts over the AGGREGATE day frame
+    * (days² pairs per type, calendar-bounded — the self-join is
+    * type-equi, never cartesian), tau in sign-normalized floor-ppm.
+    * No ranks materialized: sign agreement of the raw (count, revenue)
+    * deltas is rank agreement.
+    */
+  val q297_kendall_tau: QueryDef = q(
+    "q297_kendall_tau",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0 THEN 1 ELSE 0 END
+      |      AS conc,
+      |    CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0 THEN 1 ELSE 0 END
+      |      AS disc
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND a.day < b.day),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS d
+      |  FROM pairs GROUP BY 1)
+      |SELECT event_type, n_pairs, c AS concordant, d AS discordant,
+      |  CAST(CASE WHEN c >= d
+      |    THEN (1000000 * (c - d)) // n_pairs
+      |    ELSE -((1000000 * (d - c) + n_pairs - 1) // n_pairs) END
+      |    AS BIGINT) AS tau_ppm
+      |FROM agg ORDER BY event_type""".stripMargin,
+    "Kendall tau-a between daily count and revenue rankings per type — " +
+      "exact concordant/discordant pairs over the aggregate day frame, " +
+      "sign-normalized floor-ppm") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("rev"))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("n").as("n1"), col("rev").as("r1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("n").as("n2"), col("rev").as("r2"))
+    a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        when((col("n1") - col("n2")) * (col("r1") - col("r2")) > 0, 1L)
+          .otherwise(0L).as("conc"),
+        when((col("n1") - col("n2")) * (col("r1") - col("r2")) < 0, 1L)
+          .otherwise(0L).as("disc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum("conc").cast(LongType).as("concordant"),
+        sum("disc").cast(LongType).as("discordant"))
+      .select(col("event_type"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        expr("""CAST(CASE WHEN concordant >= discordant
+               | THEN (1000000 * (concordant - discordant)) div n_pairs
+               | ELSE -((1000000 * (discordant - concordant) + n_pairs - 1)
+               |   div n_pairs) END AS BIGINT)""".stripMargin)
+          .as("tau_ppm"))
+      .orderBy("event_type")
+  }
+
   /** DAILY PERCENTILE BANDS — the p10/p50/p90 ribbon a metrics
     * dashboard draws per type over time, in exact discrete order
     * statistics: per (type, day) value histogram + cumulative over
@@ -5027,7 +5161,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram, q296_position_attribution, q297_kendall_tau,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,
