@@ -1933,9 +1933,11 @@ object EventQueries {
       |  FROM events GROUP BY 1, 2),
       |pairs AS (
       |  SELECT a.event_type,
-      |    CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0 THEN 1 ELSE 0 END
+      |    CASE WHEN (a.n > b.n AND a.rev > b.rev)
+      |           OR (a.n < b.n AND a.rev < b.rev) THEN 1 ELSE 0 END
       |      AS conc,
-      |    CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0 THEN 1 ELSE 0 END
+      |    CASE WHEN (a.n > b.n AND a.rev < b.rev)
+      |           OR (a.n < b.n AND a.rev > b.rev) THEN 1 ELSE 0 END
       |      AS disc
       |  FROM daily a JOIN daily b
       |    ON b.event_type = a.event_type AND a.day < b.day),
@@ -1963,9 +1965,15 @@ object EventQueries {
       col("n").as("n2"), col("rev").as("r2"))
     a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
       .select(col("event_type"),
-        when((col("n1") - col("n2")) * (col("r1") - col("r2")) > 0, 1L)
+        // sign agreement by direct comparison, never the delta product:
+        // (n1-n2)*(r1-r2) can wrap int64 at large SF (revenue-cents
+        // deltas ~1e12 × count deltas ~1e6+), silently flipping the
+        // sign in non-ANSI Spark where DuckDB would raise
+        when((col("n1") > col("n2") && col("r1") > col("r2")) ||
+            (col("n1") < col("n2") && col("r1") < col("r2")), 1L)
           .otherwise(0L).as("conc"),
-        when((col("n1") - col("n2")) * (col("r1") - col("r2")) < 0, 1L)
+        when((col("n1") > col("n2") && col("r1") < col("r2")) ||
+            (col("n1") < col("n2") && col("r1") > col("r2")), 1L)
           .otherwise(0L).as("disc"))
       .groupBy("event_type")
       .agg(count(lit(1)).cast(LongType).as("n_pairs"),
@@ -2134,7 +2142,7 @@ object EventQueries {
     def stats(edges: DataFrame, tag: String): DataFrame = {
       val sizes = graft.ops.Dedup.connectedComponents(edges, "a", "b")
         .groupBy("label").agg(count(lit(1)).as("n"))
-      sizes.agg(sum("n").cast(LongType).as("nodes"),
+      sizes.agg(coalesce(sum("n"), lit(0L)).cast(LongType).as("nodes"),
           coalesce(max("n"), lit(0L)).cast(LongType).as("largest"))
         .select(explode(array(
           struct(lit(s"nodes_$tag").as("metric"), col("nodes").as("value")),

@@ -489,8 +489,13 @@ object StreamQueries {
     val span = hi - lo + 1
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     (0 until k).foreach { i =>
-      val loI = lo + span * i / k
-      val hiI = lo + span * (i + 1) / k
+      // overflow-safe equivalent of lo + span*i/k: for span = q*k + r,
+      // floor(span*i/k) = q*i + floor(r*i/k) exactly, and every factor
+      // here stays < 2^63 even when span approaches Long.MaxValue
+      // (r < k, i < k) — `span * i` itself would wrap for span ≳ 2^61
+      def bound(j: Int): Long = lo + (span / k) * j + (span % k) * j / k
+      val loI = bound(i)
+      val hiI = bound(i + 1)
       val stage = java.nio.file.Files.createTempDirectory(prefix + "part")
       src.filter(orderExpr >= loI && orderExpr < hiI)
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -1235,18 +1240,45 @@ object StreamQueries {
     "q274_stream_late_drop",
     (s, d) => {
       val ev = graft.relational.Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("event_id"))
-      // the one deliberately late row, by total order — a 1-row
-      // aggregate broadcast (PlanLint's allowlisted 1-row crossJoin)
-      val m = ev.agg(min(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("ts"), col("ts_ns"), col("event_type"), col("event_id"))
+      // the one deliberately late row, by the exact nanos total order
+      // (ts_ns matches DuckDB's ORDER BY ts bit-for-bit; micros `ts`
+      // could tie where nanos differ and pick a different row) — a
+      // 1-row aggregate broadcast (PlanLint's allowlisted crossJoin)
+      val m = ev.agg(min(struct(col("ts_ns"), col("event_id"))).as("m"))
       val tagged = ev.crossJoin(broadcast(m))
         .withColumn("late",
-          col("ts") === col("m.ts") && col("event_id") === col("m.event_id"))
+          col("ts_ns") === col("m.ts_ns") &&
+            col("event_id") === col("m.event_id"))
         .select("ts", "event_type", "late")
+      // Sentinel placement: with k=4 equal range buckets of width w,
+      // the real rows must fill buckets 0..2 (three time-ordered
+      // micro-batches that advance the watermark far past the late
+      // row's day) and the late row must sit ALONE in bucket 3.
+      // w = ceil(realSpan/3) guarantees maxReal < loReal + 3w, and
+      // sentinel = loReal + 4w − 1 makes the staged span exactly 4w —
+      // bounded near the real micros range, so the bucket arithmetic
+      // never approaches Long overflow (the old Long.MaxValue/2
+      // sentinel made span·i wrap, leaving the late row in NO file
+      // and verifying the drop vacuously).
+      val bounds = tagged
+        .agg(min(when(!col("late"), unix_micros(col("ts")))).as("lo"),
+          max(when(!col("late"), unix_micros(col("ts")))).as("hi"))
+        .collect().head
+      val (loR, hiR) = (bounds.getLong(0), bounds.getLong(1))
+      val w = (hiR - loR) / 3 + 1
+      val sentinel = loR + 4 * w - 1
       val dir = stageRanged(tagged,
-        when(col("late"), lit(Long.MaxValue / 2))
+        when(col("late"), lit(sentinel))
           .otherwise(unix_micros(col("ts"))),
         k = 4, prefix = "graft_q274_src", datasetDir = d)
+      // the drop claim is only meaningful if the late row actually
+      // reaches the stream: it must be staged, alone, in the FINAL file
+      val lastStaged = s.read.parquet(dir.resolve("part03.parquet").toString)
+      require(lastStaged.count() == 1 &&
+          lastStaged.filter(col("late")).count() == 1,
+        "q274: late row must be staged alone in the final range file")
+      val stagedTotal = s.read.parquet(dir.toString).count()
       val schema = s.read.parquet(dir.toString).schema
       val counts = EventStream.dailyTypeCounts(
         s.readStream.schema(schema)
@@ -1262,6 +1294,13 @@ object StreamQueries {
         .option("checkpointLocation", ckpt.toString)
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"q274: expected multiple micro-batches, saw $batches — staging broke")
+      val consumed = q.recentProgress.map(_.numInputRows).sum
+      require(consumed == stagedTotal,
+        s"q274: stream consumed $consumed of $stagedTotal staged rows — " +
+          "the late row never reached the watermark filter")
       val res = s.table(sink)
         .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n").cast(LongType).as("n"))
