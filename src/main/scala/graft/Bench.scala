@@ -58,18 +58,36 @@ object Bench {
         f"recording at loadavg ${loadavg()}%.2f")
     val loadStart = loadavg()
     val tsStart = java.time.Instant.now().toString
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // only SUCCESSFUL reps compete for the minimum: a fast-failing rep
-      // must not report its failure duration as the query's time. All
-      // reps failed -> -1 sentinel, visibly wrong rather than silently fast.
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      name -> (if (times.nonEmpty) times.min else -1.0)
-    }.toMap
+    // Streaming queries run FIRST (round-14 VERDICT task 3): the gate
+    // samples loadavg once, before the run — load arriving mid-run lands
+    // on whatever executes last, and the micro-batch/checkpoint timers of
+    // the streaming class are the most wall-clock-sensitive rows on the
+    // board (the 13:20Z record read its 8 stream rows at 2-3x their quiet
+    // twins purely from a loadavg 1.3 -> 6.5 ramp). Putting them in the
+    // quietest minutes right after the gate, with one extra rep
+    // (best-of-3 vs best-of-2), makes the driver-visible stream numbers
+    // robust to mid-run contention the gate cannot see.
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS",
+      "3").toInt.max(1).max(reps)
+    val (streamQs, batchQs) =
+      SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.contains("stream"))
+    def runClass(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)], nReps: Int) = qs.map {
+      case (name, fn) =>
+        // only SUCCESSFUL reps compete for the minimum: a fast-failing rep
+        // must not report its failure duration as the query's time. All
+        // reps failed -> -1 sentinel, visibly wrong rather than silently fast.
+        val times = (1 to nReps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val streamResults = runClass(streamQs, streamReps)
+    val streamTotal = streamResults.map(_._2.max(0.0)).sum
+    val results = (streamResults ++ runClass(batchQs, reps)).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness that reads this line captures only the LAST ~2000 bytes
     // of output, and sbt appends a "[success] Total time" line after us —
@@ -114,7 +132,9 @@ object Bench {
     // Sidecar gets the full map PLUS the run-condition stamps; the
     // printed line keeps the driver's schema (and its byte budget).
     val sidecar = full.dropRight(1) +
-      s""","reps":$reps,"loadavg_start":${fmt(2, loadStart)}""" +
+      s""","reps":$reps,"stream_reps":$streamReps""" +
+      s""","stream_total_s":${fmt(3, streamTotal)}""" +
+      s""","loadavg_start":${fmt(2, loadStart)}""" +
       s""","loadavg_end":${fmt(2, loadavg())},"ts":"$tsStart"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), sidecar + "\n")

@@ -768,6 +768,96 @@ object ScaleProbe {
     probeMerkle("identical-replicas", diverge = false)
     probeMerkle("diverging", diverge = true)
 
+    // q298: persisted inverted text index CDC maintenance — the SAME
+    // 40-doc delta against a 1x and a mult× corpus. The rewrite unit is
+    // the term-bucket partition; production sizing holds bucket bytes
+    // constant (buckets ∝ corpus, like shuffle partitions), so the
+    // bucket count scales with the corpus here and the maintenance cost
+    // must stay ~flat: delta-sized tokenize + the touched buckets'
+    // rewrite + a column-pruned (doc_id, bucket) discovery scan.
+    def probeTextIndex(scale: String, docs: DataFrame, n: Long,
+        nBuckets: Int): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("probe_txtidx").toString
+      ops.TextIndex.buildPhraseIndex(docs, "doc_id", "text", dir, nBuckets)
+      val removed = docs.select("doc_id").limit(20).localCheckpoint(true)
+      val added = docs.limit(20)
+        .select((col("doc_id") + 800000000L).as("doc_id"),
+          concat(col("text"), lit(" fast table value")).as("text"))
+        .localCheckpoint(true)
+      val (_, t) = time(ops.TextIndex.updatePhraseIndex(
+        spark, dir, added, removed, "doc_id", "text"))
+      val rows = spark.read.parquet(s"$dir/postings").count()
+      emit("q298_text_index_update", scale, n, t, rows)
+    }
+    probeTextIndex("1x", base, nBase, nBuckets = 64)
+    probeTextIndex(s"${mult}x+cluster (same 40-doc delta, buckets scaled)",
+      big, nBig, nBuckets = 64 * mult)
+
+    // q281: tier-8 CC merge where the delta chains 2*10^4 standing
+    // singleton components into ONE — the giant merging component is the
+    // skew surface. Standing labels scale 1x -> 10x; the same delta's
+    // pointer-jumping work is bounded by the merging components, so
+    // seconds must track the delta (plus one remap join over the label
+    // table), never the standing corpus.
+    def probeMergeComponents(scale: String, nStanding: Long): Unit = {
+      val nChain = 20000L
+      val labels = spark.range(nStanding)
+        .select(col("id").as("node"), col("id").as("label"))
+        .localCheckpoint(true)
+      val delta = spark.range(nChain - 1)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val (rows, t) = time(ops.Incremental.mergeComponents(
+        labels, delta, "a", "b").filter(col("label") === 0L).count())
+      emit("q281_merge_components", scale, nStanding, t, rows)
+    }
+    probeMergeComponents("2*10^4-chain merge, 1x labels", 20000L)
+    probeMergeComponents("2*10^4-chain merge, 10x labels", 200000L)
+
+    // q283: priority sampling under ONE hot weight ~10^6x the base —
+    // the heap top-k must stay a TakeOrderedAndProject (k rows per
+    // partition cross the wire, never the corpus) and the arithmetic
+    // exact BIGINT (4e6 * 2^40 < 2^63, the documented w < 2^23 domain).
+    def probePriority(scale: String, hot: Boolean): Unit = {
+      val n = 2000000L
+      val docs0 = spark.range(n)
+        .select(col("id").as("doc_id"), (col("id") % 8L + 1L).as("w"))
+      val docs = if (hot) docs0.unionAll(spark.range(1L)
+        .select(lit(999999999L).as("doc_id"), lit(4000000L).as("w")))
+        else docs0
+      val (rows, t) = time(docs.select(col("doc_id"),
+          expr("""(w * CAST(1099511627776 AS BIGINT)) div
+            |(CAST(conv(substring(md5(concat('wsamp:',
+            |CAST(doc_id AS STRING))), 1, 10), 16, 10) AS BIGINT) + 1)"""
+            .stripMargin.replace("\n", " ")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(100).count())
+      emit("q283_priority_sample", scale, n, t, rows)
+    }
+    probePriority("uniform weights", hot = false)
+    probePriority("one 10^6x hot weight", hot = true)
+
+    // q285: forget cascade where one forgotten customer owns 10^4
+    // orders — the cascade must stay a semi/anti-join pipeline whose
+    // cost tracks the tables scanned once, with no pair blowup on the
+    // hot key (semi-joins emit each probe row at most once).
+    def probeCascade(scale: String, hotOrders: Long): Unit = {
+      val cust = spark.range(1L, 2001L).select(col("id").as("c_custkey"))
+      val forget = cust.filter(col("c_custkey") % 37 === 1)
+      val orders = spark.range(hotOrders)
+        .select((col("id") + 10000000L).as("o_orderkey"),
+          lit(38L).as("o_custkey"))
+        .unionAll(spark.range(200000L)
+          .select(col("id").as("o_orderkey"),
+            (col("id") % 2000L + 1L).as("o_custkey")))
+      val li = orders.select(col("o_orderkey").as("l_orderkey"))
+        .unionAll(orders.select(col("o_orderkey").as("l_orderkey")))
+      val (_, t) = time(graft.relational.RelationalQueries
+        .forgetCascade(forget, cust, orders, li).count())
+      emit("q285_forget_cascade", scale, hotOrders + 200000L, t, 9L)
+    }
+    probeCascade("uniform ownership", hotOrders = 0L)
+    probeCascade("one customer owns 10^4 orders", hotOrders = 10000L)
+
     // q143: perceptron training on the pathological corpus — the
     // boilerplate cluster concentrates `inject` near-identical feature
     // rows on a handful of buckets (hot gradient keys, absorbed by the

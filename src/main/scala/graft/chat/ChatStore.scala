@@ -133,6 +133,12 @@ object ChatStore {
   def deleteUser(spark: SparkSession, tableDir: String, userId: String): Unit =
     overwrite(readTable(spark, tableDir).filter(col("user_id") =!= userId), tableDir)
 
+  /** Public read of the table's current committed state (the pointer's
+    * version for versioned tables, the table dir otherwise).
+    */
+  def readCurrent(spark: SparkSession, tableDir: String): DataFrame =
+    readTable(spark, tableDir)
+
   /** S11: capped scan with projection. */
   def listUsers(spark: SparkSession, tableDir: String, n: Int = 100): DataFrame =
     readTable(spark, tableDir).select("user_id", "name", "email").limit(n)
@@ -152,7 +158,8 @@ object ChatStore {
         val n = p.getName
         val isVersion = n.startsWith(name + ".v") &&
           n.drop(name.length + 2).forall(_.isDigit)
-        if (n == name || isVersion ||
+        val isClaim = n.startsWith(name + ".v") && n.endsWith(".claim")
+        if (n == name || isVersion || isClaim ||
           n == name + ".current" || n == name + ".staging" || n == name + ".old" ||
           n.startsWith(name + ".current.tmp"))
           f.delete(p, true)
@@ -194,6 +201,20 @@ object ChatStore {
     * above-pointer dirs are never deleted). No-op in production.
     */
   private[chat] var vacuumAfterListHook: () => Unit = () => ()
+
+  /** Test seam for the writer-vs-writer race: invoked by the versioned
+    * commit after it reads the current version and before it claims the
+    * next one, so a spec can land a full competing commit in the window
+    * and prove the slower writer fails cleanly (never clobbers the
+    * winner). No-op in production.
+    */
+  private[chat] var overwriteAfterVersionReadHook: () => Unit = () => ()
+
+  /** A version claim with no completed data dir older than this is a
+    * crashed writer's debris and may be swept by the next committer
+    * (claims are written immediately before the version dir). Spec knob.
+    */
+  private[chat] var claimStaleMs: Long = 15L * 60 * 1000
 
   private def pointer(tableDir: String) = hPath(tableDir + ".current")
   private def versionDir(tableDir: String, v: Long) = s"$tableDir.v$v"
@@ -407,6 +428,16 @@ object ChatStore {
         val suffix = p.getName.stripPrefix(name + ".v")
         val isVersion = p.getName.startsWith(name + ".v") &&
           suffix.nonEmpty && suffix.forall(_.isDigit)
+        // a claim marker below the current pointer is spent (its version
+        // is committed or abandoned forever — commits are monotonic):
+        // sweep it with the history. Above-current claims may be a live
+        // writer's and are left alone, like above-current versions.
+        val claimDigits = suffix.stripSuffix(".claim")
+        val isClaim = p.getName.startsWith(name + ".v") &&
+          suffix.endsWith(".claim") && claimDigits.nonEmpty &&
+          claimDigits.forall(_.isDigit)
+        if (isClaim && cur.exists(claimDigits.toLong < _))
+          f.delete(p, false)
         if (isVersion) {
           val v = suffix.toLong
           val belowCurrent = cur.exists(v < _)
@@ -495,26 +526,7 @@ object ChatStore {
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     if (useVersioned(f, tableDir)) {
-      val cur = currentVersion(f, tableDir)
-      val next = cur.getOrElse(0L) + 1
-      // materializes the plan fully (reading the CURRENT data dir) before
-      // any commit or cleanup below touches the filesystem
-      df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, next))
-      writePointer(f, tableDir, next)
-      // GC: the pre-versioned append dir (its content now lives in v<next>)
-      // and every version older than the grace copy v<next-1>. One parent
-      // LIST finds them all — O(1) RPCs per rewrite regardless of version
-      // history, and no crash pattern can strand a version below a gap
-      // (an exists()-walk that stops at the first miss would).
-      if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
-      val name = hPath(tableDir).getName
-      val parent = hPath(tableDir).getParent
-      f.listStatus(parent).map(_.getPath).foreach { p =>
-        val suffix = p.getName.stripPrefix(name + ".v")
-        if (p.getName.startsWith(name + ".v") && suffix.forall(_.isDigit) &&
-          suffix.nonEmpty && suffix.toLong < next - 1)
-          f.delete(p, true)
-      }
+      commitVersioned(df, tableDir)
     } else {
       recover(spark, tableDir)
       val (table, stage, old) =
@@ -525,5 +537,151 @@ object ChatStore {
       f.rename(stage, table)
       f.delete(old, true)
     }
+  }
+
+  /** One optimistic version-pointer commit, with MULTI-WRITER CONFLICT
+    * DETECTION (the gap the vacuum-race test left open): two writers
+    * that both read current = v must not both land v+1 — the second
+    * `SaveMode.Overwrite` into the same version dir would clobber the
+    * first writer's committed files while the pointer serves them.
+    *
+    * Protocol: after reading the current version, the committer CLAIMS
+    * `v+1` by create-exclusive of a `<table>.v<N>.claim` marker (atomic
+    * on local/HDFS; the one commit primitive object stores without
+    * conditional PUT cannot give — there, pair this with an external
+    * lock/catalog as every lakehouse format does). Claim failure means a
+    * concurrent writer owns that version: the loser throws
+    * `ConcurrentModificationException` WITHOUT writing anything — its
+    * caller re-runs the whole read-modify-write against the winner's
+    * commit (our snapshot was derived from a superseded version, so
+    * blindly landing it as v+2 would silently drop the winner's
+    * changes). Readers therefore see old-then-winner, never a blend,
+    * and the loser's state never touches disk.
+    *
+    * A claim whose version dir never completed (`_SUCCESS` absent) and
+    * whose marker is older than [[claimStaleMs]] is a crashed writer's
+    * debris: swept here (claim + partial dir) and the claim retried
+    * once. The claim marker is removed after the pointer publish;
+    * leftovers from a crash-after-publish are harmless (never parsed as
+    * versions) and swept by GC below, [[vacuum]], and [[dropTable]].
+    */
+  private def commitVersioned(df: DataFrame, tableDir: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, tableDir)
+    val cur = currentVersion(f, tableDir)
+    overwriteAfterVersionReadHook()
+    val next = cur.getOrElse(0L) + 1
+    val claim = hPath(versionDir(tableDir, next) + ".claim")
+    def tryClaim(): Boolean =
+      try { val o = f.create(claim, false); o.close(); true }
+      catch { case _: java.io.IOException => false }
+    var claimed = tryClaim()
+    if (!claimed) {
+      val vDir = hPath(versionDir(tableDir, next))
+      val stale = scala.util.Try(f.getFileStatus(claim)).toOption.exists(st =>
+        System.currentTimeMillis() - st.getModificationTime > claimStaleMs) &&
+        !f.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
+      if (stale) {
+        log.warn(s"sweeping stale claim $claim (crashed writer)")
+        f.delete(claim, false)
+        if (f.exists(vDir)) f.delete(vDir, true)
+        claimed = tryClaim()
+      }
+    }
+    if (!claimed)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict on $tableDir: version $next is claimed by a " +
+          "concurrent writer — re-run the operation against the new current")
+    // Post-claim validation closes the claim-recycling window: a faster
+    // writer deletes its claim AFTER publishing, so a stale committer
+    // can succeed in claiming a version that is already committed and
+    // pointed-to — the pointer having moved since our read is the
+    // proof. Back off without writing a byte.
+    if (currentVersion(f, tableDir) != cur) {
+      f.delete(claim, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict on $tableDir: the current version advanced " +
+          s"past the snapshot this rewrite was derived from — re-run " +
+          "the operation against the new current")
+    }
+    // materializes the plan fully (reading the CURRENT data dir) before
+    // any commit or cleanup below touches the filesystem
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(tableDir, next))
+    writePointer(f, tableDir, next)
+    f.delete(claim, false)
+    // GC: the pre-versioned append dir (its content now lives in v<next>)
+    // and every version older than the grace copy v<next-1>, plus any
+    // crash-orphaned claim markers down there. One parent LIST finds
+    // them all — O(1) RPCs per rewrite regardless of version history,
+    // and no crash pattern can strand a version below a gap (an
+    // exists()-walk that stops at the first miss would).
+    if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
+    val name = hPath(tableDir).getName
+    val parent = hPath(tableDir).getParent
+    f.listStatus(parent).map(_.getPath).foreach { p =>
+      val raw = p.getName.stripPrefix(name + ".v")
+      val digits = if (raw.endsWith(".claim")) raw.stripSuffix(".claim") else raw
+      if (p.getName.startsWith(name + ".v") && digits.nonEmpty &&
+        digits.forall(_.isDigit) && digits.toLong < next - 1)
+        f.delete(p, true)
+    }
+  }
+
+  /** Commits `df` through the VERSION-POINTER protocol regardless of
+    * filesystem (first commit = v1 + pointer; the protocol is sticky per
+    * table from then on). Use when the version chain itself is the
+    * contract — e.g. [[forgetKeys]]' physical-erasure audit must be able
+    * to enumerate and scan EVERY surviving version on any store.
+    */
+  def writeVersioned(df: DataFrame, tableDir: String): Unit =
+    commitVersioned(df, tableDir)
+
+  /** GDPR right-to-be-forgotten, PHYSICALLY, through the versioned
+    * store: MERGE-delete every row whose `keyCol` appears in `keys`,
+    * then [[vacuum]] the history down to the current version — so no
+    * surviving version directory retains the forgotten rows (the grace
+    * copy and any older versions are deleted, not just unpointed).
+    * Compose with [[residualAudit]] to PROVE erasure rather than assume
+    * it. The merge is one key-broadcast anti-join-shaped pass; the
+    * vacuum is O(version dirs); nothing corpus-sized moves besides the
+    * one copy-on-write rewrite every lakehouse delete pays.
+    */
+  def forgetKeys(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: DataFrame): Unit = {
+    mergeInto(spark, tableDir, keys.select(keyCol).distinct(), Seq(keyCol),
+      matched = Seq(graft.ops.Merge.WhenMatched(delete = true)))
+    vacuum(spark, tableDir, keepLast = 1)
+  }
+
+  /** Physical-residue audit for [[forgetKeys]]: reads EVERY surviving
+    * complete data directory of the table — the plain table dir if
+    * present and every committed `<table>.v<N>` on disk, current or not
+    * — and counts rows whose `keyCol` appears in `keys`. Returns
+    * (directories scanned, matching rows found); erasure is proven only
+    * by (n, 0). A logical delete that left the grace copy or any older
+    * version in place reports its residue here.
+    */
+  def residualAudit(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: DataFrame): (Long, Long) = {
+    val f = fs(spark, tableDir)
+    val name = hPath(tableDir).getName
+    val parent = hPath(tableDir).getParent
+    val versionDirs = scala.util.Try(f.listStatus(parent)).toOption
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter { p =>
+        val suffix = p.getName.stripPrefix(name + ".v")
+        p.getName.startsWith(name + ".v") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit) &&
+          f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }.map(_.toString)
+    val dirs = (if (f.exists(hPath(tableDir))) Seq(tableDir) else Nil) ++
+      versionDirs
+    val k = keys.select(keyCol).distinct().localCheckpoint(true)
+    val residue = dirs.map { dir =>
+      spark.read.parquet(dir)
+        .join(broadcast(k), Seq(keyCol), "left_semi").count()
+    }.sum
+    k.unpersist(blocking = false)
+    (dirs.size.toLong, residue)
   }
 }

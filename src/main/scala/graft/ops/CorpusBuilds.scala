@@ -152,6 +152,25 @@ object CorpusBuilds {
         idx
       })
 
+  /** q298's persisted positional inverted text index over the documents
+    * table ([[TextIndex.buildPhraseIndex]], 16 term buckets), built once
+    * per (applicationId, dataset). The CDC update q298 applies on top is
+    * IDEMPOTENT (upsert semantics), so repeated invocations over the
+    * cached dir converge to the identical index state; only the first
+    * pays the build — the standing-artifact contract the vector index
+    * ([[embeddingsIvfPqSmallIndex]]) already follows.
+    */
+  def documentsPhraseIndex(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|phraseidx|" + dir, _ => {
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_txtidx_").toString
+        TextIndex.buildPhraseIndex(
+          graft.relational.Tables.documents(s, dir), "doc_id", "text",
+          idx, nBuckets = 16)
+        idx
+      })
+
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long, Long, Long)], DataFrame)]()
 

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted positional inverted TEXT index with incremental (CDC)
+  * maintenance — the text twin of the vector-index lifecycle in
+  * [[Similarity]] (`buildIvfPqIndex` → `updateIvfPqIndex` →
+  * `searchIvfPq`). q275 builds its posting list per query; at 100 TB the
+  * posting list must be a standing artifact: built once, maintained by
+  * delta batches that rewrite ONLY the term-bucket partitions the delta
+  * touches, and served to every phrase query after it.
+  *
+  * Layout under `dir`:
+  *  - `postings`: one row per token occurrence (`term`, `doc_id`, `pos`
+  *    1-based), written `partitionBy(bucket)` where
+  *    `bucket = pmod(hash(term), nBuckets)` — a phrase query touches only
+  *    its terms' buckets (static partition pruning on the literal bucket
+  *    set, so unrelated term partitions are never read), and a CDC batch
+  *    rewrites only the buckets holding the delta's terms;
+  *  - `meta`: a 1-row frame pinning `n_buckets`, so readers and
+  *    maintainers always route terms with the build-time bucket count
+  *    (a mismatched count would silently search the wrong partitions).
+  *
+  * The bucket routing hash is Spark's murmur3 (`hash()`), evaluated
+  * inside the plan on both the write and read paths — never recomputed
+  * driver-side — so the routing is consistent by construction.
+  */
+object TextIndex {
+
+  /** Tokenize `docs` into positional postings with their bucket route.
+    * Tokenization is EXACTLY q275's (split on single space, 1-based
+    * positions, empty tokens kept) so the standing index answers the
+    * same queries as the per-query build.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("term"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+
+  /** Builds and persists the index under `dir`. Build cost is paid here,
+    * once; every searcher and maintainer after it reads the artifact.
+    */
+  def buildPhraseIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nBuckets: Int = 16): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    postings(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head().getInt(0)
+
+  /** Incremental maintenance under a doc insert+delete CDC batch —
+    * q133's protocol on the text side: UPSERT `addedDocs` (re-tokenized
+    * with the index's frozen bucket routing) and delete `removedIds`,
+    * rewriting ONLY the touched term-bucket partitions via dynamic
+    * partition overwrite. Untouched buckets are never written (their
+    * files keep their mtimes — pinned in OpsSpec); the discovery of
+    * which buckets hold a removed doc's postings is a column-pruned
+    * (doc_id, bucket) scan, never a rewrite.
+    *
+    * Upsert semantics: standing postings of ids in `addedDocs` are
+    * replaced (anti-join on removed ∪ added ids before the union), an
+    * added id also present in `removedIds` survives as its new version,
+    * and re-applying the same delta is idempotent — identical partitions
+    * are rewritten to identical content.
+    *
+    * Per-batch cost tracks the delta: the new postings are delta-sized,
+    * the rewrite reads and writes only buckets the delta's terms or the
+    * removed docs' postings land in. The broadcast of the delta id set
+    * is batch-sized, never corpus-sized.
+    */
+  def updatePhraseIndex(spark: SparkSession, dir: String,
+      addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val nBuckets = readMeta(spark, dir)
+    val newPosts = postings(addedDocs, idCol, textCol, nBuckets)
+    val standing = spark.read.parquet(s"$dir/postings")
+      .withColumn("bucket", col("bucket").cast(IntegerType))
+    val rmIds = removedIds.select(col(idCol).cast(LongType).as("doc_id"))
+      .union(addedDocs.select(col(idCol).cast(LongType).as("doc_id")))
+      .distinct()
+    val touched = standing
+      .join(broadcast(rmIds), Seq("doc_id"), "left_semi").select("bucket")
+      .union(newPosts.select("bucket"))
+      .distinct()
+    // localCheckpoint BEFORE the write: the overwrite must never read
+    // the partitions it is replacing (the q133 discipline)
+    val rewritten = standing
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
+      .unionByName(newPosts)
+      .localCheckpoint(true)
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    rewritten.unpersist(blocking = false)
+  }
+
+  /** Exact phrase search served FROM the standing index — q275's
+    * broadcast-join + anchor-agg plan, reading only the buckets of the
+    * phrase terms: the tiny phrase-term table is routed with the
+    * index's bucket hash, its distinct buckets collected (phrase-sized,
+    * never corpus-sized) into a literal partition filter, and a posting
+    * matches phrase occurrence `anchor = pos − off` iff all `len`
+    * offsets land. Overlapping occurrences count.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrases: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val nBuckets = readMeta(spark, dir)
+    val phraseRows = phrases.flatMap(p =>
+      p.split(' ').zipWithIndex.map { case (t, i) =>
+        (p, i.toLong, t, p.split(' ').length.toLong) })
+    val pt = phraseRows.toDF("phrase", "off", "term", "plen")
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    // phrase-sized collect: the literal bucket set makes the pruning
+    // STATIC — unprobed term partitions are skipped at planning time,
+    // not discovered at runtime
+    val buckets = pt.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    posts.join(broadcast(pt), Seq("bucket", "term"))
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .agg(countDistinct("off").as("nmatch"), max("plen").as("plen"))
+      .filter(col("nmatch") === col("plen"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy("phrase")
+  }
+}

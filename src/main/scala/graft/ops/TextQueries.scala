@@ -1166,8 +1166,72 @@ object TextQueries {
     }
   }
 
+  /** Persisted inverted-index lifecycle — [[TextIndex]]: build the
+    * positional phrase index ONCE as a term-bucket-partitioned stored
+    * artifact (the shared [[CorpusBuilds.documentsPhraseIndex]] build),
+    * apply a doc insert+delete CDC batch — remove doc_id ≡ 3 (mod 7),
+    * upsert doc_id ≡ 0 (mod 5) with " fast table value" appended —
+    * rewriting ONLY touched term-bucket partitions (dynamic partition
+    * overwrite; untouched-bucket mtimes pinned in OpsSpec), then serve
+    * q275's phrase search FROM the standing post-update index. The
+    * oracle rebuilds phrase search from scratch over the modified
+    * document set, so a maintenance bug — stale removed postings,
+    * duplicated upserts, a dropped bucket — is a value mismatch, not
+    * just a row-count drift.
+    */
+  val q298_text_index_update: QueryDef = {
+    val phrases = Seq("fast table", "table value", "value table part")
+    val phraseSel = phrases.map(p => s"('$p')").mkString(", ")
+    val oracleSql =
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' fast table value' AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM docs),
+         |ph(phrase) AS (VALUES $phraseSel),
+         |pt AS (
+         |  SELECT phrase,
+         |    generate_subscripts(string_split(phrase, ' '), 1) - 1 AS off,
+         |    unnest(string_split(phrase, ' ')) AS term,
+         |    len(string_split(phrase, ' ')) AS plen
+         |  FROM ph),
+         |m AS (
+         |  SELECT pt.phrase, t.doc_id, t.pos - pt.off AS anchor,
+         |    count(DISTINCT pt.off) AS nmatch, any_value(pt.plen) AS plen
+         |  FROM toks t JOIN pt ON pt.term = t.w
+         |  GROUP BY 1, 2, 3),
+         |hit AS (SELECT phrase, doc_id FROM m WHERE nmatch = plen)
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM hit GROUP BY 1 ORDER BY phrase""".stripMargin
+    q("q298_text_index_update", oracleSql,
+      "Persisted inverted text index + CDC maintenance: delta batch " +
+        "rewrites only touched term-bucket partitions, phrase search " +
+        "served from the standing index equals a from-scratch rebuild") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val dir = CorpusBuilds.documentsPhraseIndex(s, d)
+        val removed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+        val added = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" fast table value")).as("text"))
+        TextIndex.updatePhraseIndex(s, dir, added, removed,
+          "doc_id", "text")
+        TextIndex.phraseSearch(s, dir, phrases)
+          .select(col("phrase"),
+            col("n_occurrences").cast(LongType).as("n_occurrences"),
+            col("n_docs").cast(LongType).as("n_docs"))
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q275_phrase_search,
+    q275_phrase_search, q298_text_index_update,
     q248_kn_bigram, q249_vocab_coverage,
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q229_sparse_cosine_pairs, q237_rank_fusion,

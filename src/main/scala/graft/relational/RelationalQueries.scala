@@ -550,20 +550,27 @@ object RelationalQueries {
     "GDPR forget-user cascade: key-sized semi/anti-join deltas across " +
       "customer→orders→lineitem, with computed (not asserted) orphan " +
       "audits of the kept state") { (s, d) =>
-    val forget = Tables.customer(s, d)
-      .filter(col("c_custkey") % 37 === 1).select("c_custkey")
-    val keptCust = Tables.customer(s, d)
-      .join(forget, Seq("c_custkey"), "left_anti")
+    forgetCascade(
+      Tables.customer(s, d).filter(col("c_custkey") % 37 === 1)
+        .select("c_custkey"),
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+  }
+
+  /** q285's cascade kernel, callable on any (forget set, customer,
+    * orders, lineitem) frames — shared by the query and its
+    * SkewScaleSpec hot-customer twin so the twin exercises the exact
+    * engine plan. Every step is a delta-probed semi/anti-join; nothing
+    * corpus-sized crosses tables except the key frames.
+    */
+  def forgetCascade(forget: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val keptCust = customer.join(forget, Seq("c_custkey"), "left_anti")
     val fo = forget.select(col("c_custkey").as("o_custkey"))
-    val delOrders = Tables.orders(s, d).join(fo, Seq("o_custkey"),
-      "left_semi")
-    val keptOrders = Tables.orders(s, d).join(fo, Seq("o_custkey"),
-      "left_anti")
+    val delOrders = orders.join(fo, Seq("o_custkey"), "left_semi")
+    val keptOrders = orders.join(fo, Seq("o_custkey"), "left_anti")
     val dok = delOrders.select(col("o_orderkey").as("l_orderkey"))
-    val delLi = Tables.lineitem(s, d).join(dok, Seq("l_orderkey"),
-      "left_semi")
-    val keptLi = Tables.lineitem(s, d).join(dok, Seq("l_orderkey"),
-      "left_anti")
+    val delLi = lineitem.join(dok, Seq("l_orderkey"), "left_semi")
+    val keptLi = lineitem.join(dok, Seq("l_orderkey"), "left_anti")
     def cnt(tbl: String, metric: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).cast(LongType).as("n"))
         .select(lit(tbl).as("tbl"), lit(metric).as("metric"), col("n"))
@@ -582,7 +589,50 @@ object RelationalQueries {
       .orderBy("tbl", "metric")
   }
 
-  def defs: Seq[QueryDef] = Seq(q285_forget_cascade,
+  /** GDPR forget THROUGH THE VERSIONED STORE — the physical-erasure
+    * capstone composing q285's logical cascade with the [[ChatStore]]
+    * lifecycle: commit the customer table under the version-pointer
+    * protocol, MERGE-delete the forgotten keys, vacuum the history, then
+    * PROVE erasure by scanning every surviving data directory on disk
+    * (the residual audit reads each version's parquet, not the pointer).
+    * The emitted row carries the survivor count and key-sum (value-
+    * oracled against DuckDB on the unmodified table), the residue row
+    * count across ALL surviving dirs (must be 0 — a delete that left the
+    * grace copy or any older version in place fails here), and the
+    * number of dirs scanned (must be 1 — history vacuumed to current).
+    */
+  val q299_forget_store: QueryDef = q(
+    "q299_forget_store",
+    """SELECT CAST(count(*) AS BIGINT) AS survivors,
+      |  CAST(sum(c_custkey) AS BIGINT) AS survivor_key_sum,
+      |  CAST(0 AS BIGINT) AS residue_rows,
+      |  CAST(1 AS BIGINT) AS n_dirs_scanned
+      |FROM customer WHERE c_custkey % 37 <> 1""".stripMargin,
+    "Physical right-to-be-forgotten through the versioned store: " +
+      "MERGE-delete + vacuum, then a residual audit over every " +
+      "surviving version dir proves zero forgotten rows remain") { (s, d) =>
+    import graft.chat.ChatStore
+    val root = java.nio.file.Files.createTempDirectory("graft_q299_")
+    val tbl = root.resolve("customer_store").toString
+    val base = Tables.customer(s, d).select("c_custkey", "c_name")
+    ChatStore.writeVersioned(base, tbl)
+    val forget = base.filter(col("c_custkey") % 37 === 1)
+      .select("c_custkey")
+    ChatStore.forgetKeys(s, tbl, "c_custkey", forget)
+    val (nDirs, residue) = ChatStore.residualAudit(s, tbl, "c_custkey",
+      forget)
+    val out = ChatStore.readCurrent(s, tbl)
+      .agg(count(lit(1)).cast(LongType).as("survivors"),
+        sum("c_custkey").cast(LongType).as("survivor_key_sum"))
+      .withColumn("residue_rows", lit(residue))
+      .withColumn("n_dirs_scanned", lit(nDirs))
+      .localCheckpoint(true)
+    ChatStore.dropTable(s, tbl)
+    java.nio.file.Files.deleteIfExists(root)
+    out
+  }
+
+  def defs: Seq[QueryDef] = Seq(q285_forget_cascade, q299_forget_store,
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,

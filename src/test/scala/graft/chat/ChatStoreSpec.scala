@@ -383,6 +383,157 @@ class ChatStoreSpec extends SparkSpec {
     }
   }
 
+  test("two writers racing the same commit: the loser fails cleanly, the " +
+    "winner's version is never clobbered, a re-run lands cleanly") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io"), ("Cy", "cy@x.io"))
+        .toDF("name", "email")
+      assert(ChatStore.registerUsers(spark, u, dir) == 3)
+      val idAda = ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("user_id").collect().head.getString(0)
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, idAda, Map("name" -> "Ada1")) // v1
+      // interleaving: the slow writer reads current=1, THEN (via the
+      // seam) a fast writer commits v2 and advances the pointer, THEN
+      // the slow writer tries to claim v2 — it must fail cleanly, never
+      // overwrite the fast writer's committed v2 files.
+      var raced = false
+      ChatStore.overwriteAfterVersionReadHook = () => {
+        if (!raced) {
+          raced = true // the hook's own commit must not re-enter itself
+          ChatStore.updateUser(spark, dir, idBo, Map("name" -> "BoFast"))
+        }
+      }
+      val err = try {
+        intercept[java.util.ConcurrentModificationException] {
+          ChatStore.updateUser(spark, dir, idAda, Map("name" -> "AdaSlow"))
+        }
+      } finally ChatStore.overwriteAfterVersionReadHook = () => ()
+      assert(raced)
+      assert(err.getMessage.contains("conflict"))
+      // the winner's commit is intact and current; no blend, no loser data
+      val after = ChatStore.listUsers(spark, dir).collect()
+        .map(_.getString(1)).toSet
+      assert(after == Set("Ada1", "BoFast", "Cy"),
+        s"winner clobbered or loser leaked: $after")
+      assert(ChatStore.versions(spark, dir).map(_._1).max == 2L)
+      // the loser re-runs against the winner's state and lands as v3
+      ChatStore.updateUser(spark, dir, idAda, Map("name" -> "AdaSlow"))
+      val retry = ChatStore.listUsers(spark, dir).collect()
+        .map(_.getString(1)).toSet
+      assert(retry == Set("AdaSlow", "BoFast", "Cy"))
+      assert(ChatStore.versions(spark, dir).map(_._1).max == 3L)
+      // no claim debris left behind by the committed writers
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val parent = new org.apache.hadoop.fs.Path(dir).getParent
+      val claims = fs.listStatus(parent).map(_.getPath.getName)
+        .filter(n => n.startsWith(new org.apache.hadoop.fs.Path(dir).getName)
+          && n.endsWith(".claim"))
+      assert(claims.isEmpty, s"claim debris: ${claims.toSeq}")
+    } finally {
+      ChatStore.overwriteAfterVersionReadHook = () => ()
+      ChatStore.forceVersionedProtocol = false
+    }
+  }
+
+  test("a crashed writer's stale claim is swept; a fresh claim blocks") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    val oldStale = ChatStore.claimStaleMs
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io")).toDF("name", "email")
+      ChatStore.registerUsers(spark, u, dir)
+      val id = ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, id, Map("name" -> "A1")) // v1
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // a crashed writer claimed v2 but never completed it
+      val claim = new org.apache.hadoop.fs.Path(dir + ".v2.claim")
+      fs.create(claim, false).close()
+      // fresh claim (default threshold): the next writer must back off
+      intercept[java.util.ConcurrentModificationException] {
+        ChatStore.updateUser(spark, dir, id, Map("name" -> "A2"))
+      }
+      // stale claim (threshold 0): swept, and the commit proceeds
+      ChatStore.claimStaleMs = 0L
+      ChatStore.updateUser(spark, dir, id, Map("name" -> "A2"))
+      assert(ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("name").collect().head.getString(0) == "A2")
+      assert(ChatStore.versions(spark, dir).map(_._1).max == 2L)
+    } finally {
+      ChatStore.claimStaleMs = oldStale
+      ChatStore.forceVersionedProtocol = false
+    }
+  }
+
+  test("forgetKeys erases PHYSICALLY across the three chat tables: no " +
+    "surviving version dir retains a forgotten key") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gdpr_")
+    def t(n: String) = root.resolve(n).toString
+    // three tables under the version-pointer protocol, with history:
+    // two commits each so a grace copy + vacuumable history exist
+    val msgs = Seq(("g1", "1.1.2024", "Dana", "hi"),
+      ("g1", "1.1.2024", "Omer", "yo"), ("g2", "2.1.2024", "Dana", "x"),
+      ("g2", "2.1.2024", "Noa", "ok"))
+      .toDF("group_name", "date_time", "sender", "message")
+    ChatStore.writeVersioned(msgs, t("whatsapp_messages"))
+    ChatStore.writeVersioned(msgs, t("whatsapp_messages")) // v2 + grace v1
+    val users = Seq(("u1", "Dana", "dana@x.io"), ("u2", "Omer", "omer@x.io"),
+      ("u3", "Noa", "noa@x.io")).toDF("user_id", "name", "email")
+    ChatStore.writeVersioned(users, t("users"))
+    ChatStore.writeVersioned(users, t("users"))
+    val cfgs = Seq(("Dana", "study-a"), ("Noa", "study-b"))
+      .toDF("owner", "name")
+    ChatStore.writeVersioned(cfgs, t("research_configs"))
+    ChatStore.writeVersioned(cfgs, t("research_configs"))
+    // forget Dana everywhere (sender / name / owner key per table)
+    val fSender = Seq("Dana").toDF("sender")
+    val fName = Seq("Dana").toDF("name")
+    val fOwner = Seq("Dana").toDF("owner")
+    ChatStore.forgetKeys(spark, t("whatsapp_messages"), "sender", fSender)
+    ChatStore.forgetKeys(spark, t("users"), "name", fName)
+    ChatStore.forgetKeys(spark, t("research_configs"), "owner", fOwner)
+    // logical state correct
+    assert(ChatStore.readCurrent(spark, t("whatsapp_messages")).count() == 2)
+    assert(ChatStore.readCurrent(spark, t("users")).count() == 2)
+    assert(ChatStore.readCurrent(spark, t("research_configs")).count() == 1)
+    // PHYSICAL proof: every surviving dir of every table scanned, zero
+    // forgotten rows anywhere; history vacuumed to the current dir only
+    val audits = Seq(
+      ChatStore.residualAudit(spark, t("whatsapp_messages"), "sender", fSender),
+      ChatStore.residualAudit(spark, t("users"), "name", fName),
+      ChatStore.residualAudit(spark, t("research_configs"), "owner", fOwner))
+    audits.foreach { case (nDirs, residue) =>
+      assert(residue == 0L, s"forgotten rows survive physically: $audits")
+      assert(nDirs == 1L, s"history not vacuumed to current: $audits")
+    }
+    // and the audit is a REAL detector: before-vacuum state would flag.
+    // Re-insert + merge-delete WITHOUT vacuum: grace copy keeps the row
+    val again = Seq(("g1", "1.1.2024", "Dana", "back"))
+      .toDF("group_name", "date_time", "sender", "message")
+    ChatStore.writeVersioned(
+      ChatStore.readCurrent(spark, t("whatsapp_messages")).unionByName(again),
+      t("whatsapp_messages"))
+    ChatStore.mergeInto(spark, t("whatsapp_messages"), fSender,
+      Seq("sender"), matched = Seq(graft.ops.Merge.WhenMatched(delete = true)))
+    val (_, residueNoVacuum) = ChatStore.residualAudit(
+      spark, t("whatsapp_messages"), "sender", fSender)
+    assert(residueNoVacuum > 0L,
+      "audit failed to detect the grace copy's surviving rows")
+    ChatStore.vacuum(spark, t("whatsapp_messages"), keepLast = 1)
+    val (_, residueAfter) = ChatStore.residualAudit(
+      spark, t("whatsapp_messages"), "sender", fSender)
+    assert(residueAfter == 0L)
+  }
+
   test("torn/corrupt version pointer: reads recover via the highest complete version") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

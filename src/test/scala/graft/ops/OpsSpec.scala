@@ -505,6 +505,65 @@ class OpsSpec extends SparkSpec {
       "re-applying the delta must not duplicate or drop rows")
   }
 
+  test("text index update: upsert/delete rewrites ONLY touched bucket " +
+    "partitions; search from the standing index; idempotent re-apply") {
+    // tiny single-token docs so each doc's postings land in exactly one
+    // term bucket — a delta touching terms {aa} must leave every other
+    // bucket's files untouched (distinct terms chosen to spread buckets)
+    val terms = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = terms.zipWithIndex.map { case (t, i) => (i.toLong, s"$t $t") }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtidx").toString
+    TextIndex.buildPhraseIndex(base, "doc_id", "text", dir, nBuckets = 8)
+    def bucketState(): Map[String, Long] = {
+      val root = new java.io.File(s"$dir/postings")
+      root.listFiles().filter(_.getName.startsWith("bucket=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+    }
+    val before = bucketState()
+    // the buckets "aa" and "bb" route to (delta terms); others must stay
+    val deltaBuckets = Seq("aa", "bb").map(t =>
+      Seq(Tuple1(t)).toDF("term")
+        .select(pmod(hash(col("term")), lit(8)))
+        .head().getInt(0)).toSet
+    // delta: remove doc 1 (all-"bb" postings), upsert doc 0 with new
+    // "aa"-only text, add doc 100 ("aa aa aa")
+    val added = Seq((0L, "aa aa aa aa"), (100L, "aa aa aa"))
+      .toDF("doc_id", "text")
+    val removed = Seq(Tuple1(1L)).toDF("doc_id")
+    TextIndex.updatePhraseIndex(spark, dir, added, removed,
+      "doc_id", "text")
+    // content: doc 1 gone, doc 0 replaced (4 aa-postings), doc 100 added
+    val posts = spark.read.parquet(s"$dir/postings")
+    assert(posts.filter($"doc_id" === 1L).count() == 0, "removed doc stale")
+    assert(posts.filter($"doc_id" === 0L).count() == 4, "upsert not applied")
+    assert(posts.filter($"doc_id" === 100L).count() == 3, "insert missing")
+    assert(posts.filter($"doc_id" === 2L).count() == 2, "untouched doc lost")
+    // physical claim: only the delta terms' bucket partitions changed
+    val after = bucketState()
+    val touchedDirs = after.keySet.filter(k => before.get(k) != after.get(k))
+      .map(_.split("/")(0)) ++
+      before.keySet.diff(after.keySet).map(_.split("/")(0))
+    val touchedBuckets = touchedDirs.map(_.stripPrefix("bucket=").toInt)
+    assert(touchedBuckets == deltaBuckets,
+      s"expected rewrites only in $deltaBuckets, got $touchedBuckets")
+    // phrase search served from the standing index
+    val hit = TextIndex.phraseSearch(spark, dir, Seq("aa aa"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // overlapping: doc 0 "aa aa aa aa" -> 3 anchors, doc 100 -> 2
+    assert(hit.toSeq == Seq(("aa aa", 5L, 2L)), s"got ${hit.toSeq}")
+    // idempotence: re-applying the same delta leaves identical content
+    TextIndex.updatePhraseIndex(spark, dir, added, removed,
+      "doc_id", "text")
+    val again = spark.read.parquet(s"$dir/postings")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == Map(0L -> 4L, 100L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L), s"re-apply drifted: $again")
+  }
+
   test("stable split/sample are deterministic and partition-invariant") {
     val docs = spark.range(0, 1000).toDF("doc_id")
     val s1 = Sampling.stableSplit(docs, "doc_id")

@@ -823,4 +823,86 @@ class SkewScaleSpec extends SparkSpec {
     assert(!merged.exists(_._1 == "g1"), "zero-count group not evicted")
     assert(merged.exists(t => t._1 == "g3" && t._2 == 20100L))
   }
+
+  test("mergeComponents: a chain delta merging 2*10^4 singleton components " +
+    "into one; untouched standing labels pass through unchanged") {
+    // Tier-8 IVM's skew surface IS a giant merging component: the delta's
+    // label-pair graph here is a 2*10^4-node chain (every standing
+    // component merges into one), the worst case for the pointer-jumping
+    // bound. The standing labels of an unrelated component must arrive
+    // untouched, and every chain node must resolve to the global min id.
+    val nChain = 20000L
+    val chainLabels = spark.range(nChain)
+      .select(col("id").as("node"), col("id").as("label"))
+    val untouched = spark.range(1000L)
+      .select((col("id") + 5000000L).as("node"), lit(5000000L).as("label"))
+    val labels = chainLabels.unionByName(untouched)
+    val delta = spark.range(nChain - 1)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val out = Incremental.mergeComponents(labels, delta, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == nChain.toInt + 1000)
+    assert((0L until nChain).forall(out(_) == 0L),
+      "chain must collapse to the min node id")
+    assert((0L until 1000L).forall(i => out(i + 5000000L) == 5000000L),
+      "untouched component's labels must pass through")
+  }
+
+  test("priority sampling: one weight 10^6x the rest stays exact-integer " +
+    "and heap-selected, top-k equals the full sort") {
+    // q283's skew surface: one hot weight dominating the priority
+    // domain. w = 4*10^6 is ~10^6x the 1..8 base weights yet still
+    // inside the documented domain bound (w < 2^23 keeps w*2^40 inside
+    // int64 — 4e6 * 2^40 ~ 4.4e18 < 9.2e18), so the arithmetic stays
+    // exact BIGINT end-to-end; a float path would round 2^40-scale
+    // products and reorder near-ties.
+    val docs = spark.range(50000L)
+      .select(col("id").as("doc_id"), (col("id") % 8L + 1L).as("w"))
+      .unionByName(Seq((999999L, 4000000L)).toDF("doc_id", "w"))
+    val pri = docs.select(col("doc_id"), col("w"),
+      expr("""(w * CAST(1099511627776 AS BIGINT)) div
+        |(CAST(conv(substring(md5(concat('wsamp:',
+        |CAST(doc_id AS STRING))), 1, 10), 16, 10) AS BIGINT) + 1)"""
+        .stripMargin.replace("\n", " ")).as("priority"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(100)
+    // the plan must be the k-row-heap TakeOrderedAndProject, never a
+    // global sort of the corpus
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(top.schema("priority").dataType ==
+      org.apache.spark.sql.types.LongType, "float crept into the priority")
+    val got = top.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val full = pri.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy { case (id, p) => (-p, id) }.take(100)
+    assert(got.toSeq == full.toSeq, "heap top-k diverged from full sort")
+    assert(got.exists(_._1 == 999999L), "hot-weight doc missing from sample")
+  }
+
+  test("forget cascade: one customer owning 10^4 orders stays exact and " +
+    "semi/anti-join shaped") {
+    // q285's skew surface: the forget set hits a celebrity customer.
+    // custkeys 1, 38, 75 are ≡1 (mod 37); 38 owns 10^4 orders, everyone
+    // owns 5 cold orders, every order has 2 lineitems. The cascade must
+    // count exactly and stay a semi/anti-join pipeline (the hot key
+    // concentrates in one join partition — no pair blowup is possible
+    // in a semi-join, which is the point being pinned).
+    val cust = spark.range(1L, 101L).select(col("id").as("c_custkey"))
+    val forget = cust.filter(col("c_custkey") % 37 === 1)
+    val orders = spark.range(10000L)
+      .select((col("id") + 1000000L).as("o_orderkey"), lit(38L).as("o_custkey"))
+      .unionByName(spark.range(500L)
+        .select(col("id").as("o_orderkey"), (col("id") % 100L + 1L).as("o_custkey")))
+    val li = orders.select(col("o_orderkey").as("l_orderkey"))
+      .unionByName(orders.select(col("o_orderkey").as("l_orderkey")))
+    val m = graft.relational.RelationalQueries.forgetCascade(
+        forget, cust, orders, li)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m(("customer", "deleted")) == 3L && m(("customer", "kept")) == 97L)
+    assert(m(("orders", "deleted")) == 10015L, s"got $m")
+    assert(m(("orders", "kept")) == 485L)
+    assert(m(("lineitem", "deleted")) == 20030L)
+    assert(m(("lineitem", "kept")) == 970L)
+    assert(m(("customer", "orphans")) == 0L && m(("orders", "orphans")) == 0L
+      && m(("lineitem", "orphans")) == 0L)
+  }
 }
