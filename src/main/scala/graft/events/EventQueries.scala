@@ -262,7 +262,7 @@ object EventQueries {
     "q24_chat_parse",
     """WITH lines AS (
       |  SELECT event_id,
-      |    '[7.10.2023, 19:43:25] ~ user ' || CAST(user_id AS VARCHAR) || ' ~: did ' || event_type AS line
+      |    '[7.10.2023, 19:43:25] ~ user ' || CAST(user_id AS STRING) || ' ~: did ' || event_type AS line
       |  FROM events)
       |SELECT event_id,
       |  trim(regexp_replace(regexp_replace(string_split(string_split(line, '] ')[2], ':')[1], '^~+|~+$', '', 'g'), ' ', '', 'g')) AS sender,
@@ -301,7 +301,7 @@ object EventQueries {
       |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id GROUP BY 1, 2),
       |keep AS (
       |  SELECT DISTINCT user_id AS id FROM events
-      |  WHERE contains(lower(CAST(user_id AS VARCHAR)), '1'))
+      |  WHERE contains(lower(CAST(user_id AS STRING)), '1'))
       |SELECT source, target, weight, sqrt(weight) AS width
       |FROM links
       |WHERE EXISTS (SELECT 1 FROM keep WHERE id = source)
@@ -651,7 +651,7 @@ object EventQueries {
   val q108_graph_evolution: QueryDef = q(
     "q108_graph_evolution",
     """WITH seq AS (
-      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    lag(user_id) OVER (ORDER BY ts, event_id) AS prev
       |  FROM events),
       |p AS (
@@ -980,7 +980,7 @@ object EventQueries {
     },
     Some("""WITH fin AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
       |  FROM events
       |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) < 1706140800
       |         AND event_id % 2 <> 0)
@@ -1082,7 +1082,7 @@ object EventQueries {
     },
     Some("""WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),
       |roll AS (
@@ -1150,7 +1150,7 @@ object EventQueries {
         .orderBy("user_id", "day")
     },
     Some("""WITH b AS (
-      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    value
       |  FROM events),
       |known AS (
@@ -1395,7 +1395,7 @@ object EventQueries {
     },
     Some("""WITH a AS (
       |  SELECT DISTINCT user_id,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
       |  FROM events),
       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
       |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
@@ -1516,7 +1516,7 @@ object EventQueries {
     "q185_rolling_distinct",
     """WITH ad AS (
       |  SELECT DISTINCT user_id,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
       |  FROM events),
       |days AS (SELECT DISTINCT day FROM ad)
       |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
@@ -1555,7 +1555,7 @@ object EventQueries {
     "q186_ab_lift",
     """WITH u AS (
       |  SELECT user_id,
-      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS STRING)), 1, 1) < '8'
       |      THEN 'A' ELSE 'B' END AS variant,
       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
       |  FROM events GROUP BY user_id),
@@ -1636,7 +1636,7 @@ object EventQueries {
       |    AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 3 DAY),
       |km AS (SELECT *, count(*) OVER (PARTITION BY pid) AS k FROM m)
       |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
-      |  CAST(sum(1000000 // k) AS BIGINT) AS credit_ppm
+      |  CAST(sum(CAST(floor(1000000 / k) AS BIGINT)) AS BIGINT) AS credit_ppm
       |FROM km GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "Linear multi-touch attribution: equal floor-ppm credit across the " +
       "3-day pre-purchase touches, rolled up per channel") { (s, d) =>
@@ -1683,7 +1683,7 @@ object EventQueries {
     "q188_cusum_changepoint",
     """WITH RECURSIVE daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |tgt AS (
@@ -1790,7 +1790,7 @@ object EventQueries {
     val oracleSql =
       s"""WITH RECURSIVE daily AS (
          |  SELECT event_type,
-         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
          |    CAST(count(*) AS BIGINT) AS x
          |  FROM events GROUP BY 1, 2),
          |rd AS (
@@ -1878,7 +1878,7 @@ object EventQueries {
       |    CASE WHEN k = 1 THEN 1000000
       |         WHEN k = 2 THEN 500000
       |         WHEN rn = 1 OR rn = k THEN 400000
-      |         ELSE 200000 // (k - 2) END AS credit
+      |         ELSE CAST(floor(200000 / (k - 2)) AS BIGINT) END AS credit
       |  FROM km)
       |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
       |  CAST(sum(credit) AS BIGINT) AS credit_ppm
@@ -1926,7 +1926,7 @@ object EventQueries {
     "q297_kendall_tau",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS rev
@@ -1947,8 +1947,8 @@ object EventQueries {
       |  FROM pairs GROUP BY 1)
       |SELECT event_type, n_pairs, c AS concordant, d AS discordant,
       |  CAST(CASE WHEN c >= d
-      |    THEN (1000000 * (c - d)) // n_pairs
-      |    ELSE -((1000000 * (d - c) + n_pairs - 1) // n_pairs) END
+      |    THEN CAST(floor((1000000 * (c - d)) / n_pairs) AS BIGINT)
+      |    ELSE -CAST(floor((1000000 * (d - c) + n_pairs - 1) / n_pairs) AS BIGINT) END
       |    AS BIGINT) AS tau_ppm
       |FROM agg ORDER BY event_type""".stripMargin,
     "Kendall tau-a between daily count and revenue rankings per type — " +
@@ -1989,6 +1989,138 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** LOUVAIN-QUALITY REFINEMENT of the LPA communities — q252 scores
+    * the LPA partition; this runs ONE greedy modularity-refinement
+    * round on top ([[graft.ops.Graph.modularityMerges]]: merge adjacent
+    * communities when ΔQ > 0, mutual-best deterministic matching) and
+    * proves the refinement helped: q_refined ≥ q_lpa gated as a
+    * computed property the oracle pins to literal 1, with BOTH
+    * modularities value-oracled. Because mutual-best merges are
+    * disjoint, the refined Q is q252's shifted rational plus
+    * Σ(4m·e12 − 2·deg1·deg2) over the merge frame — aggregate-frame
+    * arithmetic only, no re-tagging of edges, no per-node sequential
+    * scan. Same DECIMAL(38)/HUGEINT guards as q252.
+    */
+  val q301_louvain_refine: QueryDef = {
+    def qppm(x: String): String =
+      "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+        s"(CAST(4 AS DECIMAL(38,0)) * m_total * m_total + $x)) div " +
+        "(CAST(4 AS DECIMAL(38,0)) * m_total * m_total) - 1000000 " +
+        "AS BIGINT)"
+    QueryDef(
+      "q301_louvain_refine",
+      (s, d) => {
+        val e = weightedEdges(s, d).select(col("source").as("a"),
+          col("target").as("b"), col("weight").as("w"))
+        val lbl = graft.ops.Graph.labelPropagation(e, rounds = 4)
+        val tagged = e
+          .join(lbl.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+          .join(lbl.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+        val intra = tagged.filter(col("la") === col("lb"))
+          .groupBy(col("la").as("community")).agg(sum("w").as("ec"))
+        val degc = e.select(col("a").as("v"), col("w"))
+          .unionAll(e.select(col("b").as("v"), col("w")))
+          .groupBy("v").agg(sum("w").as("dg"))
+          .join(lbl, Seq("v"))
+          .groupBy(col("lbl").as("community")).agg(sum("dg").as("degc"))
+        val m = e.agg(sum("w").cast(LongType).as("m"))
+        val lpaAgg = degc.join(intra, Seq("community"), "left")
+          .withColumn("ec", coalesce(col("ec"), lit(0L)))
+          .crossJoin(broadcast(m))
+          .agg(count(lit(1)).cast(LongType).as("n_comm"),
+            sum(expr("CAST(4 AS DECIMAL(38,0)) * m * ec - " +
+              "CAST(degc AS DECIMAL(38,0)) * degc")).as("num"),
+            max("m").as("m_total"))
+        val mergeAgg = graft.ops.Graph.modularityMerges(e, lbl)
+          .crossJoin(broadcast(m))
+          .agg(count(lit(1)).cast(LongType).as("n_merges"),
+            expr("coalesce(sum(CAST(4 AS DECIMAL(38,0)) * m * e12 - " +
+              "CAST(2 AS DECIMAL(38,0)) * deg1 * deg2), " +
+              "CAST(0 AS DECIMAL(38,0)))").as("dnum"))
+        lpaAgg.crossJoin(broadcast(mergeAgg))
+          .select(col("n_comm").as("n_comm_lpa"),
+            (col("n_comm") - col("n_merges")).cast(LongType)
+              .as("n_comm_refined"),
+            expr(qppm("num")).as("q_lpa_ppm"),
+            expr(qppm("(num + dnum)")).as("q_refined_ppm"))
+          .withColumn("improved",
+            when(col("q_refined_ppm") >= col("q_lpa_ppm"), 1L)
+              .otherwise(0L))
+      },
+      Some(edgesSql +
+        s""",
+          |g AS MATERIALIZED (
+          |  SELECT a AS s, b AS t, weight AS w FROM we
+          |  UNION ALL SELECT b AS s, a AS t, weight AS w FROM we),
+          |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lbl FROM g),
+          |${lpaRoundSql(4)},
+          |e AS (SELECT a, b, weight AS w FROM we),
+          |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+          |intra AS (
+          |  SELECT la.lbl AS community, SUM(e.w) AS ec
+          |  FROM e JOIN l4 la ON la.v = e.a JOIN l4 lb2 ON lb2.v = e.b
+          |  WHERE la.lbl = lb2.lbl GROUP BY 1),
+          |degc AS (
+          |  SELECT l.lbl AS c, SUM(d.dg) AS degc
+          |  FROM (SELECT v, SUM(w) AS dg FROM (
+          |          SELECT a AS v, w FROM e
+          |          UNION ALL SELECT b AS v, w FROM e) GROUP BY v) d
+          |  JOIN l4 l ON l.v = d.v GROUP BY 1),
+          |lpaagg AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+          |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(i.ec, 0)
+          |      - CAST(dc.degc AS HUGEINT) * dc.degc) AS num
+          |  FROM degc dc LEFT JOIN intra i ON i.community = dc.c, m),
+          |cpairs AS (
+          |  SELECT LEAST(la.lbl, lb2.lbl) AS c1,
+          |    GREATEST(la.lbl, lb2.lbl) AS c2, SUM(e.w) AS e12
+          |  FROM e JOIN l4 la ON la.v = e.a JOIN l4 lb2 ON lb2.v = e.b
+          |  WHERE la.lbl <> lb2.lbl GROUP BY 1, 2),
+          |sym AS (
+          |  SELECT c1 AS c, c2 AS nb, e12 FROM cpairs
+          |  UNION ALL SELECT c2 AS c, c1 AS nb, e12 FROM cpairs),
+          |dq AS (
+          |  SELECT s.c, s.nb, s.e12, d1.degc AS deg_c, d2.degc AS deg_nb,
+          |    2 * CAST(m.m AS HUGEINT) * s.e12
+          |      - CAST(d1.degc AS HUGEINT) * d2.degc AS dqn
+          |  FROM sym s
+          |  JOIN degc d1 ON d1.c = s.c
+          |  JOIN degc d2 ON d2.c = s.nb, m
+          |  WHERE 2 * CAST(m.m AS HUGEINT) * s.e12
+          |      - CAST(d1.degc AS HUGEINT) * d2.degc > 0),
+          |best AS (
+          |  SELECT c, nb, e12, deg_c, deg_nb FROM (
+          |    SELECT c, nb, e12, deg_c, deg_nb,
+          |      row_number() OVER (PARTITION BY c ORDER BY dqn DESC, nb)
+          |        AS rn
+          |    FROM dq) t WHERE rn = 1),
+          |mg AS (
+          |  SELECT x.c AS c1, x.nb AS c2, x.e12,
+          |    x.deg_c AS deg1, x.deg_nb AS deg2
+          |  FROM best x JOIN best y ON y.c = x.nb AND y.nb = x.c
+          |  WHERE x.c < x.nb),
+          |mgagg AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_merges,
+          |    COALESCE(SUM(CAST(4 AS HUGEINT) * m.m * e12
+          |      - CAST(2 AS HUGEINT) * deg1 * deg2), 0) AS dnum
+          |  FROM mg, m)
+          |SELECT la.n_comm AS n_comm_lpa,
+          |  CAST(la.n_comm - ma.n_merges AS BIGINT) AS n_comm_refined,
+          |  CAST((CAST(1000000 AS HUGEINT) *
+          |    (CAST(4 AS HUGEINT) * m.m * m.m + la.num))
+          |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)
+          |    AS q_lpa_ppm,
+          |  CAST((CAST(1000000 AS HUGEINT) *
+          |    (CAST(4 AS HUGEINT) * m.m * m.m + la.num + ma.dnum))
+          |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)
+          |    AS q_refined_ppm,
+          |  CAST(1 AS BIGINT) AS improved
+          |FROM lpaagg la, mgagg ma, m""".stripMargin),
+      "Louvain-quality refinement of the LPA partition: mutual-best " +
+        "positive-ΔQ community merges, refined Q from the merge frame " +
+        "alone, refined ≥ LPA gated (oracle literal 1)")
+  }
+
   /** DAILY PERCENTILE BANDS — the p10/p50/p90 ribbon a metrics
     * dashboard draws per type over time, in exact discrete order
     * statistics: per (type, day) value histogram + cumulative over
@@ -2001,7 +2133,7 @@ object EventQueries {
     "q294_daily_percentile_bands",
     """WITH ev AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
       |  FROM events),
       |gv AS (SELECT event_type, day, c, count(*) AS m
@@ -2015,11 +2147,11 @@ object EventQueries {
       |  FROM gv g JOIN tot t
       |    ON t.event_type = g.event_type AND t.day = g.day)
       |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n,
-      |  CAST(min(CASE WHEN cm >= (n * 10 + 99) // 100 THEN c END)
+      |  CAST(min(CASE WHEN cm >= CAST(floor((n * 10 + 99) / 100) AS BIGINT) THEN c END)
       |    AS BIGINT) AS p10_cents,
-      |  CAST(min(CASE WHEN cm >= (n * 50 + 99) // 100 THEN c END)
+      |  CAST(min(CASE WHEN cm >= CAST(floor((n * 50 + 99) / 100) AS BIGINT) THEN c END)
       |    AS BIGINT) AS p50_cents,
-      |  CAST(min(CASE WHEN cm >= (n * 90 + 99) // 100 THEN c END)
+      |  CAST(min(CASE WHEN cm >= CAST(floor((n * 90 + 99) / 100) AS BIGINT) THEN c END)
       |    AS BIGINT) AS p90_cents
       |FROM cum GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "Daily p10/p50/p90 bands per type in exact discrete cents — " +
@@ -2181,7 +2313,7 @@ object EventQueries {
       |  WHERE a IN (SELECT v FROM club) AND b IN (SELECT v FROM club))
       |SELECT CAST(20 AS BIGINT) AS n_rich,
       |  CAST(m AS BIGINT) AS e_rich,
-      |  CAST((CAST(2000000 AS BIGINT) * m) // (20 * 19) AS BIGINT)
+      |  CAST(floor((CAST(2000000 AS BIGINT) * m) / (20 * 19)) AS BIGINT)
       |    AS phi_ppm
       |FROM er""".stripMargin,
     "Rich-club coefficient of the top-20 degree nodes, exact floor-ppm") {
@@ -2209,7 +2341,7 @@ object EventQueries {
     "q290_top_movers",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |rk AS (
@@ -2283,7 +2415,7 @@ object EventQueries {
     },
     Some("""WITH ev AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
       |      AS band
       |  FROM events),
@@ -2323,7 +2455,7 @@ object EventQueries {
     "q289_max_drawdown",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS net
       |  FROM events GROUP BY 1, 2),
@@ -2535,10 +2667,10 @@ object EventQueries {
     val oracleSql =
       s"""WITH base AS (
          |  SELECT event_type,
-         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400
-         |      - (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT)
+         |      - (SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT))
          |         FROM events) AS x1,
-         |    CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7
+         |    CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT)) % 7
          |      IN (2, 3) THEN 1 ELSE 0 END AS x2,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
          |  FROM events),
@@ -2709,7 +2841,7 @@ object EventQueries {
     "q190_theilsen_trend",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |pr AS (
@@ -2719,8 +2851,8 @@ object EventQueries {
       |    ON b.event_type = a.event_type AND b.day > a.day),
       |sl AS (
       |  SELECT event_type, d1, d2,
-      |    CASE WHEN n >= 0 THEN n // dd
-      |         ELSE -((-n + dd - 1) // dd) END AS slope_ppm
+      |    CASE WHEN n >= 0 THEN CAST(floor(n / dd) AS BIGINT)
+      |         ELSE -CAST(floor((-n + dd - 1) / dd) AS BIGINT) END AS slope_ppm
       |  FROM pr),
       |rk AS (
       |  SELECT *,
@@ -2729,7 +2861,7 @@ object EventQueries {
       |    count(*) OVER (PARTITION BY event_type) AS cnt
       |  FROM sl)
       |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs, slope_ppm
-      |FROM rk WHERE rn = (cnt + 1) // 2
+      |FROM rk WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
       |ORDER BY event_type""".stripMargin,
     "Theil-Sen robust trend: median pairwise slope of the daily series " +
       "per type, exact floor-ppm with portable floor division") { (s, d) =>
@@ -2987,7 +3119,7 @@ object EventQueries {
     "q196_seasonal_decompose",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |tr AS (
@@ -3003,8 +3135,8 @@ object EventQueries {
       |  FROM tr WHERE tn = 7),
       |seas AS (
       |  SELECT event_type, dow,
-      |    CASE WHEN sum(d7) >= 0 THEN sum(d7) // count(*)
-      |         ELSE -((-sum(d7) + count(*) - 1) // count(*)) END AS s7
+      |    CASE WHEN sum(d7) >= 0 THEN CAST(floor(sum(d7) / count(*)) AS BIGINT)
+      |         ELSE -CAST(floor((-sum(d7) + count(*) - 1) / count(*)) AS BIGINT) END AS s7
       |  FROM det GROUP BY 1, 2)
       |SELECT det.event_type, det.day, det.x,
       |  det.tsum AS trend_sum7, det.d7 AS detrended7,
@@ -3051,7 +3183,7 @@ object EventQueries {
   val q197_chisq_independence: QueryDef = q(
     "q197_chisq_independence",
     """WITH o AS (
-      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 % 7 AS dow,
+      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
       |    CAST(count(*) AS BIGINT) AS o
       |  FROM events GROUP BY 1, 2),
       |r AS (SELECT event_type, sum(o) AS r FROM o GROUP BY 1),
@@ -3274,7 +3406,7 @@ object EventQueries {
       |  SELECT ts, sum(delta) OVER (ORDER BY ts, nd
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       |  FROM en)
-      |SELECT ts // 86400 AS day, CAST(max(conc) AS BIGINT) AS peak
+      |SELECT CAST(floor(ts / 86400) AS BIGINT) AS day, CAST(max(conc) AS BIGINT) AS peak
       |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
     "Peak concurrent sessions per day: +/-1 endpoints, distributed " +
       "global prefix sum (GlobalPrefixSum), per-day max") { (s, d) =>
@@ -3308,7 +3440,7 @@ object EventQueries {
     "q211_autocorrelation",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |pr AS (
@@ -3377,7 +3509,7 @@ object EventQueries {
     "q221_date_shift",
     """WITH off AS (
       |  SELECT user_id,
-      |    CAST(('0x' || substr(md5('ds1:' || CAST(user_id AS VARCHAR)), 1, 8))
+      |    CAST(('0x' || substr(md5('ds1:' || CAST(user_id AS STRING)), 1, 8))
       |      AS BIGINT) % 31 - 15 AS offset_days
       |  FROM (SELECT DISTINCT user_id FROM events)),
       |ev AS (
@@ -3470,7 +3602,7 @@ object EventQueries {
   val q224_cohort_ltv: QueryDef = q(
     "q224_cohort_ltv",
     """WITH fe AS (
-      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM events),
       |c AS (SELECT user_id, min(day) AS cohort FROM fe GROUP BY user_id),
@@ -3511,7 +3643,7 @@ object EventQueries {
     "q225_user_growth",
     """WITH fa AS (
       |  SELECT user_id,
-      |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      |    min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day
       |  FROM events GROUP BY user_id),
       |nd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fa GROUP BY day)
       |SELECT day, n_new,
@@ -3547,7 +3679,7 @@ object EventQueries {
     "q176_rolling_actives",
     """WITH ud AS (
       |  SELECT DISTINCT user_id,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
       |  FROM events),
       |days AS (SELECT DISTINCT day FROM ud)
       |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
@@ -3578,7 +3710,7 @@ object EventQueries {
     """WITH f AS (
       |  SELECT user_id, event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |    CASE WHEN substr(md5('ab:' || CAST(user_id AS STRING)), 1, 1) < '8'
       |      THEN 'A' ELSE 'B' END AS variant
       |  FROM events),
       |u1 AS (
@@ -3644,7 +3776,7 @@ object EventQueries {
     "q227_wow_growth",
     """WITH wk AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+      |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |l AS (
@@ -3653,8 +3785,8 @@ object EventQueries {
       |  FROM wk)
       |SELECT event_type, week, x, prev,
       |  CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
-      |    WHEN 1000000 * (x - prev) >= 0 THEN (1000000 * (x - prev)) // prev
-      |    ELSE -((-(1000000 * (x - prev)) + prev - 1) // prev) END
+      |    WHEN 1000000 * (x - prev) >= 0 THEN CAST(floor((1000000 * (x - prev)) / prev) AS BIGINT)
+      |    ELSE -CAST(floor((-(1000000 * (x - prev)) + prev - 1) / prev) AS BIGINT) END
       |    AS BIGINT) AS growth_ppm
       |FROM l ORDER BY event_type, week""".stripMargin,
     "Week-over-week growth per type: exact floor-ppm deltas with the " +
@@ -3834,7 +3966,7 @@ object EventQueries {
       |      sum(n) OVER (PARTITION BY event_type ORDER BY c) AS cum
       |    FROM gv) g
       |  JOIN tot t ON t.event_type = g.event_type
-      |  WHERE g.cum >= (t.tot + 1) // 2
+      |  WHERE g.cum >= CAST(floor((t.tot + 1) / 2) AS BIGINT)
       |  GROUP BY g.event_type),
       |gd AS (
       |  SELECT gv.event_type, abs(gv.c - med.med) AS dev,
@@ -3847,7 +3979,7 @@ object EventQueries {
       |      sum(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum
       |    FROM gd) g
       |  JOIN tot t ON t.event_type = g.event_type
-      |  WHERE g.cum >= (t.tot + 1) // 2
+      |  WHERE g.cum >= CAST(floor((t.tot + 1) / 2) AS BIGINT)
       |  GROUP BY g.event_type)
       |SELECT gd.event_type AS event_type, med.med AS median_cents,
       |  mad.mad AS mad_cents,
@@ -3900,7 +4032,7 @@ object EventQueries {
     },
     Some("""WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    COUNT(*) AS n
       |  FROM events GROUP BY 1, 2),
       |sums AS (
@@ -3916,7 +4048,7 @@ object EventQueries {
       |SELECT d.event_type AS event_type, d.day AS day,
       |  CAST(d.n AS BIGINT) AS n, s.ewma_num AS ewma_num,
       |  s.ewma_den AS ewma_den,
-      |  CAST((1000 * s.ewma_num) // s.ewma_den AS BIGINT) AS ewma_milli
+      |  CAST(floor((1000 * s.ewma_num) / s.ewma_den) AS BIGINT) AS ewma_milli
       |FROM daily d JOIN sums s
       |  ON s.event_type = d.event_type AND s.day = d.day
       |ORDER BY event_type, day""".stripMargin),
@@ -4292,7 +4424,7 @@ object EventQueries {
       |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
       |  FROM events),
       |dg AS (
-      |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  SELECT CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT) AS digit
       |  FROM c WHERE c > 0),
       |cnt AS (SELECT digit, COUNT(*) AS n FROM dg GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
@@ -4450,7 +4582,7 @@ object EventQueries {
   val q253_ols_trend: QueryDef = q(
     "q253_ols_trend",
     """WITH dc AS (
-      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    COUNT(*) AS y
       |  FROM events GROUP BY 1, 2),
       |s AS (
@@ -4555,7 +4687,7 @@ object EventQueries {
       |    ON t.user_id = a.user_id AND t.event_type = a.event_type)
       |SELECT user_id, event_type, n,
       |  CAST(MIN(v_cents) AS BIGINT) AS median_cents
-      |FROM cum WHERE cm >= (n + 1) // 2
+      |FROM cum WHERE cm >= CAST(floor((n + 1) / 2) AS BIGINT)
       |GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type""".stripMargin),
     "Incremental view maintenance tier 6: per-group discrete median " +
@@ -4637,7 +4769,7 @@ object EventQueries {
     "q256_cross_correlation",
     """WITH daily AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |pr AS (
@@ -4709,12 +4841,12 @@ object EventQueries {
   val q259_purged_folds: QueryDef = q(
     "q259_purged_folds",
     """WITH daily AS (
-      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, COUNT(*) AS n
+      |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, COUNT(*) AS n
       |  FROM events GROUP BY 1),
       |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
       |days AS (
       |  SELECT day, n,
-      |    LEAST(4, ((day - d0) * 5) // (d1 - d0 + 1)) AS fold
+      |    LEAST(4, CAST(floor(((day - d0) * 5) / (d1 - d0 + 1)) AS BIGINT)) AS fold
       |  FROM daily CROSS JOIN b),
       |fb AS (SELECT fold AS f, MIN(day) AS f0, MAX(day) AS f1
       |       FROM days GROUP BY 1),
@@ -4782,14 +4914,14 @@ object EventQueries {
       |      AS BIGINT) AS sid
       |  FROM g),
       |sess AS (
-      |  SELECT user_id, sid, MIN(sec) // 86400 AS day, COUNT(*) AS n_ev
+      |  SELECT user_id, sid, CAST(floor(MIN(sec) / 86400) AS BIGINT) AS day, COUNT(*) AS n_ev
       |  FROM s GROUP BY 1, 2),
       |r AS (
       |  SELECT day, COUNT(*) AS n_sessions,
       |    CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
       |  FROM sess GROUP BY 1)
       |SELECT CAST(day AS BIGINT) AS day, n_sessions, n_bounce,
-      |  (1000000 * n_bounce) // n_sessions AS bounce_ppm
+      |  CAST(floor((1000000 * n_bounce) / n_sessions) AS BIGINT) AS bounce_ppm
       |FROM r ORDER BY day""".stripMargin,
     "Per-day session bounce rate (1-event sessions / sessions started " +
       "that day) in exact floor-ppm, over the 30-min-gap sessionization") {
@@ -4895,7 +5027,7 @@ object EventQueries {
       |    AND b.event_type > a.event_type
       |  GROUP BY 1, 2)
       |SELECT type_a, type_b, co_users,
-      |  (1000000 * co_users) // (na.n + nb.n - co_users) AS jaccard_ppm
+      |  CAST(floor((1000000 * co_users) / (na.n + nb.n - co_users)) AS BIGINT) AS jaccard_ppm
       |FROM pr
       |JOIN nt na ON na.event_type = type_a
       |JOIN nt nb ON nb.event_type = type_b
@@ -4934,7 +5066,7 @@ object EventQueries {
     "q263_ohlc_bars",
     """WITH e AS (
       |  SELECT event_type, ts, event_id,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       |  FROM events),
       |w AS (
@@ -5000,7 +5132,7 @@ object EventQueries {
       s"""WITH e AS (
         |  SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-        |    md5('bs1:' || CAST(event_id AS VARCHAR)) AS h
+        |    md5('bs1:' || CAST(event_id AS STRING)) AS h
         |  FROM events),
         |reps AS (
         |$sqlW),
@@ -5070,7 +5202,7 @@ object EventQueries {
     "q265_rfm_segments",
     """WITH per_user AS (
       |  SELECT user_id,
-      |    MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS r,
+      |    MAX(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS r,
       |    COUNT(*) AS f,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS m
@@ -5169,7 +5301,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram, q296_position_attribution, q297_kendall_tau,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram, q296_position_attribution, q297_kendall_tau, q301_louvain_refine,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

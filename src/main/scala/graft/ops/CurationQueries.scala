@@ -78,7 +78,7 @@ object CurationQueries {
     },
     Some {
       val unitHash =
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+        "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0"
       val caseExpr = "CASE " + MixWeights.map { case (k, f) =>
         s"WHEN lang = '$k' THEN $f" }.mkString(" ") + " ELSE 1.0 END"
       s"""WITH kept AS (
@@ -243,7 +243,7 @@ object CurationQueries {
       |ranked AS (
       |  SELECT doc_id, bucket,
       |    row_number() OVER (PARTITION BY bucket ORDER BY
-      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
       |      doc_id) AS rk
       |  FROM bucketed),
       |cand AS (SELECT bucket, COUNT(*) AS n_candidates FROM bucketed GROUP BY bucket),
@@ -314,7 +314,7 @@ object CurationQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -392,7 +392,7 @@ object CurationQueries {
         |ranked AS (
         |  SELECT sv.doc_id, sv.lang, c.cap,
         |    row_number() OVER (PARTITION BY sv.lang ORDER BY
-        |      CAST(('0x' || substr(md5(CAST(sv.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+        |      CAST(('0x' || substr(md5(CAST(sv.doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
         |      sv.doc_id) AS rk
         |  FROM surv sv JOIN caps c USING (lang)),
         |keptagg AS (
@@ -445,7 +445,7 @@ object CurationQueries {
       |  FROM documents WHERE doc_id % 10 <> 3
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
-      |    'new page ' || CAST(doc_id AS VARCHAR) AS text
+      |    'new page ' || CAST(doc_id AS STRING) AS text
       |  FROM documents WHERE doc_id % 10 = 0),
       |oc AS (
       |  SELECT token, COUNT(*) AS cnt FROM (

@@ -189,7 +189,7 @@ object DedupQueries {
       s""",
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |hsc AS (
         |  SELECT doc_id, band, bucket FROM (
@@ -269,7 +269,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -313,7 +313,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -376,7 +376,7 @@ object DedupQueries {
       |  FROM documents WHERE doc_id % 10 <> 3
       |  UNION ALL
       |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
-      |    'new page ' || CAST(doc_id AS VARCHAR) AS text
+      |    'new page ' || CAST(doc_id AS STRING) AS text
       |  FROM documents WHERE doc_id % 10 = 0),
       |nh AS (SELECT doc_id, md5(text) AS h FROM neu)
       |SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
@@ -511,7 +511,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |dup AS (
         |  SELECT DISTINCT a.doc_id
@@ -776,7 +776,7 @@ object DedupQueries {
       s""",
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS VARCHAR) AS band) b
+        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |hsc AS (
         |  SELECT doc_id, band, bucket FROM (
@@ -790,9 +790,9 @@ object DedupQueries {
         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
         |spl AS (
         |  SELECT doc_id,
-        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
         |             AS BIGINT) / 4294967296.0 < 0.8 THEN 'train'
-        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
         |             AS BIGINT) / 4294967296.0 < 0.9 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)

@@ -300,6 +300,67 @@ object Graph {
     lbl
   }
 
+  /** One GREEDY MODULARITY-REFINEMENT round over a community partition
+    * (the Louvain coarse "merge communities" move in its deterministic
+    * parallel-matching form): build the community-level graph, keep the
+    * pairs whose merge STRICTLY raises Newman modularity — ΔQ =
+    * e12/m − deg1·deg2/(2m²) > 0, tested exactly as the integer
+    * inequality 2·m·e12 > deg1·deg2 — let every community pick its best
+    * positive neighbor (max ΔQ, smaller id on ties) and merge only
+    * MUTUAL picks. Mutual-best is a matching, so merges are disjoint
+    * and their ΔQ terms ADD exactly (no interaction terms) — the
+    * refined modularity is computable from the merge frame alone,
+    * without re-tagging a single edge.
+    *
+    * Scale shape: two label-tagging hash joins produce the community
+    * pair frame (bounded by adjacent community PAIRS, never nodes), the
+    * best-pick window partitions by community, and the mutuality check
+    * is a self-join of the community-sized best frame. Nothing after
+    * the tagging joins touches the corpus.
+    *
+    * Input: `e` (a, b, w) undirected weighted edges, `labels` (v, lbl).
+    * Output: one row per merge, c1 < c2 (the merged label is c1 = the
+    * min, preserving LPA's min-id label convention):
+    * (c1, c2, e12, deg1, deg2) — exactly the ΔQ terms.
+    */
+  def modularityMerges(e: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = e
+      .join(labels.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(least(col("la"), col("lb")).as("c1"),
+        greatest(col("la"), col("lb")).as("c2"))
+      .agg(sum("w").as("e12"))
+    val degc = e.select(col("a").as("v"), col("w"))
+      .unionAll(e.select(col("b").as("v"), col("w")))
+      .groupBy("v").agg(sum("w").as("dg"))
+      .join(labels, Seq("v"))
+      .groupBy(col("lbl").as("c")).agg(sum("dg").as("degc"))
+    val m = e.agg(sum("w").cast(org.apache.spark.sql.types.LongType).as("m"))
+    val sym = pairs.select(col("c1").as("c"), col("c2").as("nb"), col("e12"))
+      .unionByName(
+        pairs.select(col("c2").as("c"), col("c1").as("nb"), col("e12")))
+    val dq = sym
+      .join(degc.select(col("c"), col("degc").as("deg_c")), Seq("c"))
+      .join(degc.select(col("c").as("nb"), col("degc").as("deg_nb")),
+        Seq("nb"))
+      .crossJoin(broadcast(m)) // 1-row modularity denominator
+      .withColumn("dqn", expr("2 * CAST(m AS DECIMAL(38,0)) * e12 - " +
+        "CAST(deg_c AS DECIMAL(38,0)) * deg_nb"))
+      .filter(col("dqn") > 0)
+    val wBest = Window.partitionBy("c").orderBy(col("dqn").desc, col("nb"))
+    val best = dq.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select("c", "nb", "e12", "deg_c", "deg_nb")
+    best.alias("x").join(best.alias("y"),
+        col("x.nb") === col("y.c") && col("y.nb") === col("x.c"))
+      .filter(col("x.c") < col("x.nb"))
+      .select(col("x.c").as("c1"), col("x.nb").as("c2"),
+        col("x.e12").as("e12"), col("x.deg_c").as("deg1"),
+        col("x.deg_nb").as("deg2"))
+  }
+
   /** Hub-capped Jaccard link prediction (q192's kernel): candidate
     * non-edges ranked by common-neighbor Jaccard. The wedge self-join is
     * the quadratic step — Σ deg(w)² over common-neighbor CENTERS — so

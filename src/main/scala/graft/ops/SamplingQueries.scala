@@ -15,7 +15,7 @@ object SamplingQueries {
 
   /** DuckDB mirror of [[Sampling.unitHash]] over doc_id. */
   private val unitHashSql =
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0"
+    "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0"
 
   val q53_stable_split: QueryDef = QueryDef(
     "q53_stable_split",
@@ -94,7 +94,7 @@ object SamplingQueries {
       Sampling.shuffleShards(Tables.documents(s, d), "doc_id", "ep1", 8)
         .orderBy("shard", "pos"),
     Some("""WITH h AS (
-      |  SELECT doc_id AS id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS hh
+      |  SELECT doc_id AS id, md5('ep1:' || CAST(doc_id AS STRING)) AS hh
       |  FROM documents),
       |s AS (
       |  SELECT id, hh,
@@ -124,7 +124,7 @@ object SamplingQueries {
     Some("""WITH ranked AS (
       |  SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY lang ORDER BY
-      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
       |      doc_id) AS rk
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id,
@@ -227,7 +227,7 @@ object SamplingQueries {
       |ranked AS (
       |  SELECT id, cid,
       |    row_number() OVER (PARTITION BY cid ORDER BY
-      |      CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      CAST(('0x' || substr(md5(CAST(id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
       |      id) AS rk
       |  FROM a4)
       |SELECT cid AS centroid_id,
@@ -279,8 +279,8 @@ object SamplingQueries {
       |    ['','www.','blog.cdn.'][CAST(doc_id % 3 AS INT) + 1] ||
       |    'site-' || source || '.' ||
       |    ['com','org','net','co.uk','com.au'][CAST(doc_id % 5 AS INT) + 1] ||
-      |    CASE WHEN doc_id % 2 = 0 THEN ':8080/p/' || CAST(doc_id AS VARCHAR)
-      |         ELSE '/a?q=' || CAST(doc_id AS VARCHAR) END AS url
+      |    CASE WHEN doc_id % 2 = 0 THEN ':8080/p/' || CAST(doc_id AS STRING)
+      |         ELSE '/a?q=' || CAST(doc_id AS STRING) END AS url
       |  FROM documents)""".stripMargin
 
   val q111_domain_curation: QueryDef = QueryDef(
@@ -423,11 +423,11 @@ object SamplingQueries {
       |    CASE WHEN doc_id % 2 = 0 THEN 'Site-' ELSE 'site-' END ||
       |    source || '.com' ||
       |    ['',':443',':80',':8080'][CAST(doc_id % 4 AS INT) + 1] ||
-      |    '/p/' || CAST(doc_id // 3 AS VARCHAR) ||
+      |    '/p/' || CAST(doc_id // 3 AS STRING) ||
       |    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
       |    ['','?utm_source=feed','?utm_campaign=x&utm_medium=y',
-      |     '?id=' || CAST(doc_id // 3 AS VARCHAR),
-      |     '?utm_source=a&id=' || CAST(doc_id // 3 AS VARCHAR)][CAST(doc_id % 5 AS INT) + 1] ||
+      |     '?id=' || CAST(doc_id // 3 AS STRING),
+      |     '?utm_source=a&id=' || CAST(doc_id // 3 AS STRING)][CAST(doc_id % 5 AS INT) + 1] ||
       |    CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM documents),
       |hosted AS (
@@ -499,7 +499,7 @@ object SamplingQueries {
       |ranked AS (
       |  SELECT d.doc_id, d.lang, c.n_docs, c.cap,
       |    row_number() OVER (PARTITION BY d.lang ORDER BY
-      |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      CAST(('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
       |      d.doc_id) AS rk
       |  FROM documents d JOIN caps c USING (lang))
       |SELECT lang,
@@ -606,8 +606,8 @@ object SamplingQueries {
       |reps AS (SELECT doc_id, weight, unnest(range(weight)) AS r FROM wdoc),
       |pri AS (
       |  SELECT doc_id, weight,
-      |    min(CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)
-      |      || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)) AS priority
+      |    min(CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS STRING)
+      |      || ':' || CAST(r AS STRING)), 1, 8)) AS BIGINT)) AS priority
       |  FROM reps GROUP BY doc_id, weight)
       |SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
       |FROM pri ORDER BY priority, doc_id LIMIT 100""".stripMargin),
@@ -647,7 +647,7 @@ object SamplingQueries {
     Some("""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
       |sc AS (
       |  SELECT doc_id, (n_chars * 10) // (mx + 1) AS bucket,
-      |    CAST(('0x' || substr(md5('cur1:' || CAST(doc_id AS VARCHAR)),
+      |    CAST(('0x' || substr(md5('cur1:' || CAST(doc_id AS STRING)),
       |      1, 8)) AS BIGINT) AS hk
       |  FROM documents, mx)
       |SELECT doc_id, CAST(bucket AS BIGINT) AS difficulty_bucket,
@@ -687,7 +687,7 @@ object SamplingQueries {
     Some("""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
       |  (CAST(len(string_split(text, ' ')) AS BIGINT) * 1099511627776)
-      |    // (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+      |    // (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS STRING)),
       |        1, 10)) AS BIGINT) + 1) AS priority
       |FROM documents
       |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin),

@@ -196,7 +196,7 @@ object SimilarityQueries {
     },
     Some("""WITH planes AS (
       |  SELECT p, i,
-      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 32, 1)
+      |    CASE WHEN substr(md5(CAST(p AS STRING) || ':' || CAST(i AS STRING)), 32, 1)
       |           IN ('1','3','5','7','9','b','d','f')
       |         THEN 1.0 ELSE -1.0 END AS c
       |  FROM generate_series(0, 7) t1(p), generate_series(0, 63) t2(i)),
@@ -1004,7 +1004,7 @@ object SimilarityQueries {
   val q124_random_projection: QueryDef = {
     val k = 8
     val signCols = (0 until k).map { j =>
-      s"""    CASE WHEN CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '_$j'), 1, 1)) AS BIGINT) % 2 = 1
+      s"""    CASE WHEN CAST(('0x' || substr(md5(CAST(i AS STRING) || '_$j'), 1, 1)) AS BIGINT) % 2 = 1
          |         THEN 1 ELSE -1 END AS s$j""".stripMargin
     }.mkString(",\n")
     val projCols = (0 until k).map { j =>
@@ -1131,7 +1131,7 @@ object SimilarityQueries {
       |ranked AS (
       |  SELECT a4.id, a4.cid,
       |    row_number() OVER (PARTITION BY a4.cid ORDER BY
-      |      CAST(('0x' || substr(md5(CAST(a4.id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+      |      CAST(('0x' || substr(md5(CAST(a4.id AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0,
       |      a4.id) AS rk
       |  FROM a4 JOIN keep ON a4.id = keep.id),
       |ded AS (

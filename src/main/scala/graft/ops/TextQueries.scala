@@ -261,8 +261,8 @@ object TextQueries {
     """WITH raw AS (
       |  SELECT doc_id,
       |    '<p>Begin</p> ' || substring(text, 1, 40) ||
-      |    ' see https://ex.am/p?q=' || CAST(doc_id AS VARCHAR) ||
-      |    ' &amp; mail u' || CAST(doc_id AS VARCHAR) || '@ex.com <br/> end' AS raw
+      |    ' see https://ex.am/p?q=' || CAST(doc_id AS STRING) ||
+      |    ' &amp; mail u' || CAST(doc_id AS STRING) || '@ex.com <br/> end' AS raw
       |  FROM documents),
       |stripped AS (
       |  SELECT doc_id,

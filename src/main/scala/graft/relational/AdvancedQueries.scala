@@ -54,7 +54,7 @@ object AdvancedQueries {
       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
       |  CAST(levenshtein(substring(text, 1, 8), 'the quic') AS BIGINT) AS lev,
       |  reverse(substring(text, 1, 10)) AS rev10,
-      |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad
+      |  lpad(CAST(doc_id AS STRING), 6, '0') AS id_pad
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
     "Scalar string battery: case, substring, replace, levenshtein, pad") {
@@ -360,7 +360,7 @@ object AdvancedQueries {
     */
   val q171_sketch_rollup: QueryDef = q(
     "q171_sketch_rollup",
-    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS week,
+    """SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
       |  COUNT(DISTINCT user_id) AS exact_users,
       |  CAST(1 AS BIGINT) AS union_within_tol
       |FROM events
@@ -674,7 +674,7 @@ object AdvancedQueries {
   val q199_golden_record: QueryDef = q(
     "q199_golden_record",
     """WITH base AS (
-      |  SELECT c_custkey // 3 AS gid, c_custkey, c_name, c_mktsegment,
+      |  SELECT CAST(floor(c_custkey / 3) AS BIGINT) AS gid, c_custkey, c_name, c_mktsegment,
       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM customer),
       |rep AS (
@@ -876,8 +876,8 @@ object AdvancedQueries {
     "q208_kanonymity",
     """WITH qi AS (
       |  SELECT c_custkey, c_nationkey, c_mktsegment,
-      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
-      |      // 100000 AS bal_band
+      |    CAST(floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) / 100000) AS BIGINT) AS bal_band
       |  FROM customer),
       |cls AS (
       |  SELECT c_nationkey, c_mktsegment, bal_band,
@@ -912,11 +912,11 @@ object AdvancedQueries {
     "q209_pseudonymize",
     """WITH cmap AS (
       |  SELECT c_custkey,
-      |    substr(md5('pk1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS sk
+      |    substr(md5('pk1:' || CAST(c_custkey AS STRING)), 1, 16) AS sk
       |  FROM customer),
       |omap AS (
       |  SELECT o_custkey,
-      |    substr(md5('pk1:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS sk
+      |    substr(md5('pk1:' || CAST(o_custkey AS STRING)), 1, 16) AS sk
       |  FROM orders)
       |SELECT
       |  CAST((SELECT count(*) FROM cmap) AS BIGINT) AS n_customers,
@@ -967,13 +967,13 @@ object AdvancedQueries {
     "q236_dp_release",
     """WITH c AS (
       |  SELECT event_type,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |nz AS (
       |  SELECT event_type, day, n,
       |    CAST(('0x' || substr(md5('dp1:' || event_type || ':'
-      |      || CAST(day AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      || CAST(day AS STRING)), 1, 15)) AS BIGINT)
       |      % 6597069766656 AS u
       |  FROM c)
       |SELECT event_type, day,
@@ -1033,7 +1033,7 @@ object AdvancedQueries {
       |nz AS (
       |  SELECT event_type, band, n,
       |    CAST(('0x' || substr(md5('dpm1:' || event_type || ':'
-      |      || CAST(band AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      || CAST(band AS STRING)), 1, 15)) AS BIGINT)
       |      % 6597069766656 AS u
       |  FROM c),
       |rel AS (
@@ -1097,6 +1097,105 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Differentially-private QUANTILE release — the standard third
+    * release after q236's counts and q257's mean, via NOISY-HISTOGRAM
+    * POST-PROCESSING: the same seeded two-sided-geometric noise is
+    * applied ONCE to the per-(type, band) histogram (each event in
+    * exactly one band → parallel composition keeps the whole release at
+    * ε = ln 2), and p25/p50/p75 are then read off the noisy cumulative —
+    * pure post-processing, zero additional ε, so the ε-accounting row is
+    * unchanged from q257. Quantile position uses the portable ceil
+    * ⌈N·p/100⌉ = (N·p + 99) div 100 (q294's idiom); the released value is
+    * the band midpoint in cents. Same +10⁸ shift + portable-floor band
+    * division as q257 so band keys stay synchronized over the whole
+    * BIGINT cents domain. The cumulative window partitions by type and
+    * is bounded by distinct bands per type, never rows. Every noise draw
+    * is replayed bit-for-bit by the oracle.
+    */
+  val q300_dp_quantiles: QueryDef = q(
+    "q300_dp_quantiles",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
+      |      // 1000 AS band,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |nz AS (
+      |  SELECT event_type, band, n,
+      |    CAST(('0x' || substr(md5('dpq1:' || event_type || ':'
+      |      || CAST(band AS STRING)), 1, 15)) AS BIGINT)
+      |      % 6597069766656 AS u
+      |  FROM c),
+      |rel AS (
+      |  SELECT event_type, band,
+      |    greatest(n + CASE
+      |      WHEN u = 0 THEN -41
+      |      WHEN u < 4398046511104 THEN length(bin(u)) - 42
+      |      WHEN 6597069766655 - u = 0 THEN 41
+      |      ELSE 42 - length(bin(6597069766655 - u)) END, 0) AS n_rel
+      |  FROM nz),
+      |cum AS (
+      |  SELECT event_type, band,
+      |    CAST(SUM(n_rel) OVER (PARTITION BY event_type ORDER BY band)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(n_rel) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS total
+      |  FROM rel),
+      |ps(p) AS (VALUES (25), (50), (75)),
+      |pos AS (
+      |  SELECT t.event_type, ps.p, t.total,
+      |    (t.total * ps.p + 99) // 100 AS pos
+      |  FROM (SELECT DISTINCT event_type, total FROM cum) t, ps),
+      |hit AS (
+      |  SELECT pos.event_type, pos.p, pos.total, min(cum.band) AS qband
+      |  FROM pos JOIN cum ON cum.event_type = pos.event_type
+      |    AND cum.cum >= pos.pos
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(p AS BIGINT) AS p,
+      |  CAST(total AS BIGINT) AS n_total,
+      |  CAST(qband * 1000 + 500 - 100000000 AS BIGINT) AS dp_q_cents
+      |FROM hit
+      |UNION ALL
+      |SELECT 'epsilon_ppm', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST(693147 AS BIGINT)
+      |ORDER BY event_type, p""".stripMargin,
+    "DP quantile release: noisy banded histogram (eps = ln 2 by " +
+      "parallel composition) post-processed to p25/p50/p75 band " +
+      "midpoints — zero extra epsilon, exact integer noise, " +
+      "oracle-replayed bit-for-bit") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               | + 100000000""".stripMargin).as("shifted"))
+      .select(col("event_type"),
+        expr("""CASE WHEN shifted >= 0 THEN shifted div 1000
+               | ELSE -((-shifted + 999) div 1000) END""".stripMargin)
+          .as("band"))
+      .groupBy("event_type", "band").agg(count(lit(1)).as("n"))
+    val rel = graft.ops.Privacy.withTwoSidedGeometricNoise(counts,
+        seed = "dpq1",
+        keySql = "concat(event_type, ':', CAST(band AS STRING))", out = "z")
+      .withColumn("n_rel", greatest(col("n") + col("z"), lit(0L)))
+    val wCum = Window.partitionBy("event_type").orderBy("band")
+    val wTot = Window.partitionBy("event_type")
+    val cum = rel
+      .withColumn("cum", sum("n_rel").over(wCum).cast(LongType))
+      .withColumn("total", sum("n_rel").over(wTot).cast(LongType))
+      .withColumn("p", explode(array(lit(25L), lit(50L), lit(75L))))
+      .withColumn("pos", expr("(total * p + 99) div 100"))
+    cum.filter(col("cum") >= col("pos"))
+      .groupBy("event_type", "p", "total")
+      .agg(min("band").as("qband"))
+      .select(col("event_type"), col("p"),
+        col("total").as("n_total"),
+        expr("CAST(qband * 1000 + 500 - 100000000 AS BIGINT)")
+          .as("dp_q_cents"))
+      .unionByName(s.range(1).select(lit("epsilon_ppm").as("event_type"),
+        lit(-1L).as("p"), lit(-1L).as("n_total"),
+        lit(693147L).as("dp_q_cents")))
+      .orderBy("event_type", "p")
+  }
+
   /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
     * from the SymSpell deletion-neighborhood blocking (q88's kernel —
     * never all-pairs), scored by integer field-agreement weights
@@ -1124,8 +1223,8 @@ object AdvancedQueries {
       |  SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1),
       |cust AS (
       |  SELECT c_name, c_custkey, c_nationkey, c_mktsegment,
-      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
-      |      // 100000 AS band
+      |    CAST(floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) / 100000) AS BIGINT) AS band
       |  FROM customer),
       |sc AS (
       |  SELECT c1.c_custkey AS key1, c2.c_custkey AS key2,
@@ -1181,8 +1280,8 @@ object AdvancedQueries {
     "q214_l_diversity",
     """WITH qi AS (
       |  SELECT c_nationkey, c_mktsegment,
-      |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
-      |      // 100000 AS band
+      |    CAST(floor((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      + 100000) / 100000) AS BIGINT) AS band
       |  FROM customer),
       |cv AS (
       |  SELECT c_nationkey, band, c_mktsegment, CAST(count(*) AS BIGINT) AS n
@@ -1436,8 +1535,8 @@ object AdvancedQueries {
   val q276_skyline_3d: QueryDef = q(
     "q276_skyline_3d",
     """WITH li AS (
-      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-      |      AS BIGINT) // 50000 AS price_band,
+      |  SELECT CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) / 50000) AS BIGINT) AS price_band,
       |    CAST(l_quantity AS BIGINT) AS qty,
       |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
       |      AS disc_bp
@@ -1563,7 +1662,7 @@ object AdvancedQueries {
     """WITH ev AS (
       |  SELECT event_type,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
       |  FROM events)
       |SELECT * FROM (
       |  SELECT 'p1' AS expr, CAST(count(*) AS BIGINT) AS n FROM ev
@@ -1644,7 +1743,7 @@ object AdvancedQueries {
       |    sum(g.m) OVER (PARTITION BY g.rf ORDER BY g.price_cents) AS cw
       |  FROM gv g JOIN tot t ON t.rf = g.rf)
       |SELECT rf, CAST(max(tw) AS BIGINT) AS total_weight,
-      |  CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN price_cents END)
+      |  CAST(min(CASE WHEN cw >= CAST(floor((tw + 1) / 2) AS BIGINT) THEN price_cents END)
       |    AS BIGINT) AS weighted_median_cents
       |FROM cum GROUP BY 1 ORDER BY rf""".stripMargin,
     "Exact weighted median (price splitting shipped quantity in half) " +
@@ -1676,7 +1775,7 @@ object AdvancedQueries {
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
     q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,
-    q257_dp_mean,
+    q257_dp_mean, q300_dp_quantiles,
     q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,

@@ -442,7 +442,7 @@ object RelationalQueries {
       |  FROM customer WHERE c_custkey % 10 <> 5),
       |ins AS (
       |  SELECT -c_custkey AS c_custkey,
-      |    'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
+      |    'new-' || CAST(c_custkey AS STRING) AS c_name,
       |    CAST(0 AS INTEGER) AS c_nationkey,
       |    CAST(0.0 AS DOUBLE) AS c_acctbal,
       |    'MERGED' AS c_mktsegment

@@ -342,13 +342,13 @@ object FormatQueries {
       rm(dir)
       res
     },
-    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+    Some("""SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |  COUNT(*) AS n,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |WHERE CAST(floor(epoch(ts)) AS BIGINT) // 86400 BETWEEN 19740 AND 19744
+      |WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) BETWEEN 19740 AND 19744
       |GROUP BY 1 ORDER BY day""".stripMargin),
     "Hive-partitioned day layout: partitionBy write, statically pruned " +
       "day-range read (PartitionFilters, no out-of-range footer opened), " +
@@ -393,13 +393,13 @@ object FormatQueries {
       rm(dir)
       res
     },
-    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+    Some("""SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |  COUNT(*) AS n,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |WHERE CAST(floor(epoch(ts)) AS BIGINT) // 86400
+      |WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT)
       |    BETWEEN 19735 AND 19742
       |  AND user_id BETWEEN 30 AND 89
       |GROUP BY 1 ORDER BY day""".stripMargin),

@@ -856,7 +856,7 @@ object StreamQueries {
       deleteRecursively(ckpt)
       res
     },
-    Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+    Some("""SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events
       |GROUP BY 1 ORDER BY day""".stripMargin),

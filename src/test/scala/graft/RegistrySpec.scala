@@ -117,6 +117,7 @@ class RegistrySpec extends SparkSpec {
     ("sha256(", "DuckDB sha256 (Spark spells it sha2(x, 256))"),
     ("nfc_normalize", "DuckDB nfc_normalize builtin"),
     ("AS VARCHAR)", "DuckDB length-less VARCHAR cast (Spark requires VARCHAR(n))"),
+    ("'0x' ||", "DuckDB hex-string-to-integer CAST idiom (Spark: conv(h, 16, 10))"),
     ("WITH RECURSIVE", "Spark recursive CTE rejects UNION-dedup / row-limit dialect"),
     ("epoch_us", "DuckDB epoch_us"),
     ("length(regexp_extract_all", "DuckDB length() over LIST (Spark: size())"),

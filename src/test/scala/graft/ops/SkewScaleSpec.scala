@@ -878,6 +878,36 @@ class SkewScaleSpec extends SparkSpec {
     assert(got.exists(_._1 == 999999L), "hot-weight doc missing from sample")
   }
 
+  test("modularityMerges: mutual-best positive-dQ matching is exact on a " +
+    "hub graph — hand-computed merges, disjoint, hub cannot over-merge") {
+    // two triangles {1,2,3},{4,5,6} bridged by 3-4; partition splits the
+    // first triangle ({1,2} vs {3}); hub 100 connects to all six nodes.
+    // m=13; community degrees: c1=6, c3=4, c4=10, c100=6. Integer dQ
+    // tests (2*m*e12 - deg1*deg2): (c1,c3)=+28, (c3,c4)=-14, (c1,c100)=+16,
+    // (c3,c100)=+2, (c4,c100)=+18 -> best picks c1<->c3 and c4<->c100 are
+    // the two MUTUAL pairs; the hub's tempting +16/+2 edges lose to its
+    // own best and stay unmerged. Disjointness = the matching property
+    // that makes the refined-Q arithmetic exact in q301.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (100L, 5L),
+      (100L, 6L)).toDF("a", "b").withColumn("w", lit(1L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L),
+      (6L, 4L), (100L, 100L)).toDF("v", "lbl")
+    val got = Graph.modularityMerges(e, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 3L, 2L, 6L, 4L), (4L, 100L, 3L, 10L, 6L)),
+      s"got $got")
+    // without the hub: only (c1,c3) qualifies mutually; (c3,c4) has
+    // dQ = 2*7*1 - 3*7 < 0 and must NOT merge
+    val e0 = e.filter(col("a") =!= 100L && col("b") =!= 100L)
+    val got0 = Graph.modularityMerges(e0,
+        labels.filter(col("v") =!= 100L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got0 == Set((1L, 3L, 2L, 4L, 3L)), s"got $got0")
+  }
+
   test("forget cascade: one customer owning 10^4 orders stays exact and " +
     "semi/anti-join shaped") {
     // q285's skew surface: the forget set hits a celebrity customer.
