@@ -171,6 +171,24 @@ object CorpusBuilds {
         idx
       })
 
+  /** q302's standing text index — a SEPARATE artifact from
+    * [[documentsPhraseIndex]] (q298 and q302 both MUTATE their standing
+    * index; sharing a dir would make each round's end state depend on
+    * which query ran first). The streaming CDC q302 applies is
+    * idempotent for the same reason q298's batch delta is: every doc is
+    * touched by exactly one op, so re-applying converges.
+    */
+  def documentsPhraseIndexStream(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|phraseidx_stream|" + dir, _ => {
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_txtidxs_").toString
+        TextIndex.buildPhraseIndex(
+          graft.relational.Tables.documents(s, dir), "doc_id", "text",
+          idx, nBuckets = 16)
+        idx
+      })
+
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long, Long, Long)], DataFrame)]()
 

@@ -1196,6 +1196,57 @@ object AdvancedQueries {
       .orderBy("event_type", "p")
   }
 
+  /** Differentially-private HEAVY-HITTERS release (stability-based
+    * thresholding, the fourth standard release after counts/mean/
+    * quantiles): per-user event counts get the q236 seeded two-sided
+    * geometric noise, and ONLY users whose NOISY count clears the
+    * threshold (80) are published — membership in the release is itself
+    * decided on the noisy value, never the true one, which is what
+    * makes thresholded releases private. Exact integer noise, replayed
+    * bit-for-bit by the oracle; ε = ln 2 (one noised query per user,
+    * disjoint rows → parallel composition), stamped as the accounting
+    * row. One hash agg + a codegen noise expression — no joins, no
+    * windows, nothing driver-side.
+    */
+  val q303_dp_topk: QueryDef = q(
+    "q303_dp_topk",
+    """WITH c AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |nz AS (
+      |  SELECT user_id, n,
+      |    CAST(('0x' || substr(md5('dpt1:' || CAST(user_id AS STRING)),
+      |      1, 15)) AS BIGINT) % 6597069766656 AS u
+      |  FROM c),
+      |rel AS (
+      |  SELECT user_id,
+      |    n + CASE
+      |      WHEN u = 0 THEN -41
+      |      WHEN u < 4398046511104 THEN length(bin(u)) - 42
+      |      WHEN 6597069766655 - u = 0 THEN 41
+      |      ELSE 42 - length(bin(6597069766655 - u)) END AS n_rel
+      |  FROM nz)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(n_rel AS BIGINT) AS n_released
+      |FROM rel WHERE n_rel >= 80
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(693147 AS BIGINT)
+      |ORDER BY user_id, n_released""".stripMargin,
+    "DP heavy hitters: stability-based threshold release — membership " +
+      "decided on the noisy count (threshold 80), exact integer noise " +
+      "oracle-replayed bit-for-bit, epsilon-accounting row") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    graft.ops.Privacy.withTwoSidedGeometricNoise(counts, seed = "dpt1",
+        keySql = "CAST(user_id AS STRING)", out = "z")
+      .select(col("user_id").cast(LongType).as("user_id"),
+        (col("n") + col("z")).cast(LongType).as("n_released"))
+      .filter(col("n_released") >= 80)
+      .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+        lit(693147L).as("n_released")))
+      .orderBy("user_id", "n_released")
+  }
+
   /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
     * from the SymSpell deletion-neighborhood blocking (q88's kernel —
     * never all-pairs), scored by integer field-agreement weights
@@ -1775,7 +1826,7 @@ object AdvancedQueries {
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
     q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,
-    q257_dp_mean, q300_dp_quantiles,
+    q257_dp_mean, q300_dp_quantiles, q303_dp_topk,
     q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,

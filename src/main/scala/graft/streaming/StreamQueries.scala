@@ -1415,7 +1415,98 @@ object StreamQueries {
       "foreachBatch over interleaved two-sided CDC inserts — end state " +
       "= from-scratch join+aggregate of the complete tables")
 
+  /** Stream/batch parity #19 — the PERSISTED TEXT INDEX under streaming
+    * CDC (the q130/q133 lifecycle completed on the text side): doc
+    * upserts and deletes arrive in key-ranged micro-batches, each batch
+    * applies [[graft.ops.TextIndex.updatePhraseIndex]] against the
+    * STANDING on-disk index (rewriting only touched term-bucket
+    * partitions — per-batch cost is the delta's, never the corpus'),
+    * and the end state must answer phrase search exactly like a
+    * from-scratch index over the final corpus (the oracle). Every doc
+    * is touched by exactly one op (upsert: id ≡ 0 mod 3; delete:
+    * id ≡ 4 mod 11 and not upserted), so the end state is independent
+    * of batch boundaries and re-running converges (idempotent upsert
+    * semantics — the same property q133 pins for the vector index).
+    */
+  val q302_stream_text_index: QueryDef = {
+    val phrases = Seq("fast table", "table value", "value table part")
+    val phraseSel = phrases.map(p => s"('$p')").mkString(", ")
+    QueryDef(
+      "q302_stream_text_index",
+      (s, d) => {
+        val docs = graft.relational.Tables.documents(s, d)
+          .select("doc_id", "text")
+        val dir = graft.ops.CorpusBuilds.documentsPhraseIndexStream(s, d)
+        val cdc = docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("u").as("op"), col("doc_id"),
+            concat(col("text"), lit(" fast table extra")).as("text"))
+          .unionByName(docs
+            .filter(col("doc_id") % 11 === 4 && col("doc_id") % 3 =!= 0)
+            .select(lit("d").as("op"), col("doc_id"),
+              lit(null).cast(StringType).as("text")))
+        val staged = stageRanged(cdc, col("doc_id"), k = 3,
+          prefix = "graft_q302_src", datasetDir = d)
+        val schema = s.read.parquet(staged.toString).schema
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q302_ckpt")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val ups = batch.filter(col("op") === "u")
+              .select("doc_id", "text").localCheckpoint(true)
+            val dels = batch.filter(col("op") === "d")
+              .select("doc_id").localCheckpoint(true)
+            graft.ops.TextIndex.updatePhraseIndex(s, dir, ups, dels,
+              "doc_id", "text")
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        require(batches >= 2,
+          s"expected multiple micro-batches, saw $batches — staging broke")
+        deleteRecursively(ckpt)
+        graft.ops.TextIndex.phraseSearch(s, dir, phrases)
+          .select(col("phrase"),
+            col("n_occurrences").cast(LongType).as("n_occurrences"),
+            col("n_docs").cast(LongType).as("n_docs"))
+      },
+      Some(s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 <> 0 AND NOT (doc_id % 11 = 4)
+        |  UNION ALL
+        |  SELECT doc_id, text || ' fast table extra' AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM docs),
+        |ph(phrase) AS (VALUES $phraseSel),
+        |pt AS (
+        |  SELECT phrase,
+        |    generate_subscripts(string_split(phrase, ' '), 1) - 1 AS off,
+        |    unnest(string_split(phrase, ' ')) AS term,
+        |    len(string_split(phrase, ' ')) AS plen
+        |  FROM ph),
+        |m AS (
+        |  SELECT pt.phrase, t.doc_id, t.pos - pt.off AS anchor,
+        |    count(DISTINCT pt.off) AS nmatch, any_value(pt.plen) AS plen
+        |  FROM toks t JOIN pt ON pt.term = t.w
+        |  GROUP BY 1, 2, 3),
+        |hit AS (SELECT phrase, doc_id FROM m WHERE nmatch = plen)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM hit GROUP BY 1 ORDER BY phrase""".stripMargin),
+      "Stream/batch parity #19: the persisted text index maintained by " +
+        "foreachBatch CDC micro-batches — end-state phrase search = " +
+        "from-scratch rebuild over the final corpus")
+  }
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
+    q302_stream_text_index,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,
