@@ -30,5 +30,18 @@ object SqlEntry {
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION epoch(t TIMESTAMP)
       |RETURNS DOUBLE
       |RETURN CAST(unix_micros(t) AS DOUBLE) / 1000000.0""".stripMargin)
+    // `epoch_us(ts)` — DuckDB's exact micros accessor, = unix_micros.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION epoch_us(t TIMESTAMP)
+      |RETURNS BIGINT
+      |RETURN unix_micros(t)""".stripMargin)
+    // `strftime(ts, fmt)` — DuckDB's C-style formatter, translated to
+    // java.time patterns for the directives the oracles use (%Y %m %d
+    // %H %M %S). Same inlined-SQL-function mechanics as epoch().
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |strftime(t TIMESTAMP, f STRING) RETURNS STRING
+      |RETURN date_format(t,
+      |  replace(replace(replace(replace(replace(replace(f,
+      |    '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'),
+      |    '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))""".stripMargin)
   }
 }

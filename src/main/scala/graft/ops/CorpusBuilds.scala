@@ -189,6 +189,22 @@ object CorpusBuilds {
         idx
       })
 
+  /** q304's SERVE-ONLY standing text index over the unmodified corpus —
+    * distinct from the q298/q302 artifacts, which are MUTATED by their
+    * CDC queries (serving from a shared dir would make q304's ranking
+    * depend on which CDC query ran first in the session).
+    */
+  def documentsPhraseIndexServe(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|phraseidx_serve|" + dir, _ => {
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_txtidxq_").toString
+        TextIndex.buildPhraseIndex(
+          graft.relational.Tables.documents(s, dir), "doc_id", "text",
+          idx, nBuckets = 16)
+        idx
+      })
+
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long, Long, Long)], DataFrame)]()
 

@@ -42,8 +42,22 @@ object TextIndex {
         col("col").as("term"))
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
 
-  /** Builds and persists the index under `dir`. Build cost is paid here,
-    * once; every searcher and maintainer after it reads the artifact.
+  /** Per-doc token length (the BM25 normalizer) with its doc-hash bucket
+    * route — the index's second artifact, partitioned by `dbucket =
+    * pmod(hash(doc_id), nBuckets)` so a CDC batch rewrites only the doc
+    * buckets its ids land in. dl counts the SAME tokens [[postings]]
+    * emits (split-on-space, empties kept), so dl ≡ the doc's posting
+    * count by construction.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        size(split(col(textCol), " ")).cast(LongType).as("dl"))
+      .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+
+  /** Builds and persists the index under `dir` (postings + doclen +
+    * meta). Build cost is paid here, once; every searcher and maintainer
+    * after it reads the artifact.
     */
   def buildPhraseIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 16): Unit = {
@@ -54,6 +68,9 @@ object TextIndex {
     postings(docs, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
+    docLengths(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$dir/doclen")
   }
 
   private def readMeta(spark: SparkSession, dir: String): Int =
@@ -104,6 +121,64 @@ object TextIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$dir/postings")
     rewritten.unpersist(blocking = false)
+    // doclen sidecar: same protocol on the doc-hash bucket axis — the
+    // delta ids' buckets are the only partitions rewritten
+    val newLens = docLengths(addedDocs, idCol, textCol, nBuckets)
+    val standingLen = spark.read.parquet(s"$dir/doclen")
+      .withColumn("dbucket", col("dbucket").cast(IntegerType))
+    val rmBk = rmIds.withColumn("dbucket",
+      pmod(hash(col("doc_id")), lit(nBuckets)))
+    val touchedD = rmBk.select("dbucket")
+      .union(newLens.select("dbucket")).distinct()
+    val rewrittenLen = standingLen
+      .join(broadcast(touchedD), Seq("dbucket"), "left_semi")
+      .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
+      .unionByName(newLens)
+      .localCheckpoint(true)
+    rewrittenLen.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dbucket").parquet(s"$dir/doclen")
+    rewrittenLen.unpersist(blocking = false)
+  }
+
+  /** BM25 top-k served FROM the standing index — the ranked-retrieval
+    * read path beside [[phraseSearch]]'s boolean one, with q183's
+    * exact-rational scoring (k1 = 6/5, b = 3/4 cleared of denominators;
+    * idf argument (2N−2df+1)/(2df+1); floor-ppm per term): the postings
+    * scan is pruned to the query terms' buckets (the same static
+    * partition filter), tf and df come from those postings alone, and
+    * the corpus stats (N, Σdl) plus the per-candidate dl come from the
+    * doclen sidecar — doc-count-sized, never the posting mass. Top-k is
+    * a TakeOrderedAndProject.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, dir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val nBuckets = readMeta(spark, dir)
+    val tt = terms.toDF("term")
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val buckets = tt.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    val tf = posts.join(broadcast(tt), Seq("bucket", "term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl")
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
+    tf.join(broadcast(dfx), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s", expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) *
+          | (2 * n_docs - 2 * df + 1) * 22 * a_tokens * tf) div
+          |((CAST(2 AS DECIMAL(38,0)) * df + 1) *
+          | (CAST(10 AS DECIMAL(38,0)) * a_tokens * tf +
+          |  3 * a_tokens + CAST(9 AS DECIMAL(38,0)) * dl * n_docs))"""
+          .stripMargin))
+      .groupBy("doc_id").agg(sum("s").cast(LongType).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Exact phrase search served FROM the standing index — q275's

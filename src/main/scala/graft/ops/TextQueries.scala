@@ -1230,8 +1230,56 @@ object TextQueries {
     }
   }
 
+  /** RANKED retrieval served FROM the standing inverted index — the
+    * BM25 read path beside q298's boolean phrase search, completing the
+    * index's query surface: tf/df come from ONLY the query terms'
+    * bucket partitions (the same static pruning PlanAssertionSpec pins),
+    * the per-doc length and corpus stats from the doc-count-sized
+    * doclen sidecar, and the scoring is q183's exact-rational BM25
+    * (k1 = 6/5, b = 3/4 cleared of denominators, floor-ppm per term).
+    * The oracle replays the full computation from the raw corpus with
+    * the index's own tokenization (split-on-space), so a stale posting,
+    * wrong df, or drifted doclen is a value mismatch.
+    */
+  val q304_index_bm25: QueryDef = q(
+    "q304_index_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |dl AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS a_tokens FROM dl),
+      |terms(w) AS (VALUES ('fast'), ('table'), ('value')),
+      |tf AS MATERIALIZED (
+      |  SELECT t.doc_id, t.w, count(*) AS tf
+      |  FROM toks t JOIN terms USING (w) GROUP BY t.doc_id, t.w),
+      |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id, sum(
+      |    (CAST(1000000 AS HUGEINT) *
+      |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
+      |       (SELECT a_tokens FROM tot) * tf.tf) //
+      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
+      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |        3 * (SELECT a_tokens FROM tot) +
+      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |  FROM tf
+      |  JOIN dfx ON dfx.w = tf.w
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score_ppm
+      |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "BM25 top-20 served from the standing inverted index: bucket-pruned " +
+      "tf/df, doclen sidecar stats, exact-rational floor-ppm scoring") {
+    (s, d) =>
+      val dir = CorpusBuilds.documentsPhraseIndexServe(s, d)
+      TextIndex.bm25TopKFromIndex(s, dir, Seq("fast", "table", "value"),
+        k = 20)
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("score_ppm"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    q275_phrase_search, q298_text_index_update,
+    q275_phrase_search, q298_text_index_update, q304_index_bm25,
     q248_kn_bigram, q249_vocab_coverage,
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q229_sparse_cosine_pairs, q237_rank_fusion,

@@ -135,6 +135,29 @@ class PlanAssertionSpec extends SparkSpec {
       s"index search shuffles the lists — must stay broadcast probes:\n$plan")
   }
 
+  test("text index phrase search: only the phrase terms' bucket " +
+    "partitions are scanned (static partition filter), probe join broadcast") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong,
+      s"alpha bravo charlie delta echo tok$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtidx_plan").toString
+    ops.TextIndex.buildPhraseIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+    val search = ops.TextIndex.phraseSearch(spark, dir, Seq("alpha bravo"))
+    val plan = physical(search)
+    // the literal bucket set of the phrase's terms must reach the scan
+    // as a PARTITION filter — planning-time pruning, no data read from
+    // other term buckets
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a static bucket partition filter on the postings scan:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("bucket IN") || pf.contains("bucket#"),
+      s"bucket filter missing from PartitionFilters:\n$pf")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase-term join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"phrase search shuffles the postings — must stay a broadcast probe:\n$plan")
+  }
+
   test("IVF search on a persisted index: probe join broadcasts the probes") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>

@@ -554,6 +554,18 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // overlapping: doc 0 "aa aa aa aa" -> 3 anchors, doc 100 -> 2
     assert(hit.toSeq == Seq(("aa aa", 5L, 2L)), s"got ${hit.toSeq}")
+    // the doclen sidecar tracks the same delta: doc 1 gone, doc 0
+    // replaced at its new length, doc 100 added, others untouched
+    val lens = spark.read.parquet(s"$dir/doclen")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
+    assert(lens == Map(0L -> 4L, 100L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L), s"doclen drifted: $lens")
+    // BM25 served from the standing index sees the post-update state:
+    // "aa" docs are 0 (tf 4) and 100 (tf 3); tf saturation keeps doc 100
+    // (shorter, lower tf) ranked second; both outrank nothing else
+    val bm = TextIndex.bm25TopKFromIndex(spark, dir, Seq("aa"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bm == Seq(0L, 100L), s"index-served BM25 candidates: $bm")
     // idempotence: re-applying the same delta leaves identical content
     TextIndex.updatePhraseIndex(spark, dir, added, removed,
       "doc_id", "text")
@@ -562,6 +574,9 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == Map(0L -> 4L, 100L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
       5L -> 2L, 6L -> 2L, 7L -> 2L), s"re-apply drifted: $again")
+    val lens2 = spark.read.parquet(s"$dir/doclen")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
+    assert(lens2 == lens, "doclen re-apply drifted")
   }
 
   test("stable split/sample are deterministic and partition-invariant") {
