@@ -789,6 +789,12 @@ object ScaleProbe {
         spark, dir, added, removed, "doc_id", "text"))
       val rows = spark.read.parquet(s"$dir/postings").count()
       emit("q298_text_index_update", scale, n, t, rows)
+      // the SERVE path against the same standing index: tf/df read only
+      // the query terms' buckets, so with bucket count scaled to the
+      // corpus the ranked-retrieval latency must stay ~flat too
+      val (hits, t2) = time(ops.TextIndex.bm25TopKFromIndex(
+        spark, dir, Seq("fast", "table", "value"), 20).count())
+      emit("q304_index_bm25_serve", scale, n, t2, hits)
     }
     probeTextIndex("1x", base, nBase, nBuckets = 64)
     probeTextIndex(s"${mult}x+cluster (same 40-doc delta, buckets scaled)",

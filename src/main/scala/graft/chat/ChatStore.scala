@@ -653,6 +653,38 @@ object ChatStore {
     vacuum(spark, tableDir, keepLast = 1)
   }
 
+  /** CHANGE DATA FEED between two committed versions — the CDC-out path
+    * a lakehouse table exposes to downstream consumers: one null-safe
+    * full-outer join of the two version snapshots on `keyCols`,
+    * classifying each key as insert (new in `toV`), delete (gone from
+    * `toV`), or update (any non-key column differs, compared null-safe);
+    * unchanged keys are dropped inside the join projection, so the feed
+    * is delta-sized on the wire. Column set = the shared non-key columns
+    * of the two schemas (schema evolution between versions tolerated).
+    */
+  def changeFeed(spark: SparkSession, tableDir: String, fromV: Long,
+      toV: Long, keyCols: Seq[String]): DataFrame = {
+    val a = readVersion(spark, tableDir, fromV)
+    val b = readVersion(spark, tableDir, toV)
+    val shared = a.columns.toSet.intersect(b.columns.toSet) -- keyCols
+    val aa = a.withColumn("_a_p", lit(true)).alias("a")
+    val bb = b.withColumn("_b_p", lit(true)).alias("b")
+    val cond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
+    val changed = shared.toSeq.sorted
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    aa.join(bb, cond, "full_outer")
+      .withColumn("op",
+        when(col("a._a_p").isNull, "insert")
+          .when(col("b._b_p").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .filter(col("op") =!= "unchanged")
+      .select(col("op") +:
+        keyCols.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k)): _*)
+  }
+
   /** Physical-residue audit for [[forgetKeys]]: reads EVERY surviving
     * complete data directory of the table — the plain table dir if
     * present and every committed `<table>.v<N>` on disk, current or not

@@ -58,23 +58,35 @@ object TextIndex {
   /** Builds and persists the index under `dir` (postings + doclen +
     * meta). Build cost is paid here, once; every searcher and maintainer
     * after it reads the artifact.
+    *
+    * `nDocBuckets` sizes the doclen sidecar's partitions INDEPENDENTLY
+    * of the postings': doclen is doc-count-sized (~30× smaller than the
+    * posting mass for natural text), so giving it the postings' bucket
+    * count shatters it into tiny files whose listing overhead dominates
+    * every read (probe-measured: a 640-way doclen cost the serve path
+    * ~10× its data). Default: nBuckets/8, floor 8 — bucket count tracks
+    * the artifact's own bytes, the same sizing rule as shuffle
+    * partitions.
     */
   def buildPhraseIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nBuckets: Int = 16): Unit = {
+      dir: String, nBuckets: Int = 16, nDocBuckets: Int = -1): Unit = {
     val s = docs.sparkSession
     import s.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    val ndb = if (nDocBuckets > 0) nDocBuckets else math.max(8, nBuckets / 8)
+    Seq((nBuckets, ndb)).toDF("n_buckets", "n_doc_buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     postings(docs, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
-    docLengths(docs, idCol, textCol, nBuckets)
+    docLengths(docs, idCol, textCol, ndb)
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$dir/doclen")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): Int =
-    spark.read.parquet(s"$dir/meta").head().getInt(0)
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
 
   /** Incremental maintenance under a doc insert+delete CDC batch —
     * q133's protocol on the text side: UPSERT `addedDocs` (re-tokenized
@@ -99,7 +111,7 @@ object TextIndex {
   def updatePhraseIndex(spark: SparkSession, dir: String,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
       textCol: String): Unit = {
-    val nBuckets = readMeta(spark, dir)
+    val (nBuckets, nDocBuckets) = readMeta(spark, dir)
     val newPosts = postings(addedDocs, idCol, textCol, nBuckets)
     val standing = spark.read.parquet(s"$dir/postings")
       .withColumn("bucket", col("bucket").cast(IntegerType))
@@ -123,11 +135,11 @@ object TextIndex {
     rewritten.unpersist(blocking = false)
     // doclen sidecar: same protocol on the doc-hash bucket axis — the
     // delta ids' buckets are the only partitions rewritten
-    val newLens = docLengths(addedDocs, idCol, textCol, nBuckets)
+    val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
     val standingLen = spark.read.parquet(s"$dir/doclen")
       .withColumn("dbucket", col("dbucket").cast(IntegerType))
     val rmBk = rmIds.withColumn("dbucket",
-      pmod(hash(col("doc_id")), lit(nBuckets)))
+      pmod(hash(col("doc_id")), lit(nDocBuckets)))
     val touchedD = rmBk.select("dbucket")
       .union(newLens.select("dbucket")).distinct()
     val rewrittenLen = standingLen
@@ -154,7 +166,7 @@ object TextIndex {
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val nBuckets = readMeta(spark, dir)
+    val (nBuckets, _) = readMeta(spark, dir)
     val tt = terms.toDF("term")
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     val buckets = tt.select("bucket").distinct().collect()
@@ -192,7 +204,7 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, dir: String,
       phrases: Seq[String]): DataFrame = {
     import spark.implicits._
-    val nBuckets = readMeta(spark, dir)
+    val (nBuckets, _) = readMeta(spark, dir)
     val phraseRows = phrases.flatMap(p =>
       p.split(' ').zipWithIndex.map { case (t, i) =>
         (p, i.toLong, t, p.split(' ').length.toLong) })

@@ -1278,8 +1278,71 @@ object TextQueries {
         .select(col("doc_id").cast(LongType).as("doc_id"), col("score_ppm"))
   }
 
+  /** BM25 served from the POST-CDC index — q298's maintenance composed
+    * with q304's ranked read path: apply q298's exact delta (idempotent,
+    * so the shared standing index converges to the same state whichever
+    * of q298/q306 runs first in a session) and rank from the updated
+    * postings + doclen sidecar. The oracle recomputes BM25 from scratch
+    * over the MODIFIED corpus, so a stale doclen row (the bug class the
+    * sidecar's partition-local rewrite could hide), a surviving removed
+    * posting, or a missed upsert shifts a score and hash-fails. The
+    * upserted docs gain " fast table value", so the delta visibly
+    * reshuffles the top-20 — the update cannot pass vacuously.
+    */
+  val q306_index_bm25_cdc: QueryDef = q(
+    "q306_index_bm25_cdc",
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, text || ' fast table value' AS text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM docs),
+      |dl AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS a_tokens FROM dl),
+      |terms(w) AS (VALUES ('fast'), ('table'), ('value')),
+      |tf AS MATERIALIZED (
+      |  SELECT t.doc_id, t.w, count(*) AS tf
+      |  FROM toks t JOIN terms USING (w) GROUP BY t.doc_id, t.w),
+      |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id, sum(
+      |    (CAST(1000000 AS HUGEINT) *
+      |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
+      |       (SELECT a_tokens FROM tot) * tf.tf) //
+      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
+      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |        3 * (SELECT a_tokens FROM tot) +
+      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |  FROM tf
+      |  JOIN dfx ON dfx.w = tf.w
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score_ppm
+      |FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "BM25 from the CDC-updated standing index: q298's delta + q304's " +
+      "read path, scored against a from-scratch oracle over the " +
+      "modified corpus — stale doclen or surviving postings hash-fail") {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = CorpusBuilds.documentsPhraseIndex(s, d)
+      val removed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      val added = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" fast table value")).as("text"))
+      TextIndex.updatePhraseIndex(s, dir, added, removed,
+        "doc_id", "text")
+      TextIndex.bm25TopKFromIndex(s, dir, Seq("fast", "table", "value"),
+        k = 20)
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("score_ppm"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q275_phrase_search, q298_text_index_update, q304_index_bm25,
+    q306_index_bm25_cdc,
     q248_kn_bigram, q249_vocab_coverage,
     q183_bm25_scoring, q195_rake_keywords, q213_dataset_card,
     q229_sparse_cosine_pairs, q237_rank_fusion,

@@ -632,7 +632,74 @@ object RelationalQueries {
     out
   }
 
+  /** CHANGE DATA FEED through the versioned store — the CDC-out
+    * companion to q299's erasure and q163's MERGE: commit the customer
+    * table (v1), apply ONE mixed-clause MERGE (conditional DELETE for
+    * keys ≡1 mod 37, conditional UPDATE renaming keys ≡2 mod 41,
+    * conditional INSERT of brand-new keys for ≡3 mod 53 → v2), then
+    * read the insert/delete/update feed between the two committed
+    * versions with [[graft.chat.ChatStore.changeFeed]] (one null-safe
+    * full-outer join of the snapshots, delta-sized output). The oracle
+    * derives the same three (op, n, key_sum) rows from the raw table,
+    * so a feed that misclassifies an op, misses a key, or leaks an
+    * unchanged row is a value mismatch.
+    */
+  val q305_change_feed: QueryDef = q(
+    "q305_change_feed",
+    """WITH d AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 1),
+      |u AS (SELECT c_custkey FROM customer
+      |      WHERE c_custkey % 41 = 2 AND c_custkey % 37 <> 1),
+      |i AS (SELECT c_custkey + 1000000 AS k FROM customer
+      |      WHERE c_custkey % 53 = 3)
+      |SELECT * FROM (
+      |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM d
+      |  UNION ALL SELECT 'insert', CAST(count(*) AS BIGINT),
+      |    CAST(sum(k) AS BIGINT) FROM i
+      |  UNION ALL SELECT 'update', CAST(count(*) AS BIGINT),
+      |    CAST(sum(c_custkey) AS BIGINT) FROM u) t
+      |ORDER BY op""".stripMargin,
+    "Change data feed between two committed store versions: mixed-clause " +
+      "MERGE then a null-safe full-outer snapshot diff classifying " +
+      "insert/delete/update — counts and key-sums value-oracled") { (s, d) =>
+    import graft.chat.ChatStore
+    import graft.ops.Merge
+    val root = java.nio.file.Files.createTempDirectory("graft_q305_")
+    val tbl = root.resolve("customer_store").toString
+    val base = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    ChatStore.writeVersioned(base, tbl) // v1
+    val src = base.filter(col("c_custkey") % 37 === 1)
+      .select(col("c_custkey"), lit(null).cast(StringType).as("c_name"),
+        lit(null).cast(StringType).as("c_mktsegment"), lit("d").as("op"))
+      .unionByName(base
+        .filter(col("c_custkey") % 41 === 2 && col("c_custkey") % 37 =!= 1)
+        .select(col("c_custkey"), lit(null).cast(StringType).as("c_name"),
+          lit(null).cast(StringType).as("c_mktsegment"), lit("u").as("op")))
+      .unionByName(base.filter(col("c_custkey") % 53 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEW CUSTOMER").as("c_name"), lit("SEG0").as("c_mktsegment"),
+          lit("i").as("op")))
+    ChatStore.mergeInto(s, tbl, src, Seq("c_custkey"),
+      matched = Seq(
+        Merge.WhenMatched(Some(col("s.op") === "d"), delete = true),
+        Merge.WhenMatched(Some(col("s.op") === "u"),
+          set = Map("c_name" -> concat(lit("U:"), col("t.c_name"))))),
+      notMatched = Some(Merge.WhenNotMatched(
+        Some(col("s.op") === "i")))) // -> v2
+    val out = ChatStore.changeFeed(s, tbl, 1L, 2L, Seq("c_custkey"))
+      .groupBy("op")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum("c_custkey").cast(LongType).as("key_sum"))
+      .orderBy("op")
+      .localCheckpoint(true)
+    ChatStore.dropTable(s, tbl)
+    java.nio.file.Files.deleteIfExists(root)
+    out
+  }
+
   def defs: Seq[QueryDef] = Seq(q285_forget_cascade, q299_forget_store,
+    q305_change_feed,
     q01_pricing_summary, q02_filter_pushdown, q03_join_agg, q04_exists_semi,
     q05_region_revenue, q06_filter_agg, q07_anti_join, q08_topk_orders,
     q09_window_rank, q14_setops, q16_having, q17_scalar_subquery, q18_rollup,

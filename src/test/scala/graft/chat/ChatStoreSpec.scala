@@ -534,6 +534,25 @@ class ChatStoreSpec extends SparkSpec {
     assert(residueAfter == 0L)
   }
 
+  test("changeFeed: insert/delete/update classified null-safely, " +
+    "unchanged rows never leak into the feed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_")
+    val tbl = root.resolve("t").toString
+    val v1 = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("c")), (4L, Option("d"))).toDF("k", "v")
+    ChatStore.writeVersioned(v1, tbl)
+    // null -> value and value -> null must BOTH classify as update (a
+    // non-null-safe compare drops them); 4 unchanged; 1 deleted; 5 new
+    val v2 = Seq((2L, Option("x")), (3L, Option.empty[String]),
+      (4L, Option("d")), (5L, Option("e"))).toDF("k", "v")
+    ChatStore.writeVersioned(v2, tbl)
+    val feed = ChatStore.changeFeed(spark, tbl, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(feed == Set("delete" -> 1L, "update" -> 2L, "update" -> 3L,
+      "insert" -> 5L), s"got $feed")
+  }
+
   test("torn/corrupt version pointer: reads recover via the highest complete version") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
