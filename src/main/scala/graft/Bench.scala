@@ -67,8 +67,10 @@ object Bench {
     // quietest minutes right after the gate, with one extra rep
     // (best-of-3 vs best-of-2), makes the driver-visible stream numbers
     // robust to mid-run contention the gate cannot see.
-    val streamReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS",
-      "3").toInt.max(1).max(reps)
+    // an EXPLICIT stream-reps setting always wins (quick runs may want
+    // 1); only the default is floored at max(3, reps)
+    val streamReps = sys.env.get("SPARK_GRAFT_BENCH_STREAM_REPS")
+      .map(_.toInt.max(1)).getOrElse(reps.max(3))
     val (streamQs, batchQs) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.contains("stream"))
     def runClass(qs: Seq[(String, (SparkSession, String) =>

@@ -36,12 +36,21 @@ object SqlEntry {
       |RETURN unix_micros(t)""".stripMargin)
     // `strftime(ts, fmt)` — DuckDB's C-style formatter, translated to
     // java.time patterns for the directives the oracles use (%Y %m %d
-    // %H %M %S). Same inlined-SQL-function mechanics as epoch().
+    // %H %M %S). Formats outside that subset raise instead of silently
+    // diverging: java.time treats bare letters as pattern directives
+    // where DuckDB treats them as literals, so passing an untranslated
+    // format through would format a DIFFERENT field, not error. Same
+    // inlined-SQL-function mechanics as epoch().
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
       |strftime(t TIMESTAMP, f STRING) RETURNS STRING
-      |RETURN date_format(t,
-      |  replace(replace(replace(replace(replace(replace(f,
-      |    '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'),
-      |    '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))""".stripMargin)
+      |RETURN CASE
+      |  WHEN f NOT RLIKE '^([-:/ .]|%[YmdHMS])*$' THEN
+      |    raise_error(concat('strftime shim supports only %Y %m %d %H ',
+      |      '%M %S with -:/. separators, got: ', f))
+      |  ELSE date_format(t,
+      |    replace(replace(replace(replace(replace(replace(f,
+      |      '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'),
+      |      '%H', 'HH'), '%M', 'mm'), '%S', 'ss'))
+      |END""".stripMargin)
   }
 }

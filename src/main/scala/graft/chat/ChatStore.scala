@@ -558,10 +558,10 @@ object ChatStore {
     * changes). Readers therefore see old-then-winner, never a blend,
     * and the loser's state never touches disk.
     *
-    * A claim whose version dir never completed (`_SUCCESS` absent) and
-    * whose marker is older than [[claimStaleMs]] is a crashed writer's
-    * debris: swept here (claim + partial dir) and the claim retried
-    * once. The claim marker is removed after the pointer publish;
+    * A claim older than [[claimStaleMs]] is a crashed writer's debris —
+    * complete version dir or not, the pointer write IS the commit and
+    * never happened for it — so it is swept here (claim + unpublished
+    * dir) and the claim retried once. The claim marker is removed after the pointer publish;
     * leftovers from a crash-after-publish are harmless (never parsed as
     * versions) and swept by GC below, [[vacuum]], and [[dropTable]].
     */
@@ -577,12 +577,20 @@ object ChatStore {
       catch { case _: java.io.IOException => false }
     var claimed = tryClaim()
     if (!claimed) {
+      // A claim older than the staleness window belongs to a crashed
+      // writer — whether or not its version dir completed (_SUCCESS):
+      // the POINTER write is the commit, and this version is above the
+      // current pointer (next = cur + 1), so no reader has ever been
+      // served from it; deleting claim + dir merely undoes a commit
+      // that never happened. (Requiring _SUCCESS-absent here would
+      // wedge the table forever on a writer that died between its
+      // data write and its pointer publish.)
       val vDir = hPath(versionDir(tableDir, next))
       val stale = scala.util.Try(f.getFileStatus(claim)).toOption.exists(st =>
-        System.currentTimeMillis() - st.getModificationTime > claimStaleMs) &&
-        !f.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))
+        System.currentTimeMillis() - st.getModificationTime > claimStaleMs)
       if (stale) {
-        log.warn(s"sweeping stale claim $claim (crashed writer)")
+        log.warn(s"sweeping stale claim $claim (crashed writer; " +
+          s"unpublished v$next dir removed too)")
         f.delete(claim, false)
         if (f.exists(vDir)) f.delete(vDir, true)
         claimed = tryClaim()
@@ -669,7 +677,10 @@ object ChatStore {
     val shared = a.columns.toSet.intersect(b.columns.toSet) -- keyCols
     val aa = a.withColumn("_a_p", lit(true)).alias("a")
     val bb = b.withColumn("_b_p", lit(true)).alias("b")
-    val cond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+    // null-safe key equality: a key NULL in both versions must MATCH
+    // (plain === would leave both sides unmatched and emit a phantom
+    // delete+insert for an unchanged row)
+    val cond = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k"))
       .reduce(_ && _)
     val changed = shared.toSeq.sorted
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
@@ -708,11 +719,13 @@ object ChatStore {
       }.map(_.toString)
     val dirs = (if (f.exists(hPath(tableDir))) Seq(tableDir) else Nil) ++
       versionDirs
+    if (dirs.isEmpty) return (0L, 0L)
     val k = keys.select(keyCol).distinct().localCheckpoint(true)
-    val residue = dirs.map { dir =>
-      spark.read.parquet(dir)
-        .join(broadcast(k), Seq(keyCol), "left_semi").count()
-    }.sum
+    // ONE multi-path scan (all dirs share the table schema), not one
+    // job per dir — an audit over a deep un-vacuumed history must not
+    // pay O(versions) scheduler round trips
+    val residue = spark.read.parquet(dirs: _*)
+      .join(broadcast(k), Seq(keyCol), "left_semi").count()
     k.unpersist(blocking = false)
     (dirs.size.toLong, residue)
   }

@@ -152,58 +152,39 @@ object CorpusBuilds {
         idx
       })
 
-  /** q298's persisted positional inverted text index over the documents
-    * table ([[TextIndex.buildPhraseIndex]], 16 term buckets), built once
-    * per (applicationId, dataset). The CDC update q298 applies on top is
-    * IDEMPOTENT (upsert semantics), so repeated invocations over the
-    * cached dir converge to the identical index state; only the first
+  /** One phrase-index build per (applicationId, dataset, tag) —
+    * [[TextIndex.buildPhraseIndex]], 16 term buckets. The three public
+    * entries below share this single body (a drifted copy would build
+    * inconsistent standing artifacts) but deliberately build into
+    * DISTINCT dirs: q298 and q302 MUTATE their index, so sharing a dir
+    * would make each round's end state depend on which query ran first.
+    * The CDC deltas applied on top are IDEMPOTENT (upsert semantics),
+    * so repeated invocations over a cached dir converge; only the first
     * pays the build — the standing-artifact contract the vector index
     * ([[embeddingsIvfPqSmallIndex]]) already follows.
     */
+  private def phraseIndex(s: SparkSession, dir: String, tag: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + s"|$tag|" + dir, _ => {
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_$tag").toString
+        TextIndex.buildPhraseIndex(
+          graft.relational.Tables.documents(s, dir), "doc_id", "text",
+          idx, nBuckets = 16)
+        idx
+      })
+
+  /** q298's standing text index (mutated by its batch CDC delta). */
   def documentsPhraseIndex(s: SparkSession, dir: String): String =
-    pathCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|phraseidx|" + dir, _ => {
-        val idx =
-          java.nio.file.Files.createTempDirectory("graft_txtidx_").toString
-        TextIndex.buildPhraseIndex(
-          graft.relational.Tables.documents(s, dir), "doc_id", "text",
-          idx, nBuckets = 16)
-        idx
-      })
+    phraseIndex(s, dir, "phraseidx")
 
-  /** q302's standing text index — a SEPARATE artifact from
-    * [[documentsPhraseIndex]] (q298 and q302 both MUTATE their standing
-    * index; sharing a dir would make each round's end state depend on
-    * which query ran first). The streaming CDC q302 applies is
-    * idempotent for the same reason q298's batch delta is: every doc is
-    * touched by exactly one op, so re-applying converges.
-    */
+  /** q302's standing text index (mutated by its streaming CDC). */
   def documentsPhraseIndexStream(s: SparkSession, dir: String): String =
-    pathCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|phraseidx_stream|" + dir, _ => {
-        val idx =
-          java.nio.file.Files.createTempDirectory("graft_txtidxs_").toString
-        TextIndex.buildPhraseIndex(
-          graft.relational.Tables.documents(s, dir), "doc_id", "text",
-          idx, nBuckets = 16)
-        idx
-      })
+    phraseIndex(s, dir, "phraseidx_stream")
 
-  /** q304's SERVE-ONLY standing text index over the unmodified corpus —
-    * distinct from the q298/q302 artifacts, which are MUTATED by their
-    * CDC queries (serving from a shared dir would make q304's ranking
-    * depend on which CDC query ran first in the session).
-    */
+  /** q304's SERVE-ONLY standing text index over the unmodified corpus. */
   def documentsPhraseIndexServe(s: SparkSession, dir: String): String =
-    pathCache.computeIfAbsent(
-      s.sparkContext.applicationId + "|phraseidx_serve|" + dir, _ => {
-        val idx =
-          java.nio.file.Files.createTempDirectory("graft_txtidxq_").toString
-        TextIndex.buildPhraseIndex(
-          graft.relational.Tables.documents(s, dir), "doc_id", "text",
-          idx, nBuckets = 16)
-        idx
-      })
+    phraseIndex(s, dir, "phraseidx_serve")
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, String, String, Long, Long, Long)], DataFrame)]()

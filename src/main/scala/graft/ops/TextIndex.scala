@@ -108,6 +108,21 @@ object TextIndex {
     * removed docs' postings land in. The broadcast of the delta id set
     * is batch-sized, never corpus-sized.
     */
+  /** Dynamic partition overwrite only REPLACES partitions present in
+    * the written frame — a touched partition whose every row was
+    * deleted would silently keep its old files (ghost postings a
+    * from-scratch rebuild would not have). Sweep those explicitly:
+    * touched minus surviving, both delta-sized sets.
+    */
+  private def dropEmptiedPartitions(spark: SparkSession, dataDir: String,
+      partCol: String, touched: Seq[Int], surviving: Set[Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { b =>
+      f.delete(new org.apache.hadoop.fs.Path(p, s"$partCol=$b"), true)
+    }
+  }
+
   def updatePhraseIndex(spark: SparkSession, dir: String,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
       textCol: String): Unit = {
@@ -123,15 +138,23 @@ object TextIndex {
       .union(newPosts.select("bucket"))
       .distinct()
     // localCheckpoint BEFORE the write: the overwrite must never read
-    // the partitions it is replacing (the q133 discipline)
+    // the partitions it is replacing (the q133 discipline). The
+    // delta-sized touched/surviving sets are ALSO collected before the
+    // write — their plans scan the standing dir, whose pre-update file
+    // listing dies with the overwrite.
     val rewritten = standing
       .join(broadcast(touched), Seq("bucket"), "left_semi")
       .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
       .unionByName(newPosts)
       .localCheckpoint(true)
+    val touchedSeq = touched.collect().map(_.getInt(0)).toSeq
+    val survivingSet = rewritten.select("bucket").distinct().collect()
+      .map(_.getInt(0)).toSet
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$dir/postings")
+    dropEmptiedPartitions(spark, s"$dir/postings", "bucket",
+      touchedSeq, survivingSet)
     rewritten.unpersist(blocking = false)
     // doclen sidecar: same protocol on the doc-hash bucket axis — the
     // delta ids' buckets are the only partitions rewritten
@@ -147,9 +170,14 @@ object TextIndex {
       .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
       .unionByName(newLens)
       .localCheckpoint(true)
+    val touchedDSeq = touchedD.collect().map(_.getInt(0)).toSeq
+    val survivingDSet = rewrittenLen.select("dbucket").distinct().collect()
+      .map(_.getInt(0)).toSet
     rewrittenLen.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dbucket").parquet(s"$dir/doclen")
+    dropEmptiedPartitions(spark, s"$dir/doclen", "dbucket",
+      touchedDSeq, survivingDSet)
     rewrittenLen.unpersist(blocking = false)
   }
 

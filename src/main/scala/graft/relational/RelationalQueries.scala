@@ -646,10 +646,11 @@ object RelationalQueries {
     */
   val q305_change_feed: QueryDef = q(
     "q305_change_feed",
-    """WITH d AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 1),
+    """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
+      |d AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 1),
       |u AS (SELECT c_custkey FROM customer
       |      WHERE c_custkey % 41 = 2 AND c_custkey % 37 <> 1),
-      |i AS (SELECT c_custkey + 1000000 AS k FROM customer
+      |i AS (SELECT c_custkey + (SELECT mk FROM mx) AS k FROM customer
       |      WHERE c_custkey % 53 = 3)
       |SELECT * FROM (
       |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n,
@@ -677,7 +678,13 @@ object RelationalQueries {
         .select(col("c_custkey"), lit(null).cast(StringType).as("c_name"),
           lit(null).cast(StringType).as("c_mktsegment"), lit("u").as("op")))
       .unionByName(base.filter(col("c_custkey") % 53 === 3)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        // insert keys offset past max(c_custkey) so they can never
+        // collide with a real key at any scale factor (a fixed +1e6
+        // offset collides once the table exceeds 1e6 keys, silently
+        // no-op'ing the inserts the oracle still counts); 1-row
+        // sentinel collect, the allowlisted class
+        .select((col("c_custkey") +
+            base.agg(max("c_custkey")).head().getLong(0)).as("c_custkey"),
           lit("NEW CUSTOMER").as("c_name"), lit("SEG0").as("c_mktsegment"),
           lit("i").as("op")))
     ChatStore.mergeInto(s, tbl, src, Seq("c_custkey"),

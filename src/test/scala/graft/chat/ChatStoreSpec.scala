@@ -467,6 +467,20 @@ class ChatStoreSpec extends SparkSpec {
       assert(ChatStore.findByEmail(spark, dir, "ada@x.io")
         .select("name").collect().head.getString(0) == "A2")
       assert(ChatStore.versions(spark, dir).map(_._1).max == 2L)
+      // a writer that died AFTER its data write (complete dir with
+      // _SUCCESS) but BEFORE the pointer publish must also be swept
+      // once stale — the pointer write IS the commit, and requiring an
+      // incomplete dir here would wedge the table forever
+      val orphan = new org.apache.hadoop.fs.Path(dir + ".v3")
+      spark.range(1).toDF("x").write.parquet(orphan.toString)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS")))
+      fs.create(new org.apache.hadoop.fs.Path(dir + ".v3.claim"), false).close()
+      ChatStore.updateUser(spark, dir, id, Map("name" -> "A3"))
+      assert(ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("name").collect().head.getString(0) == "A3")
+      assert(ChatStore.versions(spark, dir).map(_._1).max == 3L)
+      assert(ChatStore.listUsers(spark, dir).count() == 1,
+        "orphan commit's content leaked into the committed v3")
     } finally {
       ChatStore.claimStaleMs = oldStale
       ChatStore.forceVersionedProtocol = false

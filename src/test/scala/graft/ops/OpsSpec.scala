@@ -579,6 +579,36 @@ class OpsSpec extends SparkSpec {
     assert(lens2 == lens, "doclen re-apply drifted")
   }
 
+  test("text index update: a bucket emptied by deletes is physically " +
+    "dropped — dynamic overwrite alone would leave ghost postings") {
+    // dynamic partition overwrite only REPLACES partitions present in
+    // the written frame; a touched bucket whose every posting was
+    // deleted is not present, so without the explicit sweep the old
+    // files would survive and phrase search would resurrect the doc
+    val terms = (0 until 12).map(i => s"tok$i")
+    val docs = terms.zipWithIndex
+      .map { case (t, i) => (i.toLong, s"$t $t $t") }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("txtidx_ghost").toString
+    TextIndex.buildPhraseIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+    val bucketOf = terms.map(t => t -> Seq(Tuple1(t)).toDF("term")
+      .select(pmod(hash(col("term")), lit(16))).head().getInt(0)).toMap
+    // a term ALONE in its bucket (deterministic under murmur3)
+    val lone = terms.find(t =>
+      bucketOf.values.count(_ == bucketOf(t)) == 1).get
+    val loneDoc = terms.indexOf(lone).toLong
+    val removed = Seq(Tuple1(loneDoc)).toDF("doc_id")
+    TextIndex.updatePhraseIndex(spark, dir, docs.limit(0), removed,
+      "doc_id", "text")
+    assert(!new java.io.File(s"$dir/postings/bucket=${bucketOf(lone)}")
+      .exists, "emptied bucket partition survived on disk")
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter($"term" === lone).count() == 0, "ghost postings readable")
+    assert(spark.read.parquet(s"$dir/doclen")
+      .filter($"doc_id" === loneDoc).count() == 0, "ghost doclen row")
+    // the other 11 docs are untouched
+    assert(spark.read.parquet(s"$dir/postings").count() == 33)
+  }
+
   test("stable split/sample are deterministic and partition-invariant") {
     val docs = spark.range(0, 1000).toDF("doc_id")
     val s1 = Sampling.stableSplit(docs, "doc_id")
