@@ -91,6 +91,13 @@ object Bench {
     val streamTotal = streamResults.map(_._2.max(0.0)).sum
     val results = (streamResults ++ runClass(batchQs, reps)).toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the stream class runs at its own (>=3) rep count, so the headline
+    // total mixes rep regimes — stamp the per-class split on the PRINTED
+    // line too (not only the sidecar), so cross-round ratio comparisons
+    // can be made apples-to-apples per class
+    val batchTotal = total - streamTotal
+    def classSplit: String =
+      s""""stream_total_s":${fmt(3, streamTotal)},"batch_total_s":${fmt(3, batchTotal)},"""
     // The harness that reads this line captures only the LAST ~2000 bytes
     // of output, and sbt appends a "[success] Total time" line after us —
     // a full-precision 62-query map (~2.6 KB) gets its head truncated and
@@ -104,7 +111,7 @@ object Bench {
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec",$classSplit"queries":$qs,"sf":"$sfDir"}"""
     }
     // Tiered degradation: 3dp → 2dp → 1dp → slowest-only. The harness
     // tail window is 2000 bytes and must also hold sbt's "[info] "
@@ -118,7 +125,7 @@ object Bench {
     def renderSlowest(dp: Int, budget: Int): String = {
       val byTime = results.toSeq.sortBy(-_._2)
       val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-      var len = 120 // fixed JSON scaffolding + total/sf/dropped fields
+      var len = 180 // fixed JSON scaffolding + total/class-split/sf/dropped fields
       // size each entry by its ACTUAL rendered length ("key":value plus a
       // comma) — a fixed per-entry estimate undercounts values >= 1000 s
       for ((k, v) <- byTime) {
@@ -128,14 +135,13 @@ object Bench {
       val qs = kept.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"dropped":${results.size - kept.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec",$classSplit"queries":$qs,"dropped":${results.size - kept.size},"sf":"$sfDir"}"""
     }
     val full = render(3)
     // Sidecar gets the full map PLUS the run-condition stamps; the
     // printed line keeps the driver's schema (and its byte budget).
     val sidecar = full.dropRight(1) +
       s""","reps":$reps,"stream_reps":$streamReps""" +
-      s""","stream_total_s":${fmt(3, streamTotal)}""" +
       s""","loadavg_start":${fmt(2, loadStart)}""" +
       s""","loadavg_end":${fmt(2, loadavg())},"ts":"$tsStart"}"""
     try java.nio.file.Files.writeString(

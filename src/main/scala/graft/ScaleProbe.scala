@@ -379,13 +379,13 @@ object ScaleProbe {
       val dir = java.nio.file.Files.createTempDirectory("probe_ivfpq_u").toString
       ops.Similarity.buildIvfPqIndex(e, "vec_id", "embedding", coarse, dir,
         dim = 64, m = 2, kCent = 4, iters = 2)
-      val removed = spark.read.parquet(s"$dir/lists")
+      val removed = ops.Similarity.readLists(spark, dir)
         .filter(col("list_id").cast("long") === 0L)
         .select(col("id").as("vec_id")).limit(50).localCheckpoint(true)
       val added = e.filter(lit(false))
       val (_, t) = time(ops.Similarity.updateIvfPqIndex(
         spark, dir, added, removed, "vec_id", "embedding", dim = 64, m = 2))
-      val rows = spark.read.parquet(s"$dir/lists").count()
+      val rows = ops.Similarity.readLists(spark, dir).count()
       emit("q133_index_update", scale, n, t, rows)
     }
     probeIvfPqUpdate("1x", emb, nEmb)
@@ -787,7 +787,7 @@ object ScaleProbe {
         .localCheckpoint(true)
       val (_, t) = time(ops.TextIndex.updatePhraseIndex(
         spark, dir, added, removed, "doc_id", "text"))
-      val rows = spark.read.parquet(s"$dir/postings").count()
+      val rows = ops.TextIndex.readPostings(spark, dir).count()
       emit("q298_text_index_update", scale, n, t, rows)
       // the SERVE path against the same standing index: tf/df read only
       // the query terms' buckets, so with bucket count scaled to the

@@ -158,7 +158,8 @@ object ChatStore {
         val n = p.getName
         val isVersion = n.startsWith(name + ".v") &&
           n.drop(name.length + 2).forall(_.isDigit)
-        val isClaim = n.startsWith(name + ".v") && n.endsWith(".claim")
+        val isClaim = n.startsWith(name + ".v") &&
+          (n.endsWith(".claim") || n.contains(".claim.sweep."))
         if (n == name || isVersion || isClaim ||
           n == name + ".current" || n == name + ".staging" || n == name + ".old" ||
           n.startsWith(name + ".current.tmp"))
@@ -215,6 +216,18 @@ object ChatStore {
     * (claims are written immediately before the version dir). Spec knob.
     */
   private[chat] var claimStaleMs: Long = 15L * 60 * 1000
+
+  /** RETENTION each versioned commit enforces: keep the newest
+    * `commitKeepLast` committed versions (current included), GC the
+    * rest. The default 2 (current + one grace copy for in-flight
+    * readers) is the bound a continuous-ingest table wants; raise it to
+    * give [[versions]]/[[readVersion]]/[[changeFeed]] a deeper
+    * time-travel window — e.g. keepLast=6 lets a downstream consumer
+    * diff v(n−5)→v(n) after five more commits. [[vacuum]] prunes
+    * explicitly below whatever this leaves. Minimum honored is 2: the
+    * grace copy is part of the reader contract, not retention policy.
+    */
+  @volatile var commitKeepLast: Int = 2
 
   private def pointer(tableDir: String) = hPath(tableDir + ".current")
   private def versionDir(tableDir: String, v: Long) = s"$tableDir.v$v"
@@ -438,6 +451,13 @@ object ChatStore {
           claimDigits.forall(_.isDigit)
         if (isClaim && cur.exists(claimDigits.toLong < _))
           f.delete(p, false)
+        // a sweep tombstone (renamed-away stale claim) is ALWAYS debris:
+        // its owner deletes it within the same call, so one that survived
+        // to a vacuum belongs to a crashed sweeper. Deleting it under a
+        // live sweeper is harmless — the content is never read and the
+        // owner's own delete tolerates absence.
+        if (p.getName.startsWith(name + ".v") &&
+          suffix.contains(".claim.sweep.")) f.delete(p, false)
         if (isVersion) {
           val v = suffix.toLong
           val belowCurrent = cur.exists(v < _)
@@ -589,11 +609,32 @@ object ChatStore {
       val stale = scala.util.Try(f.getFileStatus(claim)).toOption.exists(st =>
         System.currentTimeMillis() - st.getModificationTime > claimStaleMs)
       if (stale) {
-        log.warn(s"sweeping stale claim $claim (crashed writer; " +
-          s"unpublished v$next dir removed too)")
-        f.delete(claim, false)
-        if (f.exists(vDir)) f.delete(vDir, true)
-        claimed = tryClaim()
+        // Single-winner sweep: RENAME the stale claim to a unique
+        // tombstone first (atomic on every scheme that supports the
+        // claim protocol). Only the recoverer whose rename succeeds may
+        // delete the debris — a plain delete-then-recover here is a
+        // TOCTOU race where two recoverers both pass the staleness
+        // check, and the slower one deletes the faster one's FRESH
+        // claim and then its in-progress version directory. The
+        // tombstone also keeps `tryClaim`'s create-exclusive meaningful
+        // during the sweep (the claim path is vacant only after the
+        // winner finished deleting).
+        val tomb = hPath(versionDir(tableDir, next) +
+          s".claim.sweep.${java.util.UUID.randomUUID()}")
+        if (f.rename(claim, tomb)) {
+          log.warn(s"sweeping stale claim $claim (crashed writer; " +
+            s"unpublished v$next dir removed too)")
+          // Re-read the pointer immediately before the destructive dir
+          // delete: a "stale" claim can belong to a writer that DID
+          // publish v<next> and crashed only before its claim cleanup —
+          // then vDir is committed data and must survive. The advanced
+          // pointer proves it; our own commit then backs off at the
+          // post-claim validation below.
+          if (currentVersion(f, tableDir) == cur && f.exists(vDir))
+            f.delete(vDir, true)
+          f.delete(tomb, false)
+          claimed = tryClaim()
+        }
       }
     }
     if (!claimed)
@@ -618,7 +659,8 @@ object ChatStore {
     writePointer(f, tableDir, next)
     f.delete(claim, false)
     // GC: the pre-versioned append dir (its content now lives in v<next>)
-    // and every version older than the grace copy v<next-1>, plus any
+    // and every version below the [[commitKeepLast]] retention window
+    // (default: only the v<next-1> grace copy survives), plus any
     // crash-orphaned claim markers down there. One parent LIST finds
     // them all — O(1) RPCs per rewrite regardless of version history,
     // and no crash pattern can strand a version below a gap (an
@@ -626,12 +668,17 @@ object ChatStore {
     if (f.exists(hPath(tableDir))) f.delete(hPath(tableDir), true)
     val name = hPath(tableDir).getName
     val parent = hPath(tableDir).getParent
+    val keepFloor = next - (commitKeepLast.max(2) - 1)
     f.listStatus(parent).map(_.getPath).foreach { p =>
       val raw = p.getName.stripPrefix(name + ".v")
       val digits = if (raw.endsWith(".claim")) raw.stripSuffix(".claim") else raw
       if (p.getName.startsWith(name + ".v") && digits.nonEmpty &&
-        digits.forall(_.isDigit) && digits.toLong < next - 1)
+        digits.forall(_.isDigit) && digits.toLong < keepFloor)
         f.delete(p, true)
+      // crashed-sweeper tombstones (see the stale-claim recovery above)
+      // are unconditionally debris — same rule as [[vacuum]]'s
+      if (p.getName.startsWith(name + ".v") && raw.contains(".claim.sweep."))
+        f.delete(p, false)
     }
   }
 

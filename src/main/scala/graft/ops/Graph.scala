@@ -361,6 +361,76 @@ object Graph {
         col("x.deg_nb").as("deg2"))
   }
 
+  /** Community graph of `e` under `labels`: one canonical row per
+    * community pair (a ≤ b, intra-community mass as self-loops a = b),
+    * weights summed — the CONTRACTION step between Louvain levels.
+    * Total edge mass is preserved exactly, and self-loops contribute 2w
+    * to their community's degree (each endpoint once), so modularity
+    * computed on the contracted graph equals modularity of the
+    * partition on the original graph.
+    */
+  def contractByLabels(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
+      .groupBy(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"))
+      .agg(sum("w").as("w"))
+
+  /** MULTI-LEVEL LOUVAIN coarsening: run [[modularityMerges]] on the
+    * COMMUNITY graph, apply the (disjoint, mutual-best) merges, contract,
+    * and repeat — exactly `levels` rounds (a round past the fixpoint is a
+    * no-op: zero merges, identical contraction), so the output shape is
+    * deterministic whatever the data. Because each round's merges have
+    * strictly positive disjoint ΔQ, modularity is monotone non-decreasing
+    * in the level — the gate q307 pins per level.
+    *
+    * Scale shape: the node-level work is ONE contraction at entry
+    * (`contractByLabels`) plus one label-map join per level against a
+    * BROADCAST merge frame (merge count ≤ communities/2, never nodes);
+    * every merge/contract round after entry runs on the community graph
+    * — community-sized, not node-sized, shrinking per level.
+    *
+    * Returns (final node labels, per-level community graphs) — the
+    * per-level list holds `levels + 1` checkpointed community graphs
+    * (level 0 = the input partition), from which per-level Q and
+    * community counts are aggregate-frame arithmetic.
+    */
+  def louvain(e: DataFrame, labels0: DataFrame, levels: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    var labels = labels0.localCheckpoint(true)
+    var gc = contractByLabels(e, labels).localCheckpoint(true)
+    val perLevel = scala.collection.mutable.ListBuffer(gc)
+    for (_ <- 0 until levels) {
+      val ids = gc.select(col("a").as("v"))
+        .unionByName(gc.select(col("b").as("v")))
+        .distinct().withColumn("lbl", col("v"))
+      // identity labels: the community graph IS the node graph here, so
+      // modularityMerges' degree/pair machinery applies unchanged
+      // (self-loops drop out of the pair frame via la =!= lb but count
+      // 2w toward degrees, as Newman's formula requires)
+      val merges = modularityMerges(gc, ids)
+        .select(col("c2").as("from"), col("c1").as("to"))
+        .localCheckpoint(true)
+      labels = labels.join(broadcast(merges),
+          labels("lbl") === merges("from"), "left")
+        .select(labels("v"), coalesce(col("to"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      gc = gc
+        .join(broadcast(merges.select(col("from").as("a"),
+          col("to").as("ta"))), Seq("a"), "left")
+        .join(broadcast(merges.select(col("from").as("b"),
+          col("to").as("tb"))), Seq("b"), "left")
+        .select(coalesce(col("ta"), col("a")).as("na"),
+          coalesce(col("tb"), col("b")).as("nb"), col("w"))
+        .groupBy(least(col("na"), col("nb")).as("a"),
+          greatest(col("na"), col("nb")).as("b"))
+        .agg(sum("w").as("w"))
+        .localCheckpoint(true)
+      perLevel += gc
+    }
+    (labels, perLevel.toList)
+  }
+
   /** Hub-capped Jaccard link prediction (q192's kernel): candidate
     * non-edges ranked by common-neighbor Jaccard. The wedge self-join is
     * the quadratic step — Σ deg(w)² over common-neighbor CENTERS — so

@@ -572,29 +572,77 @@ object Similarity {
       kCent: Int = 16, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     org.apache.spark.sql.GraftRegistrar.register(spark)
-    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
-    val cw = spark.read.parquet(s"$dir/centroids")
-      .withColumn("c_nrm", fastNorm2(col("centroid")))
-    // route + residual: same argmin/ride-along shape as [[ivfPqCodes]]
-    val resid = corpus.crossJoin(broadcast(cw))
-      .withColumn("dist2",
-        col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
-        col(embCol).as("emb"))).as("a"))
-      .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
-        zip_with(col("a.emb"), col("a.centroid"),
-          (x, c) => x.cast(DoubleType) - c).as("resid"))
-      .localCheckpoint(true)
-    val cbs = pqCodebooks(resid, "id", "resid", m, kCent, iters, dim)
-    cbs.write.mode("overwrite").parquet(s"$dir/codebooks")
-    val cbw = spark.read.parquet(s"$dir/codebooks")
-      .withColumn("c_nrm", fastNorm2(col("centroid")))
-    pqAssign(resid, "id", "resid", cbw, dim / m, m)
-      .join(resid.select("id", "list_id"), Seq("id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$dir/lists")
-    resid.unpersist(blocking = false)
+    // one crash-atomic commit covers all three artifacts: a killed build
+    // (or rebuild over a live index) can never strand a centroids/
+    // codebooks/lists blend, and a concurrent searcher keeps resolving
+    // the previous committed version
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      coarse.write.mode("overwrite").parquet(s"${c.gen}/centroids")
+      val cw = spark.read.parquet(s"${c.gen}/centroids")
+        .withColumn("c_nrm", fastNorm2(col("centroid")))
+      // route + residual: same argmin/ride-along shape as [[ivfPqCodes]]
+      val resid = corpus.crossJoin(broadcast(cw))
+        .withColumn("dist2",
+          col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
+          col(embCol).as("emb"))).as("a"))
+        .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
+          zip_with(col("a.emb"), col("a.centroid"),
+            (x, c) => x.cast(DoubleType) - c).as("resid"))
+        .localCheckpoint(true)
+      val cbs = pqCodebooks(resid, "id", "resid", m, kCent, iters, dim)
+      cbs.write.mode("overwrite").parquet(s"${c.gen}/codebooks")
+      val cbw = spark.read.parquet(s"${c.gen}/codebooks")
+        .withColumn("c_nrm", fastNorm2(col("centroid")))
+      pqAssign(resid, "id", "resid", cbw, dim / m, m)
+        .join(resid.select("id", "list_id"), Seq("id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"${c.gen}/lists")
+      resid.unpersist(blocking = false)
+      c.finish(VersionedIndex.Manifest(
+        Map("centroids" -> Map("-" -> c.genLabel),
+          "codebooks" -> Map("-" -> c.genLabel),
+          "lists" -> VersionedIndex.writtenPartDirs(spark, s"${c.gen}/lists")
+            .map(_ -> c.genLabel).toMap),
+        Map("dim" -> dim.toLong, "m" -> m.toLong, "k_cent" -> kCent.toLong)))
+    } catch { case e: Throwable => c.abort(); throw e }
   }
+
+  private val listsEmptySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("list_id",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The committed inverted-list artifact, read through the manifest —
+    * the full view (tests, probes). Searches read the same paths and
+    * prune to the probed list partitions.
+    */
+  def readLists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    VersionedIndex.readArtifact(spark, dir, m, "lists", None,
+      listsEmptySchema)
+  }
+
+  /** Physical location of every live `lists` partition (mtime pins,
+    * compaction assertions). */
+  def listPartitionPaths(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, String] = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    VersionedIndex.partitionPaths(dir, m, "lists")
+  }
+
+  /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
+    * multi-file inverted-list partitions to one file each as one
+    * crash-safe commit; single-file partitions keep their generation
+    * dirs and mtimes. Returns partitions compacted.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    VersionedIndex.compactPartitioned(spark, dir, Seq("lists" -> "list_id"))
 
   /** IVF-PQ compressed-domain search over a [[buildIvfPqIndex]] index —
     * the production ANN READ path: coarse-route each query to its
@@ -627,7 +675,10 @@ object Similarity {
       m: Int = 16, kCent: Int = 16): DataFrame = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
     val sub = dim / m
-    val cw = spark.read.parquet(s"$dir/centroids")
+    val (_, man) = VersionedIndex.readManifest(spark, dir)
+    def art(a: String) =
+      VersionedIndex.readArtifact(spark, dir, man, a, None, listsEmptySchema)
+    val cw = art("centroids")
       .withColumn("c_nrm", fastNorm2(col("centroid")))
     val wq = Window.partitionBy("q_id").orderBy(col("dist2"), col("centroid_id"))
     val probes = queries
@@ -641,7 +692,7 @@ object Similarity {
         col("dist2").as("coarse_d2"),
         zip_with(col("q_emb"), col("centroid"),
           (x, c) => x.cast(DoubleType) - c).as("q_res"))
-    val cbw = spark.read.parquet(s"$dir/codebooks")
+    val cbw = art("codebooks")
       .withColumn("cb_nrm", fastNorm2(col("centroid")))
     val qtab = probes.crossJoin(broadcast(cbw))
       .select(col("q_id"), col("list_id"), col("coarse_d2"),
@@ -656,7 +707,7 @@ object Similarity {
         transform(sequence(lit(0), lit(m * kCent - 1)), i =>
           coalesce(try_element_at(col("pm"), i.cast(LongType)),
             lit(Double.MaxValue))).as("pd_arr"))
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = art("lists")
       .withColumn("list_id", col("list_id").cast(LongType))
     val wa = Window.partitionBy("q_id").orderBy(col("adc"), col("id"))
     val cand = lists.join(broadcast(qtab), Seq("list_id"))
@@ -694,39 +745,58 @@ object Similarity {
       added: DataFrame, removedIds: DataFrame, idCol: String, embCol: String,
       dim: Int, m: Int): Unit = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
-    val cw = spark.read.parquet(s"$dir/centroids")
-      .withColumn("c_nrm", fastNorm2(col("centroid")))
-    val cbw = spark.read.parquet(s"$dir/codebooks")
-      .withColumn("c_nrm", fastNorm2(col("centroid")))
-    val resid = added.crossJoin(broadcast(cw))
-      .withColumn("dist2",
-        col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
-        col(embCol).as("emb"))).as("a"))
-      .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
-        zip_with(col("a.emb"), col("a.centroid"),
-          (x, c) => x.cast(DoubleType) - c).as("resid"))
-      .localCheckpoint(true)
-    val newCodes = pqAssign(resid, "id", "resid", cbw, dim / m, m)
-      .join(resid.select("id", "list_id"), Seq("id"))
-    val lists = spark.read.parquet(s"$dir/lists")
-      .withColumn("list_id", col("list_id").cast(LongType))
-    val rm = removedIds.select(col(idCol).as("id"))
-    val touched = newCodes.select("list_id")
-      .union(lists.join(broadcast(rm), Seq("id"), "left_semi").select("list_id"))
-      .distinct()
-    val rewritten = lists
-      .join(broadcast(touched), Seq("list_id"), "left_semi")
-      .join(broadcast(rm), Seq("id"), "left_anti")
-      .join(broadcast(newCodes.select("id")), Seq("id"), "left_anti")
-      .unionByName(newCodes)
-      .localCheckpoint(true)
-    resid.unpersist(blocking = false)
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("list_id").parquet(s"$dir/lists")
-    rewritten.unpersist(blocking = false)
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      val man = c.baseManifest
+      require(man.parts.nonEmpty, s"$dir holds no built index to update")
+      def art(a: String, only: Option[Set[String]]) =
+        VersionedIndex.readArtifact(spark, dir, man, a, only, listsEmptySchema)
+      val cw = art("centroids", None)
+        .withColumn("c_nrm", fastNorm2(col("centroid")))
+      val cbw = art("codebooks", None)
+        .withColumn("c_nrm", fastNorm2(col("centroid")))
+      val resid = added.crossJoin(broadcast(cw))
+        .withColumn("dist2",
+          col("c_nrm") - lit(2.0) * fastDot(col(embCol), col("centroid")))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("dist2"), col("centroid_id"), col("centroid"),
+          col(embCol).as("emb"))).as("a"))
+        .select(col(idCol).as("id"), col("a.centroid_id").as("list_id"),
+          zip_with(col("a.emb"), col("a.centroid"),
+            (x, c) => x.cast(DoubleType) - c).as("resid"))
+        .localCheckpoint(true)
+      val newCodes = pqAssign(resid, "id", "resid", cbw, dim / m, m)
+        .join(resid.select("id", "list_id"), Seq("id"))
+        .localCheckpoint(true)
+      val rm = removedIds.select(col(idCol).as("id"))
+      // touched-list discovery: column-pruned (id, list_id) scan of the
+      // standing lists + the delta's own routes; a delta-sized collect
+      // (bounded by the list count) keyed into the manifest
+      val touched = newCodes.select(col("list_id").cast(LongType))
+        .union(art("lists", None)
+          .join(broadcast(rm), Seq("id"), "left_semi")
+          .select(col("list_id").cast(LongType)))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val touchedDirs = touched.map(l => s"list_id=$l").toSet
+      // rewrite reads ONLY the touched partitions' current paths and
+      // writes ONLY this commit's generation dir — standing files are
+      // immutable, untouched lists keep their mtimes, and the pointer
+      // flip publishes the whole delta atomically
+      val rewritten = art("lists", Some(touchedDirs))
+        .withColumn("list_id", col("list_id").cast(LongType))
+        .join(broadcast(rm), Seq("id"), "left_anti")
+        .join(broadcast(newCodes.select("id")), Seq("id"), "left_anti")
+        .unionByName(newCodes)
+      rewritten.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"${c.gen}/lists")
+      val listParts = (man.parts("lists") -- touchedDirs) ++
+        VersionedIndex.writtenPartDirs(spark, s"${c.gen}/lists")
+          .map(_ -> c.genLabel)
+      resid.unpersist(blocking = false)
+      newCodes.unpersist(blocking = false)
+      c.finish(VersionedIndex.Manifest(
+        man.parts.updated("lists", listParts), man.stats))
+    } catch { case e: Throwable => c.abort(); throw e }
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — 4× (vs

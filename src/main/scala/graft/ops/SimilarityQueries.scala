@@ -690,7 +690,7 @@ object SimilarityQueries {
           transform(col("embedding"), x => -x).as("embedding"))
       Similarity.updateIvfPqIndex(s, dir, added, removed,
         "vec_id", "embedding", dim = 64, m = 2)
-      s.read.parquet(s"$dir/lists")
+      Similarity.readLists(s, dir)
         .select(col("id").as("vec_id"),
           col("list_id").cast(LongType).as("list_id"),
           col("code_0").cast(LongType).as("code_0"),

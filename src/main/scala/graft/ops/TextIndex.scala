@@ -12,22 +12,36 @@ import org.apache.spark.sql.types._
   * delta batches that rewrite ONLY the term-bucket partitions the delta
   * touches, and served to every phrase query after it.
   *
-  * Layout under `dir`:
+  * Artifacts (committed together through [[VersionedIndex]] — one
+  * pointer covers all of them, so a crash mid-maintenance can never
+  * strand a postings/doclen/stats blend, and a concurrent reader sees
+  * old-or-new, never a mix):
   *  - `postings`: one row per token occurrence (`term`, `doc_id`, `pos`
-  *    1-based), written `partitionBy(bucket)` where
-  *    `bucket = pmod(hash(term), nBuckets)` — a phrase query touches only
-  *    its terms' buckets (static partition pruning on the literal bucket
-  *    set, so unrelated term partitions are never read), and a CDC batch
-  *    rewrites only the buckets holding the delta's terms;
-  *  - `meta`: a 1-row frame pinning `n_buckets`, so readers and
-  *    maintainers always route terms with the build-time bucket count
-  *    (a mismatched count would silently search the wrong partitions).
+  *    1-based), partitioned by `bucket = pmod(hash(term), nBuckets)` — a
+  *    phrase query touches only its terms' buckets (static pruning on
+  *    the literal bucket set), and a CDC batch rewrites only the buckets
+  *    holding the delta's terms;
+  *  - `doclen`: per-doc token count (the BM25 normalizer), partitioned
+  *    by `dbucket = pmod(hash(doc_id), nDocBuckets)`;
+  *  - manifest stats: `n_buckets`/`n_doc_buckets` (the frozen routing),
+  *    plus the BM25 corpus totals `n_docs`/`sum_dl`, maintained
+  *    INCREMENTALLY by each CDC commit — the serve path reads them as
+  *    two literals instead of paying two O(n_docs) sidecar passes per
+  *    query.
   *
   * The bucket routing hash is Spark's murmur3 (`hash()`), evaluated
   * inside the plan on both the write and read paths — never recomputed
   * driver-side — so the routing is consistent by construction.
   */
 object TextIndex {
+
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", LongType),
+    StructField("term", StringType), StructField("bucket", IntegerType)))
+
+  private val doclenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("dbucket", IntegerType)))
 
   /** Tokenize `docs` into positional postings with their bucket route.
     * Tokenization is EXACTLY q275's (split on single space, 1-based
@@ -43,11 +57,9 @@ object TextIndex {
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
 
   /** Per-doc token length (the BM25 normalizer) with its doc-hash bucket
-    * route — the index's second artifact, partitioned by `dbucket =
-    * pmod(hash(doc_id), nBuckets)` so a CDC batch rewrites only the doc
-    * buckets its ids land in. dl counts the SAME tokens [[postings]]
-    * emits (split-on-space, empties kept), so dl ≡ the doc's posting
-    * count by construction.
+    * route. dl counts the SAME tokens [[postings]] emits
+    * (split-on-space, empties kept), so dl ≡ the doc's posting count by
+    * construction.
     */
   def docLengths(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame =
@@ -55,9 +67,9 @@ object TextIndex {
         size(split(col(textCol), " ")).cast(LongType).as("dl"))
       .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
 
-  /** Builds and persists the index under `dir` (postings + doclen +
-    * meta). Build cost is paid here, once; every searcher and maintainer
-    * after it reads the artifact.
+  /** Builds and commits the index under `dir` (one versioned commit:
+    * postings + doclen + stats). Build cost is paid here, once; every
+    * searcher and maintainer after it reads the committed artifact.
     *
     * `nDocBuckets` sizes the doclen sidecar's partitions INDEPENDENTLY
     * of the postings': doclen is doc-count-sized (~30× smaller than the
@@ -71,154 +83,228 @@ object TextIndex {
   def buildPhraseIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, nBuckets: Int = 16, nDocBuckets: Int = -1): Unit = {
     val s = docs.sparkSession
-    import s.implicits._
     val ndb = if (nDocBuckets > 0) nDocBuckets else math.max(8, nBuckets / 8)
-    Seq((nBuckets, ndb)).toDF("n_buckets", "n_doc_buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    postings(docs, idCol, textCol, nBuckets)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/postings")
-    docLengths(docs, idCol, textCol, ndb)
-      .write.mode("overwrite").partitionBy("dbucket")
-      .parquet(s"$dir/doclen")
+    val c = VersionedIndex.begin(s, dir)
+    try {
+      postings(docs, idCol, textCol, nBuckets)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${c.gen}/postings")
+      docLengths(docs, idCol, textCol, ndb)
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"${c.gen}/doclen")
+      // corpus stats come from the just-written sidecar (one
+      // doc-count-sized scan at BUILD time buys literal stats at every
+      // serve), committed atomically with the data they describe
+      val st = s.read.parquet(s"${c.gen}/doclen")
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      val parts = Map(
+        "postings" -> VersionedIndex
+          .writtenPartDirs(s, s"${c.gen}/postings")
+          .map(_ -> c.genLabel).toMap,
+        "doclen" -> VersionedIndex.writtenPartDirs(s, s"${c.gen}/doclen")
+          .map(_ -> c.genLabel).toMap)
+      c.finish(VersionedIndex.Manifest(parts, Map(
+        "n_buckets" -> nBuckets.toLong, "n_doc_buckets" -> ndb.toLong,
+        "n_docs" -> st.getLong(0), "sum_dl" -> st.getLong(1))))
+    } catch { case e: Throwable => c.abort(); throw e }
   }
 
-  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getInt(0), r.getInt(1))
+  /** The committed postings artifact, read through the manifest — the
+    * full-scan view (tests, probes, rebuild comparisons). Searches use
+    * the bucket-pruned path instead.
+    */
+  def readPostings(spark: SparkSession, dir: String): DataFrame = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    VersionedIndex.readArtifact(spark, dir, m, "postings", None,
+      postingsSchema)
+      .withColumn("bucket", col("bucket").cast(IntegerType))
+  }
+
+  /** The committed doclen sidecar, read through the manifest. */
+  def readDocLengths(spark: SparkSession, dir: String): DataFrame = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    VersionedIndex.readArtifact(spark, dir, m, "doclen", None, doclenSchema)
+      .withColumn("dbucket", col("dbucket").cast(IntegerType))
+  }
+
+  /** Physical location of every live partition of `artifact`
+    * (`postings` | `doclen`) — the test/maintenance view of the
+    * manifest (mtime pins, compaction assertions).
+    */
+  def partitionPaths(spark: SparkSession, dir: String,
+      artifact: String): Map[String, String] = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    VersionedIndex.partitionPaths(dir, m, artifact)
   }
 
   /** Incremental maintenance under a doc insert+delete CDC batch —
     * q133's protocol on the text side: UPSERT `addedDocs` (re-tokenized
     * with the index's frozen bucket routing) and delete `removedIds`,
-    * rewriting ONLY the touched term-bucket partitions via dynamic
-    * partition overwrite. Untouched buckets are never written (their
-    * files keep their mtimes — pinned in OpsSpec); the discovery of
-    * which buckets hold a removed doc's postings is a column-pruned
-    * (doc_id, bucket) scan, never a rewrite.
+    * rewriting ONLY the touched term-bucket partitions — each into this
+    * commit's own generation directory, published by the single pointer
+    * flip (crash-atomic across postings, doclen AND the corpus stats; a
+    * killed update leaves the served index byte-identical). Untouched
+    * buckets are never written — their files keep their mtimes (pinned
+    * in OpsSpec); a bucket emptied by the delta simply drops out of the
+    * manifest. The discovery of which buckets hold a removed doc's
+    * postings is a column-pruned (doc_id, bucket) scan, never a rewrite.
     *
     * Upsert semantics: standing postings of ids in `addedDocs` are
     * replaced (anti-join on removed ∪ added ids before the union), an
     * added id also present in `removedIds` survives as its new version,
     * and re-applying the same delta is idempotent — identical partitions
-    * are rewritten to identical content.
+    * are rewritten to identical content, and the incrementally-maintained
+    * corpus stats re-derive the same totals.
     *
     * Per-batch cost tracks the delta: the new postings are delta-sized,
     * the rewrite reads and writes only buckets the delta's terms or the
-    * removed docs' postings land in. The broadcast of the delta id set
-    * is batch-sized, never corpus-sized.
+    * removed docs' postings land in, and the stats correction reads only
+    * the touched doclen buckets. The broadcast of the delta id set is
+    * batch-sized, never corpus-sized.
     */
-  /** Dynamic partition overwrite only REPLACES partitions present in
-    * the written frame — a touched partition whose every row was
-    * deleted would silently keep its old files (ghost postings a
-    * from-scratch rebuild would not have). Sweep those explicitly:
-    * touched minus surviving, both delta-sized sets.
-    */
-  private def dropEmptiedPartitions(spark: SparkSession, dataDir: String,
-      partCol: String, touched: Seq[Int], surviving: Set[Int]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dataDir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(surviving).foreach { b =>
-      f.delete(new org.apache.hadoop.fs.Path(p, s"$partCol=$b"), true)
-    }
-  }
-
   def updatePhraseIndex(spark: SparkSession, dir: String,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
       textCol: String): Unit = {
-    val (nBuckets, nDocBuckets) = readMeta(spark, dir)
-    val newPosts = postings(addedDocs, idCol, textCol, nBuckets)
-    val standing = spark.read.parquet(s"$dir/postings")
-      .withColumn("bucket", col("bucket").cast(IntegerType))
-    val rmIds = removedIds.select(col(idCol).cast(LongType).as("doc_id"))
-      .union(addedDocs.select(col(idCol).cast(LongType).as("doc_id")))
-      .distinct()
-    val touched = standing
-      .join(broadcast(rmIds), Seq("doc_id"), "left_semi").select("bucket")
-      .union(newPosts.select("bucket"))
-      .distinct()
-    // localCheckpoint BEFORE the write: the overwrite must never read
-    // the partitions it is replacing (the q133 discipline). The
-    // delta-sized touched/surviving sets are ALSO collected before the
-    // write — their plans scan the standing dir, whose pre-update file
-    // listing dies with the overwrite.
-    val rewritten = standing
-      .join(broadcast(touched), Seq("bucket"), "left_semi")
-      .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
-      .unionByName(newPosts)
-      .localCheckpoint(true)
-    val touchedSeq = touched.collect().map(_.getInt(0)).toSeq
-    val survivingSet = rewritten.select("bucket").distinct().collect()
-      .map(_.getInt(0)).toSet
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$dir/postings")
-    dropEmptiedPartitions(spark, s"$dir/postings", "bucket",
-      touchedSeq, survivingSet)
-    rewritten.unpersist(blocking = false)
-    // doclen sidecar: same protocol on the doc-hash bucket axis — the
-    // delta ids' buckets are the only partitions rewritten
-    val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
-    val standingLen = spark.read.parquet(s"$dir/doclen")
-      .withColumn("dbucket", col("dbucket").cast(IntegerType))
-    val rmBk = rmIds.withColumn("dbucket",
-      pmod(hash(col("doc_id")), lit(nDocBuckets)))
-    val touchedD = rmBk.select("dbucket")
-      .union(newLens.select("dbucket")).distinct()
-    val rewrittenLen = standingLen
-      .join(broadcast(touchedD), Seq("dbucket"), "left_semi")
-      .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
-      .unionByName(newLens)
-      .localCheckpoint(true)
-    val touchedDSeq = touchedD.collect().map(_.getInt(0)).toSeq
-    val survivingDSet = rewrittenLen.select("dbucket").distinct().collect()
-      .map(_.getInt(0)).toSet
-    rewrittenLen.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dbucket").parquet(s"$dir/doclen")
-    dropEmptiedPartitions(spark, s"$dir/doclen", "dbucket",
-      touchedDSeq, survivingDSet)
-    rewrittenLen.unpersist(blocking = false)
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      val m = c.baseManifest
+      require(m.parts.nonEmpty, s"$dir holds no built index to update")
+      val nBuckets = m.stats("n_buckets").toInt
+      val nDocBuckets = m.stats("n_doc_buckets").toInt
+      val newPosts = postings(addedDocs, idCol, textCol, nBuckets)
+        .localCheckpoint(true) // tokenize the delta once, use it thrice
+      val rmIds = removedIds.select(col(idCol).cast(LongType).as("doc_id"))
+        .union(addedDocs.select(col(idCol).cast(LongType).as("doc_id")))
+        .distinct().localCheckpoint(true)
+      // touched-bucket discovery: column-pruned (doc_id, bucket) scan of
+      // the standing postings + the delta's own routes; both delta-sized
+      // collects (bounded by nBuckets)
+      val standingAll = VersionedIndex.readArtifact(spark, dir, m,
+        "postings", None, postingsSchema)
+      val touched = standingAll
+        .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
+        .select(col("bucket").cast(IntegerType))
+        .union(newPosts.select("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val touchedDirs = touched.map(b => s"bucket=$b").toSet
+      // rewrite = (standing rows of touched buckets) − (delta ids) +
+      // (new postings); reads only the touched partitions' paths, writes
+      // only into this commit's generation — the standing files are
+      // never overwritten, so no checkpoint-before-write is needed
+      val rewritten = VersionedIndex.readArtifact(spark, dir, m,
+        "postings", Some(touchedDirs), postingsSchema)
+        .withColumn("bucket", col("bucket").cast(IntegerType))
+        .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
+        .unionByName(newPosts)
+      rewritten.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${c.gen}/postings")
+      val postParts = (m.parts("postings") -- touchedDirs) ++
+        VersionedIndex.writtenPartDirs(spark, s"${c.gen}/postings")
+          .map(_ -> c.genLabel)
+      // doclen sidecar: same protocol on the doc-hash bucket axis; the
+      // delta ids' buckets are the only partitions read or written
+      val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
+        .localCheckpoint(true)
+      val touchedD = rmIds
+        .select(pmod(hash(col("doc_id")), lit(nDocBuckets)).as("dbucket"))
+        .union(newLens.select("dbucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val touchedDDirs = touchedD.map(b => s"dbucket=$b").toSet
+      val standingLenT = VersionedIndex.readArtifact(spark, dir, m,
+        "doclen", Some(touchedDDirs), doclenSchema)
+        .withColumn("dbucket", col("dbucket").cast(IntegerType))
+      // incremental corpus-stats correction, delta-sized: rows leaving
+      // the index (removed ∪ replaced, counted against the TOUCHED
+      // buckets only) vs rows entering it
+      val gone = standingLenT
+        .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      val came = newLens
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      val rewrittenLen = standingLenT
+        .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
+        .unionByName(newLens)
+      rewrittenLen.write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"${c.gen}/doclen")
+      val lenParts = (m.parts("doclen") -- touchedDDirs) ++
+        VersionedIndex.writtenPartDirs(spark, s"${c.gen}/doclen")
+          .map(_ -> c.genLabel)
+      newPosts.unpersist(blocking = false)
+      newLens.unpersist(blocking = false)
+      rmIds.unpersist(blocking = false)
+      c.finish(VersionedIndex.Manifest(
+        Map("postings" -> postParts, "doclen" -> lenParts),
+        m.stats ++ Map(
+          "n_docs" -> (m.stats("n_docs") - gone.getLong(0) + came.getLong(0)),
+          "sum_dl" -> (m.stats("sum_dl") - gone.getLong(1) + came.getLong(1)))))
+    } catch { case e: Throwable => c.abort(); throw e }
   }
+
+  /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
+    * multi-file partitions of both artifacts to one file each, as one
+    * crash-safe commit; single-file partitions keep their existing
+    * generation dirs and mtimes. Returns partitions compacted.
+    */
+  def compact(spark: SparkSession, dir: String): Int =
+    VersionedIndex.compactPartitioned(spark, dir,
+      Seq("postings" -> "bucket", "doclen" -> "dbucket"))
 
   /** BM25 top-k served FROM the standing index — the ranked-retrieval
     * read path beside [[phraseSearch]]'s boolean one, with q183's
     * exact-rational scoring (k1 = 6/5, b = 3/4 cleared of denominators;
     * idf argument (2N−2df+1)/(2df+1); floor-ppm per term): the postings
     * scan is pruned to the query terms' buckets (the same static
-    * partition filter), tf and df come from those postings alone, and
-    * the corpus stats (N, Σdl) plus the per-candidate dl come from the
-    * doclen sidecar — doc-count-sized, never the posting mass. Top-k is
-    * a TakeOrderedAndProject.
+    * partition filter), tf and df come from those postings alone, the
+    * corpus stats (N, Σdl) are two LITERALS from the manifest (zero
+    * sidecar passes — the CDC commits maintain them), and the
+    * per-candidate dl lookup reads ONLY the candidate docs' dbucket
+    * partitions (their bucket set is collected bounded by
+    * n_doc_buckets, never corpus-sized). Top-k is a
+    * TakeOrderedAndProject.
     */
   def bm25TopKFromIndex(spark: SparkSession, dir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val (nBuckets, _) = readMeta(spark, dir)
-    val tt = terms.toDF("term")
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    val nBuckets = m.stats("n_buckets").toInt
+    val nDocBuckets = m.stats("n_doc_buckets").toInt
+    val nDocs = m.stats("n_docs")
+    val aTokens = m.stats("sum_dl")
+    // dedupe defensively: a repeated query term would join each posting
+    // once per copy and double-count its per-term score in the sum
+    val tt = terms.distinct.toDF("term")
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     val buckets = tt.select("bucket").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = VersionedIndex.readArtifact(spark, dir, m, "postings",
+      Some(buckets.map(b => s"bucket=$b").toSet), postingsSchema)
       .filter(col("bucket").isin(buckets: _*))
     val tf = posts.join(broadcast(tt), Seq("bucket", "term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // reused: candidate routing + the score plan
     val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclen").select("doc_id", "dl")
-    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
-    tf.join(broadcast(dfx), Seq("term"))
+    // candidate dl lookup, pruned: the candidates' dbucket set is
+    // bounded by n_doc_buckets (a driver-safe collect at any corpus
+    // size), so the sidecar scan reads only buckets holding candidates
+    val candBuckets = tf
+      .select(pmod(hash(col("doc_id")), lit(nDocBuckets)).as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dl = VersionedIndex.readArtifact(spark, dir, m, "doclen",
+      Some(candBuckets.map(b => s"dbucket=$b").toSet), doclenSchema)
+      .select("doc_id", "dl")
+    val scored = tf.join(broadcast(dfx), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(tot))
       .withColumn("s", expr(
-        """(CAST(1000000 AS DECIMAL(38,0)) *
-          | (2 * n_docs - 2 * df + 1) * 22 * a_tokens * tf) div
-          |((CAST(2 AS DECIMAL(38,0)) * df + 1) *
-          | (CAST(10 AS DECIMAL(38,0)) * a_tokens * tf +
-          |  3 * a_tokens + CAST(9 AS DECIMAL(38,0)) * dl * n_docs))"""
+        s"""(CAST(1000000 AS DECIMAL(38,0)) *
+           | (2 * ${nDocs}L - 2 * df + 1) * 22 * ${aTokens}L * tf) div
+           |((CAST(2 AS DECIMAL(38,0)) * df + 1) *
+           | (CAST(10 AS DECIMAL(38,0)) * ${aTokens}L * tf +
+           |  3 * ${aTokens}L + CAST(9 AS DECIMAL(38,0)) * dl * ${nDocs}L))"""
           .stripMargin))
       .groupBy("doc_id").agg(sum("s").cast(LongType).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))
       .limit(k)
+    scored
   }
 
   /** Exact phrase search served FROM the standing index — q275's
@@ -232,7 +318,8 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, dir: String,
       phrases: Seq[String]): DataFrame = {
     import spark.implicits._
-    val (nBuckets, _) = readMeta(spark, dir)
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    val nBuckets = m.stats("n_buckets").toInt
     val phraseRows = phrases.flatMap(p =>
       p.split(' ').zipWithIndex.map { case (t, i) =>
         (p, i.toLong, t, p.split(' ').length.toLong) })
@@ -243,7 +330,8 @@ object TextIndex {
     // not discovered at runtime
     val buckets = pt.select("bucket").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = VersionedIndex.readArtifact(spark, dir, m, "postings",
+      Some(buckets.map(b => s"bucket=$b").toSet), postingsSchema)
       .filter(col("bucket").isin(buckets: _*))
     posts.join(broadcast(pt), Seq("bucket", "term"))
       .groupBy(col("phrase"), col("doc_id"),

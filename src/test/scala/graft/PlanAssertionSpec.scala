@@ -158,6 +158,39 @@ class PlanAssertionSpec extends SparkSpec {
       s"phrase search shuffles the postings — must stay a broadcast probe:\n$plan")
   }
 
+  test("index-served BM25: corpus stats are manifest literals (no full " +
+    "doclen pass) and the dl lookup reads only candidate doc buckets") {
+    import spark.implicits._
+    // exactly one doc carries the query term, so its dl lookup must
+    // route to exactly one doclen bucket partition
+    val docs = (0 until 40).map(i => (i.toLong,
+      if (i == 7) "alpha unique seven" else s"beta common tok$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan").toString
+    ops.TextIndex.buildPhraseIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+    val served = ops.TextIndex.bm25TopKFromIndex(spark, dir, Seq("alpha"), 5)
+    // plan string BEFORE execution: a collected AQE plan prints Final +
+    // Initial sections and would double-count every scan line
+    val plan = physical(served)
+    assert(served.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the per-candidate dl join is the ONLY doclen access left in the
+    // serve plan — the two O(n_docs) corpus-stat passes (count + sum)
+    // are manifest literals now, maintained by the CDC commits
+    val doclenScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("doclen"))
+    assert(doclenScans == 1,
+      s"expected exactly one (pruned) doclen scan, got $doclenScans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus-stat cross join survived the manifest-literal rewrite:\n$plan")
+    // the one doclen scan lists exactly the single candidate's bucket
+    // dir — path-level pruning, never the whole sidecar
+    val loc = plan.linesIterator
+      .find(l => l.contains("Location") && l.contains("doclen")).get
+    assert(loc.contains("(1 paths)") && loc.contains("dbucket="),
+      s"dl lookup must read only the candidate doc buckets:\n$loc")
+  }
+
   test("IVF search on a persisted index: probe join broadcasts the probes") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>

@@ -31,8 +31,6 @@ class PlanLintSpec extends SparkSpec {
     "q119_pq_adc_recall" -> "m·k-row (256) tagged codebook broadcast for PQ assignment + per-query ADC distance tables",
     "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
     "q301_louvain_refine" -> "one-row edge-mass m broadcast into the ΔQ filter and both modularity aggregates, plus the 1-row×1-row LPA/merge stat join",
-    "q304_index_bm25" -> "one-row corpus stats (N, total tokens) from the doclen sidecar broadcast into the per-candidate BM25 arithmetic",
-    "q306_index_bm25_cdc" -> "same serve path as q304 (one-row doclen corpus stats broadcast) after the CDC update",
     "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",
     "q59_sequence_packing" -> "one-row bin-capacity stats attached before packing audit",
     "q60_hashing_tfidf" -> "one-row corpus doc count (idf denominator) broadcast",

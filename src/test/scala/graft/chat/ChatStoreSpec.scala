@@ -487,6 +487,110 @@ class ChatStoreSpec extends SparkSpec {
     }
   }
 
+  test("commitKeepLast retention: five commits at keepLast=4 leave a " +
+    "4-deep time-travel window; changeFeed diffs across a 3-version gap; " +
+    "forgetKeys still proves physical erasure") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    val oldKeep = ChatStore.commitKeepLast
+    try {
+      ChatStore.commitKeepLast = 4
+      val dir = tmp()
+      def snap(rows: (Long, String)*) = rows.toSeq.toDF("k", "s")
+      ChatStore.writeVersioned(snap(1L -> "a", 2L -> "b", 3L -> "c"), dir) // v1
+      ChatStore.writeVersioned(
+        snap(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"), dir) // v2: upd 2, ins 4
+      ChatStore.writeVersioned(snap(1L -> "a", 2L -> "b2", 4L -> "d"), dir) // v3: del 3
+      ChatStore.writeVersioned(snap(1L -> "a4", 2L -> "b2", 4L -> "d"), dir) // v4: upd 1
+      ChatStore.writeVersioned(
+        snap(1L -> "a4", 2L -> "b2", 4L -> "d", 5L -> "e"), dir) // v5: ins 5
+      assert(ChatStore.versions(spark, dir).map(_._1) == Seq(2L, 3L, 4L, 5L),
+        "keepLast=4 must retain exactly v2..v5")
+      // the cumulative diff across the retained 3-version gap equals the
+      // replayed per-commit changes composed: upd 1, del 3, ins 5 (key 2
+      // and 4 are unchanged between v2 and v5)
+      val feed = ChatStore.changeFeed(spark, dir, 2L, 5L, Seq("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(feed == Set(("update", 1L), ("delete", 3L), ("insert", 5L)),
+        s"changeFeed v2->v5 drifted: $feed")
+      assert(ChatStore.readVersion(spark, dir, 2L).count() == 4)
+      intercept[IllegalArgumentException] {
+        ChatStore.readVersion(spark, dir, 1L) // GC'd below the window
+      }
+      // physical forget is unaffected by the deeper retention: its own
+      // vacuum(keepLast=1) collapses the window before the audit
+      ChatStore.forgetKeys(spark, dir, "k", Seq(2L).toDF("k"))
+      val (nDirs, residue) =
+        ChatStore.residualAudit(spark, dir, "k", Seq(2L).toDF("k"))
+      assert(nDirs >= 1 && residue == 0,
+        s"forgotten key survived in $residue rows across $nDirs dirs")
+    } finally {
+      ChatStore.commitKeepLast = oldKeep
+      ChatStore.forceVersionedProtocol = false
+    }
+  }
+
+  test("stale-claim sweep never deletes a COMMITTED version dir: a claim " +
+    "orphaned by a crash-after-publish is swept without touching its data") {
+    import spark.implicits._
+    ChatStore.forceVersionedProtocol = true
+    val oldStale = ChatStore.claimStaleMs
+    try {
+      val dir = tmp()
+      val u = Seq(("Ada", "ada@x.io"), ("Bo", "bo@x.io")).toDF("name", "email")
+      ChatStore.registerUsers(spark, u, dir)
+      val idAda = ChatStore.findByEmail(spark, dir, "ada@x.io")
+        .select("user_id").collect().head.getString(0)
+      val idBo = ChatStore.findByEmail(spark, dir, "bo@x.io")
+        .select("user_id").collect().head.getString(0)
+      ChatStore.updateUser(spark, dir, idAda, Map("name" -> "Ada1")) // v1
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // interleaving: the slow writer reads current=1; via the seam a
+      // fast writer commits v2 (pointer PUBLISHED — v2 is committed
+      // data) and then "crashes" before its claim cleanup, leaving a
+      // v2 claim behind. With staleness 0 the slow writer's sweep fires
+      // immediately — the regression under test is that it must re-read
+      // the pointer before the destructive delete and leave the
+      // committed v2 directory alone (the pre-fix sweep deleted it).
+      ChatStore.claimStaleMs = 0L
+      var raced = false
+      ChatStore.overwriteAfterVersionReadHook = () => {
+        if (!raced) {
+          raced = true
+          ChatStore.updateUser(spark, dir, idBo, Map("name" -> "BoFast")) // v2
+          fs.create(new org.apache.hadoop.fs.Path(dir + ".v2.claim"), false)
+            .close() // crash-after-publish debris
+        }
+      }
+      val err = try {
+        intercept[java.util.ConcurrentModificationException] {
+          ChatStore.updateUser(spark, dir, idAda, Map("name" -> "AdaSlow"))
+        }
+      } finally ChatStore.overwriteAfterVersionReadHook = () => ()
+      assert(raced)
+      assert(err.getMessage.contains("conflict"))
+      // the committed v2 survived the sweep: pointer serves it, data intact
+      val after = ChatStore.listUsers(spark, dir).collect()
+        .map(_.getString(1)).toSet
+      assert(after == Set("Ada1", "BoFast"),
+        s"sweep destroyed or blended the committed v2: $after")
+      assert(ChatStore.versions(spark, dir).map(_._1).max == 2L)
+      // a crashed SWEEPER's tombstone is unconditionally swept by the
+      // next commit's GC
+      fs.create(new org.apache.hadoop.fs.Path(
+        dir + ".v1.claim.sweep.deadbeef"), false).close()
+      ChatStore.updateUser(spark, dir, idAda, Map("name" -> "Ada3")) // v3
+      val parent = new org.apache.hadoop.fs.Path(dir).getParent
+      val debris = fs.listStatus(parent).map(_.getPath.getName)
+        .filter(n => n.contains(".claim"))
+      assert(debris.isEmpty, s"claim/tombstone debris: ${debris.toSeq}")
+    } finally {
+      ChatStore.claimStaleMs = oldStale
+      ChatStore.forceVersionedProtocol = false
+    }
+  }
+
   test("forgetKeys erases PHYSICALLY across the three chat tables: no " +
     "surviving version dir retains a forgotten key") {
     import spark.implicits._

@@ -35,7 +35,7 @@ class IvfPqUpdatePropertySpec extends SparkSpec {
         k = 3, iters = 3)
       Similarity.buildIvfPqIndex(df, "vec_id", "embedding", coarse, dir,
         dim = 8, m = 4, kCent = 4, iters = 2)
-      val before = spark.read.parquet(s"$dir/lists")
+      val before = Similarity.readLists(spark, dir)
         .collect().map(r => r.getAs[Long]("id") -> r.toString).toMap
 
       val pick = Gen.someOf(0L until n.toLong)
@@ -53,7 +53,7 @@ class IvfPqUpdatePropertySpec extends SparkSpec {
         removedIds.toSeq.toDF("vec_id"),
         "vec_id", "embedding", dim = 8, m = 4)
 
-      val after = spark.read.parquet(s"$dir/lists")
+      val after = Similarity.readLists(spark, dir)
         .collect().map(r => r.getAs[Long]("id") -> r.toString).toMap
       val expectIds =
         ((0L until n.toLong).toSet -- removedIds -- upsertIds) ++
@@ -70,7 +70,7 @@ class IvfPqUpdatePropertySpec extends SparkSpec {
         added.toDF("vec_id", "embedding"),
         removedIds.toSeq.toDF("vec_id"),
         "vec_id", "embedding", dim = 8, m = 4)
-      val again = spark.read.parquet(s"$dir/lists")
+      val again = Similarity.readLists(spark, dir)
         .collect().map(r => r.getAs[Long]("id") -> r.toString).toMap
       assert(again == after, s"seed=$seedNo re-apply drifted")
     }

@@ -447,7 +447,7 @@ class OpsSpec extends SparkSpec {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .toSet == exact)
     // the index holds codes only — no raw vectors in the lists files
-    val listCols = spark.read.parquet(s"$dir/lists").columns.toSet
+    val listCols = Similarity.readLists(spark, dir).columns.toSet
     assert(listCols == (0 until 4).map(j => s"code_$j").toSet + "id" + "list_id",
       s"lists should hold only ids + codes, got $listCols")
     // search runs zero Lloyd work (no posexplode = no centroid mean pass)
@@ -468,13 +468,13 @@ class OpsSpec extends SparkSpec {
       k = 3, iters = 4)
     Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", coarse, dir,
       dim = 8, m = 4, kCent = 4, iters = 2)
-    def listState(): Map[String, Long] = {
-      val root = new java.io.File(s"$dir/lists")
-      root.listFiles().filter(_.getName.startsWith("list_id=")).flatMap { d =>
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+    def listState(): Map[String, Long] =
+      Similarity.listPartitionPaths(spark, dir).toSeq.flatMap {
+        case (pd, path) =>
+          new java.io.File(path).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => s"$pd/${f.getName}" -> f.lastModified())
       }.toMap
-    }
     val before = listState()
     // delta entirely within cluster 0 (vec_ids ≡ 0 mod 3): remove 0,
     // upsert a replacement for 3 and a new vector 100 — only cluster 0's
@@ -485,7 +485,7 @@ class OpsSpec extends SparkSpec {
     val removed = Seq(Tuple1(0L)).toDF("vec_id")
     Similarity.updateIvfPqIndex(spark, dir, added, removed,
       "vec_id", "embedding", dim = 8, m = 4)
-    val afterIds = spark.read.parquet(s"$dir/lists")
+    val afterIds = Similarity.readLists(spark, dir)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(!afterIds.contains(0L) && afterIds.contains(100L)
       && afterIds.contains(3L))
@@ -499,7 +499,7 @@ class OpsSpec extends SparkSpec {
     // idempotence: re-applying the same delta leaves the same row set
     Similarity.updateIvfPqIndex(spark, dir, added, removed,
       "vec_id", "embedding", dim = 8, m = 4)
-    val again = spark.read.parquet(s"$dir/lists")
+    val again = Similarity.readLists(spark, dir)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(again.size == 30 && again.toSet == afterIds,
       "re-applying the delta must not duplicate or drop rows")
@@ -515,13 +515,13 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("txtidx").toString
     TextIndex.buildPhraseIndex(base, "doc_id", "text", dir, nBuckets = 8)
-    def bucketState(): Map[String, Long] = {
-      val root = new java.io.File(s"$dir/postings")
-      root.listFiles().filter(_.getName.startsWith("bucket=")).flatMap { d =>
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
-      }.toMap
-    }
+    def bucketState(): Map[String, Long] =
+      TextIndex.partitionPaths(spark, dir, "postings").toSeq
+        .flatMap { case (pd, path) =>
+          new java.io.File(path).listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => s"$pd/${f.getName}" -> f.lastModified())
+        }.toMap
     val before = bucketState()
     // the buckets "aa" and "bb" route to (delta terms); others must stay
     val deltaBuckets = Seq("aa", "bb").map(t =>
@@ -536,7 +536,7 @@ class OpsSpec extends SparkSpec {
     TextIndex.updatePhraseIndex(spark, dir, added, removed,
       "doc_id", "text")
     // content: doc 1 gone, doc 0 replaced (4 aa-postings), doc 100 added
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = TextIndex.readPostings(spark, dir)
     assert(posts.filter($"doc_id" === 1L).count() == 0, "removed doc stale")
     assert(posts.filter($"doc_id" === 0L).count() == 4, "upsert not applied")
     assert(posts.filter($"doc_id" === 100L).count() == 3, "insert missing")
@@ -556,7 +556,7 @@ class OpsSpec extends SparkSpec {
     assert(hit.toSeq == Seq(("aa aa", 5L, 2L)), s"got ${hit.toSeq}")
     // the doclen sidecar tracks the same delta: doc 1 gone, doc 0
     // replaced at its new length, doc 100 added, others untouched
-    val lens = spark.read.parquet(s"$dir/doclen")
+    val lens = TextIndex.readDocLengths(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
     assert(lens == Map(0L -> 4L, 100L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
       5L -> 2L, 6L -> 2L, 7L -> 2L), s"doclen drifted: $lens")
@@ -569,12 +569,12 @@ class OpsSpec extends SparkSpec {
     // idempotence: re-applying the same delta leaves identical content
     TextIndex.updatePhraseIndex(spark, dir, added, removed,
       "doc_id", "text")
-    val again = spark.read.parquet(s"$dir/postings")
+    val again = TextIndex.readPostings(spark, dir)
       .groupBy("doc_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == Map(0L -> 4L, 100L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L,
       5L -> 2L, 6L -> 2L, 7L -> 2L), s"re-apply drifted: $again")
-    val lens2 = spark.read.parquet(s"$dir/doclen")
+    val lens2 = TextIndex.readDocLengths(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dl")).toMap
     assert(lens2 == lens, "doclen re-apply drifted")
   }
@@ -599,14 +599,15 @@ class OpsSpec extends SparkSpec {
     val removed = Seq(Tuple1(loneDoc)).toDF("doc_id")
     TextIndex.updatePhraseIndex(spark, dir, docs.limit(0), removed,
       "doc_id", "text")
-    assert(!new java.io.File(s"$dir/postings/bucket=${bucketOf(lone)}")
-      .exists, "emptied bucket partition survived on disk")
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(!TextIndex.partitionPaths(spark, dir, "postings")
+      .contains(s"bucket=${bucketOf(lone)}"),
+      "emptied bucket partition survived in the manifest")
+    assert(TextIndex.readPostings(spark, dir)
       .filter($"term" === lone).count() == 0, "ghost postings readable")
-    assert(spark.read.parquet(s"$dir/doclen")
+    assert(TextIndex.readDocLengths(spark, dir)
       .filter($"doc_id" === loneDoc).count() == 0, "ghost doclen row")
     // the other 11 docs are untouched
-    assert(spark.read.parquet(s"$dir/postings").count() == 33)
+    assert(TextIndex.readPostings(spark, dir).count() == 33)
   }
 
   test("stable split/sample are deterministic and partition-invariant") {

@@ -204,7 +204,7 @@ class StreamingSpec extends SparkSpec {
       ms.addData((101L, c1), (102L, c0.map(_ + 0.01f))) // 101 replayed
       q.processAllAvailable()
     } finally q.stop()
-    val ids = spark.read.parquet(s"$dir/lists").select("id")
+    val ids = graft.ops.Similarity.readLists(spark, dir).select("id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids.size == 33 && Seq(100L, 101L, 102L).forall(ids.contains),
       s"expected 30 base + 3 streamed rows, got ${ids.size}")
