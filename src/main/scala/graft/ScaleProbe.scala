@@ -489,6 +489,8 @@ object ScaleProbe {
     }
     probeLpa("1x", edges)
     probeLpa("celebrity", withCeleb)
+    probeLouvain(spark, "1x", edges)
+    probeLouvain(spark, "celebrity", withCeleb)
 
     // q136: token drift where the recrawl APPENDS the boilerplate cluster
     // — the vocab-sized agg must absorb `inject` near-identical docs
@@ -798,6 +800,10 @@ object ScaleProbe {
     }
     probeTextIndex("1x", base, nBase, nBuckets = 64)
     probeTextIndex(s"${mult}x+cluster (same 40-doc delta, buckets scaled)",
+      big, nBig, nBuckets = 64 * mult)
+    probeTextIndexStream(spark, "1x", base, nBase, nBuckets = 64)
+    probeTextIndexStream(spark,
+      s"${mult}x+cluster (same delta, 3 micro-batches)",
       big, nBig, nBuckets = 64 * mult)
 
     // q281: tier-8 CC merge where the delta chains 2*10^4 standing
@@ -1339,4 +1345,74 @@ object ScaleProbe {
 
   private def emit(probe: String, scale: String, n: Long, sec: Double, rows: Long): Unit =
     println(f"""{"probe":"$probe","scale":"$scale","input":$n,"seconds":$sec%.2f,"rows":$rows}""")
+
+  /** q302 probe: the STREAMING maintenance path — the same ~40-doc delta
+    * split into 3 key-ranged micro-batches applied by foreachBatch
+    * against the standing text index, corpus and buckets scaled 1× →
+    * mult×. Each batch's rewrite is delta-sized (touched buckets only),
+    * so total stream seconds must stay ~flat in the corpus. Object-level
+    * so a scratch runner can probe it without the full sweep.
+    */
+  private[graft] def probeTextIndexStream(spark: SparkSession, scale: String,
+      docs: DataFrame, n: Long, nBuckets: Int): Unit = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("probe_txtidx_stream").toString
+    ops.TextIndex.buildPhraseIndex(docs, "doc_id", "text", dir, nBuckets)
+    val delta = docs.limit(20)
+      .select(lit("u").as("op"), (col("doc_id") + 800000000L).as("doc_id"),
+        concat(col("text"), lit(" fast table value")).as("text"))
+      .unionByName(docs.limit(60).filter(col("doc_id") % 3 === 1)
+        .select(lit("d").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text")))
+      .localCheckpoint(true)
+    val staged = java.nio.file.Files.createTempDirectory("probe_302_src")
+    (0 until 3).foreach(i => delta
+      .filter(pmod(col("doc_id"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(staged.toString))
+    val schema = spark.read.parquet(staged.toString).schema
+    val ckpt = java.nio.file.Files.createTempDirectory("probe_302_ckpt")
+    val (batches, t) = time {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ups = batch.filter(col("op") === "u")
+            .select("doc_id", "text").localCheckpoint(true)
+          val dels = batch.filter(col("op") === "d")
+            .select("doc_id").localCheckpoint(true)
+          ops.TextIndex.updatePhraseIndex(spark, dir, ups, dels,
+            "doc_id", "text")
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    emit("q302_stream_index_cdc", scale, n, t, batches)
+  }
+
+  /** q307 probe: multi-level Louvain with the celebrity star. Level
+    * entry is one node-level contraction; every merge/contract round
+    * after runs on the community graph, whose pair frame is bounded by
+    * ADJACENT community pairs — the degree-`inject` hub must cost its
+    * edge count in the entry contraction and then live as ONE community
+    * row, never a quadratic pair blow-up. rows = final communities.
+    */
+  private[graft] def probeLouvain(spark: SparkSession, scale: String,
+      es: DataFrame): Unit = {
+    val canon = ops.Graph.canonicalEdges(es, "source", "target")
+      .withColumn("w", lit(1L))
+    val lbl = ops.Graph.labelPropagation(canon, rounds = 4)
+      .localCheckpoint(true)
+    val (perLevel, t) = time {
+      val r = ops.Graph.louvain(canon, lbl, levels = 3)
+      r._2.last.count() // every level is already eagerly checkpointed
+      r._2
+    }
+    val finalComm = perLevel.last.select(col("a").as("v"))
+      .unionByName(perLevel.last.select(col("b").as("v")))
+      .distinct().count()
+    emit("q307_louvain_multilevel", scale, canon.count(), t, finalComm)
+  }
 }

@@ -2121,6 +2121,151 @@ object EventQueries {
         "alone, refined ≥ LPA gated (oracle literal 1)")
   }
 
+  /** MULTI-LEVEL LOUVAIN — q301's one refinement round looped to a
+    * fixpoint with community-graph CONTRACTION between levels
+    * ([[graft.ops.Graph.louvain]]): level 0 is the LPA partition; each
+    * level merges mutual-best positive-ΔQ community pairs and contracts,
+    * so every level after entry runs on a community-sized graph that
+    * shrinks monotonically. Exactly 3 levels are applied (a level past
+    * the fixpoint is a no-op — zero merges, identical contraction — so
+    * the output shape is deterministic at any SF). One row per level:
+    * community count, modularity (q252's shifted exact-rational ppm,
+    * value-oracled), and the monotone gate q_ppm(level) ≥
+    * q_ppm(level−1) — Louvain's defining invariant, which holds exactly
+    * because each round's merges have strictly positive DISJOINT ΔQ.
+    * The final window orders 4 rows — bounded by the level count, never
+    * data.
+    */
+  val q307_louvain_multilevel: QueryDef = {
+    val nLevels = 3
+    def levelSql(i: Int): String =
+      s"""deg$i AS MATERIALIZED (
+         |  SELECT c, SUM(w) AS degc FROM (
+         |    SELECT a AS c, w FROM gc$i UNION ALL SELECT b AS c, w FROM gc$i)
+         |  GROUP BY c),
+         |st$i AS (
+         |  SELECT CAST($i AS BIGINT) AS level,
+         |    CAST(COUNT(*) AS BIGINT) AS n_comm,
+         |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(sl.ecc, 0)
+         |      - CAST(d.degc AS HUGEINT) * d.degc) AS num
+         |  FROM deg$i d LEFT JOIN
+         |    (SELECT a AS c, w AS ecc FROM gc$i WHERE a = b) sl
+         |    ON sl.c = d.c, m),
+         |sym$i AS (
+         |  SELECT a AS c, b AS nb, w AS e12 FROM gc$i WHERE a <> b
+         |  UNION ALL
+         |  SELECT b AS c, a AS nb, w AS e12 FROM gc$i WHERE a <> b),
+         |dq$i AS (
+         |  SELECT s.c, s.nb,
+         |    2 * CAST(m.m AS HUGEINT) * s.e12
+         |      - CAST(d1.degc AS HUGEINT) * d2.degc AS dqn
+         |  FROM sym$i s
+         |  JOIN deg$i d1 ON d1.c = s.c
+         |  JOIN deg$i d2 ON d2.c = s.nb, m
+         |  WHERE 2 * CAST(m.m AS HUGEINT) * s.e12
+         |      - CAST(d1.degc AS HUGEINT) * d2.degc > 0),
+         |best$i AS (
+         |  SELECT c, nb FROM (
+         |    SELECT c, nb,
+         |      row_number() OVER (PARTITION BY c ORDER BY dqn DESC, nb) AS rn
+         |    FROM dq$i) t WHERE rn = 1),
+         |mg$i AS MATERIALIZED (
+         |  SELECT x.c AS c1, x.nb AS c2
+         |  FROM best$i x JOIN best$i y ON y.c = x.nb AND y.nb = x.c
+         |  WHERE x.c < x.nb),
+         |gc${i + 1} AS MATERIALIZED (
+         |  SELECT LEAST(na, nb) AS a, GREATEST(na, nb) AS b, SUM(w) AS w
+         |  FROM (
+         |    SELECT COALESCE(ma.c1, g.a) AS na, COALESCE(mb.c1, g.b) AS nb,
+         |      g.w
+         |    FROM gc$i g
+         |    LEFT JOIN mg$i ma ON ma.c2 = g.a
+         |    LEFT JOIN mg$i mb ON mb.c2 = g.b)
+         |  GROUP BY 1, 2)""".stripMargin
+    val qppmSql = "CAST((CAST(1000000 AS HUGEINT) * " +
+      "(CAST(4 AS HUGEINT) * m.m * m.m + num)) // " +
+      "(CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)"
+    QueryDef(
+      "q307_louvain_multilevel",
+      (s, d) => {
+        val e = weightedEdges(s, d).select(col("source").as("a"),
+          col("target").as("b"), col("weight").as("w"))
+        val lbl = graft.ops.Graph.labelPropagation(e, rounds = 4)
+        val (_, perLevel) = graft.ops.Graph.louvain(e, lbl, nLevels)
+        def qppm(x: String): String =
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            s"(CAST(4 AS DECIMAL(38,0)) * m_total * m_total + $x)) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m_total * m_total) - 1000000 " +
+            "AS BIGINT)"
+        def levelStats(gc: DataFrame, lvl: Int): DataFrame = {
+          val degc = gc.select(col("a").as("c"), col("w"))
+            .unionByName(gc.select(col("b").as("c"), col("w")))
+            .groupBy("c").agg(sum("w").as("degc"))
+          val ecc = gc.filter(col("a") === col("b"))
+            .select(col("a").as("c"), col("w").as("ecc"))
+          val m = gc.agg(sum("w").cast(LongType).as("m_total"))
+          degc.join(ecc, Seq("c"), "left")
+            .withColumn("ecc", coalesce(col("ecc"), lit(0L)))
+            .crossJoin(broadcast(m)) // 1-row modularity denominator
+            .agg(count(lit(1)).cast(LongType).as("n_comm"),
+              sum(expr("CAST(4 AS DECIMAL(38,0)) * m_total * ecc - " +
+                "CAST(degc AS DECIMAL(38,0)) * degc")).as("num"),
+              max("m_total").as("m_total"))
+            .select(lit(lvl.toLong).as("level"), col("n_comm"),
+              expr(qppm("num")).as("q_ppm"))
+        }
+        val wLvl = Window.orderBy("level") // 4 rows: the level count
+        perLevel.zipWithIndex
+          .map { case (gc, lvl) => levelStats(gc, lvl) }
+          .reduce(_.unionByName(_))
+          .withColumn("monotone",
+            when(lag(col("q_ppm"), 1).over(wLvl).isNull ||
+              col("q_ppm") >= lag(col("q_ppm"), 1).over(wLvl), 1L)
+              .otherwise(0L))
+          .orderBy("level")
+      },
+      Some(edgesSql +
+        s""",
+          |g AS MATERIALIZED (
+          |  SELECT a AS s, b AS t, weight AS w FROM we
+          |  UNION ALL SELECT b AS s, a AS t, weight AS w FROM we),
+          |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lbl FROM g),
+          |${lpaRoundSql(4)},
+          |e AS (SELECT a, b, weight AS w FROM we),
+          |gc0 AS MATERIALIZED (
+          |  SELECT LEAST(la.lbl, lb2.lbl) AS a,
+          |    GREATEST(la.lbl, lb2.lbl) AS b, SUM(e.w) AS w
+          |  FROM e JOIN l4 la ON la.v = e.a JOIN l4 lb2 ON lb2.v = e.b
+          |  GROUP BY 1, 2),
+          |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM gc0),
+          |${(0 until nLevels).map(levelSql).mkString(",\n")},
+          |deg$nLevels AS MATERIALIZED (
+          |  SELECT c, SUM(w) AS degc FROM (
+          |    SELECT a AS c, w FROM gc$nLevels
+          |    UNION ALL SELECT b AS c, w FROM gc$nLevels)
+          |  GROUP BY c),
+          |st$nLevels AS (
+          |  SELECT CAST($nLevels AS BIGINT) AS level,
+          |    CAST(COUNT(*) AS BIGINT) AS n_comm,
+          |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(sl.ecc, 0)
+          |      - CAST(d.degc AS HUGEINT) * d.degc) AS num
+          |  FROM deg$nLevels d LEFT JOIN
+          |    (SELECT a AS c, w AS ecc FROM gc$nLevels WHERE a = b) sl
+          |    ON sl.c = d.c, m),
+          |lv AS (
+          |  SELECT level, n_comm, $qppmSql AS q_ppm
+          |  FROM (${(0 to nLevels).map(i => s"SELECT * FROM st$i")
+            .mkString(" UNION ALL ")}) u, m)
+          |SELECT level, n_comm, q_ppm,
+          |  CAST(CASE WHEN lag(q_ppm) OVER (ORDER BY level) IS NULL
+          |    OR q_ppm >= lag(q_ppm) OVER (ORDER BY level)
+          |    THEN 1 ELSE 0 END AS BIGINT) AS monotone
+          |FROM lv ORDER BY level""".stripMargin),
+      "Multi-level Louvain: mutual-best merges + community-graph " +
+        "contraction per level, modularity monotone non-decreasing, " +
+        "per-level Q value-oracled")
+  }
+
   /** DAILY PERCENTILE BANDS — the p10/p50/p90 ribbon a metrics
     * dashboard draws per type over time, in exact discrete order
     * statistics: per (type, day) value histogram + cumulative over
@@ -5301,7 +5446,7 @@ object EventQueries {
     q224_cohort_ltv, q225_user_growth, q176_rolling_actives,
     q226_variant_funnel, q227_wow_growth, q239_khop_reach, q240_mad_outliers,
     q242_incremental_topk, q244_ewma, q245_trimmed_mean,
-    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram, q296_position_attribution, q297_kendall_tau, q301_louvain_refine,
+    q284_winsorized_mean, q288_tv_drift, q289_max_drawdown, q290_top_movers, q292_robustness, q293_rich_club, q294_daily_percentile_bands, q295_log2_histogram, q296_position_attribution, q297_kendall_tau, q301_louvain_refine, q307_louvain_multilevel,
     q228_conversion_latency, q230_local_clustering, q231_markov_stationary, q232_degree_histogram,
     q147_incremental_view, q162_incremental_minmax,
     q234_incremental_distinct, q167_rolling_anomaly, q178_event_transitions, q179_linear_interpolate, q152_scd2_join, q154_event_funnel,

@@ -1247,6 +1247,103 @@ object AdvancedQueries {
       .orderBy("user_id", "n_released")
   }
 
+  /** PRIVACY BUDGET LEDGER — the ε-composition report over every DP
+    * release this engine publishes from the events table (q236
+    * histogram, q257 mean, q300 quantiles, q303 heavy hitters). Each
+    * release is one ε = ln 2 two-sided-geometric mechanism whose cells
+    * PARTITION the event rows (parallel composition WITHIN a release:
+    * one noised query per row, whatever the cell count — flagged
+    * `parallel_within`), and the four releases read overlapping rows of
+    * the same table, so ACROSS releases sequential composition applies:
+    * ε_total = 4·ln 2 = ln 16, exactly — the ledger keeps ε as an exact
+    * integer multiple of ln 2 (`eps_ln2_units`) and renders ppm as
+    * units × 693147 (the same floor(10⁶·ln 2) constant every release
+    * stamps; for unit counts this small the per-unit floor equals the
+    * floored product). Cell counts are computed live with each
+    * release's exact cell definition (q257/q300 share the banded-value
+    * axis but draw INDEPENDENT noise, so both consume budget) — a
+    * drifted band width or day bucket is a value mismatch here, not
+    * just in the release. One distinct-agg per axis; the ledger is
+    * 5 rows.
+    */
+  val q308_privacy_ledger: QueryDef = q(
+    "q308_privacy_ledger",
+    """WITH n1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT DISTINCT event_type,
+      |      CAST(floor(epoch(ts) / 86400) AS BIGINT) FROM events)),
+      |n2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT DISTINCT event_type,
+      |      CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        + 100000000) / 1000) AS BIGINT) FROM events)),
+      |n3 AS (
+      |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+      |SELECT * FROM (
+      |  SELECT 'q236_dp_release' AS release,
+      |    'event_type x day' AS axis, n1.n AS n_cells,
+      |    CAST(1 AS BIGINT) AS eps_ln2_units,
+      |    CAST(693147 AS BIGINT) AS eps_ppm,
+      |    'parallel_within' AS composition FROM n1
+      |  UNION ALL
+      |  SELECT 'q257_dp_mean', 'event_type x value_band', n2.n,
+      |    CAST(1 AS BIGINT), CAST(693147 AS BIGINT), 'parallel_within'
+      |  FROM n2
+      |  UNION ALL
+      |  SELECT 'q300_dp_quantiles', 'event_type x value_band', n2.n,
+      |    CAST(1 AS BIGINT), CAST(693147 AS BIGINT), 'parallel_within'
+      |  FROM n2
+      |  UNION ALL
+      |  SELECT 'q303_dp_topk', 'user_id', n3.n,
+      |    CAST(1 AS BIGINT), CAST(693147 AS BIGINT), 'parallel_within'
+      |  FROM n3
+      |  UNION ALL
+      |  SELECT 'total_sequential', 'events',
+      |    n1.n + 2 * n2.n + n3.n,
+      |    CAST(4 AS BIGINT), CAST(2772588 AS BIGINT), 'sequential_across'
+      |  FROM n1, n2, n3)
+      |ORDER BY release""".stripMargin,
+    "Privacy budget ledger: per-release cell counts under each DP " +
+      "release's exact cell definition, parallel-within flags, and the " +
+      "sequential-composition total 4*ln2 in exact ln2 units") { (s, d) =>
+    val ev = Tables.events(s, d)
+    // q257/q300's banded-value cell key, the portable-floor idiom
+    val bandExpr = expr(
+      """CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        | + 100000000 >= 0
+        | THEN (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   + 100000000) div 1000
+        | ELSE -((-(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   + 100000000) + 999) div 1000) END""".stripMargin)
+    val n1 = ev.select(col("event_type"), expr("ts_sec div 86400"))
+      .distinct().agg(count(lit(1)).cast(LongType).as("n1"))
+    val n2 = ev.select(col("event_type"), bandExpr.as("band"))
+      .distinct().agg(count(lit(1)).cast(LongType).as("n2"))
+    val n3 = ev.select("user_id").distinct()
+      .agg(count(lit(1)).cast(LongType).as("n3"))
+    // three 1-row axis-cardinality aggregates, joined into one base row
+    val base = n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+      .localCheckpoint(true)
+    def row(rel: String, axis: String, cells: Column, units: Int,
+        comp: String) =
+      base.select(lit(rel).as("release"), lit(axis).as("axis"),
+        cells.cast(LongType).as("n_cells"),
+        lit(units.toLong).as("eps_ln2_units"),
+        lit(units * 693147L).as("eps_ppm"), lit(comp).as("composition"))
+    row("q236_dp_release", "event_type x day", col("n1"), 1,
+      "parallel_within")
+      .unionByName(row("q257_dp_mean", "event_type x value_band",
+        col("n2"), 1, "parallel_within"))
+      .unionByName(row("q300_dp_quantiles", "event_type x value_band",
+        col("n2"), 1, "parallel_within"))
+      .unionByName(row("q303_dp_topk", "user_id", col("n3"), 1,
+        "parallel_within"))
+      .unionByName(row("total_sequential", "events",
+        col("n1") + lit(2L) * col("n2") + col("n3"), 4,
+        "sequential_across"))
+      .orderBy("release")
+  }
+
   /** Record-linkage scoring (Fellegi–Sunter shape): candidate pairs
     * from the SymSpell deletion-neighborhood blocking (q88's kernel —
     * never all-pairs), scored by integer field-agreement weights
@@ -1826,7 +1923,7 @@ object AdvancedQueries {
     q181_skyline, q199_golden_record, q200_quantile_normalize,
     q203_bucketed_join, q204_equi_depth_histogram, q208_kanonymity,
     q209_pseudonymize, q212_record_linkage, q214_l_diversity, q236_dp_release,
-    q257_dp_mean, q300_dp_quantiles, q303_dp_topk,
+    q257_dp_mean, q300_dp_quantiles, q303_dp_topk, q308_privacy_ledger,
     q215_ks_test, q216_topk_others,
     q45_median_disc, q46_string_funcs, q47_datetime_funcs, q48_null_semantics,
     q49_correlated_agg, q50_running_sum, q65_pivot_events, q66_cube_qty,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -234,6 +235,42 @@ class GraphSpec extends SparkSpec {
     assert(tp == Map(
       1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
       3L -> ((3L, 1L, 333333L)), 4L -> ((1L, 0L, 0L))))
+  }
+
+  test("multi-level louvain: two bridged 4-cliques collapse from " +
+    "singletons to exactly the two cliques; never across the bridge") {
+    // closed form: from the all-singletons partition, merging any two
+    // clique-mates raises Q; merging across the bridge would need
+    // 2m·e12 > deg1·deg2 with e12 = 1 and two full cliques on the ends,
+    // so the loop must stop at exactly 2 communities (Newman 2004's
+    // canonical example). clique A = {0..3}, clique B = {10..13},
+    // bridge 3–10; m = 13.
+    val edges = (for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)) :+ (3L, 10L)
+    val e = edges.toDF("a", "b").withColumn("w", lit(1L))
+    val singletons = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .distinct().withColumn("lbl", col("v"))
+    val (labels, perLevel) = Graph.louvain(e, singletons, levels = 4)
+    val comm = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cliqueA = (0L to 3L).map(comm).toSet
+    val cliqueB = (10L to 13L).map(comm).toSet
+    assert(cliqueA.size == 1 && cliqueB.size == 1 && cliqueA != cliqueB,
+      s"expected the two cliques as communities, got $comm")
+    // the level-graph sequence shrinks to the 2-community fixpoint and
+    // stays there (rounds past the fixpoint are no-ops)
+    val sizes = perLevel.map { gc =>
+      gc.select(col("a").as("v")).unionByName(gc.select(col("b").as("v")))
+        .distinct().count()
+    }
+    assert(sizes.head == 8L && sizes.last == 2L,
+      s"community counts per level drifted: $sizes")
+    // total edge mass is conserved by every contraction
+    perLevel.foreach { gc =>
+      assert(gc.agg(sum("w")).head().getLong(0) == 13L,
+        "contraction lost edge mass")
+    }
   }
 
   test("hits: pure hub/authority split, fan-out asymmetry, cycle fixpoint") {
