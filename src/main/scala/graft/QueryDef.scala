@@ -28,8 +28,15 @@ final case class QueryDef(
     doc: String = "")
 
 object Registry {
-  /** Full inventory, SURVEY.md §2 coverage + north-star extensions. */
+  /** Full inventory, SURVEY.md §2 coverage + north-star extensions.
+    * Oracle texts pass through [[SqlIdioms.portable]] so the published
+    * SQL runs identically in DuckDB and Spark (see SqlIdioms for the
+    * exact value-preserving rewrite).
+    */
   def all: Seq[QueryDef] =
+    raw.map(q => q.copy(oracle = q.oracle.map(SqlIdioms.portable)))
+
+  private def raw: Seq[QueryDef] =
     relational.RelationalQueries.defs ++
       relational.AdvancedQueries.defs ++
       events.EventQueries.defs ++

@@ -19,6 +19,12 @@ object SqlEntry {
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
   def registerViews(spark: SparkSession, dir: String): Unit = {
+    // String literals keep backslashes literally (the ANSI/DuckDB/Hive-1.x
+    // behavior): without this, Spark's default C-style unescaping silently
+    // strips the backslash from regex literals ('\S+' becomes 'S+'), so a
+    // regex-bearing query would PARSE on both engines and return different
+    // rows. One semantic dialect for every SQL-entry string.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     tableNames.foreach { n =>
       relational.Tables.t(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -41,6 +47,55 @@ object SqlEntry {
     // where DuckDB treats them as literals, so passing an untranslated
     // format through would format a DIFFERENT field, not error. Same
     // inlined-SQL-function mechanics as epoch().
+    // `len(arr)` — DuckDB's list length (= length(list)); Spark's builtin
+    // `len` is a string-length alias that rejects arrays, so rebind the
+    // name session-locally to size()+BIGINT (DuckDB's result type). Pure
+    // catalyst expressions — stays inside whole-stage codegen.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "len",
+      exprs => org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Size(exprs.head),
+        org.apache.spark.sql.types.LongType),
+      "scala_udf")
+    // `xor(a, b)` — DuckDB's bitwise-xor function (its `^` is POWER);
+    // Spark's `^` is bitwise xor.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |xor(a BIGINT, b BIGINT) RETURNS BIGINT
+      |RETURN a ^ b""".stripMargin)
+    // `strlen(s)` — DuckDB's byte length of a VARCHAR; Spark's
+    // octet_length counts the same UTF-8 bytes.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |strlen(s STRING) RETURNS BIGINT
+      |RETURN CAST(octet_length(s) AS BIGINT)""".stripMargin)
+    // `sha256(s)` — DuckDB's hex-string SHA-256 over the UTF-8 bytes;
+    // sha2(s, 256) emits the same lowercase hex in Spark.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |sha256(s STRING) RETURNS STRING
+      |RETURN sha2(s, 256)""".stripMargin)
+    // `string_split(s, sep)` — DuckDB's literal-separator split; Spark's
+    // split() takes a regex, so the separator is \Q..\E-quoted. Both
+    // engines keep empty fields between adjacent separators.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |string_split(s STRING, sep STRING) RETURNS ARRAY<STRING>
+      |RETURN split(s, concat('\Q', sep, '\E'))""".stripMargin)
+    // `regexp_matches(s, p)` — DuckDB's partial-match regex predicate;
+    // Spark's RLIKE has identical partial-match semantics.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |regexp_matches(s STRING, p STRING) RETURNS BOOLEAN
+      |RETURN s RLIKE p""".stripMargin)
+    // `json_extract_string(j, p)` — DuckDB's string-typed JSON path
+    // accessor; get_json_object shares the '$.field' path dialect and
+    // the NULL-on-missing contract.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |json_extract_string(j STRING, p STRING) RETURNS STRING
+      |RETURN get_json_object(j, p)""".stripMargin)
+    // `nfc_normalize(s)` — DuckDB builtin; bound to the library's native
+    // codegen expression (functions/NfcNormalize.scala), not a UDF, so
+    // SQL text hits the same compiled kernel as the DataFrame path.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => functions.NfcNormalize(exprs.head),
+      "scala_udf")
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
       |strftime(t TIMESTAMP, f STRING) RETURNS STRING
       |RETURN CASE

@@ -485,7 +485,7 @@ object EventQueries {
         |  SELECT v, count(*) AS cnt
         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
         |  GROUP BY v),
-        |kp AS MATERIALIZED (SELECT CAST((SUM(cnt) // COUNT(*)) + 1 AS BIGINT) AS k FROM deg0),
+        |kp AS MATERIALIZED (SELECT CAST((CAST(floor(SUM(cnt) / COUNT(*)) AS BIGINT)) + 1 AS BIGINT) AS k FROM deg0),
         |alive0 AS MATERIALIZED (SELECT v FROM deg0),
         |${kcoreRoundSql(5)}
         |SELECT d.v AS user_id,
@@ -706,7 +706,7 @@ object EventQueries {
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
       |  FROM events),
       |r AS (SELECT user_id, ts_sec, max(value) AS v FROM b GROUP BY 1, 2),
-      |lim AS (SELECT min(ts_sec) // 86400 AS d0, max(ts_sec) // 86400 AS d1 FROM b),
+      |lim AS (SELECT CAST(floor(min(ts_sec) / 86400) AS BIGINT) AS d0, CAST(floor(max(ts_sec) / 86400) AS BIGINT) AS d1 FROM b),
       |grid AS (
       |  SELECT u.user_id, CAST(g.d AS BIGINT) AS day,
       |    CAST(g.d * 86400 + 86399 AS BIGINT) AS gts
@@ -747,9 +747,9 @@ object EventQueries {
       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
       |  FROM events),
       |w AS (
-      |  SELECT ((ts_sec // 900) - k.k) * 900 AS win_start, event_type
-      |  FROM b, (SELECT unnest(range(0, 4)) AS k) k
-      |  WHERE ts_sec < ((ts_sec // 900) - k.k) * 900 + 3600)
+      |  SELECT ((CAST(floor(ts_sec / 900) AS BIGINT)) - k.k) * 900 AS win_start, event_type
+      |  FROM b, (SELECT k FROM range(0, 4) AS t(k)) k
+      |  WHERE ts_sec < ((CAST(floor(ts_sec / 900) AS BIGINT)) - k.k) * 900 + 3600)
       |SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
       |  COUNT(*) AS n
       |FROM w
@@ -1095,8 +1095,8 @@ object EventQueries {
       |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT event_type, day, CAST(n AS BIGINT) AS n,
       |  CAST(CASE WHEN w >= 3 AND
-      |      CAST(w * n - s AS HUGEINT) * CAST(w * n - s AS HUGEINT) >
-      |      CAST(4 AS HUGEINT) * (CAST(w AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |      CAST(w * n - s AS DECIMAL(38,0)) * CAST(w * n - s AS DECIMAL(38,0)) >
+      |      CAST(4 AS DECIMAL(38,0)) * (CAST(w AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM roll
       |ORDER BY event_type, day""".stripMargin),
@@ -1179,8 +1179,8 @@ object EventQueries {
       |  CAST(CASE WHEN v IS NOT NULL THEN v
       |       ELSE pv + CASE
       |         WHEN (nv - pv) * (day - pd) >= 0
-      |         THEN ((nv - pv) * (day - pd)) // (nd - pd)
-      |         ELSE -((-((nv - pv) * (day - pd)) + (nd - pd) - 1) // (nd - pd))
+      |         THEN CAST(floor(((nv - pv) * (day - pd)) / (nd - pd)) AS BIGINT)
+      |         ELSE -(CAST(floor((-((nv - pv) * (day - pd)) + (nd - pd) - 1) / (nd - pd)) AS BIGINT))
       |       END END AS BIGINT) AS interp_ppm
       |FROM j
       |WHERE pd IS NOT NULL AND nd IS NOT NULL
@@ -1233,7 +1233,7 @@ object EventQueries {
       |  GROUP BY 1, 2),
       |m AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY from_type)
       |SELECT c.from_type AS from_type, to_type, CAST(n AS BIGINT) AS n,
-      |  CAST((CAST(1000000 AS HUGEINT) * n) // n_from AS BIGINT) AS p_ppm
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * n) / n_from) AS BIGINT) AS BIGINT) AS p_ppm
       |FROM c JOIN m ON c.from_type = m.from_type
       |ORDER BY from_type, to_type""".stripMargin),
     "First-order Markov transition matrix over per-user event streams: " +
@@ -1281,7 +1281,7 @@ object EventQueries {
       |    1704067200 + (p + 1) * 864000 AS to_sec,
       |    (u.user_id + p) % 3 AS tier
       |  FROM (SELECT DISTINCT user_id FROM events) u,
-      |       (SELECT unnest(range(0, 3)) AS p) ps),
+      |       (SELECT p FROM range(0, 3) AS t(p)) ps),
       |f AS (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
       |  FROM events)
@@ -1493,13 +1493,13 @@ object EventQueries {
          |  SELECT de.t AS v, sum(h.score) AS raw
          |  FROM de JOIN h${k - 1} h ON h.v = de.s GROUP BY de.t),
          |a$k AS MATERIALIZED (
-         |  SELECT v, (CAST(1000000 AS HUGEINT) * raw) // (SELECT max(raw) FROM ra$k) AS score
+         |  SELECT v, CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * raw) / (SELECT max(raw) FROM ra$k)) AS BIGINT) AS score
          |  FROM ra$k),
          |rh$k AS MATERIALIZED (
          |  SELECT de.s AS v, sum(a.score) AS raw
          |  FROM de JOIN a$k a ON a.v = de.t GROUP BY de.s),
          |h$k AS MATERIALIZED (
-         |  SELECT v, (CAST(1000000 AS HUGEINT) * raw) // (SELECT max(raw) FROM rh$k) AS score
+         |  SELECT v, CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * raw) / (SELECT max(raw) FROM rh$k)) AS BIGINT) AS score
          |  FROM rh$k)""".stripMargin
     }.mkString(",\n")
 
@@ -1569,16 +1569,16 @@ object EventQueries {
       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
       |  CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
       |  CAST(CASE WHEN c_b = 0 OR n_a = 0 THEN 0
-      |    ELSE (CAST(1000000 AS HUGEINT) * c_a * n_b) // (n_a * c_b) END
+      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * c_a * n_b) / (n_a * c_b)) AS BIGINT) END
       |    AS BIGINT) AS lift_ppm,
       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
       |         OR c_a + c_b = n_a + n_b THEN 0
-      |    ELSE (CAST(1000000 AS HUGEINT)
-      |        * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
-      |        * (CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a)
+      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
+      |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+      |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
       |        * (n_a + n_b))
-      |      // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
-      |        * (n_a + n_b - c_a - c_b)) END
+      |      / (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+      |        * (n_a + n_b - c_a - c_b))) AS BIGINT) END
       |    AS BIGINT) AS z2_ppm
       |FROM agg""".stripMargin,
     "A/B conversion lift + exact rational two-proportion z^2 (floor-ppm, " +
@@ -1687,7 +1687,7 @@ object EventQueries {
       |    CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |tgt AS (
-      |  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target
+      |  SELECT event_type, CAST(CAST(floor(sum(x) / count(*)) AS BIGINT) AS BIGINT) AS target
       |  FROM daily GROUP BY event_type),
       |rd AS (
       |  SELECT d.event_type, d.day, d.x, t.target,
@@ -1816,7 +1816,7 @@ object EventQueries {
          |  SELECT h.* FROM hw h
          |  JOIN (SELECT event_type, max(rn) AS mr FROM hw GROUP BY 1) m
          |    ON m.event_type = h.event_type AND h.rn = m.mr),
-         |hs AS (SELECT unnest(range(1, 8)) AS h)
+         |hs AS (SELECT h FROM range(1, 8) AS t(h))
          |SELECT l.event_type, CAST(hs.h AS BIGINT) AS h,
          |  CAST(l.l + hs.h * l.b + (CASE CAST((l.day + hs.h) % 7 AS BIGINT)
          |   ${dowCase("l")}) AS BIGINT) AS forecast
@@ -2068,8 +2068,8 @@ object EventQueries {
           |  JOIN l4 l ON l.v = d.v GROUP BY 1),
           |lpaagg AS (
           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
-          |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(i.ec, 0)
-          |      - CAST(dc.degc AS HUGEINT) * dc.degc) AS num
+          |    SUM(CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(i.ec, 0)
+          |      - CAST(dc.degc AS DECIMAL(38,0)) * dc.degc) AS num
           |  FROM degc dc LEFT JOIN intra i ON i.community = dc.c, m),
           |cpairs AS (
           |  SELECT LEAST(la.lbl, lb2.lbl) AS c1,
@@ -2081,13 +2081,13 @@ object EventQueries {
           |  UNION ALL SELECT c2 AS c, c1 AS nb, e12 FROM cpairs),
           |dq AS (
           |  SELECT s.c, s.nb, s.e12, d1.degc AS deg_c, d2.degc AS deg_nb,
-          |    2 * CAST(m.m AS HUGEINT) * s.e12
-          |      - CAST(d1.degc AS HUGEINT) * d2.degc AS dqn
+          |    2 * CAST(m.m AS DECIMAL(38,0)) * s.e12
+          |      - CAST(d1.degc AS DECIMAL(38,0)) * d2.degc AS dqn
           |  FROM sym s
           |  JOIN degc d1 ON d1.c = s.c
           |  JOIN degc d2 ON d2.c = s.nb, m
-          |  WHERE 2 * CAST(m.m AS HUGEINT) * s.e12
-          |      - CAST(d1.degc AS HUGEINT) * d2.degc > 0),
+          |  WHERE 2 * CAST(m.m AS DECIMAL(38,0)) * s.e12
+          |      - CAST(d1.degc AS DECIMAL(38,0)) * d2.degc > 0),
           |best AS (
           |  SELECT c, nb, e12, deg_c, deg_nb FROM (
           |    SELECT c, nb, e12, deg_c, deg_nb,
@@ -2101,18 +2101,18 @@ object EventQueries {
           |  WHERE x.c < x.nb),
           |mgagg AS (
           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_merges,
-          |    COALESCE(SUM(CAST(4 AS HUGEINT) * m.m * e12
-          |      - CAST(2 AS HUGEINT) * deg1 * deg2), 0) AS dnum
+          |    COALESCE(SUM(CAST(4 AS DECIMAL(38,0)) * m.m * e12
+          |      - CAST(2 AS DECIMAL(38,0)) * deg1 * deg2), 0) AS dnum
           |  FROM mg, m)
           |SELECT la.n_comm AS n_comm_lpa,
           |  CAST(la.n_comm - ma.n_merges AS BIGINT) AS n_comm_refined,
-          |  CAST((CAST(1000000 AS HUGEINT) *
-          |    (CAST(4 AS HUGEINT) * m.m * m.m + la.num))
-          |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)
+          |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+          |    (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num))
+          |    / (CAST(4 AS DECIMAL(38,0)) * m.m * m.m)) AS BIGINT) - 1000000 AS BIGINT)
           |    AS q_lpa_ppm,
-          |  CAST((CAST(1000000 AS HUGEINT) *
-          |    (CAST(4 AS HUGEINT) * m.m * m.m + la.num + ma.dnum))
-          |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)
+          |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+          |    (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num + ma.dnum))
+          |    / (CAST(4 AS DECIMAL(38,0)) * m.m * m.m)) AS BIGINT) - 1000000 AS BIGINT)
           |    AS q_refined_ppm,
           |  CAST(1 AS BIGINT) AS improved
           |FROM lpaagg la, mgagg ma, m""".stripMargin),
@@ -2146,8 +2146,8 @@ object EventQueries {
          |st$i AS (
          |  SELECT CAST($i AS BIGINT) AS level,
          |    CAST(COUNT(*) AS BIGINT) AS n_comm,
-         |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(sl.ecc, 0)
-         |      - CAST(d.degc AS HUGEINT) * d.degc) AS num
+         |    SUM(CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(sl.ecc, 0)
+         |      - CAST(d.degc AS DECIMAL(38,0)) * d.degc) AS num
          |  FROM deg$i d LEFT JOIN
          |    (SELECT a AS c, w AS ecc FROM gc$i WHERE a = b) sl
          |    ON sl.c = d.c, m),
@@ -2157,13 +2157,13 @@ object EventQueries {
          |  SELECT b AS c, a AS nb, w AS e12 FROM gc$i WHERE a <> b),
          |dq$i AS (
          |  SELECT s.c, s.nb,
-         |    2 * CAST(m.m AS HUGEINT) * s.e12
-         |      - CAST(d1.degc AS HUGEINT) * d2.degc AS dqn
+         |    2 * CAST(m.m AS DECIMAL(38,0)) * s.e12
+         |      - CAST(d1.degc AS DECIMAL(38,0)) * d2.degc AS dqn
          |  FROM sym$i s
          |  JOIN deg$i d1 ON d1.c = s.c
          |  JOIN deg$i d2 ON d2.c = s.nb, m
-         |  WHERE 2 * CAST(m.m AS HUGEINT) * s.e12
-         |      - CAST(d1.degc AS HUGEINT) * d2.degc > 0),
+         |  WHERE 2 * CAST(m.m AS DECIMAL(38,0)) * s.e12
+         |      - CAST(d1.degc AS DECIMAL(38,0)) * d2.degc > 0),
          |best$i AS (
          |  SELECT c, nb FROM (
          |    SELECT c, nb,
@@ -2182,9 +2182,9 @@ object EventQueries {
          |    LEFT JOIN mg$i ma ON ma.c2 = g.a
          |    LEFT JOIN mg$i mb ON mb.c2 = g.b)
          |  GROUP BY 1, 2)""".stripMargin
-    val qppmSql = "CAST((CAST(1000000 AS HUGEINT) * " +
-      "(CAST(4 AS HUGEINT) * m.m * m.m + num)) // " +
-      "(CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT)"
+    val qppmSql = "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+      "(CAST(4 AS DECIMAL(38,0)) * m.m * m.m + num)) // " +
+      "(CAST(4 AS DECIMAL(38,0)) * m.m * m.m) - 1000000 AS BIGINT)"
     QueryDef(
       "q307_louvain_multilevel",
       (s, d) => {
@@ -2247,8 +2247,8 @@ object EventQueries {
           |st$nLevels AS (
           |  SELECT CAST($nLevels AS BIGINT) AS level,
           |    CAST(COUNT(*) AS BIGINT) AS n_comm,
-          |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(sl.ecc, 0)
-          |      - CAST(d.degc AS HUGEINT) * d.degc) AS num
+          |    SUM(CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(sl.ecc, 0)
+          |      - CAST(d.degc AS DECIMAL(38,0)) * d.degc) AS num
           |  FROM deg$nLevels d LEFT JOIN
           |    (SELECT a AS c, w AS ecc FROM gc$nLevels WHERE a = b) sl
           |    ON sl.c = d.c, m),
@@ -2561,10 +2561,10 @@ object EventQueries {
     Some("""WITH ev AS (
       |  SELECT event_type,
       |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+      |    CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) / 1000) AS BIGINT)
       |      AS band
       |  FROM events),
-      |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+      |mid AS (SELECT CAST(floor((min(day) + max(day) + 1) / 2) AS BIGINT) AS mid FROM ev),
       |h AS (
       |  SELECT event_type, band,
       |    CASE WHEN day < (SELECT mid FROM mid) THEN 1 ELSE 2 END AS half,
@@ -2581,9 +2581,9 @@ object EventQueries {
       |SELECT p.event_type,
       |  CAST(max(t.t1) AS BIGINT) AS n_first,
       |  CAST(max(t.t2) AS BIGINT) AS n_second,
-      |  CAST((CAST(1000000 AS HUGEINT)
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0))
       |      * sum(abs(p.n1 * t.t2 - p.n2 * t.t1)))
-      |    // (2 * max(t.t1) * max(t.t2)) AS BIGINT) AS tv_ppm
+      |    / (2 * max(t.t1) * max(t.t2))) AS BIGINT) AS BIGINT) AS tv_ppm
       |FROM piv p JOIN tot t ON t.event_type = p.event_type
       |GROUP BY 1 ORDER BY p.event_type""".stripMargin),
     "Total-variation drift (first vs second half of the day range) per " +
@@ -2692,8 +2692,8 @@ object EventQueries {
       |        FROM gv GROUP BY 1),
       |cum AS (
       |  SELECT g.event_type, g.c, g.m, t.n,
-      |    CAST(n * 5 // 100 AS BIGINT) AS lo,
-      |    CAST(n - (n * 5 // 100) AS BIGINT) AS hi,
+      |    CAST(CAST(floor(n * 5 / 100) AS BIGINT) AS BIGINT) AS lo,
+      |    CAST(n - (CAST(floor(n * 5 / 100) AS BIGINT)) AS BIGINT) AS hi,
       |    sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.c) AS cm
       |  FROM gv g JOIN tot t ON t.event_type = g.event_type),
       |thr AS (
@@ -2713,11 +2713,11 @@ object EventQueries {
       |  CAST(max(v_lo) AS BIGINT) AS v_lo,
       |  CAST(max(v_hi) AS BIGINT) AS v_hi,
       |  CAST(CASE WHEN sum(c * n_mid + v_lo * n_below + v_hi * n_above) >= 0
-      |    THEN (CAST(1000000 AS HUGEINT)
-      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above)) // max(n)
-      |    ELSE -((CAST(-1000000 AS HUGEINT)
+      |    THEN CAST(floor((CAST(1000000 AS DECIMAL(38,0))
+      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above)) / max(n)) AS BIGINT)
+      |    ELSE -(CAST(floor((CAST(-1000000 AS DECIMAL(38,0))
       |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above) + max(n) - 1)
-      |      // max(n)) END AS BIGINT) AS winsorized_mean_micro_cents
+      |      / max(n)) AS BIGINT)) END AS BIGINT) AS winsorized_mean_micro_cents
       |FROM parts GROUP BY 1 ORDER BY event_type""".stripMargin),
     "Winsorized mean per type (p05/p95 clamp): value-domain histogram + " +
       "cumulative, arithmetic tail split, exact floor-ppm — no row sort")
@@ -2797,18 +2797,27 @@ object EventQueries {
       det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22"),
       det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y"))
     // floor-ppm of num/detA for either sign: normalize by sign(detA),
-    // then the portable-floor CASE over the now-positive denominator
-    def ppm(num: String, w: String, fd: String): String = {
+    // then exact portable floor division over the now-positive
+    // denominator: floor(a/b) = round((a - a%b)/b) — the subtraction
+    // and modulo stay exact DECIMAL(38,0) in BOTH engines, the division
+    // operates on an exactly-divisible numerator, and round() absorbs
+    // the double conversion's ulp noise (exact while the QUOTIENT is
+    // below ~2^51, independent of how wide the determinants grow — the
+    // quotient is a ppm-scaled coefficient, never determinant-sized)
+    def pfdiv(a: String, b: String): String =
+      s"CAST(round(CAST(($a) - (($a) % ($b)) AS DOUBLE) " +
+        s"/ CAST(($b) AS DOUBLE)) AS BIGINT)"
+    def ppm(num: String, w: String): String = {
       val sgn = s"(CASE WHEN ($detA) < 0 THEN -1 ELSE 1 END)"
       val dab = s"(($detA) * $sgn)"
       val nn = s"(CAST(1000000 AS $w) * ($num) * $sgn)"
-      s"(CASE WHEN ($detA) = 0 THEN CAST(0 AS $w) " +
-        s"WHEN $nn >= 0 THEN $nn $fd $dab " +
-        s"ELSE -((-($nn) + $dab - 1) $fd $dab) END)"
+      s"(CASE WHEN ($detA) = 0 THEN CAST(0 AS BIGINT) " +
+        s"WHEN $nn >= 0 THEN ${pfdiv(nn, dab)} " +
+        s"ELSE -(${pfdiv(s"(-($nn) + $dab - 1)", dab)}) END)"
     }
-    def betas(w: String, fd: String): Seq[String] =
+    def betas(w: String): Seq[String] =
       dets.zipWithIndex.map { case (d, i) =>
-        s"CAST(${ppm(d, w, fd)} AS BIGINT) AS beta${i}_ppm" }
+        s"CAST(${ppm(d, w)} AS BIGINT) AS beta${i}_ppm" }
     val oracleSql =
       s"""WITH base AS (
          |  SELECT event_type,
@@ -2820,18 +2829,18 @@ object EventQueries {
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
          |  FROM events),
          |s AS (
-         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(x1) AS HUGEINT) AS s1,
-         |    CAST(sum(x2) AS HUGEINT) AS s2,
-         |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
-         |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
-         |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
-         |    CAST(sum(y) AS HUGEINT) AS sy,
-         |    CAST(sum(x1*y) AS HUGEINT) AS s1y,
-         |    CAST(sum(x2*y) AS HUGEINT) AS s2y
+         |  SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x1) AS DECIMAL(38,0)) AS s1,
+         |    CAST(sum(x2) AS DECIMAL(38,0)) AS s2,
+         |    CAST(sum(x1*x1) AS DECIMAL(38,0)) AS s11,
+         |    CAST(sum(x1*x2) AS DECIMAL(38,0)) AS s12,
+         |    CAST(sum(x2*x2) AS DECIMAL(38,0)) AS s22,
+         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(x1*y) AS DECIMAL(38,0)) AS s1y,
+         |    CAST(sum(x2*y) AS DECIMAL(38,0)) AS s2y
          |  FROM base GROUP BY 1)
          |SELECT event_type, CAST(n AS BIGINT) AS n,
-         |  ${betas("HUGEINT", "//").mkString(",\n  ")}
+         |  ${betas("DECIMAL(38,0)").mkString(",\n  ")}
          |FROM s ORDER BY event_type""".stripMargin
     QueryDef(
       "q279_multivar_ols",
@@ -2856,7 +2865,7 @@ object EventQueries {
           sum(expr("x1*y")).cast(w).as("s1y"),
           sum(expr("x2*y")).cast(w).as("s2y"))
         sums.selectExpr(Seq("event_type", "CAST(n AS BIGINT) AS n") ++
-            betas(w, "div"): _*)
+            betas(w): _*)
           .orderBy("event_type")
       },
       Some(oracleSql),
@@ -2886,7 +2895,7 @@ object EventQueries {
       |      ORDER BY ts, event_id) AS jr
       |  FROM events GROUP BY user_id),
       |p(pat) AS (VALUES ('s[cv]*p'), ('c{3,}'), ('ep'), ('sv?p')),
-      |m AS (SELECT p.pat, len(regexp_extract_all(j.jr, p.pat)) AS n
+      |m AS (SELECT p.pat, len(regexp_extract_all(j.jr, '(' || p.pat || ')', 1)) AS n
       |      FROM j, p)
       |SELECT pat,
       |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
@@ -3045,7 +3054,7 @@ object EventQueries {
       |  SELECT user_id, sum(c) AS total, sum(c * c) AS sq
       |  FROM tc GROUP BY user_id)
       |SELECT user_id, CAST(total AS BIGINT) AS n_events,
-      |  CAST((CAST(1000000 AS HUGEINT) * sq) // (total * total) AS BIGINT)
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sq) / (total * total)) AS BIGINT) AS BIGINT)
       |    AS hhi_ppm
       |FROM u ORDER BY user_id""".stripMargin,
     "Behavioral concentration: per-user HHI over event-type shares, " +
@@ -3096,8 +3105,8 @@ object EventQueries {
         |  LEFT JOIN we ON we.a = cn.p AND we.b = cn.q
         |  WHERE we.a IS NULL)
         |SELECT c.p AS a, c.q AS b, c.inter,
-        |  CAST((CAST(1000000 AS HUGEINT) * c.inter)
-        |    // (dp.deg + dq.deg - c.inter) AS BIGINT) AS jaccard_ppm
+        |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * c.inter)
+        |    / (dp.deg + dq.deg - c.inter)) AS BIGINT) AS BIGINT) AS jaccard_ppm
         |FROM cand c
         |JOIN deg dp ON dp.v = c.p
         |JOIN deg dq ON dq.v = c.q
@@ -3335,10 +3344,10 @@ object EventQueries {
       |c AS (SELECT dow, sum(o) AS c FROM o GROUP BY 1),
       |n AS (SELECT sum(o) AS n FROM o)
       |SELECT o.event_type, o.dow, o.o,
-      |  CAST((CAST(1000000 AS HUGEINT)
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0))
       |      * ((SELECT n FROM n) * o.o - r.r * c.c)
       |      * ((SELECT n FROM n) * o.o - r.r * c.c))
-      |    // (CAST((SELECT n FROM n) AS HUGEINT) * r.r * c.c) AS BIGINT)
+      |    / (CAST((SELECT n FROM n) AS DECIMAL(38,0)) * r.r * c.c)) AS BIGINT) AS BIGINT)
       |    AS chi2_ppm
       |FROM o JOIN r ON r.event_type = o.event_type JOIN c ON c.dow = o.dow
       |ORDER BY o.event_type, o.dow""".stripMargin,
@@ -3381,7 +3390,7 @@ object EventQueries {
       |  CAST(count(*) AS BIGINT) AS n_intervals,
       |  CAST(sum(dur) AS BIGINT) AS held_s,
       |  CAST(CASE WHEN sum(dur) = 0 THEN 0
-      |    ELSE sum(CAST(cents AS HUGEINT) * dur) // sum(dur) END AS BIGINT)
+      |    ELSE CAST(floor(sum(CAST(cents AS DECIMAL(38,0)) * dur) / sum(dur)) AS BIGINT) END AS BIGINT)
       |    AS twap_cents
       |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
     "Time-weighted average value per user: holding-duration-weighted " +
@@ -3424,18 +3433,18 @@ object EventQueries {
         |  SELECT da.deg AS x, db.deg AS y
         |  FROM adj JOIN deg da ON da.v = adj.v JOIN deg db ON db.v = adj.n),
         |sums AS (
-        |  SELECT CAST(count(*) AS HUGEINT) AS m,
-        |    CAST(sum(x) AS HUGEINT) AS sx,
-        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+        |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
         |  FROM pairs)
         |SELECT CAST(m AS BIGINT) AS n_endpoints,
         |  CAST(CASE WHEN m * sxy - sx * sx >= 0 THEN 1 ELSE -1 END AS BIGINT)
         |    AS sign,
         |  CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
-        |    ELSE (CAST(1000000 AS HUGEINT)
+        |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
         |        * (m * sxy - sx * sx) * (m * sxy - sx * sx))
-        |      // ((m * sxx - sx * sx) * (m * sxx - sx * sx)) END AS BIGINT)
+        |      / ((m * sxx - sx * sx) * (m * sxx - sx * sx))) AS BIGINT) END AS BIGINT)
         |    AS r2_ppm
         |FROM sums""".stripMargin,
     "Degree assortativity: sign + exact rational r^2 in ppm over the " +
@@ -3591,24 +3600,24 @@ object EventQueries {
       |pr AS (
       |  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
       |  FROM daily a
-      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      |  CROSS JOIN (SELECT lag FROM range(1, 8) AS t(lag)) l
       |  JOIN daily b ON b.event_type = a.event_type
       |    AND b.day = a.day + l.lag),
       |sums AS (
-      |  SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS m,
-      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
-      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
-      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  SELECT event_type, lag, CAST(count(*) AS DECIMAL(38,0)) AS m,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
       |  FROM pr GROUP BY 1, 2)
       |SELECT event_type, CAST(lag AS BIGINT) AS lag,
       |  CAST(m AS BIGINT) AS n_pairs,
       |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
       |    AS sign,
       |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
-      |    ELSE (CAST(1000000 AS HUGEINT)
+      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
       |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
-      |      // ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+      |      / ((m * sxx - sx * sx) * (m * syy - sy * sy))) AS BIGINT) END AS BIGINT)
       |    AS r2_ppm
       |FROM sums ORDER BY event_type, lag""".stripMargin,
     "Autocorrelation of daily counts at lags 1..7: sign + exact rational " +
@@ -3659,8 +3668,8 @@ object EventQueries {
       |  FROM (SELECT DISTINCT user_id FROM events)),
       |ev AS (
       |  SELECT e.user_id,
-      |    CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 + o.offset_days AS sday,
-      |    CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 AS day
+      |    CAST(floor(CAST(floor(epoch(e.ts)) AS BIGINT) / 86400) AS BIGINT) + o.offset_days AS sday,
+      |    CAST(floor(CAST(floor(epoch(e.ts)) AS BIGINT) / 86400) AS BIGINT) AS day
       |  FROM events e JOIN off o ON o.user_id = e.user_id)
       |SELECT ev.user_id, CAST(o.offset_days AS BIGINT) AS offset_days,
       |  CAST(count(*) AS BIGINT) AS n_events,
@@ -3711,10 +3720,10 @@ object EventQueries {
       |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
       |gp AS (
       |  SELECT val,
-      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
-      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sum(c) OVER (ORDER BY val))
+      |      / (SELECT sum(c) FROM gv)) AS BIGINT) AS BIGINT) AS gpct
       |  FROM gv),
-      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |ks AS (SELECT k FROM range(1, 11) AS t(k))
       |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_gap_s
       |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
       |GROUP BY ks.k ORDER BY k""".stripMargin,
@@ -3977,10 +3986,10 @@ object EventQueries {
       |  FROM u2 WHERE lat IS NOT NULL GROUP BY 1),
       |gp AS (
       |  SELECT val,
-      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
-      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sum(c) OVER (ORDER BY val))
+      |      / (SELECT sum(c) FROM gv)) AS BIGINT) AS BIGINT) AS gpct
       |  FROM gv),
-      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |ks AS (SELECT k FROM range(1, 11) AS t(k))
       |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_latency_s
       |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
       |GROUP BY ks.k ORDER BY k""".stripMargin,
@@ -4039,8 +4048,8 @@ object EventQueries {
         |SELECT deg.v AS user_id, deg.deg,
         |  COALESCE(tn.n_tri, 0) AS n_tri,
         |  CAST(CASE WHEN deg.deg >= 2
-        |    THEN (CAST(2000000 AS HUGEINT) * COALESCE(tn.n_tri, 0))
-        |      // (CAST(deg.deg AS HUGEINT) * (deg.deg - 1))
+        |    THEN CAST(floor((CAST(2000000 AS DECIMAL(38,0)) * COALESCE(tn.n_tri, 0))
+        |      / (CAST(deg.deg AS DECIMAL(38,0)) * (deg.deg - 1))) AS BIGINT)
         |    ELSE 0 END AS BIGINT) AS cc_ppm
         |FROM deg LEFT JOIN tn ON tn.v = deg.v
         |ORDER BY user_id""".stripMargin,
@@ -4249,8 +4258,8 @@ object EventQueries {
       |        FROM gv GROUP BY 1),
       |cum AS (
       |  SELECT g.event_type, g.c, g.m, t.n,
-      |    CAST(n * 5 // 100 AS BIGINT) AS lo,
-      |    CAST(n - (n * 5 // 100) AS BIGINT) AS hi,
+      |    CAST(CAST(floor(n * 5 / 100) AS BIGINT) AS BIGINT) AS lo,
+      |    CAST(n - (CAST(floor(n * 5 / 100) AS BIGINT)) AS BIGINT) AS hi,
       |    sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.c) AS cm
       |  FROM gv g JOIN tot t ON t.event_type = g.event_type),
       |kept AS (
@@ -4260,9 +4269,9 @@ object EventQueries {
       |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
       |  CAST(max(nk) AS BIGINT) AS n_kept,
       |  CAST(CASE WHEN sum(ks) >= 0
-      |    THEN (CAST(1000000 AS HUGEINT) * sum(ks)) // max(nk)
-      |    ELSE -((CAST(-1000000 AS HUGEINT) * sum(ks) + max(nk) - 1)
-      |           // max(nk)) END AS BIGINT) AS trimmed_mean_micro_cents
+      |    THEN CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sum(ks)) / max(nk)) AS BIGINT)
+      |    ELSE -(CAST(floor((CAST(-1000000 AS DECIMAL(38,0)) * sum(ks) + max(nk) - 1)
+      |           / max(nk)) AS BIGINT)) END AS BIGINT) AS trimmed_mean_micro_cents
       |FROM kept GROUP BY 1
       |ORDER BY event_type""".stripMargin),
     "Two-sided 5% trimmed mean per type on the exact-cents value domain: " +
@@ -4339,12 +4348,12 @@ object EventQueries {
   private def markovRoundSql(rounds: Int): String =
     (1 to rounds).map { k =>
       s"""raw$k AS MATERIALIZED (
-         |  SELECT tm.dst AS st, sum((p.p * tm.c) // tm.r) AS raw
+         |  SELECT tm.dst AS st, sum(CAST(floor((p.p * tm.c) / tm.r) AS BIGINT)) AS raw
          |  FROM tm JOIN pi${k - 1} p ON p.st = tm.src
          |  GROUP BY tm.dst),
          |pi$k AS MATERIALIZED (
-         |  SELECT st, (CAST(1000000 AS HUGEINT) * raw)
-         |    // (SELECT sum(raw) FROM raw$k) AS p
+         |  SELECT st, CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * raw)
+         |    / (SELECT sum(raw) FROM raw$k)) AS BIGINT) AS p
          |  FROM raw$k)""".stripMargin
     }.mkString(",\n")
 
@@ -4370,8 +4379,8 @@ object EventQueries {
       |  GROUP BY prev, event_type),
       |states AS (SELECT DISTINCT src AS st FROM tm),
       |pi0 AS (
-      |  SELECT st, CAST(1000000 AS HUGEINT)
-      |    // (SELECT count(*) FROM states) AS p
+      |  SELECT st, CAST(floor(CAST(1000000 AS DECIMAL(38,0))
+      |    / (SELECT count(*) FROM states)) AS BIGINT) AS p
       |  FROM states),
       |""".stripMargin + markovRoundSql(4) +
       """
@@ -4464,7 +4473,7 @@ object EventQueries {
     edgesSql +
       s""",
         |g AS MATERIALIZED (
-        |  SELECT s, t, (1000000 + w - 1) // w AS cost FROM (
+        |  SELECT s, t, CAST(floor((1000000 + w - 1) / w) AS BIGINT) AS cost FROM (
         |    SELECT a AS s, b AS t, weight AS w FROM we
         |    UNION ALL SELECT b AS s, a AS t, weight AS w FROM we)),
         |d0 AS (SELECT (SELECT min(s) FROM g) AS v, CAST(0 AS BIGINT) AS cost),
@@ -4507,7 +4516,7 @@ object EventQueries {
        |nodes AS MATERIALIZED (
        |  SELECT DISTINCT v
        |  FROM (SELECT s AS v FROM de UNION ALL SELECT t AS v FROM de)),
-       |h0 AS (SELECT v, CAST(1000000 AS HUGEINT) AS score FROM nodes),
+       |h0 AS (SELECT v, CAST(1000000 AS DECIMAL(38,0)) AS score FROM nodes),
        |${hitsRoundSql(3)}
        |SELECT n.v AS user_id,
        |  CAST(COALESCE(h3.score, 0) AS BIGINT) AS hub_ppm,
@@ -4578,10 +4587,10 @@ object EventQueries {
       |  (9, 45757)) v(digit, benford_ppm))
       |SELECT CAST(b.digit AS BIGINT) AS digit,
       |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
-      |  CAST((CAST(1000000 AS HUGEINT) * COALESCE(cnt.n, 0)) // total
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(cnt.n, 0)) / total) AS BIGINT)
       |    AS BIGINT) AS share_ppm,
       |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
-      |  CAST(abs((CAST(1000000 AS HUGEINT) * COALESCE(cnt.n, 0)) // total
+      |  CAST(abs(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * COALESCE(cnt.n, 0)) / total) AS BIGINT)
       |    - b.benford_ppm) AS BIGINT) AS dev_ppm
       |FROM b LEFT JOIN cnt ON cnt.digit = b.digit, tot
       |ORDER BY digit""".stripMargin),
@@ -4629,12 +4638,12 @@ object EventQueries {
       |  SELECT t, cnt, SUM(cnt) OVER (ORDER BY t) - cnt AS cb FROM gv),
       |agg AS (
       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-      |    SUM(CAST(t AS HUGEINT) * cnt) AS sw,
-      |    SUM(CAST(t AS HUGEINT) * cnt * (2 * cb + cnt + 1)) AS rw2
+      |    SUM(CAST(t AS DECIMAL(38,0)) * cnt) AS sw,
+      |    SUM(CAST(t AS DECIMAL(38,0)) * cnt * (2 * cb + cnt + 1)) AS rw2
       |  FROM cum)
       |SELECT n AS n_users, CAST(sw AS BIGINT) AS total_cents,
-      |  CAST((CAST(1000000 AS HUGEINT) * (rw2 - (n + 1) * sw))
-      |    // (CAST(n AS HUGEINT) * sw) AS BIGINT) AS gini_ppm
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (rw2 - (n + 1) * sw))
+      |    / (CAST(n AS DECIMAL(38,0)) * sw)) AS BIGINT) AS BIGINT) AS gini_ppm
       |FROM agg""".stripMargin),
     "Gini coefficient of per-user spend: value-domain histogram + " +
       "GlobalPrefixSum cumulative (no user sort), closed-form tie runs, " +
@@ -4702,13 +4711,13 @@ object EventQueries {
         |  JOIN l4 l ON l.v = d.v GROUP BY 1),
         |agg AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
-        |    SUM(CAST(4 AS HUGEINT) * m.m * COALESCE(i.ec, 0)
-        |      - CAST(dc.degc AS HUGEINT) * dc.degc) AS num
+        |    SUM(CAST(4 AS DECIMAL(38,0)) * m.m * COALESCE(i.ec, 0)
+        |      - CAST(dc.degc AS DECIMAL(38,0)) * dc.degc) AS num
         |  FROM degc dc LEFT JOIN intra i ON i.community = dc.community, m)
         |SELECT agg.n_comm, m.m AS m_total,
-        |  CAST((CAST(1000000 AS HUGEINT) *
-        |    (CAST(4 AS HUGEINT) * m.m * m.m + agg.num))
-        |    // (CAST(4 AS HUGEINT) * m.m * m.m) - 1000000 AS BIGINT) AS q_ppm
+        |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+        |    (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + agg.num))
+        |    / (CAST(4 AS DECIMAL(38,0)) * m.m * m.m)) AS BIGINT) - 1000000 AS BIGINT) AS q_ppm
         |FROM agg, m""".stripMargin),
     "Newman modularity of the LPA communities: shifted non-negative " +
       "floor-ppm rational, label-tagging hash joins, 1-row m broadcast")
@@ -4733,22 +4742,22 @@ object EventQueries {
       |s AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-      |    SUM(CAST(day AS HUGEINT) * y) AS sxy,
-      |    SUM(CAST(day AS HUGEINT) * day) AS sxx
+      |    SUM(CAST(day AS DECIMAL(38,0)) * y) AS sxy,
+      |    SUM(CAST(day AS DECIMAL(38,0)) * day) AS sxx
       |  FROM dc GROUP BY 1),
       |r AS (
       |  SELECT event_type, n,
-      |    CAST(1000000 AS HUGEINT) * (CAST(n AS HUGEINT) * sxy
-      |      - CAST(sx AS HUGEINT) * sy) AS snum,
-      |    CAST(1000000 AS HUGEINT) * (CAST(sy AS HUGEINT) * sxx
-      |      - CAST(sx AS HUGEINT) * sxy) AS inum,
-      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      |    CAST(1000000 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * sxy
+      |      - CAST(sx AS DECIMAL(38,0)) * sy) AS snum,
+      |    CAST(1000000 AS DECIMAL(38,0)) * (CAST(sy AS DECIMAL(38,0)) * sxx
+      |      - CAST(sx AS DECIMAL(38,0)) * sxy) AS inum,
+      |    CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den
       |  FROM s WHERE n >= 2)
       |SELECT event_type, n AS n_days,
-      |  CAST(CASE WHEN snum >= 0 THEN snum // den
-      |       ELSE -((-snum + den - 1) // den) END AS BIGINT) AS slope_ppm,
-      |  CAST(CASE WHEN inum >= 0 THEN inum // den
-      |       ELSE -((-inum + den - 1) // den) END AS BIGINT) AS intercept_ppm
+      |  CAST(CASE WHEN snum >= 0 THEN CAST(floor(snum / den) AS BIGINT)
+      |       ELSE -(CAST(floor((-snum + den - 1) / den) AS BIGINT)) END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN inum >= 0 THEN CAST(floor(inum / den) AS BIGINT)
+      |       ELSE -(CAST(floor((-inum + den - 1) / den) AS BIGINT)) END AS BIGINT) AS intercept_ppm
       |FROM r ORDER BY event_type""".stripMargin,
     "Per-type OLS trend (slope + intercept) over daily volumes: exact " +
       "floor-ppm rationals, portable floor for falling series, " +
@@ -4921,24 +4930,24 @@ object EventQueries {
       |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
       |    a.x AS x, b.x AS y
       |  FROM daily a
-      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS lag) l
+      |  CROSS JOIN (SELECT lag FROM range(0, 4) AS t(lag)) l
       |  JOIN daily b ON b.event_type > a.event_type
       |    AND b.day = a.day + l.lag),
       |sums AS (
-      |  SELECT type_a, type_b, lag, CAST(count(*) AS HUGEINT) AS m,
-      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
-      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
-      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  SELECT type_a, type_b, lag, CAST(count(*) AS DECIMAL(38,0)) AS m,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
       |  FROM pr GROUP BY 1, 2, 3)
       |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
       |  CAST(m AS BIGINT) AS n_pairs,
       |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
       |    AS sign,
       |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
-      |    ELSE (CAST(1000000 AS HUGEINT)
+      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
       |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
-      |      // ((m * sxx - sx * sx) * (m * syy - sy * sy)) END AS BIGINT)
+      |      / ((m * sxx - sx * sx) * (m * syy - sy * sy))) AS BIGINT) END AS BIGINT)
       |    AS r2_ppm
       |FROM sums ORDER BY type_a, type_b, lag""".stripMargin,
     "Cross-correlation of daily volumes between type pairs at lags 0..3: " +
@@ -5110,9 +5119,9 @@ object EventQueries {
       |c2 AS (SELECT event_type, v, cum - cnt AS lo_rank, cum FROM cum),
       |n AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY 1),
       |ranks AS (
-      |  SELECT event_type, k, ((n - 1) * k) // 4 AS lo,
-      |    (n - 1) * k - (((n - 1) * k) // 4) * 4 AS rem
-      |  FROM n CROSS JOIN (SELECT unnest(range(1, 4)) AS k)),
+      |  SELECT event_type, k, CAST(floor(((n - 1) * k) / 4) AS BIGINT) AS lo,
+      |    (n - 1) * k - (CAST(floor(((n - 1) * k) / 4) AS BIGINT)) * 4 AS rem
+      |  FROM n CROSS JOIN (SELECT k FROM range(1, 4) AS t(k))),
       |rr AS (
       |  SELECT event_type, k, lo AS r, 4 - rem AS w FROM ranks
       |  UNION ALL
@@ -5265,11 +5274,13 @@ object EventQueries {
         s"CASE WHEN (($x) div 16) % 4 = 0 THEN 1 ELSE 0 END + " +
         s"CASE WHEN (($x) div 64) % 4 = 0 THEN 1 ELSE 0 END)"
     val sqlW = (0 until 16).map { b =>
+      // byte value is non-negative, so the zero-2-bit-pair tests reduce
+      // to exact modulo arithmetic — engine-portable, no `//`/`div`
       val x = s"CAST(('0x' || substr(h, ${1 + 2 * b}, 2)) AS BIGINT)"
       val w = s"(CASE WHEN ($x) % 4 = 0 THEN 1 ELSE 0 END + " +
-        s"CASE WHEN (($x) // 4) % 4 = 0 THEN 1 ELSE 0 END + " +
-        s"CASE WHEN (($x) // 16) % 4 = 0 THEN 1 ELSE 0 END + " +
-        s"CASE WHEN (($x) // 64) % 4 = 0 THEN 1 ELSE 0 END)"
+        s"CASE WHEN ($x) % 16 < 4 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN ($x) % 64 < 16 THEN 1 ELSE 0 END + " +
+        s"CASE WHEN ($x) < 64 THEN 1 ELSE 0 END)"
       s"SELECT event_type, $b AS b, $w AS w, v FROM e"
     }.mkString("\nUNION ALL\n")
     q(
@@ -5284,7 +5295,7 @@ object EventQueries {
         |bm AS (
         |  SELECT event_type, b,
         |    CASE WHEN SUM(w) = 0 THEN 0
-        |         ELSE CAST(SUM(w * v) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+        |         ELSE CAST(floor(CAST(SUM(w * v) AS BIGINT) / CAST(SUM(w) AS BIGINT)) AS BIGINT)
         |    END AS mean_b
         |  FROM reps GROUP BY 1, 2),
         |rk AS (
@@ -5293,7 +5304,7 @@ object EventQueries {
         |      AS rn
         |  FROM bm),
         |pt AS (
-        |  SELECT event_type, CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_cents
+        |  SELECT event_type, CAST(floor(CAST(SUM(v) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_cents
         |  FROM e GROUP BY 1)
         |SELECT pt.event_type, pt.mean_cents,
         |  MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo_cents,
@@ -5365,7 +5376,7 @@ object EventQueries {
       |  FROM hist),
       |thr AS (
       |  SELECT dim, qq, MIN(val) AS t
-      |  FROM cum CROSS JOIN (SELECT unnest(range(1, 5)) AS qq) q
+      |  FROM cum CROSS JOIN (SELECT qq FROM range(1, 5) AS t(qq)) q
       |  CROSS JOIN nu
       |  WHERE cum * 5 >= qq * nu.n
       |  GROUP BY 1, 2),
@@ -5384,7 +5395,7 @@ object EventQueries {
       |  GROUP BY 1)
       |SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
       |  CAST(m_seg AS BIGINT) AS m_seg, COUNT(*) AS n_users,
-      |  CAST(SUM(m) AS BIGINT) // COUNT(*) AS mean_monetary_cents
+      |  CAST(floor(CAST(SUM(m) AS BIGINT) / COUNT(*)) AS BIGINT) AS mean_monetary_cents
       |FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin,
     "RFM quintile segmentation: per-user recency/frequency/monetary " +
       "scored against value-domain quintile thresholds (no user-sized " +

@@ -175,8 +175,8 @@ object CurationQueries {
       |nt AS (SELECT SUM(tf) AS n FROM tf WHERE doc_id % 7 = 0),
       |ratio AS (
       |  SELECT cr.bucket,
-      |    (1000000 * (COALESCE(t.ct, 0) + 1) * ((SELECT n FROM nr) + 1024))
-      |      // ((cr.cr + 1) * ((SELECT n FROM nt) + 1024)) AS r_ppm
+      |    CAST(floor((1000000 * (COALESCE(t.ct, 0) + 1) * ((SELECT n FROM nr) + 1024))
+      |      / ((cr.cr + 1) * ((SELECT n FROM nt) + 1024))) AS BIGINT) AS r_ppm
       |  FROM cr LEFT JOIN tft t ON t.bucket = cr.bucket),
       |scored AS (
       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
@@ -238,7 +238,7 @@ object CurationQueries {
       |  GROUP BY 1),
       |bucketed AS (
       |  SELECT doc_id,
-      |    CAST(floor(1000000 * (CAST(s AS DOUBLE) / n_bigrams)) AS BIGINT) // 100000 AS bucket
+      |    CAST(floor(CAST(floor(1000000 * (CAST(s AS DOUBLE) / n_bigrams)) AS BIGINT) / 100000) AS BIGINT) AS bucket
       |  FROM scored),
       |ranked AS (
       |  SELECT doc_id, bucket,
@@ -331,8 +331,8 @@ object CurationQueries {
         |  SELECT doc_id,
         |    CAST((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
         |       + (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END)
-        |       + (CASE WHEN CAST(length(regexp_extract_all(text, '[.,!?]')) AS BIGINT) * 10
-        |               <= CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |       + (CASE WHEN CAST(len(regexp_extract_all(text, '([.,!?])', 1)) AS BIGINT) * 10
+        |               <= CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT)
         |          THEN 1 ELSE 0 END) AS BIGINT) AS quality
         |  FROM documents),
         |cbase AS (
@@ -457,11 +457,11 @@ object CurationQueries {
       |  WHERE token <> '' GROUP BY token),
       |op AS (
       |  SELECT token,
-      |    (CAST(1000000 AS HUGEINT) * cnt) // (SELECT SUM(cnt) FROM oc) AS old_ppm
+      |    CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * cnt) / (SELECT SUM(cnt) FROM oc)) AS BIGINT) AS old_ppm
       |  FROM oc),
       |np AS (
       |  SELECT token,
-      |    (CAST(1000000 AS HUGEINT) * cnt) // (SELECT SUM(cnt) FROM nc) AS new_ppm
+      |    CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * cnt) / (SELECT SUM(cnt) FROM nc)) AS BIGINT) AS new_ppm
       |  FROM nc)
       |SELECT COALESCE(op.token, np.token) AS token,
       |  CAST(COALESCE(old_ppm, 0) AS BIGINT) AS old_ppm,
@@ -508,7 +508,7 @@ object CurationQueries {
       |  WHERE g.doc_id % 5 <> 0),
       |cov AS (
       |  SELECT DISTINCT doc_id, i + d AS t
-      |  FROM hits, (SELECT unnest(range(0, 13)) AS d) ds),
+      |  FROM hits, (SELECT d FROM range(0, 13) AS t(d)) ds),
       |sp AS (
       |  SELECT doc_id, COUNT(*) AS n_removed,
       |    SUM(CASE WHEN pt IS NULL OR pt <> t - 1 THEN 1 ELSE 0 END) AS n_spans

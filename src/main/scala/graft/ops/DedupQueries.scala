@@ -330,8 +330,8 @@ object DedupQueries {
         |  SELECT doc_id,
         |    CAST((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END)
         |       + (CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END)
-        |       + (CASE WHEN CAST(length(regexp_extract_all(text, '[.,!?]')) AS BIGINT) * 10
-        |               <= CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |       + (CASE WHEN CAST(len(regexp_extract_all(text, '([.,!?])', 1)) AS BIGINT) * 10
+        |               <= CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT)
         |          THEN 1 ELSE 0 END) AS BIGINT) AS quality
         |  FROM documents),
         |base AS (
@@ -430,7 +430,7 @@ object DedupQueries {
         |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
         |  CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
         |  CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
-        |       ELSE (1000000 * p.n_novel) // p.n_grams END AS BIGINT)
+        |       ELSE CAST(floor((1000000 * p.n_novel) / p.n_grams) AS BIGINT) END AS BIGINT)
         |    AS novelty_ppm
         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
@@ -468,7 +468,7 @@ object DedupQueries {
       |  FROM tokw WHERE w <> ''),
       |votes AS (
       |  SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS vote
-      |  FROM h CROSS JOIN generate_series(0, 59) AS t(j)
+      |  FROM h CROSS JOIN range(0, 60) AS t(j)
       |  GROUP BY doc_id, j)
       |SELECT doc_id,
       |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
@@ -549,7 +549,7 @@ object DedupQueries {
     "q70_line_dedup",
     """WITH b AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
-      |    CAST((len(string_split(text, ' ')) + 3) // 4 AS BIGINT) AS nseg
+      |    CAST(CAST(floor((len(string_split(text, ' ')) + 3) / 4) AS BIGINT) AS BIGINT) AS nseg
       |  FROM documents),
       |seg AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_no,
@@ -737,7 +737,7 @@ object DedupQueries {
       |starts AS (SELECT doc_id, p FROM win WHERE h IN (SELECT h FROM rep)),
       |cov AS (
       |  SELECT DISTINCT doc_id, p + k AS idx
-      |  FROM starts, unnest(range(0, 8)) AS u(k)),
+      |  FROM starts, range(0, 8) AS u(k)),
       |kept AS (
       |  SELECT tok.doc_id, tok.p, tok.t
       |  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.p
@@ -854,7 +854,7 @@ object DedupQueries {
       |cov AS (
       |  SELECT DISTINCT g.doc_id, g.i + ds.d AS t
       |  FROM g JOIN dup ON g.gh = dup.gh
-      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS d) ds),
+      |  CROSS JOIN (SELECT d FROM range(0, 8) AS t(d)) ds),
       |sp AS (
       |  SELECT doc_id, COUNT(*) AS n_removed,
       |    SUM(CASE WHEN pt IS NULL OR pt <> t - 1 THEN 1 ELSE 0 END)

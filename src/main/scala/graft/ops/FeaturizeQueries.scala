@@ -206,17 +206,17 @@ object FeaturizeQueries {
       |      % 16 - 8) AS score
       |  FROM tok GROUP BY doc_id),
       |b AS (
-      |  SELECT CASE WHEN score >= 0 THEN score // 32
-      |    ELSE -((-score + 31) // 32) END AS bin,
+      |  SELECT CASE WHEN score >= 0 THEN CAST(floor(score / 32) AS BIGINT)
+      |    ELSE -(CAST(floor((-score + 31) / 32) AS BIGINT)) END AS bin,
       |    CASE WHEN n_tokens >= 56 THEN 1 ELSE 0 END AS pos, score
       |  FROM scored)
       |SELECT CAST(bin AS BIGINT) AS bin,
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(pos) AS BIGINT) AS n_pos,
-      |  CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_rate_ppm,
+      |  CAST(CAST(floor((1000000 * sum(pos)) / count(*)) AS BIGINT) AS BIGINT) AS pos_rate_ppm,
       |  CAST(CASE WHEN sum(score) >= 0 THEN
-      |      (1000000 * sum(score)) // count(*)
-      |    ELSE -((-(1000000 * sum(score)) + count(*) - 1) // count(*))
+      |      CAST(floor((1000000 * sum(score)) / count(*)) AS BIGINT)
+      |    ELSE -(CAST(floor((-(1000000 * sum(score)) + count(*) - 1) / count(*)) AS BIGINT))
       |    END AS BIGINT) AS mean_score_ppm
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
     "Classifier calibration curve: fixed-width score bins × observed " +

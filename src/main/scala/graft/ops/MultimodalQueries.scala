@@ -103,8 +103,8 @@ object MultimodalQueries {
       |SELECT doc_id,
       |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE w END AS BIGINT) AS width,
       |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE h END AS BIGINT) AS height,
-      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum(v // 65536) END AS BIGINT) AS sum_r,
-      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum((v // 256) % 256) END AS BIGINT) AS sum_g,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum(CAST(floor(v / 65536) AS BIGINT)) END AS BIGINT) AS sum_r,
+      |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum((CAST(floor(v / 256) AS BIGINT)) % 256) END AS BIGINT) AS sum_g,
       |  CAST(CASE WHEN doc_id = 0 THEN 0 ELSE sum(v % 256) END AS BIGINT) AS sum_b
       |FROM v
       |GROUP BY doc_id, w, h
@@ -205,9 +205,9 @@ object MultimodalQueries {
       |  ((doc_id * 31 + y) * 31 + x) % 16777216 AS v FROM px)
       |SELECT doc_id,
       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-      |  CAST((1000000 * sum(v // 65536)) // (w * h) AS BIGINT) AS mean_r_ppm,
-      |  CAST((1000000 * sum((v // 256) % 256)) // (w * h) AS BIGINT) AS mean_g_ppm,
-      |  CAST((1000000 * sum(v % 256)) // (w * h) AS BIGINT) AS mean_b_ppm
+      |  CAST(CAST(floor((1000000 * sum(CAST(floor(v / 65536) AS BIGINT))) / (w * h)) AS BIGINT) AS BIGINT) AS mean_r_ppm,
+      |  CAST(CAST(floor((1000000 * sum(CAST(floor(v / 256) AS BIGINT) % 256)) / (w * h)) AS BIGINT) AS BIGINT) AS mean_g_ppm,
+      |  CAST(CAST(floor((1000000 * sum(v % 256)) / (w * h)) AS BIGINT) AS BIGINT) AS mean_b_ppm
       |FROM v
       |GROUP BY doc_id, w, h
       |ORDER BY doc_id""".stripMargin,
@@ -244,7 +244,7 @@ object MultimodalQueries {
     "q71_frame_sample",
     """WITH b AS (
       |  SELECT doc_id, text,
-      |    CAST(greatest(length(text) // 32, 1) AS INT) AS nf
+      |    CAST(greatest(CAST(floor(length(text) / 32) AS BIGINT), 1) AS INT) AS nf
       |  FROM documents),
       |f AS (
       |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_no,
@@ -384,13 +384,13 @@ object MultimodalQueries {
       |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + doc_id % 5 AS h FROM documents),
       |grid AS (
       |  SELECT doc_id, w, h, y, x,
-      |    ((doc_id * 31 + ((y * h) // 8)) * 31 + ((x * w) // 9)) % 16777216 AS v
+      |    ((doc_id * 31 + (CAST(floor((y * h) / 8) AS BIGINT))) * 31 + (CAST(floor((x * w) / 9) AS BIGINT))) % 16777216 AS v
       |  FROM dims,
-      |    (SELECT unnest(range(0, 8)) AS y) ys,
-      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |    (SELECT y FROM range(0, 8) AS t(y)) ys,
+      |    (SELECT x FROM range(0, 9) AS t(x)) xs),
       |gray AS (
       |  SELECT doc_id, w, h, y, x,
-      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |    CAST(floor((CAST(floor(v / 65536) AS BIGINT) * 299 + (CAST(floor(v / 256) AS BIGINT) % 256) * 587 + (v % 256) * 114) / 1000) AS BIGINT) AS gr
       |  FROM grid),
       |bits AS (
       |  SELECT a.doc_id, a.w, a.h, a.y, a.x,
@@ -439,13 +439,13 @@ object MultimodalQueries {
       |  FROM documents),
       |grid AS (
       |  SELECT doc_id, w, h, y, x,
-      |    ((img * 31 + ((y * h) // 8)) * 31 + ((x * w) // 9)) % 16777216 AS v
+      |    ((img * 31 + (CAST(floor((y * h) / 8) AS BIGINT))) * 31 + (CAST(floor((x * w) / 9) AS BIGINT))) % 16777216 AS v
       |  FROM dims,
-      |    (SELECT unnest(range(0, 8)) AS y) ys,
-      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |    (SELECT y FROM range(0, 8) AS t(y)) ys,
+      |    (SELECT x FROM range(0, 9) AS t(x)) xs),
       |gray AS (
       |  SELECT doc_id, w, h, y, x,
-      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |    CAST(floor((CAST(floor(v / 65536) AS BIGINT) * 299 + (CAST(floor(v / 256) AS BIGINT) % 256) * 587 + (v % 256) * 114) / 1000) AS BIGINT) AS gr
       |  FROM grid),
       |bits AS (
       |  SELECT a.doc_id, a.w, a.h, a.y, a.x,
@@ -573,15 +573,15 @@ object MultimodalQueries {
     */
   private val audioCandSql =
     """fr AS (
-      |  SELECT doc_id, doc_id % 250 AS g, doc_id // 250 AS m,
+      |  SELECT doc_id, doc_id % 250 AS g, CAST(floor(doc_id / 250) AS BIGINT) AS m,
       |    unnest(range(0, 256)) AS i
       |  FROM documents),
       |samp AS (
-      |  SELECT doc_id, i // 8 AS w,
+      |  SELECT doc_id, CAST(floor(i / 8) AS BIGINT) AS w,
       |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
       |  FROM (SELECT doc_id, i,
       |          CAST(('0x' || substr(md5(
-      |            CASE WHEN i // 8 = m % 31
+      |            CASE WHEN CAST(floor(i / 8) AS BIGINT) = m % 31
       |                 THEN g || '_' || i || '_' || m
       |                 ELSE g || '_' || i END), 1, 4)) AS BIGINT) AS v
       |        FROM fr)),
@@ -596,7 +596,7 @@ object MultimodalQueries {
       |  FROM bits GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, fp, b, (fp >> CAST(b * 8 AS INT)) & 255 AS bv
-      |  FROM fp, (SELECT unnest(range(0, 4)) AS b) bb),
+      |  FROM fp, (SELECT b FROM range(0, 4) AS t(b)) bb),
       |capped AS (
       |  SELECT doc_id, fp, b, bv FROM (
       |    SELECT doc_id, fp, b, bv, COUNT(*) OVER (PARTITION BY b, bv) AS bs
@@ -750,14 +750,14 @@ object MultimodalQueries {
     */
   private val hammingImgSql =
     """dims AS (
-      |  SELECT doc_id, doc_id % 125 AS g, doc_id // 125 AS m,
+      |  SELECT doc_id, doc_id % 125 AS g, CAST(floor(doc_id / 125) AS BIGINT) AS m,
       |    9 + (doc_id % 125) % 8 AS w, 8 + (doc_id % 125) % 5 AS h
       |  FROM documents),
       |grid AS (
-      |  SELECT doc_id, g, m, y, x, (y * h) // 8 AS sy, (x * w) // 9 AS sx
+      |  SELECT doc_id, g, m, y, x, CAST(floor((y * h) / 8) AS BIGINT) AS sy, CAST(floor((x * w) / 9) AS BIGINT) AS sx
       |  FROM dims,
-      |    (SELECT unnest(range(0, 8)) AS y) ys,
-      |    (SELECT unnest(range(0, 9)) AS x) xs),
+      |    (SELECT y FROM range(0, 8) AS t(y)) ys,
+      |    (SELECT x FROM range(0, 9) AS t(x)) xs),
       |px AS (
       |  SELECT doc_id, y, x,
       |    CAST(('0x' || substr(md5(
@@ -767,7 +767,7 @@ object MultimodalQueries {
       |  FROM grid),
       |gray AS (
       |  SELECT doc_id, y, x,
-      |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS gr
+      |    CAST(floor((CAST(floor(v / 65536) AS BIGINT) * 299 + (CAST(floor(v / 256) AS BIGINT) % 256) * 587 + (v % 256) * 114) / 1000) AS BIGINT) AS gr
       |  FROM px),
       |bits AS (
       |  SELECT a.doc_id, a.y, a.x, CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
@@ -782,7 +782,7 @@ object MultimodalQueries {
       |  SELECT doc_id, hi, lo, b,
       |    CASE WHEN b < 4 THEN (lo >> CAST(b * 8 AS INT)) & 255
       |         ELSE (hi >> CAST((b - 4) * 8 AS INT)) & 255 END AS bv
-      |  FROM hl, (SELECT unnest(range(0, 8)) AS b) bb),
+      |  FROM hl, (SELECT b FROM range(0, 8) AS t(b)) bb),
       |capped AS (
       |  SELECT doc_id, hi, lo, b, bv FROM (
       |    SELECT doc_id, hi, lo, b, bv, COUNT(*) OVER (PARTITION BY b, bv) AS bs
@@ -887,7 +887,7 @@ object MultimodalQueries {
       |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
       |lv AS (
       |  SELECT doc_id, f,
-      |    (doc_id * 37 + (f // 3) * 101) % 248 + (f % 3) AS v
+      |    (doc_id * 37 + (CAST(floor(f / 3) AS BIGINT)) * 101) % 248 + (f % 3) AS v
       |  FROM fr),
       |cut AS (
       |  SELECT doc_id, f, v,

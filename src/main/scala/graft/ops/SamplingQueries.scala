@@ -74,7 +74,7 @@ object SamplingQueries {
             1L).otherwise(0L).as("bin_count_ok"))
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '(\S+)', 1))) AS BIGINT) AS total_tokens,
       |  CAST(1 AS BIGINT) AS assigned_once_ok,
       |  CAST(1 AS BIGINT) AS capacity_ok,
       |  CAST(1 AS BIGINT) AS bin_count_ok
@@ -149,7 +149,7 @@ object SamplingQueries {
     },
     Some("""WITH base AS (
       |  SELECT doc_id, source AS src, text,
-      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+      |    CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS toks
       |  FROM documents),
       |per_src AS (
       |  SELECT src, COUNT(*) AS n_docs,
@@ -166,11 +166,11 @@ object SamplingQueries {
       |SELECT p.src AS source,
       |  CAST(p.n_docs AS BIGINT) AS n_docs,
       |  CAST(p.n_uniq_texts AS BIGINT) AS n_uniq_texts,
-      |  CAST((1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS BIGINT) AS dup_ppm,
-      |  CAST((1000000 * p.tok_sum) // p.n_docs AS BIGINT) AS avg_tokens_ppm,
+      |  CAST(CAST(floor((1000000 * (p.n_docs - p.n_uniq_texts)) / p.n_docs) AS BIGINT) AS BIGINT) AS dup_ppm,
+      |  CAST(CAST(floor((1000000 * p.tok_sum) / p.n_docs) AS BIGINT) AS BIGINT) AS avg_tokens_ppm,
       |  CAST(COALESCE(x.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
-      |  CAST(CASE WHEN (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs <= 300000
-      |        AND (1000000 * p.tok_sum) // p.n_docs >= 5000000
+      |  CAST(CASE WHEN CAST(floor((1000000 * (p.n_docs - p.n_uniq_texts)) / p.n_docs) AS BIGINT) <= 300000
+      |        AND CAST(floor((1000000 * p.tok_sum) / p.n_docs) AS BIGINT) >= 5000000
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM per_src p LEFT JOIN xdup x ON x.src = p.src
       |ORDER BY source""".stripMargin),
@@ -300,7 +300,7 @@ object SamplingQueries {
       |  SELECT doc_id, text,
       |    coalesce(nullif(regexp_extract(host, '${Featurize.domainPattern}', 1), ''),
       |             host) AS src,
-      |    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+      |    CAST(len(regexp_extract_all(text, '(\\S+)', 1)) AS BIGINT) AS toks
       |  FROM hosted),
       |per_src AS (
       |  SELECT src, COUNT(*) AS n_docs,
@@ -317,11 +317,11 @@ object SamplingQueries {
       |SELECT p.src AS domain,
       |  CAST(p.n_docs AS BIGINT) AS n_docs,
       |  CAST(p.n_uniq_texts AS BIGINT) AS n_uniq_texts,
-      |  CAST((1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs AS BIGINT) AS dup_ppm,
-      |  CAST((1000000 * p.tok_sum) // p.n_docs AS BIGINT) AS avg_tokens_ppm,
+      |  CAST(CAST(floor((1000000 * (p.n_docs - p.n_uniq_texts)) / p.n_docs) AS BIGINT) AS BIGINT) AS dup_ppm,
+      |  CAST(CAST(floor((1000000 * p.tok_sum) / p.n_docs) AS BIGINT) AS BIGINT) AS avg_tokens_ppm,
       |  CAST(COALESCE(x.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
-      |  CAST(CASE WHEN (1000000 * (p.n_docs - p.n_uniq_texts)) // p.n_docs <= 300000
-      |        AND (1000000 * p.tok_sum) // p.n_docs >= 5000000
+      |  CAST(CASE WHEN CAST(floor((1000000 * (p.n_docs - p.n_uniq_texts)) / p.n_docs) AS BIGINT) <= 300000
+      |        AND CAST(floor((1000000 * p.tok_sum) / p.n_docs) AS BIGINT) >= 5000000
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM per_src p LEFT JOIN xdup x ON x.src = p.src
       |ORDER BY domain""".stripMargin),
@@ -423,11 +423,11 @@ object SamplingQueries {
       |    CASE WHEN doc_id % 2 = 0 THEN 'Site-' ELSE 'site-' END ||
       |    source || '.com' ||
       |    ['',':443',':80',':8080'][CAST(doc_id % 4 AS INT) + 1] ||
-      |    '/p/' || CAST(doc_id // 3 AS STRING) ||
+      |    '/p/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING) ||
       |    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
       |    ['','?utm_source=feed','?utm_campaign=x&utm_medium=y',
-      |     '?id=' || CAST(doc_id // 3 AS STRING),
-      |     '?utm_source=a&id=' || CAST(doc_id // 3 AS STRING)][CAST(doc_id % 5 AS INT) + 1] ||
+      |     '?id=' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING),
+      |     '?utm_source=a&id=' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING)][CAST(doc_id % 5 AS INT) + 1] ||
       |    CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM documents),
       |hosted AS (
@@ -555,7 +555,7 @@ object SamplingQueries {
       .orderBy("source"),
     Some("""WITH counts AS (
       |  SELECT source,
-      |    SUM(length(regexp_extract_all(text, '\S+'))) AS n_tokens
+      |    SUM(len(regexp_extract_all(text, '(\S+)', 1))) AS n_tokens
       |  FROM documents GROUP BY source),
       |isq AS (
       |  SELECT source, n_tokens,
@@ -568,17 +568,17 @@ object SamplingQueries {
       |SELECT source,
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CASE WHEN (SELECT isq_sum FROM tot) = 0 THEN CAST(0 AS BIGINT)
-      |       ELSE CAST((1000000 * isq) // (SELECT isq_sum FROM tot) AS BIGINT)
+      |       ELSE CAST(CAST(floor((1000000 * isq) / (SELECT isq_sum FROM tot)) AS BIGINT) AS BIGINT)
       |  END AS weight_ppm,
       |  CASE WHEN (SELECT isq_sum FROM tot) = 0 THEN CAST(0 AS BIGINT)
-      |       ELSE CAST((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
-      |         // (SELECT isq_sum FROM tot) AS BIGINT)
+      |       ELSE CAST(CAST(floor((CAST((SELECT budget FROM tot) AS DECIMAL(38,0)) * isq)
+      |         / (SELECT isq_sum FROM tot)) AS BIGINT) AS BIGINT)
       |  END AS target_tokens,
       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
-      |       ELSE CAST((CAST(1000000 AS HUGEINT) *
-      |           ((CAST((SELECT budget FROM tot) AS HUGEINT) * isq)
-      |             // (SELECT isq_sum FROM tot)))
-      |         // n_tokens AS BIGINT)
+      |       ELSE CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+      |           CAST(floor((CAST((SELECT budget FROM tot) AS DECIMAL(38,0)) * isq)
+      |             / (SELECT isq_sum FROM tot)) AS BIGINT))
+      |         / n_tokens) AS BIGINT) AS BIGINT)
       |  END AS epochs_ppm
       |FROM isq
       |ORDER BY source""".stripMargin),
@@ -601,7 +601,7 @@ object SamplingQueries {
           .withColumn("w", expr("least(1 + n_chars div 500, 16)")),
         "doc_id", "w", seed = "ws1", k = 100),
     Some("""WITH wdoc AS (
-      |  SELECT doc_id, LEAST(1 + n_chars // 500, 16) AS weight
+      |  SELECT doc_id, LEAST(1 + CAST(floor(n_chars / 500) AS BIGINT), 16) AS weight
       |  FROM documents),
       |reps AS (SELECT doc_id, weight, unnest(range(weight)) AS r FROM wdoc),
       |pri AS (
@@ -646,7 +646,7 @@ object SamplingQueries {
     },
     Some("""WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
       |sc AS (
-      |  SELECT doc_id, (n_chars * 10) // (mx + 1) AS bucket,
+      |  SELECT doc_id, CAST(floor((n_chars * 10) / (mx + 1)) AS BIGINT) AS bucket,
       |    CAST(('0x' || substr(md5('cur1:' || CAST(doc_id AS STRING)),
       |      1, 8)) AS BIGINT) AS hk
       |  FROM documents, mx)
@@ -686,9 +686,9 @@ object SamplingQueries {
     },
     Some("""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-      |  (CAST(len(string_split(text, ' ')) AS BIGINT) * 1099511627776)
-      |    // (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS STRING)),
-      |        1, 10)) AS BIGINT) + 1) AS priority
+      |  CAST(floor((CAST(len(string_split(text, ' ')) AS BIGINT) * 1099511627776)
+      |    / (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS STRING)),
+      |        1, 10)) AS BIGINT) + 1)) AS BIGINT) AS priority
       |FROM documents
       |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin),
     "Weighted sampling via integer priority keys (w·2^40 / (h+1)): " +

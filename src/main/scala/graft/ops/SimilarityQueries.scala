@@ -957,7 +957,7 @@ object SimilarityQueries {
       |    unnest(string_split(text, ' ')) AS w
       |  FROM documents WHERE doc_id >= 5),
       |ct AS (
-      |  SELECT doc_id * 1000 + (i - 1) // 30 AS cid, w
+      |  SELECT doc_id * 1000 + CAST(floor((i - 1) / 30) AS BIGINT) AS cid, w
       |  FROM ctok WHERE w <> ''),
       |cb AS (
       |  SELECT cid, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
@@ -1429,9 +1429,9 @@ object SimilarityQueries {
       |  GROUP BY t.q_id)
       |SELECT p.q_id AS q_id, CAST(s.lbl_n - 1 AS BIGINT) AS n_rel,
       |  CAST(p.hits AS BIGINT) AS hits,
-      |  CAST((1000000 * p.hits) // 10 AS BIGINT) AS p_at10_ppm,
-      |  CAST((1000000 * p.hits) // (s.lbl_n - 1) AS BIGINT) AS r_at10_ppm,
-      |  CAST(COALESCE(1000000 // p.first_rel, 0) AS BIGINT) AS rr_ppm
+      |  CAST(CAST(floor((1000000 * p.hits) / 10) AS BIGINT) AS BIGINT) AS p_at10_ppm,
+      |  CAST(CAST(floor((1000000 * p.hits) / (s.lbl_n - 1)) AS BIGINT) AS BIGINT) AS r_at10_ppm,
+      |  CAST(COALESCE(CAST(floor(1000000 / p.first_rel) AS BIGINT), 0) AS BIGINT) AS rr_ppm
       |FROM perq p JOIN lsz s ON s.lbl = p.q_lbl
       |ORDER BY q_id""".stripMargin),
     "Retrieval evaluation scorecard: precision@10 / recall@10 / " +

@@ -43,7 +43,7 @@ object TextQueries {
   val q25_token_stats: QueryDef = q(
     "q25_token_stats",
     """SELECT doc_id,
-      |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
@@ -64,8 +64,8 @@ object TextQueries {
       |     + (CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS quality
       |FROM (
       |  SELECT doc_id,
-      |    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-      |    CAST(length(regexp_extract_all(text, '[.,!?]')) AS BIGINT) AS n_punct,
+      |    CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '([.,!?])', 1)) AS BIGINT) AS n_punct,
       |    CAST(length(text) AS BIGINT) AS n_chars,
       |    text LIKE '% the %' AS has_stop
       |  FROM documents) t
@@ -98,10 +98,10 @@ object TextQueries {
       |       ELSE 'fr' END AS lang_guess
       |FROM (
       |  SELECT doc_id,
-      |    length(regexp_extract_all(text, '\b(the|and|of)\b')) AS c_en,
-      |    length(regexp_extract_all(text, '\b(der|und|das)\b')) AS c_de,
-      |    length(regexp_extract_all(text, '\b(el|la|los)\b')) AS c_es,
-      |    length(regexp_extract_all(text, '\b(le|et|les)\b')) AS c_fr
+      |    len(regexp_extract_all(text, '(\b(the|and|of)\b)', 1)) AS c_en,
+      |    len(regexp_extract_all(text, '(\b(der|und|das)\b)', 1)) AS c_de,
+      |    len(regexp_extract_all(text, '(\b(el|la|los)\b)', 1)) AS c_es,
+      |    len(regexp_extract_all(text, '(\b(le|et|les)\b)', 1)) AS c_fr
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin,
     "Language ID via stopword n-gram counts (deterministic heuristic)") { (s, d) =>
@@ -126,7 +126,7 @@ object TextQueries {
     "q36_doc_fingerprint",
     """SELECT doc_id, min(md5(substring(text, j, 8))) AS fingerprint
       |FROM documents
-      |CROSS JOIN generate_series(1, 65536) AS t(j)
+      |CROSS JOIN range(1, 65537) AS t(j)
       |WHERE j <= greatest(length(text) - 7, 1)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin,
@@ -145,7 +145,7 @@ object TextQueries {
   val q34_binary_meta: QueryDef = q(
     "q34_binary_meta",
     """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
       |  sha256(text) AS content_sha
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
@@ -170,7 +170,7 @@ object TextQueries {
     """SELECT doc_id, CAST(floor((j - 1) / 32) AS BIGINT) AS frame_no,
       |  md5(substring(text, j, 32)) AS frame_hash
       |FROM documents
-      |CROSS JOIN generate_series(1, 65536) AS t(j)
+      |CROSS JOIN range(1, 65537) AS t(j)
       |WHERE j <= length(text) AND (j - 1) % 32 = 0
       |ORDER BY doc_id, frame_no""".stripMargin,
     "Frame sampling metadata (multimodal plumbing, stride-32 slices; " +
@@ -281,14 +281,14 @@ object TextQueries {
       |  SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS cleaned
       |  FROM redacted)
       |SELECT c.doc_id, c.cleaned,
-      |  CAST(length(regexp_extract_all(r.raw, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-      |  CAST(length(regexp_extract_all(r.raw,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(r.raw, '(https?://[^\s]+)', 1)) AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(r.raw,
+      |    '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})', 1)) AS BIGINT) AS n_emails,
       |  CAST(FLOOR(CAST(length(regexp_replace(c.cleaned, '\s', '', 'g')) AS DOUBLE)
       |    * 1000000.0
-      |    / GREATEST(length(regexp_extract_all(c.cleaned, '\S+')), 1)) AS BIGINT)
+      |    / GREATEST(len(regexp_extract_all(c.cleaned, '(\S+)', 1)), 1)) AS BIGINT)
       |    AS mean_wl_ppm,
-      |  CAST(FLOOR(CAST(length(regexp_extract_all(c.cleaned, '[^\p{L}\p{N}\s]')) AS DOUBLE)
+      |  CAST(FLOOR(CAST(len(regexp_extract_all(c.cleaned, '([^\p{L}\p{N}\s])', 1)) AS DOUBLE)
       |    * 1000000.0 / GREATEST(length(c.cleaned), 1)) AS BIGINT) AS symbol_ppm
       |FROM cleaned c JOIN raw r ON c.doc_id = r.doc_id
       |ORDER BY c.doc_id""".stripMargin,
@@ -384,7 +384,7 @@ object TextQueries {
       |  CAST(length(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT)
       |    AS n_word_tokens,
       |  CAST(CASE WHEN length(toks) = 0 THEN 0
-      |       ELSE (1000000 * n_chars) // length(toks) END AS BIGINT)
+      |       ELSE CAST(floor((1000000 * n_chars) / length(toks)) AS BIGINT) END AS BIGINT)
       |    AS chars_per_token_ppm,
       |  CAST(('0x' || substr(md5(array_to_string(toks, chr(1))), 1, 8)) AS BIGINT)
       |    AS token_digest
@@ -597,12 +597,15 @@ object TextQueries {
     */
   val q125_nfc_normalize: QueryDef = q(
     "q125_nfc_normalize",
-    """SELECT doc_id,
+    // the combining accents ride as literal UTF-8 chars, not chr(): Spark's
+    // chr() is bytewise (chr(769) = chr(769 % 256)) where DuckDB's is a
+    // code-point constructor — the literal spelling means one text for both
+    s"""SELECT doc_id,
       |  CAST(length(t) AS BIGINT) AS n_before,
       |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
       |  md5(nfc_normalize(t)) AS norm_hash
       |FROM (SELECT doc_id,
-      |        text || ' mixed:e' || chr(769) || 'o' || chr(776) || chr(233) AS t
+      |        text || ' mixed:e${"́"}o${"̈"}${"é"}' AS t
       |      FROM documents) x
       |ORDER BY doc_id""".stripMargin,
     "Unicode NFC normalization (native graft_nfc codegen expression) — " +
@@ -643,8 +646,8 @@ object TextQueries {
       |rb AS (SELECT b, COUNT(*) AS c_b FROM bigf GROUP BY b),
       |tot AS (SELECT COUNT(*) AS n_big FROM bigf)
       |SELECT a, b, c_ab,
-      |  CAST((CAST(1000000 AS HUGEINT) * (SELECT n_big FROM tot) * c_ab)
-      |    // (c_a * c_b) AS BIGINT) AS pmi_ppm
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (SELECT n_big FROM tot) * c_ab)
+      |    / (c_a * c_b)) AS BIGINT) AS BIGINT) AS pmi_ppm
       |FROM pc JOIN la USING (a) JOIN rb USING (b)
       |ORDER BY pmi_ppm DESC, a, b
       |LIMIT 50""".stripMargin,
@@ -680,13 +683,13 @@ object TextQueries {
       |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |sc AS (
       |  SELECT tf.doc_id, sum(
-      |    (CAST(1000000 AS HUGEINT) *
+      |    CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
       |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
-      |       (SELECT a_tokens FROM tot) * tf.tf) //
-      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
-      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |       (SELECT a_tokens FROM tot) * tf.tf) /
+      |    ((CAST(2 AS DECIMAL(38,0)) * dfx.df + 1) *
+      |       (CAST(10 AS DECIMAL(38,0)) * (SELECT a_tokens FROM tot) * tf.tf +
       |        3 * (SELECT a_tokens FROM tot) +
-      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |        CAST(9 AS DECIMAL(38,0)) * dl.dl * (SELECT n_docs FROM tot)))) AS BIGINT)) AS score
       |  FROM tf
       |  JOIN dfx ON dfx.w = tf.w
       |  JOIN dl ON dl.doc_id = tf.doc_id
@@ -734,7 +737,7 @@ object TextQueries {
       |  FROM pw JOIN ph ON ph.doc_id = pw.doc_id AND ph.pid = pw.pid
       |  GROUP BY pw.w),
       |wsc AS (
-      |  SELECT w, (CAST(1000000 AS HUGEINT) * deg) // freq AS ws
+      |  SELECT w, CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * deg) / freq) AS BIGINT) AS ws
       |  FROM wstat),
       |psc AS (
       |  SELECT ph.doc_id, ph.pid, ph.phrase,
@@ -795,7 +798,7 @@ object TextQueries {
       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      |    CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |    CAST(sum(len(regexp_extract_all(text, '(\S+)', 1))) AS BIGINT)
       |      AS total_tokens,
       |    CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_short
@@ -814,14 +817,14 @@ object TextQueries {
       |  UNION ALL SELECT 'total_chars', total_chars FROM base
       |  UNION ALL SELECT 'total_tokens', total_tokens FROM base
       |  UNION ALL SELECT 'short_doc_ppm',
-      |    CAST((CAST(1000000 AS HUGEINT) * n_short) // n_docs AS BIGINT)
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * n_short) / n_docs) AS BIGINT) AS BIGINT)
       |  FROM base
       |  UNION ALL SELECT 'exact_dup_ppm',
-      |    CAST((CAST(1000000 AS HUGEINT) * (SELECT n_dup_docs FROM dup))
-      |      // n_docs AS BIGINT) FROM base
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (SELECT n_dup_docs FROM dup))
+      |      / n_docs) AS BIGINT) AS BIGINT) FROM base
       |  UNION ALL SELECT 'top_lang_share_ppm',
-      |    CAST((CAST(1000000 AS HUGEINT) * (SELECT top_lang_docs FROM toplang))
-      |      // n_docs AS BIGINT) FROM base)
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (SELECT top_lang_docs FROM toplang))
+      |      / n_docs) AS BIGINT) AS BIGINT) FROM base)
       |ORDER BY metric""".stripMargin,
     "Dataset card: corpus release report (metric, value) — counts, " +
       "diversity, size, duplicate pressure, all exact integers") { (s, d) =>
@@ -880,11 +883,11 @@ object TextQueries {
         |  SELECT sh, CAST(count(*) AS BIGINT) AS df
         |  FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 64),
         |wt AS (
-        |  SELECT s.doc_id, s.sh, (1000000 + d.df - 1) // d.df AS wgt
+        |  SELECT s.doc_id, s.sh, CAST(floor((1000000 + d.df - 1) / d.df) AS BIGINT) AS wgt
         |  FROM sh s JOIN dfx d ON d.sh = s.sh),
         |pairs AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    CAST(sum(CAST(a.wgt AS HUGEINT) * b.wgt) AS BIGINT) AS dot
+        |    CAST(sum(CAST(a.wgt AS DECIMAL(38,0)) * b.wgt) AS BIGINT) AS dot
         |  FROM wt a JOIN wt b ON b.sh = a.sh AND b.doc_id > a.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, dot FROM pairs
@@ -925,7 +928,7 @@ object TextQueries {
     "q237_rank_fusion",
     """WITH stats AS (
       |  SELECT doc_id, n_chars,
-      |    CAST((CAST(1000000 AS HUGEINT) * count(DISTINCT w)) // count(*)
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * count(DISTINCT w)) / count(*)) AS BIGINT)
       |      AS BIGINT) AS div_ppm
       |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
       |        FROM documents) t
@@ -941,8 +944,8 @@ object TextQueries {
       |  FROM stats QUALIFY r <= 100),
       |fused AS (
       |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
-      |    COALESCE(1000000 // (60 + ra.r), 0)
-      |      + COALESCE(1000000 // (60 + rb.r), 0) AS rrf_ppm
+      |    COALESCE(CAST(floor(1000000 / (60 + ra.r)) AS BIGINT), 0)
+      |      + COALESCE(CAST(floor(1000000 / (60 + rb.r)) AS BIGINT), 0) AS rrf_ppm
       |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
       |SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
       |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
@@ -1005,10 +1008,10 @@ object TextQueries {
       |tot AS (SELECT COUNT(*) AS n_types FROM pc)
       |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, c_a,
       |  CAST(n1f AS BIGINT) AS n1f, CAST(n1b AS BIGINT) AS n1b,
-      |  CAST((CAST(1000000 AS HUGEINT) *
-      |        (CAST(greatest(4 * c_ab - 3, 0) AS HUGEINT) * n_types +
-      |         CAST(3 AS HUGEINT) * n1f * n1b))
-      |    // (CAST(4 AS HUGEINT) * c_a * n_types) AS BIGINT) AS p_kn_ppm
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+      |        (CAST(greatest(4 * c_ab - 3, 0) AS DECIMAL(38,0)) * n_types +
+      |         CAST(3 AS DECIMAL(38,0)) * n1f * n1b))
+      |    / (CAST(4 AS DECIMAL(38,0)) * c_a * n_types)) AS BIGINT) AS BIGINT) AS p_kn_ppm
       |FROM pc JOIN ca USING (a) JOIN nb USING (b), tot
       |ORDER BY c_ab DESC, a, b
       |LIMIT 50""".stripMargin,
@@ -1064,7 +1067,7 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN rk <= 10000 THEN cnt ELSE 0 END) AS BIGINT) AS c10000
       |  FROM top)
       |SELECT n_vocab, covered, total,
-      |  CAST((CAST(1000000 AS HUGEINT) * covered) // total AS BIGINT)
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * covered) / total) AS BIGINT) AS BIGINT)
       |    AS coverage_ppm
       |FROM (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS n_vocab,
       |             unnest([c100, c1000, c10000]) AS covered FROM cov), tot
@@ -1256,13 +1259,13 @@ object TextQueries {
       |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |sc AS (
       |  SELECT tf.doc_id, sum(
-      |    (CAST(1000000 AS HUGEINT) *
+      |    CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
       |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
-      |       (SELECT a_tokens FROM tot) * tf.tf) //
-      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
-      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |       (SELECT a_tokens FROM tot) * tf.tf) /
+      |    ((CAST(2 AS DECIMAL(38,0)) * dfx.df + 1) *
+      |       (CAST(10 AS DECIMAL(38,0)) * (SELECT a_tokens FROM tot) * tf.tf +
       |        3 * (SELECT a_tokens FROM tot) +
-      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |        CAST(9 AS DECIMAL(38,0)) * dl.dl * (SELECT n_docs FROM tot)))) AS BIGINT)) AS score
       |  FROM tf
       |  JOIN dfx ON dfx.w = tf.w
       |  JOIN dl ON dl.doc_id = tf.doc_id
@@ -1310,13 +1313,13 @@ object TextQueries {
       |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |sc AS (
       |  SELECT tf.doc_id, sum(
-      |    (CAST(1000000 AS HUGEINT) *
+      |    CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
       |       (2 * (SELECT n_docs FROM tot) - 2 * dfx.df + 1) * 22 *
-      |       (SELECT a_tokens FROM tot) * tf.tf) //
-      |    ((CAST(2 AS HUGEINT) * dfx.df + 1) *
-      |       (CAST(10 AS HUGEINT) * (SELECT a_tokens FROM tot) * tf.tf +
+      |       (SELECT a_tokens FROM tot) * tf.tf) /
+      |    ((CAST(2 AS DECIMAL(38,0)) * dfx.df + 1) *
+      |       (CAST(10 AS DECIMAL(38,0)) * (SELECT a_tokens FROM tot) * tf.tf +
       |        3 * (SELECT a_tokens FROM tot) +
-      |        CAST(9 AS HUGEINT) * dl.dl * (SELECT n_docs FROM tot)))) AS score
+      |        CAST(9 AS DECIMAL(38,0)) * dl.dl * (SELECT n_docs FROM tot)))) AS BIGINT)) AS score
       |  FROM tf
       |  JOIN dfx ON dfx.w = tf.w
       |  JOIN dl ON dl.doc_id = tf.doc_id

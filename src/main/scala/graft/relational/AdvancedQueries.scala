@@ -159,11 +159,11 @@ object AdvancedQueries {
   val q65_pivot_events: QueryDef = q(
     "q65_pivot_events",
     """SELECT user_id,
-      |  count(*) FILTER (event_type = 'click') AS click,
-      |  count(*) FILTER (event_type = 'error') AS error,
-      |  count(*) FILTER (event_type = 'purchase') AS purchase,
-      |  count(*) FILTER (event_type = 'signup') AS signup,
-      |  count(*) FILTER (event_type = 'view') AS view
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin,
@@ -398,7 +398,7 @@ object AdvancedQueries {
   val q172_hierarchy_closure: QueryDef = q(
     "q172_hierarchy_closure",
     """WITH RECURSIVE edges AS (
-      |  SELECT c_custkey AS node, c_custkey // 2 AS parent
+      |  SELECT c_custkey AS node, CAST(floor(c_custkey / 2) AS BIGINT) AS parent
       |  FROM customer WHERE c_custkey >= 2),
       |anc AS (
       |  SELECT node, parent AS ancestor, 1 AS depth FROM edges
@@ -455,8 +455,8 @@ object AdvancedQueries {
       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
       |  FROM orders GROUP BY 1, 2)
       |SELECT month, o_custkey, CAST(spend AS DOUBLE) AS spend,
-      |  CAST((CAST(1000000 AS HUGEINT) * CAST(spend * 100 AS HUGEINT))
-      |    // CAST(SUM(spend * 100) OVER (PARTITION BY month) AS HUGEINT)
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * CAST(spend * 100 AS DECIMAL(38,0)))
+      |    / CAST(SUM(spend * 100) OVER (PARTITION BY month) AS DECIMAL(38,0))) AS BIGINT)
       |    AS BIGINT) AS share_ppm
       |FROM m
       |ORDER BY month, o_custkey""".stripMargin,
@@ -744,15 +744,15 @@ object AdvancedQueries {
       |st AS (SELECT source, sum(c) AS n FROM sv GROUP BY source),
       |sp AS (
       |  SELECT sv.source, sv.val, sv.c,
-      |    CAST((CAST(1000000 AS HUGEINT) *
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
       |        sum(sv.c) OVER (PARTITION BY sv.source ORDER BY sv.val))
-      |      // st.n AS BIGINT) AS pct_ppm
+      |      / st.n) AS BIGINT) AS BIGINT) AS pct_ppm
       |  FROM sv JOIN st ON st.source = sv.source),
       |gv AS (SELECT val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY val),
       |gp AS (
       |  SELECT val AS gval,
-      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
-      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sum(c) OVER (ORDER BY val))
+      |      / (SELECT sum(c) FROM gv)) AS BIGINT) AS BIGINT) AS gpct
       |  FROM gv)
       |SELECT sp.source, sp.val, sp.c AS n_docs, sp.pct_ppm,
       |  gp.gval AS normalized
@@ -839,10 +839,10 @@ object AdvancedQueries {
       |  FROM documents GROUP BY 1),
       |gp AS (
       |  SELECT val,
-      |    CAST((CAST(1000000 AS HUGEINT) * sum(c) OVER (ORDER BY val))
-      |      // (SELECT sum(c) FROM gv) AS BIGINT) AS gpct
+      |    CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sum(c) OVER (ORDER BY val))
+      |      / (SELECT sum(c) FROM gv)) AS BIGINT) AS BIGINT) AS gpct
       |  FROM gv),
-      |ks AS (SELECT unnest(range(1, 11)) AS k)
+      |ks AS (SELECT k FROM range(1, 11) AS t(k))
       |SELECT CAST(ks.k AS BIGINT) AS k, min(gp.val) AS upper_val
       |FROM ks JOIN gp ON gp.gpct >= ks.k * 100000
       |GROUP BY ks.k ORDER BY k""".stripMargin,
@@ -1026,8 +1026,8 @@ object AdvancedQueries {
     "q257_dp_mean",
     """WITH c AS (
       |  SELECT event_type,
-      |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
-      |      // 1000 AS band,
+      |    CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
+      |      / 1000) AS BIGINT) AS band,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |nz AS (
@@ -1047,12 +1047,12 @@ object AdvancedQueries {
       |agg AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bands,
       |    CAST(SUM(n_rel) AS BIGINT) AS n_total,
-      |    SUM(CAST(band * 1000 + 500 - 100000000 AS HUGEINT) * n_rel)
+      |    SUM(CAST(band * 1000 + 500 - 100000000 AS DECIMAL(38,0)) * n_rel)
       |      AS num
       |  FROM rel GROUP BY 1)
       |SELECT event_type, n_bands, n_total,
       |  CAST(CASE WHEN n_total = 0 THEN 0
-      |    ELSE (CAST(1000000 AS HUGEINT) * num) // n_total END AS BIGINT)
+      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * num) / n_total) AS BIGINT) END AS BIGINT)
       |    AS dp_mean_micro_cents
       |FROM agg
       |UNION ALL
@@ -1116,8 +1116,8 @@ object AdvancedQueries {
     "q300_dp_quantiles",
     """WITH c AS (
       |  SELECT event_type,
-      |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
-      |      // 1000 AS band,
+      |    CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000000)
+      |      / 1000) AS BIGINT) AS band,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |nz AS (
@@ -1144,7 +1144,7 @@ object AdvancedQueries {
       |ps(p) AS (VALUES (25), (50), (75)),
       |pos AS (
       |  SELECT t.event_type, ps.p, t.total,
-      |    (t.total * ps.p + 99) // 100 AS pos
+      |    CAST(floor((t.total * ps.p + 99) / 100) AS BIGINT) AS pos
       |  FROM (SELECT DISTINCT event_type, total FROM cum) t, ps),
       |hit AS (
       |  SELECT pos.event_type, pos.p, pos.total, min(cum.band) AS qband
@@ -1494,13 +1494,13 @@ object AdvancedQueries {
       |tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM h),
       |dd AS (
       |  SELECT val,
-      |    abs(CAST(f1 AS HUGEINT) * (SELECT n2 FROM tot)
-      |      - CAST(f2 AS HUGEINT) * (SELECT n1 FROM tot)) AS num
+      |    abs(CAST(f1 AS DECIMAL(38,0)) * (SELECT n2 FROM tot)
+      |      - CAST(f2 AS DECIMAL(38,0)) * (SELECT n1 FROM tot)) AS num
       |  FROM cum)
       |SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n1,
       |  CAST((SELECT n2 FROM tot) AS BIGINT) AS n2,
-      |  CAST((CAST(1000000 AS HUGEINT) * max(num))
-      |    // (CAST((SELECT n1 FROM tot) AS HUGEINT) * (SELECT n2 FROM tot))
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * max(num))
+      |    / (CAST((SELECT n1 FROM tot) AS DECIMAL(38,0)) * (SELECT n2 FROM tot))) AS BIGINT)
       |    AS BIGINT) AS d_ppm,
       |  CAST(min(CASE WHEN num = (SELECT max(num) FROM dd) THEN val END)
       |    AS BIGINT) AS at_val

@@ -494,10 +494,10 @@ object RelationalQueries {
       |  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
       |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
-      |  CAST((CAST(1000000 AS HUGEINT) * support) // na.n_item AS BIGINT) AS conf_a_b_ppm,
-      |  CAST((CAST(1000000 AS HUGEINT) * support) // nb.n_item AS BIGINT) AS conf_b_a_ppm,
-      |  CAST((CAST(1000000 AS HUGEINT) * (SELECT n_baskets FROM tot) * support)
-      |    // (na.n_item * nb.n_item) AS BIGINT) AS lift_ppm
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * support) / na.n_item) AS BIGINT) AS BIGINT) AS conf_a_b_ppm,
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * support) / nb.n_item) AS BIGINT) AS BIGINT) AS conf_b_a_ppm,
+      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * (SELECT n_baskets FROM tot) * support)
+      |    / (na.n_item * nb.n_item)) AS BIGINT) AS BIGINT) AS lift_ppm
       |FROM p JOIN n na ON na.item = item_a JOIN n nb ON nb.item = item_b
       |ORDER BY item_a, item_b""".stripMargin,
     "Market-basket association rules over order baskets: support >= 3 " +

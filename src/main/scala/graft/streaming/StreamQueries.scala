@@ -186,8 +186,8 @@ object StreamQueries {
       res
     },
     Some(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(length(regexp_extract_all(text,
-      |    '${graft.ops.TextAnalysis.bpeishPattern.replace("'", "''")}'))) AS BIGINT)
+      |  CAST(SUM(len(regexp_extract_all(text,
+      |    '(${graft.ops.TextAnalysis.bpeishPattern.replace("'", "''")})', 1))) AS BIGINT)
       |    AS n_tokens,
       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),

@@ -98,6 +98,9 @@ class RegistrySpec extends SparkSpec {
     ("//", "DuckDB floor-division operator"),
     ("HUGEINT", "DuckDB 128-bit integer type"),
     ("UHUGEINT", "DuckDB unsigned 128-bit integer type"),
+    ("QUALIFY", "DuckDB QUALIFY clause (Spark: subquery + WHERE)"),
+    (", 'g')", "DuckDB regexp_replace global flag (Spark has no flag arg)"),
+    ("generate_subscripts", "DuckDB list-subscript table function"),
     ("unnest(", "DuckDB table-function unnest in FROM/SELECT position"),
     ("UNNEST(", "DuckDB table-function unnest in FROM/SELECT position"),
     ("generate_series", "DuckDB series table function"),
@@ -157,7 +160,10 @@ class RegistrySpec extends SparkSpec {
       }
     }
     info(s"SQL-path verified: $ran of ${Registry.all.count(_.oracle.isDefined)} oracles")
-    assert(ran >= sqlFlagships.size, "sweep ran fewer than the flagship set")
+    // round-16: the portable-SQL push put 200+ oracles through the Spark
+    // SQL entry; pin the floor so a dialect regression can't silently
+    // shrink the verified surface back down
+    assert(ran >= 200, s"SQL-path count regressed: $ran < 200")
     assert(diverged.isEmpty,
       s"SQL form diverged from DataFrame form:\n${diverged.mkString("\n")}")
     assert(unjustified.isEmpty,
