@@ -669,6 +669,72 @@ object ScaleProbe {
     }
     probeZorder()
 
+    // q309/q310 probe: zone-map serving must track the ANSWER (pruned
+    // buckets × rows per bucket at fixed selectivity), and the CDC
+    // upsert must track the DELTA — both ~flat when the corpus grows
+    // mult× with the bucket count scaled to hold per-bucket volume
+    // (the 100 TB sizing rule: buckets track bytes).
+    def probeZoneMap(): Unit = {
+      val li = relational.Tables.t(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val nLi = li.count()
+      val liBig = (0 until mult).map(k =>
+          li.withColumn("l_orderkey",
+            col("l_orderkey") + lit(k * 10000000L)))
+        .reduce(_ unionAll _).persist()
+      val nBig2 = liBig.count()
+      def run(scale: String, df: DataFrame, n: Long, buckets: Int): Unit = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_zmprobe_").toString
+        ops.ZoneMap.build(df, "l_orderkey", dir, nBuckets = buckets)
+        val (_, tServe) = time {
+          ops.ZoneMap.rangeQuery(spark, dir, "l_orderkey", 1000L, 1399L)
+            .agg(count(lit(1)), sum("l_quantity")).collect()
+        }
+        val (hit, total) = ops.ZoneMap.prunedSelection(spark, dir, 1000L, 1399L)
+        emit("q309_zonemap_serve", scale, n, tServe, hit.toLong)
+        val delta = df.filter(col("l_orderkey").between(1000, 1099))
+          .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+        val (_, tCdc) = time {
+          ops.ZoneMap.update(spark, dir, delta, "l_orderkey",
+            Seq("l_orderkey", "l_linenumber"))
+        }
+        emit("q310_zonemap_cdc", scale, n, tCdc, total.toLong)
+      }
+      run("1x", li, nLi, 64)
+      run(s"${mult}x", liBig, nBig2, 64 * mult)
+      liBig.unpersist()
+    }
+    probeZoneMap()
+
+    // q311 probe: Bradley-Terry cost must be ONE corpus scan (the
+    // rater×item utility agg) + types²-bounded everything after — a
+    // mult× corpus costs ~the scan ratio, and a degree-skewed rater
+    // (one user re-logging one pair millions of times) adds only its
+    // row count to the map-side combine, never a bigger wins matrix.
+    def probePreference(): Unit = {
+      val ev = relational.Tables.events(spark, sfDir)
+        .select("user_id", "event_type", "value")
+      val nEv = ev.count()
+      def run(scale: String, df: DataFrame, n: Long): Unit = {
+        val ut = df.groupBy(col("user_id").as("rater"),
+            col("event_type").as("item"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("long").as("w"))
+        val (rows, t) = time {
+          ops.Preference.bradleyTerry(ops.Preference.winsMatrix(ut), 3)
+            .collect().length.toLong
+        }
+        emit("q311_bradley_terry", scale, n, t, rows)
+      }
+      run("1x", ev, nEv)
+      val big = (0 until mult).map(k =>
+          ev.withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+        .reduce(_ unionAll _)
+      run(s"${mult}x", big, nEv * mult)
+    }
+    probePreference()
+
     // q270: theta-sketch segment build under a hot-key segment — 2*10^4
     // duplicate rows of one key must cost 2*10^4 O(1) updates absorbed
     // by map-side partial aggregation (one retained hash), so seconds

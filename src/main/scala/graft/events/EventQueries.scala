@@ -5439,7 +5439,93 @@ object EventQueries {
         .orderBy("r_seg", "f_seg", "m_seg")
   }
 
+  /** [[graft.ops.Preference.bradleyTerry]] over per-user type
+    * preferences (q311): each user "prefers" the event type they spent
+    * more on — every user contributes one duel per type pair they
+    * touched (items²-bounded per user, never user×user), the ordered
+    * wins matrix aggregates to a types²-sized frame, and THREE exact
+    * integer-ppm MM updates rate the types. The oracle replays the
+    * derivation and all three updates bit-for-bit with the SAME formula
+    * strings (the q279 macro-sharing discipline) through the exact
+    * portable floor division round((a − a%b)/b) — one text for both
+    * engines, no MATERIALIZED needed (every iteration frame is ≤ 20
+    * rows at any corpus size).
+    */
+  val q311_bradley_terry: QueryDef = {
+    import graft.ops.Preference
+    val nTypes = 5 // click, error, purchase, signup, view — all SFs
+    def level(k: Int): String =
+      s"""t$k AS (
+         |  SELECT item, CAST(SUM(${Preference.tExpr}) AS BIGINT) AS denom
+         |  FROM (SELECT pr.item, pr.g, pi.p AS pi, pj.p AS pj
+         |        FROM pairs pr
+         |        JOIN p$k pi ON pi.item = pr.item
+         |        JOIN p$k pj ON pj.item = pr.rival) z
+         |  GROUP BY 1),
+         |praw$k AS (
+         |  SELECT item, ${Preference.prawExpr} AS praw
+         |  FROM (SELECT tt.item, tt.wins, dk.denom, pk.p
+         |        FROM totals tt
+         |        JOIN t$k dk ON dk.item = tt.item
+         |        JOIN p$k pk ON pk.item = tt.item) z),
+         |p${k + 1} AS (
+         |  SELECT item, ${Preference.renormExpr(nTypes)} AS p
+         |  FROM (SELECT item, praw,
+         |          (SELECT CAST(SUM(praw) AS BIGINT) FROM praw$k) AS total
+         |        FROM praw$k) z)""".stripMargin
+    QueryDef(
+      "q311_bradley_terry",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .groupBy(col("user_id").as("rater"),
+            col("event_type").as("item"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("w"))
+        graft.ops.Preference
+          .bradleyTerry(graft.ops.Preference.winsMatrix(ut), iters = 3)
+          .select(col("item").as("event_type"), col("wins"), col("games"),
+            col("rating_ppm"))
+      },
+      Some(s"""WITH ut AS (
+        |  SELECT user_id AS rater, event_type AS item,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2),
+        |duel AS (
+        |  SELECT CASE WHEN a.w >= b.w THEN a.item ELSE b.item END AS item,
+        |         CASE WHEN a.w >= b.w THEN b.item ELSE a.item END AS rival
+        |  FROM ut a JOIN ut b ON b.rater = a.rater AND a.item < b.item),
+        |wm AS (SELECT item, rival, CAST(count(*) AS BIGINT) AS wins
+        |       FROM duel GROUP BY 1, 2),
+        |g0 AS (
+        |  SELECT item, rival, wins FROM wm
+        |  UNION ALL
+        |  SELECT rival AS item, item AS rival, CAST(0 AS BIGINT) AS wins
+        |  FROM wm),
+        |games AS (SELECT item, rival, CAST(SUM(wins) AS BIGINT) AS w_ij
+        |          FROM g0 GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.item, x.rival, x.w_ij,
+        |    x.w_ij + COALESCE(y.w_ij, 0) AS g
+        |  FROM games x LEFT JOIN games y
+        |    ON y.item = x.rival AND y.rival = x.item),
+        |totals AS (SELECT item, CAST(SUM(w_ij) AS BIGINT) AS wins,
+        |             CAST(SUM(g) AS BIGINT) AS games
+        |           FROM pairs GROUP BY 1),
+        |p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p FROM totals),
+        |${level(0)},
+        |${level(1)},
+        |${level(2)}
+        |SELECT t.item AS event_type, t.wins, t.games, p3.p AS rating_ppm
+        |FROM totals t JOIN p3 ON p3.item = t.item
+        |ORDER BY rating_ppm DESC, event_type""".stripMargin),
+      "Bradley-Terry preference ratings over per-user type duels — " +
+        "types^2-bounded wins matrix, 3 exact integer-ppm MM updates, " +
+        "macro-shared formula strings replayed by the oracle")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    q311_bradley_terry,
     q250_benford, q251_gini, q252_modularity, q253_ols_trend,
     q254_incremental_median, q255_scd2_build, q256_cross_correlation,
     q259_purged_folds, q260_bounce_rate, q261_quartiles_cont,

@@ -140,6 +140,57 @@ object CorpusBuilds {
     * the cached dir converge to the identical index state; only the
     * first pays the build.
     */
+  /** One zone-mapped lineitem layout per (applicationId, dataset, tag) —
+    * [[ZoneMap.build]] on l_orderkey, 64 range buckets. q309 and q310
+    * build into DISTINCT dirs (q310 mutates its copy with a CDC upsert;
+    * sharing would make q309's pruning depend on run order). q310's
+    * delta is IDEMPOTENT (upsert of fixed rows), so repeated invocations
+    * over the cached dir converge; only the first pays build + update.
+    */
+  def lineitemZoneMap(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap|" + dir, _ => {
+        val idx =
+          java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
+        ZoneMap.build(graft.relational.Tables.t(s, dir, "lineitem"),
+          "l_orderkey", idx, nBuckets = 64)
+        idx
+      })
+
+  /** q310's mutated copy: build, then one CDC upsert bumping l_quantity
+    * by 5 for orderkeys 1000–1099 (merge key = orderkey + linenumber).
+    */
+  def lineitemZoneMapCdc(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap_cdc|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_zonemap_cdc_").toString
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        ZoneMap.build(li, "l_orderkey", idx, nBuckets = 64)
+        val delta = li
+          .filter(col("l_orderkey").between(1000, 1099))
+          .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+        ZoneMap.update(s, idx, delta, "l_orderkey",
+          Seq("l_orderkey", "l_linenumber"))
+        idx
+      })
+
+  /** q312's streaming twin of [[lineitemZoneMapCdc]]: build ONLY — the
+    * stream query applies its own foreachBatch CDC on top, so the dir
+    * must be distinct from q309/q310's (they'd otherwise see its
+    * mutations depending on run order).
+    */
+  def lineitemZoneMapStream(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap_stream|" + dir, _ => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_zonemap_str_").toString
+        ZoneMap.build(graft.relational.Tables.t(s, dir, "lineitem"),
+          "l_orderkey", idx, nBuckets = 64)
+        idx
+      })
+
   def embeddingsIvfPqSmallIndex(s: SparkSession, dir: String): String =
     pathCache.computeIfAbsent(
       s.sparkContext.applicationId + "|ivfpq_m2k4|" + dir, _ => {

@@ -407,8 +407,79 @@ object FormatQueries {
       "Morton layout, digest vs the unclustered oracle; rows-scanned " +
       "shrinkage pinned in IoSkewSpec")
 
+  /** [[graft.ops.ZoneMap]] range serving (q309): a standing range-
+    * clustered lineitem copy + per-bucket min/max zone table (the
+    * lakehouse data-skipping shape — Delta/Iceberg file stats), built
+    * once and committed through the crash-atomic manifest protocol; the
+    * query zone-routes `l_orderkey BETWEEN 1000 AND 1399` and reads ONLY
+    * the overlapping bucket partitions (ZoneMapSpec pins the pruned
+    * selection and the static file list; the zone read and bucket-id
+    * collect are n_buckets-bounded, never corpus-sized). Oracle = the
+    * same range aggregate off the raw table — values must be layout-
+    * independent.
+    */
+  val q309_zonemap_range: QueryDef = QueryDef(
+    "q309_zonemap_range",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMap(s, d)
+      graft.ops.ZoneMap.rangeQuery(s, idx, "l_orderkey", 1000L, 1399L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 1399
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Zone-map data skipping: range query served from the standing " +
+      "clustered copy via per-bucket min/max routing + static partition " +
+      "pruning, digest vs the raw-table oracle")
+
+  /** [[graft.ops.ZoneMap.update]] (q310): CDC upsert into the standing
+    * zone-mapped copy (quantity +5 for orderkeys 1000–1099, merge key
+    * orderkey+linenumber) — ONE crash-atomic commit rewriting only the
+    * buckets the delta routes to, with the zone rows for those buckets
+    * recomputed in the same commit. The serve then range-queries across
+    * the updated and untouched buckets together; the oracle replays the
+    * upsert arithmetic off the raw table, so a lost delta row, a
+    * double-applied replacement, or a stale zone route all hash-fail.
+    */
+  val q310_zonemap_cdc: QueryDef = QueryDef(
+    "q310_zonemap_cdc",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapCdc(s, d)
+      graft.ops.ZoneMap.rangeQuery(s, idx, "l_orderkey", 950L, 1150L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(q AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey,
+      |    CASE WHEN l_orderkey BETWEEN 1000 AND 1099
+      |         THEN l_quantity + 5 ELSE l_quantity END AS q
+      |  FROM lineitem
+      |  WHERE l_orderkey BETWEEN 950 AND 1150) t
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Zone-map CDC: delta-sized upsert commit (touched buckets + spliced " +
+      "zone rows, crash-atomic), then a range serve spanning updated and " +
+      "untouched buckets — oracle replays the merge off the raw table")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
-    q247_partition_pruning, q268_zorder_pruning)
+    q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
+    q310_zonemap_cdc)
 }

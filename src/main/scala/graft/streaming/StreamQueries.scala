@@ -1505,8 +1505,71 @@ object StreamQueries {
         "from-scratch rebuild over the final corpus")
   }
 
+  /** Stream/batch parity #22 — the ZONE-MAPPED table copy under
+    * streaming CDC (the q302 lifecycle on the relational side): quantity
+    * upserts for orderkeys ≡ 0 (mod 7) arrive in 3 key-ranged
+    * micro-batches, each applied by [[graft.ops.ZoneMap.update]] against
+    * the standing artifact — one crash-atomic commit per batch rewriting
+    * only the buckets that batch's keys route to, zone rows spliced in
+    * the same commit. The end-state range serve must equal the batch
+    * replay of the full upsert (the oracle) — a batch that lost rows,
+    * applied twice non-idempotently, or left a stale zone route
+    * hash-fails. Key-ranged staging means each micro-batch touches a
+    * DISJOINT bucket range, so per-batch cost is that batch's delta.
+    */
+  val q312_stream_zonemap_cdc: QueryDef = QueryDef(
+    "q312_stream_zonemap_cdc",
+    (s, d) => {
+      val dir = graft.ops.CorpusBuilds.lineitemZoneMapStream(s, d)
+      val li = graft.relational.Tables.t(s, d, "lineitem")
+      val cdc = li.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+      val staged = stageRanged(cdc, col("l_orderkey"), k = 3,
+        prefix = "graft_q312_src", datasetDir = d)
+      val schema = s.read.parquet(staged.toString).schema
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q312_ckpt")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          graft.ops.ZoneMap.update(s, dir,
+            batch.localCheckpoint(true), "l_orderkey",
+            Seq("l_orderkey", "l_linenumber"))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"expected multiple micro-batches, saw $batches — staging broke")
+      deleteRecursively(ckpt)
+      graft.ops.ZoneMap.rangeQuery(s, dir, "l_orderkey", 500L, 1499L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(q AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey,
+      |    CASE WHEN l_orderkey % 7 = 0
+      |         THEN l_quantity + 5 ELSE l_quantity END AS q
+      |  FROM lineitem
+      |  WHERE l_orderkey BETWEEN 500 AND 1499) t
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Stream/batch parity #22: the zone-mapped table maintained by " +
+      "foreachBatch CDC micro-batches (crash-atomic per-batch commits, " +
+      "touched buckets only) — end-state range serve = batch replay")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
-    q302_stream_text_index,
+    q302_stream_text_index, q312_stream_zonemap_cdc,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "q119_pq_adc_recall" -> "m·k-row (256) tagged codebook broadcast for PQ assignment + per-query ADC distance tables",
     "q17_scalar_subquery" -> "decorrelated scalar aggregate (one row) joined to every lineitem row",
     "q301_louvain_refine" -> "one-row edge-mass m broadcast into the ΔQ filter and both modularity aggregates, plus the 1-row×1-row LPA/merge stat join",
+    "q307_louvain_multilevel" -> "q301's one-row edge-mass m broadcast, once per level (3 levels) into each level's modularity aggregate",
     "q40_intersect_unionall" -> "one-row union-all count attached to the set-op result",
     "q59_sequence_packing" -> "one-row bin-capacity stats attached before packing audit",
     "q60_hashing_tfidf" -> "one-row corpus doc count (idf denominator) broadcast",
@@ -114,7 +115,8 @@ class PlanLintSpec extends SparkSpec {
     "q222_gap_deciles" -> "global cumulative sum over the VALUE-DOMAIN gap histogram (distinct gap values — q204's frame on a derived metric)",
     "q225_user_growth" -> "cumulative sum over the per-day new-user aggregate (calendar-bounded day frame, never corpus rows)",
     "q228_conversion_latency" -> "global cumulative sum over the VALUE-DOMAIN latency histogram (distinct latency values - q222's frame)",
-    "q251_gini" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (q210's shape on the spend-total value domain)"
+    "q251_gini" -> "GlobalPrefixSum boundary-offset window over the #partitions-sized per-partition totals (q210's shape on the spend-total value domain)",
+    "q307_louvain_multilevel" -> "monotone-Q gate: lag over the LEVEL summary frame (nLevels+1 = 4 rows — bounded by the level count, never graph-sized)"
   )
 
   /** A WindowExec line with ONE "], [" separator has (functions, order)

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[ZoneMap]]: zone-routed serving equals the full-scan filter, pruning
+  * is real (and visible), CDC rewrites only the touched buckets (mtime
+  * pins), out-of-range delta keys clamp to the edge buckets, and a
+  * commit killed before the pointer flip leaves the served artifact
+  * byte-identical.
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("zm_spec_").toString
+
+  private def table(n: Int) =
+    (0 until n).map(i => (i.toLong, s"p$i", (i % 7).toLong))
+      .toDF("k", "payload", "grp")
+
+  test("rangeQuery equals the full-scan filter; selection is pruned") {
+    val dir = freshDir()
+    ZoneMap.build(table(1000), "k", dir, nBuckets = 16)
+    val served = ZoneMap.rangeQuery(spark, dir, "k", 100, 199)
+      .select("k", "payload", "grp").collect().map(_.toString).sorted
+    val expected = table(1000).filter($"k".between(100, 199))
+      .collect().map(_.toString).sorted
+    assert(served.toSeq == expected.toSeq)
+    val (hit, total) = ZoneMap.prunedSelection(spark, dir, 100, 199)
+    assert(total == 16, s"expected 16 live buckets, got $total")
+    assert(hit <= 3, s"a 10% range must route to <=3 of 16 buckets, hit $hit")
+  }
+
+  test("zone stats beat boundary math on sparse buckets") {
+    // keys cluster in two islands; the static boundary span covers the
+    // hole, the per-bucket min/max does not
+    val df = ((0 until 100) ++ (900 until 1000)).map(_.toLong)
+      .toDF("k").withColumn("payload", lit("x")).withColumn("grp", lit(0L))
+    val dir = freshDir()
+    ZoneMap.build(df, "k", dir, nBuckets = 8)
+    // the hole [300, 600] overlaps several boundary ranges but ZERO
+    // actual zones
+    val (hit, _) = ZoneMap.prunedSelection(spark, dir, 300, 600)
+    assert(hit == 0, s"hole must prune to zero buckets, hit $hit")
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 300, 600).count() == 0)
+  }
+
+  test("update rewrites only touched buckets; untouched mtimes pinned") {
+    val dir = freshDir()
+    ZoneMap.build(table(1000), "k", dir, nBuckets = 16)
+    def paths(): Map[String, String] = {
+      val (_, m) = VersionedIndex.readManifest(spark, dir)
+      VersionedIndex.partitionPaths(dir, m, "data")
+    }
+    def mtimes(ps: Map[String, String]): Map[String, Long] = {
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      ps.map { case (pd, p) =>
+        pd -> f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          .getModificationTime }
+    }
+    val before = paths()
+    val mtBefore = mtimes(before)
+    // delta touches keys 100..119 — one or two buckets of sixteen
+    val delta = (100 until 120).map(i => (i.toLong, s"NEW$i", 99L))
+      .toDF("k", "payload", "grp")
+    ZoneMap.update(spark, dir, delta, "k", Seq("k"))
+    val after = paths()
+    val changed = after.filter { case (pd, p) => before.get(pd) != Some(p) }
+    assert(changed.nonEmpty && changed.size <= 2,
+      s"delta of 20 adjacent keys must rewrite <=2 buckets, rewrote " +
+        s"${changed.keys.toSeq.sorted}")
+    val untouched = after.keySet -- changed.keySet
+    val mtAfter = mtimes(after)
+    untouched.foreach { pd =>
+      assert(mtAfter(pd) == mtBefore(pd), s"untouched $pd was rewritten")
+    }
+    // served content = replayed merge
+    val served = ZoneMap.rangeQuery(spark, dir, "k", 90, 130)
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    (100 until 120).foreach(i => assert(served(i.toLong) == s"NEW$i"))
+    assert(served(95L) == "p95" && served(125L) == "p125")
+    // zones spliced: the touched bucket's stats reflect the merge
+    val zoneSum = ZoneMap.readZones(spark, dir)
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(zoneSum == 1000L, s"upsert must not change row count: $zoneSum")
+  }
+
+  test("out-of-range delta keys clamp to the edge buckets and serve") {
+    val dir = freshDir()
+    ZoneMap.build(table(100), "k", dir, nBuckets = 4)
+    val delta = Seq((-5L, "low", 0L), (500L, "high", 0L))
+      .toDF("k", "payload", "grp")
+    ZoneMap.update(spark, dir, delta, "k", Seq("k"))
+    val low = ZoneMap.rangeQuery(spark, dir, "k", -10, -1)
+      .select("payload").as[String].collect()
+    val high = ZoneMap.rangeQuery(spark, dir, "k", 400, 600)
+      .select("payload").as[String].collect()
+    assert(low.toSeq == Seq("low") && high.toSeq == Seq("high"))
+    // clamped rows widen the edge zones, so routing still finds them
+    val z = ZoneMap.readZones(spark, dir)
+      .agg(min("zmin"), max("zmax")).head()
+    assert(z.getLong(0) == -5L && z.getLong(1) == 500L)
+  }
+
+  test("a commit killed before the pointer flip leaves the index intact") {
+    val dir = freshDir()
+    ZoneMap.build(table(200), "k", dir, nBuckets = 4)
+    val servedBefore = ZoneMap.rangeQuery(spark, dir, "k", 0, 199)
+      .collect().map(_.toString).sorted.toSeq
+    val delta = Seq((10L, "CRASH", 0L)).toDF("k", "payload", "grp")
+    VersionedIndex.crashHook = {
+      case "pre-pointer" => throw new RuntimeException("injected crash")
+      case _ =>
+    }
+    try {
+      intercept[RuntimeException] {
+        ZoneMap.update(spark, dir, delta, "k", Seq("k"))
+      }
+    } finally VersionedIndex.crashHook = _ => ()
+    val servedAfter = ZoneMap.rangeQuery(spark, dir, "k", 0, 199)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedAfter == servedBefore,
+      "a killed commit must leave the served index byte-identical")
+    // and the next committer recovers: the same update applies cleanly
+    // (the crashed claim is this writer's own, below the staleness
+    // window — sweep it eagerly for the test)
+    VersionedIndex.claimStaleMs = 0L
+    try ZoneMap.update(spark, dir, delta, "k", Seq("k"))
+    finally VersionedIndex.claimStaleMs = 15L * 60 * 1000
+    val served = ZoneMap.rangeQuery(spark, dir, "k", 10, 10)
+      .select("payload").as[String].collect()
+    assert(served.toSeq == Seq("CRASH"))
+  }
+}
