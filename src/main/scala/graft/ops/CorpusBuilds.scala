@@ -176,6 +176,21 @@ object CorpusBuilds {
         idx
       })
 
+  /** q313's bloom-equipped layout: the zone map clustered on l_orderkey
+    * PLUS the per-bucket bloom over l_partkey (the non-clustered axis a
+    * point lookup would otherwise full-scan). Own dir — q309's plain
+    * build must not silently gain a bloom artifact.
+    */
+  def lineitemZoneMapBloom(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap_bloom|" + dir, _ => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_zonemap_bloom_").toString
+        ZoneMap.build(graft.relational.Tables.t(s, dir, "lineitem"),
+          "l_orderkey", idx, nBuckets = 64, bloomCol = Some("l_partkey"))
+        idx
+      })
+
   /** q312's streaming twin of [[lineitemZoneMapCdc]]: build ONLY — the
     * stream query applies its own foreachBatch CDC on top, so the dir
     * must be distinct from q309/q310's (they'd otherwise see its

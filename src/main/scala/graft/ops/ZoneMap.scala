@@ -55,13 +55,61 @@ object ZoneMap {
     expr(s"CAST(least(${nBuckets - 1}L, greatest(0L, " +
       s"(CAST($keyCol AS BIGINT) - ${lo}L) div ${step}L)) AS INT)")
 
-  /** Build and commit the clustered copy + zone table. `df` must carry a
+  /** Bloom sizing: ~10 bits/key (k = 4 double-hashed probes → ~1.2% FP).
+    * Hashes are Spark's xxhash64 with two seeds — evaluated as ordinary
+    * codegen'd expressions, never a UDF.
+    */
+  private val BloomBitsPerKey = 10
+  private val BloomK = 4
+
+  /** Probe i of the double-hash family, overflow-safe: both hashes
+    * reduce mod m before combining. Shared verbatim by the build and
+    * lookup sides so the bit positions agree exactly.
+    */
+  private def bloomProbe(valueSql: String, i: Int, mSql: String) =
+    expr(s"pmod(pmod(xxhash64($valueSql, 1), $mSql) + " +
+      s"$i * pmod(xxhash64($valueSql, 2), $mSql), $mSql)")
+
+  /** Per-bucket bloom words over `bloomCol`: (zbucket, idx, word) rows,
+    * m bits per bucket = next multiple of 64 ≥ bits/key · bucket rows
+    * (per-bucket m rides in the zone table). Word mass is corpus/6.4
+    * bits, so the artifact is PARTITIONED by zbucket and maintained
+    * exactly like `data` — touched buckets only.
+    */
+  private def bloomWordsOf(data: DataFrame, bloomCol: String,
+      zones: DataFrame): DataFrame = {
+    val withM = data.join(
+      broadcast(zones.select(col("zbucket"), col("bloom_m"))), Seq("zbucket"))
+    // hash the BIGINT form: xxhash64 is type-sensitive, and the lookup
+    // side probes with a BIGINT literal — both sides must hash 8 bytes.
+    // Each hash reduces mod m BEFORE the double-hash combine: the raw
+    // h1 + i·h2 wraps int64 (ANSI overflow); the reduced form stays
+    // below (BloomK+1)·m and is the same probe sequence
+    val probes = (0 until BloomK).map(i => bloomProbe(
+      s"CAST($bloomCol AS BIGINT)", i, "bloom_m").as(s"p$i"))
+    withM.select(col("zbucket") +: probes: _*)
+      .select(col("zbucket"),
+        explode(array((0 until BloomK).map(i => col(s"p$i")): _*)).as("pos"))
+      .select(col("zbucket"), expr("pos div 64").cast(IntegerType).as("idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("zbucket", "idx")
+      .agg(expr("bit_or(bit)").as("word"))
+  }
+
+  private def zonesWithBloomM(data: DataFrame, keyCol: String): DataFrame =
+    zonesOf(data, keyCol).withColumn("bloom_m",
+      expr(s"CAST(((n_rows * $BloomBitsPerKey + 63) div 64) * 64 AS BIGINT)"))
+
+  /** Build and commit the clustered copy + zone table (+ optional bloom
+    * artifact over a secondary, non-clustered column — the point-lookup
+    * companion to the zone map's range routing). `df` must carry a
     * numeric key column; every other column rides as payload. One pass
     * for the global range, one shuffled write clustered by bucket, one
-    * bucket-count-sized aggregation for the zones.
+    * bucket-count-sized aggregation for the zones, one probe-exploded
+    * aggregation for the blooms.
     */
   def build(df: DataFrame, keyCol: String, dir: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, bloomCol: Option[String] = None): Unit = {
     val s = df.sparkSession
     val r = df.agg(min(col(keyCol).cast(LongType)),
       max(col(keyCol).cast(LongType))).head()
@@ -69,6 +117,7 @@ object ZoneMap {
     val step = math.max(1L, (hi - lo) / nBuckets + 1)
     val c = VersionedIndex.begin(s, dir)
     try {
+      bloomCol.foreach(bc => writeBloomCol(s, dir, bc))
       val bucketed = df
         .withColumn("zbucket", bucketExpr(keyCol, lo, step, nBuckets))
       bucketed
@@ -79,12 +128,23 @@ object ZoneMap {
       // zones from the just-written copy: stats describe EXACTLY the
       // committed bytes (not the pre-shuffle plan), same discipline as
       // the text index's corpus stats
-      zonesOf(s.read.parquet(s"${c.gen}/data"), keyCol)
-        .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
+      val committed = s.read.parquet(s"${c.gen}/data")
+      val zones = zonesWithBloomM(committed, keyCol)
+      zones.coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
+      bloomCol.foreach { bc =>
+        bloomWordsOf(committed, bc,
+            s.read.parquet(s"${c.gen}/zones"))
+          .repartition(math.min(nBuckets, 32), col("zbucket"))
+          .write.mode("overwrite").partitionBy("zbucket")
+          .parquet(s"${c.gen}/blooms")
+      }
       val parts = Map(
         "data" -> VersionedIndex.writtenPartDirs(s, s"${c.gen}/data")
           .map(_ -> c.genLabel).toMap,
-        "zones" -> Map("-" -> c.genLabel))
+        "zones" -> Map("-" -> c.genLabel)) ++
+        bloomCol.map(_ => "blooms" -> VersionedIndex
+          .writtenPartDirs(s, s"${c.gen}/blooms")
+          .map(_ -> c.genLabel).toMap)
       c.finish(VersionedIndex.Manifest(parts,
         Map("n_buckets" -> nBuckets.toLong, "range_lo" -> lo,
           "step" -> step)))
@@ -102,7 +162,7 @@ object ZoneMap {
     val (_, m) = VersionedIndex.readManifest(spark, dir)
     VersionedIndex.readArtifact(spark, dir, m, "zones", None,
       dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
-        "zmax" -> "BIGINT", "n_rows" -> "BIGINT")))
+        "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
   }
 
   /** Full-scan view of the committed data (tests, rebuild comparisons). */
@@ -122,7 +182,7 @@ object ZoneMap {
     val (_, m) = VersionedIndex.readManifest(spark, dir)
     val zones = VersionedIndex.readArtifact(spark, dir, m, "zones", None,
       dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
-        "zmax" -> "BIGINT", "n_rows" -> "BIGINT")))
+        "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
     val hit = zones.filter(col("zmin") <= hi && col("zmax") >= lo)
       .select("zbucket").collect().map(_.getInt(0)).toSeq
     val sel = hit.map(b => s"zbucket=$b").toSet
@@ -139,7 +199,7 @@ object ZoneMap {
     val (_, m) = VersionedIndex.readManifest(spark, dir)
     val zones = VersionedIndex.readArtifact(spark, dir, m, "zones", None,
       dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
-        "zmax" -> "BIGINT", "n_rows" -> "BIGINT")))
+        "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
     val hit = zones.filter(col("zmin") <= hi && col("zmax") >= lo).count()
     (hit.toInt, m.parts("data").size)
   }
@@ -191,16 +251,105 @@ object ZoneMap {
       // sized) in the SAME commit
       val oldZones = VersionedIndex.readArtifact(spark, dir, m, "zones",
         None, dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
-          "zmax" -> "BIGINT", "n_rows" -> "BIGINT")))
-      val newTouched = zonesOf(
+          "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
+      val newTouched = zonesWithBloomM(
         spark.read.parquet(s"${c.gen}/data"), keyCol)
       oldZones.filter(!col("zbucket").isin(touched: _*))
         .unionByName(newTouched)
         .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
+      // blooms (when built): a bloom cannot subtract a replaced key, so
+      // each TOUCHED bucket's words rebuild from its merged rows — the
+      // rebuild is bucket-sized, the same budget as the data rewrite it
+      // rides with; untouched buckets keep their word files
+      val bloomParts = m.parts.get("blooms").map { standingBlooms =>
+        val bc = bloomColOf(spark, dir, m)
+        bloomWordsOf(spark.read.parquet(s"${c.gen}/data"),
+            bc, spark.read.parquet(s"${c.gen}/zones")
+              .filter(col("zbucket").isin(touched: _*)))
+          .repartition(math.min(touched.size, 32), col("zbucket"))
+          .write.mode("overwrite").partitionBy("zbucket")
+          .parquet(s"${c.gen}/blooms")
+        standingBlooms ++ VersionedIndex
+          .writtenPartDirs(spark, s"${c.gen}/blooms")
+          .map(_ -> c.genLabel)
+      }
       c.finish(VersionedIndex.Manifest(
         m.parts.updated("data", dataParts)
-          .updated("zones", Map("-" -> c.genLabel)),
+          .updated("zones", Map("-" -> c.genLabel)) ++
+          bloomParts.map("blooms" -> _),
         m.stats))
     } catch { case e: Throwable => c.abort(); throw e }
+  }
+
+  /** The bloom column name, from the one-line `bloom_col` sidecar the
+    * build writes — maintenance must probe the SAME column the build
+    * hashed, and the artifact should be self-describing rather than
+    * trusting every update call site to repeat the right name. The
+    * sidecar is immutable config (written at build, never rotated), so
+    * it lives outside the versioned manifest.
+    */
+  private def bloomColOf(spark: SparkSession, dir: String,
+      m: VersionedIndex.Manifest): String = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/bloom_col"))
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  private[graft] def writeBloomCol(spark: SparkSession, dir: String,
+      bloomCol: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/bloom_col"), true)
+    try out.write(bloomCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Bucket ids whose bloom PASSES `value` on the bloom column — the
+    * candidate set of a point lookup (exact matches always pass; ~1.2%
+    * of non-matching buckets false-positive through). The probe-word
+    * read is (n_buckets × k)-bounded: only the probed `idx` words of
+    * each bucket's bloom partition are needed, and parquet row-group
+    * stats on the idx column prune inside each partition file.
+    */
+  def bloomCandidates(spark: SparkSession, dir: String,
+      value: Long): Seq[Int] = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    require(m.parts.contains("blooms"), s"$dir was built without a bloom")
+    val zones = VersionedIndex.readArtifact(spark, dir, m, "zones", None,
+      dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
+        "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
+    val probes = zones.select(col("zbucket"), col("bloom_m"),
+        explode(array((0 until BloomK).map(i => bloomProbe(
+          s"CAST($value AS BIGINT)", i, "bloom_m")): _*))
+          .as("pos"))
+      .select(col("zbucket"), expr("pos div 64").cast(IntegerType).as("idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+    val words = VersionedIndex.readArtifact(spark, dir, m, "blooms", None,
+      dataSchema(Seq("idx" -> "INT", "word" -> "BIGINT",
+        "zbucket" -> "INT")))
+    probes.join(words, Seq("zbucket", "idx"), "left")
+      .groupBy("zbucket")
+      .agg(min(when(coalesce(col("word"), lit(0L))
+        .bitwiseAND(col("bit")) === col("bit"), 1).otherwise(0)).as("pass"))
+      .filter(col("pass") === 1)
+      .select("zbucket").collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Point lookup on the BLOOM column (the non-clustered axis): bloom-
+    * route to candidate buckets, statically prune the data read to them,
+    * filter exactly. Zone routing cannot help here — the clustered key
+    * is a different column — so without the bloom this is a full scan.
+    */
+  def pointLookup(spark: SparkSession, dir: String, bloomCol: String,
+      value: Long): DataFrame = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    val cand = bloomCandidates(spark, dir, value)
+    val sel = cand.map(b => s"zbucket=$b").toSet
+    VersionedIndex.readArtifact(spark, dir, m, "data", Some(sel),
+        dataSchemaFromManifest(spark, dir, m))
+      .filter(col(bloomCol) === value)
   }
 }

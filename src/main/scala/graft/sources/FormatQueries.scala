@@ -477,9 +477,42 @@ object FormatQueries {
       "zone rows, crash-atomic), then a range serve spanning updated and " +
       "untouched buckets — oracle replays the merge off the raw table")
 
+  /** [[graft.ops.ZoneMap.pointLookup]] (q313): point lookup on the
+    * NON-clustered axis (l_partkey) of the zone-mapped copy — zone
+    * min/max can't route a column the layout wasn't clustered on, so a
+    * per-bucket BLOOM over l_partkey (10 bits/key, 4 double-hashed
+    * probes, committed and CDC-maintained with the data) supplies the
+    * candidate buckets instead; the data read statically prunes to them
+    * and filters exactly. Bloom false positives only widen the read —
+    * never the answer — so the raw-table oracle pins correctness while
+    * ZoneMapSpec pins the candidate set's tightness.
+    */
+  val q313_bloom_point: QueryDef = QueryDef(
+    "q313_bloom_point",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapBloom(s, d)
+      graft.ops.ZoneMap.pointLookup(s, idx, "l_partkey", 100L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_partkey = 100
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Bloom-filter data skipping on the non-clustered axis: point lookup " +
+      "routed by the per-bucket CDC-maintained bloom, digest vs the " +
+      "raw-table oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
-    q310_zonemap_cdc)
+    q310_zonemap_cdc, q313_bloom_point)
 }

@@ -49,6 +49,21 @@ object ZoneMapProbeRun {
       }
       println(f"ZONEMAP scale=$scale n=$n build=$tBuild%.2f serve=$tServe%.2f" +
         f" cdc=$tCdc%.2f pruned=$hit/$total")
+      // bloom leg: non-clustered point lookup on l_partkey
+      val bdir = java.nio.file.Files
+        .createTempDirectory("graft_zmprobe_bloom_").toString
+      ops.ZoneMap.build(df.withColumn("l_partkey",
+          col("l_orderkey") % 20000L), "l_orderkey", bdir,
+        nBuckets = buckets, bloomCol = Some("l_partkey"))
+      val (cand, tPoint) = time {
+        ops.ZoneMap.bloomCandidates(spark, bdir, 100L).size
+      }
+      val (_, tLookup) = time {
+        ops.ZoneMap.pointLookup(spark, bdir, "l_partkey", 100L)
+          .agg(count(lit(1))).collect()
+      }
+      println(f"BLOOM scale=$scale n=$n route=$tPoint%.2f lookup=$tLookup%.2f" +
+        f" candidates=$cand/$buckets")
     }
     run("1x", li, nLi, 64)
     run(s"${mult}x", liBig, nBig, 64 * mult)

@@ -104,6 +104,45 @@ class ZoneMapSpec extends SparkSpec {
     assert(z.getLong(0) == -5L && z.getLong(1) == 500L)
   }
 
+  test("bloom candidates cover every true bucket and prune most others") {
+    // secondary column v concentrates each value in FEW buckets of the
+    // k-clustered layout: v = k div 100 lives in exactly the buckets
+    // covering [v*100, v*100+99]
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong / 100, s"p$i"))
+      .toDF("k", "v", "payload")
+    val dir = freshDir()
+    ZoneMap.build(df, "k", dir, nBuckets = 16, bloomCol = Some("v"))
+    val cand = ZoneMap.bloomCandidates(spark, dir, 3L)
+    // v=3 lives in keys 300..399 → buckets 300/63..399/63 = {4,5,6}
+    val truth = (300 until 400).map(_ / 63).distinct.sorted
+    assert(truth.forall(cand.contains),
+      s"bloom lost a true bucket: true=$truth cand=$cand")
+    assert(cand.size <= truth.size + 2,
+      s"bloom passed too many false buckets: true=$truth cand=$cand")
+    val served = ZoneMap.pointLookup(spark, dir, "v", 3L)
+      .select("k").as[Long].collect().sorted
+    assert(served.toSeq == (300L until 400L))
+  }
+
+  test("CDC rebuilds the touched buckets' blooms; lookups stay exact") {
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong / 100, s"p$i"))
+      .toDF("k", "v", "payload")
+    val dir = freshDir()
+    ZoneMap.build(df, "k", dir, nBuckets = 16, bloomCol = Some("v"))
+    // move keys 350..359 to a brand-new secondary value 777
+    val delta = (350 until 360).map(i => (i.toLong, 777L, s"moved$i"))
+      .toDF("k", "v", "payload")
+    ZoneMap.update(spark, dir, delta, "k", Seq("k"))
+    val c777 = ZoneMap.bloomCandidates(spark, dir, 777L)
+    assert(c777.nonEmpty, "new value must pass its bucket's rebuilt bloom")
+    val served = ZoneMap.pointLookup(spark, dir, "v", 777L)
+      .select("k").as[Long].collect().sorted
+    assert(served.toSeq == (350L until 360L))
+    // untouched buckets' blooms survive: v=0 (keys 0..99) still routes
+    val served0 = ZoneMap.pointLookup(spark, dir, "v", 0L).count()
+    assert(served0 == 100L)
+  }
+
   test("a commit killed before the pointer flip leaves the index intact") {
     val dir = freshDir()
     ZoneMap.build(table(200), "k", dir, nBuckets = 4)
