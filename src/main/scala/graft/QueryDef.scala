@@ -14,12 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    unique tiebreaker) on both sides;
   *  - integer-ish outputs are BIGINT on both sides (DuckDB sum(int) is
   *    HUGEINT and Spark row_number is INT — both get explicit casts);
-  *  - integer division pairs Spark's `div` (truncate toward zero) with
-  *    DuckDB's `//` (floor). These agree ONLY for non-negative operands
-  *    — true everywhere we divide (epoch seconds ≥ 0, counts, ppm
-  *    numerators) but a silent divergence if pre-1970 timestamps or
-  *    negative aggregates ever reach a div site (see Tables.ts_sec,
-  *    EventQueries day buckets, the ppm digests in Sampling/Featurize).
+  *  - integer division: the DataFrame side uses Spark's `div` (truncate
+  *    toward zero); SQL-portable oracles spell floor division as
+  *    CAST(floor(a / b) AS BIGINT) — identical IEEE semantics in both
+  *    engines, exact while the NUMERATOR stays below 2^53 — or, where
+  *    numerators can outgrow that (q279's determinants, q311's MM
+  *    updates), the exact idiom round((a − a%b)/b) whose exactness
+  *    depends only on the QUOTIENT (< ~2^51): subtraction and modulo
+  *    stay exact in DECIMAL(38,0), the divided numerator is exactly
+  *    divisible, and round() absorbs the double conversion's ulp noise.
+  *    All idioms agree with `//`/`div` ONLY for non-negative operands —
+  *    true everywhere we divide (epoch seconds ≥ 0, counts, ppm
+  *    numerators); sign-normalizing CASEs guard the signed sites
+  *    (q190/q253/q279/q297/q300).
   */
 final case class QueryDef(
     name: String,

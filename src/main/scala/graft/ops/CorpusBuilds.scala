@@ -176,6 +176,57 @@ object CorpusBuilds {
         idx
       })
 
+  /** q314's materialized summary of lineitem at (l_returnflag,
+    * l_linestatus) granularity — cnt + integral partial sums, built once
+    * per (applicationId, dataset) and REGISTERED with the MV-rewrite
+    * rule so matching aggregates over the base table auto-route to it.
+    * Returns the summary path.
+    */
+  def lineitemMv(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mv|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val mv = java.nio.file.Files
+          .createTempDirectory("graft_lineitem_mv_").toString
+        graft.relational.Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum("l_orderkey").as("sum_l_orderkey"),
+            sum("l_suppkey").as("sum_l_suppkey"))
+          .coalesce(1).write.mode("overwrite").parquet(mv)
+        org.apache.spark.sql.GraftRegistrar.register(s)
+        graft.plans.MvRewrite.register(s, s"$dir/lineitem.parquet", mv,
+          dims = Set("l_returnflag", "l_linestatus"),
+          sumCols = Set("l_orderkey", "l_suppkey"))
+        mv
+      })
+
+  /** q315's refreshed summary: base' = lineitem plus an appended delta
+    * (the %13 rows again), summary built from lineitem ONLY and then
+    * incrementally [[MaterializedSummary.refresh]]ed with the delta —
+    * never rebuilt from base'. Registration points the rewrite rule at
+    * the refreshed generation. Returns the base' path the query reads.
+    */
+  def lineitemMvRefreshed(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mv_refresh|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        val delta = li.filter(col("l_orderkey") % 13 === 0)
+        val basePrime = java.nio.file.Files
+          .createTempDirectory("graft_mvr_base_").toString + "/lineitem"
+        li.unionAll(delta).write.mode("overwrite").parquet(basePrime)
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_mvr_sum_").toString
+        val dims = Seq("l_returnflag", "l_linestatus")
+        val sums = Seq("l_orderkey", "l_suppkey")
+        MaterializedSummary.build(s, li, sdir, dims, sums)
+        MaterializedSummary.refresh(s, sdir, delta, dims, sums)
+        MaterializedSummary.registerCurrent(s, basePrime, sdir,
+          dims.toSet, sums.toSet)
+        basePrime
+      })
+
   /** q313's bloom-equipped layout: the zone map clustered on l_orderkey
     * PLUS the per-bucket bloom over l_partkey (the non-clustered axis a
     * point lookup would otherwise full-scan). Own dir — q309's plain

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MAINTENANCE side of [[graft.plans.MvRewrite]]: a count/sum summary
+  * stored through [[VersionedIndex]] (crash-atomic commits, one-version
+  * grace, multi-writer claims — the house protocol for standing
+  * artifacts) and REFRESHED incrementally from append deltas: the delta
+  * aggregates at summary granularity (delta-sized work) and full-outer
+  * merges into the standing rows; a base-table group the delta never
+  * touches is read and rewritten only because the summary is GROUP-COUNT
+  * sized — the corpus is never re-scanned.
+  *
+  * [[registerCurrent]] resolves the committed summary generation and
+  * hands it to the rewrite rule's catalog; after a refresh, re-resolving
+  * re-points the catalog at the new generation (the catalog swap is a
+  * volatile write — a concurrent query serves old-or-new, never a blend,
+  * because each generation directory is immutable).
+  */
+object MaterializedSummary {
+
+  /** Build and commit v1 of the summary: group `base` by `dims`, carry
+    * cnt + SUM of every `sumCols` entry (as `sum_<col>`).
+    */
+  def build(spark: SparkSession, base: DataFrame, dir: String,
+      dims: Seq[String], sumCols: Seq[String]): Unit = {
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      summarize(base, dims, sumCols)
+        .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
+      c.finish(VersionedIndex.Manifest(
+        Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
+    } catch { case e: Throwable => c.abort(); throw e }
+  }
+
+  private def summarize(df: DataFrame, dims: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sumCols.map(sc => sum(sc).cast("long").as(s"sum_$sc")): _*)
+
+  /** Incremental refresh from an APPEND delta: aggregate the delta at
+    * summary granularity, merge into the standing summary (cnt and sums
+    * add; brand-new groups insert), commit as the next version. The only
+    * corpus-sized input is the delta itself.
+    */
+  def refresh(spark: SparkSession, dir: String, delta: DataFrame,
+      dims: Seq[String], sumCols: Seq[String]): Unit = {
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      val standing = spark.read.parquet(
+        s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
+      val d = summarize(delta, dims, sumCols)
+      val sumExprs = (("cnt", "cnt") +:
+        sumCols.map(sc => (s"sum_$sc", s"sum_$sc"))).map { case (a, _) =>
+        (coalesce(col(s"s.$a"), lit(0L)) +
+          coalesce(col(s"d.$a"), lit(0L))).as(a)
+      }
+      standing.alias("s")
+        .join(d.alias("d"), dims, "full_outer")
+        .select(dims.map(col) ++ sumExprs: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
+      c.finish(VersionedIndex.Manifest(
+        Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
+    } catch { case e: Throwable => c.abort(); throw e }
+  }
+
+  /** Physical path of the committed summary generation. */
+  def currentPath(spark: SparkSession, dir: String): String = {
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    s"$dir/${m.parts("summary")("-")}/summary"
+  }
+
+  /** Point the rewrite catalog at the committed generation — call after
+    * build and after every refresh.
+    */
+  def registerCurrent(spark: SparkSession, sourcePath: String, dir: String,
+      dims: Set[String], sumCols: Set[String]): Unit = {
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    graft.plans.MvRewrite.register(spark, sourcePath,
+      currentPath(spark, dir), dims, sumCols)
+  }
+}

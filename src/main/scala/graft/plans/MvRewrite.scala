@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** MATERIALIZED-VIEW auto-rewrite: a Catalyst optimizer rule that swaps a
+  * matching aggregate over the base table for a re-aggregation of a
+  * registered summary table — the classic warehouse accelerator
+  * (Oracle/Calcite "query rewrite", Databricks MV routing), done the
+  * Spark-native way: declare the intent in the logical plan, let a
+  * `Rule[LogicalPlan]` redirect it.
+  *
+  * Reference behavior: the POC recomputes every analytics response from
+  * the raw chat table per request (`POC/backend/main.py`); at 100 TB the
+  * hot aggregates must come from maintained summaries, and the rewrite
+  * must be AUTOMATIC — callers keep writing queries against the base
+  * table and the planner serves the ones a summary can answer.
+  *
+  * Matching contract (conservative by design — a miss costs a full scan,
+  * a wrong match costs correctness):
+  *  - the plan fragment is Aggregate → (Filter | column-pruning Project |
+  *    SubqueryAlias)* → parquet scan of the registered source path;
+  *  - every grouping expression is a bare dimension column of the MV;
+  *  - every aggregate is COUNT(*)/COUNT(1) or SUM(col) over a column the
+  *    MV carries a partial sum for — no DISTINCT, no FILTER clauses;
+  *  - every Filter predicate references dimension columns only (it then
+  *    applies verbatim to the MV rows — each MV row is one whole group,
+  *    so a dim predicate keeps or drops entire groups exactly);
+  *  - the aggregate is GROUPED (a global COUNT over an empty relation is
+  *    0, but SUM over the empty MV is NULL — the one shape whose
+  *    re-aggregation is not literally equivalent, so it never rewrites).
+  *
+  * The rewrite preserves the Aggregate's output attribute ids (each
+  * output re-aliased under its original exprId), so parent operators are
+  * untouched. COUNT re-aggregates as SUM(cnt), SUM(x) as SUM(sum_x) —
+  * exact for integral sums (the only kind the catalog accepts; double
+  * partial sums re-added in a different order would not be bit-stable).
+  *
+  * Staleness is the caller's contract, as in every MV system: the
+  * catalog entry asserts the summary reflects the source. Registration
+  * is per-JVM ([[MvCatalog]]); the rule itself is installed once via
+  * GraftRegistrar's experimental hooks.
+  */
+object MvRewrite {
+
+  /** One registered summary: `mvPlan` is the analyzed scan of the summary
+    * parquet (instantiated fresh per rewrite via newInstance, so expr ids
+    * never collide across queries). MV schema contract: one column per
+    * dim (same name), `cnt` (BIGINT group size), and `sum_<col>` (BIGINT)
+    * per entry of `sumCols`.
+    */
+  final case class MvDef(sourcePath: String, dims: Set[String],
+      sumCols: Set[String], mvPlan: LogicalRelation)
+
+  object MvCatalog {
+    @volatile private[plans] var mvs: Seq[MvDef] = Seq.empty
+    def register(mv: MvDef): Unit = synchronized {
+      mvs = mvs.filterNot(_.sourcePath == mv.sourcePath) :+ mv
+    }
+    def clear(): Unit = synchronized { mvs = Seq.empty }
+  }
+
+  /** Register a summary for `sourcePath` (idempotent per source). */
+  def register(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
+      mvPath: String, dims: Set[String], sumCols: Set[String]): Unit = {
+    val rel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l
+    }.getOrElse(throw new IllegalStateException(
+      s"$mvPath did not analyze to a parquet relation"))
+    MvCatalog.register(MvDef(sourcePath, dims, sumCols, rel))
+  }
+
+  object Rule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (MvCatalog.mvs.isEmpty) plan
+      else plan.transformUp {
+        case agg @ Aggregate(gs, as, child, _) if gs.nonEmpty =>
+          tryRewrite(agg, gs, as, child).getOrElse(agg)
+      }
+
+    private def scanPaths(l: LogicalRelation): Seq[String] =
+      l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty
+      }
+
+    /** Strip Filter / pruning-Project / SubqueryAlias down to the scan,
+      * collecting filter predicates. None if any other operator appears.
+      */
+    private def strip(p: LogicalPlan,
+        conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+      p match {
+        case Filter(c, ch) => strip(ch, conds :+ c)
+        case Project(pl, ch) if pl.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => false // renames change names
+            case _ => false
+          } => strip(ch, conds)
+        case s: SubqueryAlias => strip(s.child, conds)
+        case l: LogicalRelation => Some((l, conds))
+        case _ => None
+      }
+
+    private def tryRewrite(agg: Aggregate, gs: Seq[Expression],
+        as: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+      for {
+        (rel, conds) <- strip(child, Seq.empty)
+        mv <- MvCatalog.mvs.find(m =>
+          scanPaths(rel).exists(p => p == m.sourcePath ||
+            p.stripSuffix("/") == m.sourcePath.stripSuffix("/")))
+        // grouping: bare dim columns only
+        if gs.forall {
+          case a: AttributeReference => mv.dims.contains(a.name)
+          case _ => false
+        }
+        // filters: dim references only
+        if conds.forall(_.references.forall(r => mv.dims.contains(r.name)))
+        // aggregates: derivable from the summary
+        if as.forall {
+          case a: AttributeReference => mv.dims.contains(a.name)
+          case Alias(ae: AggregateExpression, _) => derivable(ae, mv)
+          case Alias(a: AttributeReference, _) => mv.dims.contains(a.name)
+          case _ => false
+        }
+      } yield {
+        val fresh = mv.mvPlan.newInstance()
+        val byName = fresh.output.map(a => a.name -> a).toMap
+        def remap(e: Expression): Expression = e.transform {
+          case a: AttributeReference => byName(a.name)
+        }
+        val newChild = conds.foldRight(fresh: LogicalPlan)((c, p) =>
+          Filter(remap(c), p))
+        val newGroup = gs.map(remap)
+        val newAggs: Seq[NamedExpression] = as.map {
+          case a: AttributeReference =>
+            Alias(byName(a.name), a.name)(exprId = a.exprId)
+          case al @ Alias(a: AttributeReference, n) =>
+            Alias(byName(a.name), n)(exprId = al.exprId)
+          case al @ Alias(ae: AggregateExpression, n) =>
+            val nf = ae.aggregateFunction match {
+              case _: Count => Sum(byName("cnt"))
+              case Sum(a: AttributeReference, _) =>
+                Sum(byName(s"sum_${a.name}"))
+              case other => throw new IllegalStateException(
+                s"derivable() admitted $other")
+            }
+            Alias(ae.copy(aggregateFunction = nf), n)(exprId = al.exprId)
+          case other => throw new IllegalStateException(
+            s"match admitted $other")
+        }
+        logInfo(s"MV rewrite: aggregate over ${mv.sourcePath} served " +
+          s"from the registered summary")
+        Aggregate(newGroup, newAggs, newChild)
+      }
+
+    private def derivable(ae: AggregateExpression, mv: MvDef): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) | Count(Seq()) => true
+        case Sum(a: AttributeReference, _) =>
+          // integral partial sums only: re-adding double partials in a
+          // different order is not bit-stable
+          mv.sumCols.contains(a.name) &&
+            a.dataType == org.apache.spark.sql.types.LongType
+        case _ => false
+      })
+  }
+}

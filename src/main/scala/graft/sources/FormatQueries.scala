@@ -510,9 +510,81 @@ object FormatQueries {
       "routed by the per-bucket CDC-maintained bloom, digest vs the " +
       "raw-table oracle")
 
+  /** [[graft.plans.MvRewrite]] (q314): the query is written against the
+    * RAW lineitem table — filter + group-by + count/sum — and the
+    * registered materialized summary answers it via the Catalyst
+    * optimizer rule (COUNT re-aggregated as SUM(cnt), SUM as SUM of the
+    * integral partial sums, the dim filter applied to whole MV groups).
+    * MvRewriteSpec pins that the optimized plan scans the summary and
+    * NOT the base table, and that near-miss shapes (non-dim grouping,
+    * non-dim filter, double sums) keep the base scan. The oracle runs
+    * the same SQL off the raw table, so a wrong rewrite — stale rows,
+    * mis-mapped partial sums, a filter applied after re-aggregation —
+    * hash-fails.
+    */
+  val q314_mv_rewrite: QueryDef = QueryDef(
+    "q314_mv_rewrite",
+    (s, d) => {
+      graft.ops.CorpusBuilds.lineitemMv(s, d)
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"),
+          sum("l_suppkey").cast(LongType).as("sum_supp"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Materialized-view auto-rewrite: the aggregate over the raw table is " +
+      "served from the registered summary by the Catalyst rule, digest " +
+      "vs the raw-table oracle")
+
+  /** [[graft.ops.MaterializedSummary.refresh]] (q315): the summary is
+    * built from the ORIGINAL table, incrementally refreshed with an
+    * appended delta (delta-sized merge through the crash-atomic
+    * versioned commit — the corpus is never re-scanned), and re-pointed
+    * in the rewrite catalog; the query then aggregates the APPENDED base
+    * table and must be served from the refreshed generation. The oracle
+    * replays base ∪ delta off the raw table — a lost delta group, a
+    * double-merged count, or a stale generation in the catalog
+    * hash-fails. MaterializedSummarySpec pins the refresh algebra and
+    * the crash path; PlanAssertionSpec pins the summary scan.
+    */
+  val q315_mv_refresh: QueryDef = QueryDef(
+    "q315_mv_refresh",
+    (s, d) => {
+      val basePrime = graft.ops.CorpusBuilds.lineitemMvRefreshed(s, d)
+      s.read.parquet(basePrime)
+        .filter(col("l_linestatus") === "O")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"),
+          sum("l_suppkey").cast(LongType).as("sum_supp"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey, l_suppkey
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus, l_orderkey, l_suppkey
+      |  FROM lineitem WHERE l_orderkey % 13 = 0) t
+      |WHERE l_linestatus = 'O'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Incrementally refreshed materialized summary: delta-sized merge " +
+      "committed through the versioned protocol, auto-rewrite serves the " +
+      "refreshed generation, digest vs the base-plus-delta oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
-    q310_zonemap_cdc, q313_bloom_point)
+    q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh)
 }

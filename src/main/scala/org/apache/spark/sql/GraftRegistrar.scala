@@ -37,6 +37,9 @@ object GraftRegistrar {
     if (!classic.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       classic.experimental.extraStrategies =
         classic.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.MvRewrite.Rule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.MvRewrite.Rule
   }
 
   /** DataFrame from a hand-built logical plan (Dataset.ofRows is

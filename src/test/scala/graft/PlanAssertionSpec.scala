@@ -208,4 +208,37 @@ class PlanAssertionSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"index search shuffles the lists — must stay a broadcast probe:\n$plan")
   }
+
+  test("q314: the registry query's aggregate is served from the MV, " +
+    "not the base lineitem scan") {
+    val df = run("q314_mv_rewrite")
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath).mkString(",")
+        }
+    }
+    assert(!scans.exists(_.contains("lineitem.parquet")),
+      s"q314 still scans the base table: $scans")
+    assert(scans.exists(_.contains("graft_lineitem_mv_")),
+      s"q314 does not scan the registered summary: $scans")
+  }
+
+  test("q315: the aggregate over the appended base is served from the " +
+    "REFRESHED summary generation (values alone can't prove this — the " +
+    "appended base would answer identically)") {
+    val df = run("q315_mv_refresh")
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath).mkString(",")
+        }
+    }
+    assert(!scans.exists(_.contains("graft_mvr_base_")),
+      s"q315 still scans the appended base table: $scans")
+    assert(scans.exists(s => s.contains("graft_mvr_sum_") && s.contains("/g2/")),
+      s"q315 does not scan the summary's refreshed generation (g2): $scans")
+  }
 }
