@@ -735,6 +735,38 @@ object ScaleProbe {
     }
     probePreference()
 
+    // q314/q315 probe: the MV-served aggregate must cost the SUMMARY
+    // (constant in the corpus), while the base aggregate costs the scan
+    // — the ratio is the acceleration the rewrite buys at any scale.
+    def probeMv(): Unit = {
+      val base = java.nio.file.Files.createTempDirectory("graft_mvprobe_")
+        .toString + "/lineitem"
+      val li = relational.Tables.t(spark, sfDir, "lineitem")
+      (0 until mult).map(_ => li).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(base)
+      val n = spark.read.parquet(base).count()
+      def q() = spark.read.parquet(base)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sk"))
+        .orderBy("l_returnflag")
+      val (_, tBase) = time { q().collect() }
+      emit("q314_mv_base_scan", s"${mult}x", n, tBase, 0L)
+      val mv = java.nio.file.Files
+        .createTempDirectory("graft_mvprobe_sum_").toString
+      spark.read.parquet(base).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_orderkey").as("sum_l_orderkey"),
+          sum("l_suppkey").as("sum_l_suppkey"))
+        .coalesce(1).write.mode("overwrite").parquet(mv)
+      org.apache.spark.sql.GraftRegistrar.register(spark)
+      plans.MvRewrite.register(spark, base, mv,
+        Set("l_returnflag", "l_linestatus"), Set("l_orderkey", "l_suppkey"))
+      val (_, tMv) = time { q().collect() }
+      emit("q314_mv_served", s"${mult}x", n, tMv, 0L)
+    }
+    probeMv()
+
     // q270: theta-sketch segment build under a hot-key segment — 2*10^4
     // duplicate rows of one key must cost 2*10^4 O(1) updates absorbed
     // by map-side partial aggregation (one retained hash), so seconds

@@ -192,13 +192,33 @@ object CorpusBuilds {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("cnt"),
             sum("l_orderkey").as("sum_l_orderkey"),
-            sum("l_suppkey").as("sum_l_suppkey"))
+            sum("l_suppkey").as("sum_l_suppkey"),
+            min("l_orderkey").as("min_l_orderkey"),
+            max("l_orderkey").as("max_l_orderkey"),
+            min("l_shipdate").as("min_l_shipdate"),
+            max("l_shipdate").as("max_l_shipdate"))
           .coalesce(1).write.mode("overwrite").parquet(mv)
         org.apache.spark.sql.GraftRegistrar.register(s)
         graft.plans.MvRewrite.register(s, s"$dir/lineitem.parquet", mv,
           dims = Set("l_returnflag", "l_linestatus"),
-          sumCols = Set("l_orderkey", "l_suppkey"))
+          sumCols = Set("l_orderkey", "l_suppkey"),
+          minMaxCols = Set("l_orderkey", "l_shipdate"))
         mv
+      })
+
+  /** q316's appended base table (read-only; the per-invocation streaming
+    * refresh in the query builds its own fresh summary dir on top).
+    */
+  def lineitemMvStreamBase(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mvs_base|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        val basePrime = java.nio.file.Files
+          .createTempDirectory("graft_mvs16_base_").toString + "/lineitem"
+        li.unionAll(li.filter(col("l_orderkey") % 17 === 0))
+          .write.mode("overwrite").parquet(basePrime)
+        basePrime
       })
 
   /** q315's refreshed summary: base' = lineitem plus an appended delta

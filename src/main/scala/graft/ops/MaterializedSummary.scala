@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
 object MaterializedSummary {
 
   /** Build and commit v1 of the summary: group `base` by `dims`, carry
-    * cnt + SUM of every `sumCols` entry (as `sum_<col>`).
+    * cnt + SUM of every `sumCols` entry (as `sum_<col>`) + MIN/MAX of
+    * every `minMaxCols` entry (as `min_<col>` / `max_<col>`).
     */
   def build(spark: SparkSession, base: DataFrame, dir: String,
-      dims: Seq[String], sumCols: Seq[String]): Unit = {
+      dims: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Unit = {
     val c = VersionedIndex.begin(spark, dir)
     try {
-      summarize(base, dims, sumCols)
+      summarize(base, dims, sumCols, minMaxCols)
         .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
       c.finish(VersionedIndex.Manifest(
         Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
@@ -35,10 +37,12 @@ object MaterializedSummary {
   }
 
   private def summarize(df: DataFrame, dims: Seq[String],
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(sc => sum(sc).cast("long").as(s"sum_$sc")): _*)
+        sumCols.map(sc => sum(sc).cast("long").as(s"sum_$sc")) ++
+          minMaxCols.flatMap(mc => Seq(min(mc).as(s"min_$mc"),
+            max(mc).as(s"max_$mc"))): _*)
 
   /** Incremental refresh from an APPEND delta: aggregate the delta at
     * summary granularity, merge into the standing summary (cnt and sums
@@ -46,20 +50,30 @@ object MaterializedSummary {
     * corpus-sized input is the delta itself.
     */
   def refresh(spark: SparkSession, dir: String, delta: DataFrame,
-      dims: Seq[String], sumCols: Seq[String]): Unit = {
+      dims: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): Unit = {
     val c = VersionedIndex.begin(spark, dir)
     try {
       val standing = spark.read.parquet(
         s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
-      val d = summarize(delta, dims, sumCols)
-      val sumExprs = (("cnt", "cnt") +:
-        sumCols.map(sc => (s"sum_$sc", s"sum_$sc"))).map { case (a, _) =>
+      val d = summarize(delta, dims, sumCols, minMaxCols)
+      val sumExprs = ("cnt" +: sumCols.map(sc => s"sum_$sc")).map { a =>
         (coalesce(col(s"s.$a"), lit(0L)) +
           coalesce(col(s"d.$a"), lit(0L))).as(a)
       }
+      // extrema merge null-safely: a group present on only one side
+      // keeps that side's bound (least/greatest are null-poisoning)
+      val mmExprs = minMaxCols.flatMap { mc =>
+        def m(a: String, f: (org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+          when(col(s"s.$a").isNull, col(s"d.$a"))
+            .when(col(s"d.$a").isNull, col(s"s.$a"))
+            .otherwise(f(col(s"s.$a"), col(s"d.$a"))).as(a)
+        Seq(m(s"min_$mc", least(_, _)), m(s"max_$mc", greatest(_, _)))
+      }
       standing.alias("s")
         .join(d.alias("d"), dims, "full_outer")
-        .select(dims.map(col) ++ sumExprs: _*)
+        .select(dims.map(col) ++ sumExprs ++ mmExprs: _*)
         .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
       c.finish(VersionedIndex.Manifest(
         Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
@@ -76,9 +90,10 @@ object MaterializedSummary {
     * build and after every refresh.
     */
   def registerCurrent(spark: SparkSession, sourcePath: String, dir: String,
-      dims: Set[String], sumCols: Set[String]): Unit = {
+      dims: Set[String], sumCols: Set[String],
+      minMaxCols: Set[String] = Set.empty): Unit = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
     graft.plans.MvRewrite.register(spark, sourcePath,
-      currentPath(spark, dir), dims, sumCols)
+      currentPath(spark, dir), dims, sumCols, minMaxCols)
   }
 }

@@ -53,7 +53,8 @@ object MvRewrite {
     * per entry of `sumCols`.
     */
   final case class MvDef(sourcePath: String, dims: Set[String],
-      sumCols: Set[String], mvPlan: LogicalRelation)
+      sumCols: Set[String], minMaxCols: Set[String],
+      mvPlan: LogicalRelation)
 
   object MvCatalog {
     @volatile private[plans] var mvs: Seq[MvDef] = Seq.empty
@@ -65,12 +66,13 @@ object MvRewrite {
 
   /** Register a summary for `sourcePath` (idempotent per source). */
   def register(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
-      mvPath: String, dims: Set[String], sumCols: Set[String]): Unit = {
+      mvPath: String, dims: Set[String], sumCols: Set[String],
+      minMaxCols: Set[String] = Set.empty): Unit = {
     val rel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
     }.getOrElse(throw new IllegalStateException(
       s"$mvPath did not analyze to a parquet relation"))
-    MvCatalog.register(MvDef(sourcePath, dims, sumCols, rel))
+    MvCatalog.register(MvDef(sourcePath, dims, sumCols, minMaxCols, rel))
   }
 
   object Rule extends Rule[LogicalPlan] {
@@ -145,6 +147,10 @@ object MvRewrite {
               case _: Count => Sum(byName("cnt"))
               case Sum(a: AttributeReference, _) =>
                 Sum(byName(s"sum_${a.name}"))
+              // min-of-mins / max-of-maxes: exact for ANY orderable type
+              // (unlike re-added double sums, extrema are order-stable)
+              case Min(a: AttributeReference) => Min(byName(s"min_${a.name}"))
+              case Max(a: AttributeReference) => Max(byName(s"max_${a.name}"))
               case other => throw new IllegalStateException(
                 s"derivable() admitted $other")
             }
@@ -165,6 +171,8 @@ object MvRewrite {
           // different order is not bit-stable
           mv.sumCols.contains(a.name) &&
             a.dataType == org.apache.spark.sql.types.LongType
+        case Min(a: AttributeReference) => mv.minMaxCols.contains(a.name)
+        case Max(a: AttributeReference) => mv.minMaxCols.contains(a.name)
         case _ => false
       })
   }

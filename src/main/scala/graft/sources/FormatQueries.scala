@@ -582,9 +582,40 @@ object FormatQueries {
       "committed through the versioned protocol, auto-rewrite serves the " +
       "refreshed generation, digest vs the base-plus-delta oracle")
 
+  /** Extrema through the MV rule (q317): MIN/MAX re-aggregate from
+    * per-group bounds exactly for ANY orderable type — unlike double
+    * sums, extrema are order-stable — so the summary carries
+    * min/max_l_orderkey (BIGINT) and min/max_l_shipdate (TIMESTAMP) and
+    * the rule serves both alongside COUNT from the same scan. Oracle =
+    * the raw-table aggregate; PlanAssertionSpec pins the summary scan.
+    */
+  val q317_mv_minmax: QueryDef = QueryDef(
+    "q317_mv_minmax",
+    (s, d) => {
+      graft.ops.CorpusBuilds.lineitemMv(s, d)
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          min("l_orderkey").cast(LongType).as("min_key"),
+          max("l_orderkey").cast(LongType).as("max_key"),
+          max("l_shipdate").as("last_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+      |  MAX(l_shipdate) AS last_ship
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "MIN/MAX served from the materialized summary (order-stable extrema " +
+      "re-aggregation, BIGINT and TIMESTAMP), digest vs the raw-table " +
+      "oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
-    q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh)
+    q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
+    q317_mv_minmax)
 }

@@ -1568,8 +1568,73 @@ object StreamQueries {
       "foreachBatch CDC micro-batches (crash-atomic per-batch commits, " +
       "touched buckets only) — end-state range serve = batch replay")
 
+  /** Stream/batch parity #23 — STREAMING MV maintenance: the appended
+    * rows (orderkeys ≡ 0 mod 17, already present in the standing base'
+    * table) arrive as 3 key-ranged micro-batches; each batch
+    * [[graft.ops.MaterializedSummary.refresh]]es the summary (delta-sized
+    * merge, crash-atomic versioned commit) and re-points the rewrite
+    * catalog at the new generation. The end-state aggregate over base'
+    * must equal the batch truth — a dropped batch, a double-merged
+    * count, or a stale catalog pointer hash-fails; PlanAssertionSpec
+    * pins that the final plan scans generation g4 (build + 3 refreshes),
+    * not the base table. The summary dir is FRESH per invocation
+    * (refresh is additive, not idempotent — re-running against a cached
+    * dir would double-count), so every rep exercises the full lifecycle.
+    */
+  val q316_stream_mv_refresh: QueryDef = QueryDef(
+    "q316_stream_mv_refresh",
+    (s, d) => {
+      val basePrime = graft.ops.CorpusBuilds.lineitemMvStreamBase(s, d)
+      val li = graft.relational.Tables.t(s, d, "lineitem")
+      val dims = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("l_orderkey", "l_suppkey")
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft_mvs16_sum_").toString
+      graft.ops.MaterializedSummary.build(s, li, sdir, dims, sums)
+      val delta = li.filter(col("l_orderkey") % 17 === 0)
+      val staged = stageRanged(delta, col("l_orderkey"), k = 3,
+        prefix = "graft_q316_src", datasetDir = d)
+      val schema = s.read.parquet(staged.toString).schema
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q316_ckpt")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          graft.ops.MaterializedSummary.refresh(s, sdir,
+            batch.localCheckpoint(true), dims, sums)
+          graft.ops.MaterializedSummary.registerCurrent(s, basePrime,
+            sdir, dims.toSet, sums.toSet)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 2,
+        s"expected multiple micro-batches, saw $batches — staging broke")
+      deleteRecursively(ckpt)
+      s.read.parquet(basePrime)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, l_orderkey FROM lineitem
+      |  WHERE l_orderkey % 17 = 0) t
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Stream/batch parity #23: the materialized summary maintained by " +
+      "foreachBatch refreshes (crash-atomic versioned commits, catalog " +
+      "re-pointed per batch) — end-state aggregate = batch replay")
+
   def defs: Seq[QueryDef] = Seq(q94_stream_batch_parity,
     q302_stream_text_index, q312_stream_zonemap_cdc,
+    q316_stream_mv_refresh,
     q105_stream_word_topk, q114_stream_token_budget,
     q130_stream_incremental_dedup, q140_stream_sessionize,
     q149_stream_view_maintenance, q161_stream_append_watermark,

@@ -241,4 +241,31 @@ class PlanAssertionSpec extends SparkSpec {
     assert(scans.exists(s => s.contains("graft_mvr_sum_") && s.contains("/g2/")),
       s"q315 does not scan the summary's refreshed generation (g2): $scans")
   }
+
+  private def optimizedScans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath).mkString(",")
+        }
+    }
+
+  test("q316: after three streaming refreshes the aggregate scans " +
+    "summary generation g4, not the appended base") {
+    val scans = optimizedScans(run("q316_stream_mv_refresh"))
+    assert(!scans.exists(_.contains("graft_mvs16_base_")),
+      s"q316 still scans the appended base table: $scans")
+    assert(scans.exists(s => s.contains("graft_mvs16_sum_") &&
+      s.contains("/g4/")),
+      s"q316 does not scan the post-stream generation (g4): $scans")
+  }
+
+  test("q317: MIN/MAX (bigint + timestamp) are served from the summary") {
+    val scans = optimizedScans(run("q317_mv_minmax"))
+    assert(!scans.exists(_.contains("lineitem.parquet")),
+      s"q317 still scans the base table: $scans")
+    assert(scans.exists(_.contains("graft_lineitem_mv_")),
+      s"q317 does not scan the registered summary: $scans")
+  }
 }
