@@ -135,6 +135,7 @@ object ZoneMap {
         bloomWordsOf(committed, bc,
             s.read.parquet(s"${c.gen}/zones"))
           .repartition(math.min(nBuckets, 32), col("zbucket"))
+          .sortWithinPartitions(col("zbucket"), col("idx"))
           .write.mode("overwrite").partitionBy("zbucket")
           .parquet(s"${c.gen}/blooms")
       }
@@ -218,6 +219,11 @@ object ZoneMap {
     * routes to. Standing rows in touched buckets whose merge key matches
     * a delta row are replaced; all other standing rows ride along
     * unchanged; untouched buckets keep their files and mtimes.
+    *
+    * CONTRACT: `delta` must carry at most one row per merge key — the
+    * upsert replaces-by-key, so duplicate delta keys would both land
+    * (the same contract as ChatStore's MERGE and the text index's doc
+    * upsert; callers dedupe upstream where sources can repeat).
     */
   def update(spark: SparkSession, dir: String, delta: DataFrame,
       keyCol: String, mergeKeys: Seq[String]): Unit = {
@@ -267,6 +273,7 @@ object ZoneMap {
             bc, spark.read.parquet(s"${c.gen}/zones")
               .filter(col("zbucket").isin(touched: _*)))
           .repartition(math.min(touched.size, 32), col("zbucket"))
+          .sortWithinPartitions(col("zbucket"), col("idx"))
           .write.mode("overwrite").partitionBy("zbucket")
           .parquet(s"${c.gen}/blooms")
         standingBlooms ++ VersionedIndex
@@ -327,9 +334,19 @@ object ZoneMap {
           .as("pos"))
       .select(col("zbucket"), expr("pos div 64").cast(IntegerType).as("idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+    // push the probed word ids into the bloom scan: every partition must
+    // be CONSULTED (each bucket gets a verdict) but only ~k words of it
+    // are NEEDED — the words are written sorted by idx, so the pushed
+    // isin over the (n_buckets × k)-bounded id union lets parquet
+    // row-group stats skip the unprobed word mass inside each partition
+    // (without this, a point lookup reads the whole corpus/6.4-bit
+    // artifact)
+    val probedIdx = probes.select("idx").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val words = VersionedIndex.readArtifact(spark, dir, m, "blooms", None,
       dataSchema(Seq("idx" -> "INT", "word" -> "BIGINT",
         "zbucket" -> "INT")))
+      .filter(col("idx").isin(probedIdx: _*))
     probes.join(words, Seq("zbucket", "idx"), "left")
       .groupBy("zbucket")
       .agg(min(when(coalesce(col("word"), lit(0L))

@@ -119,8 +119,13 @@ object MvRewrite {
           case a: AttributeReference => mv.dims.contains(a.name)
           case _ => false
         }
-        // filters: dim references only
-        if conds.forall(_.references.forall(r => mv.dims.contains(r.name)))
+        // filters: dim references only, and DETERMINISTIC — a
+        // nondeterministic predicate (rand() < p) references no columns
+        // at all, so the dim check alone would admit it, but its value
+        // is per-ROW, not a function of the group: applying it to MV
+        // rows (one row per group) changes the sampled population
+        if conds.forall(c => c.deterministic &&
+          c.references.forall(r => mv.dims.contains(r.name)))
         // aggregates: derivable from the summary
         if as.forall {
           case a: AttributeReference => mv.dims.contains(a.name)

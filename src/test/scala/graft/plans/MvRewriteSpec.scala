@@ -85,6 +85,14 @@ class MvRewriteSpec extends SparkSpec {
     assert(scansOf(q).exists(_.contains(basePath)))
   }
 
+  test("nondeterministic filter keeps the base scan (references no " +
+    "columns, so the dim check alone would admit it)") {
+    registered
+    val q = spark.read.parquet(basePath).filter(rand() < 0.5)
+      .groupBy("dim_a").agg(count(lit(1)).as("n"))
+    assert(scansOf(q).exists(_.contains(basePath)))
+  }
+
   test("global (ungrouped) aggregate keeps the base scan") {
     registered
     val q = spark.read.parquet(basePath)
