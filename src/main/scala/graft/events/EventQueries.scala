@@ -1566,21 +1566,29 @@ object EventQueries {
       |    sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS c_a,
       |    sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS c_b
       |  FROM u)
+      |, nd AS (
+      |  SELECT n_a, n_b, c_a, c_b,
+      |    CAST(1000000 AS DECIMAL(38,0)) * c_a * n_b AS lnum,
+      |    CAST(n_a AS DECIMAL(38,0)) * c_b AS lden,
+      |    CAST(1000000 AS DECIMAL(38,0))
+      |      * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+      |      * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+      |      * (n_a + n_b) AS znum,
+      |    CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+      |      * (n_a + n_b - c_a - c_b) AS zden
+      |  FROM agg)
       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
       |  CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
       |  CAST(CASE WHEN c_b = 0 OR n_a = 0 THEN 0
-      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * c_a * n_b) / (n_a * c_b)) AS BIGINT) END
+      |    ELSE CAST(round(CAST(lnum - (lnum % lden) AS DOUBLE)
+      |      / CAST(lden AS DOUBLE)) AS BIGINT) END
       |    AS BIGINT) AS lift_ppm,
       |  CAST(CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
       |         OR c_a + c_b = n_a + n_b THEN 0
-      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-      |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
-      |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
-      |        * (n_a + n_b))
-      |      / (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
-      |        * (n_a + n_b - c_a - c_b))) AS BIGINT) END
+      |    ELSE CAST(round(CAST(znum - (znum % zden) AS DOUBLE)
+      |      / CAST(zden AS DOUBLE)) AS BIGINT) END
       |    AS BIGINT) AS z2_ppm
-      |FROM agg""".stripMargin,
+      |FROM nd""".stripMargin,
     "A/B conversion lift + exact rational two-proportion z^2 (floor-ppm, " +
       "division-free algebra) — md5 variant split shared with the oracle") {
     (s, d) =>
@@ -2104,18 +2112,25 @@ object EventQueries {
           |    COALESCE(SUM(CAST(4 AS DECIMAL(38,0)) * m.m * e12
           |      - CAST(2 AS DECIMAL(38,0)) * deg1 * deg2), 0) AS dnum
           |  FROM mg, m)
-          |SELECT la.n_comm AS n_comm_lpa,
-          |  CAST(la.n_comm - ma.n_merges AS BIGINT) AS n_comm_refined,
-          |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
-          |    (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num))
-          |    / (CAST(4 AS DECIMAL(38,0)) * m.m * m.m)) AS BIGINT) - 1000000 AS BIGINT)
+          |, nd AS (
+          |  SELECT la.n_comm, ma.n_merges,
+          |    CAST(1000000 AS DECIMAL(38,0)) *
+          |      (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num) AS num1,
+          |    CAST(1000000 AS DECIMAL(38,0)) *
+          |      (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num + ma.dnum)
+          |      AS num2,
+          |    CAST(4 AS DECIMAL(38,0)) * m.m * m.m AS den
+          |  FROM lpaagg la, mgagg ma, m)
+          |SELECT n_comm AS n_comm_lpa,
+          |  CAST(n_comm - n_merges AS BIGINT) AS n_comm_refined,
+          |  CAST(CAST(round(CAST(num1 - (num1 % den) AS DOUBLE)
+          |    / CAST(den AS DOUBLE)) AS BIGINT) - 1000000 AS BIGINT)
           |    AS q_lpa_ppm,
-          |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
-          |    (CAST(4 AS DECIMAL(38,0)) * m.m * m.m + la.num + ma.dnum))
-          |    / (CAST(4 AS DECIMAL(38,0)) * m.m * m.m)) AS BIGINT) - 1000000 AS BIGINT)
+          |  CAST(CAST(round(CAST(num2 - (num2 % den) AS DOUBLE)
+          |    / CAST(den AS DOUBLE)) AS BIGINT) - 1000000 AS BIGINT)
           |    AS q_refined_ppm,
           |  CAST(1 AS BIGINT) AS improved
-          |FROM lpaagg la, mgagg ma, m""".stripMargin),
+          |FROM nd""".stripMargin),
       "Louvain-quality refinement of the LPA partition: mutual-best " +
         "positive-ΔQ community merges, refined Q from the merge frame " +
         "alone, refined ≥ LPA gated (oracle literal 1)")
@@ -2578,14 +2593,20 @@ object EventQueries {
       |tot AS (
       |  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2
       |  FROM piv GROUP BY 1)
-      |SELECT p.event_type,
-      |  CAST(max(t.t1) AS BIGINT) AS n_first,
-      |  CAST(max(t.t2) AS BIGINT) AS n_second,
-      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-      |      * sum(abs(p.n1 * t.t2 - p.n2 * t.t1)))
-      |    / (2 * max(t.t1) * max(t.t2))) AS BIGINT) AS BIGINT) AS tv_ppm
-      |FROM piv p JOIN tot t ON t.event_type = p.event_type
-      |GROUP BY 1 ORDER BY p.event_type""".stripMargin),
+      |, nd AS (
+      |  SELECT p.event_type,
+      |    max(t.t1) AS t1, max(t.t2) AS t2,
+      |    CAST(1000000 AS DECIMAL(38,0))
+      |      * sum(abs(p.n1 * t.t2 - p.n2 * t.t1)) AS num,
+      |    2 * max(t.t1) * max(t.t2) AS den
+      |  FROM piv p JOIN tot t ON t.event_type = p.event_type
+      |  GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(t1 AS BIGINT) AS n_first,
+      |  CAST(t2 AS BIGINT) AS n_second,
+      |  CAST(CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |    / CAST(den AS DOUBLE)) AS BIGINT) AS BIGINT) AS tv_ppm
+      |FROM nd ORDER BY event_type""".stripMargin),
     "Total-variation drift (first vs second half of the day range) per " +
       "type over $10 value bands — log-free exact cross-multiplied " +
       "integers, floor-ppm")
@@ -2709,16 +2730,26 @@ object EventQueries {
       |      - greatest(0, cm - greatest(cm - m, hi)) AS n_mid,
       |    c, t.v_lo, t.v_hi
       |  FROM cum JOIN thr t ON t.event_type = cum.event_type)
-      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
-      |  CAST(max(v_lo) AS BIGINT) AS v_lo,
-      |  CAST(max(v_hi) AS BIGINT) AS v_hi,
-      |  CAST(CASE WHEN sum(c * n_mid + v_lo * n_below + v_hi * n_above) >= 0
-      |    THEN CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above)) / max(n)) AS BIGINT)
-      |    ELSE -(CAST(floor((CAST(-1000000 AS DECIMAL(38,0))
-      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above) + max(n) - 1)
-      |      / max(n)) AS BIGINT)) END AS BIGINT) AS winsorized_mean_micro_cents
-      |FROM parts GROUP BY 1 ORDER BY event_type""".stripMargin),
+      |, nd AS (
+      |  SELECT event_type, max(n) AS n_rows,
+      |    max(v_lo) AS v_lo, max(v_hi) AS v_hi,
+      |    CAST(1000000 AS DECIMAL(38,0))
+      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above) AS num,
+      |    CAST(-1000000 AS DECIMAL(38,0))
+      |      * sum(c * n_mid + v_lo * n_below + v_hi * n_above)
+      |      + max(n) - 1 AS cnum,
+      |    CAST(max(n) AS DECIMAL(38,0)) AS den
+      |  FROM parts GROUP BY 1)
+      |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(v_lo AS BIGINT) AS v_lo,
+      |  CAST(v_hi AS BIGINT) AS v_hi,
+      |  CAST(CASE WHEN num >= 0
+      |    THEN CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT)
+      |    ELSE -(CAST(round(CAST(cnum - (cnum % den) AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT)) END AS BIGINT)
+      |    AS winsorized_mean_micro_cents
+      |FROM nd ORDER BY event_type""".stripMargin),
     "Winsorized mean per type (p05/p95 clamp): value-domain histogram + " +
       "cumulative, arithmetic tail split, exact floor-ppm — no row sort")
 
@@ -3053,10 +3084,16 @@ object EventQueries {
       |u AS (
       |  SELECT user_id, sum(c) AS total, sum(c * c) AS sq
       |  FROM tc GROUP BY user_id)
+      |, nd AS (
+      |  SELECT user_id, total,
+      |    CAST(1000000 AS DECIMAL(38,0)) * sq AS num,
+      |    CAST(total AS DECIMAL(38,0)) * total AS den
+      |  FROM u)
       |SELECT user_id, CAST(total AS BIGINT) AS n_events,
-      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * sq) / (total * total)) AS BIGINT) AS BIGINT)
+      |  CAST(CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |    / CAST(den AS DOUBLE)) AS BIGINT) AS BIGINT)
       |    AS hhi_ppm
-      |FROM u ORDER BY user_id""".stripMargin,
+      |FROM nd ORDER BY user_id""".stripMargin,
     "Behavioral concentration: per-user HHI over event-type shares, " +
       "exact quadratic ppm (no logs, no doubles)") { (s, d) =>
     Tables.events(s, d)
@@ -3343,14 +3380,18 @@ object EventQueries {
       |r AS (SELECT event_type, sum(o) AS r FROM o GROUP BY 1),
       |c AS (SELECT dow, sum(o) AS c FROM o GROUP BY 1),
       |n AS (SELECT sum(o) AS n FROM o)
-      |SELECT o.event_type, o.dow, o.o,
-      |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0))
+      |, j AS (
+      |  SELECT o.event_type, o.dow, o.o,
+      |    CAST(1000000 AS DECIMAL(38,0))
       |      * ((SELECT n FROM n) * o.o - r.r * c.c)
-      |      * ((SELECT n FROM n) * o.o - r.r * c.c))
-      |    / (CAST((SELECT n FROM n) AS DECIMAL(38,0)) * r.r * c.c)) AS BIGINT) AS BIGINT)
-      |    AS chi2_ppm
-      |FROM o JOIN r ON r.event_type = o.event_type JOIN c ON c.dow = o.dow
-      |ORDER BY o.event_type, o.dow""".stripMargin,
+      |      * ((SELECT n FROM n) * o.o - r.r * c.c) AS num,
+      |    CAST((SELECT n FROM n) AS DECIMAL(38,0)) * r.r * c.c AS den
+      |  FROM o JOIN r ON r.event_type = o.event_type JOIN c ON c.dow = o.dow)
+      |SELECT event_type, dow, o,
+      |  CAST(CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |    / CAST(den AS DOUBLE)) AS BIGINT) AS BIGINT) AS chi2_ppm
+      |FROM j
+      |ORDER BY event_type, dow""".stripMargin,
     "Chi-square independence audit of type x weekday counts: exact " +
       "division-free per-cell statistic in ppm") { (s, d) =>
     val o = Tables.events(s, d)
@@ -3438,15 +3479,20 @@ object EventQueries {
         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
         |  FROM pairs)
+        |, nd AS (
+        |  SELECT m, sx, sxy,
+        |    CAST(1000000 AS DECIMAL(38,0))
+        |      * (m * sxy - sx * sx) * (m * sxy - sx * sx) AS num,
+        |    (m * sxx - sx * sx) * (m * sxx - sx * sx) AS den
+        |  FROM sums)
         |SELECT CAST(m AS BIGINT) AS n_endpoints,
         |  CAST(CASE WHEN m * sxy - sx * sx >= 0 THEN 1 ELSE -1 END AS BIGINT)
         |    AS sign,
-        |  CAST(CASE WHEN m * sxx - sx * sx = 0 THEN 0
-        |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-        |        * (m * sxy - sx * sx) * (m * sxy - sx * sx))
-        |      / ((m * sxx - sx * sx) * (m * sxx - sx * sx))) AS BIGINT) END AS BIGINT)
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE CAST(round(CAST(num - (num % den) AS DOUBLE)
+        |      / CAST(den AS DOUBLE)) AS BIGINT) END AS BIGINT)
         |    AS r2_ppm
-        |FROM sums""".stripMargin,
+        |FROM nd""".stripMargin,
     "Degree assortativity: sign + exact rational r^2 in ppm over the " +
       "directed edge expansion — sqrt-free Pearson") { (s, d) =>
     val we = graft.ops.Graph.fromEvents(s, d)
@@ -3610,16 +3656,21 @@ object EventQueries {
       |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
       |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
       |  FROM pr GROUP BY 1, 2)
+      |, nd AS (
+      |  SELECT event_type, lag, m, sx, sy, sxy,
+      |    CAST(1000000 AS DECIMAL(38,0))
+      |      * (m * sxy - sx * sy) * (m * sxy - sx * sy) AS num,
+      |    (m * sxx - sx * sx) * (m * syy - sy * sy) AS den
+      |  FROM sums)
       |SELECT event_type, CAST(lag AS BIGINT) AS lag,
       |  CAST(m AS BIGINT) AS n_pairs,
       |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
       |    AS sign,
-      |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
-      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-      |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
-      |      / ((m * sxx - sx * sx) * (m * syy - sy * sy))) AS BIGINT) END AS BIGINT)
+      |  CAST(CASE WHEN den = 0 THEN 0
+      |    ELSE CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT) END AS BIGINT)
       |    AS r2_ppm
-      |FROM sums ORDER BY event_type, lag""".stripMargin,
+      |FROM nd ORDER BY event_type, lag""".stripMargin,
     "Autocorrelation of daily counts at lags 1..7: sign + exact rational " +
       "r^2 ppm per (type, lag) — sqrt-free Pearson on the day frame") {
     (s, d) =>
@@ -4940,16 +4991,21 @@ object EventQueries {
       |    CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
       |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
       |  FROM pr GROUP BY 1, 2, 3)
+      |, nd AS (
+      |  SELECT type_a, type_b, lag, m, sx, sy, sxy,
+      |    CAST(1000000 AS DECIMAL(38,0))
+      |      * (m * sxy - sx * sy) * (m * sxy - sx * sy) AS num,
+      |    (m * sxx - sx * sx) * (m * syy - sy * sy) AS den
+      |  FROM sums)
       |SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
       |  CAST(m AS BIGINT) AS n_pairs,
       |  CAST(CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS BIGINT)
       |    AS sign,
-      |  CAST(CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN 0
-      |    ELSE CAST(floor((CAST(1000000 AS DECIMAL(38,0))
-      |        * (m * sxy - sx * sy) * (m * sxy - sx * sy))
-      |      / ((m * sxx - sx * sx) * (m * syy - sy * sy))) AS BIGINT) END AS BIGINT)
+      |  CAST(CASE WHEN den = 0 THEN 0
+      |    ELSE CAST(round(CAST(num - (num % den) AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT) END AS BIGINT)
       |    AS r2_ppm
-      |FROM sums ORDER BY type_a, type_b, lag""".stripMargin,
+      |FROM nd ORDER BY type_a, type_b, lag""".stripMargin,
     "Cross-correlation of daily volumes between type pairs at lags 0..3: " +
       "sign + exact rational r^2 ppm — q211's sqrt-free Pearson across " +
       "series") { (s, d) =>

@@ -277,6 +277,30 @@ object CorpusBuilds {
         idx
       })
 
+  /** q318/q319's skip-rule base: an OWN full copy of lineitem with the
+    * zone-map + bloom layout built over it and REGISTERED with
+    * [[graft.plans.SkipRewrite]]. The copy gets its own base path because
+    * registration is per-source-path and session-global — registering the
+    * shared testdata path would silently change every other lineitem
+    * query's plan in the same session. Returns the base path the queries
+    * read PLAINLY (no explicit ZoneMap call — the optimizer must route).
+    */
+  def lineitemSkipRegistered(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|skipbase|" + dir, _ => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_skip_base_").toString + "/lineitem"
+        graft.relational.Tables.t(s, dir, "lineitem")
+          .write.mode("overwrite").parquet(base)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_skip_zm_").toString
+        ZoneMap.build(s.read.parquet(base), "l_orderkey", idx,
+          nBuckets = 64, bloomCol = Some("l_partkey"))
+        graft.plans.SkipRewrite.register(s, base, idx, "l_orderkey",
+          Some("l_partkey"))
+        base
+      })
+
   def embeddingsIvfPqSmallIndex(s: SparkSession, dir: String): String =
     pathCache.computeIfAbsent(
       s.sparkContext.applicationId + "|ivfpq_m2k4|" + dir, _ => {

@@ -576,14 +576,19 @@ object Dedup {
   /** 64-bit SimHash fingerprint per row, as a pure per-row expression:
     * per-bit majority vote over xxhash64 of distinct tokens. SQL-expr form
     * because `shiftleft` with a *column* shift amount has no Scala
-    * functions-API binding.
+    * functions-API binding. The whitespace regex is spelled
+    * `concat(chr(92), 's+')` — byte-identical under BOTH parser modes
+    * (spark.sql.parser.escapedStringLiterals flips how '\\s+' unescapes,
+    * and the SQL entry sets that flag session-wide; a chr()-built literal
+    * contains no backslash for either mode to disagree on, and constant-
+    * folds before execution).
     */
   def simhash64(textColName: String): Column = expr(
     s"""aggregate(
        |  zip_with(
        |    transform(sequence(0, 63), j ->
        |      aggregate(
-       |        transform(array_distinct(split($textColName, '\\\\s+')), t -> xxhash64(t)),
+       |        transform(array_distinct(split($textColName, concat(chr(92), 's+'))), t -> xxhash64(t)),
        |        0, (acc, h) -> acc + CASE WHEN (h >> j) & 1L = 1L THEN 1 ELSE -1 END)),
        |    sequence(0, 63),
        |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),

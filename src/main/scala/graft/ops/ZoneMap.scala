@@ -173,6 +173,52 @@ object ZoneMap {
       throw new IllegalStateException("built index cannot be empty"))
   }
 
+  /** Zone rows collected once per committed version — the planner-side
+    * rule ([[graft.plans.SkipRewrite]]) routes every matching query
+    * through these, so the n_buckets-bounded collect must not re-run per
+    * query compile. Keyed by (dir, version): a CDC commit bumps the
+    * version and naturally invalidates; superseded entries are dropped
+    * so a long-lived session doesn't accumulate one array per commit.
+    */
+  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[(Int, Long, Long)]]()
+
+  private[graft] def zoneRows(spark: SparkSession, dir: String, version: Long,
+      m: VersionedIndex.Manifest): Array[(Int, Long, Long)] = {
+    val got = zoneCache.computeIfAbsent((dir, version), _ =>
+      VersionedIndex.readArtifact(spark, dir, m, "zones", None,
+          dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
+            "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
+        .select("zbucket", "zmin", "zmax").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+    zoneCache.keySet.removeIf(k => k._1 == dir && k._2 < version)
+    got
+  }
+
+  /** Bucket-routed UNFILTERED data for the conjunction of an optional
+    * key range and an optional bloom equality — the planner-facing serve
+    * [[graft.plans.SkipRewrite]] substitutes for a base-table scan (the
+    * exact predicate re-applies on top, so routing only has to be a
+    * superset of the matching rows). None = that side unbounded.
+    */
+  def routedData(spark: SparkSession, dir: String, lo: Option[Long],
+      hi: Option[Long], bloomValue: Option[Long]): DataFrame = {
+    val (v, m) = VersionedIndex.readManifest(spark, dir)
+    val rangeHit = zoneRows(spark, dir, v, m)
+      .filter { case (_, zmin, zmax) =>
+        zmin <= hi.getOrElse(Long.MaxValue) &&
+          zmax >= lo.getOrElse(Long.MinValue) }
+      .map(_._1).toSet
+    val hit = bloomValue match {
+      case Some(value) => rangeHit.intersect(
+        bloomCandidates(spark, dir, value).toSet)
+      case None => rangeHit
+    }
+    val sel = hit.map(b => s"zbucket=$b")
+    VersionedIndex.readArtifact(spark, dir, m, "data", Some(sel),
+      dataSchemaFromManifest(spark, dir, m))
+  }
+
   /** Serve `lo <= key <= hi`: zone-routed, statically pruned. Returns
     * the matching DATA rows (payload included); the caller aggregates/
     * projects. The zone read and the bucket-id collect are both bounded
@@ -237,6 +283,19 @@ object ZoneMap {
         .withColumn("zbucket", bucketExpr(keyCol, lo, step, nBuckets))
       val touched = routed.select("zbucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+      // empty micro-batch (foreachBatch CDC hands these): nothing to
+      // commit — abort cleanly instead of repartition(0, …) throwing
+      if (touched.isEmpty) { c.abort() }
+      else applyUpdate(spark, dir, c, m, routed, touched, keyCol, mergeKeys)
+    } catch { case e: Throwable => c.abort(); throw e }
+  }
+
+  private def applyUpdate(spark: SparkSession, dir: String,
+      c: VersionedIndex.Commit, m: VersionedIndex.Manifest,
+      routed: DataFrame, touched: Seq[Int], keyCol: String,
+      mergeKeys: Seq[String]): Unit = {
+    // failures abort in the caller's catch (this runs inside update's try)
+    {
       val sel = touched.map(b => s"zbucket=$b").toSet
       val standing = VersionedIndex.readArtifact(spark, dir, m, "data",
         Some(sel), dataSchemaFromManifest(spark, dir, m))
@@ -285,7 +344,7 @@ object ZoneMap {
           .updated("zones", Map("-" -> c.genLabel)) ++
           bloomParts.map("blooms" -> _),
         m.stats))
-    } catch { case e: Throwable => c.abort(); throw e }
+    }
   }
 
   /** The bloom column name, from the one-line `bloom_col` sidecar the

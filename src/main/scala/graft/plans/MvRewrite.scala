@@ -39,10 +39,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * exact for integral sums (the only kind the catalog accepts; double
   * partial sums re-added in a different order would not be bit-stable).
   *
-  * Staleness is the caller's contract, as in every MV system: the
-  * catalog entry asserts the summary reflects the source. Registration
-  * is per-JVM ([[MvCatalog]]); the rule itself is installed once via
-  * GraftRegistrar's experimental hooks.
+  * Staleness is VERIFIED, not caller-asserted: registration captures the
+  * base path's content epoch ([[SkipRewrite.pathEpoch]] — file names +
+  * sizes + mtimes) and the rule re-checks it on every match, declining
+  * to rewrite when the base has changed since; refresh + re-register
+  * re-enables the route. Registration is per-JVM ([[MvCatalog]]); the
+  * rule itself is installed once via GraftRegistrar's experimental hooks.
   */
 object MvRewrite {
 
@@ -50,11 +52,14 @@ object MvRewrite {
     * parquet (instantiated fresh per rewrite via newInstance, so expr ids
     * never collide across queries). MV schema contract: one column per
     * dim (same name), `cnt` (BIGINT group size), and `sum_<col>` (BIGINT)
-    * per entry of `sumCols`.
+    * per entry of `sumCols`. `epoch` is the BASE path's content signature
+    * at registration ([[SkipRewrite.pathEpoch]]): the rule re-checks it
+    * per match and declines when the base has changed since, so a stale
+    * summary is never served — staleness is verified, not caller-asserted.
     */
   final case class MvDef(sourcePath: String, dims: Set[String],
       sumCols: Set[String], minMaxCols: Set[String],
-      mvPlan: LogicalRelation)
+      mvPlan: LogicalRelation, epoch: String)
 
   object MvCatalog {
     @volatile private[plans] var mvs: Seq[MvDef] = Seq.empty
@@ -72,7 +77,8 @@ object MvRewrite {
       case l: LogicalRelation => l
     }.getOrElse(throw new IllegalStateException(
       s"$mvPath did not analyze to a parquet relation"))
-    MvCatalog.register(MvDef(sourcePath, dims, sumCols, minMaxCols, rel))
+    MvCatalog.register(MvDef(sourcePath, dims, sumCols, minMaxCols, rel,
+      SkipRewrite.pathEpoch(spark, sourcePath)))
   }
 
   object Rule extends Rule[LogicalPlan] {
@@ -111,9 +117,18 @@ object MvRewrite {
         as: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
       for {
         (rel, conds) <- strip(child, Seq.empty)
-        mv <- MvCatalog.mvs.find(m =>
-          scanPaths(rel).exists(p => p == m.sourcePath ||
-            p.stripSuffix("/") == m.sourcePath.stripSuffix("/")))
+        // the scan must read EXACTLY the registered source: a multi-path
+        // relation (spark.read.parquet(base, other)) that merely includes
+        // it would lose the other paths' rows if rewritten to the summary
+        mv <- MvCatalog.mvs.find(m => scanPaths(rel) match {
+          case Seq(p) => p.stripSuffix("/") == m.sourcePath.stripSuffix("/")
+          case _ => false
+        })
+        // staleness: decline when the base changed after registration —
+        // the caller must refresh + re-register to re-enable the route
+        if scala.util.Try(SkipRewrite.pathEpoch(
+            rel.relation.asInstanceOf[HadoopFsRelation].sparkSession,
+            mv.sourcePath)).toOption.contains(mv.epoch)
         // grouping: bare dim columns only
         if gs.forall {
           case a: AttributeReference => mv.dims.contains(a.name)
@@ -170,7 +185,10 @@ object MvRewrite {
 
     private def derivable(ae: AggregateExpression, mv: MvDef): Boolean =
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case Count(Seq(Literal(_, _))) | Count(Seq()) => true
+        // non-null literals only: COUNT(NULL) is 0 per group, not the
+        // group size SUM(cnt) would produce
+        case Count(Seq(Literal(v, _))) if v != null => true
+        case Count(Seq()) => true
         case Sum(a: AttributeReference, _) =>
           // integral partial sums only: re-adding double partials in a
           // different order is not bit-stable

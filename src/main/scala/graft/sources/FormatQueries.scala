@@ -612,10 +612,75 @@ object FormatQueries {
       "re-aggregation, BIGINT and TIMESTAMP), digest vs the raw-table " +
       "oracle")
 
+  /** [[graft.plans.SkipRewrite]] (q318): the query is a PLAIN DataFrame
+    * read + range filter against the base path — no ZoneMap API in
+    * sight — and the Catalyst rule reroutes the scan onto the registered
+    * zone-mapped copy's routed bucket partitions (the filter re-applies
+    * exactly on top, so routing only needs the zone superset guarantee).
+    * PlanAssertionSpec pins that the optimized plan reads bucket
+    * partitions of the copy and never the base path; SkipRewriteSpec
+    * pins the near-misses (un-zoned column, stale epoch, fractional
+    * literal) keeping the base scan. Oracle = the same filter+aggregate
+    * off the raw table — values must be layout- and route-independent.
+    */
+  val q318_skip_range: QueryDef = QueryDef(
+    "q318_skip_range",
+    (s, d) => {
+      val base = graft.ops.CorpusBuilds.lineitemSkipRegistered(s, d)
+      s.read.parquet(base)
+        .filter(col("l_orderkey").between(600L, 699L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 600 AND 699
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Transparent data skipping: a plain filtered read of the base table " +
+      "is rerouted by the Catalyst rule onto the zone-mapped copy's " +
+      "routed buckets, digest vs the raw-table oracle")
+
+  /** q319: the same transparency for POINT lookups on the NON-clustered
+    * axis — a plain `l_partkey = 100` filter against the base path is
+    * bloom-routed by the rule to the candidate buckets (zones can't help
+    * a column the layout isn't clustered on). False positives only widen
+    * the read; the re-applied filter keeps the answer exact.
+    */
+  val q319_skip_bloom: QueryDef = QueryDef(
+    "q319_skip_bloom",
+    (s, d) => {
+      val base = graft.ops.CorpusBuilds.lineitemSkipRegistered(s, d)
+      s.read.parquet(base)
+        .filter(col("l_partkey") === 100L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_partkey = 100
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Transparent bloom skipping: a plain point-filter on the " +
+      "non-clustered axis is bloom-routed by the Catalyst rule to the " +
+      "candidate buckets, digest vs the raw-table oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
-    q317_mv_minmax)
+    q317_mv_minmax, q318_skip_range, q319_skip_bloom)
 }

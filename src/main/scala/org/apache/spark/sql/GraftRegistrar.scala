@@ -40,6 +40,9 @@ object GraftRegistrar {
     if (!classic.experimental.extraOptimizations.contains(graft.plans.MvRewrite.Rule))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ graft.plans.MvRewrite.Rule
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.SkipRewrite.Rule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.SkipRewrite.Rule
   }
 
   /** DataFrame from a hand-built logical plan (Dataset.ofRows is

@@ -268,4 +268,34 @@ class PlanAssertionSpec extends SparkSpec {
     assert(scans.exists(_.contains("graft_lineitem_mv_")),
       s"q317 does not scan the registered summary: $scans")
   }
+
+  test("q318: the plain range filter over the base path is rerouted to " +
+    "the zone-mapped copy's bucket partitions (and ONLY the routed ones)") {
+    val scans = optimizedScans(run("q318_skip_range"))
+    assert(!scans.exists(_.contains("graft_skip_base_")),
+      s"q318 still scans the base table: $scans")
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("graft_skip_zm_") && s.contains("zbucket=")),
+      s"q318 must read only routed bucket partitions of the copy: $scans")
+    // a 100-key range of the sf0.001 key space (0..1499, 64 buckets,
+    // step 24) can overlap at most ~6 zones
+    val nParts = scans.map(_.split(",").length).sum
+    assert(nParts <= 8, s"q318 routing too wide: $nParts partitions, $scans")
+  }
+
+  test("q319: the plain point filter on the non-clustered axis is " +
+    "bloom-routed to candidate buckets of the copy") {
+    val scans = optimizedScans(run("q319_skip_bloom"))
+    assert(!scans.exists(_.contains("graft_skip_base_")),
+      s"q319 still scans the base table: $scans")
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("graft_skip_zm_") && s.contains("zbucket=")),
+      s"q319 must read only bloom-candidate bucket partitions: $scans")
+    // sf0.001 has only 200 distinct partkeys over 6000 rows, so value 100
+    // TRULY occurs in up to ~30 of the 64 buckets — the bloom's job here
+    // is covering them exactly plus ~1.2% FPs, not collapsing to 1; the
+    // controlled-density tightness pin lives in SkipRewriteSpec/ZoneMapSpec
+    val nParts = scans.map(_.split(",").length).sum
+    assert(nParts <= 34, s"q319 bloom pruning too weak: $nParts partitions")
+  }
 }

@@ -160,6 +160,29 @@ class OpsSpec extends SparkSpec {
     assert(hd == near)
   }
 
+  test("simhash64 is parser-mode independent (escapedStringLiterals)") {
+    // the SQL entry flips spark.sql.parser.escapedStringLiterals session-
+    // wide; the fingerprint expression must tokenize identically under
+    // both parser modes (regression: a '\\s+' literal degenerated to a
+    // non-splitting regex under the flipped mode — whole-text votes)
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha")).toDF("doc_id", "text")
+    def fps() = df.select($"doc_id", Dedup.simhash64("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = fps()
+    val old = spark.conf.getOption("spark.sql.parser.escapedStringLiterals")
+    try {
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+      assert(fps() == base, "fingerprints changed under the flipped parser")
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.parser.escapedStringLiterals", v)
+      case None => spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    }
+    // and the tokenizer actually splits: a multi-token text must not
+    // fingerprint like a single token (the degenerate whole-text mode
+    // would give "alpha beta gamma" the hash of one token)
+    assert(base(1L) != base(2L), "multi-token text must differ from one token")
+  }
+
   test("brute-force cosine topK is exact and ANN agrees within its bucket") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

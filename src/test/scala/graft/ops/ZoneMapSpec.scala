@@ -104,6 +104,18 @@ class ZoneMapSpec extends SparkSpec {
     assert(z.getLong(0) == -5L && z.getLong(1) == 500L)
   }
 
+  test("empty CDC delta is a clean no-op (foreachBatch hands these)") {
+    val dir = freshDir()
+    ZoneMap.build(table(100), "k", dir, nBuckets = 8)
+    val (v0, _) = VersionedIndex.readManifest(spark, dir)
+    // regression: repartition(0, …) threw on the empty routed delta,
+    // failing the streaming CDC query instead of no-opping
+    ZoneMap.update(spark, dir, table(100).filter($"k" < 0), "k", Seq("k"))
+    val (v1, _) = VersionedIndex.readManifest(spark, dir)
+    assert(v1 == v0, "an empty delta must not publish a new version")
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 0, 99).count() == 100)
+  }
+
   test("bloom candidates cover every true bucket and prune most others") {
     // secondary column v concentrates each value in FEW buckets of the
     // k-clustered layout: v = k div 100 lives in exactly the buckets

@@ -99,4 +99,63 @@ class MvRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(scansOf(q).exists(_.contains(basePath)))
   }
+
+  test("multi-path scan including the registered source keeps the base " +
+    "scan (rewriting would silently drop the other path's rows)") {
+    registered
+    val other = java.nio.file.Files.createTempDirectory("mv_other_").toString
+    Seq((9999L, "g0", "s0", 1L, 0.0), (9998L, "g1", "s1", 2L, 0.0))
+      .toDF("id", "dim_a", "dim_b", "v", "d")
+      .write.mode("overwrite").parquet(other)
+    val q = spark.read.parquet(basePath, other)
+      .groupBy("dim_a").agg(count(lit(1)).as("n"))
+    assert(scansOf(q).exists(_.contains(basePath)),
+      s"multi-path scan was rewritten: ${scansOf(q)}")
+    // and the union's rows are all counted
+    assert(q.agg(sum("n")).first().getLong(0) == 1002L)
+  }
+
+  test("COUNT(NULL) keeps the base scan (it is 0 per group, not the " +
+    "group size SUM(cnt) would produce)") {
+    registered
+    val q = spark.read.parquet(basePath)
+      .groupBy("dim_a").agg(count(lit(null)).as("n"))
+    assert(scansOf(q).exists(_.contains(basePath)))
+    assert(q.select("n").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(0L))
+  }
+
+  test("a base append after registration declines the rewrite; " +
+    "re-registration over the new content re-enables it") {
+    // own base dir — the shared fixture's epoch must stay valid
+    val base2 = java.nio.file.Files.createTempDirectory("mv_base2_").toString
+    (0 until 100).map(i => (i.toLong, s"g${i % 3}", i.toLong))
+      .toDF("id", "dim_a", "v")
+      .write.mode("overwrite").parquet(base2)
+    val mv2 = java.nio.file.Files.createTempDirectory("mv_sum2_").toString
+    def buildMv(): Unit = {
+      spark.read.parquet(base2).groupBy("dim_a")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+        .coalesce(1).write.mode("overwrite").parquet(mv2)
+      MvRewrite.register(spark, base2, mv2,
+        dims = Set("dim_a"), sumCols = Set("v"))
+    }
+    org.apache.spark.sql.GraftRegistrar.register(spark)
+    buildMv()
+    def q() = spark.read.parquet(base2)
+      .groupBy("dim_a").agg(count(lit(1)).as("n"))
+    assert(!scansOf(q()).exists(_.contains(base2)), "fresh MV must serve")
+    // append to the base WITHOUT refreshing: serving the summary now
+    // would return stale counts — the rule must decline
+    Seq((1000L, "g0", 5L)).toDF("id", "dim_a", "v")
+      .write.mode("append").parquet(base2)
+    assert(scansOf(q()).exists(_.contains(base2)),
+      "stale epoch must keep the base scan")
+    assert(q().agg(sum("n")).first().getLong(0) == 101L,
+      "the declined plan must see the appended row")
+    // rebuild + re-register over the new content: the route re-enables
+    buildMv()
+    assert(!scansOf(q()).exists(_.contains(base2)))
+    assert(q().agg(sum("n")).first().getLong(0) == 101L)
+  }
 }
