@@ -700,12 +700,27 @@ object ChatStore {
     * it. The merge is one key-broadcast anti-join-shaped pass; the
     * vacuum is O(version dirs); nothing corpus-sized moves besides the
     * one copy-on-write rewrite every lakehouse delete pays.
+    *
+    * CASCADE: every zone-map/bloom copy registered for this table in the
+    * skip-rewrite catalog is swept in the same call — delete commit on
+    * the copy, grace generation physically erased, registration epoch
+    * re-captured so the planner route re-enables over the reduced
+    * content. Without the cascade a standing derived artifact would keep
+    * serving (and physically retaining) the forgotten rows.
     */
   def forgetKeys(spark: SparkSession, tableDir: String, keyCol: String,
       keys: DataFrame): Unit = {
     mergeInto(spark, tableDir, keys.select(keyCol).distinct(), Seq(keyCol),
       matched = Seq(graft.ops.Merge.WhenMatched(delete = true)))
     vacuum(spark, tableDir, keepLast = 1)
+    graft.plans.SkipRewrite.SkipCatalog.defs
+      .filter(_.sourcePath.stripSuffix("/") == tableDir.stripSuffix("/"))
+      .foreach { sd =>
+        graft.ops.ZoneMap.delete(spark, sd.dir, sd.keyCol, keys, Seq(keyCol))
+        graft.ops.VersionedIndex.sweepGrace(spark, sd.dir)
+        graft.plans.SkipRewrite.register(spark, sd.sourcePath, sd.dir,
+          sd.keyCol, sd.bloomCol)
+      }
   }
 
   /** CHANGE DATA FEED between two committed versions — the CDC-out path

@@ -247,6 +247,59 @@ object CorpusBuilds {
         basePrime
       })
 
+  /** q320's retraction-refreshed summary: base' = lineitem MINUS the
+    * %11==3 rows PLUS a re-appended %13==0 slice. The summary is built
+    * from lineitem ONLY, then [[MaterializedSummary.refreshSigned]] with
+    * the signed batch and the post-batch base — never rebuilt from
+    * base'; counts and sums subtract, MIN/MAX repair by re-scanning only
+    * the delete-affected groups. Registration points the rewrite rule at
+    * the refreshed generation. Returns the base' path the query reads.
+    */
+  def lineitemMvRetracted(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mv_retract|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        val deletes = li.filter(col("l_orderkey") % 11 === 3)
+        val inserts = li.filter(col("l_orderkey") % 13 === 0)
+        val basePrime = java.nio.file.Files
+          .createTempDirectory("graft_mvd_base_").toString + "/lineitem"
+        li.filter(col("l_orderkey") % 11 =!= 3).unionAll(inserts)
+          .write.mode("overwrite").parquet(basePrime)
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_mvd_sum_").toString
+        val dims = Seq("l_returnflag", "l_linestatus")
+        val sums = Seq("l_orderkey", "l_suppkey")
+        val mms = Seq("l_orderkey")
+        MaterializedSummary.build(s, li, sdir, dims, sums, mms)
+        MaterializedSummary.refreshSigned(s, sdir, inserts, deletes,
+          s.read.parquet(basePrime), dims, sums, mms)
+        MaterializedSummary.registerCurrent(s, basePrime, sdir,
+          dims.toSet, sums.toSet, mms.toSet)
+        basePrime
+      })
+
+  /** q321's delete-CDC'd layout: build over lineitem, then ONE
+    * crash-atomic delete commit retracting every row of the %7==2
+    * orderkeys (key-routed — only the buckets those keys map to are
+    * rewritten), grace generation physically swept. The delete is
+    * idempotent, so repeated invocations over the cached dir converge.
+    */
+  def lineitemZoneMapDeleted(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap_del|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_zonemap_del_").toString
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        ZoneMap.build(li, "l_orderkey", idx, nBuckets = 64)
+        val keys = li.filter(col("l_orderkey") % 7 === 2)
+          .select("l_orderkey").distinct()
+        ZoneMap.delete(s, idx, "l_orderkey", keys, Seq("l_orderkey"))
+        VersionedIndex.sweepGrace(s, idx)
+        idx
+      })
+
   /** q313's bloom-equipped layout: the zone map clustered on l_orderkey
     * PLUS the per-bucket bloom over l_partkey (the non-clustered axis a
     * point lookup would otherwise full-scan). Own dir — q309's plain

@@ -80,6 +80,87 @@ object MaterializedSummary {
     } catch { case e: Throwable => c.abort(); throw e }
   }
 
+  private val rescanObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Incremental refresh from a SIGNED CDC batch: `inserts` append rows,
+    * `deletes` retract exact rows currently in the base (the IVM
+    * contract [[Incremental]] documents — a delete batch is a subset of
+    * the live rows). cnt and the integral partial sums SUBTRACT; a group
+    * whose count reaches zero leaves the summary; MIN/MAX merge
+    * arithmetically where provably safe (an insert can only improve an
+    * extreme, and a delete strictly inside the stored (min, max)
+    * interval cannot move either) and are REPAIRED by re-scanning ONLY
+    * the delete-affected groups of `currentBase` — the base AFTER the
+    * batch applied — so repair cost follows the affected groups' row
+    * mass, never the corpus (the q162 tier-2 pattern lifted into the MV
+    * lifecycle; re-scanned row volume observable via
+    * `graft.mv.rescan.*`). Committed as the next version and served by
+    * the rewrite rule after [[registerCurrent]], exactly like
+    * [[refresh]].
+    */
+  def refreshSigned(spark: SparkSession, dir: String, inserts: DataFrame,
+      deletes: DataFrame, currentBase: DataFrame, dims: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): Unit = {
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      val standing = spark.read.parquet(
+        s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
+      val aggCols = ("cnt" +: sumCols.map(sc => s"sum_$sc")) ++
+        minMaxCols.flatMap(mc => Seq(s"min_$mc", s"max_$mc"))
+      def tagged(df: DataFrame, t: String): DataFrame =
+        summarize(df, dims, sumCols, minMaxCols).select(
+          dims.map(col) ++ aggCols.map(a => col(a).as(s"${a}_$t")): _*)
+      val merged = standing
+        .join(tagged(inserts, "i"), dims, "full_outer")
+        .join(tagged(deletes, "d"), dims, "full_outer")
+      // a group is affected iff its delete batch touches a stored
+      // extreme of ANY tracked column; a strictly-interior delete
+      // provably cannot move min or max
+      val affectedCond = minMaxCols
+        .map(mc => col(s"min_${mc}_d") <= col(s"min_$mc") ||
+          col(s"max_${mc}_d") >= col(s"max_$mc"))
+        .reduceOption(_ || _).getOrElse(lit(false)) &&
+        coalesce(col("cnt_d"), lit(0L)) > 0L
+      val withAff = merged.withColumn("_affected", affectedCond)
+      val mmAggs = minMaxCols.flatMap(mc => Seq(
+        min(mc).as(s"min_${mc}_r"), max(mc).as(s"max_${mc}_r")))
+      val rescan =
+        if (minMaxCols.isEmpty) null
+        else currentBase
+          .join(withAff.filter(col("_affected")).select(dims.map(col): _*),
+            dims, "left_semi")
+          .observe(s"graft.mv.rescan.${rescanObsId.incrementAndGet()}",
+            count(lit(1)).as("rows_rescanned"))
+          .groupBy(dims.map(col): _*)
+          .agg(mmAggs.head, mmAggs.tail: _*)
+      val joined =
+        if (minMaxCols.isEmpty) withAff
+        else withAff.join(rescan, dims, "left_outer")
+      val sumExprs = ("cnt" +: sumCols.map(sc => s"sum_$sc")).map { a =>
+        (coalesce(col(a), lit(0L)) + coalesce(col(s"${a}_i"), lit(0L)) -
+          coalesce(col(s"${a}_d"), lit(0L))).as(a)
+      }
+      // unaffected: extrema merge with the insert side (least/greatest
+      // skip nulls); affected: the rescan of currentBase is exact and
+      // already includes this batch's inserts
+      val mmExprs = minMaxCols.flatMap { mc =>
+        Seq(
+          when(col("_affected"), col(s"min_${mc}_r"))
+            .otherwise(least(col(s"min_$mc"), col(s"min_${mc}_i")))
+            .as(s"min_$mc"),
+          when(col("_affected"), col(s"max_${mc}_r"))
+            .otherwise(greatest(col(s"max_$mc"), col(s"max_${mc}_i")))
+            .as(s"max_$mc"))
+      }
+      joined
+        .select(dims.map(col) ++ sumExprs ++ mmExprs: _*)
+        .filter(col("cnt") > 0L)
+        .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
+      c.finish(VersionedIndex.Manifest(
+        Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
+    } catch { case e: Throwable => c.abort(); throw e }
+  }
+
   /** Physical path of the committed summary generation. */
   def currentPath(spark: SparkSession, dir: String): String = {
     val (_, m) = VersionedIndex.readManifest(spark, dir)

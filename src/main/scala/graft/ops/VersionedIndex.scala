@@ -211,10 +211,23 @@ object VersionedIndex {
     private def gc(f: org.apache.hadoop.fs.FileSystem, m: Manifest): Unit = {
       val grace = readSmall(f, hp(manifestPath(dir, version - 1)))
         .map(deserialize)
-      def reachable(mm: Manifest): Set[String] =
-        mm.parts.flatMap { case (a, ps) => ps.map { case (pd, g) =>
-          if (pd == "-") s"$g/$a" else s"$g/$a/$pd" } }.toSet
       val keep = reachable(m) ++ grace.map(reachable).getOrElse(Set.empty)
+      sweep(f, dir, version, keepManifestsFrom = version - 1, keep)
+    }
+  }
+
+  private def reachable(mm: Manifest): Set[String] =
+    mm.parts.flatMap { case (a, ps) => ps.map { case (pd, g) =>
+      if (pd == "-") s"$g/$a" else s"$g/$a/$pd" } }.toSet
+
+  /** Delete everything under `dir` that is not in `keep` (partition-dir
+    * keys of [[reachable]]'s shape), plus manifests below
+    * `keepManifestsFrom`, spent claims, sweeper tombstones, and stray
+    * publish temps. Shared by the post-commit GC (keep = current +
+    * grace) and [[sweepGrace]] (keep = current only).
+    */
+  private def sweep(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      version: Long, keepManifestsFrom: Long, keep: Set[String]): Unit = {
       val keptArtifacts = keep // whole-dir entries (`-`) are prefix guards
       val root = scala.util.Try(f.listStatus(hp(dir))).toOption
         .getOrElse(Array.empty)
@@ -223,7 +236,8 @@ object VersionedIndex {
         // superseded manifests (below the grace window)
         if (n.startsWith("manifest.v") &&
           n.stripPrefix("manifest.v").forall(_.isDigit) &&
-          n.stripPrefix("manifest.v").toLong < version - 1) f.delete(p, false)
+          n.stripPrefix("manifest.v").toLong < keepManifestsFrom)
+          f.delete(p, false)
         // spent claims (their version is committed or abandoned forever)
         if (n.startsWith("commit.v") && n.endsWith(".claim") &&
           n.stripPrefix("commit.v").stripSuffix(".claim").forall(_.isDigit) &&
@@ -261,7 +275,20 @@ object VersionedIndex {
           if (leftG.isEmpty) f.delete(p, true)
         }
       }
-    }
+  }
+
+  /** PHYSICAL-ERASURE sweep: drop the grace window so ONLY the current
+    * manifest's partition directories remain on disk — the index-side
+    * analogue of ChatStore's `vacuum(keepLast = 1)`, called by forget
+    * flows after a delete commit so superseded generations holding the
+    * forgotten rows' bytes are actually gone. Trades away the one-commit
+    * reader grace for that one transition (exactly like the table
+    * store's forget), so callers reserve it for erasure, not routine GC.
+    */
+  def sweepGrace(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val (v, m) = readManifest(spark, dir)
+    sweep(f, dir, v, keepManifestsFrom = v, keep = reachable(m))
   }
 
   /** Open a commit: read the current snapshot, claim the next version

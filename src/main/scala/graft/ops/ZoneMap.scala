@@ -347,6 +347,125 @@ object ZoneMap {
     }
   }
 
+  /** DELETE CDC: remove every data row whose `matchCols` tuple appears
+    * in `keys`, as ONE crash-atomic commit. Routing follows the match
+    * columns: a key-column match routes through the bucket expression
+    * (delta-sized — only the buckets the keys map to are rewritten);
+    * any other match column must visit every live bucket (the layout
+    * cannot prove absence on a column it is not clustered on), but the
+    * rewrite is still per-bucket and the commit shape identical. Zones
+    * for touched buckets are recomputed from the surviving rows and
+    * blooms rebuilt (a bloom cannot subtract); a bucket whose rows are
+    * ALL deleted drops out of the manifest entirely — readers stop
+    * listing it. Superseded generations keep the usual one-commit grace;
+    * forget flows chain [[VersionedIndex.sweepGrace]] for physical
+    * erasure and [[residualAudit]] to PROVE it.
+    */
+  def delete(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame, matchCols: Seq[String]): Unit = {
+    val c = VersionedIndex.begin(spark, dir)
+    try {
+      val m = c.baseManifest
+      val k = keys.select(matchCols.map(col): _*).distinct()
+      val live = m.parts.getOrElse("data", Map.empty).keys
+        .map(_.stripPrefix("zbucket=").toInt).toSeq.sorted
+      val touched: Seq[Int] =
+        if (matchCols.contains(keyCol)) {
+          val routed = k.withColumn("zbucket", bucketExpr(keyCol,
+              m.stats("range_lo"), m.stats("step"),
+              m.stats("n_buckets").toInt))
+            .select("zbucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          live.filter(routed)
+        } else live
+      if (touched.isEmpty) { c.abort() }
+      else {
+        val sel = touched.map(b => s"zbucket=$b").toSet
+        val standing = VersionedIndex.readArtifact(spark, dir, m, "data",
+          Some(sel), dataSchemaFromManifest(spark, dir, m))
+        val remaining = standing.join(broadcast(k), matchCols, "left_anti")
+        remaining
+          .repartition(math.max(1, math.min(touched.size, 32)),
+            col("zbucket"))
+          .sortWithinPartitions(col("zbucket"), col(keyCol))
+          .write.mode("overwrite").partitionBy("zbucket")
+          .parquet(s"${c.gen}/data")
+        val written = VersionedIndex.writtenPartDirs(spark, s"${c.gen}/data")
+        require(written.toSet.subsetOf(sel),
+          s"delete wrote outside its touched buckets: $written vs $sel")
+        // emptied buckets: in sel but not re-written → out of the manifest
+        val dataParts = (m.parts("data") -- sel) ++
+          written.map(_ -> c.genLabel)
+        val oldZones = VersionedIndex.readArtifact(spark, dir, m, "zones",
+          None, dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
+            "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
+          .filter(!col("zbucket").isin(touched: _*))
+        val zones =
+          if (written.isEmpty) oldZones
+          else oldZones.unionByName(
+            zonesWithBloomM(spark.read.parquet(s"${c.gen}/data"), keyCol))
+        zones.coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
+        val bloomParts = m.parts.get("blooms").map { standingBlooms =>
+          if (written.nonEmpty) {
+            val bc = bloomColOf(spark, dir, m)
+            bloomWordsOf(spark.read.parquet(s"${c.gen}/data"), bc,
+                spark.read.parquet(s"${c.gen}/zones")
+                  .filter(col("zbucket").isin(touched: _*)))
+              .repartition(math.max(1, math.min(touched.size, 32)),
+                col("zbucket"))
+              .sortWithinPartitions(col("zbucket"), col("idx"))
+              .write.mode("overwrite").partitionBy("zbucket")
+              .parquet(s"${c.gen}/blooms")
+          }
+          (standingBlooms -- sel) ++ VersionedIndex
+            .writtenPartDirs(spark, s"${c.gen}/blooms")
+            .map(_ -> c.genLabel)
+        }
+        c.finish(VersionedIndex.Manifest(
+          m.parts.updated("data", dataParts)
+            .updated("zones", Map("-" -> c.genLabel)) ++
+            bloomParts.map("blooms" -> _),
+          m.stats))
+      }
+    } catch { case e: Throwable => c.abort(); throw e }
+  }
+
+  /** Physical-residue audit for delete/forget flows: reads EVERY data
+    * partition directory physically present under the index root — any
+    * generation, manifest-reachable or not — and counts rows whose
+    * `matchCols` tuple appears in `keys`. Returns (partition dirs
+    * scanned, matching rows found); erasure is proven only by (n, 0).
+    * A delete that left the grace generation in place (no
+    * [[VersionedIndex.sweepGrace]]) reports its residue here.
+    */
+  def residualAudit(spark: SparkSession, dir: String,
+      keys: DataFrame, matchCols: Seq[String]): (Long, Long) = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val partDirs = scala.util.Try(f.listStatus(root)).toOption
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter(p => p.getName.startsWith("g") &&
+        p.getName.drop(1).forall(_.isDigit))
+      .flatMap { g =>
+        val dataDir = new org.apache.hadoop.fs.Path(g, "data")
+        scala.util.Try(f.listStatus(dataDir)).toOption
+          .getOrElse(Array.empty).map(_.getPath)
+          .filter(_.getName.startsWith("zbucket="))
+      }.map(_.toString).sorted
+    if (partDirs.isEmpty) return (0L, 0L)
+    val k = keys.select(matchCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    // one multi-path scan over every on-disk generation's partitions
+    val residue = partDirs.groupBy(p => p.split("/").dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).map { case (base, ps) =>
+        spark.read.option("basePath", base).parquet(ps.toSeq: _*)
+      }.reduce(_.unionByName(_))
+      .join(broadcast(k), matchCols, "left_semi").count()
+    k.unpersist(blocking = false)
+    (partDirs.length.toLong, residue)
+  }
+
   /** The bloom column name, from the one-line `bloom_col` sidecar the
     * build writes — maintenance must probe the SAME column the build
     * hashed, and the artifact should be self-describing rather than

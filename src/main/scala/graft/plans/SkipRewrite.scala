@@ -65,7 +65,7 @@ object SkipRewrite {
       bloomCol: Option[String], epoch: String)
 
   object SkipCatalog {
-    @volatile private[plans] var defs: Seq[SkipDef] = Seq.empty
+    @volatile private[graft] var defs: Seq[SkipDef] = Seq.empty
     def register(d: SkipDef): Unit = synchronized {
       defs = defs.filterNot(_.sourcePath == d.sourcePath) :+ d
     }
@@ -80,6 +80,10 @@ object SkipRewrite {
   def pathEpoch(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pointer-protocol table has no plain dir: registration there is
+    // for the forget CASCADE only (nothing scans the bare path, so the
+    // rule can never route it) — a stable sentinel keeps register() total
+    if (!fs.exists(p)) return "absent"
     val st = fs.getFileStatus(p)
     val files =
       if (st.isFile) Array(st)

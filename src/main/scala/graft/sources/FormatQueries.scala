@@ -677,10 +677,84 @@ object FormatQueries {
       "non-clustered axis is bloom-routed by the Catalyst rule to the " +
       "candidate buckets, digest vs the raw-table oracle")
 
+  /** [[graft.ops.MaterializedSummary.refreshSigned]] (q320): the summary
+    * survives a DELETE-bearing CDC batch — counts and integral sums
+    * subtract, the delete-affected groups' MIN/MAX repair by re-scanning
+    * only those groups of the post-batch base, zero-count groups evict —
+    * and the rewrite rule serves the refreshed generation for the
+    * aggregate over base'. The oracle replays (base ∖ deletes) ∪ inserts
+    * off the raw table, so a lost retraction, an unrepaired extreme, or
+    * a stale generation hash-fails. MaterializedSummarySpec pins the
+    * algebra (including rescan tightness); PlanAssertionSpec pins the
+    * summary scan.
+    */
+  val q320_mv_retract: QueryDef = QueryDef(
+    "q320_mv_retract",
+    (s, d) => {
+      val basePrime = graft.ops.CorpusBuilds.lineitemMvRetracted(s, d)
+      s.read.parquet(basePrime)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"),
+          min("l_orderkey").cast(LongType).as("min_key"),
+          max("l_orderkey").cast(LongType).as("max_key"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey
+      |  FROM lineitem WHERE l_orderkey % 11 <> 3
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus, l_orderkey
+      |  FROM lineitem WHERE l_orderkey % 13 = 0) t
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "Materialized summary under retractions: signed refresh (subtracting " +
+      "counts/sums, affected-group MIN/MAX repair), served by the " +
+      "auto-rewrite rule, digest vs the delete-replaying oracle")
+
+  /** [[graft.ops.ZoneMap.delete]] (q321): delete CDC into the standing
+    * zone-mapped copy — one crash-atomic commit rewriting only the
+    * buckets the deleted keys route to, with surviving rows kept, zones
+    * recomputed, and fully-emptied buckets dropping out of the manifest;
+    * the grace generation is then physically swept
+    * ([[graft.ops.VersionedIndex.sweepGrace]]). The serve range-queries
+    * across deleted and untouched buckets; the oracle replays the delete
+    * off the raw table, so a lost retraction, a resurrected grace row,
+    * or a stale zone route hash-fails. ZoneMapSpec pins bucket drop-out
+    * and the zero-residue audit.
+    */
+  val q321_zonemap_delete: QueryDef = QueryDef(
+    "q321_zonemap_delete",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapDeleted(s, d)
+      graft.ops.ZoneMap.rangeQuery(s, idx, "l_orderkey", 700L, 1099L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 700 AND 1099 AND l_orderkey % 7 <> 2
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Zone-map delete CDC: key-routed retraction commit (touched buckets " +
+      "rewritten, zones respliced, emptied buckets dropped, grace swept), " +
+      "range serve digest vs the delete-replaying oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
-    q317_mv_minmax, q318_skip_range, q319_skip_bloom)
+    q317_mv_minmax, q318_skip_range, q319_skip_bloom, q320_mv_retract,
+    q321_zonemap_delete)
 }

@@ -269,6 +269,16 @@ class PlanAssertionSpec extends SparkSpec {
       s"q317 does not scan the registered summary: $scans")
   }
 
+  test("q320: the aggregate over the retraction-bearing base is served " +
+    "from the SIGNED-refreshed summary generation (g2)") {
+    val scans = optimizedScans(run("q320_mv_retract"))
+    assert(!scans.exists(_.contains("graft_mvd_base_")),
+      s"q320 still scans the post-batch base table: $scans")
+    assert(scans.exists(s => s.contains("graft_mvd_sum_") &&
+      s.contains("/g2/")),
+      s"q320 does not scan the signed-refresh generation (g2): $scans")
+  }
+
   test("q318: the plain range filter over the base path is rerouted to " +
     "the zone-mapped copy's bucket partitions (and ONLY the routed ones)") {
     val scans = optimizedScans(run("q318_skip_range"))

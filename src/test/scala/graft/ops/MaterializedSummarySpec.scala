@@ -54,6 +54,64 @@ class MaterializedSummarySpec extends SparkSpec {
     assert(after.toSeq == Seq(("a", 2L, 10L)))
   }
 
+  test("refreshSigned ≡ from-scratch rebuild after a delete-heavy batch " +
+    "(min/max repaired, zero-count group evicted, inserts merged)") {
+    val base = Seq(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 10L), ("b", 20L), ("c", 7L)).toDF("g", "v")
+    val deletes = Seq(("a", 9L), ("c", 7L)).toDF("g", "v") // a's max; ALL of c
+    val inserts = Seq(("a", 3L), ("d", 100L)).toDF("g", "v")
+    val currentBase = base.exceptAll(deletes).unionAll(inserts)
+    val dir = freshDir()
+    MaterializedSummary.build(spark, base, dir, dims, sums, Seq("v"))
+    MaterializedSummary.refreshSigned(spark, dir, inserts, deletes,
+      currentBase, dims, sums, Seq("v"))
+    val got = spark.read.parquet(
+        MaterializedSummary.currentPath(spark, dir))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // ≡ summarize(currentBase): c evicted, a's max repaired to 5, d new
+    assert(got == Seq(("a", 3L, 9L, 1L, 5L), ("b", 2L, 30L, 10L, 20L),
+      ("d", 1L, 100L, 100L, 100L)))
+  }
+
+  test("refreshSigned rescans ONLY delete-affected groups (interior " +
+    "deletes merge arithmetically)") {
+    val base = Seq(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")
+    // a loses its MIN (affected -> rescan); b loses an INTERIOR value
+    // (provably cannot move extremes -> no rescan)
+    val deletes = Seq(("a", 1L), ("b", 20L)).toDF("g", "v")
+    val inserts = Seq.empty[(String, Long)].toDF("g", "v")
+    val currentBase = base.exceptAll(deletes)
+    val dir = freshDir()
+    MaterializedSummary.build(spark, base, dir, dims, sums, Seq("v"))
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.mv.rescan.")) seen.put(name, row.getLong(0))
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got = try {
+      MaterializedSummary.refreshSigned(spark, dir, inserts, deletes,
+        currentBase, dims, sums, Seq("v"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      spark.read.parquet(MaterializedSummary.currentPath(spark, dir))
+        .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    } finally spark.listenerManager.unregister(listener)
+    assert(got == Seq(("a", 2L, 14L, 5L, 9L), ("b", 2L, 40L, 10L, 30L)))
+    val rescanned = seen.values().toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sum
+    // only a's 2 surviving rows — b's interior delete must not rescan
+    assert(rescanned == 2L, s"expected 2 re-scanned rows, got $rescanned")
+  }
+
   test("registerCurrent re-points the rewrite at the refreshed generation") {
     val basePath = java.nio.file.Files
       .createTempDirectory("ms_base_").toString + "/t"

@@ -155,6 +155,74 @@ class ZoneMapSpec extends SparkSpec {
     assert(served0 == 100L)
   }
 
+  test("delete retracts exactly the keyed rows; emptied buckets drop " +
+    "out of the manifest and zones resplice") {
+    val dir = freshDir()
+    ZoneMap.build(table(1000), "k", dir, nBuckets = 16) // step 63
+    // ALL of bucket 0 (k 0..62) plus one interior row elsewhere
+    val keys = ((0 until 63) :+ 500).map(_.toLong).toDF("k")
+    ZoneMap.delete(spark, dir, "k", keys, Seq("k"))
+    val (_, m) = VersionedIndex.readManifest(spark, dir)
+    assert(!m.parts("data").contains("zbucket=0"),
+      "a fully-deleted bucket must leave the manifest")
+    val served = ZoneMap.rangeQuery(spark, dir, "k", 0, 999)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(served == (63 until 1000).map(_.toLong).filterNot(_ == 500L))
+    val z = ZoneMap.readZones(spark, dir)
+    assert(z.filter($"zbucket" === 0).count() == 0,
+      "the emptied bucket must have no zone row")
+    assert(z.agg(sum("n_rows")).head().getLong(0) == 936L)
+  }
+
+  test("delete by a NON-key column visits buckets but stays exact") {
+    val dir = freshDir()
+    ZoneMap.build(table(100), "k", dir, nBuckets = 4)
+    ZoneMap.delete(spark, dir, "k",
+      Seq(3L).toDF("grp"), Seq("grp")) // grp = k % 7
+    val served = ZoneMap.rangeQuery(spark, dir, "k", 0, 99)
+    assert(served.count() == 100 - 14) // 14 keys with k % 7 == 3
+    assert(served.filter($"grp" === 3L).count() == 0)
+  }
+
+  test("residualAudit proves physical erasure only after sweepGrace") {
+    val dir = freshDir()
+    ZoneMap.build(table(500), "k", dir, nBuckets = 8)
+    val keys = (100 until 140).map(_.toLong).toDF("k")
+    ZoneMap.delete(spark, dir, "k", keys, Seq("k"))
+    // the delete commit keeps the one-version grace: the superseded
+    // generation still physically holds the rows
+    val (_, residueBefore) = ZoneMap.residualAudit(spark, dir, keys, Seq("k"))
+    assert(residueBefore == 40L,
+      s"grace generation must still hold the rows: $residueBefore")
+    VersionedIndex.sweepGrace(spark, dir)
+    val (dirsScanned, residue) = ZoneMap.residualAudit(spark, dir, keys, Seq("k"))
+    assert(dirsScanned > 0 && residue == 0L,
+      s"after the sweep the keys must appear in ZERO on-disk partitions: " +
+        s"($dirsScanned, $residue)")
+    // and the served content is unaffected by the sweep
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 0, 499).count() == 460L)
+  }
+
+  test("ChatStore.forgetKeys cascades into the registered zone-mapped " +
+    "copy: delete commit + grace sweep + zero residue + epoch re-capture") {
+    import graft.chat.ChatStore
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("zm_forget_").toString + "/t"
+    ChatStore.writeVersioned(table(300), tableDir)
+    val idx = freshDir()
+    ZoneMap.build(table(300), "k", idx, nBuckets = 8)
+    graft.plans.SkipRewrite.register(spark, tableDir, idx, "k")
+    val keys = Seq(10L, 11L, 12L).toDF("k")
+    ChatStore.forgetKeys(spark, tableDir, "k", keys)
+    // the table forgot them…
+    val (tDirs, tRes) = ChatStore.residualAudit(spark, tableDir, "k", keys)
+    assert(tDirs > 0 && tRes == 0L, s"table residue: ($tDirs, $tRes)")
+    // …and the standing derived artifact did too, physically
+    val (zDirs, zRes) = ZoneMap.residualAudit(spark, idx, keys, Seq("k"))
+    assert(zDirs > 0 && zRes == 0L, s"zone-map residue: ($zDirs, $zRes)")
+    assert(ZoneMap.rangeQuery(spark, idx, "k", 0, 299).count() == 297L)
+  }
+
   test("a commit killed before the pointer flip leaves the index intact") {
     val dir = freshDir()
     ZoneMap.build(table(200), "k", dir, nBuckets = 4)
