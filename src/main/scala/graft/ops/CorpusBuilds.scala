@@ -192,7 +192,9 @@ object CorpusBuilds {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("cnt"),
             sum("l_orderkey").as("sum_l_orderkey"),
+            count(col("l_orderkey")).as("cnt_l_orderkey"),
             sum("l_suppkey").as("sum_l_suppkey"),
+            count(col("l_suppkey")).as("cnt_l_suppkey"),
             min("l_orderkey").as("min_l_orderkey"),
             max("l_orderkey").as("max_l_orderkey"),
             min("l_shipdate").as("min_l_shipdate"),
@@ -204,6 +206,36 @@ object CorpusBuilds {
           sumCols = Set("l_orderkey", "l_suppkey"),
           minMaxCols = Set("l_orderkey", "l_shipdate"))
         mv
+      })
+
+  /** q322's NULL-bearing base + registered summary: base' = lineitem
+    * with l_suppkey nulled on the %5==0 orderkeys (TPC-H ships no nulls,
+    * and COUNT(col)/AVG(col) only differ from COUNT(*)/SUM-over-cnt on a
+    * null-bearing column), summary built over base' with the
+    * sum_/cnt_ column pairs and registered — the rewrite rule must
+    * serve COUNT(l_suppkey) from the non-null counts and AVG(l_suppkey)
+    * as the one final SUM/COUNT division. Returns the base' path.
+    */
+  def lineitemMvNullable(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mv_null|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val basePrime = java.nio.file.Files
+          .createTempDirectory("graft_mvn_base_").toString + "/lineitem"
+        graft.relational.Tables.t(s, dir, "lineitem")
+          .withColumn("l_suppkey",
+            when(col("l_orderkey") % 5 === 0, lit(null))
+              .otherwise(col("l_suppkey")))
+          .write.mode("overwrite").parquet(basePrime)
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_mvn_sum_").toString
+        val dims = Seq("l_returnflag", "l_linestatus")
+        val sums = Seq("l_orderkey", "l_suppkey")
+        MaterializedSummary.build(s, s.read.parquet(basePrime), sdir,
+          dims, sums)
+        MaterializedSummary.registerCurrent(s, basePrime, sdir,
+          dims.toSet, sums.toSet)
+        basePrime
       })
 
   /** q316's appended base table (read-only; the per-invocation streaming

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
 object MaterializedSummary {
 
   /** Build and commit v1 of the summary: group `base` by `dims`, carry
-    * cnt + SUM of every `sumCols` entry (as `sum_<col>`) + MIN/MAX of
-    * every `minMaxCols` entry (as `min_<col>` / `max_<col>`).
+    * cnt + SUM and non-null COUNT of every `sumCols` entry (as
+    * `sum_<col>` / `cnt_<col>` — the pair lets the rewrite rule serve
+    * COUNT(col) and AVG(col) too) + MIN/MAX of every `minMaxCols` entry
+    * (as `min_<col>` / `max_<col>`).
     */
   def build(spark: SparkSession, base: DataFrame, dir: String,
       dims: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      minMaxCols: Seq[String] = Seq.empty, keepLast: Int = 2): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       summarize(base, dims, sumCols, minMaxCols)
         .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
@@ -40,9 +42,17 @@ object MaterializedSummary {
       sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        sumCols.map(sc => sum(sc).cast("long").as(s"sum_$sc")) ++
+        sumCols.flatMap(sc => Seq(sum(sc).cast("long").as(s"sum_$sc"),
+          count(col(sc)).as(s"cnt_$sc"))) ++
           minMaxCols.flatMap(mc => Seq(min(mc).as(s"min_$mc"),
             max(mc).as(s"max_$mc"))): _*)
+
+  /** The additively-maintained columns (group size, partial sums,
+    * per-column non-null counts) — they add under appends and subtract
+    * under exact-row deletes.
+    */
+  private def additiveCols(sumCols: Seq[String]): Seq[String] =
+    "cnt" +: sumCols.flatMap(sc => Seq(s"sum_$sc", s"cnt_$sc"))
 
   /** Incremental refresh from an APPEND delta: aggregate the delta at
     * summary granularity, merge into the standing summary (cnt and sums
@@ -51,15 +61,22 @@ object MaterializedSummary {
     */
   def refresh(spark: SparkSession, dir: String, delta: DataFrame,
       dims: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Seq.empty): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      minMaxCols: Seq[String] = Seq.empty, keepLast: Int = 2): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val standing = spark.read.parquet(
         s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
       val d = summarize(delta, dims, sumCols, minMaxCols)
-      val sumExprs = ("cnt" +: sumCols.map(sc => s"sum_$sc")).map { a =>
-        (coalesce(col(s"s.$a"), lit(0L)) +
-          coalesce(col(s"d.$a"), lit(0L))).as(a)
+      def added(a: String) =
+        coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L))
+      // SUM(x) over a group is NULL iff its non-null count is zero — the
+      // merged cnt_<x> recovers that exactly (a plain coalesce-add would
+      // turn an all-null group's NULL sum into 0)
+      val sumExprs = additiveCols(sumCols).map { a =>
+        (if (a.startsWith("sum_"))
+          when(added("cnt_" + a.stripPrefix("sum_")) === 0L,
+            lit(null)).otherwise(added(a))
+        else added(a)).as(a)
       }
       // extrema merge null-safely: a group present on only one side
       // keeps that side's bound (least/greatest are null-poisoning)
@@ -100,12 +117,13 @@ object MaterializedSummary {
     */
   def refreshSigned(spark: SparkSession, dir: String, inserts: DataFrame,
       deletes: DataFrame, currentBase: DataFrame, dims: Seq[String],
-      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      sumCols: Seq[String], minMaxCols: Seq[String] = Seq.empty,
+      keepLast: Int = 2): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val standing = spark.read.parquet(
         s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
-      val aggCols = ("cnt" +: sumCols.map(sc => s"sum_$sc")) ++
+      val aggCols = additiveCols(sumCols) ++
         minMaxCols.flatMap(mc => Seq(s"min_$mc", s"max_$mc"))
       def tagged(df: DataFrame, t: String): DataFrame =
         summarize(df, dims, sumCols, minMaxCols).select(
@@ -136,9 +154,17 @@ object MaterializedSummary {
       val joined =
         if (minMaxCols.isEmpty) withAff
         else withAff.join(rescan, dims, "left_outer")
-      val sumExprs = ("cnt" +: sumCols.map(sc => s"sum_$sc")).map { a =>
-        (coalesce(col(a), lit(0L)) + coalesce(col(s"${a}_i"), lit(0L)) -
-          coalesce(col(s"${a}_d"), lit(0L))).as(a)
+      def signed(a: String) =
+        coalesce(col(a), lit(0L)) + coalesce(col(s"${a}_i"), lit(0L)) -
+          coalesce(col(s"${a}_d"), lit(0L))
+      // same NULL-sum repair as refresh(): after the signed merge a
+      // group whose surviving rows are all NULL in x must report a NULL
+      // sum_x, which cnt_x (itself signed-merged) decides exactly
+      val sumExprs = additiveCols(sumCols).map { a =>
+        (if (a.startsWith("sum_"))
+          when(signed("cnt_" + a.stripPrefix("sum_")) === 0L,
+            lit(null)).otherwise(signed(a))
+        else signed(a)).as(a)
       }
       // unaffected: extrema merge with the insert side (least/greatest
       // skip nulls); affected: the rescan of currentBase is exact and

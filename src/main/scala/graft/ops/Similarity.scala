@@ -636,13 +636,15 @@ object Similarity {
   }
 
   /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
-    * multi-file inverted-list partitions to one file each as one
-    * crash-safe commit; single-file partitions keep their generation
-    * dirs and mtimes. Returns partitions compacted.
+    * inverted-list partitions holding more than `targetFiles` parquet
+    * files to one file each as one crash-safe commit; conforming
+    * partitions keep their generation dirs and mtimes. Returns
+    * partitions compacted.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int =
-    VersionedIndex.compactPartitioned(spark, dir, Seq("lists" -> "list_id"))
+      dir: String, targetFiles: Int = 1, keepLast: Int = 2): Int =
+    VersionedIndex.compactPartitioned(spark, dir,
+      Seq("lists" -> "list_id"), targetFiles, keepLast)
 
   /** IVF-PQ compressed-domain search over a [[buildIvfPqIndex]] index —
     * the production ANN READ path: coarse-route each query to its
@@ -743,9 +745,10 @@ object Similarity {
     */
   def updateIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       added: DataFrame, removedIds: DataFrame, idCol: String, embCol: String,
-      dim: Int, m: Int): Unit = {
+      dim: Int, m: Int, keepLast: Int = 2,
+      autoCompact: Option[Int] = None): Unit = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
-    val c = VersionedIndex.begin(spark, dir)
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val man = c.baseManifest
       require(man.parts.nonEmpty, s"$dir holds no built index to update")
@@ -797,6 +800,9 @@ object Similarity {
       c.finish(VersionedIndex.Manifest(
         man.parts.updated("lists", listParts), man.stats))
     } catch { case e: Throwable => c.abort(); throw e }
+    // auto-compaction policy: follow-on commit collapsing any inverted
+    // list whose file count exceeded the threshold (no-op when none did)
+    autoCompact.foreach(n => compactIndex(spark, dir, n, keepLast))
   }
 
   /** Symmetric int8 scalar quantization of an embedding column — 4× (vs

@@ -164,8 +164,9 @@ object TextIndex {
     */
   def updatePhraseIndex(spark: SparkSession, dir: String,
       addedDocs: DataFrame, removedIds: DataFrame, idCol: String,
-      textCol: String): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      textCol: String, keepLast: Int = 2,
+      autoCompact: Option[Int] = None): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val m = c.baseManifest
       require(m.parts.nonEmpty, s"$dir holds no built index to update")
@@ -238,16 +239,25 @@ object TextIndex {
           "n_docs" -> (m.stats("n_docs") - gone.getLong(0) + came.getLong(0)),
           "sum_dl" -> (m.stats("sum_dl") - gone.getLong(1) + came.getLong(1)))))
     } catch { case e: Throwable => c.abort(); throw e }
+    // auto-compaction policy: after the CDC commit published, collapse
+    // any partition whose file count exceeded the threshold as a
+    // follow-on commit (a no-op commit-free scan when nothing is
+    // oversized) — sustained CDC otherwise accretes one file batch per
+    // task per commit in hot buckets until a caller remembers to compact
+    autoCompact.foreach(n => compact(spark, dir, n, keepLast))
   }
 
   /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
-    * multi-file partitions of both artifacts to one file each, as one
-    * crash-safe commit; single-file partitions keep their existing
-    * generation dirs and mtimes. Returns partitions compacted.
+    * partitions of both artifacts holding more than `targetFiles`
+    * parquet files to one file each, as one crash-safe commit;
+    * conforming partitions keep their existing generation dirs and
+    * mtimes. Returns partitions compacted.
     */
-  def compact(spark: SparkSession, dir: String): Int =
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      keepLast: Int = 2): Int =
     VersionedIndex.compactPartitioned(spark, dir,
-      Seq("postings" -> "bucket", "doclen" -> "dbucket"))
+      Seq("postings" -> "bucket", "doclen" -> "dbucket"), targetFiles,
+      keepLast)
 
   /** BM25 top-k served FROM the standing index — the ranked-retrieval
     * read path beside [[phraseSearch]]'s boolean one, with q183's

@@ -148,6 +148,18 @@ object VersionedIndex {
     Manifest(parts.map { case (a, ps) => a -> ps.toMap }.toMap, stats.toMap)
   }
 
+  /** The committed manifest of a SPECIFIC version — the multi-version
+    * reader's entry (index-side time travel): any version inside the
+    * retention window of the commits that followed it ([[begin]]'s
+    * `keepLast`) still resolves every partition path it references.
+    * None once the window has moved past it.
+    */
+  def readManifestAt(spark: SparkSession, dir: String,
+      version: Long): Option[Manifest] = {
+    val f = fs(spark, dir)
+    readSmall(f, hp(manifestPath(dir, version))).map(deserialize)
+  }
+
   /** The committed (version, manifest) the pointer currently serves. */
   def readManifest(spark: SparkSession, dir: String): (Long, Manifest) =
     readManifestOpt(spark, dir).getOrElse(throw new IllegalStateException(
@@ -170,7 +182,8 @@ object VersionedIndex {
     * committers cannot both hold a Commit for the same version.
     */
   final class Commit private[VersionedIndex] (spark: SparkSession,
-      dir: String, val base: Option[(Long, Manifest)]) {
+      dir: String, val base: Option[(Long, Manifest)],
+      keepLast: Int) {
     val version: Long = base.map(_._1).getOrElse(0L) + 1
     /** This commit's private generation directory — data staged here is
       * invisible until the pointer flips. */
@@ -201,18 +214,21 @@ object VersionedIndex {
       scala.util.Try(f.delete(hp(claimPath(dir, version)), false))
     }
 
-    /** Keep everything reachable from manifests `version` (just
-      * committed) and `version − 1` (grace for in-flight readers);
-      * delete superseded partition dirs, manifests below the grace,
-      * spent claims, and crashed-sweeper tombstones. Never touches
-      * generations above `version` — they may be a concurrent writer's
-      * in-flight stage.
+    /** Keep everything reachable from the `keepLast` most recent
+      * manifests — `version` (just committed) down to
+      * `version − keepLast + 1` (the retention window for in-flight and
+      * long-running readers; keepLast = 2, the default, is the classic
+      * one-version grace). Delete superseded partition dirs, manifests
+      * below the window, spent claims, and crashed-sweeper tombstones.
+      * Never touches generations above `version` — they may be a
+      * concurrent writer's in-flight stage.
       */
     private def gc(f: org.apache.hadoop.fs.FileSystem, m: Manifest): Unit = {
-      val grace = readSmall(f, hp(manifestPath(dir, version - 1)))
-        .map(deserialize)
-      val keep = reachable(m) ++ grace.map(reachable).getOrElse(Set.empty)
-      sweep(f, dir, version, keepManifestsFrom = version - 1, keep)
+      val floor = version - keepLast + 1
+      val kept = ((floor max 1L) until version).flatMap(v =>
+        readSmall(f, hp(manifestPath(dir, v))).map(deserialize))
+      val keep = reachable(m) ++ kept.flatMap(reachable)
+      sweep(f, dir, version, keepManifestsFrom = floor, keep)
     }
   }
 
@@ -297,8 +313,18 @@ object VersionedIndex {
     * claim. Throws `ConcurrentModificationException` if a live writer
     * holds the claim or the pointer moved — the caller re-runs against
     * the new current, exactly ChatStore's contract.
+    *
+    * `keepLast` is this commit's RETENTION window (parity with
+    * `ChatStore.commitKeepLast`): the post-commit GC keeps the keepLast
+    * most recent manifests and every partition directory they reach, so
+    * a reader that resolved a manifest up to keepLast−1 commits ago
+    * still finds all its paths. The default 2 is the classic
+    * one-version grace. The window is per-commit — the NEXT commit's
+    * knob decides what survives it — so a lifecycle with long-running
+    * readers passes the same value throughout.
     */
-  def begin(spark: SparkSession, dir: String): Commit = {
+  def begin(spark: SparkSession, dir: String, keepLast: Int = 2): Commit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, dir)
     f.mkdirs(hp(dir))
     val base = readManifestOpt(spark, dir)
@@ -338,7 +364,7 @@ object VersionedIndex {
         s"index commit conflict on $dir: the current version advanced past " +
           "the snapshot this maintenance was derived from — re-run it")
     }
-    new Commit(spark, dir, base)
+    new Commit(spark, dir, base, keepLast)
   }
 
   /** Partition directory names (`bucket=3`, …) a just-finished artifact
@@ -401,7 +427,8 @@ object VersionedIndex {
     * the versioned commit keeps readers crash-safe throughout.
     */
   def compactPartitioned(spark: SparkSession, dir: String,
-      artifacts: Seq[(String, String)], targetFiles: Int = 1): Int = {
+      artifacts: Seq[(String, String)], targetFiles: Int = 1,
+      keepLast: Int = 2): Int = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, dir)
     val (_, m0) = readManifest(spark, dir)
@@ -415,7 +442,7 @@ object VersionedIndex {
     val work = artifacts.map { case (a, pc) => (a, pc, oversized(a)) }
       .filter(_._3.nonEmpty)
     if (work.isEmpty) return 0
-    val c = begin(spark, dir)
+    val c = begin(spark, dir, keepLast)
     try {
       // re-read under the claim: the pre-claim scouting above may have
       // raced another commit (begin re-validated the pointer, so the

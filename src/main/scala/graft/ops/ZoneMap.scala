@@ -272,8 +272,9 @@ object ZoneMap {
     * upsert; callers dedupe upstream where sources can repeat).
     */
   def update(spark: SparkSession, dir: String, delta: DataFrame,
-      keyCol: String, mergeKeys: Seq[String]): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      keyCol: String, mergeKeys: Seq[String], keepLast: Int = 2,
+      autoCompact: Option[Int] = None): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val m = c.baseManifest
       val lo = m.stats("range_lo")
@@ -288,7 +289,22 @@ object ZoneMap {
       if (touched.isEmpty) { c.abort() }
       else applyUpdate(spark, dir, c, m, routed, touched, keyCol, mergeKeys)
     } catch { case e: Throwable => c.abort(); throw e }
+    // auto-compaction policy: follow-on commit collapsing any bucket
+    // whose file count exceeded the threshold (no-op when none did)
+    autoCompact.foreach(n => compact(spark, dir, n, keepLast))
   }
+
+  /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
+    * data/bloom bucket partitions holding more than `targetFiles`
+    * parquet files to one file each as one crash-safe commit;
+    * conforming partitions keep their generation dirs and mtimes.
+    * Returns partitions compacted.
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      keepLast: Int = 2): Int =
+    VersionedIndex.compactPartitioned(spark, dir,
+      Seq("data" -> "zbucket", "blooms" -> "zbucket"), targetFiles,
+      keepLast)
 
   private def applyUpdate(spark: SparkSession, dir: String,
       c: VersionedIndex.Commit, m: VersionedIndex.Manifest,
@@ -362,8 +378,9 @@ object ZoneMap {
     * erasure and [[residualAudit]] to PROVE it.
     */
   def delete(spark: SparkSession, dir: String, keyCol: String,
-      keys: DataFrame, matchCols: Seq[String]): Unit = {
-    val c = VersionedIndex.begin(spark, dir)
+      keys: DataFrame, matchCols: Seq[String],
+      keepLast: Int = 2): Unit = {
+    val c = VersionedIndex.begin(spark, dir, keepLast)
     try {
       val m = c.baseManifest
       val k = keys.select(matchCols.map(col): _*).distinct()

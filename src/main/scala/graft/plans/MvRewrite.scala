@@ -35,9 +35,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * The rewrite preserves the Aggregate's output attribute ids (each
   * output re-aliased under its original exprId), so parent operators are
-  * untouched. COUNT re-aggregates as SUM(cnt), SUM(x) as SUM(sum_x) —
+  * untouched. COUNT(*) re-aggregates as SUM(cnt), SUM(x) as SUM(sum_x) —
   * exact for integral sums (the only kind the catalog accepts; double
   * partial sums re-added in a different order would not be bit-stable).
+  * COUNT(x) re-aggregates as SUM(cnt_x) from the summary's per-column
+  * non-null counts (exact for any type — null-ness is order-free), and
+  * AVG(x) over an INTEGRAL column as the one final division
+  * SUM(sum_x) / SUM(cnt_x) in double — exactly Spark's own Average
+  * evaluation (one double division of sum by non-null count), with the
+  * numerator exact because the partial sums are integral; AVG over a
+  * double column never rewrites (its base-path accumulation order is
+  * not reproducible from partials). Both require the summary schema to
+  * carry `cnt_<col>` — summaries built before that column existed
+  * simply decline these two shapes (schema-checked, not assumed).
   *
   * Staleness is VERIFIED, not caller-asserted: registration captures the
   * base path's content epoch ([[SkipRewrite.pathEpoch]] — file names +
@@ -162,8 +172,26 @@ object MvRewrite {
             Alias(byName(a.name), a.name)(exprId = a.exprId)
           case al @ Alias(a: AttributeReference, n) =>
             Alias(byName(a.name), n)(exprId = al.exprId)
+          // AVG(x): the one final division Spark's Average itself
+          // evaluates — SUM of the exact integral partials over SUM of
+          // the non-null counts, divided once in double (legacy divide,
+          // the same null-on-empty semantics Average has)
+          case al @ Alias(ae: AggregateExpression, n)
+              if ae.aggregateFunction.isInstanceOf[Average] =>
+            val a = ae.aggregateFunction.asInstanceOf[Average]
+              .child.asInstanceOf[AttributeReference]
+            val num = Sum(byName(s"sum_${a.name}")).toAggregateExpression()
+            val den = Sum(byName(s"cnt_${a.name}")).toAggregateExpression()
+            Alias(Divide(
+              Cast(num, org.apache.spark.sql.types.DoubleType),
+              Cast(den, org.apache.spark.sql.types.DoubleType),
+              EvalMode.LEGACY), n)(exprId = al.exprId)
           case al @ Alias(ae: AggregateExpression, n) =>
             val nf = ae.aggregateFunction match {
+              // COUNT(x) before the generic COUNT(*) case: non-null
+              // counts re-aggregate from the per-column cnt_<x>
+              case Count(Seq(a: AttributeReference)) =>
+                Sum(byName(s"cnt_${a.name}"))
               case _: Count => Sum(byName("cnt"))
               case Sum(a: AttributeReference, _) =>
                 Sum(byName(s"sum_${a.name}"))
@@ -183,17 +211,34 @@ object MvRewrite {
         Aggregate(newGroup, newAggs, newChild)
       }
 
+    /** The summary schema carries this column (guards COUNT(x)/AVG(x)
+      * against summaries registered before cnt_<col> existed).
+      */
+    private def hasCol(mv: MvDef, name: String): Boolean =
+      mv.mvPlan.output.exists(_.name == name)
+
     private def derivable(ae: AggregateExpression, mv: MvDef): Boolean =
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         // non-null literals only: COUNT(NULL) is 0 per group, not the
         // group size SUM(cnt) would produce
         case Count(Seq(Literal(v, _))) if v != null => true
         case Count(Seq()) => true
+        // COUNT(x) needs the per-column non-null count in the summary
+        case Count(Seq(a: AttributeReference)) =>
+          mv.sumCols.contains(a.name) && hasCol(mv, s"cnt_${a.name}")
         case Sum(a: AttributeReference, _) =>
           // integral partial sums only: re-adding double partials in a
           // different order is not bit-stable
           mv.sumCols.contains(a.name) &&
             a.dataType == org.apache.spark.sql.types.LongType
+        // AVG(x) = SUM(sum_x)/SUM(cnt_x), exact only when the partial
+        // sums are themselves exact — integral columns only, same bound
+        // as SUM; a double column's Average is accumulation-order-
+        // dependent and never rewrites
+        case Average(a: AttributeReference, _) =>
+          mv.sumCols.contains(a.name) &&
+            a.dataType == org.apache.spark.sql.types.LongType &&
+            hasCol(mv, s"sum_${a.name}") && hasCol(mv, s"cnt_${a.name}")
         case Min(a: AttributeReference) => mv.minMaxCols.contains(a.name)
         case Max(a: AttributeReference) => mv.minMaxCols.contains(a.name)
         case _ => false

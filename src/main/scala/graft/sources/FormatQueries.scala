@@ -750,11 +750,53 @@ object FormatQueries {
       "rewritten, zones respliced, emptied buckets dropped, grace swept), " +
       "range serve digest vs the delete-replaying oracle")
 
+  /** AVG + COUNT(col) through the MV rule (q322): the base copy carries
+    * NULLs in l_suppkey (%5==0 orderkeys — TPC-H ships none, and these
+    * two aggregates only differ from COUNT(*)/SUM on a null-bearing
+    * column), the registered summary carries the sum_/cnt_ pairs, and
+    * the rule serves COUNT(l_suppkey) from the non-null counts and
+    * AVG(l_suppkey) as the one final SUM(sum)/SUM(cnt) double division —
+    * exactly Spark's own Average evaluation, with the numerator exact
+    * because the partials are integral. The oracle replays the CASE
+    * nulling off the raw table and spells the average as the same
+    * explicit division, so a mis-mapped count (group size instead of
+    * non-null), a null-dropped sum, or a stale generation hash-fails.
+    * MvRewriteSpec pins the near-misses (AVG over a double column, a
+    * summary without cnt_ columns); PlanAssertionSpec pins the summary
+    * scan.
+    */
+  val q322_mv_avg: QueryDef = QueryDef(
+    "q322_mv_avg",
+    (s, d) => {
+      val base = graft.ops.CorpusBuilds.lineitemMvNullable(s, d)
+      s.read.parquet(base)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          count(col("l_suppkey")).cast(LongType).as("n_supp"),
+          avg("l_suppkey").as("avg_supp"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(COUNT(sk) AS BIGINT) AS n_supp,
+      |  CAST(SUM(sk) AS DOUBLE) / CAST(COUNT(sk) AS DOUBLE) AS avg_supp,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey,
+      |    CASE WHEN l_orderkey % 5 = 0 THEN NULL
+      |         ELSE l_suppkey END AS sk
+      |  FROM lineitem) t
+      |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "AVG and COUNT(col) served from the materialized summary over a " +
+      "null-bearing column (non-null counts re-aggregated, average as " +
+      "one exact-numerator division), digest vs the null-replaying oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
     q317_mv_minmax, q318_skip_range, q319_skip_bloom, q320_mv_retract,
-    q321_zonemap_delete)
+    q321_zonemap_delete, q322_mv_avg)
 }

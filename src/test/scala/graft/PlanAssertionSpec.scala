@@ -279,6 +279,15 @@ class PlanAssertionSpec extends SparkSpec {
       s"q320 does not scan the signed-refresh generation (g2): $scans")
   }
 
+  test("q322: COUNT(col) + AVG over the null-bearing base are served " +
+    "from the summary's cnt_/sum_ columns, not the base scan") {
+    val scans = optimizedScans(run("q322_mv_avg"))
+    assert(!scans.exists(_.contains("graft_mvn_base_")),
+      s"q322 still scans the null-bearing base table: $scans")
+    assert(scans.exists(_.contains("graft_mvn_sum_")),
+      s"q322 does not scan the registered summary: $scans")
+  }
+
   test("q318: the plain range filter over the base path is rerouted to " +
     "the zone-mapped copy's bucket partitions (and ONLY the routed ones)") {
     val scans = optimizedScans(run("q318_skip_range"))

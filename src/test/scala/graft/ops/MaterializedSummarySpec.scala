@@ -25,8 +25,9 @@ class MaterializedSummarySpec extends SparkSpec {
     MaterializedSummary.refresh(spark, dir, delta, dims, sums)
     val got = spark.read.parquet(
         MaterializedSummary.currentPath(spark, dir))
-      .orderBy("g").as[(String, Long, Long)].collect().toSeq
-    assert(got == Seq(("a", 3L, 8L), ("b", 1L, 10L), ("c", 1L, 7L)))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 8L, 3L), ("b", 1L, 10L, 1L),
+      ("c", 1L, 7L, 1L)))
   }
 
   test("a refresh killed before the pointer flip serves the old summary") {
@@ -43,15 +44,16 @@ class MaterializedSummarySpec extends SparkSpec {
         Seq(("a", 9L)).toDF("g", "v"), dims, sums)
     } finally VersionedIndex.crashHook = _ => ()
     assert(MaterializedSummary.currentPath(spark, dir) == before)
-    val got = spark.read.parquet(before).as[(String, Long, Long)].collect()
-    assert(got.toSeq == Seq(("a", 1L, 1L)))
+    val got = spark.read.parquet(before)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 1L, 1L, 1L)))
     // and the retry applies cleanly
     MaterializedSummary.refresh(spark, dir,
       Seq(("a", 9L)).toDF("g", "v"), dims, sums)
     val after = spark.read.parquet(
       MaterializedSummary.currentPath(spark, dir))
-      .as[(String, Long, Long)].collect()
-    assert(after.toSeq == Seq(("a", 2L, 10L)))
+      .as[(String, Long, Long, Long)].collect()
+    assert(after.toSeq == Seq(("a", 2L, 10L, 2L)))
   }
 
   test("refreshSigned ≡ from-scratch rebuild after a delete-heavy batch " +
@@ -67,10 +69,11 @@ class MaterializedSummarySpec extends SparkSpec {
       currentBase, dims, sums, Seq("v"))
     val got = spark.read.parquet(
         MaterializedSummary.currentPath(spark, dir))
-      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
     // ≡ summarize(currentBase): c evicted, a's max repaired to 5, d new
-    assert(got == Seq(("a", 3L, 9L, 1L, 5L), ("b", 2L, 30L, 10L, 20L),
-      ("d", 1L, 100L, 100L, 100L)))
+    assert(got == Seq(("a", 3L, 9L, 3L, 1L, 5L),
+      ("b", 2L, 30L, 2L, 10L, 20L), ("d", 1L, 100L, 1L, 100L, 100L)))
   }
 
   test("refreshSigned rescans ONLY delete-affected groups (interior " +
@@ -103,13 +106,44 @@ class MaterializedSummarySpec extends SparkSpec {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       spark.read.parquet(MaterializedSummary.currentPath(spark, dir))
-        .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+        .orderBy("g").as[(String, Long, Long, Long, Long, Long)]
+        .collect().toSeq
     } finally spark.listenerManager.unregister(listener)
-    assert(got == Seq(("a", 2L, 14L, 5L, 9L), ("b", 2L, 40L, 10L, 30L)))
+    assert(got == Seq(("a", 2L, 14L, 2L, 5L, 9L),
+      ("b", 2L, 40L, 2L, 10L, 30L)))
     val rescanned = seen.values().toArray(Array.empty[java.lang.Long])
       .map(_.longValue).sum
     // only a's 2 surviving rows — b's interior delete must not rescan
     assert(rescanned == 2L, s"expected 2 re-scanned rows, got $rescanned")
+  }
+
+  test("an all-null group's sum_x stays NULL through refresh and " +
+    "refreshSigned (cnt_x decides — a coalesce-add would turn it to 0)") {
+    val base = Seq(("a", Some(1L)), ("n", None), ("n", None))
+      .toDF("g", "v")
+    val dir = freshDir()
+    MaterializedSummary.build(spark, base, dir, dims, sums)
+    // delta: another null row for n (stays all-null), a null row for a
+    // (sum unchanged, cnt up, cnt_v unchanged)
+    MaterializedSummary.refresh(spark, dir,
+      Seq(("n", Option.empty[Long]), ("a", Option.empty[Long]))
+        .toDF("g", "v"), dims, sums)
+    val got = spark.read.parquet(
+        MaterializedSummary.currentPath(spark, dir))
+      .orderBy("g").as[(String, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, Some(1L), 1L), ("n", 3L, None, 0L)))
+    // signed: delete a's one non-null row — its sum_v must BECOME null
+    MaterializedSummary.refreshSigned(spark, dir,
+      Seq.empty[(String, Option[Long])].toDF("g", "v"),
+      Seq(("a", Some(1L))).toDF("g", "v"),
+      Seq(("a", Option.empty[Long]), ("n", Option.empty[Long]),
+        ("n", Option.empty[Long]), ("n", Option.empty[Long]))
+        .toDF("g", "v"),
+      dims, sums)
+    val after = spark.read.parquet(
+        MaterializedSummary.currentPath(spark, dir))
+      .orderBy("g").as[(String, Long, Option[Long], Long)].collect().toSeq
+    assert(after == Seq(("a", 1L, None, 0L), ("n", 3L, None, 0L)))
   }
 
   test("registerCurrent re-points the rewrite at the refreshed generation") {

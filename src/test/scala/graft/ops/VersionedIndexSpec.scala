@@ -182,6 +182,101 @@ class VersionedIndexSpec extends SparkSpec {
     assert(v1 == v2, "no-op compaction must not commit")
   }
 
+  test("keepLast retention: five commits at keepLast=4 keep a four-" +
+    "version reader window (an old manifest still resolves every path, " +
+    "its artifact content is readable) and GC sweeps below the window") {
+    val dir = java.nio.file.Files.createTempDirectory("vidx_keep").toString
+    TextIndex.buildPhraseIndex(textCorpus(), "doc_id", "text", dir,
+      nBuckets = 8) // v1
+    val (_, m1) = VersionedIndex.readManifest(spark, dir)
+    def upd(v: Int): Unit = TextIndex.updatePhraseIndex(spark, dir,
+      Seq((0L, ("aa " * v).trim)).toDF("doc_id", "text"),
+      Seq.empty[Tuple1[Long]].toDF("doc_id"), "doc_id", "text",
+      keepLast = 4)
+    upd(2) // v2
+    val m2 = VersionedIndex.readManifestAt(spark, dir, 2L).get
+    // the v2-era content, to re-read through the old manifest later
+    val at2 = VersionedIndex.readArtifact(spark, dir, m2, "postings",
+      None, null).collect().map(_.toString).sorted.toSeq
+    // g1 partition dirs superseded by v2 — unreachable once v1 leaves
+    // the window
+    val superseded = m1.parts("postings").filter { case (pd, _) =>
+      m2.parts("postings").get(pd).exists(_ != m1.parts("postings")(pd))
+    }.map { case (pd, g) => s"$dir/$g/postings/$pd" }.toSeq
+    assert(superseded.nonEmpty, "fixture must supersede some partition")
+    upd(3); upd(4); upd(5) // v3, v4, v5
+    // window: v2..v5 kept, v1 swept
+    assert(VersionedIndex.readManifestAt(spark, dir, 1L).isEmpty,
+      "manifest v1 must leave the 4-version window")
+    assert(superseded.forall(p => !new java.io.File(p).exists()),
+      s"partition dirs reachable only from v1 must be swept: $superseded")
+    (2L to 5L).foreach { v =>
+      val m = VersionedIndex.readManifestAt(spark, dir, v)
+        .getOrElse(fail(s"manifest v$v must stay inside the window"))
+      Seq("postings", "doclen").foreach { a =>
+        VersionedIndex.partitionPaths(dir, m, a).values.foreach { p =>
+          assert(new java.io.File(p).exists(),
+            s"v$v reader lost $p — retention window broken")
+        }
+      }
+    }
+    // the long-running reader's actual read: v2's postings via its own
+    // manifest, byte-equal to what v2 served when it was current
+    assert(VersionedIndex.readArtifact(spark, dir, m2, "postings",
+      None, null).collect().map(_.toString).sorted.toSeq == at2,
+      "an in-window manifest must re-read its own generation's content")
+  }
+
+  test("auto-compaction policy: ten CDC batches with autoCompact keep " +
+    "every partition's file count bounded, never-touched partitions " +
+    "keep their mtimes, and served content equals the uncompacted twin") {
+    val dirA = java.nio.file.Files.createTempDirectory("vidx_ac_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("vidx_ac_b").toString
+    // 4-way parallel build fragments partitions from the start
+    Seq(dirA, dirB).foreach(d => TextIndex.buildPhraseIndex(
+      textCorpus().repartition(4), "doc_id", "text", d, nBuckets = 8))
+    def counts(d: String): Map[String, Int] =
+      TextIndex.partitionPaths(spark, d, "postings").map {
+        case (pd, path) => pd -> new java.io.File(path).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      }
+    // partitions the batches never touch: their files must never move
+    val untouchedBefore = fileState(dirA).filter(_._1.contains("=")) //
+    (1 to 10).foreach { i =>
+      // each batch ADDS a doc sharing the hot term, so the hot bucket
+      // accumulates rows across task boundaries — one more file per
+      // commit, the fragmentation the policy exists for
+      val delta = Seq((100L + i, "aa aa"))
+        .toDF("doc_id", "text").repartition(3)
+      TextIndex.updatePhraseIndex(spark, dirA, delta,
+        Seq.empty[Tuple1[Long]].toDF("doc_id"), "doc_id", "text",
+        autoCompact = Some(3))
+      TextIndex.updatePhraseIndex(spark, dirB, delta,
+        Seq.empty[Tuple1[Long]].toDF("doc_id"), "doc_id", "text")
+      assert(counts(dirA).values.forall(_ <= 3),
+        s"batch $i left an over-threshold partition: ${counts(dirA)}")
+    }
+    // the policy actually fired: the knob-less twin fragments past the
+    // threshold somewhere
+    assert(counts(dirB).values.exists(_ > 3),
+      s"twin never fragmented — the assertion above proves nothing: " +
+        s"${counts(dirB)}")
+    // served content identical to the uncompacted twin
+    assert(TextIndex.readPostings(spark, dirA)
+      .collect().map(_.toString).sorted.toSeq ==
+      TextIndex.readPostings(spark, dirB)
+        .collect().map(_.toString).sorted.toSeq,
+      "auto-compaction changed postings content")
+    assert(phraseHits(dirA) == phraseHits(dirB),
+      "auto-compaction changed served results")
+    // a partition no batch ever touched keeps its original files+mtimes
+    val afterA = fileState(dirA)
+    val stillThere = untouchedBefore.filter { case (k, mt) =>
+      afterA.get(k).contains(mt) }
+    assert(stillThere.nonEmpty,
+      "fixture degenerated: every partition was touched or rewritten")
+  }
+
   test("IVF-PQ maintenance through the same protocol: a killed update " +
     "serves the old index; compaction preserves ANN results") {
     def jig(i: Int): Float = (i / 3 % 5) * 0.02f

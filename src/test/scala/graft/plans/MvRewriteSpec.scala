@@ -125,6 +125,56 @@ class MvRewriteSpec extends SparkSpec {
       == Seq(0L))
   }
 
+  test("COUNT(col) and AVG(integral col) are served from a summary " +
+    "carrying cnt_ columns, exact on a null-bearing column") {
+    val base3 = java.nio.file.Files
+      .createTempDirectory("mv_avg_base_").toString + "/t"
+    val rows = (0 until 100).map(i =>
+      (i.toLong, s"g${i % 3}", if (i % 4 == 0) None else Some(i.toLong),
+        i * 1.5))
+    rows.toDF("id", "dim_a", "v", "d")
+      .write.mode("overwrite").parquet(base3)
+    val sdir = java.nio.file.Files.createTempDirectory("mv_avg_sum_")
+      .toString
+    graft.ops.MaterializedSummary.build(spark,
+      spark.read.parquet(base3), sdir, Seq("dim_a"), Seq("v"))
+    graft.ops.MaterializedSummary.registerCurrent(spark, base3, sdir,
+      Set("dim_a"), Set("v"))
+    val q = spark.read.parquet(base3)
+      .groupBy("dim_a")
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        avg($"v").as("av"))
+      .orderBy("dim_a")
+    assert(!scansOf(q).exists(_.contains(base3)),
+      s"base table still scanned: ${scansOf(q)}")
+    // truth from the generator: n = group size, nv = non-null count,
+    // av = exact-sum / non-null-count in one double division
+    val truth = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val vs = rs.flatMap(_._3)
+      (g, rs.size.toLong, vs.size.toLong, vs.sum.toDouble / vs.size)
+    }
+    assert(q.as[(String, Long, Long, Double)].collect().toSeq == truth)
+    // AVG over the DOUBLE column of the same base must keep the base
+    // scan (double partial sums are not order-stable)
+    val qd = spark.read.parquet(base3)
+      .groupBy("dim_a").agg(avg($"d").as("ad"))
+    assert(scansOf(qd).exists(_.contains(base3)),
+      s"AVG over a double column was rewritten: ${scansOf(qd)}")
+  }
+
+  test("a summary registered without cnt_ columns declines COUNT(col) " +
+    "and AVG (schema-checked, not assumed)") {
+    registered // the shared handmade summary carries cnt + sum_v only
+    val qc = spark.read.parquet(basePath)
+      .groupBy("dim_a").agg(count($"v").as("nv"))
+    assert(scansOf(qc).exists(_.contains(basePath)),
+      s"COUNT(col) rewrote against a summary with no cnt_v: ${scansOf(qc)}")
+    val qa = spark.read.parquet(basePath)
+      .groupBy("dim_a").agg(avg($"v").as("av"))
+    assert(scansOf(qa).exists(_.contains(basePath)),
+      s"AVG rewrote against a summary with no cnt_v: ${scansOf(qa)}")
+  }
+
   test("a base append after registration declines the rewrite; " +
     "re-registration over the new content re-enables it") {
     // own base dir — the shared fixture's epoch must stay valid
