@@ -18,6 +18,22 @@ object SqlEntry {
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
+  /** Dialect-neutral preprocessing for running the shared oracle texts
+    * through Spark: strips DuckDB's `AS MATERIALIZED (` CTE hint (pure
+    * performance annotation — `AS (` is semantically identical; DuckDB
+    * keeps the hint, Spark's parser rejects it). Nothing else is
+    * rewritten — every semantic construct must parse as-is or the text
+    * is not SQL-path verified.
+    */
+  def dialectNeutral(sql: String): String =
+    sql.replaceAll("(?i)\\bAS\\s+MATERIALIZED\\s*\\(", "AS (")
+
+  /** Run a shared oracle text through Spark's SQL entry (views must be
+    * registered): the hint-stripping is the only transformation.
+    */
+  def runSql(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame =
+    spark.sql(dialectNeutral(sql))
+
   def registerViews(spark: SparkSession, dir: String): Unit = {
     // String literals keep backslashes literally (the ANSI/DuckDB/Hive-1.x
     // behavior): without this, Spark's default C-style unescaping silently
@@ -74,10 +90,19 @@ object SqlEntry {
       |RETURN sha2(s, 256)""".stripMargin)
     // `string_split(s, sep)` — DuckDB's literal-separator split; Spark's
     // split() takes a regex, so the separator is \Q..\E-quoted. Both
-    // engines keep empty fields between adjacent separators.
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
-      |string_split(s STRING, sep STRING) RETURNS ARRAY<STRING>
-      |RETURN split(s, concat('\Q', sep, '\E'))""".stripMargin)
+    // engines keep empty fields between adjacent separators. Bound as a
+    // NATIVE expression (not a SQL UDF): Spark refuses SQL functions
+    // inside Generate, and the dominant dialect shape is
+    // unnest(string_split(text, ' ')).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "string_split",
+        exprs => StringSplit(exprs(0),
+          Concat(Seq(Literal("\\Q"), exprs(1), Literal("\\E"))),
+          Literal(-1)),
+        "scala_udf")
+    }
     // `regexp_matches(s, p)` — DuckDB's partial-match regex predicate;
     // Spark's RLIKE has identical partial-match semantics.
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
@@ -89,6 +114,107 @@ object SqlEntry {
     spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
       |json_extract_string(j STRING, p STRING) RETURNS STRING
       |RETURN get_json_object(j, p)""".stripMargin)
+    // `unnest(arr)` — DuckDB's SELECT-position list unnest ≡ Spark's
+    // explode generator: one output row per element, other select items
+    // repeated, zero rows for NULL/empty lists on both engines. Bound
+    // through the expression registry (a SQL scalar function cannot
+    // change row cardinality); Spark's single-generator-per-SELECT rule
+    // and no-nesting rule still apply, so the zip-style multi-unnest and
+    // unnest-inside-CAST dialects keep failing (and stay justified
+    // skips) rather than silently diverging.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unnest",
+      exprs => org.apache.spark.sql.catalyst.expressions.Explode(exprs.head),
+      "scala_udf")
+    // `regexp_full_match(s, p)` — DuckDB's whole-string regex predicate;
+    // anchoring the pattern gives RLIKE the same semantics.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |regexp_full_match(s STRING, p STRING) RETURNS BOOLEAN
+      |RETURN s RLIKE concat('^(?:', p, ')$')""".stripMargin)
+    // DuckDB's SCALAR list builders and list_* lambda family, bound as
+    // native expressions so they compose inside generators and lambdas:
+    //  - range(n) / range(a, b): the half-open [a, b) integer list (the
+    //    TABLE-position range(...) is Spark's own TVF and agrees);
+    //  - generate_series(a, b): the inclusive [a, b] list;
+    //  - list_filter(arr, x -> p): Spark's filter (same lambda syntax);
+    //  - list_sum(arr): sum of elements, NULL for empty/NULL lists
+    //    (DuckDB's documented behavior — an unguarded fold returns 0).
+    // Empty ranges need the explicit guard: Spark's sequence(a, b)
+    // auto-descends when b < a where DuckDB returns [].
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      def L(e: Expression) = Cast(e, LongType)
+      def emptyLongs =
+        Literal.create(Array.empty[Long], ArrayType(LongType, false))
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "range",
+        exprs => {
+          val (a, b) = exprs match {
+            case Seq(n) => (Literal(0L), L(n))
+            case Seq(x, y) => (L(x), L(y))
+            case other => throw new IllegalArgumentException(
+              s"range shim: expected 1 or 2 args, got ${other.size}")
+          }
+          If(LessThanOrEqual(b, a), emptyLongs,
+            new Sequence(a, Subtract(b, Literal(1L)), None))
+        },
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "generate_series",
+        exprs => {
+          val (a, b) = (L(exprs(0)), L(exprs(1)))
+          If(LessThan(b, a), emptyLongs, new Sequence(a, b, None))
+        },
+        "scala_udf")
+      // array_to_string(arr, sep) ≡ Spark's array_join
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "array_to_string",
+        exprs => ArrayJoin(exprs(0), exprs(1), None),
+        "scala_udf")
+      // list_value(...) ≡ array(...): the function spelling of DuckDB's
+      // [..] list literal (the bracket syntax itself has no Spark parse)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_value",
+        exprs => CreateArray(exprs),
+        "scala_udf")
+      // list_extract(arr, i) — 1-based element access on BOTH engines
+      // (Spark's element_at shares DuckDB's 1-based contract; the
+      // bracket index arr[i] does NOT — it is 0-based in Spark)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_extract",
+        exprs => ElementAt(exprs(0), exprs(1)),
+        "scala_udf")
+      // list_slice(arr, a, b) — DuckDB's 1-based INCLUSIVE-both-ends
+      // slice; Spark's slice(arr, start, length) with length b−a+1.
+      // Callers must keep a ≤ b ≤ len (Spark errors on non-positive
+      // length where DuckDB clamps — the dialect texts satisfy this).
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_slice",
+        exprs => Slice(exprs(0), Cast(exprs(1),
+            org.apache.spark.sql.types.IntegerType),
+          Cast(Add(Subtract(exprs(2), exprs(1)), Literal(1)),
+            org.apache.spark.sql.types.IntegerType)),
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_filter",
+        exprs => ArrayFilter(exprs(0), exprs(1)),
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_transform",
+        exprs => ArrayTransform(exprs(0), exprs(1)),
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_sum",
+        exprs => If(EqualTo(Size(exprs.head), Literal(0)),
+          Literal.create(null, LongType),
+          ArrayAggregate(exprs.head, Literal(0L),
+            LambdaFunction(Add(lv("acc"), Cast(lv("x"), LongType)),
+              Seq(lv("acc"), lv("x"))),
+            LambdaFunction(lv("acc"), Seq(lv("acc"))))),
+        "scala_udf")
+    }
     // `nfc_normalize(s)` — DuckDB builtin; bound to the library's native
     // codegen expression (functions/NfcNormalize.scala), not a UDF, so
     // SQL text hits the same compiled kernel as the DataFrame path.

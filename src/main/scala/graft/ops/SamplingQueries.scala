@@ -275,10 +275,10 @@ object SamplingQueries {
   private val syntheticUrlSql: String =
     """urled AS (
       |  SELECT doc_id, text,
-      |    ['https://','http://','','https://user@'][CAST(doc_id % 4 AS INT) + 1] ||
-      |    ['','www.','blog.cdn.'][CAST(doc_id % 3 AS INT) + 1] ||
+      |    list_extract(list_value('https://','http://','','https://user@'), CAST(doc_id % 4 AS INT) + 1) ||
+      |    list_extract(list_value('','www.','blog.cdn.'), CAST(doc_id % 3 AS INT) + 1) ||
       |    'site-' || source || '.' ||
-      |    ['com','org','net','co.uk','com.au'][CAST(doc_id % 5 AS INT) + 1] ||
+      |    list_extract(list_value('com','org','net','co.uk','com.au'), CAST(doc_id % 5 AS INT) + 1) ||
       |    CASE WHEN doc_id % 2 = 0 THEN ':8080/p/' || CAST(doc_id AS STRING)
       |         ELSE '/a?q=' || CAST(doc_id AS STRING) END AS url
       |  FROM documents)""".stripMargin
@@ -364,7 +364,7 @@ object SamplingQueries {
       |  FROM parts),
       |sufs AS (
       |  SELECT doc_id, host,
-      |    array_to_string(p[CAST(j AS BIGINT):], '.') AS suf
+      |    array_to_string(list_slice(p, CAST(j AS BIGINT), len(p)), '.') AS suf
       |  FROM idx),
       |bl(blocked) AS (VALUES ('site-src0.com'), ('cdn.site-src1.org'),
       |  ('site-src3.co.uk'), ('net'), ('rc5.com')),
@@ -418,16 +418,16 @@ object SamplingQueries {
     },
     Some(s"""WITH urled AS (
       |  SELECT doc_id,
-      |    ['https://','http://','HTTPS://','HTTP://'][CAST(doc_id % 4 AS INT) + 1] ||
-      |    ['www.','',''][CAST(doc_id % 3 AS INT) + 1] ||
+      |    list_extract(list_value('https://','http://','HTTPS://','HTTP://'), CAST(doc_id % 4 AS INT) + 1) ||
+      |    list_extract(list_value('www.','',''), CAST(doc_id % 3 AS INT) + 1) ||
       |    CASE WHEN doc_id % 2 = 0 THEN 'Site-' ELSE 'site-' END ||
       |    source || '.com' ||
-      |    ['',':443',':80',':8080'][CAST(doc_id % 4 AS INT) + 1] ||
+      |    list_extract(list_value('',':443',':80',':8080'), CAST(doc_id % 4 AS INT) + 1) ||
       |    '/p/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING) ||
       |    CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
-      |    ['','?utm_source=feed','?utm_campaign=x&utm_medium=y',
+      |    list_extract(list_value('','?utm_source=feed','?utm_campaign=x&utm_medium=y',
       |     '?id=' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING),
-      |     '?utm_source=a&id=' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING)][CAST(doc_id % 5 AS INT) + 1] ||
+      |     '?utm_source=a&id=' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS STRING)), CAST(doc_id % 5 AS INT) + 1) ||
       |    CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END AS url
       |  FROM documents),
       |hosted AS (
@@ -439,9 +439,12 @@ object SamplingQueries {
       |  FROM urled),
       |np AS (
       |  SELECT doc_id, host,
-      |    regexp_replace(regexp_replace(rest, '#.*${"$"}', ''),
-      |      '^:(?:80|443)(/|\\?|${"$"})', '\\1') AS r
-      |  FROM hosted),
+      |    CASE WHEN regexp_matches(nof, '^:(?:80|443)(/|\\?|${"$"})')
+      |         THEN regexp_replace(nof, '^:(?:80|443)', '')
+      |         ELSE nof END AS r
+      |  FROM (SELECT doc_id, host,
+      |          regexp_replace(rest, '#.*${"$"}', '') AS nof
+      |        FROM hosted)),
       |pq AS (
       |  SELECT doc_id, host,
       |    regexp_replace(regexp_replace(r, '\\?.*${"$"}', ''), '/${"$"}', '') AS path,

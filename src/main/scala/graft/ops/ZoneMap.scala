@@ -223,10 +223,24 @@ object ZoneMap {
     * the matching DATA rows (payload included); the caller aggregates/
     * projects. The zone read and the bucket-id collect are both bounded
     * by n_buckets — driver-safe at any corpus size.
+    *
+    * `asOfVersion` serves the layout AS OF an older committed version —
+    * TIME TRAVEL over the standing artifact, valid for any version the
+    * retention window ([[VersionedIndex.begin]]'s `keepLast`) still
+    * holds: the old manifest's partition directories are immutable and
+    * GC keeps them until keepLast later commits, so the read is exactly
+    * the bytes that version served when it was current. Zones AND data
+    * resolve through the same old manifest — the routing can never mix
+    * generations.
     */
   def rangeQuery(spark: SparkSession, dir: String, keyCol: String,
-      lo: Long, hi: Long): DataFrame = {
-    val (_, m) = VersionedIndex.readManifest(spark, dir)
+      lo: Long, hi: Long, asOfVersion: Option[Long] = None): DataFrame = {
+    val m = asOfVersion match {
+      case Some(v) => VersionedIndex.readManifestAt(spark, dir, v)
+        .getOrElse(throw new IllegalStateException(
+          s"$dir holds no manifest v$v — outside the retention window"))
+      case None => VersionedIndex.readManifest(spark, dir)._2
+    }
     val zones = VersionedIndex.readArtifact(spark, dir, m, "zones", None,
       dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
         "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))

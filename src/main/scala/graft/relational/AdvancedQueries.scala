@@ -587,7 +587,7 @@ object AdvancedQueries {
     """SELECT CAST(q AS BIGINT) AS q_ppm,
       |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
       |  CAST(1 AS BIGINT) AS rank_ok
-      |FROM (SELECT unnest([250000, 500000, 750000]) AS q) t
+      |FROM (SELECT unnest(list_value(250000, 500000, 750000)) AS q) t
       |ORDER BY q_ppm""".stripMargin,
     "Per-partition KLL quantile sketches merged to global estimates, " +
       "true-rank gated (mergeable-sketch maintenance for quantiles)") {

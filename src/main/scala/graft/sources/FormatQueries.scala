@@ -792,11 +792,59 @@ object FormatQueries {
       "null-bearing column (non-null counts re-aggregated, average as " +
       "one exact-numerator division), digest vs the null-replaying oracle")
 
+  /** TIME TRAVEL over the zone-mapped layout (q323): the same range is
+    * served twice from q310's CDC'd copy — AS OF version 1 (the
+    * pre-CDC build, still resolvable because the update commit's
+    * retention window keeps the grace manifest and every partition
+    * directory it references) and at the current version (post-upsert).
+    * Both servings resolve zones and data through ONE manifest each, so
+    * neither can mix generations. The oracle replays both states off
+    * the raw table: a time-travel read leaking post-CDC rows into v1
+    * (or vice versa) hash-fails.
+    */
+  val q323_zonemap_timetravel: QueryDef = QueryDef(
+    "q323_zonemap_timetravel",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapCdc(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame, v: String) = df
+        .groupBy(lit(v).as("v"), col("l_returnflag"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"))
+      agg(graft.ops.ZoneMap.rangeQuery(s, idx, "l_orderkey", 950L, 1150L,
+          asOfVersion = Some(1L)), "v1")
+        .unionByName(agg(graft.ops.ZoneMap.rangeQuery(
+          s, idx, "l_orderkey", 950L, 1150L), "cur"))
+        .orderBy("v", "l_returnflag")
+    },
+    Some("""SELECT v, l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(qc AS BIGINT) AS qty_cents
+      |FROM (
+      |  SELECT 'v1' AS v, l_returnflag, count(*) AS n,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qc
+      |  FROM lineitem WHERE l_orderkey BETWEEN 950 AND 1150
+      |  GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'cur' AS v, l_returnflag, count(*) AS n,
+      |    SUM(CAST(CAST(q AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qc
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CASE WHEN l_orderkey BETWEEN 1000 AND 1099
+      |           THEN l_quantity + 5 ELSE l_quantity END AS q
+      |    FROM lineitem
+      |    WHERE l_orderkey BETWEEN 950 AND 1150) t
+      |  GROUP BY 2) u
+      |ORDER BY v, l_returnflag""".stripMargin),
+    "Time travel over the standing zone-mapped copy: the same range " +
+      "served as of the pre-CDC version and at the current version, " +
+      "each through its own immutable manifest, digest vs the two-state " +
+      "replaying oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
     q317_mv_minmax, q318_skip_range, q319_skip_bloom, q320_mv_retract,
-    q321_zonemap_delete, q322_mv_avg)
+    q321_zonemap_delete, q322_mv_avg, q323_zonemap_timetravel)
 }

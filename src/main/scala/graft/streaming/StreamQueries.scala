@@ -1147,7 +1147,7 @@ object StreamQueries {
     Some("""SELECT CAST(q AS BIGINT) AS q_ppm,
       |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
       |  CAST(1 AS BIGINT) AS rank_ok
-      |FROM (SELECT unnest([250000, 500000, 750000]) AS q) t
+      |FROM (SELECT unnest(list_value(250000, 500000, 750000)) AS q) t
       |ORDER BY q_ppm""".stripMargin),
     "Stream/batch parity #15: KLL quantile sketch as a streaming " +
       "stateful aggregation (kilobyte sketch state per micro-batch), " +

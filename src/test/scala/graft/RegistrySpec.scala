@@ -144,7 +144,7 @@ class RegistrySpec extends SparkSpec {
     Registry.all.filter(_.oracle.isDefined).foreach { q =>
       val sql = q.oracle.get
       val viaSql =
-        try Right(norm(spark.sql(sql)))
+        try Right(norm(SqlEntry.runSql(spark, sql)))
         catch { case e: Throwable => Left(e) }
       viaSql match {
         case Right(rows) =>
@@ -160,10 +160,12 @@ class RegistrySpec extends SparkSpec {
       }
     }
     info(s"SQL-path verified: $ran of ${Registry.all.count(_.oracle.isDefined)} oracles")
-    // round-16: the portable-SQL push put 200+ oracles through the Spark
-    // SQL entry; pin the floor so a dialect regression can't silently
+    // round-17: the generator/list-shim push (unnest ≡ explode, scalar
+    // range/generate_series, native string_split, list_* lambdas, the
+    // MATERIALIZED hint strip) put 240+ oracles through the Spark SQL
+    // entry; pin the floor so a dialect regression can't silently
     // shrink the verified surface back down
-    assert(ran >= 200, s"SQL-path count regressed: $ran < 200")
+    assert(ran >= 240, s"SQL-path count regressed: $ran < 240")
     assert(diverged.isEmpty,
       s"SQL form diverged from DataFrame form:\n${diverged.mkString("\n")}")
     assert(unjustified.isEmpty,

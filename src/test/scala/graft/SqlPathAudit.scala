@@ -21,7 +21,7 @@ object SqlPathAudit {
     val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     Registry.all.filter(_.oracle.isDefined).foreach { q =>
       val sql = q.oracle.get
-      try { spark.sql(sql).collect(); ok += 1 }
+      try { SqlEntry.runSql(spark, sql).collect(); ok += 1 }
       catch { case e: Throwable =>
         failed += ((q.name, e.getMessage.linesIterator.take(2).mkString(" ").take(160)))
       }

@@ -32,6 +32,34 @@ class ZoneMapSpec extends SparkSpec {
     assert(hit <= 3, s"a 10% range must route to <=3 of 16 buckets, hit $hit")
   }
 
+  test("asOfVersion serves the pre-CDC bytes through the old manifest; " +
+    "a version outside the retention window raises") {
+    val dir = freshDir()
+    ZoneMap.build(table(200), "k", dir, nBuckets = 8) // v1
+    val before = ZoneMap.rangeQuery(spark, dir, "k", 0, 199)
+      .select("k", "payload").collect().map(_.toString).sorted.toSeq
+    ZoneMap.update(spark, dir, // v2: rewrite k=10's payload
+      Seq((10L, "NEW", 3L)).toDF("k", "payload", "grp"), "k", Seq("k"))
+    // v1 time travel = exactly the pre-update content; current = post
+    val atV1 = ZoneMap.rangeQuery(spark, dir, "k", 0, 199,
+        asOfVersion = Some(1L))
+      .select("k", "payload").collect().map(_.toString).sorted.toSeq
+    assert(atV1 == before, "as-of read must serve the old version's bytes")
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 10, 10)
+      .select("payload").as[String].collect().toSeq == Seq("NEW"))
+    // v3 pushes v1 out of the default keepLast=2 window -> clean error
+    ZoneMap.update(spark, dir,
+      Seq((11L, "X", 4L)).toDF("k", "payload", "grp"), "k", Seq("k"))
+    intercept[IllegalStateException] {
+      ZoneMap.rangeQuery(spark, dir, "k", 0, 199, asOfVersion = Some(1L))
+        .collect()
+    }
+    // ...but v2 is the grace manifest and still serves
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 10, 10,
+        asOfVersion = Some(2L))
+      .select("payload").as[String].collect().toSeq == Seq("NEW"))
+  }
+
   test("zone stats beat boundary math on sparse buckets") {
     // keys cluster in two islands; the static boundary span covers the
     // hole, the per-bucket min/max does not
