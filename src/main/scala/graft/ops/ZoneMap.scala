@@ -461,6 +461,65 @@ object ZoneMap {
     } catch { case e: Throwable => c.abort(); throw e }
   }
 
+  /** CHANGE DATA FEED between two committed versions of the layout —
+    * the CDC-OUT side of the protocol (downstream consumers subscribe
+    * to a standing artifact's changes without replaying the inputs):
+    * row-level (op ∈ insert/delete/update) diff keyed by `mergeKeys`,
+    * computed by reading ONLY the partitions whose generation differs
+    * between the two manifests. Both manifests must still be inside the
+    * retention window ([[VersionedIndex.begin]]'s keepLast). Cost is
+    * touched-partition-sized: an untouched bucket is never listed, and
+    * identical rows inside rewritten buckets are dropped by a null-safe
+    * payload compare — the same shape as ChatStore.changeFeed, lifted
+    * onto the partitioned manifest so the diff scales with the delta,
+    * not the corpus.
+    */
+  def changeFeed(spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      mergeKeys: Seq[String]): DataFrame = {
+    def manifestAt(v: Long) = VersionedIndex.readManifestAt(spark, dir, v)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir holds no manifest v$v — outside the retention window"))
+    val (mA, mB) = (manifestAt(vFrom), manifestAt(vTo))
+    val pa = mA.parts.getOrElse("data", Map.empty)
+    val pb = mB.parts.getOrElse("data", Map.empty)
+    val changed = (pa.keySet ++ pb.keySet)
+      .filter(pd => pa.get(pd) != pb.get(pd))
+    val schema = dataSchemaFromManifest(spark, dir,
+      if (pb.nonEmpty) mB else mA)
+    val payload = schema.fields.map(_.name)
+      .filterNot(n => mergeKeys.contains(n) || n == "zbucket")
+    // per-key payload MULTISET (order-free via sort_array): repeated
+    // merge keys are legal in the layout (the upsert replaces the whole
+    // key group), so the diff compares each key's row multiset rather
+    // than pairing rows — a key-equi-join would cross-pair duplicates
+    // and report unchanged ride-along rows as updates
+    def side(m: VersionedIndex.Manifest, tag: String) =
+      VersionedIndex.readArtifact(spark, dir, m, "data", Some(changed),
+          schema)
+        .groupBy(mergeKeys.map(col): _*)
+        .agg(sort_array(collect_list(struct(payload.map(col): _*)))
+          .as(s"_$tag"))
+    side(mA, "a").join(side(mB, "b"), mergeKeys, "full_outer")
+      .filter(!(col("_a") <=> col("_b")))
+      .select(mergeKeys.map(col) :+
+        when(col("_b").isNull, lit("delete"))
+          .when(col("_a").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"): _*)
+  }
+
+  /** Data-partition directories whose generation differs between two
+    * in-window versions — the test/probe view of [[changeFeed]]'s read
+    * footprint (manifest-sized to compute).
+    */
+  def changedPartitions(spark: SparkSession, dir: String, vFrom: Long,
+      vTo: Long): Set[String] = {
+    def parts(v: Long) = VersionedIndex.readManifestAt(spark, dir, v)
+      .getOrElse(throw new IllegalStateException(s"no manifest v$v"))
+      .parts.getOrElse("data", Map.empty)
+    val (pa, pb) = (parts(vFrom), parts(vTo))
+    (pa.keySet ++ pb.keySet).filter(pd => pa.get(pd) != pb.get(pd))
+  }
+
   /** Physical-residue audit for delete/forget flows: reads EVERY data
     * partition directory physically present under the index root — any
     * generation, manifest-reachable or not — and counts rows whose

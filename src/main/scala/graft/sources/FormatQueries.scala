@@ -840,11 +840,43 @@ object FormatQueries {
       "each through its own immutable manifest, digest vs the two-state " +
       "replaying oracle")
 
+  /** Version CHANGE FEED over the zone-mapped layout (q324): the
+    * row-level diff between q310's pre-CDC version and its post-upsert
+    * version, computed by reading ONLY the buckets whose generation
+    * differs between the two manifests (ZoneMapSpec pins the footprint).
+    * The feed is per merge KEY (the synthetic lineitem repeats
+    * (orderkey, linenumber), so the diff compares each key's payload
+    * multiset — see [[graft.ops.ZoneMap.changeFeed]]); every upserted
+    * key's multiset changed (quantity +5), so the feed is exactly the
+    * distinct delta keys as `update` ops — a leaked unchanged key, a
+    * missed bucket, or a mixed-generation read hash-fails against the
+    * raw-table replay.
+    */
+  val q324_zonemap_changefeed: QueryDef = QueryDef(
+    "q324_zonemap_changefeed",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapCdc(s, d)
+      graft.ops.ZoneMap.changeFeed(s, idx, 1L, 2L,
+          Seq("l_orderkey", "l_linenumber"))
+        .groupBy("op")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("key_sum"))
+        .orderBy("op")
+    },
+    Some("""SELECT 'update' AS op, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+      |FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+      |      WHERE l_orderkey BETWEEN 1000 AND 1099) t""".stripMargin),
+    "Change data feed between committed layout versions: row-level " +
+      "insert/delete/update diff from only the generation-changed " +
+      "buckets, digest vs the raw-table delta replay")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
     q247_partition_pruning, q268_zorder_pruning, q309_zonemap_range,
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
     q317_mv_minmax, q318_skip_range, q319_skip_bloom, q320_mv_retract,
-    q321_zonemap_delete, q322_mv_avg, q323_zonemap_timetravel)
+    q321_zonemap_delete, q322_mv_avg, q323_zonemap_timetravel,
+    q324_zonemap_changefeed)
 }

@@ -60,6 +60,43 @@ class ZoneMapSpec extends SparkSpec {
       .select("payload").as[String].collect().toSeq == Seq("NEW"))
   }
 
+  test("changeFeed classifies insert/update/delete between versions and " +
+    "reads only the generation-changed buckets") {
+    val dir = freshDir()
+    ZoneMap.build(table(200), "k", dir, nBuckets = 8) // v1
+    // v2: replace k=10's payload, add a brand-new key
+    ZoneMap.update(spark, dir,
+      Seq((10L, "NEW", 3L), (150L, "ADDED", 1L))
+        .toDF("k", "payload", "grp"), "k", Seq("k"), keepLast = 3)
+    // v3: delete k=11
+    ZoneMap.delete(spark, dir, "k", Seq(Tuple1(11L)).toDF("k"), Seq("k"),
+      keepLast = 3)
+    val f12 = ZoneMap.changeFeed(spark, dir, 1L, 2L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    // k=150 already existed (payload p150) and was REPLACED -> update;
+    // k=10 likewise; nothing inserted or deleted
+    assert(f12 == Set((10L, "update"), (150L, "update")))
+    val f23 = ZoneMap.changeFeed(spark, dir, 2L, 3L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(f23 == Set((11L, "delete")))
+    // footprint: only the buckets those keys route to differ (8 buckets
+    // of 200 keys -> k=10/11 share bucket 0, k=150 is bucket 6)
+    assert(ZoneMap.changedPartitions(spark, dir, 1L, 2L).size <= 2)
+    assert(ZoneMap.changedPartitions(spark, dir, 2L, 3L).size == 1)
+    // a true INSERT: v4 adds a key beyond the built range (clamps to
+    // the edge bucket but is genuinely new)
+    ZoneMap.update(spark, dir,
+      Seq((500L, "FRESH", 0L)).toDF("k", "payload", "grp"), "k", Seq("k"),
+      keepLast = 3)
+    val f34 = ZoneMap.changeFeed(spark, dir, 3L, 4L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(f34 == Set((500L, "insert")))
+    // and the composed diff across three commits still reads deltas only
+    val f14 = ZoneMap.changeFeed(spark, dir, 2L, 4L, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(f14 == Set((11L, "delete"), (500L, "insert")))
+  }
+
   test("zone stats beat boundary math on sparse buckets") {
     // keys cluster in two islands; the static boundary span covers the
     // hole, the per-bucket min/max does not
