@@ -73,19 +73,30 @@ object Bench {
       .map(_.toInt.max(1)).getOrElse(reps.max(3))
     val (streamQs, batchQs) =
       SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.contains("stream"))
+    // INTERLEAVED passes (pass 1 runs every query, then pass 2, ...):
+    // back-to-back reps of one query share any contention window, so a
+    // 5-minute load spike used to poison BOTH samples of the queries
+    // under it (round-17's closing record read q119/q120/q121/q99 at
+    // 5-11x their quiet twins — adjacent in sorted order, one window).
+    // Interleaving makes a window hit DIFFERENT queries in each pass, so
+    // the per-query minimum recovers unless contention outlasts a whole
+    // pass. Only SUCCESSFUL reps compete for the minimum: a fast-failing
+    // rep must not report its failure duration as the query's time. All
+    // reps failed -> -1 sentinel, visibly wrong rather than silently fast.
     def runClass(qs: Seq[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)], nReps: Int) = qs.map {
-      case (name, fn) =>
-        // only SUCCESSFUL reps compete for the minimum: a fast-failing rep
-        // must not report its failure duration as the query's time. All
-        // reps failed -> -1 sentinel, visibly wrong rather than silently fast.
-        val times = (1 to nReps).flatMap { _ =>
+        org.apache.spark.sql.DataFrame)], nReps: Int) = {
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      (1 to nReps).foreach { _ =>
+        qs.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
-          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          if (ok) times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
         }
-        name -> (if (times.nonEmpty) times.min else -1.0)
+      }
+      qs.map { case (name, _) =>
+        name -> (if (times(name).nonEmpty) times(name).min else -1.0) }
     }
     val streamResults = runClass(streamQs, streamReps)
     val streamTotal = streamResults.map(_._2.max(0.0)).sum

@@ -28,19 +28,45 @@ object SqlEntry {
   def dialectNeutral(sql: String): String =
     sql.replaceAll("(?i)\\bAS\\s+MATERIALIZED\\s*\\(", "AS (")
 
+  /** Run `body` with ANSI/DuckDB string-literal semantics scoped to the
+    * call: literals keep backslashes literally (without this, Spark's
+    * default C-style unescaping silently strips the backslash from regex
+    * literals — '\S+' becomes 'S+' — so a regex-bearing query would
+    * PARSE on both engines and return different rows). The conf is
+    * save/restored in a finally: the parser reads it at parse time
+    * (inside `spark.sql`, which parses AND analyzes eagerly), so nothing
+    * session-visible leaks — a library expression parsing its own
+    * backslash-bearing SQL after this returns sees the session default.
+    * Synchronized: the flag is session-global state, and overlapping
+    * scopes from two threads could restore each other's transient value.
+    */
+  private val parserModeLock = new Object
+  def withSqlParserMode[A](spark: SparkSession)(body: => A): A =
+    parserModeLock.synchronized {
+      val key = "spark.sql.parser.escapedStringLiterals"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try body
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Run a shared oracle text through Spark's SQL entry (views must be
-    * registered): the hint-stripping is the only transformation.
+    * registered): the hint-stripping is the only transformation; the
+    * string-literal dialect is scoped to the parse, never left set on
+    * the session.
     */
   def runSql(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame =
-    spark.sql(dialectNeutral(sql))
+    withSqlParserMode(spark) { spark.sql(dialectNeutral(sql)) }
 
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    // String literals keep backslashes literally (the ANSI/DuckDB/Hive-1.x
-    // behavior): without this, Spark's default C-style unescaping silently
-    // strips the backslash from regex literals ('\S+' becomes 'S+'), so a
-    // regex-bearing query would PARSE on both engines and return different
-    // rows. One semantic dialect for every SQL-entry string.
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+  def registerViews(spark: SparkSession, dir: String): Unit =
+      withSqlParserMode(spark) {
+    // the literal dialect is scoped to this registration and to each
+    // runSql call — never left flipped on the session (a library
+    // expression with an embedded backslash literal parsed later must
+    // see the session default, not the SQL entry's dialect)
     tableNames.foreach { n =>
       relational.Tables.t(spark, dir, n).createOrReplaceTempView(n)
     }
@@ -164,7 +190,14 @@ object SqlEntry {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "generate_series",
         exprs => {
-          val (a, b) = (L(exprs(0)), L(exprs(1)))
+          // arity-checked like the range shim: DuckDB's 1-arg and 3-arg
+          // (step) forms fail with a clean diagnosable error, not a raw
+          // IndexOutOfBoundsException
+          val (a, b) = exprs match {
+            case Seq(x, y) => (L(x), L(y))
+            case other => throw new IllegalArgumentException(
+              s"generate_series shim: expected 2 args, got ${other.size}")
+          }
           If(LessThan(b, a), emptyLongs, new Sequence(a, b, None))
         },
         "scala_udf")

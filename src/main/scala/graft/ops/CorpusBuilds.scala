@@ -386,6 +386,79 @@ object CorpusBuilds {
         base
       })
 
+  /** q325's SKEW-PROOF layout: base' = lineitem plus a zipf-ish derived
+    * key (70% of rows collapse into the hot range [0, 97) — the shape
+    * that breaks fixed-width bucketing: most mass lands in one bucket,
+    * no pruning inside the hot range), zone map built in EQUI-DEPTH mode
+    * (explicit key-quantile bounds), then ONE CDC upsert (+7 quantity
+    * for skew keys 200–299) proving the manifest-driven routing works
+    * for bounds-mode maintenance too. Returns the index dir.
+    */
+  def lineitemZoneMapSkewed(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|zonemap_skew|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_zonemap_skew_").toString
+        val skewed = graft.relational.Tables.t(s, dir, "lineitem")
+          .withColumn("skew_key",
+            when(col("l_orderkey") % 10 < 7, col("l_orderkey") % 97)
+              .otherwise(col("l_orderkey")))
+        ZoneMap.build(skewed, "skew_key", idx, nBuckets = 32,
+          equiDepth = true)
+        val delta = skewed
+          .filter(col("skew_key").between(200, 299))
+          .withColumn("l_quantity", col("l_quantity") + lit(7.0))
+        ZoneMap.update(s, idx, delta, "skew_key",
+          Seq("l_orderkey", "l_linenumber"))
+        idx
+      })
+
+  /** q327's DATE-keyed skip registration: an own copy of lineitem plus
+    * `l_shipdate_d` (the DATE form of the timestamp — the most common
+    * selective predicate column in real pipelines), zone-mapped on that
+    * date key and registered with [[graft.plans.SkipRewrite]]; the query
+    * reads the base PLAINLY with a date-range filter and the optimizer
+    * must route via the epoch-days literal form. Own base path — skip
+    * registration is per-source-path and session-global.
+    */
+  def lineitemSkipRegisteredDate(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|skipbase_date|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_skipd_base_").toString + "/lineitem"
+        graft.relational.Tables.t(s, dir, "lineitem")
+          .withColumn("l_shipdate_d", to_date(col("l_shipdate")))
+          .write.mode("overwrite").parquet(base)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_skipd_zm_").toString
+        ZoneMap.build(s.read.parquet(base), "l_shipdate_d", idx,
+          nBuckets = 64)
+        graft.plans.SkipRewrite.register(s, base, idx, "l_shipdate_d")
+        base
+      })
+
+  /** q329's two-version summary lifecycle: v1 built from lineitem, v2 =
+    * incremental refresh with the %13 delta, BOTH inside the retention
+    * window. Returns the summary dir (the query reads v1 via
+    * [[MaterializedSummary.readAt]] and v2 as current).
+    */
+  def lineitemMvVersioned(s: SparkSession, dir: String): String =
+    pathCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|lineitem_mv_tt|" + dir, _ => {
+        import org.apache.spark.sql.functions._
+        val li = graft.relational.Tables.t(s, dir, "lineitem")
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_mvtt_").toString
+        val dims = Seq("l_returnflag", "l_linestatus")
+        val sums = Seq("l_orderkey")
+        MaterializedSummary.build(s, li, sdir, dims, sums)
+        MaterializedSummary.refresh(s, sdir,
+          li.filter(col("l_orderkey") % 13 === 0), dims, sums)
+        sdir
+      })
+
   def embeddingsIvfPqSmallIndex(s: SparkSession, dir: String): String =
     pathCache.computeIfAbsent(
       s.sparkContext.applicationId + "|ivfpq_m2k4|" + dir, _ => {

@@ -54,6 +54,21 @@ object MaterializedSummary {
   private def additiveCols(sumCols: Seq[String]): Seq[String] =
     "cnt" +: sumCols.flatMap(sc => Seq(s"sum_$sc", s"cnt_$sc"))
 
+  /** Refresh references every cnt_<col>; a summary directory built
+    * before those columns existed would otherwise fail mid-plan with an
+    * opaque AnalysisException (MvRewrite schema-guards the same case,
+    * so the serve path declines cleanly — only maintenance needs this
+    * explicit diagnosis).
+    */
+  private def requireCntCols(standing: DataFrame,
+      sumCols: Seq[String]): Unit = {
+    val missing = sumCols.map(sc => s"cnt_$sc")
+      .filterNot(standing.columns.contains)
+    require(missing.isEmpty,
+      s"summary predates the per-column non-null counts (missing " +
+        s"${missing.mkString(", ")}) — rebuild the summary with build()")
+  }
+
   /** Incremental refresh from an APPEND delta: aggregate the delta at
     * summary granularity, merge into the standing summary (cnt and sums
     * add; brand-new groups insert), commit as the next version. The only
@@ -66,6 +81,7 @@ object MaterializedSummary {
     try {
       val standing = spark.read.parquet(
         s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
+      requireCntCols(standing, sumCols)
       val d = summarize(delta, dims, sumCols, minMaxCols)
       def added(a: String) =
         coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.$a"), lit(0L))
@@ -123,6 +139,7 @@ object MaterializedSummary {
     try {
       val standing = spark.read.parquet(
         s"$dir/${c.baseManifest.parts("summary")("-")}/summary")
+      requireCntCols(standing, sumCols)
       val aggCols = additiveCols(sumCols) ++
         minMaxCols.flatMap(mc => Seq(s"min_$mc", s"max_$mc"))
       def tagged(df: DataFrame, t: String): DataFrame =
@@ -193,14 +210,32 @@ object MaterializedSummary {
     s"$dir/${m.parts("summary")("-")}/summary"
   }
 
+  /** TIME TRAVEL: the summary AS OF an older committed version — valid
+    * for any version the retention window ([[VersionedIndex.begin]]'s
+    * `keepLast`) still holds. The old generation directory is immutable
+    * and GC keeps it until keepLast later commits, so the read is
+    * exactly the rows that version served when it was current — the
+    * zone map's q323 contract, over the MV artifact.
+    */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val m = VersionedIndex.readManifestAt(spark, dir, version)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir holds no manifest v$version — outside the retention window"))
+    spark.read.parquet(s"$dir/${m.parts("summary")("-")}/summary")
+  }
+
   /** Point the rewrite catalog at the committed generation — call after
-    * build and after every refresh.
+    * build and after every refresh. The artifact id is the summary DIR:
+    * re-registration after a refresh REPLACES this summary's catalog
+    * row (never accumulates stale generations), while other summaries
+    * registered for the same source coexist and compete tightest-wins.
     */
   def registerCurrent(spark: SparkSession, sourcePath: String, dir: String,
       dims: Set[String], sumCols: Set[String],
       minMaxCols: Set[String] = Set.empty): Unit = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
     graft.plans.MvRewrite.register(spark, sourcePath,
-      currentPath(spark, dir), dims, sumCols, minMaxCols)
+      currentPath(spark, dir), dims, sumCols, minMaxCols,
+      artifactId = Some(dir))
   }
 }

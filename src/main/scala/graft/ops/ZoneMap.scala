@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
   * Layout (one [[VersionedIndex]] root — crash-atomic, multi-writer-safe,
   * grace-windowed like the text and IVF-PQ indexes):
   *  - `data`, partitioned by `zbucket` — the clustered table copy. Bucket
-  *    boundaries are FIXED at build (lo + k·step, stored in stats) so CDC
-  *    routing is stable; out-of-range keys clamp to the edge buckets.
+  *    boundaries are FIXED at build and stored in the manifest stats so
+  *    CDC routing is stable — either fixed-width (lo + k·step) or
+  *    EQUI-DEPTH (explicit key-quantile bounds, the skew-proof mode: a
+  *    zipfian key gets near-equal rows per bucket where fixed-width
+  *    piles the mass into a few); out-of-range keys clamp to the edge
+  *    buckets. Keys may be integral, DATE or TIMESTAMP (routing runs on
+  *    the integral epoch form recorded in `key_kind`).
   *  - `zones`, unpartitioned — one row per non-empty bucket: zmin, zmax,
   *    n_rows of the keys ACTUALLY present (tighter than the boundary
   *    math whenever buckets are sparse — that is the zone-map's edge
@@ -48,12 +53,73 @@ object ZoneMap {
         .parseDataType(t))
     })
 
-  private def bucketExpr(keyCol: String, lo: Long, step: Long,
-      nBuckets: Int) =
-    // exact integer routing (div, never double division): keys below the
-    // build-time range clamp to bucket 0, above it to the last bucket
-    expr(s"CAST(least(${nBuckets - 1}L, greatest(0L, " +
-      s"(CAST($keyCol AS BIGINT) - ${lo}L) div ${step}L)) AS INT)")
+  /** Integral form of the clustering key, by the `key_kind` stat the
+    * build records: integral columns cast, DATE keys become epoch days
+    * (matching the Int a Catalyst DateType literal carries), TIMESTAMP
+    * keys epoch micros (matching the Long a TimestampType literal
+    * carries). NTZ timestamps route through a cast — exact under the
+    * UTC session every entry point pins.
+    */
+  private[graft] def keyKindOf(dt: DataType): Long = dt match {
+    case DateType => 1L
+    case TimestampType => 2L
+    case _: org.apache.spark.sql.types.TimestampNTZType => 3L
+    case ByteType | ShortType | IntegerType | LongType => 0L
+    case other => throw new IllegalArgumentException(
+      s"zone-map key must be integral, DATE or TIMESTAMP, got $other")
+  }
+
+  private[graft] def intKeySql(kind: Long, keyCol: String): String =
+    kind match {
+      // unix_date returns INT — widen so zone stats, range args and the
+      // routing arithmetic are uniformly BIGINT across key kinds
+      case 1L => s"CAST(unix_date($keyCol) AS BIGINT)"
+      case 2L => s"unix_micros($keyCol)"
+      case 3L => s"unix_micros(CAST($keyCol AS TIMESTAMP))"
+      case _ => s"CAST($keyCol AS BIGINT)"
+    }
+
+  /** Explicit equi-depth bucket bounds from the manifest stats (sorted
+    * ascending; bucket i covers keys in [bound(i-1), bound(i)) with the
+    * open edges clamping to buckets 0 and n-1).
+    */
+  private def depthBounds(stats: Map[String, Long]): Seq[Long] =
+    (0 until stats("n_bounds").toInt).map(i => stats(f"bound_$i%04d"))
+
+  /** Manifest-driven bucket routing: FIXED-WIDTH mode routes by the
+    * build-time (lo, step) arithmetic; EQUI-DEPTH mode counts the stored
+    * explicit bounds ≤ key (a literal-array filter — codegen-friendly,
+    * n_buckets-sized). Both clamp out-of-range keys to the edge buckets,
+    * so CDC routing is total and stable under any later key range.
+    */
+  private[graft] def bucketExpr(stats: Map[String, Long], keyCol: String) = {
+    val k = intKeySql(stats.getOrElse("key_kind", 0L), keyCol)
+    if (stats.getOrElse("mode_depth", 0L) == 1L) {
+      val bs = depthBounds(stats)
+      if (bs.isEmpty) expr("CAST(0 AS INT)")
+      else expr(s"CAST(size(filter(array(${bs.mkString("L, ")}L), " +
+        s"b -> b <= $k)) AS INT)")
+    } else {
+      val (lo, step) = (stats("range_lo"), stats("step"))
+      val nBuckets = stats("n_buckets").toInt
+      // exact integer routing (div, never double division): keys below
+      // the build-time range clamp to bucket 0, above it to the last
+      expr(s"CAST(least(${nBuckets - 1}L, greatest(0L, " +
+        s"($k - ${lo}L) div ${step}L)) AS INT)")
+    }
+  }
+
+  /** Shuffle width for the clustered writes: the session's shuffle
+    * parallelism (cluster-scaled — thousands on a real cluster, never a
+    * hard-coded ceiling), overridable per build. Combined with RANGE
+    * partitioning on (zbucket, key), write tasks split proportionally to
+    * bucket row mass: a hot bucket spans many tasks (multiple files per
+    * partition — the manifest and compaction already support that),
+    * while cold buckets coalesce into shared tasks.
+    */
+  private def writeWidth(spark: SparkSession,
+      explicit: Option[Int] = None): Int =
+    explicit.getOrElse(math.max(1, spark.sessionState.conf.numShufflePartitions))
 
   /** Bloom sizing: ~10 bits/key (k = 4 double-hashed probes → ~1.2% FP).
     * Hashes are Spark's xxhash64 with two seeds — evaluated as ordinary
@@ -96,32 +162,76 @@ object ZoneMap {
       .agg(expr("bit_or(bit)").as("word"))
   }
 
-  private def zonesWithBloomM(data: DataFrame, keyCol: String): DataFrame =
-    zonesOf(data, keyCol).withColumn("bloom_m",
+  private def zonesWithBloomM(data: DataFrame, keyCol: String,
+      keyKind: Long): DataFrame =
+    zonesOf(data, keyCol, keyKind).withColumn("bloom_m",
       expr(s"CAST(((n_rows * $BloomBitsPerKey + 63) div 64) * 64 AS BIGINT)"))
+
+  /** Equi-depth bucket bounds for `df`'s key: nBuckets−1 interior
+    * quantiles via the Greenwald–Khanna sketch (`approxQuantile` — ONE
+    * distributed pass with constant per-partition state, the 100 TB-safe
+    * form; an exact global rank would need a full sort). Approximation
+    * never touches correctness: routing is total for any bounds, zones
+    * carry the ACTUAL per-bucket min/max, and serves re-filter exactly —
+    * bounds quality only affects bucket balance, where ±0.1% of rank is
+    * noise. Duplicate quantiles (a single key value holding >1/nBuckets
+    * of the mass) collapse: that value's rows are one bucket by
+    * construction, the irreducible floor of any value-clustered layout.
+    */
+  private def equiDepthBounds(df: DataFrame, keyCol: String,
+      keyKind: Long, nBuckets: Int): Seq[Long] = {
+    val intKey = df.select(expr(intKeySql(keyKind, keyCol)).as("_ik"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    intKey.stat.approxQuantile("_ik", probs, 0.001)
+      .map(_.toLong).distinct.sorted.toSeq
+  }
 
   /** Build and commit the clustered copy + zone table (+ optional bloom
     * artifact over a secondary, non-clustered column — the point-lookup
-    * companion to the zone map's range routing). `df` must carry a
-    * numeric key column; every other column rides as payload. One pass
-    * for the global range, one shuffled write clustered by bucket, one
-    * bucket-count-sized aggregation for the zones, one probe-exploded
-    * aggregation for the blooms.
+    * companion to the zone map's range routing). `df` must carry an
+    * integral/DATE/TIMESTAMP key column; every other column rides as
+    * payload.
+    *
+    * `equiDepth = false` (default): fixed-width bucket bounds over the
+    * global [min, max] — one cheap agg pass, ideal for uniform keys.
+    * `equiDepth = true`: DISTRIBUTION-AWARE bounds (nBuckets−1 key
+    * quantiles, stored explicitly in the manifest stats) — a zipfian or
+    * hot-range key gets near-equal rows per bucket where fixed-width
+    * would pile the mass into a few hot buckets (no pruning inside the
+    * hot range, hot write partitions at CDC time). Routing, CDC, serve
+    * and the rewrite rule all read the mode from the manifest — callers
+    * never re-state it.
+    *
+    * Writes are RANGE-partitioned on (zbucket, key) at the session's
+    * shuffle width (`writeTasks` overrides): task allocation follows row
+    * mass, so a hot bucket splits across many tasks/files and the write
+    * has no fixed ceiling (the old 32-task cap serialized 100 TB builds).
     */
   def build(df: DataFrame, keyCol: String, dir: String,
-      nBuckets: Int = 64, bloomCol: Option[String] = None): Unit = {
+      nBuckets: Int = 64, bloomCol: Option[String] = None,
+      equiDepth: Boolean = false, writeTasks: Option[Int] = None): Unit = {
     val s = df.sparkSession
-    val r = df.agg(min(col(keyCol).cast(LongType)),
-      max(col(keyCol).cast(LongType))).head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val step = math.max(1L, (hi - lo) / nBuckets + 1)
+    val kind = keyKindOf(df.schema(keyCol).dataType)
+    val stats: Map[String, Long] =
+      if (equiDepth) {
+        val bs = equiDepthBounds(df, keyCol, kind, nBuckets)
+        Map("n_buckets" -> (bs.size + 1L), "mode_depth" -> 1L,
+          "key_kind" -> kind, "n_bounds" -> bs.size.toLong) ++
+          bs.zipWithIndex.map { case (b, i) => f"bound_$i%04d" -> b }
+      } else {
+        val r = df.agg(min(expr(intKeySql(kind, keyCol))),
+          max(expr(intKeySql(kind, keyCol)))).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        Map("n_buckets" -> nBuckets.toLong, "range_lo" -> lo,
+          "step" -> math.max(1L, (hi - lo) / nBuckets + 1),
+          "key_kind" -> kind)
+      }
     val c = VersionedIndex.begin(s, dir)
     try {
       bloomCol.foreach(bc => writeBloomCol(s, dir, bc))
-      val bucketed = df
-        .withColumn("zbucket", bucketExpr(keyCol, lo, step, nBuckets))
-      bucketed
-        .repartition(math.min(nBuckets, 32), col("zbucket"))
+      val width = writeWidth(s, writeTasks)
+      df.withColumn("zbucket", bucketExpr(stats, keyCol))
+        .repartitionByRange(width, col("zbucket"), col(keyCol))
         .sortWithinPartitions(col("zbucket"), col(keyCol))
         .write.mode("overwrite").partitionBy("zbucket")
         .parquet(s"${c.gen}/data")
@@ -129,12 +239,12 @@ object ZoneMap {
       // committed bytes (not the pre-shuffle plan), same discipline as
       // the text index's corpus stats
       val committed = s.read.parquet(s"${c.gen}/data")
-      val zones = zonesWithBloomM(committed, keyCol)
+      val zones = zonesWithBloomM(committed, keyCol, kind)
       zones.coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
       bloomCol.foreach { bc =>
         bloomWordsOf(committed, bc,
             s.read.parquet(s"${c.gen}/zones"))
-          .repartition(math.min(nBuckets, 32), col("zbucket"))
+          .repartitionByRange(width, col("zbucket"), col("idx"))
           .sortWithinPartitions(col("zbucket"), col("idx"))
           .write.mode("overwrite").partitionBy("zbucket")
           .parquet(s"${c.gen}/blooms")
@@ -146,16 +256,15 @@ object ZoneMap {
         bloomCol.map(_ => "blooms" -> VersionedIndex
           .writtenPartDirs(s, s"${c.gen}/blooms")
           .map(_ -> c.genLabel).toMap)
-      c.finish(VersionedIndex.Manifest(parts,
-        Map("n_buckets" -> nBuckets.toLong, "range_lo" -> lo,
-          "step" -> step)))
+      c.finish(VersionedIndex.Manifest(parts, stats))
     } catch { case e: Throwable => c.abort(); throw e }
   }
 
-  private def zonesOf(data: DataFrame, keyCol: String): DataFrame =
+  private def zonesOf(data: DataFrame, keyCol: String,
+      keyKind: Long): DataFrame =
     data.groupBy(col("zbucket").cast(IntegerType).as("zbucket"))
-      .agg(min(col(keyCol).cast(LongType)).as("zmin"),
-        max(col(keyCol).cast(LongType)).as("zmax"),
+      .agg(min(expr(intKeySql(keyKind, keyCol))).as("zmin"),
+        max(expr(intKeySql(keyKind, keyCol))).as("zmax"),
         count(lit(1)).as("n_rows"))
 
   /** The committed zone table (bucket-count-sized). */
@@ -196,23 +305,42 @@ object ZoneMap {
   }
 
   /** Bucket-routed UNFILTERED data for the conjunction of an optional
-    * key range and an optional bloom equality — the planner-facing serve
-    * [[graft.plans.SkipRewrite]] substitutes for a base-table scan (the
-    * exact predicate re-applies on top, so routing only has to be a
-    * superset of the matching rows). None = that side unbounded.
+    * key range, an optional key IN-list, and an optional bloom-column
+    * IN-list — the planner-facing serve [[graft.plans.SkipRewrite]]
+    * substitutes for a base-table scan (the exact predicate re-applies
+    * on top, so routing only has to be a superset of the matching rows).
+    * None = that side unbounded. All values are in the key's integral
+    * form (the Catalyst literal representation — epoch days/micros for
+    * DATE/TIMESTAMP keys). Routing cost: the IN intersection is an
+    * n_buckets × |values| driver loop over the cached zone rows; the
+    * bloom probe is ONE (n_buckets × k × |values|)-bounded job.
     */
   def routedData(spark: SparkSession, dir: String, lo: Option[Long],
-      hi: Option[Long], bloomValue: Option[Long]): DataFrame = {
+      hi: Option[Long], bloomValues: Option[Seq[Long]],
+      inValues: Option[Seq[Long]] = None): DataFrame = {
     val (v, m) = VersionedIndex.readManifest(spark, dir)
-    val rangeHit = zoneRows(spark, dir, v, m)
+    val zones = zoneRows(spark, dir, v, m)
+    val rangeHit = zones
       .filter { case (_, zmin, zmax) =>
         zmin <= hi.getOrElse(Long.MaxValue) &&
           zmax >= lo.getOrElse(Long.MinValue) }
       .map(_._1).toSet
-    val hit = bloomValue match {
-      case Some(value) => rangeHit.intersect(
-        bloomCandidates(spark, dir, value).toSet)
-      case None => rangeHit
+    val inHit = inValues.fold(rangeHit) { vals =>
+      val sorted = vals.sorted.toArray
+      // a bucket survives iff some IN value falls inside its ACTUAL
+      // [zmin, zmax] — binary search per bucket, never per row
+      rangeHit.filter { b =>
+        zones.find(_._1 == b).exists { case (_, zmin, zmax) =>
+          val i = java.util.Arrays.binarySearch(sorted, zmin)
+          val at = if (i >= 0) i else -i - 1
+          at < sorted.length && sorted(at) <= zmax
+        }
+      }
+    }
+    val hit = bloomValues match {
+      case Some(values) => inHit.intersect(
+        bloomCandidates(spark, dir, values).toSet)
+      case None => inHit
     }
     val sel = hit.map(b => s"zbucket=$b")
     VersionedIndex.readArtifact(spark, dir, m, "data", Some(sel),
@@ -248,8 +376,9 @@ object ZoneMap {
       .select("zbucket").collect().map(_.getInt(0)).toSeq
     val sel = hit.map(b => s"zbucket=$b").toSet
     val empty = dataSchemaFromManifest(spark, dir, m)
+    val ik = expr(intKeySql(m.stats.getOrElse("key_kind", 0L), keyCol))
     VersionedIndex.readArtifact(spark, dir, m, "data", Some(sel), empty)
-      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+      .filter(ik >= lo && ik <= hi)
   }
 
   /** Partition directories [[rangeQuery]] would read for [lo, hi] — the
@@ -289,23 +418,28 @@ object ZoneMap {
       keyCol: String, mergeKeys: Seq[String], keepLast: Int = 2,
       autoCompact: Option[Int] = None): Unit = {
     val c = VersionedIndex.begin(spark, dir, keepLast)
-    try {
-      val m = c.baseManifest
-      val lo = m.stats("range_lo")
-      val step = m.stats("step")
-      val nBuckets = m.stats("n_buckets").toInt
-      val routed = delta
-        .withColumn("zbucket", bucketExpr(keyCol, lo, step, nBuckets))
-      val touched = routed.select("zbucket").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      // empty micro-batch (foreachBatch CDC hands these): nothing to
-      // commit — abort cleanly instead of repartition(0, …) throwing
-      if (touched.isEmpty) { c.abort() }
-      else applyUpdate(spark, dir, c, m, routed, touched, keyCol, mergeKeys)
-    } catch { case e: Throwable => c.abort(); throw e }
+    val committed =
+      try {
+        val m = c.baseManifest
+        val routed = delta
+          .withColumn("zbucket", bucketExpr(m.stats, keyCol))
+        val touched = routed.select("zbucket").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        // empty micro-batch (foreachBatch CDC hands these): nothing to
+        // commit — abort cleanly instead of repartition(0, …) throwing
+        if (touched.isEmpty) { c.abort(); false }
+        else {
+          applyUpdate(spark, dir, c, m, routed, touched, keyCol, mergeKeys)
+          true
+        }
+      } catch { case e: Throwable => c.abort(); throw e }
     // auto-compaction policy: follow-on commit collapsing any bucket
-    // whose file count exceeded the threshold (no-op when none did)
-    autoCompact.foreach(n => compact(spark, dir, n, keepLast))
+    // whose file count exceeded the threshold (no-op when none did).
+    // Skipped entirely when the upsert aborted as a no-op. CONTRACT: an
+    // exception from here on means the upsert COMMITTED and only this
+    // follow-on maintenance commit failed — the layout is consistent and
+    // a retry may simply re-run compact().
+    if (committed) autoCompact.foreach(n => compact(spark, dir, n, keepLast))
   }
 
   /** COMPACTION (see [[VersionedIndex.compactPartitioned]]): collapse
@@ -329,11 +463,17 @@ object ZoneMap {
       val sel = touched.map(b => s"zbucket=$b").toSet
       val standing = VersionedIndex.readArtifact(spark, dir, m, "data",
         Some(sel), dataSchemaFromManifest(spark, dir, m))
-      val kept = standing.join(
-        broadcast(routed.select(mergeKeys.map(col): _*).distinct()),
-        mergeKeys, "left_anti")
+      // null-safe key match (<=>): a NULL merge-key component is a legal
+      // payload value, and a plain equi-anti-join would KEEP the standing
+      // row a NULL-keyed delta row replaces — duplicating the group
+      val dKeys = routed.select(mergeKeys.map(col): _*).distinct().alias("D")
+      val kept = standing.alias("S")
+        .join(broadcast(dKeys),
+          mergeKeys.map(k => col(s"S.$k") <=> col(s"D.$k")).reduce(_ && _),
+          "left_anti")
       val merged = kept.unionByName(routed)
-      merged.repartition(math.min(touched.size, 32), col("zbucket"))
+      merged.repartitionByRange(writeWidth(spark),
+          col("zbucket"), col(keyCol))
         .sortWithinPartitions(col("zbucket"), col(keyCol))
         .write.mode("overwrite").partitionBy("zbucket")
         .parquet(s"${c.gen}/data")
@@ -348,7 +488,8 @@ object ZoneMap {
         None, dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
           "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
       val newTouched = zonesWithBloomM(
-        spark.read.parquet(s"${c.gen}/data"), keyCol)
+        spark.read.parquet(s"${c.gen}/data"), keyCol,
+        m.stats.getOrElse("key_kind", 0L))
       oldZones.filter(!col("zbucket").isin(touched: _*))
         .unionByName(newTouched)
         .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
@@ -361,7 +502,7 @@ object ZoneMap {
         bloomWordsOf(spark.read.parquet(s"${c.gen}/data"),
             bc, spark.read.parquet(s"${c.gen}/zones")
               .filter(col("zbucket").isin(touched: _*)))
-          .repartition(math.min(touched.size, 32), col("zbucket"))
+          .repartitionByRange(writeWidth(spark), col("zbucket"), col("idx"))
           .sortWithinPartitions(col("zbucket"), col("idx"))
           .write.mode("overwrite").partitionBy("zbucket")
           .parquet(s"${c.gen}/blooms")
@@ -402,9 +543,7 @@ object ZoneMap {
         .map(_.stripPrefix("zbucket=").toInt).toSeq.sorted
       val touched: Seq[Int] =
         if (matchCols.contains(keyCol)) {
-          val routed = k.withColumn("zbucket", bucketExpr(keyCol,
-              m.stats("range_lo"), m.stats("step"),
-              m.stats("n_buckets").toInt))
+          val routed = k.withColumn("zbucket", bucketExpr(m.stats, keyCol))
             .select("zbucket").distinct()
             .collect().map(_.getInt(0)).toSet
           live.filter(routed)
@@ -414,10 +553,14 @@ object ZoneMap {
         val sel = touched.map(b => s"zbucket=$b").toSet
         val standing = VersionedIndex.readArtifact(spark, dir, m, "data",
           Some(sel), dataSchemaFromManifest(spark, dir, m))
-        val remaining = standing.join(broadcast(k), matchCols, "left_anti")
+        // null-safe for the same reason as update's anti-join: a NULL
+        // match-column value must be deletable, not silently immortal
+        val remaining = standing.alias("S")
+          .join(broadcast(k.alias("D")),
+            matchCols.map(c => col(s"S.$c") <=> col(s"D.$c")).reduce(_ && _),
+            "left_anti")
         remaining
-          .repartition(math.max(1, math.min(touched.size, 32)),
-            col("zbucket"))
+          .repartitionByRange(writeWidth(spark), col("zbucket"), col(keyCol))
           .sortWithinPartitions(col("zbucket"), col(keyCol))
           .write.mode("overwrite").partitionBy("zbucket")
           .parquet(s"${c.gen}/data")
@@ -434,7 +577,8 @@ object ZoneMap {
         val zones =
           if (written.isEmpty) oldZones
           else oldZones.unionByName(
-            zonesWithBloomM(spark.read.parquet(s"${c.gen}/data"), keyCol))
+            zonesWithBloomM(spark.read.parquet(s"${c.gen}/data"), keyCol,
+              m.stats.getOrElse("key_kind", 0L)))
         zones.coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/zones")
         val bloomParts = m.parts.get("blooms").map { standingBlooms =>
           if (written.nonEmpty) {
@@ -442,8 +586,8 @@ object ZoneMap {
             bloomWordsOf(spark.read.parquet(s"${c.gen}/data"), bc,
                 spark.read.parquet(s"${c.gen}/zones")
                   .filter(col("zbucket").isin(touched: _*)))
-              .repartition(math.max(1, math.min(touched.size, 32)),
-                col("zbucket"))
+              .repartitionByRange(writeWidth(spark),
+                col("zbucket"), col("idx"))
               .sortWithinPartitions(col("zbucket"), col("idx"))
               .write.mode("overwrite").partitionBy("zbucket")
               .parquet(s"${c.gen}/blooms")
@@ -499,9 +643,18 @@ object ZoneMap {
         .groupBy(mergeKeys.map(col): _*)
         .agg(sort_array(collect_list(struct(payload.map(col): _*)))
           .as(s"_$tag"))
-    side(mA, "a").join(side(mB, "b"), mergeKeys, "full_outer")
+    // null-safe key equality (<=>): NULL merge keys are legal payload
+    // values in the layout, and a plain equi-join would never equate a
+    // NULL key group present in both versions — misreporting an update
+    // as a delete plus an insert
+    val (a, b) = (side(mA, "a").alias("A"), side(mB, "b").alias("B"))
+    val on = mergeKeys.map(k => col(s"A.$k") <=> col(s"B.$k"))
+      .reduce(_ && _)
+    a.join(b, on, "full_outer")
       .filter(!(col("_a") <=> col("_b")))
-      .select(mergeKeys.map(col) :+
+      .select(mergeKeys.map(k =>
+        when(col("_a").isNull, col(s"B.$k"))
+          .otherwise(col(s"A.$k")).as(k)) :+
         when(col("_b").isNull, lit("delete"))
           .when(col("_a").isNull, lit("insert"))
           .otherwise(lit("update")).as("op"): _*)
@@ -590,17 +743,30 @@ object ZoneMap {
     * stats on the idx column prune inside each partition file.
     */
   def bloomCandidates(spark: SparkSession, dir: String,
-      value: Long): Seq[Int] = {
+      value: Long): Seq[Int] = bloomCandidates(spark, dir, Seq(value))
+
+  /** Multi-value form (an IN-list on the bloom column): the candidate
+    * set is the UNION of per-value candidates — a bucket survives when
+    * ALL k probe bits of AT LEAST ONE value are set. Still ONE job, now
+    * (n_buckets × k × |values|)-bounded.
+    */
+  def bloomCandidates(spark: SparkSession, dir: String,
+      values: Seq[Long]): Seq[Int] = {
+    require(values.nonEmpty, "bloomCandidates needs at least one value")
     val (_, m) = VersionedIndex.readManifest(spark, dir)
     require(m.parts.contains("blooms"), s"$dir was built without a bloom")
     val zones = VersionedIndex.readArtifact(spark, dir, m, "zones", None,
       dataSchema(Seq("zbucket" -> "INT", "zmin" -> "BIGINT",
         "zmax" -> "BIGINT", "n_rows" -> "BIGINT", "bloom_m" -> "BIGINT")))
     val probes = zones.select(col("zbucket"), col("bloom_m"),
-        explode(array((0 until BloomK).map(i => bloomProbe(
-          s"CAST($value AS BIGINT)", i, "bloom_m")): _*))
-          .as("pos"))
-      .select(col("zbucket"), expr("pos div 64").cast(IntegerType).as("idx"),
+        explode(array(values.map(v => struct(lit(v).as("v"),
+          array((0 until BloomK).map(i => bloomProbe(
+            s"CAST($v AS BIGINT)", i, "bloom_m")): _*).as("ps"))): _*))
+          .as("vp"))
+      .select(col("zbucket"), col("vp.v").as("v"),
+        explode(col("vp.ps")).as("pos"))
+      .select(col("zbucket"), col("v"),
+        expr("pos div 64").cast(IntegerType).as("idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
     // push the probed word ids into the bloom scan: every partition must
     // be CONSULTED (each bucket gets a verdict) but only ~k words of it
@@ -615,10 +781,14 @@ object ZoneMap {
       dataSchema(Seq("idx" -> "INT", "word" -> "BIGINT",
         "zbucket" -> "INT")))
       .filter(col("idx").isin(probedIdx: _*))
+    // per (bucket, value): ALL k bits set → that value passes; a bucket
+    // is a candidate when ANY value passes (max over values of the
+    // per-value min)
     probes.join(words, Seq("zbucket", "idx"), "left")
-      .groupBy("zbucket")
+      .groupBy("zbucket", "v")
       .agg(min(when(coalesce(col("word"), lit(0L))
         .bitwiseAND(col("bit")) === col("bit"), 1).otherwise(0)).as("pass"))
+      .groupBy("zbucket").agg(max(col("pass")).as("pass"))
       .filter(col("pass") === 1)
       .select("zbucket").collect().map(_.getInt(0)).toSeq.sorted
   }

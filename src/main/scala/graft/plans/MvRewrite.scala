@@ -41,9 +41,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * COUNT(x) re-aggregates as SUM(cnt_x) from the summary's per-column
   * non-null counts (exact for any type — null-ness is order-free), and
   * AVG(x) over an INTEGRAL column as the one final division
-  * SUM(sum_x) / SUM(cnt_x) in double — exactly Spark's own Average
-  * evaluation (one double division of sum by non-null count), with the
-  * numerator exact because the partial sums are integral; AVG over a
+  * SUM(sum_x) / SUM(cnt_x) in double — exact-or-better vs Spark's own
+  * Average (which accumulates its sum in DOUBLE, so past a 2^53 group
+  * sum the two can differ in the last ulp — the rewrite is the exact
+  * side); AVG over a
   * double column never rewrites (its base-path accumulation order is
   * not reproducible from partials). Both require the summary schema to
   * carry `cnt_<col>` — summaries built before that column existed
@@ -69,26 +70,40 @@ object MvRewrite {
     */
   final case class MvDef(sourcePath: String, dims: Set[String],
       sumCols: Set[String], minMaxCols: Set[String],
-      mvPlan: LogicalRelation, epoch: String)
+      mvPlan: LogicalRelation, epoch: String,
+      artifactId: String)
 
   object MvCatalog {
     @volatile private[plans] var mvs: Seq[MvDef] = Seq.empty
     def register(mv: MvDef): Unit = synchronized {
-      mvs = mvs.filterNot(_.sourcePath == mv.sourcePath) :+ mv
+      // replace-by (source, artifact): ONE catalog row per standing
+      // summary artifact (a refresh re-registration swaps its row for
+      // the new generation), while DIFFERENT summaries over the same
+      // source coexist — the rule then picks the tightest that answers
+      mvs = mvs.filterNot(m => m.sourcePath == mv.sourcePath &&
+        m.artifactId == mv.artifactId) :+ mv
     }
     def clear(): Unit = synchronized { mvs = Seq.empty }
   }
 
-  /** Register a summary for `sourcePath` (idempotent per source). */
+  /** Register a summary for `sourcePath`. `artifactId` identifies the
+    * standing artifact across refreshes (defaults to the resolved
+    * generation path — pass the artifact DIR when re-registering
+    * refreshed generations of the same summary); several summaries with
+    * distinct ids may serve one source, and the rule picks the
+    * fewest-dims one that answers each query.
+    */
   def register(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
       mvPath: String, dims: Set[String], sumCols: Set[String],
-      minMaxCols: Set[String] = Set.empty): Unit = {
+      minMaxCols: Set[String] = Set.empty,
+      artifactId: Option[String] = None): Unit = {
     val rel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l
     }.getOrElse(throw new IllegalStateException(
       s"$mvPath did not analyze to a parquet relation"))
     MvCatalog.register(MvDef(sourcePath, dims, sumCols, minMaxCols, rel,
-      SkipRewrite.pathEpoch(spark, sourcePath)))
+      SkipRewrite.freshEpoch(spark, sourcePath),
+      artifactId.getOrElse(mvPath)))
   }
 
   object Rule extends Rule[LogicalPlan] {
@@ -123,6 +138,39 @@ object MvRewrite {
         case _ => None
       }
 
+    /** Every guard a candidate summary must pass to answer this shape;
+      * see the object doc for the contract each line enforces.
+      */
+    private def answers(mv: MvDef, rel: LogicalRelation,
+        gs: Seq[Expression], as: Seq[NamedExpression],
+        conds: Seq[Expression]): Boolean =
+      // staleness: decline when the base changed after registration —
+      // the caller must refresh + re-register to re-enable the route
+      // (mtime-memoized: an unchanged base revalidates with one
+      // getFileStatus, not a listing per query)
+      scala.util.Try(SkipRewrite.cachedEpoch(
+          rel.relation.asInstanceOf[HadoopFsRelation].sparkSession,
+          mv.sourcePath)).toOption.contains(mv.epoch) &&
+        // grouping: bare dim columns only
+        gs.forall {
+          case a: AttributeReference => mv.dims.contains(a.name)
+          case _ => false
+        } &&
+        // filters: dim references only, and DETERMINISTIC — a
+        // nondeterministic predicate (rand() < p) references no columns
+        // at all, so the dim check alone would admit it, but its value
+        // is per-ROW, not a function of the group: applying it to MV
+        // rows (one row per group) changes the sampled population
+        conds.forall(c => c.deterministic &&
+          c.references.forall(r => mv.dims.contains(r.name))) &&
+        // aggregates: derivable from the summary
+        as.forall {
+          case a: AttributeReference => mv.dims.contains(a.name)
+          case Alias(ae: AggregateExpression, _) => derivable(ae, mv)
+          case Alias(a: AttributeReference, _) => mv.dims.contains(a.name)
+          case _ => false
+        }
+
     private def tryRewrite(agg: Aggregate, gs: Seq[Expression],
         as: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
       for {
@@ -130,34 +178,18 @@ object MvRewrite {
         // the scan must read EXACTLY the registered source: a multi-path
         // relation (spark.read.parquet(base, other)) that merely includes
         // it would lose the other paths' rows if rewritten to the summary
-        mv <- MvCatalog.mvs.find(m => scanPaths(rel) match {
-          case Seq(p) => p.stripSuffix("/") == m.sourcePath.stripSuffix("/")
-          case _ => false
-        })
-        // staleness: decline when the base changed after registration —
-        // the caller must refresh + re-register to re-enable the route
-        if scala.util.Try(SkipRewrite.pathEpoch(
-            rel.relation.asInstanceOf[HadoopFsRelation].sparkSession,
-            mv.sourcePath)).toOption.contains(mv.epoch)
-        // grouping: bare dim columns only
-        if gs.forall {
-          case a: AttributeReference => mv.dims.contains(a.name)
-          case _ => false
+        p <- scanPaths(rel) match {
+          case Seq(only) => Some(only)
+          case _ => None
         }
-        // filters: dim references only, and DETERMINISTIC — a
-        // nondeterministic predicate (rand() < p) references no columns
-        // at all, so the dim check alone would admit it, but its value
-        // is per-ROW, not a function of the group: applying it to MV
-        // rows (one row per group) changes the sampled population
-        if conds.forall(c => c.deterministic &&
-          c.references.forall(r => mv.dims.contains(r.name)))
-        // aggregates: derivable from the summary
-        if as.forall {
-          case a: AttributeReference => mv.dims.contains(a.name)
-          case Alias(ae: AggregateExpression, _) => derivable(ae, mv)
-          case Alias(a: AttributeReference, _) => mv.dims.contains(a.name)
-          case _ => false
-        }
+        // tightest-wins among the source's registered summaries: the
+        // fewest-dims candidate that answers re-aggregates the fewest
+        // rows (sortBy is stable, so equal-arity ties keep registration
+        // order — deterministic either way)
+        mv <- MvCatalog.mvs
+          .filter(_.sourcePath.stripSuffix("/") == p.stripSuffix("/"))
+          .sortBy(_.dims.size)
+          .find(answers(_, rel, gs, as, conds))
       } yield {
         val fresh = mv.mvPlan.newInstance()
         val byName = fresh.output.map(a => a.name -> a).toMap
@@ -172,10 +204,13 @@ object MvRewrite {
             Alias(byName(a.name), a.name)(exprId = a.exprId)
           case al @ Alias(a: AttributeReference, n) =>
             Alias(byName(a.name), n)(exprId = al.exprId)
-          // AVG(x): the one final division Spark's Average itself
-          // evaluates — SUM of the exact integral partials over SUM of
-          // the non-null counts, divided once in double (legacy divide,
-          // the same null-on-empty semantics Average has)
+          // AVG(x): one final double division of SUM of the exact
+          // integral partials by SUM of the non-null counts (legacy
+          // divide — Average's null-on-empty semantics). EXACT-OR-BETTER
+          // vs the base path, not bit-identical in the extreme: Spark's
+          // native Average accumulates a LongType sum in DOUBLE, so once
+          // a group's cumulative sum exceeds 2^53 the base plan itself
+          // carries rounding this exact-numerator form does not.
           case al @ Alias(ae: AggregateExpression, n)
               if ae.aggregateFunction.isInstanceOf[Average] =>
             val a = ae.aggregateFunction.asInstanceOf[Average]

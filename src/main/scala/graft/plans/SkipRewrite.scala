@@ -30,10 +30,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    population, and the rewritten Filter re-applies the whole
   *    predicate);
   *  - at least one top-level conjunct bounds the registered key column
-  *    (>, >=, <, <=, = against an integral literal) or equates the
-  *    registered bloom column to an integral literal — those conjuncts
-  *    drive the routing; every other conjunct simply rides along and is
-  *    re-applied exactly;
+  *    (>, >=, <, <=, =, or IN against integral/DATE/TIMESTAMP literals —
+  *    date keys route via their epoch-days/micros literal form) or
+  *    equates/INs the registered bloom column against integral literals —
+  *    those conjuncts drive the routing; every other conjunct simply
+  *    rides along and is re-applied exactly;
   *  - the base path's CONTENT EPOCH still matches the one captured at
   *    registration (file names + sizes + mtimes): an append or rewrite
   *    of the base after the copy was built makes the rule decline
@@ -84,6 +85,7 @@ object SkipRewrite {
     // for the forget CASCADE only (nothing scans the bare path, so the
     // rule can never route it) — a stable sentinel keeps register() total
     if (!fs.exists(p)) return "absent"
+    fullListings.incrementAndGet()
     val st = fs.getFileStatus(p)
     val files =
       if (st.isFile) Array(st)
@@ -98,6 +100,41 @@ object SkipRewrite {
       .map("%02x".format(_)).mkString
   }
 
+  /** Full directory listings performed since JVM start — the test/probe
+    * view of the epoch cache's effectiveness (one listing across N
+    * matched queries against an unchanged base, not one per query).
+    */
+  private[graft] val fullListings = new java.util.concurrent.atomic.AtomicLong()
+
+  private val epochCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** [[pathEpoch]] memoized on the root's OWN modification time: adding
+    * or replacing a data file updates the directory mtime (every write
+    * path — Spark's committers included — creates/removes entries), so
+    * an unchanged mtime revalidates the cached epoch with ONE
+    * getFileStatus instead of a full listing. Against an object store
+    * with 10⁵ files this turns the per-query staleness check from a
+    * driver stall into a single metadata HEAD. The full listing re-runs
+    * whenever the mtime moved — staleness detection is never weaker than
+    * the uncached form, only cheaper on the unchanged path. (Filesystems
+    * with coarse mtime granularity could alias a same-instant change;
+    * HDFS/S3/Linux report millisecond or finer.)
+    */
+  def cachedEpoch(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { epochCache.remove(path); return "absent" }
+    val mt = fs.getFileStatus(p).getModificationTime
+    val hit = epochCache.get(path)
+    if (hit != null && hit._1 == mt) hit._2
+    else {
+      val e = pathEpoch(spark, path)
+      epochCache.put(path, (mt, e))
+      e
+    }
+  }
+
   /** Register the committed layout at `dir` as the skipping copy of
     * `sourcePath` (idempotent per source; captures the epoch NOW — call
     * again after rebuilding the copy from a changed base).
@@ -106,7 +143,16 @@ object SkipRewrite {
       keyCol: String, bloomCol: Option[String] = None): Unit = {
     org.apache.spark.sql.GraftRegistrar.register(spark)
     SkipCatalog.register(SkipDef(sourcePath, dir, keyCol, bloomCol,
-      pathEpoch(spark, sourcePath)))
+      freshEpoch(spark, sourcePath)))
+  }
+
+  /** Fresh listing at registration (never a stale memo), priming the
+    * mtime cache so the first matched query revalidates cheaply. Both
+    * rewrite catalogs capture their registration epoch through this.
+    */
+  private[plans] def freshEpoch(spark: SparkSession, path: String): String = {
+    epochCache.remove(path)
+    cachedEpoch(spark, path)
   }
 
   object Rule extends Rule[LogicalPlan] {
@@ -151,21 +197,56 @@ object SkipRewrite {
       case other => Seq(other)
     }
 
-    /** (lo, hi) bounds the top-level conjuncts place on `key`, and the
-      * point value they place on `bloom`. Saturating tighten — multiple
-      * conjuncts intersect; conjuncts on other columns are ignored (they
-      * re-apply in the Filter).
+    /** IN-list literals in the key's integral form, when EVERY element
+      * is one (a non-literal element — a subquery, another column —
+      * declines the whole list; routing must be provably a superset).
+      * Handles both the parsed `In` and the optimizer's `InSet` form
+      * (OptimizeIn converts past the conversion threshold), capped at
+      * 256 values — past that a range route or full scan is the better
+      * plan anyway, and the per-value bloom probe stays bounded.
+      */
+    private def inLongs(vs: Seq[Any]): Option[Seq[Long]] = {
+      val ls = vs.flatMap(litLong)
+      if (ls.size == vs.size && ls.nonEmpty && ls.size <= 256) Some(ls)
+      else None
+    }
+
+    final case class Route(lo: Option[Long], hi: Option[Long],
+        inVals: Option[Seq[Long]], bloomVals: Option[Seq[Long]]) {
+      def routable: Boolean =
+        lo.isDefined || hi.isDefined || inVals.isDefined ||
+          bloomVals.isDefined
+    }
+
+    /** (lo, hi) bounds and IN-list the top-level conjuncts place on
+      * `key`, and the point/IN values they place on `bloom`. Saturating
+      * tighten — multiple conjuncts intersect; conjuncts on other
+      * columns are ignored (they re-apply in the Filter).
       */
     private def routing(conds: Seq[Expression], key: String,
-        bloom: Option[String])
-        : (Option[Long], Option[Long], Option[Long]) = {
+        bloom: Option[String]): Route = {
       var lo: Option[Long] = None
       var hi: Option[Long] = None
-      var bv: Option[Long] = None
+      var inv: Option[Seq[Long]] = None
+      var bv: Option[Seq[Long]] = None
       def tlo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
       def thi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+      def tin(vs: Seq[Long]): Unit =
+        inv = Some(inv.fold(vs)(_.toSet.intersect(vs.toSet).toSeq))
       def isK(a: AttributeReference) = a.name == key
       conds.foreach {
+        case In(a: AttributeReference, list)
+          if isK(a) && list.forall(_.isInstanceOf[Literal]) =>
+          inLongs(list.map(_.asInstanceOf[Literal].value)).foreach(tin)
+        case InSet(a: AttributeReference, hset) if isK(a) =>
+          inLongs(hset.toSeq).foreach(tin)
+        case In(a: AttributeReference, list)
+          if bloom.contains(a.name) &&
+            list.forall(_.isInstanceOf[Literal]) =>
+          inLongs(list.map(_.asInstanceOf[Literal].value))
+            .foreach(vs => bv = Some(vs))
+        case InSet(a: AttributeReference, hset) if bloom.contains(a.name) =>
+          inLongs(hset.toSeq).foreach(vs => bv = Some(vs))
         case GreaterThanOrEqual(a: AttributeReference, Literal(v, _))
           if isK(a) => litLong(v).foreach(tlo)
         case GreaterThan(a: AttributeReference, Literal(v, _))
@@ -187,12 +268,12 @@ object SkipRewrite {
         case EqualTo(Literal(v, _), a: AttributeReference)
           if isK(a) => litLong(v).foreach { x => tlo(x); thi(x) }
         case EqualTo(a: AttributeReference, Literal(v, _))
-          if bloom.contains(a.name) => bv = litLong(v)
+          if bloom.contains(a.name) => bv = litLong(v).map(Seq(_))
         case EqualTo(Literal(v, _), a: AttributeReference)
-          if bloom.contains(a.name) => bv = litLong(v)
+          if bloom.contains(a.name) => bv = litLong(v).map(Seq(_))
         case _ => // other conjuncts ride along, re-applied by the Filter
       }
-      (lo, hi, bv)
+      Route(lo, hi, inv, bv)
     }
 
     private def tryRewrite(cond: Expression,
@@ -205,12 +286,15 @@ object SkipRewrite {
         h = rel.relation.asInstanceOf[HadoopFsRelation]
         spark = h.sparkSession
         // staleness: the copy answers for THIS base content only (a
-        // vanished/unlistable base declines rather than failing planning)
-        if scala.util.Try(pathEpoch(spark, sd.sourcePath))
+        // vanished/unlistable base declines rather than failing planning);
+        // the epoch is mtime-memoized — an unchanged base revalidates
+        // with one getFileStatus, not a listing per query
+        if scala.util.Try(cachedEpoch(spark, sd.sourcePath))
           .toOption.contains(sd.epoch)
-        (lo, hi, bv) = routing(splitAnd(cond), sd.keyCol, sd.bloomCol)
-        if lo.isDefined || hi.isDefined || bv.isDefined
-        routed = graft.ops.ZoneMap.routedData(spark, sd.dir, lo, hi, bv)
+        r = routing(splitAnd(cond), sd.keyCol, sd.bloomCol)
+        if r.routable
+        routed = graft.ops.ZoneMap.routedData(spark, sd.dir, r.lo, r.hi,
+            r.bloomVals, r.inVals)
           .queryExecution.analyzed
         byName = routed.output.map(a => a.name -> a).toMap
         // the copy must supply every scan column, same name + type
@@ -218,7 +302,8 @@ object SkipRewrite {
           byName.get(a.name).exists(_.dataType == a.dataType))
       } yield {
         logInfo(s"skip rewrite: filtered scan of ${sd.sourcePath} served " +
-          s"from the zone-mapped copy (lo=$lo, hi=$hi, bloom=$bv)")
+          s"from the zone-mapped copy (lo=${r.lo}, hi=${r.hi}, " +
+          s"in=${r.inVals.map(_.size)}, bloom=${r.bloomVals.map(_.size)})")
         val replacement = Project(rel.output.map(a =>
           Alias(byName(a.name), a.name)(exprId = a.exprId)), routed)
         child.transformUp {

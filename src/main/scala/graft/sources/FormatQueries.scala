@@ -871,6 +871,190 @@ object FormatQueries {
       "insert/delete/update diff from only the generation-changed " +
       "buckets, digest vs the raw-table delta replay")
 
+  /** EQUI-DEPTH zone map over a SKEWED key (q325): 70% of base rows
+    * collapse into the hot range [0, 97) — fixed-width bucketing piles
+    * that mass into one or two buckets (no pruning inside the hot range,
+    * hot write partitions at CDC time), while the equi-depth build
+    * stores explicit key-quantile bounds in the manifest so every bucket
+    * carries near-equal rows (ZoneMapSpec pins the max-bucket share;
+    * BASELINE.md carries the scale probe). A CDC upsert (+7 quantity for
+    * skew keys 200–299) rides the SAME manifest-driven routing, and the
+    * serve range-queries across hot and cold ranges; the oracle replays
+    * the derived key and the upsert off the raw table — a mis-routed
+    * bucket, a bounds/zone mismatch, or a lost delta row hash-fails.
+    */
+  val q325_zonemap_equidepth: QueryDef = QueryDef(
+    "q325_zonemap_equidepth",
+    (s, d) => {
+      val idx = graft.ops.CorpusBuilds.lineitemZoneMapSkewed(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame, v: String) = df
+        .groupBy(lit(v).as("band"), col("l_returnflag"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("skew_key").cast(LongType).as("sum_keys"))
+      agg(graft.ops.ZoneMap.rangeQuery(s, idx, "skew_key", 10L, 50L), "hot")
+        .unionByName(agg(graft.ops.ZoneMap.rangeQuery(
+          s, idx, "skew_key", 200L, 299L), "cold"))
+        .orderBy("band", "l_returnflag")
+    },
+    Some("""SELECT band, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(q AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(sk) AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CASE WHEN sk BETWEEN 10 AND 50 THEN 'hot' ELSE 'cold' END AS band,
+      |    sk,
+      |    CASE WHEN sk BETWEEN 200 AND 299 THEN l_quantity + 7
+      |         ELSE l_quantity END AS q
+      |  FROM (
+      |    SELECT l_returnflag, l_quantity,
+      |      CASE WHEN l_orderkey % 10 < 7 THEN l_orderkey % 97
+      |           ELSE l_orderkey END AS sk
+      |    FROM lineitem) s
+      |  WHERE (sk BETWEEN 10 AND 50) OR (sk BETWEEN 200 AND 299)) t
+      |GROUP BY 1, 2
+      |ORDER BY band, l_returnflag""".stripMargin),
+    "Skew-aware equi-depth zone map: explicit quantile bounds in the " +
+      "manifest route build, CDC and serve over a zipf-ish key, digest " +
+      "vs the key-replaying oracle")
+
+  /** Transparent IN-list skipping (q326): a plain `l_orderkey IN (…)`
+    * filter against the registered base is routed by the Catalyst rule
+    * to the union of the buckets whose ACTUAL [zmin, zmax] contains an
+    * IN value — the second-most-common selective predicate after ranges.
+    * SkipRewriteSpec pins the near-misses (a non-literal element
+    * declines); PlanAssertionSpec pins routed-partitions-only.
+    */
+  val q326_skip_in: QueryDef = QueryDef(
+    "q326_skip_in",
+    (s, d) => {
+      val base = graft.ops.CorpusBuilds.lineitemSkipRegistered(s, d)
+      s.read.parquet(base)
+        .filter(col("l_orderkey").isin(7L, 103L, 511L, 988L, 1499L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE l_orderkey IN (7, 103, 511, 988, 1499)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Transparent IN-list data skipping: a plain IN filter on the base " +
+      "table is routed by the Catalyst rule to the matching buckets of " +
+      "the zone-mapped copy, digest vs the raw-table oracle")
+
+  /** Transparent DATE-key skipping (q327): the layout is clustered on a
+    * DATE column (epoch-days integral form recorded in the manifest) and
+    * a plain date-range filter against the base routes through the
+    * DateType literals' epoch-days representation — the single most
+    * common selective predicate in time-partitioned pipelines. Oracle =
+    * the same month window off the raw table.
+    */
+  val q327_skip_daterange: QueryDef = QueryDef(
+    "q327_skip_daterange",
+    (s, d) => {
+      val base = graft.ops.CorpusBuilds.lineitemSkipRegisteredDate(s, d)
+      s.read.parquet(base)
+        .filter(col("l_shipdate_d")
+          .between(java.sql.Date.valueOf("1996-03-01"),
+            java.sql.Date.valueOf("1996-03-31")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast(LongType).as("qty_cents"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE)
+      |    BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+    "Transparent date-key data skipping: a plain date-range filter " +
+      "routes via the epoch-days literal form onto the date-clustered " +
+      "copy, digest vs the raw-table oracle")
+
+  /** HAVING through the MV rule (q328): the aggregate carries a filter
+    * ABOVE it (Spark plans HAVING as Filter-over-Aggregate referencing
+    * the aggregate's outputs); the rule rewrites the Aggregate node in
+    * place and preserves its output exprIds, so the HAVING filter
+    * re-resolves over the summary-served aggregate untouched.
+    * PlanAssertionSpec pins the summary scan; the oracle runs the same
+    * HAVING off the raw table.
+    */
+  val q328_mv_having: QueryDef = QueryDef(
+    "q328_mv_having",
+    (s, d) => {
+      graft.ops.CorpusBuilds.lineitemMv(s, d)
+      Tables.t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("l_orderkey").cast(LongType).as("sum_keys"))
+        .filter(col("n") % 2 === 0)
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |HAVING count(*) % 2 = 0
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "HAVING aggregate served from the materialized summary (the filter " +
+      "above the rewritten Aggregate re-resolves over preserved output " +
+      "ids), digest vs the raw-table oracle")
+
+  /** TIME TRAVEL over the MV summary (q329): the same aggregate served
+    * as of the PRE-refresh version (v1, still inside the retention
+    * window) and at the current refreshed version, each through its own
+    * immutable manifest — q323's contract lifted onto the materialized
+    * summary. The oracle replays both base states; a refresh leaking
+    * into v1 (or a stale current) hash-fails.
+    */
+  val q329_mv_timetravel: QueryDef = QueryDef(
+    "q329_mv_timetravel",
+    (s, d) => {
+      val sdir = graft.ops.CorpusBuilds.lineitemMvVersioned(s, d)
+      def agg(df: org.apache.spark.sql.DataFrame, v: String) = df
+        .groupBy(lit(v).as("v"), col("l_returnflag"))
+        .agg(sum("cnt").cast(LongType).as("n"),
+          sum("sum_l_orderkey").cast(LongType).as("sum_keys"))
+      agg(graft.ops.MaterializedSummary.readAt(s, sdir, 1L), "v1")
+        .unionByName(agg(s.read.parquet(
+          graft.ops.MaterializedSummary.currentPath(s, sdir)), "cur"))
+        .orderBy("v", "l_returnflag")
+    },
+    Some("""SELECT v, l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(sk AS BIGINT) AS sum_keys
+      |FROM (
+      |  SELECT 'v1' AS v, l_returnflag, count(*) AS n,
+      |    SUM(l_orderkey) AS sk
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'cur' AS v, l_returnflag, count(*) AS n, SUM(l_orderkey) AS sk
+      |  FROM (
+      |    SELECT l_returnflag, l_orderkey FROM lineitem
+      |    UNION ALL
+      |    SELECT l_returnflag, l_orderkey FROM lineitem
+      |    WHERE l_orderkey % 13 = 0) t
+      |  GROUP BY 2) u
+      |ORDER BY v, l_returnflag""".stripMargin),
+    "Time travel over the materialized summary: the same aggregate " +
+      "served as of the pre-refresh version and at the refreshed " +
+      "current, each through its own immutable manifest, digest vs the " +
+      "two-state replaying oracle")
+
   def defs: Seq[QueryDef] = Seq(q148_format_roundtrip,
     q153_stream_jsonl_ingest, q169_zorder_layout, q201_orc_roundtrip,
     q218_schema_evolution, q219_compaction, q235_avro_roundtrip,
@@ -878,5 +1062,6 @@ object FormatQueries {
     q310_zonemap_cdc, q313_bloom_point, q314_mv_rewrite, q315_mv_refresh,
     q317_mv_minmax, q318_skip_range, q319_skip_bloom, q320_mv_retract,
     q321_zonemap_delete, q322_mv_avg, q323_zonemap_timetravel,
-    q324_zonemap_changefeed)
+    q324_zonemap_changefeed, q325_zonemap_equidepth, q326_skip_in,
+    q327_skip_daterange, q328_mv_having, q329_mv_timetravel)
 }

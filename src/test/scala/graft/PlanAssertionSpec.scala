@@ -317,4 +317,39 @@ class PlanAssertionSpec extends SparkSpec {
     val nParts = scans.map(_.split(",").length).sum
     assert(nParts <= 34, s"q319 bloom pruning too weak: $nParts partitions")
   }
+
+  test("q326: the plain IN-list filter over the base path is rerouted " +
+    "to the union of the matching buckets (and ONLY those)") {
+    val scans = optimizedScans(run("q326_skip_in"))
+    assert(!scans.exists(_.contains("graft_skip_base_")),
+      s"q326 still scans the base table: $scans")
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("graft_skip_zm_") && s.contains("zbucket=")),
+      s"q326 must read only routed bucket partitions of the copy: $scans")
+    // 5 point values over 64 buckets: at most 5 partitions
+    val nParts = scans.map(_.split(",").length).sum
+    assert(nParts <= 5, s"q326 IN routing too wide: $nParts partitions")
+  }
+
+  test("q327: the plain date-range filter over the DATE-keyed base is " +
+    "rerouted via the epoch-days literal form") {
+    val scans = optimizedScans(run("q327_skip_daterange"))
+    assert(!scans.exists(_.contains("graft_skipd_base_")),
+      s"q327 still scans the base table: $scans")
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("graft_skipd_zm_") && s.contains("zbucket=")),
+      s"q327 must read only routed bucket partitions of the copy: $scans")
+    // one month of a ~7-year shipdate span over 64 buckets stays narrow
+    val nParts = scans.map(_.split(",").length).sum
+    assert(nParts <= 4, s"q327 date routing too wide: $nParts partitions")
+  }
+
+  test("q328: the HAVING aggregate is served from the summary (filter " +
+    "above the rewritten Aggregate, never the base scan)") {
+    val scans = optimizedScans(run("q328_mv_having"))
+    assert(!scans.exists(_.contains("lineitem.parquet")),
+      s"q328 still scans the base table: $scans")
+    assert(scans.exists(_.contains("graft_lineitem_mv_")),
+      s"q328 does not scan the registered summary: $scans")
+  }
 }

@@ -42,7 +42,8 @@ class RegistrySpec extends SparkSpec {
     val failures = sqlFlagships.flatMap { name =>
       val q = Registry.byName(name)
       try {
-        val viaSql = spark.sql(q.oracle.get).collect().map(_.toString).toSeq
+        val viaSql = SqlEntry.runSql(spark, q.oracle.get)
+          .collect().map(_.toString).toSeq
         val viaDf = q.fn(spark, sf).collect().map(_.toString).toSeq
         if (viaSql == viaDf) None
         else Some(s"$name: SQL form diverged " +
@@ -54,6 +55,22 @@ class RegistrySpec extends SparkSpec {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("SQL entry leaves no session-visible parser-mode change") {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val before = spark.conf.getOption(key)
+    SqlEntry.registerViews(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(key) == before,
+      "registerViews leaked the parser mode onto the session")
+    SqlEntry.runSql(spark,
+      "SELECT count(*) AS n FROM lineitem").collect()
+    assert(spark.conf.getOption(key) == before,
+      "runSql leaked the parser mode onto the session")
+    // and the scoped mode really is ANSI inside: a backslash survives
+    val r = SqlEntry.runSql(spark,
+      raw"SELECT length('a\b') AS n").head.getInt(0)
+    assert(r == 3, s"scoped parse lost the backslash (len=$r)")
   }
 
   // ---- doc-count pinning (round-13 VERDICT task 4): stale counts in the

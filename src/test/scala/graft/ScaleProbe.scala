@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Skew-guard scale probe (the BASELINE.md "pathological corpus" harness).
   *
-  * `sbt "runMain graft.ScaleProbe [sfDir] [mult] [injectSize]"`
+  * `sbt "Test/runMain graft.ScaleProbe [sfDir] [mult] [injectSize]"`
+  * (probe tooling, so it lives in src/test with the other *ProbeRun
+  * mains — never on the library classpath, never in the shipped LoC)
   *
   * Builds a `mult`× replica of the documents corpus PLUS one deliberately
   * pathological boilerplate cluster of `injectSize` near-identical docs,

@@ -146,6 +146,48 @@ class MaterializedSummarySpec extends SparkSpec {
     assert(after == Seq(("a", 1L, None, 0L), ("n", 3L, None, 0L)))
   }
 
+  test("readAt serves the pre-refresh summary; current serves the " +
+    "refreshed one (time travel inside the retention window)") {
+    val dir = freshDir()
+    MaterializedSummary.build(spark,
+      Seq(("a", 1L), ("b", 2L), ("b", 4L)).toDF("g", "v"), dir, dims, sums)
+    MaterializedSummary.refresh(spark, dir,
+      Seq(("b", 10L), ("c", 7L)).toDF("g", "v"), dims, sums)
+    val v1 = MaterializedSummary.readAt(spark, dir, 1L)
+      .select("g", "cnt", "sum_v").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v1 == Seq(("a", 1L, 1L), ("b", 2L, 6L)),
+      s"v1 must be the pre-refresh state, got $v1")
+    val cur = spark.read.parquet(
+        MaterializedSummary.currentPath(spark, dir))
+      .select("g", "cnt", "sum_v").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cur == Seq(("a", 1L, 1L), ("b", 3L, 16L), ("c", 1L, 7L)))
+    // outside the window: version 99 was never committed
+    val e = intercept[IllegalStateException] {
+      MaterializedSummary.readAt(spark, dir, 99L)
+    }
+    assert(e.getMessage.contains("retention window"))
+  }
+
+  test("refresh on a summary that predates cnt_ columns fails with the " +
+    "explicit rebuild diagnosis, not an opaque AnalysisException") {
+    val dir = freshDir()
+    // hand-build a legacy-schema summary (cnt + sum_v only) through the
+    // same commit protocol
+    val c = VersionedIndex.begin(spark, dir)
+    Seq(("a", 2L, 3L)).toDF("g", "cnt", "sum_v")
+      .coalesce(1).write.mode("overwrite").parquet(s"${c.gen}/summary")
+    c.finish(VersionedIndex.Manifest(
+      Map("summary" -> Map("-" -> c.genLabel)), Map.empty))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedSummary.refresh(spark, dir,
+        Seq(("a", 5L)).toDF("g", "v"), dims, sums)
+    }
+    assert(e.getMessage.contains("rebuild the summary"),
+      s"wrong diagnosis: ${e.getMessage}")
+  }
+
   test("registerCurrent re-points the rewrite at the refreshed generation") {
     val basePath = java.nio.file.Files
       .createTempDirectory("ms_base_").toString + "/t"

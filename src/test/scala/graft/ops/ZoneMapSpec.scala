@@ -32,6 +32,97 @@ class ZoneMapSpec extends SparkSpec {
     assert(hit <= 3, s"a 10% range must route to <=3 of 16 buckets, hit $hit")
   }
 
+  test("changeFeed equates NULL merge keys (null-safe join): a changed " +
+    "NULL-key group is ONE update, not a delete plus an insert") {
+    val dir = freshDir()
+    val v1 = Seq((1L, Some("m1"), "a"), (2L, None, "b"), (3L, Some("m3"), "c"))
+      .toDF("k", "mk", "x")
+    ZoneMap.build(v1, "k", dir, nBuckets = 4)
+    // v2: the NULL-mk group's payload changes
+    ZoneMap.update(spark,  dir,
+      Seq((2L, None: Option[String], "B")).toDF("k", "mk", "x"),
+      "k", Seq("k", "mk"))
+    val feed = ZoneMap.changeFeed(spark, dir, 1L, 2L, Seq("k", "mk"))
+      .select("k", "op").as[(Long, String)].collect().toSeq.sorted
+    assert(feed == Seq((2L, "update")),
+      s"NULL merge key must diff as one update, got $feed")
+  }
+
+  private def skewed(n: Int) =
+    (0 until n).map { i =>
+      val k = if (i % 10 < 7) (i % 50).toLong else i.toLong
+      (k, s"p$i", (i % 7).toLong, i.toLong)
+    }.toDF("k", "payload", "grp", "rowid")
+
+  test("equi-depth bounds the max-bucket share under a zipf-ish key " +
+    "where fixed-width piles the mass") {
+    def maxShare(dir: String): Double = {
+      val rows = ZoneMap.readZones(spark, dir)
+        .select("n_rows").collect().map(_.getLong(0))
+      rows.max.toDouble / rows.sum
+    }
+    val fixedDir = freshDir()
+    ZoneMap.build(skewed(10000), "k", fixedDir, nBuckets = 16)
+    val depthDir = freshDir()
+    ZoneMap.build(skewed(10000), "k", depthDir, nBuckets = 16,
+      equiDepth = true)
+    val (fs, ds) = (maxShare(fixedDir), maxShare(depthDir))
+    // 70% of rows live in [0, 50) ⊂ one fixed-width 16th of [0, 10000)
+    assert(fs > 0.5, s"fixture lost its skew (fixed max share $fs)")
+    assert(ds < 0.15,
+      s"equi-depth must spread the hot range (max share $ds vs ideal " +
+        s"${1.0 / 16})")
+  }
+
+  test("equi-depth serve + CDC digest equal the scan replay; routing " +
+    "stays manifest-driven") {
+    val dir = freshDir()
+    ZoneMap.build(skewed(10000), "k", dir, nBuckets = 16, equiDepth = true)
+    def want(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(skewed(10000)).collect().map(_.toString).sorted.toSeq
+    assert(ZoneMap.rangeQuery(spark, dir, "k", 10, 30)
+      .select("k", "payload", "grp", "rowid")
+      .collect().map(_.toString).sorted.toSeq ==
+      want(_.filter($"k".between(10, 30))))
+    // hot range routes to a strict subset of buckets even though the
+    // key domain is tiny — the explicit bounds split the hot values
+    val (hit, total) = ZoneMap.prunedSelection(spark, dir, 10, 30)
+    assert(hit < total, s"equi-depth routing must prune ($hit of $total)")
+    // CDC through the stored bounds: replace the k=33 group's payloads
+    val delta = skewed(10000).filter($"k" === 33L)
+      .withColumn("payload", concat(lit("u"), $"rowid"))
+    ZoneMap.update(spark, dir, delta, "k", Seq("rowid"))
+    val got = ZoneMap.rangeQuery(spark, dir, "k", 33, 33)
+      .select("payload").as[String].collect().sorted.toSeq
+    val exp = skewed(10000).filter($"k" === 33L)
+      .select(concat(lit("u"), $"rowid")).as[String]
+      .collect().sorted.toSeq
+    assert(got == exp, "bounds-mode CDC must route and replace exactly")
+  }
+
+  test("TIMESTAMP-keyed layout: build, zones and serve run on the " +
+    "epoch-micros integral form") {
+    val dir = freshDir()
+    val df = (0 until 500).map { i =>
+      (java.sql.Timestamp.from(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusHours(i)
+        .toInstant(java.time.ZoneOffset.UTC)), i.toLong)
+    }.toDF("ts", "x")
+    ZoneMap.build(df, "ts", dir, nBuckets = 8)
+    def micros(s: String) =
+      java.time.LocalDateTime.parse(s).toInstant(
+        java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val served = ZoneMap.rangeQuery(spark, dir, "ts",
+        micros("2024-01-05T00:00"), micros("2024-01-07T00:00"))
+      .agg(count(lit(1)), sum($"x")).head()
+    // hours 96..144 inclusive = 49 rows
+    assert(served.getLong(0) == 49L, s"got ${served.getLong(0)} rows")
+    assert(served.getLong(1) == (96L to 144L).sum)
+    val (hit, total) = ZoneMap.prunedSelection(spark, dir,
+      micros("2024-01-05T00:00"), micros("2024-01-07T00:00"))
+    assert(hit < total, s"timestamp routing must prune ($hit of $total)")
+  }
+
   test("asOfVersion serves the pre-CDC bytes through the old manifest; " +
     "a version outside the retention window raises") {
     val dir = freshDir()

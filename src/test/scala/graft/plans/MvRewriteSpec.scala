@@ -57,6 +57,65 @@ class MvRewriteSpec extends SparkSpec {
     assert(q.as[(String, Long, Long)].collect().toSeq == rows)
   }
 
+  test("HAVING (filter above the aggregate) is served from the summary " +
+    "through preserved output ids") {
+    registered
+    val q = spark.read.parquet(basePath)
+      .groupBy("dim_a", "dim_b")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .filter($"n" > 160L && $"sv" >= 400L)
+      .orderBy("dim_a", "dim_b")
+    assert(!scansOf(q).exists(_.contains(basePath)),
+      s"base table still scanned under HAVING: ${scansOf(q)}")
+    val rows = (0 until 1000)
+      .groupBy(i => (s"g${i % 3}", s"s${i % 2}")).toSeq.sortBy(_._1)
+      .map { case ((a, b), is) =>
+        (a, b, is.size.toLong, is.map(i => (i % 7).toLong).sum) }
+      .filter { case (_, _, n, sv) => n > 160L && sv >= 400L }
+    assert(q.as[(String, String, Long, Long)].collect().toSeq == rows)
+  }
+
+  test("two summaries over one source: the tightest that answers wins; " +
+    "the coarse one still serves what the tight one cannot") {
+    registered
+    // a SECOND, coarser-keyed but TIGHTER (fewer dims) summary: for a
+    // dim_a-only aggregate it re-aggregates 3 rows instead of 6
+    val tight = java.nio.file.Files.createTempDirectory("mv_sum_a_").toString
+    spark.read.parquet(basePath)
+      .groupBy("dim_a")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .coalesce(1).write.mode("overwrite").parquet(tight)
+    MvRewrite.register(spark, basePath, tight,
+      dims = Set("dim_a"), sumCols = Set("v"))
+    try {
+      val qa = spark.read.parquet(basePath)
+        .groupBy("dim_a").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val sa = scansOf(qa)
+      assert(sa.exists(_.contains(tight)),
+        s"dim_a aggregate must pick the fewest-dims summary: $sa")
+      assert(!sa.exists(_.contains(basePath)))
+      // a dim_b grouping is NOT answerable by the dim_a summary — the
+      // original two-dim summary must serve it
+      val qb = spark.read.parquet(basePath)
+        .groupBy("dim_b").agg(count(lit(1)).as("n"))
+      val sb = scansOf(qb)
+      assert(!sb.exists(_.contains(basePath)) &&
+        !sb.exists(_.contains(tight)),
+        s"dim_b aggregate must fall through to the two-dim summary: $sb")
+      // values stay exact through the tight route
+      val rows = (0 until 1000).groupBy(i => s"g${i % 3}").toSeq
+        .sortBy(_._1)
+        .map { case (g, is) => (g, is.size.toLong,
+          is.map(i => (i % 7).toLong).sum) }
+      assert(qa.orderBy("dim_a").as[(String, Long, Long)]
+        .collect().toSeq == rows)
+    } finally {
+      // drop the extra summary so later tests see the original catalog
+      MvRewrite.MvCatalog.mvs = MvRewrite.MvCatalog.mvs
+        .filterNot(_.artifactId == tight)
+    }
+  }
+
   test("non-dim grouping keeps the base scan") {
     registered
     val q = spark.read.parquet(basePath)

@@ -116,6 +116,76 @@ class SkipRewriteSpec extends SparkSpec {
     assert(mixed.count() == 11)
   }
 
+  test("IN-list on the key reroutes to the union of matching buckets; " +
+    "a non-literal element declines") {
+    val (base, idx) = fixture
+    val q = spark.read.parquet(base)
+      .filter($"k".isin(5L, 250L, 990L))
+    val scans = scansOf(q)
+    assert(!scans.exists(_.contains(base)), s"base still scanned: $scans")
+    assert(scans.nonEmpty && scans.forall(_.startsWith(idx)))
+    // three points over 16 buckets of 1000 keys: at most 3 partitions
+    assert(scans.map(_.split(",").length).sum <= 3,
+      s"IN routing too wide: $scans")
+    assert(q.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 250L, 990L))
+    // near-miss: an element that is not a literal (column reference)
+    val nm = spark.read.parquet(base).filter($"k".isin($"v" * 100L, lit(5L)))
+    assert(scansOf(nm).exists(_.contains(base)),
+      "a non-literal IN element must keep the base scan")
+  }
+
+  test("IN-list on the bloom column routes the union of per-value " +
+    "candidates") {
+    val (base, idx) = fixture
+    val q = spark.read.parquet(base).filter($"v".isin(1L, 8L))
+    val scans = scansOf(q)
+    assert(!scans.exists(_.contains(base)), s"base still scanned: $scans")
+    assert(scans.nonEmpty && scans.forall(_.startsWith(idx)))
+    assert(q.count() == 200)
+  }
+
+  test("DATE-keyed layout routes a plain date-range filter") {
+    val base = java.nio.file.Files
+      .createTempDirectory("skip_based_").toString + "/t"
+    (0 until 365)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i)), i.toLong))
+      .toDF("day", "x")
+      .write.mode("overwrite").parquet(base)
+    val idx = java.nio.file.Files.createTempDirectory("skip_zmd_").toString
+    ZoneMap.build(spark.read.parquet(base), "day", idx, nBuckets = 12)
+    SkipRewrite.register(spark, base, idx, "day")
+    val q = spark.read.parquet(base)
+      .filter($"day".between(java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Date.valueOf("2024-03-31")))
+    val scans = scansOf(q)
+    assert(!scans.exists(_.contains(base)), s"base still scanned: $scans")
+    assert(scans.nonEmpty && scans.forall(_.startsWith(idx)))
+    assert(scans.map(_.split(",").length).sum <= 2,
+      s"one month over 12 buckets must stay tight: $scans")
+    assert(q.count() == 31)
+    assert(q.agg(sum($"x")).head.getLong(0) ==
+      (60L to 90L).sum) // Mar 1 2024 is day index 60 (leap year)
+  }
+
+  test("plan-time epoch is mtime-memoized: repeated matched queries " +
+    "re-list at most once; an append still invalidates") {
+    val (base, _) = fixture
+    // warm: one compile to fill the memo
+    spark.read.parquet(base).filter($"k".between(0L, 9L)).count()
+    val before = SkipRewrite.fullListings.get()
+    (1 to 5).foreach { i =>
+      val q = spark.read.parquet(base).filter($"k".between(0L, 9L * i))
+      assert(!scansOf(q).exists(_.contains(base)))
+      q.count()
+    }
+    val grew = SkipRewrite.fullListings.get() - before
+    assert(grew == 0,
+      s"unchanged base must revalidate from the mtime memo, not " +
+        s"re-list ($grew listings across 5 queries)")
+  }
+
   test("a base append after registration declines the route; " +
     "re-registration over a rebuilt copy re-enables it") {
     val base = java.nio.file.Files
