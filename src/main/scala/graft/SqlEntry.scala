@@ -19,14 +19,30 @@ object SqlEntry {
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
   /** Dialect-neutral preprocessing for running the shared oracle texts
-    * through Spark: strips DuckDB's `AS MATERIALIZED (` CTE hint (pure
-    * performance annotation — `AS (` is semantically identical; DuckDB
-    * keeps the hint, Spark's parser rejects it). Nothing else is
-    * rewritten — every semantic construct must parse as-is or the text
-    * is not SQL-path verified.
+    * through Spark. Two rewrites, both pure syntax with identical
+    * semantics on both engines:
+    *  - strips DuckDB's `AS MATERIALIZED (` CTE hint (pure performance
+    *    annotation — `AS (` is semantically identical);
+    *  - moves window-function null treatment out of the argument list:
+    *    DuckDB spells `first_value(x IGNORE NULLS) OVER w`, Spark spells
+    *    `first_value(x) IGNORE NULLS OVER w`. The non-greedy group stops
+    *    at the first ` IGNORE NULLS)`, so arbitrary argument expressions
+    *    (CASE..END, nested calls) pass through intact; `RESPECT NULLS`
+    *    (both engines' default) is handled the same way for symmetry.
+    * Everything else must parse as-is (after [[plans.ZipUnnest]]'s plan
+    * normalization) or the text is not SQL-path verified.
     */
   def dialectNeutral(sql: String): String =
     sql.replaceAll("(?i)\\bAS\\s+MATERIALIZED\\s*\\(", "AS (")
+      .replaceAll("(?i)\\b(first_value|last_value|lag|lead|nth_value|any_value)\\s*\\((.+?) (IGNORE|RESPECT) NULLS\\)",
+        "$1($2) $3 NULLS")
+      // DuckDB's ordered string aggregate puts ORDER BY inside the
+      // argument list; Spark 4 spells the same aggregate listagg(...)
+      // WITHIN GROUP (ORDER BY ...). Conservative shapes only: a bare
+      // column/identifier argument, a quoted separator literal, and
+      // paren-free sort keys — anything fancier keeps failing loudly.
+      .replaceAll("(?i)\\bstring_agg\\s*\\(\\s*([^(),]+?),\\s*('[^']*')\\s+ORDER\\s+BY\\s+([^()]+?)\\)",
+        "listagg($1, $2) WITHIN GROUP (ORDER BY $3)")
 
   /** Run `body` with ANSI/DuckDB string-literal semantics scoped to the
     * call: literals keep backslashes literally (without this, Spark's
@@ -54,12 +70,23 @@ object SqlEntry {
     }
 
   /** Run a shared oracle text through Spark's SQL entry (views must be
-    * registered): the hint-stripping is the only transformation; the
-    * string-literal dialect is scoped to the parse, never left set on
-    * the session.
+    * registered). Two transformations sit between text and analysis: the
+    * hint strip ([[dialectNeutral]]) on the text, and the zipped-unnest
+    * normalization ([[plans.ZipUnnest]]) on the PARSED plan — DuckDB's
+    * positional zip of SELECT-position generators re-expressed as one
+    * Generate, with the text left byte-identical for the DuckDB side.
+    * The string-literal dialect is scoped to the parse, never left set
+    * on the session.
     */
   def runSql(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame =
-    withSqlParserMode(spark) { spark.sql(dialectNeutral(sql)) }
+    withSqlParserMode(spark) {
+      val parsed = spark.sessionState.sqlParser.parsePlan(dialectNeutral(sql))
+      // dialect normalization first (it recurses into CTE definitions), so
+      // the fixpoint executor runs already-normalized base/step plans
+      val normalized = plans.ZipUnnest.rewrite(parsed)
+      org.apache.spark.sql.GraftRegistrar.ofRows(spark,
+        plans.RecursiveUnion.run(spark, normalized))
+    }
 
   def registerViews(spark: SparkSession, dir: String): Unit =
       withSqlParserMode(spark) {
@@ -128,12 +155,26 @@ object SqlEntry {
           Concat(Seq(Literal("\\Q"), exprs(1), Literal("\\E"))),
           Literal(-1)),
         "scala_udf")
+      // regexp_split_to_array(s, p) — DuckDB's REGEX-separator split;
+      // Spark's split() is already regex-separated with the same
+      // keep-empty-fields contract, so this is the unquoted sibling of
+      // string_split above.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "regexp_split_to_array",
+        exprs => StringSplit(exprs(0), exprs(1), Literal(-1)),
+        "scala_udf")
     }
     // `regexp_matches(s, p)` — DuckDB's partial-match regex predicate;
-    // Spark's RLIKE has identical partial-match semantics.
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
-      |regexp_matches(s STRING, p STRING) RETURNS BOOLEAN
-      |RETURN s RLIKE p""".stripMargin)
+    // Spark's RLIKE has identical partial-match semantics. Bound as a
+    // NATIVE expression (not a SQL scalar function): SQL-function bodies
+    // inline through a one-row subplan and cannot capture a lambda
+    // variable, so the dominant `list_filter(ws, x -> regexp_matches(x,
+    // p))` shape only resolves with a real expression.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "regexp_matches",
+      exprs => org.apache.spark.sql.catalyst.expressions.RLike(
+        exprs(0), exprs(1)),
+      "scala_udf")
     // `json_extract_string(j, p)` — DuckDB's string-typed JSON path
     // accessor; get_json_object shares the '$.field' path dialect and
     // the NULL-on-missing contract.
@@ -153,10 +194,16 @@ object SqlEntry {
       exprs => org.apache.spark.sql.catalyst.expressions.Explode(exprs.head),
       "scala_udf")
     // `regexp_full_match(s, p)` — DuckDB's whole-string regex predicate;
-    // anchoring the pattern gives RLIKE the same semantics.
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
-      |regexp_full_match(s STRING, p STRING) RETURNS BOOLEAN
-      |RETURN s RLIKE concat('^(?:', p, ')$')""".stripMargin)
+    // anchoring the pattern gives RLIKE the same semantics. Native for the
+    // same lambda-capture reason as regexp_matches above.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "regexp_full_match",
+        exprs => RLike(exprs(0),
+          Concat(Seq(Literal("^(?:"), exprs(1), Literal(")$")))),
+        "scala_udf")
+    }
     // DuckDB's SCALAR list builders and list_* lambda family, bound as
     // native expressions so they compose inside generators and lambdas:
     //  - range(n) / range(a, b): the half-open [a, b) integer list (the
@@ -238,6 +285,22 @@ object SqlEntry {
         "list_transform",
         exprs => ArrayTransform(exprs(0), exprs(1)),
         "scala_udf")
+      // list_reduce(arr, (acc, x) -> e) — DuckDB's no-initial-value fold:
+      // seeded with the FIRST element, folded over the rest. Spark's
+      // aggregate() needs an explicit zero, so the shim slices: zero =
+      // element_at(arr, 1) (NULL for an empty list, where DuckDB errors —
+      // lenient is fine for the dialect entry), fold over slice(arr, 2,
+      // max(n-1, 0)). The parsed two-parameter lambda IS aggregate()'s
+      // merge shape; finish is identity.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "list_reduce",
+        exprs => ArrayAggregate(
+          Slice(exprs(0), Literal(2),
+            Greatest(Seq(Subtract(Size(exprs(0)), Literal(1)), Literal(0)))),
+          ElementAt(exprs(0), Literal(1), None, failOnError = false),
+          exprs(1),
+          LambdaFunction(lv("acc"), Seq(lv("acc")))),
+        "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "list_sum",
         exprs => If(EqualTo(Size(exprs.head), Literal(0)),
@@ -248,6 +311,60 @@ object SqlEntry {
             LambdaFunction(lv("acc"), Seq(lv("acc"))))),
         "scala_udf")
     }
+    // DuckDB regex-function dialect, bound as native expressions:
+    //  - regexp_extract_all(s, p): TWO-arg form returns FULL matches
+    //    (group 0) on DuckDB where Spark's builtin defaults the group
+    //    index to 1 (erroring on group-free patterns); the 3-arg form is
+    //    identical on both engines and passes through.
+    //  - regexp_replace(s, p, r, 'g'): DuckDB's global-replace option
+    //    string. Spark's regexp_replace is ALWAYS global, so 'g' maps to
+    //    the plain 3-arg expression; any other option string raises (and
+    //    Spark's own integer-position 4th arg keeps working). DuckDB's
+    //    optionless form replaces the FIRST match only — shared texts
+    //    must spell 'g' when they mean global; the RegistrySpec
+    //    SQL≡DataFrame divergence sweep catches a missed one.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.StringType
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "regexp_extract_all",
+        exprs => exprs match {
+          case Seq(s, p) => RegExpExtractAll(s, p, Literal(0))
+          case Seq(s, p, i) => RegExpExtractAll(s, p, i)
+          case other => throw new IllegalArgumentException(
+            s"regexp_extract_all shim: expected 2 or 3 args, got ${other.size}")
+        },
+        "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "regexp_replace",
+        exprs => exprs match {
+          case Seq(s, p, r) => RegExpReplace(s, p, r)
+          case Seq(s, p, r, l @ Literal(_, StringType)) =>
+            if (l.value != null && l.value.toString == "g") RegExpReplace(s, p, r)
+            else throw new IllegalArgumentException(
+              s"regexp_replace shim: unsupported option string $l (only 'g')")
+          case Seq(s, p, r, pos) => RegExpReplace(s, p, r, pos)
+          case other => throw new IllegalArgumentException(
+            s"regexp_replace shim: expected 3 or 4 args, got ${other.size}")
+        },
+        "scala_udf")
+    }
+    // `strptime(s, f)` — DuckDB's C-style timestamp parse; the inverse of
+    // the strftime shim below, with the same guarded directive subset.
+    // Single-letter java.time parse patterns accept 1–2 digits, matching
+    // strptime's lenient %d/%m/%H/%M/%S; both engines error on text that
+    // does not match the format.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION
+      |strptime(s STRING, f STRING) RETURNS TIMESTAMP
+      |RETURN CASE
+      |  WHEN f NOT RLIKE '^([-:/ .]|%[YmdHMS])*$' THEN
+      |    CAST(raise_error(concat('strptime shim supports only %Y %m %d ',
+      |      '%H %M %S with -:/. separators, got: ', f)) AS TIMESTAMP)
+      |  ELSE to_timestamp(s,
+      |    replace(replace(replace(replace(replace(replace(f,
+      |      '%Y', 'yyyy'), '%m', 'M'), '%d', 'd'),
+      |      '%H', 'H'), '%M', 'm'), '%S', 's'))
+      |END""".stripMargin)
     // `nfc_normalize(s)` — DuckDB builtin; bound to the library's native
     // codegen expression (functions/NfcNormalize.scala), not a UDF, so
     // SQL text hits the same compiled kernel as the DataFrame path.

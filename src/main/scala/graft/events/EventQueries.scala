@@ -2969,7 +2969,7 @@ object EventQueries {
       |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
       |  FROM events GROUP BY user_id),
       |types AS (
-      |  SELECT unnest(['click','error','purchase','signup','view']) AS t),
+      |  SELECT unnest(list_value('click','error','purchase','signup','view')) AS t),
       |pats AS (SELECT a.t AS p1, b.t AS p2, c.t AS p3
       |  FROM types a, types b, types c),
       |pos AS (

@@ -314,7 +314,7 @@ object CurationQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -351,10 +351,10 @@ object CurationQueries {
         |gt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |gbase AS (
         |  SELECT doc_id,
-        |    CAST(length(ws) AS BIGINT) AS n_words,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
         |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_sum,
-        |    CAST(length(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
-        |    CAST(length(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
         |  FROM gt),
         |gbg AS (
         |  SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bg

@@ -189,7 +189,7 @@ object DedupQueries {
       s""",
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |hsc AS (
         |  SELECT doc_id, band, bucket FROM (
@@ -269,7 +269,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -313,7 +313,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -511,7 +511,7 @@ object DedupQueries {
       """,
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |dup AS (
         |  SELECT DISTINCT a.doc_id
@@ -553,7 +553,7 @@ object DedupQueries {
       |  FROM documents),
       |seg AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_no,
-      |    array_to_string(toks[u.i*4+1 : u.i*4+4], ' ') AS seg
+      |    array_to_string(list_slice(toks, u.i*4+1, u.i*4+4), ' ') AS seg
       |  FROM b, unnest(range(0, nseg)) AS u(i)),
       |h AS (SELECT doc_id, seg_no, seg, md5(seg) AS hh FROM seg),
       |over_cap AS (
@@ -776,7 +776,7 @@ object DedupQueries {
       s""",
         |hs AS (
         |  SELECT doc_id, band, min(md5(band || sh)) AS bucket
-        |  FROM sh, (SELECT CAST(unnest([0,1,2,3,4,5,6,7]) AS STRING) AS band) b
+        |  FROM sh, (SELECT CAST(unnest(list_value(0,1,2,3,4,5,6,7)) AS STRING) AS band) b
         |  GROUP BY doc_id, band),
         |hsc AS (
         |  SELECT doc_id, band, bucket FROM (

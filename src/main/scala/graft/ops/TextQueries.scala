@@ -380,11 +380,11 @@ object TextQueries {
       |    regexp_extract_all(text, '${TextAnalysis.bpeishPattern.replace("'", "''")}') AS toks
       |  FROM documents)
       |SELECT doc_id,
-      |  CAST(length(toks) AS BIGINT) AS n_tokens,
-      |  CAST(length(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT)
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT)
       |    AS n_word_tokens,
-      |  CAST(CASE WHEN length(toks) = 0 THEN 0
-      |       ELSE CAST(floor((1000000 * n_chars) / length(toks)) AS BIGINT) END AS BIGINT)
+      |  CAST(CASE WHEN len(toks) = 0 THEN 0
+      |       ELSE CAST(floor((1000000 * n_chars) / len(toks)) AS BIGINT) END AS BIGINT)
       |    AS chars_per_token_ppm,
       |  CAST(('0x' || substr(md5(array_to_string(toks, chr(1))), 1, 8)) AS BIGINT)
       |    AS token_digest
@@ -419,10 +419,10 @@ object TextQueries {
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |base AS (
       |  SELECT doc_id,
-      |    CAST(length(ws) AS BIGINT) AS n_words,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
       |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS char_sum,
-      |    CAST(length(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
-      |    CAST(length(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
+      |    CAST(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(ws, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS n_stop
       |  FROM t),
       |tok AS (
       |  SELECT doc_id,
@@ -507,9 +507,10 @@ object TextQueries {
          |  SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pc$r
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |s$r AS MATERIALIZED (
-         |  SELECT w, f, list_reduce(list_transform(syms, s -> [s]),
+         |  SELECT w, f, list_reduce(list_transform(syms, s -> list_value(s)),
          |    (acc, x) -> CASE WHEN acc[-1] = t$r.a AND x[1] = t$r.b
-         |                THEN acc[:len(acc)-1] || [acc[-1] || x[1]]
+         |                THEN list_slice(acc, 1, len(acc) - 1)
+         |                     || list_value(acc[-1] || x[1])
          |                ELSE acc || x END) AS syms
          |  FROM s${r - 1}, t$r),
          |st$r AS (
@@ -935,13 +936,15 @@ object TextQueries {
       |  WHERE w <> ''
       |  GROUP BY doc_id, n_chars),
       |ra AS (
-      |  SELECT doc_id, CAST(row_number() OVER (
-      |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
-      |  FROM stats QUALIFY r <= 100),
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, CAST(row_number() OVER (
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+      |    FROM stats) t WHERE r <= 100),
       |rb AS (
-      |  SELECT doc_id, CAST(row_number() OVER (
-      |    ORDER BY div_ppm DESC, doc_id) AS BIGINT) AS r
-      |  FROM stats QUALIFY r <= 100),
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, CAST(row_number() OVER (
+      |      ORDER BY div_ppm DESC, doc_id) AS BIGINT) AS r
+      |    FROM stats) t WHERE r <= 100),
       |fused AS (
       |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
       |    COALESCE(CAST(floor(1000000 / (60 + ra.r)) AS BIGINT), 0)
@@ -1069,8 +1072,8 @@ object TextQueries {
       |SELECT n_vocab, covered, total,
       |  CAST(CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * covered) / total) AS BIGINT) AS BIGINT)
       |    AS coverage_ppm
-      |FROM (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS n_vocab,
-      |             unnest([c100, c1000, c10000]) AS covered FROM cov), tot
+      |FROM (SELECT CAST(unnest(list_value(100, 1000, 10000)) AS BIGINT) AS n_vocab,
+      |             unnest(list_value(c100, c1000, c10000)) AS covered FROM cov), tot
       |ORDER BY n_vocab""".stripMargin,
     "Vocabulary coverage curve at N in {100, 1000, 10000}: distributed " +
       "TopK vocab, bounded rank window, exact floor-ppm coverage") {

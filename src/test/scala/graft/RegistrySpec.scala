@@ -177,12 +177,16 @@ class RegistrySpec extends SparkSpec {
       }
     }
     info(s"SQL-path verified: $ran of ${Registry.all.count(_.oracle.isDefined)} oracles")
-    // round-17: the generator/list-shim push (unnest ≡ explode, scalar
-    // range/generate_series, native string_split, list_* lambdas, the
-    // MATERIALIZED hint strip) put 240+ oracles through the Spark SQL
-    // entry; pin the floor so a dialect regression can't silently
-    // shrink the verified surface back down
-    assert(ran >= 240, s"SQL-path count regressed: $ran < 240")
+    // round-18: the ZipUnnest dialect layer (zipped/nested SELECT-position
+    // generators, FROM-position lateral unnest/generate_series, 1-based
+    // subscripts), the regex/strptime/list_reduce shims, and the
+    // RecursiveUnion fixpoint executor put 320 of 329 oracles through the
+    // Spark SQL entry — the remainder is ASOF joins (native operator on
+    // the engine side), DuckDB floor division, and ordered list()
+    // aggregates with bracket slices, all marker-justified. Pin the floor
+    // so a dialect regression can't silently shrink the verified surface
+    // back down.
+    assert(ran >= 315, s"SQL-path count regressed: $ran < 315")
     assert(diverged.isEmpty,
       s"SQL form diverged from DataFrame form:\n${diverged.mkString("\n")}")
     assert(unjustified.isEmpty,
