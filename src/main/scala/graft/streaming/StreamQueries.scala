@@ -62,12 +62,11 @@ object StreamQueries {
       val sink = "graft_q94_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q94_ckpt")
-      val q = counts.writeStream
+      val q = runStream(s, Seq(srcDir.toString))(counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n").cast(LongType).as("n"))
@@ -114,12 +113,11 @@ object StreamQueries {
       val sink = "graft_q105_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q105_ckpt")
-      val q = words.writeStream
+      val q = runStream(s, Seq(dir.toString))(words.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(col("word"), col("cnt").cast(LongType).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
@@ -168,12 +166,11 @@ object StreamQueries {
       val sink = "graft_q114_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q114_ckpt")
-      val q = budget.writeStream
+      val q = runStream(s, Seq(dir.toString))(budget.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(col("lang"), col("n_docs").cast(LongType).as("n_docs"),
           col("n_tokens").cast(LongType).as("n_tokens"),
@@ -237,12 +234,11 @@ object StreamQueries {
       val sink = "graft_q130_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q130_ckpt")
-      val q = flagged.writeStream
+      val q = runStream(s, Seq(dir.toString))(flagged.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = docs.filter(col("doc_id") % 5 === 0)
         .select("doc_id")
         .join(s.table(sink).select(col("id").as("doc_id"), lit(1L).as("_dup")),
@@ -284,12 +280,11 @@ object StreamQueries {
       val sink = "graft_q140_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q140_ckpt")
-      val q = sessions.writeStream
+      val q = runStream(s, Seq(srcDir.toString))(sessions.writeStream
         .format("memory").queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .groupBy("user_id")
         .agg(max("n_sessions").cast(LongType).as("n_sessions"),
@@ -351,12 +346,11 @@ object StreamQueries {
       val sink = "graft_q149_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q149_ckpt")
-      val q = view.writeStream
+      val q = runStream(s, Seq(srcDir.toString))(view.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .filter(col("n") > 0L)
         .select(col("user_id"), col("event_type"),
@@ -405,12 +399,11 @@ object StreamQueries {
       val sink = "graft_q161_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q161_ckpt")
-      val q = counts.writeStream
+      val q = runStream(s, Seq(dir.toString))(counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n").cast(LongType).as("n"))
@@ -511,6 +504,73 @@ object StreamQueries {
     dir
   }
 
+  /** Run `body` (a stream start → processAllAvailable → stop lifecycle)
+    * with the shuffle width — and with it the number of STATE-STORE
+    * instances every stateful operator commits per micro-batch — sized
+    * from the stream's staged input bytes instead of the session's batch
+    * parallelism (guide §2: partitioning must track data volume, not a
+    * constant tuned for either local mode or the cluster). A micro-batch
+    * is input-chunk-sized by construction (`maxFilesPerTrigger`), so a
+    * batch-sized width only adds fixed per-partition cost: at width 32
+    * each tiny batch pays 32 state-store commits PER stateful operator
+    * (a stream-stream join runs four stores per partition) plus 32-task
+    * stages. Width-probed at sf0.1 (q165's interval-join shape,
+    * StreamWidthProbe): 11.9 s at width 32 → 4.5 s at 8 → 3.9 s at 4,
+    * bit-identical results — partition count never affects aggregation /
+    * join / watermark semantics, only where rows hash. The formula
+    * `ceil(bytes / advisoryPartitionSize)` (floor 4, cap = session
+    * width) keeps a TB-scale staged input at the full session width on a
+    * real cluster; SPARK_GRAFT_STREAM_WIDTH overrides for probes
+    * (0 = leave the session width untouched). The session conf is
+    * restored on every exit path, so batch queries after the stream are
+    * untouched.
+    */
+  private def withStreamWidth[T](s: SparkSession,
+      inputDirs: Seq[String])(body: => T): T = {
+    val session = s.sessionState.conf.numShufflePartitions
+    // Nil = leave the session width: foreachBatch CDC lifecycles do
+    // BATCH-shaped maintenance over the STANDING artifact (their stream
+    // has no stateful operator — the source only hands batches), so
+    // narrowing to the staged delta's byte size starves the real work of
+    // parallelism (q302 measured +1.7 s at width 4 vs the session 32).
+    if (inputDirs.isEmpty) return body
+    val width = sys.env.get("SPARK_GRAFT_STREAM_WIDTH")
+      .map(_.toInt).filter(_ != 0).getOrElse {
+        import scala.jdk.CollectionConverters._
+        val bytes = inputDirs.map { dp =>
+          val p = java.nio.file.Paths.get(dp)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size(_)).sum
+          else 0L
+        }.sum
+        val advisory = s.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        math.max(4, math.min(session.toLong,
+          (bytes + advisory - 1) / advisory).toInt)
+      }
+    if (width == session) body
+    else {
+      s.conf.set("spark.sql.shuffle.partitions", width)
+      try body
+      finally s.conf.set("spark.sql.shuffle.partitions", session)
+    }
+  }
+
+  /** The standard lifecycle under [[withStreamWidth]]: start the query,
+    * drain it, stop it, return it (stopped — callers read
+    * `recentProgress`, never restart it).
+    */
+  private def runStream(s: SparkSession, inputDirs: Seq[String])(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withStreamWidth(s, inputDirs) {
+      val q = start
+      try { q.processAllAvailable() } finally { q.stop() }
+      q
+    }
+
   /** Stream/batch parity #8 — STREAM-STREAM interval join
     * ([[EventStream.attributeClicks]]): view impressions joined to clicks
     * of the same user within 1 day, both sides real file streams with
@@ -545,12 +605,11 @@ object StreamQueries {
       val sink = "graft_q165_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q165_ckpt")
-      val q = joined.writeStream
+      val q = runStream(s, Seq(impDir.toString, clkDir.toString))(joined.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(col("imp_user").as("user_id"),
           unix_micros(col("imp_ts")).as("imp_us"),
@@ -612,12 +671,11 @@ object StreamQueries {
       val sink = "graft_q202_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q202_ckpt")
-      val q = joined.writeStream
+      val q = runStream(s, Seq(impDir.toString, clkDir.toString))(joined.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .filter(col("imp_user") >= 0L)
         .select(col("imp_user").as("user_id"),
@@ -697,12 +755,11 @@ object StreamQueries {
       val sink = "graft_q233_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q233_ckpt")
-      val q = joined.writeStream
+      val q = runStream(s, Seq(impDir.toString, clkDir.toString))(joined.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       // state-row trajectory: one sample per micro-batch that ran a
       // stateful operator (includes the trailing no-data batch that
       // applies the final watermark's eviction)
@@ -776,12 +833,11 @@ object StreamQueries {
       val sink = "graft_q217_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q217_ckpt")
-      val q = closed.writeStream
+      val q = runStream(s, Seq(dir.toString))(closed.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .filter(col("user_id") >= 0L)
         .select(col("user_id"), col("session_start"),
@@ -840,12 +896,11 @@ object StreamQueries {
       val sink = "graft_q168_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q168_ckpt")
-      val q = deduped.writeStream
+      val q = runStream(s, Seq(dir.toString))(deduped.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .groupBy("day")
         .agg(count(lit(1)).as("n_users"))
@@ -897,7 +952,7 @@ object StreamQueries {
         .write.parquet(tableDir)
       val schema = s.read.parquet(srcDir.toString).schema
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q170_ckpt")
-      val q = s.readStream.schema(schema)
+      val q = runStream(s, Nil)(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
         .writeStream
         .outputMode("append")
@@ -916,8 +971,7 @@ object StreamQueries {
                 "n" -> col("s.cnt"), "last_val" -> col("s.last_val")))))
           }
         }
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.read.parquet(tableDir)
         .select(col("user_id"), col("n").cast(LongType).as("n"),
           col("last_val").cast("double").as("last_val"))
@@ -981,7 +1035,7 @@ object StreamQueries {
         .resolve("t").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q175_ckpt")
       def runOnce(): Unit = {
-        val q = EventStream.dailyTypeCounts(
+        val q = runStream(s, Seq(srcDir.toString))(EventStream.dailyTypeCounts(
             s.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
           .select(col("day"), col("event_type"), col("n"))
@@ -990,8 +1044,7 @@ object StreamQueries {
           .option("path", outDir)
           .option("checkpointLocation", ckpt.toString)
           .outputMode("append")
-          .start()
-        try { q.processAllAvailable() } finally { q.stop() }
+          .start())
       }
       runOnce()
       reveal("part02.parquet", "part03.parquet")
@@ -1049,12 +1102,11 @@ object StreamQueries {
       val sink = "graft_q266_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q266_ckpt")
-      val q = joined.writeStream
+      val q = runStream(s, Seq(impDir.toString, clkDir.toString))(joined.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val res = s.table(sink)
         .select(col("imp_user").as("user_id"),
           unix_micros(col("imp_ts")).as("imp_us"))
@@ -1110,12 +1162,11 @@ object StreamQueries {
       val sink = "graft_q269_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q269_ckpt")
-      val q = agged.writeStream
+      val q = runStream(s, Seq(dir.toString))(agged.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"expected multiple micro-batches, saw $batches — staging broke")
@@ -1184,12 +1235,11 @@ object StreamQueries {
       val sink = "graft_q273_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q273_ckpt")
-      val q = agged.writeStream
+      val q = runStream(s, Seq(dir.toString))(agged.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"expected multiple micro-batches, saw $batches — staging broke")
@@ -1288,12 +1338,11 @@ object StreamQueries {
       val sink = "graft_q274_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q274_ckpt")
-      val q = counts.writeStream
+      val q = runStream(s, Seq(dir.toString))(counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"q274: expected multiple micro-batches, saw $batches — staging broke")
@@ -1372,7 +1421,7 @@ object StreamQueries {
       val sink = "graft_q286_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q286_ckpt")
-      val q = s.readStream.schema(schema)
+      val q = runStream(s, Nil)(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
         .writeStream
@@ -1396,8 +1445,7 @@ object StreamQueries {
           ()
         }
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"expected multiple micro-batches, saw $batches — staging broke")
@@ -1448,7 +1496,7 @@ object StreamQueries {
           prefix = "graft_q302_src", datasetDir = d)
         val schema = s.read.parquet(staged.toString).schema
         val ckpt = java.nio.file.Files.createTempDirectory("graft_q302_ckpt")
-        val q = s.readStream.schema(schema)
+        val q = runStream(s, Nil)(s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(staged.toString)
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -1462,8 +1510,7 @@ object StreamQueries {
             ()
           }
           .option("checkpointLocation", ckpt.toString)
-          .start()
-        try { q.processAllAvailable() } finally { q.stop() }
+          .start())
         val batches = q.recentProgress.count(_.numInputRows > 0)
         require(batches >= 2,
           s"expected multiple micro-batches, saw $batches — staging broke")
@@ -1528,7 +1575,7 @@ object StreamQueries {
         prefix = "graft_q312_src", datasetDir = d)
       val schema = s.read.parquet(staged.toString).schema
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q312_ckpt")
-      val q = s.readStream.schema(schema)
+      val q = runStream(s, Nil)(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -1539,8 +1586,7 @@ object StreamQueries {
           ()
         }
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"expected multiple micro-batches, saw $batches — staging broke")
@@ -1596,7 +1642,7 @@ object StreamQueries {
         prefix = "graft_q316_src", datasetDir = d)
       val schema = s.read.parquet(staged.toString).schema
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q316_ckpt")
-      val q = s.readStream.schema(schema)
+      val q = runStream(s, Nil)(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -1608,8 +1654,7 @@ object StreamQueries {
           ()
         }
         .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start())
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches >= 2,
         s"expected multiple micro-batches, saw $batches — staging broke")
