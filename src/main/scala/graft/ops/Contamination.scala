@@ -10,9 +10,9 @@ import org.apache.spark.sql.types._
   * standard decontamination check run before any benchmark number is
   * trusted (13-gram overlap is the published GPT-3-era convention).
   *
-  * Scale shape: n-grams are a posexplode + (n−1) lead()s over one
-  * per-doc window — a single narrow pass, no cross-doc shuffle until the
-  * gram join itself. The join is eval-grams against DISTINCT train-grams:
+  * Scale shape: n-grams form inside each doc's own token array and
+  * explode — a single narrow pass, no shuffle at all until the gram join
+  * itself. The join is eval-grams against DISTINCT train-grams:
   * the train side collapses before the shuffle (distinct grams ≪ gram
   * instances on a deduped corpus), and only colliding grams flow to the
   * final per-doc aggregation. At 100 TB the distinct-train-gram table is
@@ -27,13 +27,11 @@ object Contamination {
   private[ops] def wordGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, "n-gram size must be at least 2")
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
-    val win = Window.partitionBy("id").orderBy("i")
-    val parts = col("w") +: (1 until n).flatMap(k =>
-      Seq(lit(" "), lead("w", k).over(win)))
-    tok.select(col("id"), concat(parts: _*).as("gram"))
-      .filter(col("gram").isNotNull)
+    // grams form per row via the codegen'd regex and explode — zero
+    // shuffles; the old posexplode + (n−1)-lead-window form paid a full
+    // exchange+sort of every token (guide §2.4: remove shuffles outright)
+    df.select(col(idCol).as("id"),
+      explode(Dedup.gramMatches(col(textCol), n)).as("gram"))
   }
 
   /** Per-eval-doc contamination report: total grams, colliding grams, and
@@ -114,13 +112,12 @@ object Contamination {
     require(n >= 2, "n-gram size must be at least 2")
     val benchGrams = wordGrams(bench, idCol, textCol, n)
       .select("gram").distinct()
-    val tok = train.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
-    val win = Window.partitionBy("id").orderBy("i")
-    val parts = col("w") +: (1 until n).flatMap(k =>
-      Seq(lit(" "), lead("w", k).over(win)))
-    val grams = tok.select(col("id"), col("i"), concat(parts: _*).as("gram"))
-      .filter(col("gram").isNotNull)
+    // positional grams via the codegen'd regex (match ordinal = gram
+    // start position); token counts from the split size — neither pays
+    // the old lead-window token shuffle
+    val grams = train
+      .select(col(idCol).as("id"),
+        posexplode(Dedup.gramMatches(col(textCol), n)).as(Seq("i", "gram")))
     val covered = grams.join(benchGrams, Seq("gram"), "left_semi")
       .select(col("id"),
         explode(sequence(col("i"), col("i") + (n - 1))).as("t"))
@@ -131,7 +128,10 @@ object Contamination {
       .agg(count(lit(1)).as("n_removed"),
         sum(when(col("pt").isNull || col("pt") =!= col("t") - 1, 1L)
           .otherwise(0L)).as("n_spans"))
-    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    train
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("_s"))
+      .filter(col("_s").isNotNull)
+      .groupBy("id").agg(sum(size(col("_s"))).as("n_tokens"))
       .join(spans, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),

@@ -58,6 +58,33 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Word n-gram ARRAY of `split(text, " ")` semantics (empty tokens
+    * kept), duplicates and positions preserved: element j is
+    * toks[j..j+n−1] space-joined, one per start j in [0, size−n]; docs
+    * under n tokens — and NULL text — yield no grams. This is the bulk
+    * gram former: `explode`/`posexplode` of it replaces the
+    * posexplode-tokens + (n−1)-lead-window pipeline the gram family used
+    * to run, whose Window exchange+sort shuffled EVERY TOKEN of the
+    * corpus just to see n−1 neighbors that were already adjacent in the
+    * row's own text (guide §2.4: remove shuffles outright).
+    *
+    * Implementation: one codegen'd `regexp_extract_all` with a
+    * lookbehind-anchored lookahead capture — a match fires exactly at
+    * each token start with ≥ n−1 following separators, so the match
+    * ORDINAL equals the gram's token-start index (positional consumers
+    * posexplode it), and because single-space-split tokens are separated
+    * by exactly one space, the captured text IS the old
+    * `concat(w₀, ' ', …, wₙ₋₁)` byte for byte. Two rejected forms, both
+    * measured slower at sf0.1: the lead-window pipeline (full token
+    * exchange+sort, and multiply-referenced consumers only survived it
+    * through ReusedExchange), and an interpreted `transform` lambda
+    * (q30 0.64 s → 2.0 s: Catalyst HOFs do not codegen, and without an
+    * exchange to reuse every referencing subtree re-ran the lambda pass).
+    */
+  private[ops] def gramMatches(text: Column, n: Int): Column =
+    regexp_extract_all(text,
+      lit("(?<=^| )(?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"), lit(1))
+
   /** k minhash values per row: sig[k] = min over shingles of
     * xxhash64(k, shingle). Pure per-row expression — no shuffle — but the
     * array lambdas are INTERPRETED (Catalyst HOFs do not codegen), so this
@@ -125,8 +152,8 @@ object Dedup {
 
   /** BATCH twin of [[md5BandBucketsPerRow]] — identical (band, bucket)
     * VALUES (same md5(band || 3-token-shingle) minima over the same
-    * windowed shingle set) through the exploded codegen'd pipeline:
-    * posexplode tokens, one lead-window pass, one hash aggregate with
+    * windowed shingle set) through the exploded pipeline: in-array gram
+    * forming ([[gramArrayRaw]]), explode, one hash aggregate with
     * `bands` partial `min(md5(...))`s, stack-unpivot. This is the side
     * that scans the standing CORPUS when building the incremental-dedup
     * index (q130's static side) — the per-row form's interpreted HOFs
@@ -136,14 +163,11 @@ object Dedup {
     */
   private[graft] def md5BandBuckets(df: DataFrame, idCol: String,
       textCol: String, bands: Int = 8): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("i")
-    val sh = tok.withColumn("sh", concat(col("w"), lit(" "),
-        lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)))
-      .filter(col("sh").isNotNull)
-      .select("id", "sh")
+    // grams form per row via the codegen'd regex ([[gramMatches]], no
+    // lead-window token shuffle); the `bands` md5 minima stay on the
+    // exploded codegen'd aggregate
+    val sh = df.select(col(idCol).as("id"),
+      explode(gramMatches(col(textCol), 3)).as("sh"))
     val sigCols = (0 until bands).map(i =>
       min(md5(concat(lit(i.toString), col("sh")))).as(s"s$i"))
     val stackArgs = (0 until bands)
@@ -164,27 +188,30 @@ object Dedup {
     * adds is linear and map-side-combined.
     */
   /** Exploded (id, sh) shingle rows WITH positional duplicates — the
-    * codegen'd shingle pipeline every bulk operator builds on: posexplode
-    * tokens, one lead-window pass for the n-gram, short docs contributing
+    * shingle pipeline every bulk operator builds on: in-array gram
+    * forming ([[gramArrayRaw]]) + explode, short docs contributing
     * their whole text as the single shingle ([[shingleArray]] parity).
     * Duplicate-sensitive consumers (Jaccard) must dedup downstream
     * (`collect_set` / `.distinct()`); min-hashing consumers must not.
     */
   private[graft] def shingleRows(df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"), col(textCol).as("_t"))
-    val nToks = size(split(col("_t"), "\\s+"))
-    val tok = base.filter(nToks >= shingleSize)
-      .select(col("id"), posexplode(split(col("_t"), "\\s+")).as(Seq("i", "w")))
-    val win = Window.partitionBy("id").orderBy("i")
-    val parts = col("w") +: (1 until shingleSize).flatMap(k =>
-      Seq(lit(" "), lead("w", k).over(win)))
-    val shLong = tok.select(col("id"), concat(parts: _*).as("sh"))
-      .filter(col("sh").isNotNull)
-    val shShort = base.filter(nToks < shingleSize)
-      .select(col("id"), concat_ws(" ", split(col("_t"), "\\s+")).as("sh"))
-    shLong.union(shShort)
+    // One per-row codegen'd gram pass + explode — no lead-window token
+    // shuffle. `\s+`-split parity via whitespace-run collapse: split on
+    // "\\s+" equals split on " " of the collapsed text (leading runs
+    // leave the same leading empty token, trailing empties drop in both),
+    // and collapsed tokens are single-space-separated, so [[gramMatches]]
+    // captures are byte-identical to the old window concats. Branch
+    // parity with the old two-frame union: docs with ≥ n tokens emit
+    // every positional gram; shorter docs emit their whole text
+    // single-spaced; NULL text (size(NULL) = NULL fails both guards)
+    // emits nothing — explode skips the NULL array.
+    val norm = regexp_replace(col("_t"), "\\s+", " ")
+    val toks = split(norm, " ")
+    val grams = when(size(toks) >= shingleSize, gramMatches(norm, shingleSize))
+      .when(size(toks) < shingleSize, array(concat_ws(" ", toks)))
+    df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .select(col("id"), explode(grams).as("sh"))
   }
 
   private[graft] def bandedBuckets(
@@ -791,10 +818,10 @@ object Dedup {
     * hashed; windows whose hash occurs more than once ANYWHERE in the
     * corpus mark their positions as repeated. Returns one row per doc:
     * (`idCol`, `n_windows`, `n_repeated`) — the repeated-window count is
-    * the span a substring-deduper would cut. Two shuffles total: the
-    * per-doc position window (lead chain, codegen'd) and the global
-    * window-hash frequency aggregate (map-side combined); the join back
-    * is a semi-join reusing the hash shuffle. At 100 TB the frequency
+    * the span a substring-deduper would cut. One shuffle total: windows
+    * form inside each doc's token array (no token shuffle), then the
+    * global window-hash frequency aggregate (map-side combined); the
+    * join back is a semi-join reusing the hash shuffle. At 100 TB the frequency
     * table is the big frame — it is one 16-byte hash + count per DISTINCT
     * window, and windows repeat heavily (that is the point), so it is far
     * smaller than the corpus.
@@ -802,22 +829,17 @@ object Dedup {
   def repeatedWindows(
       df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol),
       filter(split(col(textCol), " "), t => t =!= "").as("_toks"))
       .withColumn("_n", size(col("_toks")))
-    val tok = base.select(col(idCol), col("_n"),
-      posexplode(col("_toks")).as(Seq("_p", "_t")))
-    val ww = Window.partitionBy(idCol).orderBy("_p")
-    val parts = col("_t") +: (1 until w).map(k => lead("_t", k).over(ww))
-    // window text and the validity probe MUST be computed in the same
-    // select, BEFORE filtering: a filter in between would re-evaluate the
-    // lead chain over the already-truncated frame, silently shortening
-    // every window that overlaps the dropped tail
-    val wins = tok
-      .select(col(idCol), concat_ws(" ", parts: _*).as("_wtxt"),
-        lead("_t", w - 1).over(ww).as("_last"))
-      .filter(col("_last").isNotNull)
+    // windows form per row via the codegen'd regex over the space-run-
+    // collapsed text (trim + collapse = the empty-token filter, so the
+    // captures are byte-identical to the old single-space window
+    // concats); exactly the _n−w+1 full windows, no token shuffle
+    val wins = df
+      .select(col(idCol),
+        explode(gramMatches(
+          regexp_replace(trim(col(textCol)), " +", " "), w)).as("_wtxt"))
       .select(col(idCol), md5(col("_wtxt")).as("_h"))
     val rep = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1).select("_h")
@@ -856,13 +878,14 @@ object Dedup {
       filter(split(col(textCol), " "), t => t =!= "").as("_toks"))
       .withColumn("_n", size(col("_toks")))
     val tok = base.select(col(idCol), posexplode(col("_toks")).as(Seq("_p", "_t")))
-    val ww = Window.partitionBy(idCol).orderBy("_p")
-    val parts = col("_t") +: (1 until w).map(k => lead("_t", k).over(ww))
-    val wins = tok
-      .select(col(idCol), col("_p"),
-        concat_ws(" ", parts: _*).as("_wtxt"),
-        lead("_t", w - 1).over(ww).as("_last"))
-      .filter(col("_last").isNotNull)
+    // windows form per row via the codegen'd regex over the space-run-
+    // collapsed text: the match ordinal IS the old window start position
+    // _p over the filtered tokens (0-based), no lead-window token shuffle
+    val wins = df
+      .select(col(idCol),
+        posexplode(gramMatches(
+          regexp_replace(trim(col(textCol)), " +", " "), w))
+          .as(Seq("_p", "_wtxt")))
       .select(col(idCol), col("_p"), md5(col("_wtxt")).as("_h"))
     val rep = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") > 1).select("_h")
@@ -895,12 +918,16 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleSize: Int = 3, maxDocFreq: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(df, idCol, textCol, shingleSize).distinct()
-    val capped = sh
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("_df") <= maxDocFreq)
-      .drop("_df")
+    // Hot-shingle cap via map-side-combinable groupBy + anti-join against
+    // the (tiny, AQE-broadcastable) hot set — the ngramJaccardPairs shape
+    // — not count().over(Window.partitionBy(sh)), which re-shuffled and
+    // SORTED every shingle row and dragged each hot shingle into one task
+    // just to drop it.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("sh")
+    val capped = sh.join(hot, Seq("sh"), "left_anti")
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n"))
     val a = capped.select(col("id").as("id_a"), col("sh"))
     val b = capped.select(col("id").as("id_b"), col("sh"))
@@ -937,9 +964,9 @@ object Dedup {
     * exactly the variable-length excision set — runs LONGER than k
     * emerge naturally as consecutive duplicated windows chain.
     *
-    *  1. per-doc gram pass: posexplode + (k−1) `lead`s, no cross-doc
-    *     shuffle; grams carry a 128-bit md5 fingerprint so the corpus
-    *     shuffle moves 32 hex chars, not k words;
+    *  1. per-doc gram pass: grams form inside the token array and
+    *     explode — zero shuffles; grams carry a 128-bit md5 fingerprint
+    *     so the corpus shuffle moves 32 hex chars, not k words;
     *  2. duplicated grams: groupBy(fingerprint) with min(id) ≠ max(id)
     *     — two map-side-combined aggregates, NEVER a count-distinct
     *     (its dedup shuffle would move the whole gram table again);
@@ -959,14 +986,13 @@ object Dedup {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "span threshold k must be at least 2")
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("i", "w")))
-    val win = Window.partitionBy("id").orderBy("i")
-    val parts = col("w") +: (1 until k).flatMap(j =>
-      Seq(lit(" "), lead("w", j).over(win)))
-    val grams = tok
-      .select(col("id"), col("i"), md5(concat(parts: _*)).as("gh"))
-      .filter(col("gh").isNotNull)
+    // k-grams form per row via the codegen'd regex (match ordinal = gram
+    // start position, no lead-window token shuffle); md5 on the exploded
+    // rows
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(gramMatches(col(textCol), k)).as(Seq("i", "_g")))
+      .select(col("id"), col("i"), md5(col("_g")).as("gh"))
     val dup = grams.groupBy("gh")
       .agg(min("id").as("_mn"), max("id").as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
@@ -982,7 +1008,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_removed"),
         sum(when(col("pt").isNull || col("pt") =!= col("t") - 1, 1L)
           .otherwise(0L)).as("n_spans"))
-    tok.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    // per-doc token counts from the array size (one row per doc crosses
+    // the shuffle, not one per token); NULL text contributed no exploded
+    // tokens before, so it stays excluded (isNotNull guard)
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("_s"))
+      .filter(col("_s").isNotNull)
+      .groupBy("id").agg(sum(size(col("_s"))).as("n_tokens"))
       .join(spans, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),

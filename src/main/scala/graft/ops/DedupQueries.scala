@@ -19,31 +19,28 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  /** word 3-gram shingles WITH duplicates — one row per position. The
-    * cheap form: the posexplode + lead window is the only shuffle.
+  /** word 3-gram shingles WITH duplicates — one row per position, formed
+    * per row by the codegen'd gram regex ([[Dedup.gramMatches]]) and
+    * exploded: zero shuffles, where the old posexplode + lead-window form
+    * paid a full exchange+sort of every token in the corpus (guide §2.4).
     * Consumers that need per-doc set semantics (Jaccard) use [[shingles]];
     * duplicate-insensitive consumers (minhash banding: `min(md5(...))`
-    * cannot change under duplicates) take this and skip the distinct's
-    * full extra shuffle of the largest frame in the dedup family.
+    * cannot change under duplicates) take this form directly.
     */
-  private[ops] def shinglesRaw(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("lang"),
-      posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    tok
-      .withColumn("sh",
-        concat(col("w"), lit(" "), lead("w", 1).over(w), lit(" "), lead("w", 2).over(w)))
-      .filter(col("sh").isNotNull)
-      .select("doc_id", "lang", "sh")
-  }
+  private[ops] def shinglesRaw(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(Dedup.gramMatches(col("text"), 3)).as("sh"))
 
-  /** word 3-gram shingles, distinct per doc. Positions come from posexplode
-    * (stable within the split array), shingles via lead() over doc order.
+  /** word 3-gram shingles, distinct per doc. `doc_id` is the documents
+    * table's key (one row per doc), so the global `.distinct()` the old
+    * form shuffled the whole shingle frame for is exactly per-array
+    * `array_distinct` — applied before the explode, for free.
     * Empty tokens are kept — both engines split identically, so parity
     * beats cosmetic cleanliness.
     */
   private[ops] def shingles(docs: DataFrame): DataFrame =
-    shinglesRaw(docs).distinct()
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(Dedup.gramMatches(col("text"), 3))).as("sh"))
 
   /** DuckDB mirror of [[shingles]] as a CTE prefix. */
   private[ops] val shinglesSql =
