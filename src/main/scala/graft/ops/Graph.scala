@@ -324,7 +324,6 @@ object Graph {
     * (c1, c2, e12, deg1, deg2) — exactly the ΔQ terms.
     */
   def modularityMerges(e: DataFrame, labels: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = e
       .join(labels.select(col("v").as("a"), col("lbl").as("la")), Seq("a"))
       .join(labels.select(col("v").as("b"), col("lbl").as("lb")), Seq("b"))
@@ -338,6 +337,39 @@ object Graph {
       .join(labels, Seq("v"))
       .groupBy(col("lbl").as("c")).agg(sum("dg").as("degc"))
     val m = e.agg(sum("w").cast(org.apache.spark.sql.types.LongType).as("m"))
+    mutualBestMerges(pairs, degc, m)
+  }
+
+  /** [[modularityMerges]] specialized to a CANONICAL community graph —
+    * one row per a ≤ b community pair, weights pre-summed, intra mass as
+    * a = b self-loops (exactly [[contractByLabels]]'s output) — under
+    * IDENTITY labels, the shape [[louvain]] feeds it every level. The
+    * general form's two label-tagging joins, node-set distinct and pair
+    * re-aggregation are all identities here, so they are removed
+    * outright (guide §2.4): the pair frame IS the a ≠ b rows, and
+    * community degrees come straight off the endpoint union (a self-loop
+    * contributes 2w — once per endpoint — as Newman's formula requires).
+    * Bit-identical to `modularityMerges(gc, identity)` by construction:
+    * sum-over-singleton-group = the value itself.
+    */
+  def modularityMergesCanonical(gc: DataFrame): DataFrame = {
+    val pairs = gc.filter(col("a") =!= col("b"))
+      .select(col("a").as("c1"), col("b").as("c2"), col("w").as("e12"))
+    val degc = gc.select(col("a").as("c"), col("w"))
+      .unionAll(gc.select(col("b").as("c"), col("w")))
+      .groupBy("c").agg(sum("w").as("degc"))
+    val m = gc.agg(sum("w").cast(org.apache.spark.sql.types.LongType).as("m"))
+    mutualBestMerges(pairs, degc, m)
+  }
+
+  /** Shared ΔQ/mutual-best tail of the two merge frontends above:
+    * symmetrize the pair frame, keep strictly positive ΔQ (exact integer
+    * inequality), each community picks its best neighbor, merge mutual
+    * picks only.
+    */
+  private def mutualBestMerges(pairs: DataFrame, degc: DataFrame,
+      m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = pairs.select(col("c1").as("c"), col("c2").as("nb"), col("e12"))
       .unionByName(
         pairs.select(col("c2").as("c"), col("c1").as("nb"), col("e12")))
@@ -397,24 +429,25 @@ object Graph {
     */
   def louvain(e: DataFrame, labels0: DataFrame, levels: Int)
       : (DataFrame, Seq[DataFrame]) = {
-    var labels = labels0.localCheckpoint(true)
-    var gc = contractByLabels(e, labels).localCheckpoint(true)
+    var labels = labels0
+    var gc = contractByLabels(e, labels0).localCheckpoint(true)
     val perLevel = scala.collection.mutable.ListBuffer(gc)
     for (_ <- 0 until levels) {
-      val ids = gc.select(col("a").as("v"))
-        .unionByName(gc.select(col("b").as("v")))
-        .distinct().withColumn("lbl", col("v"))
-      // identity labels: the community graph IS the node graph here, so
-      // modularityMerges' degree/pair machinery applies unchanged
-      // (self-loops drop out of the pair frame via la =!= lb but count
-      // 2w toward degrees, as Newman's formula requires)
-      val merges = modularityMerges(gc, ids)
+      // the community graph is canonical (contractByLabels output) and
+      // its labels are the identity, so the specialized merge frontend
+      // skips the label joins / node-set distinct / pair re-aggregation
+      // the general form would run per level (guide §2.4)
+      val merges = modularityMergesCanonical(gc)
         .select(col("c2").as("from"), col("c1").as("to"))
         .localCheckpoint(true)
+      // labels stay LAZY: each level only chains one broadcast left join
+      // against the (checkpointed, community-sized) merge frame. The old
+      // per-level localCheckpoint materialized a NODE-sized frame per
+      // level for a value nothing reads until — unless the caller even
+      // consumes the labels at all (q307 does not) — the very end.
       labels = labels.join(broadcast(merges),
           labels("lbl") === merges("from"), "left")
         .select(labels("v"), coalesce(col("to"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
       gc = gc
         .join(broadcast(merges.select(col("from").as("a"),
           col("to").as("ta"))), Seq("a"), "left")

@@ -29,18 +29,22 @@ object SimilarityQueries {
   // sums are order-independent across partitionings
   private val decP = DecimalType(28, 12)
 
-  /** Exploded (vec_id, i, x) view with x in double — feeds codegen'd
-    * decimal-sum HashAggregates (the same plan shape as the oracle), which
-    * measured much faster than per-row interpreted decimal lambdas.
+  /** Per-row decimal-bridged dot product ([[graft.functions.DotProductDec12F]]):
+    * bit-identical to the old `posexplode → join on i → SUM(CAST(x*y AS
+    * DECIMAL(28,12)))` pipeline (decimal sums are exact and
+    * order-independent), with the explode, the dimension join and the
+    * aggregation exchange removed outright (guide §2.4). Returns
+    * DECIMAL(38,12) — Sum's output type; callers `.cast(DoubleType)`
+    * exactly where the old pipeline did.
     */
-  private def exploded(e: org.apache.spark.sql.DataFrame) =
-    e.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast(DoubleType))
+  private def dec12Dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftRegistrar.column(
+      graft.functions.DotProductDec12F(
+        org.apache.spark.sql.GraftRegistrar.expression(a),
+        org.apache.spark.sql.GraftRegistrar.expression(b)))
 
-  private def normsOf(ex: org.apache.spark.sql.DataFrame) =
-    ex.groupBy("vec_id")
-      .agg(sum((col("x") * col("x")).cast(decP)).cast(DoubleType).as("nrm"))
+  private def dec12DotD(a: Column, b: Column): Column =
+    dec12Dot(a, b).cast(DoubleType)
 
   /** Contrastive HARD-NEGATIVE mining — the embedding-space op a
     * training pipeline runs right after retrieval: for each query vector,
@@ -55,25 +59,19 @@ object SimilarityQueries {
     "q238_hard_negatives",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ex = exploded(emb)
-      val norms = normsOf(ex)
-      val labels = emb.select(col("vec_id"), col("label").cast(LongType))
-      val qx = ex.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
-      val qLab = labels.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
-      val dots = ex.join(broadcast(qx), Seq("i"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
-        .join(labels, Seq("vec_id"))
-        .join(broadcast(qLab), Seq("q_id"))
-        .filter(col("label") =!= col("q_label"))
+      val e = emb.select(col("vec_id"), col("embedding"),
+        col("label").cast(LongType).as("label"))
+      // one broadcast of the query rows (vectors ride along); dot/norm are
+      // the per-row decimal bridge — no explode, no dimension join, no agg
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+        .withColumn("q_nrm", dec12DotD(col("q_emb"), col("q_emb")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-      dots
-        .join(broadcast(norms.select(col("vec_id").as("q_id"),
-          col("nrm").as("q_nrm"))), Seq("q_id"))
-        .join(broadcast(norms), Seq("vec_id"))
+      e.join(broadcast(q),
+          col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .withColumn("dot", dec12DotD(col("q_emb"), col("embedding")))
+        .withColumn("nrm", dec12DotD(col("embedding"), col("embedding")))
         .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
         .withColumn("rnk", row_number().over(w).cast(LongType))
         .filter(col("rnk") <= 3)
@@ -116,18 +114,14 @@ object SimilarityQueries {
   val q32_knn_cosine: QueryDef = QueryDef(
     "q32_knn_cosine",
     (s, d) => {
-      val ex = exploded(Tables.embeddings(s, d))
-      val norms = normsOf(ex)
-      val qx = ex.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
-      val dots = ex.join(broadcast(qx), Seq("i"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_nrm", dec12DotD(col("q_emb"), col("q_emb")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-      dots
-        .join(broadcast(norms.select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))), Seq("q_id"))
-        .join(broadcast(norms), Seq("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dec12DotD(col("q_emb"), col("embedding")))
+        .withColumn("nrm", dec12DotD(col("embedding"), col("embedding")))
         .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
         .withColumn("rnk", row_number().over(w).cast(LongType))
         .filter(col("rnk") <= 5)
@@ -178,20 +172,24 @@ object SimilarityQueries {
     (s, d) => {
       val dims = 64
       val planes = 8
-      val comps = for { p <- 0 until planes; i <- 0 until dims } yield {
-        val dig = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p:$i".getBytes("UTF-8"))
-        (p, i, if ((dig(15) & 1) == 1) 1.0 else -1.0)
+      // the ±1 hyperplanes are compile-time array literals; each sign test
+      // is one per-row decimal-bridged dot (same value as the old exploded
+      // (vec_id, p) aggregate — decimal sums are order-independent), so
+      // the whole bucketing is a single codegen'd projection: no explode,
+      // no plane join, no two-level aggregation
+      val planeLit = (0 until planes).map { p =>
+        array((0 until dims).map { i =>
+          val dig = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$i".getBytes("UTF-8"))
+          lit(if ((dig(15) & 1) == 1) 1.0 else -1.0)
+        }: _*)
       }
-      import s.implicits._
-      val planesDf = comps.toDF("p", "i", "c")
-      exploded(Tables.embeddings(s, d))
-        .join(broadcast(planesDf), Seq("i"))
-        .groupBy("vec_id", "p")
-        .agg(sum((col("x") * col("c")).cast(decP)).cast(DoubleType).as("dot"))
-        .groupBy("vec_id")
-        .agg(sum(when(col("dot") > 0, expr("shiftleft(1, p)")).otherwise(lit(0)))
-          .cast(LongType).as("bucket"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          (0 until planes).map { p =>
+            when(dec12DotD(col("embedding"), planeLit(p)) > 0, lit(1L << p))
+              .otherwise(lit(0L))
+          }.reduce(_ + _).cast(LongType).as("bucket"))
         .orderBy("vec_id")
     },
     Some("""WITH planes AS (
@@ -224,24 +222,21 @@ object SimilarityQueries {
     * the label-blocked candidate space, vec_id < 500.
     */
   private[graft] def exactCosinePairs(s: SparkSession, d: String): DataFrame = {
+    // label-blocked pair join carrying the WHOLE vectors (one row per
+    // candidate pair) with per-row decimal-bridged dot/norms — the old
+    // form joined the exploded views on (i, label, <), shuffling 64 rows
+    // per pair into a giant hash aggregate (guide §2.3: shuffle one row of
+    // metadata+payload, not one row per token/dimension)
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
-    val ex = e.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast(DoubleType))
-    val norms = normsOf(ex.select("vec_id", "i", "x"))
-    val b = ex.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-      col("i").as("i_b"), col("x").as("xb"))
-    val dots = ex
-      .join(b, col("i") === col("i_b") && col("label") === col("label_b") &&
-        col("vec_id") < col("id_b"))
-      .groupBy(col("vec_id").as("id_a"), col("id_b"))
-      .agg(sum((col("x") * col("xb")).cast(decP)).cast(DoubleType).as("dot"))
-    dots
-      .join(broadcast(norms.select(col("vec_id").as("id_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
-      .join(broadcast(norms.select(col("vec_id").as("id_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
-      .withColumn("cosine", col("dot") / sqrt(col("nrm_a") * col("nrm_b")))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", dec12DotD(col("embedding"), col("embedding")))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    e.join(b, col("label") === col("label_b") && col("vec_id") < col("id_b"))
+      .withColumn("dot", dec12DotD(col("embedding"), col("emb_b")))
+      .withColumn("cosine", col("dot") / sqrt(col("nrm") * col("nrm_b")))
       .filter(col("cosine") >= 0.35)
-      .select("id_a", "id_b", "cosine")
+      .select(col("vec_id").as("id_a"), col("id_b"), col("cosine"))
   }
 
   val q38_embedding_neardup: QueryDef = QueryDef(
@@ -1185,15 +1180,15 @@ object SimilarityQueries {
     "q194_mmr_retrieval",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ex = exploded(emb)
       val qid = emb.agg(min("vec_id").as("qid"))
-      val qX = ex.join(broadcast(qid), col("vec_id") === col("qid"))
-        .select(col("i"), col("x").as("qxv"))
-      val rel = ex.join(broadcast(qX), Seq("i"))
-        .crossJoin(broadcast(qid))
+      // one broadcast of the single query vector; rel is the per-row
+      // decimal bridge (same DECIMAL(38,12) value/type as the old
+      // exploded SUM — exact, order-independent)
+      val qX = emb.join(broadcast(qid), col("vec_id") === col("qid"))
+        .select(col("qid"), col("embedding").as("q_emb"))
+      val rel = emb.crossJoin(broadcast(qX))
         .filter(col("vec_id") =!= col("qid"))
-        .groupBy("vec_id")
-        .agg(sum((col("qxv") * col("x")).cast(decP)).as("rel"))
+        .select(col("vec_id"), dec12Dot(col("q_emb"), col("embedding")).as("rel"))
       // localCheckpoint (eager): the greedy rounds below build one
       // nested plan over these frames — materializing the 20-row
       // shortlist and its 380-row sim matrix up front keeps every round
@@ -1201,12 +1196,13 @@ object SimilarityQueries {
       // corpus dot passes per round
       val sl = rel.orderBy(col("rel").desc, col("vec_id")).limit(20)
         .localCheckpoint(true)
-      val sx = ex.join(broadcast(sl.select("vec_id")), Seq("vec_id"))
-      val ss = sx.select(col("vec_id").as("a"), col("i"), col("x"))
-        .join(sx.select(col("vec_id").as("b"), col("i"), col("x").as("y")), Seq("i"))
+      val sx = emb.join(broadcast(sl.select("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val ss = sx.select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .crossJoin(broadcast(
+          sx.select(col("vec_id").as("b"), col("embedding").as("eb"))))
         .filter(col("a") =!= col("b"))
-        .groupBy("a", "b")
-        .agg(sum((col("x") * col("y")).cast(decP)).as("sim"))
+        .select(col("a"), col("b"), dec12Dot(col("ea"), col("eb")).as("sim"))
         .localCheckpoint(true)
       var sel = sl.orderBy(col("rel").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("rel"), col("rel").as("mmr"),
@@ -1271,20 +1267,15 @@ object SimilarityQueries {
     "q206_knn_classify",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ex = exploded(emb)
-      val norms = normsOf(ex)
       val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lbl"))
-      val qx = ex.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
-      val dots = ex.join(broadcast(qx), Seq("i"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_nrm", dec12DotD(col("q_emb"), col("q_emb")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-      val top = dots
-        .join(broadcast(norms.select(col("vec_id").as("q_id"),
-          col("nrm").as("q_nrm"))), Seq("q_id"))
-        .join(broadcast(norms), Seq("vec_id"))
+      val top = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dec12DotD(col("q_emb"), col("embedding")))
+        .withColumn("nrm", dec12DotD(col("embedding"), col("embedding")))
         .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)
@@ -1359,21 +1350,16 @@ object SimilarityQueries {
     "q246_retrieval_eval",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val ex = exploded(emb)
-      val norms = normsOf(ex)
       val labels = emb.select(col("vec_id"), col("label").cast(LongType).as("lbl"))
       val labelSizes = labels.groupBy("lbl").agg(count(lit(1)).as("lbl_n"))
-      val qx = ex.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("i"), col("x").as("qx"))
-      val dots = ex.join(broadcast(qx), Seq("i"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum((col("qx") * col("x")).cast(decP)).cast(DoubleType).as("dot"))
+      val e = emb.select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("q_nrm", dec12DotD(col("q_emb"), col("q_emb")))
       val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-      val top = dots
-        .join(broadcast(norms.select(col("vec_id").as("q_id"),
-          col("nrm").as("q_nrm"))), Seq("q_id"))
-        .join(broadcast(norms), Seq("vec_id"))
+      val top = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("dot", dec12DotD(col("q_emb"), col("embedding")))
+        .withColumn("nrm", dec12DotD(col("embedding"), col("embedding")))
         .withColumn("cosine", col("dot") / sqrt(col("q_nrm") * col("nrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)

@@ -173,30 +173,48 @@ object TextIndex {
       val nBuckets = m.stats("n_buckets").toInt
       val nDocBuckets = m.stats("n_doc_buckets").toInt
       val newPosts = postings(addedDocs, idCol, textCol, nBuckets)
-        .localCheckpoint(true) // tokenize the delta once, use it thrice
+        .localCheckpoint(true) // tokenize the delta once, use it twice
       val rmIds = removedIds.select(col(idCol).cast(LongType).as("doc_id"))
         .union(addedDocs.select(col(idCol).cast(LongType).as("doc_id")))
         .distinct().localCheckpoint(true)
+      // NOT checkpointed: a narrow per-doc projection of the delta with
+      // two consumers — recomputing it twice inside the jobs that need it
+      // is cheaper than a dedicated materialization action per commit
+      // (guide §1.2: a CDC batch pays per-action fixed cost)
       val newLens = docLengths(addedDocs, idCol, textCol, nDocBuckets)
-        .localCheckpoint(true)
-      // touched-bucket discovery on BOTH partition axes in one job (a
-      // CDC batch pays per-action fixed cost — two separate collects
-      // measured ~0.35 s of pure overhead per commit): column-pruned
-      // (doc_id, bucket) scan of the standing postings + the delta's own
-      // term-bucket routes, tagged 't', unioned with the delta ids'
-      // doc-bucket routes tagged 'd'; the collect stays bounded by
-      // n_buckets + n_doc_buckets
+      // ONE job discovers the touched buckets on BOTH partition axes AND
+      // computes the signed corpus-stat correction (rows leaving the
+      // index carry sgn −1, rows entering +1) — previously the stats were
+      // their own action (~0.25 s of pure per-commit overhead), and the
+      // two-collect form before that cost ~0.35 s more. The doclen legs
+      // scan the doc-count-sized sidecar column-pruned — far cheaper than
+      // the postings semi-join this job already pays. The collect stays
+      // bounded by n_buckets + n_doc_buckets.
       val standingAll = VersionedIndex.readArtifact(spark, dir, m,
         "postings", None, postingsSchema)
-      val touchedBoth = standingAll
+      val standingLenAll = VersionedIndex.readArtifact(spark, dir, m,
+        "doclen", None, doclenSchema)
+      val zero = Seq(lit(0L).as("sgn"), lit(0L).as("dl"))
+      val disc = standingAll
         .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
-        .select(lit("t").as("ax"), col("bucket").cast(IntegerType).as("b"))
-        .union(newPosts.select(lit("t").as("ax"), col("bucket").as("b")))
-        .union(rmIds.select(lit("d").as("ax"),
-          pmod(hash(col("doc_id")), lit(nDocBuckets)).as("b")))
-        .union(newLens.select(lit("d").as("ax"), col("dbucket").as("b")))
-        .distinct().collect()
-      val touched = touchedBoth.filter(_.getString(0) == "t")
+        .select(lit("t").as("ax") +: col("bucket").cast(IntegerType).as("b")
+          +: zero: _*)
+        .union(newPosts.select(lit("t").as("ax") +: col("bucket").as("b")
+          +: zero: _*))
+        .union(rmIds.select(lit("d").as("ax") +:
+          pmod(hash(col("doc_id")), lit(nDocBuckets)).as("b") +: zero: _*))
+        .union(newLens.select(lit("d").as("ax"), col("dbucket").as("b"),
+          lit(1L).as("sgn"), col("dl")))
+        .union(standingLenAll
+          .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
+          .select(lit("d").as("ax"), col("dbucket").cast(IntegerType).as("b"),
+            lit(-1L).as("sgn"), col("dl")))
+        .groupBy("ax", "b")
+        .agg(sum("sgn").as("sgn"), sum(col("sgn") * col("dl")).as("sdl"))
+        .collect()
+      val nDocsDelta = disc.map(_.getLong(2)).sum
+      val sumDlDelta = disc.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
+      val touched = disc.filter(_.getString(0) == "t")
         .map(_.getInt(1)).toSeq
       val touchedDirs = touched.map(b => s"bucket=$b").toSet
       // rewrite = (standing rows of touched buckets) − (delta ids) +
@@ -215,23 +233,12 @@ object TextIndex {
           .map(_ -> c.genLabel)
       // doclen sidecar: same protocol on the doc-hash bucket axis; the
       // delta ids' buckets are the only partitions read or written
-      val touchedD = touchedBoth.filter(_.getString(0) == "d")
+      val touchedD = disc.filter(_.getString(0) == "d")
         .map(_.getInt(1)).toSeq
       val touchedDDirs = touchedD.map(b => s"dbucket=$b").toSet
       val standingLenT = VersionedIndex.readArtifact(spark, dir, m,
         "doclen", Some(touchedDDirs), doclenSchema)
         .withColumn("dbucket", col("dbucket").cast(IntegerType))
-      // incremental corpus-stats correction, delta-sized and SIGNED in
-      // one job (rows leaving the index — removed ∪ replaced, counted
-      // against the touched buckets only — carry sign −1, rows entering
-      // +1; separate gone/came aggregations measured ~0.25 s of pure
-      // per-action overhead per commit)
-      val statsDelta = standingLenT
-        .join(broadcast(rmIds), Seq("doc_id"), "left_semi")
-        .select(lit(-1L).as("sgn"), col("dl"))
-        .unionByName(newLens.select(lit(1L).as("sgn"), col("dl")))
-        .agg(coalesce(sum("sgn"), lit(0L)),
-          coalesce(sum(col("sgn") * col("dl")), lit(0L))).head()
       val rewrittenLen = standingLenT
         .join(broadcast(rmIds), Seq("doc_id"), "left_anti")
         .unionByName(newLens)
@@ -241,13 +248,12 @@ object TextIndex {
         VersionedIndex.writtenPartDirs(spark, s"${c.gen}/doclen")
           .map(_ -> c.genLabel)
       newPosts.unpersist(blocking = false)
-      newLens.unpersist(blocking = false)
       rmIds.unpersist(blocking = false)
       c.finish(VersionedIndex.Manifest(
         Map("postings" -> postParts, "doclen" -> lenParts),
         m.stats ++ Map(
-          "n_docs" -> (m.stats("n_docs") + statsDelta.getLong(0)),
-          "sum_dl" -> (m.stats("sum_dl") + statsDelta.getLong(1)))))
+          "n_docs" -> (m.stats("n_docs") + nDocsDelta),
+          "sum_dl" -> (m.stats("sum_dl") + sumDlDelta))))
     } catch { case e: Throwable => c.abort(); throw e }
     // auto-compaction policy: after the CDC commit published, collapse
     // any partition whose file count exceeded the threshold as a

@@ -525,6 +525,38 @@ object StreamQueries {
     * restored on every exit path, so batch queries after the stream are
     * untouched.
     */
+  /** The width [[withStreamWidth]] resolves for `inputDirs` — split out
+    * (package-private) so the fallback contract below is pinned by a test.
+    *
+    * Staged bytes are resolved through the HADOOP FileSystem API, not
+    * java.nio: a production stream's staged inputs live on HDFS/S3 where
+    * a local-path probe silently reads 0 bytes and would collapse every
+    * stream to the floor width — the one at-scale defect the round-18
+    * version of this formula had. An absent or unreadable directory
+    * yields the SESSION width: never undersize on missing information.
+    */
+  private[streaming] def streamWidthFor(s: SparkSession,
+      inputDirs: Seq[String]): Int = {
+    val session = s.sessionState.conf.numShufflePartitions
+    sys.env.get("SPARK_GRAFT_STREAM_WIDTH")
+      .map(_.toInt).filter(_ != 0).getOrElse {
+        val bytes = inputDirs.map { dp =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dp)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.getContentSummary(p).getLength else -1L
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+        }
+        if (bytes.exists(_ < 0)) session
+        else {
+          val advisory = s.sessionState.conf.getConf(
+            org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+          math.max(4, math.min(session.toLong,
+            (bytes.sum + advisory - 1) / advisory).toInt)
+        }
+      }
+  }
+
   private def withStreamWidth[T](s: SparkSession,
       inputDirs: Seq[String])(body: => T): T = {
     val session = s.sessionState.conf.numShufflePartitions
@@ -534,22 +566,7 @@ object StreamQueries {
     // narrowing to the staged delta's byte size starves the real work of
     // parallelism (q302 measured +1.7 s at width 4 vs the session 32).
     if (inputDirs.isEmpty) return body
-    val width = sys.env.get("SPARK_GRAFT_STREAM_WIDTH")
-      .map(_.toInt).filter(_ != 0).getOrElse {
-        import scala.jdk.CollectionConverters._
-        val bytes = inputDirs.map { dp =>
-          val p = java.nio.file.Paths.get(dp)
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala
-              .filter(java.nio.file.Files.isRegularFile(_))
-              .map(java.nio.file.Files.size(_)).sum
-          else 0L
-        }.sum
-        val advisory = s.sessionState.conf.getConf(
-          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-        math.max(4, math.min(session.toLong,
-          (bytes + advisory - 1) / advisory).toInt)
-      }
+    val width = streamWidthFor(s, inputDirs)
     if (width == session) body
     else {
       s.conf.set("spark.sql.shuffle.partitions", width)
@@ -1501,11 +1518,13 @@ object StreamQueries {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], _: Long) =>
-            val ups = batch.filter(col("op") === "u")
-              .select("doc_id", "text").localCheckpoint(true)
-            val dels = batch.filter(col("op") === "d")
-              .select("doc_id").localCheckpoint(true)
-            graft.ops.TextIndex.updatePhraseIndex(s, dir, ups, dels,
+            // ONE materialization of the micro-batch (q312's shape); the
+            // ups/dels filters are narrow selects over it — two separate
+            // checkpoints cost a second batch-sized job per commit
+            val b = batch.localCheckpoint(true)
+            graft.ops.TextIndex.updatePhraseIndex(s, dir,
+              b.filter(col("op") === "u").select("doc_id", "text"),
+              b.filter(col("op") === "d").select("doc_id"),
               "doc_id", "text")
             ()
           }

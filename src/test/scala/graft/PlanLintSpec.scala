@@ -22,6 +22,10 @@ class PlanLintSpec extends SparkSpec {
     */
   private val allowedBnlj: Map[String, String] = Map(
     "q55_ann_recall" -> "centroid table (k rows) broadcast for IVF assignment (crossJoin)",
+    "q32_knn_cosine" -> "5-row query-vector set broadcast for the exact kNN scan (bruteForceTopK's shape; dots are per-row decimal-bridged)",
+    "q206_knn_classify" -> "5-row query-vector set broadcast for the exact kNN scan (q32's shape)",
+    "q238_hard_negatives" -> "10-row query-vector set broadcast for the exact kNN scan (q32's shape, label-inequality pushed into the join)",
+    "q246_retrieval_eval" -> "20-row query-vector set broadcast for the exact kNN scan (q32's shape)",
     // q104 lost its allowance when the trainer moved behind the shared
     // CorpusBuilds checkpoint: its plan is now an opaque scan of the
     // trained artifact (the Lloyd crossJoins run once inside the build)
