@@ -68,8 +68,8 @@ object Contamination {
       textCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
     val evalGrams = wordGrams(eval, idCol, textCol, n)
     // persist: the distinct hash set feeds two driver jobs (count, then
-    // the bloom build) — without it the posexplode + (n−1)-lead window
-    // pipeline runs twice
+    // the bloom build) — without it the regex gram pass
+    // (Dedup.gramMatches) + hash + distinct runs twice
     val distinctEval = evalGrams.select(xxhash64(col("gram")).as("gh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf =

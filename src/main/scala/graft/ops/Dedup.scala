@@ -153,7 +153,7 @@ object Dedup {
   /** BATCH twin of [[md5BandBucketsPerRow]] — identical (band, bucket)
     * VALUES (same md5(band || 3-token-shingle) minima over the same
     * windowed shingle set) through the exploded pipeline: in-array gram
-    * forming ([[gramArrayRaw]]), explode, one hash aggregate with
+    * forming ([[gramMatches]]), explode, one hash aggregate with
     * `bands` partial `min(md5(...))`s, stack-unpivot. This is the side
     * that scans the standing CORPUS when building the incremental-dedup
     * index (q130's static side) — the per-row form's interpreted HOFs
@@ -189,7 +189,7 @@ object Dedup {
     */
   /** Exploded (id, sh) shingle rows WITH positional duplicates — the
     * shingle pipeline every bulk operator builds on: in-array gram
-    * forming ([[gramArrayRaw]]) + explode, short docs contributing
+    * forming ([[gramMatches]]) + explode, short docs contributing
     * their whole text as the single shingle ([[shingleArray]] parity).
     * Duplicate-sensitive consumers (Jaccard) must dedup downstream
     * (`collect_set` / `.distinct()`); min-hashing consumers must not.
@@ -199,7 +199,9 @@ object Dedup {
     // One per-row codegen'd gram pass + explode — no lead-window token
     // shuffle. `\s+`-split parity via whitespace-run collapse: split on
     // "\\s+" equals split on " " of the collapsed text (leading runs
-    // leave the same leading empty token, trailing empties drop in both),
+    // leave the same leading empty token; a trailing whitespace run
+    // leaves one trailing empty token in both forms, and [[gramMatches]]
+    // reproduces the old null-lead cutoff, so parity holds),
     // and collapsed tokens are single-space-separated, so [[gramMatches]]
     // captures are byte-identical to the old window concats. Branch
     // parity with the old two-frame union: docs with ≥ n tokens emit

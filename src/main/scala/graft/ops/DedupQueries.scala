@@ -34,7 +34,11 @@ object DedupQueries {
   /** word 3-gram shingles, distinct per doc. `doc_id` is the documents
     * table's key (one row per doc), so the global `.distinct()` the old
     * form shuffled the whole shingle frame for is exactly per-array
-    * `array_distinct` — applied before the explode, for free.
+    * `array_distinct` — applied before the explode, for free. KEY
+    * ASSUMPTION: this equivalence holds ONLY while doc_id is unique —
+    * [[shinglesSql]] (the oracle mirror) still computes a global SELECT
+    * DISTINCT, so a fixture with duplicate doc_id rows would surface as
+    * an oracle hash mismatch here, not a silent wrong answer.
     * Empty tokens are kept — both engines split identically, so parity
     * beats cosmetic cleanliness.
     */

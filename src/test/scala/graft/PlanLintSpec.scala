@@ -84,10 +84,12 @@ class PlanLintSpec extends SparkSpec {
     "q252_modularity" -> "one-row total edge weight m (modularity denominator) broadcast onto the per-community frame"
   )
 
-  // one plan-build pass shared by every rule (some fns do real work —
-  // q94 runs an actual stream — so build each query exactly once)
+  // one plan-build pass shared by every rule AND with the registry sweep
+  // (TestQueryCache): some fns do real work at build time — q94 runs an
+  // actual stream — so each query is built exactly once per JVM
   private lazy val plans: Seq[(String, String)] = Registry.all.map { q =>
-    q.name -> q.fn(spark, sf).queryExecution.executedPlan.toString
+    q.name -> TestQueryCache.df(spark, sf, q.name)
+      .queryExecution.executedPlan.toString
   }
 
   /** queryName -> why a SINGLE-PARTITION WindowExec is acceptable there.
